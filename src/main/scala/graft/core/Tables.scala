@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata star schema
+  * (`/root/repo/TESTDATA.md`): TPC-H-ish tables plus `events`
+  * (timestamped stream table), `documents` (text corpus) and
+  * `embeddings` (64-dim float vectors).
+  *
+  * All loads are plain parquet scans so Catalyst's predicate pushdown /
+  * column pruning reach the file source (`PushedFilters` / `ReadSchema`
+  * in `.explain`) — no eager caching, no collect.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      // events.ts is parquet TIMESTAMP(NANOS); with
+      // spark.sql.legacy.parquet.nanosAsLong=true it surfaces as a
+      // long. Convert to a proper (microsecond) timestamp here so every
+      // consumer sees a TimestampType `ts` column. DuckDB truncates
+      // TIMESTAMP_NS -> TIMESTAMP the same way (floor division).
+      case "events" if raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+
+  /** Load every table and register `<name>` temp views for spark.sql. */
+  def registerAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    names.map { n =>
+      val df = load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+      n -> df
+    }.toMap
+}

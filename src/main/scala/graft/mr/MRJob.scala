@@ -1,0 +1,110 @@
+package graft.mr
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runs an [[MRApp]] as an idiomatic Spark job.
+  *
+  * The whole reference engine (coordinator, RPC, task queues, `mr-i-*`
+  * intermediate files, the standalone sort phase, the 10 s straggler
+  * requeue — `mr/coordinator.go`, `mr/worker.go`) collapses to:
+  *
+  * {{{
+  *   wholetext scan -> flatMap(app.map) -> groupByKey -> mapGroups(app.reduce)
+  * }}}
+  *
+  * Spark's scheduler replaces the pull-based FIFO coordinator, the
+  * sort-based shuffle replaces the JSON-lines intermediate files plus
+  * the explicit "sort" task type, task retry + the file-commit protocol
+  * replace the 10 s requeue loop, and — unlike the reference's
+  * at-least-once `O_APPEND` shuffle (`mr/worker.go:95`, the README's
+  * admitted flake) — output is exactly-once.
+  *
+  * Scale notes:
+  *   - one whole file = one map record (reference semantics,
+  *     `mr/coordinator.go:344-346`); works at any file count, but a
+  *     single multi-GB file will not split. That limitation is inherent
+  *     to the (filename, contents) UDTF contract; the relational /
+  *     LLM operators in `graft.ops` / `graft.llm` use splittable
+  *     parquet instead.
+  *   - `groupByKey.mapGroups` is sort-based: values stream through the
+  *     reduce iterator without materializing per-key lists, and Spark
+  *     spills to disk when a partition exceeds memory.
+  */
+object MRJob {
+
+  /** Whole-file source: one row per file, schema
+    * (filename string, contents string). `filename` is the basename, so
+    * results don't depend on where the corpus is mounted.
+    */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    spark.read
+      .option("wholetext", "true")
+      .text(paths: _*)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("filename"),
+        col("value").as("contents"))
+  }
+
+  /** Run the full map → shuffle → reduce pipeline; result is one
+    * KeyValue row per distinct key.
+    */
+  def run(
+      spark: SparkSession,
+      app: MRApp,
+      paths: Seq[String],
+      nReduce: Int = 10): Dataset[KeyValue] = {
+    import spark.implicits._
+    val files = read(spark, paths).as[(String, String)]
+    val mapped = files.flatMap { case (f, c) => app.map(f, c) }
+    mapped
+      .groupByKey(_.key)
+      .mapGroups((k, it) => KeyValue(k, app.reduce(k, it.map(_.value))))
+  }
+
+  /** Reference sink format: `"key value"` lines (`mr/worker.go:233`),
+    * one part file per shuffle partition (≈ the reference's
+    * `mr-out-<bucket>` files).
+    */
+  def writeText(result: Dataset[KeyValue], outDir: String): Unit =
+    result
+      .select(concat_ws(" ", col("key"), col("value")))
+      .write.mode("overwrite").text(outDir)
+
+  /** Canonicalized output for golden comparison, mirroring the
+    * reference harness's `sort | grep . | cmp` (`main/test-mr.sh:103`):
+    * all lines, globally sorted, blanks dropped.
+    */
+  def canonical(result: Dataset[KeyValue]): Seq[String] =
+    result
+      .collect()
+      .iterator
+      .map(kv => s"${kv.key} ${kv.value}")
+      .filter(_.nonEmpty)
+      .toSeq
+      .sorted
+}
+
+/** In-process reimplementation of the sequential oracle
+  * (`main/mrsequential.go:28-90`): map everything, one global sort by
+  * key, run-length group, reduce. Used by the golden/differential test
+  * tier as ground truth — never by the engine itself.
+  */
+object SequentialOracle {
+  def run(files: Seq[(String, String)], app: MRApp): Seq[String] = {
+    val kvs = files.iterator
+      .flatMap { case (f, c) => app.map(f, c) }
+      .toArray
+      .sortBy(_.key)
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < kvs.length) {
+      var j = i
+      while (j < kvs.length && kvs(j).key == kvs(i).key) j += 1
+      val values = kvs.slice(i, j).iterator.map(_.value)
+      out += s"${kvs(i).key} ${app.reduce(kvs(i).key, values)}"
+      i = j
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.apps.NativeApps
+import graft.mr._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Golden/differential tier (SURVEY §5 tier 1): distributed output must
+  * equal the sequential oracle's after canonicalization (global sort,
+  * drop blanks) — the port of `main/test-mr.sh`'s wc / indexer / crash
+  * gates, with the oracle recomputed in-process instead of checked-in
+  * goldens.
+  */
+class MRGoldenSpec extends SparkSpec {
+
+  private val corpusDir = Paths.get("/root/reference/main")
+  private lazy val pgPaths: Seq[String] =
+    Files.list(corpusDir).iterator.asScala
+      .map(_.toString).filter(p => p.matches(".*pg-.*\\.txt")).toSeq.sorted
+
+  private lazy val localFiles: Seq[(String, String)] = pgPaths.map { p =>
+    val name = Paths.get(p).getFileName.toString
+    name -> new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+  }
+
+  private def goldenCheck(appName: String): Unit = {
+    val app = MRApps.byName(appName)
+    val expected = SequentialOracle.run(localFiles, app).sorted
+    val actual = MRJob.canonical(MRJob.run(spark, app, pgPaths))
+    assert(actual.size === expected.size, s"$appName row count")
+    assert(actual === expected, s"$appName golden mismatch")
+  }
+
+  test("wc distributed == sequential oracle (pg corpus)") {
+    goldenCheck("wc")
+  }
+
+  test("indexer distributed == sequential oracle (pg corpus)") {
+    goldenCheck("indexer")
+  }
+
+  test("crash payload distributed == sequential oracle (pg corpus)") {
+    goldenCheck("crashpayload")
+  }
+
+  test("native wordCount == MRApp wordCount (pg corpus)") {
+    val files = MRJob.read(spark, pgPaths)
+    val native = NativeApps.wordCount(files).collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}").sorted.toSeq
+    val expected = SequentialOracle.run(localFiles, WordCountApp).sorted
+    assert(native === expected)
+  }
+
+  test("native invertedIndex == MRApp indexer (pg corpus)") {
+    val files = MRJob.read(spark, pgPaths)
+    val native = NativeApps.invertedIndex(files).collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}").sorted.toSeq
+    val expected = SequentialOracle.run(localFiles, InvertedIndexApp).sorted
+    assert(native === expected)
+  }
+
+  test("native crashPayload == MRApp crashPayload (pg corpus)") {
+    val files = MRJob.read(spark, pgPaths)
+    val native = NativeApps.crashPayload(files).collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}").sorted.toSeq
+    val expected = SequentialOracle.run(localFiles, CrashPayloadApp).sorted
+    assert(native === expected)
+  }
+
+  test("tokenizer parity: Go FieldsFunc(!IsLetter) vs split regex on corpus") {
+    // Character-level parity check across the whole corpus: the Scala
+    // splitter (used by the oracle) and Spark's split() (used by the
+    // native apps) must agree on total token count and distinct words.
+    val scalaTokens = localFiles.iterator.flatMap(f => GoTokens.split(f._2)).toArray
+    val files = MRJob.read(spark, pgPaths)
+    import org.apache.spark.sql.functions._
+    val sparkCount = files
+      .select(explode(NativeApps.tokens(col("contents"))).as("t"))
+      .count()
+    assert(sparkCount === scalaTokens.length.toLong)
+  }
+}
