@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{EventOps, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY §2 + LLM-pipeline
+  * extensions); `oracleSql` holds the DuckDB-equivalent SQL for every
+  * query whose semantics are ANSI-expressible. Queries absent from
+  * `oracleSql` (seeded-hash MinHash/SimHash/LSH) get the driver's
+  * rows-only check and are asserted against ground truth in ScalaTest
+  * instead.
+  *
+  * Reference-parity surface not representable here (whole-file text
+  * scan + `key value` text sink, `mr/worker.go`) is exercised by
+  * [[graft.tools.MRMain]] and the golden differential specs.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3Shipping(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ EventOps.queries ++ TextOps.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql
 }

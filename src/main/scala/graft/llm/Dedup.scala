@@ -1,0 +1,251 @@
+package graft.llm
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (content hash), canonicalized (token-set hash),
+  * n-gram Jaccard (relational set-similarity), MinHash+LSH (scalable
+  * near-dup candidates), SimHash (hamming-distance near-dup).
+  *
+  * Scale design:
+  *   - exact/canonical dedup are a single hash-partitioned groupBy on a
+  *     16-byte key — the canonical 100 TB dedup shape (shuffle is
+  *     O(corpus), state per group is O(1));
+  *   - Jaccard is restricted to within-`source` pairs (a real pipeline
+  *     would use the LSH buckets instead of `source`): the join is
+  *     token-partitioned, never a full cross product;
+  *   - MinHash+LSH: signatures are k independent min-aggregates
+  *     (algebraic, partial-agg friendly); candidate generation is a
+  *     self-join on (band, band-hash) buckets only — the classic
+  *     sub-quadratic near-dup path;
+  *   - SimHash reduces each doc to one long; bucketing by prefix keeps
+  *     the pair search bounded.
+  *
+  * MinHash/SimHash use deterministic seeded hash mixes (xxhash64 +
+  * affine permutations mod a Mersenne-ish prime), so results are stable
+  * across runs/partitionings — but not expressible in ANSI SQL, hence
+  * no DuckDB oracle for those two (rows-only check); their correctness
+  * is asserted in ScalaTest against brute-force Jaccard ground truth.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup on raw content hash: one survivor (min doc_id) per
+    * distinct text.
+    */
+  def exact(d: DataFrame): DataFrame =
+    d.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Canonicalized dedup: hash of the sorted distinct token set —
+    * catches reorderings/repetitions of the same vocabulary.
+    */
+  def canonical(d: DataFrame): DataFrame = {
+    val canon = array_join(
+      sort_array(array_distinct(TextOps.wsTokens(col("text")))), " ")
+    d.groupBy(md5(canon.cast("binary")).as("canon_hash"))
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        array_join(transform(sort_array(collect_set(col("doc_id"))),
+          _.cast("string")), ",").as("members"))
+  }
+
+  val canonicalSql: String =
+    """SELECT
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))),
+      |    ' ')) AS canon_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS members
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------- jaccard
+
+  /** Exact token-set Jaccard over within-source pairs: inverted-index
+    * self-join (partitioned by token, so co-occurring docs meet without
+    * a cross product), then |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def jaccardPairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val toks = d.select(
+      col("doc_id"), col("source"),
+      explode(array_distinct(TextOps.wsTokens(col("text")))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  val jaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_filter(
+      |      regexp_split_to_array(text, '\s+'), t -> t <> ''))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM toks a JOIN toks b
+      |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------- minhash
+
+  val MinhashK = 16          // signature length
+  val BandSize = 4           // rows per LSH band -> 4 bands
+  private val Prime = 2147483647L // 2^31 - 1
+  /** Affine permutation coefficients, fixed seed for determinism. */
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(MinhashK)((math.abs(rnd.nextLong()) % (Prime - 1) + 1,
+      math.abs(rnd.nextLong()) % Prime))
+  }
+
+  /** Per-document MinHash signatures over 3-token shingles.
+    * Shingle -> xxhash64 -> k affine permutations -> column-wise min.
+    * All algebraic aggregates: map-side combine works, no value lists.
+    */
+  def minhashSignatures(d: DataFrame): DataFrame = {
+    val toks = TextOps.wsTokens(col("text"))
+    val n = size(toks)
+    // 3-gram shingles as single strings; docs shorter than 3 tokens
+    // contribute their whole text as one shingle.
+    val shingles = when(n >= 3,
+      transform(sequence(lit(0), n - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array(array_join(toks, " ")))
+    val exploded = d
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("shingle")), lit(Prime)).as("h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(Prime))).as(s"mh_$i")
+    }
+    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Candidate near-dup pairs via LSH banding + signature agreement.
+    * Two docs are candidates if any band of `BandSize` consecutive
+    * signature components matches exactly; the emitted `est_jaccard`
+    * is the fraction of agreeing components across the full signature.
+    */
+  def minhashPairs(d: DataFrame, minAgree: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(d)
+    val sigCols = (0 until MinhashK).map(i => col(s"mh_$i"))
+    val withSig = sigs.select(col("doc_id"), array(sigCols: _*).as("sig"))
+    val nBands = MinhashK / BandSize
+    val banded = withSig.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * BandSize + 1, BandSize)
+            .cast("string")).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b))
+          .cast("double") / MinhashK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minAgree)
+  }
+
+  // ---------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: per token a 64-bit
+    * xxhash64; each bit votes +1/-1 weighted by term frequency; the
+    * sign vector is the fingerprint. Computed with per-bit algebraic
+    * sums (bit b extracted via shiftright/and) — no UDF, partial-agg
+    * friendly.
+    */
+  def simhash(d: DataFrame, bits: Int = 64): DataFrame = {
+    val tok = d.select(col("doc_id"),
+      explode(TextOps.wsTokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v_$b")
+    }
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"v_$b") > 0, lit(1L) * lit(1L << b).cast("long"))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance (within-source bucket
+    * to bound the pair count; a production pipeline buckets by simhash
+    * prefix bands instead).
+    */
+  def simhashPairs(d: DataFrame, maxHamming: Int = 16): DataFrame = {
+    val withSrc = simhash(d).join(d.select("doc_id", "source"), "doc_id")
+    withSrc.as("a")
+      .join(withSrc.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) => exact(docs(s, d))),
+    "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
+    "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
+    "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
+    "q_dedup_simhash" -> ((s, d) => simhashPairs(docs(s, d))))
+
+  /** minhash/simhash are not ANSI-SQL-expressible (seeded xxhash64) —
+    * rows-only driver check; ScalaTest asserts them against brute-force
+    * Jaccard ground truth instead.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> exactSql,
+    "q_dedup_canonical" -> canonicalSql,
+    "q_dedup_jaccard" -> jaccardPairsSql)
+}

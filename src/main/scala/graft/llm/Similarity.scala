@@ -1,0 +1,128 @@
+package graft.llm
+
+import graft.core.Tables
+import graft.functions.vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * Two paths:
+  *   - brute-force top-k: broadcast the (small) query set, score every
+  *     (query, vector) pair with the codegen'd [[vector.cosine_similarity]]
+  *     expression, rank per query. Exact; O(|queries| x |corpus|) but
+  *     embarrassingly parallel and shuffle-free until the final
+  *     per-query top-k (window over |queries| partitions).
+  *   - LSH-bucketed: random-hyperplane signatures (seeded, so
+  *     deterministic) bucket the corpus; candidates are scored only
+  *     within their bucket. Sub-linear scan at the cost of recall —
+  *     the 100 TB path. Recall vs brute force is asserted in ScalaTest.
+  *
+  * The driver-facing top-k query emits (query_id, neighbor rank) only —
+  * no float score column — so the DuckDB oracle (which computes cosine
+  * in a different float precision) hash-matches: ordering is stable as
+  * long as similarity gaps exceed float error, which the test tier
+  * checks.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Exact top-k cosine neighbors for each query vector (queries =
+    * vec_id < nQueries of the corpus itself).
+    */
+  def bruteForceTopK(e: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        vector.cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank")
+  }
+
+  val bruteForceTopKSql: String =
+    """SELECT query_id, vec_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(
+      |        CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |        DESC, e.vec_id) AS BIGINT) AS rank
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)
+      |WHERE rank <= 10""".stripMargin
+
+  /** Deterministic random hyperplanes (seeded): nPlanes x dim. */
+  private[llm] def planes(nPlanes: Int, dim: Int = 64): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH bucket id for every vector. */
+  def lshBuckets(e: DataFrame, nPlanes: Int = 4): DataFrame = {
+    val ps = planes(nPlanes)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(v => lit(v)): _*)
+      when(vector.dot_product(col("embedding"), planeCol) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.withColumn("bucket", bucket)
+  }
+
+  /** Approximate top-k: rank within LSH bucket only. */
+  def lshTopK(e: DataFrame, nPlanes: Int = 4, k: Int = 5): DataFrame = {
+    val bucketed = lshBuckets(e, nPlanes)
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        vector.cosine_similarity(col("a.embedding"), col("b.embedding"))
+          .as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"))
+  }
+
+  /** Centroid per label (classification-ish aggregate over vectors):
+    * element-wise mean via posexplode + group — algebraic, partial-agg
+    * friendly, and SQL-mirrorable.
+    */
+  def labelCentroidNorm(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg("v").as("m"))
+      .groupBy("label")
+      .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+        count(lit(1)).as("dim"))
+
+  val labelCentroidNormSql: String =
+    """SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+      |  count(*) AS dim
+      |FROM (
+      |  SELECT label, pos, avg(CAST(v AS DOUBLE)) AS m
+      |  FROM (SELECT label,
+      |          unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) - 1 AS pos
+      |        FROM embeddings)
+      |  GROUP BY label, pos)
+      |GROUP BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),
+    "q_knn_lsh" -> ((s, d) => lshTopK(emb(s, d))),
+    "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
+
+  /** q_knn_lsh depends on seeded hyperplanes — rows-only check. */
+  val oracleSql: Map[String, String] = Map(
+    "q_knn_brute" -> bruteForceTopKSql,
+    "q_label_centroid" -> labelCentroidNormSql)
+}

@@ -1,0 +1,249 @@
+package graft.llm
+
+import graft.core.Tables
+import graft.mr.GoTokens
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization,
+  * word count / inverted index (the reference apps re-hosted on a
+  * columnar table), quality scoring, token counting, language ID
+  * heuristic, and a rolling-hash document fingerprint.
+  *
+  * Everything here is built from codegen'd `functions._` (split /
+  * filter / transform / aggregate higher-order functions) — no UDFs in
+  * the hot path, so whole-stage codegen spans the full pipeline.
+  *
+  * Scale: all queries are embarrassingly parallel per document plus one
+  * hash-partitioned aggregation; nothing materializes per-group state
+  * beyond algebraic buffers except the inverted index (bounded by
+  * vocabulary x doc count, the same bound the reference's indexer had).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Letter-run tokens (reference splitter semantics, `mrapps/wc.go`). */
+  def letterTokens(text: Column): Column =
+    filter(split(text, GoTokens.sepRegex), t => length(t) > 0)
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word count over documents — the wc app on a columnar source. */
+  def wordCount(d: DataFrame): DataFrame =
+    d.select(explode(letterTokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  val wordCountSql: String =
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |    t -> t <> '')) AS word
+      |  FROM documents) GROUP BY word""".stripMargin
+
+  /** Inverted index over documents — the indexer app re-hosted:
+    * word -> (n_docs, sorted csv of doc ids).
+    */
+  def invertedIndex(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(letterTokens(col("text"))).as("word"))
+      .distinct()
+      .groupBy("word")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(
+        col("word"),
+        size(col("ids")).cast("bigint").as("n_docs"),
+        array_join(transform(col("ids"), _.cast("string")), ",").as("doc_ids"))
+
+  val invertedIndexSql: String =
+    """SELECT word, CAST(len(ids) AS BIGINT) AS n_docs,
+      |  array_to_string(ids, ',') AS doc_ids
+      |FROM (
+      |  SELECT word, list_sort(list(DISTINCT doc_id)) AS ids FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |        t -> t <> '')) AS word
+      |    FROM documents) GROUP BY word)""".stripMargin
+
+  /** Ordered string-agg (the crash-payload reduce, A9): per language,
+    * the sorted distinct sources joined with spaces.
+    */
+  def sortedJoin(d: DataFrame): DataFrame =
+    d.groupBy("lang")
+      .agg(array_join(sort_array(collect_set(col("source"))), " ")
+        .as("sources"))
+
+  val sortedJoinSql: String =
+    """SELECT lang,
+      |  array_to_string(list_sort(list(DISTINCT source)), ' ') AS sources
+      |FROM documents GROUP BY lang""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Per-document quality metrics: length, token count, average token
+    * length, stopword ratio, letter ratio, punctuation count.
+    */
+  def quality(d: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars_calc"),
+      size(toks).cast("bigint").as("n_tokens"),
+      round(
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(toks), 4).as("avg_token_len"),
+      round(
+        size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+          size(toks), 4).as("stopword_ratio"),
+      round(
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double") /
+          length(col("text")), 4).as("alpha_ratio"),
+      length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("bigint")
+        .as("punct_count"))
+  }
+
+  val qualitySql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |    / len(toks), 4) AS avg_token_len,
+       |  round(CAST(len(list_filter(toks, t -> t IN ($stops))) AS DOUBLE)
+       |    / len(toks), 4) AS stopword_ratio,
+       |  round(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+       |    AS DOUBLE) / length(text), 4) AS alpha_ratio,
+       |  CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT)
+       |    AS punct_count
+       |FROM (SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+       |    AS toks
+       |FROM documents)""".stripMargin
+  }
+
+  /** Token counting two ways: whitespace and a BPE-ish regex
+    * (letter runs | digit runs | single punctuation).
+    */
+  def tokenCount(d: DataFrame): DataFrame =
+    d.select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("bigint").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("bigint").as("bpe_tokens"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    t -> t <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "is", "it"),
+    "es" -> Seq("el", "los", "que", "es", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai"))
+
+  /** Language-ID heuristic: distinct-token overlap with per-language
+    * marker sets, argmax with alphabetical tie-break. (On the synthetic
+    * corpus the shared vocabulary makes this mostly predict 'en' — the
+    * operator contract, scoring + deterministic argmax, is what is
+    * exercised; a real deployment swaps in real marker lists or n-gram
+    * profiles.)
+    */
+  def langId(d: DataFrame): DataFrame = {
+    val toks = array_distinct(wsTokens(lower(col("text"))))
+    val scored = d.select(
+      (Seq(col("doc_id"), col("lang")) ++ langMarkers.map { case (l, ws) =>
+        size(filter(toks, t => t.isin(ws: _*))).cast("bigint").as(s"score_$l")
+      }): _*)
+    val m = greatest(langMarkers.map(lm => col(s"score_${lm._1}")): _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"score_$l") === m && m > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight keeps alphabetical priority: de > en > es > fr > zh
+    scored.withColumn("pred_lang", pred)
+  }
+
+  val langIdSql: String = {
+    def marker(l: String): String =
+      langMarkers.toMap.apply(l).map(w => s"'$w'").mkString(", ")
+    val scores = langMarkers.map { case (l, _) =>
+      s"CAST(len(list_filter(toks, t -> t IN (${marker(l)}))) AS BIGINT) AS score_$l"
+    }.mkString(",\n  ")
+    val m = "greatest(score_de, score_en, score_es, score_fr, score_zh)"
+    s"""SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+       |  CASE
+       |    WHEN $m = 0 THEN 'und'
+       |    WHEN score_de = $m THEN 'de'
+       |    WHEN score_en = $m THEN 'en'
+       |    WHEN score_es = $m THEN 'es'
+       |    WHEN score_fr = $m THEN 'fr'
+       |    WHEN score_zh = $m THEN 'zh'
+       |  END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_filter(
+       |      regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS toks,
+       |  $scores
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Rolling polynomial hash fingerprint over the token stream
+    * (order-sensitive, Rabin–Karp style):
+    * h = fold(tokens, 0, (h, t) -> (h*31 + v(t)) mod 1e9+7) with
+    * v(t) = len(t)*131 + ord(first char) + ord(last char).
+    * Computed with the `aggregate` higher-order function — fully
+    * codegen'd, no UDF.
+    */
+  def fingerprint(d: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val p = lit(1000000007L)
+    val fp = aggregate(
+      toks,
+      lit(0L),
+      (h, t) => (h * lit(31L) +
+        (length(t).cast("long") * lit(131L) + ascii(t) +
+          ascii(substring(t, -1, 1)))) % p)
+    d.select(col("doc_id"), fp.as("fingerprint"),
+      size(toks).cast("bigint").as("n_tokens"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(toks, t ->
+      |        CAST(length(t) AS BIGINT) * 131 + ascii(t)
+      |          + ascii(substring(t, length(t), 1)))),
+      |    (h, v) -> (h * 31 + v) % 1000000007) AS fingerprint,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |      AS toks
+      |  FROM documents)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_wordcount" -> ((s, d) => wordCount(docs(s, d))),
+    "q_text_inverted_index" -> ((s, d) => invertedIndex(docs(s, d))),
+    "q_text_sorted_join" -> ((s, d) => sortedJoin(docs(s, d))),
+    "q_text_quality" -> ((s, d) => quality(docs(s, d))),
+    "q_text_token_count" -> ((s, d) => tokenCount(docs(s, d))),
+    "q_text_lang_id" -> ((s, d) => langId(docs(s, d))),
+    "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_wordcount" -> wordCountSql,
+    "q_text_inverted_index" -> invertedIndexSql,
+    "q_text_sorted_join" -> sortedJoinSql,
+    "q_text_quality" -> qualitySql,
+    "q_text_token_count" -> tokenCountSql,
+    "q_text_lang_id" -> langIdSql,
+    "q_text_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-windowed operators over the `events` table — the batch mirrors
+  * of the Structured Streaming pipelines in [[graft.streaming]]. Both
+  * share these definitions, so the streaming tests can assert
+  * stream == batch on identical input.
+  *
+  * `events.ts` arrives as parquet TIMESTAMP(NANOS); [[Tables.load]]
+  * floor-truncates to microseconds, and every oracle casts
+  * TIMESTAMP_NS -> TIMESTAMP first, which truncates identically.
+  *
+  * Scale: all three window shapes are single-shuffle group-bys on
+  * (window, key); session windows use Spark's built-in session_window
+  * (state is per-key and bounded by the watermark in the streaming
+  * variant).
+  */
+object EventOps {
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Tumbling 1-hour windows per event_type. */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  val tumblingSql: String =
+    """SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+      |    '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding windows: 1 hour wide, every 30 minutes. Each event falls
+    * in exactly 2 windows; the oracle reproduces that with an explicit
+    * 2-shift unnest.
+    */
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(fmtTs(col("w.start")).as("window_start"),
+        col("n_events"), col("sum_value"))
+
+  val slidingSql: String =
+    """SELECT strftime(CAST(time_bucket(INTERVAL '30 minutes', ts)
+      |      AS TIMESTAMP) - INTERVAL '30 minutes' * shift.k,
+      |    '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) shift
+      |GROUP BY 1""".stripMargin
+
+  /** Session windows per user: a session closes after a 10-minute gap.
+    * The oracle is the classic gaps-and-islands rewrite; `>=` matches
+    * Spark's merge rule (events merge while next.ts < prev.ts + gap).
+    */
+  def sessions(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), fmtTs(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  val sessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL '10 minutes'
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** Pivot: events per day x event_type (missing combos filled with 0
+    * to match the oracle's conditional-aggregation form).
+    */
+  def pivotDaily(ev: DataFrame): DataFrame =
+    ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val pivotDailySql: String =
+    """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+      |    AS click,
+      |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+      |    AS error,
+      |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+      |    AS purchase,
+      |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+      |    AS signup,
+      |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+      |    AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** JSON extraction from the props column (wire-format JSON exposed as
+    * a queryable scalar, which the reference never had).
+    */
+  def jsonExtract(ev: DataFrame): DataFrame =
+    ev.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_tumbling" -> ((s, d) => tumbling(events(s, d))),
+    "q_events_sliding" -> ((s, d) => sliding(events(s, d))),
+    "q_events_session" -> ((s, d) => sessions(events(s, d))),
+    "q_events_pivot" -> ((s, d) => pivotDaily(events(s, d))),
+    "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_events_tumbling" -> tumblingSql,
+    "q_events_sliding" -> slidingSql,
+    "q_events_session" -> sessionsSql,
+    "q_events_pivot" -> pivotDailySql,
+    "q_events_json" -> jsonExtractSql)
+}

@@ -1,0 +1,600 @@
+package graft.ops
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface over the testdata star schema: scans,
+  * projection, filter, the full join family, aggregation (incl.
+  * distinct, rollup/cube, having, conditional), window functions,
+  * sort/limit/top-k, set operations, scalar function coverage.
+  *
+  * Every query here is pure DataFrame API — Catalyst sees the whole
+  * plan, so predicate pushdown / column pruning / join selection /
+  * partial aggregation come free, and AQE re-plans at runtime
+  * (coalesce, skew-split, broadcast demotion) when real data sizes
+  * diverge from estimates — the property that matters at 100 TB.
+  *
+  * Scale conventions applied throughout:
+  *   - dimension tables (region, nation, supplier, part, customer) are
+  *     explicitly `broadcast()` — replicated hash joins, no shuffle of
+  *     the fact side;
+  *   - fact-fact joins (orders x lineitem) shuffle on the join key
+  *     once, and grouping afterwards reuses that partitioning;
+  *   - aggregates are all algebraic (sum/count/avg/min/max) -> map-side
+  *     partial aggregation; no collect_list on unbounded groups.
+  *
+  * Determinism conventions (the DuckDB-oracle hash compare):
+  *   - float aggregates are round()ed (row-level arithmetic is
+  *     IEEE-identical across engines; only aggregation order varies);
+  *   - computed integers are cast to bigint (DuckDB length() etc.
+  *     return BIGINT, Spark returns int);
+  *   - timestamps/dates leave the plan as formatted strings;
+  *   - every top-k has a total-order tie-break.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private def fmtD(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  // ---------------------------------------------------------------- //
+
+  /** TPC-H Q1-style pricing summary: filter + group + algebraic aggs. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: dim filter -> broadcast join -> fact-fact join ->
+    * agg -> deterministic top-10.
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("2000-01-01"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '2000-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style 6-way join: every dim broadcast, one fact shuffle. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+    val nation = t(s, dir, "nation")
+    val supp = t(s, dir, "supplier")
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY n_name""".stripMargin
+
+  /** Projection + filter + row-level arithmetic (pushdown showcase:
+    * both the shipdate predicate and the 4-column ReadSchema reach the
+    * parquet scan).
+    */
+  def qFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate").between(lit("1997-01-01"), lit("1997-12-31")) &&
+          col("l_discount").between(0.03, 0.08) && col("l_quantity") < 25)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 2).as("charge"))
+
+  val qFilterProjectSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+      |  AND l_discount BETWEEN 0.03 AND 0.08 AND l_quantity < 25""".stripMargin
+
+  /** Left outer join + agg on the nullable side. */
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+
+  val qJoinLeftSql: String =
+    """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment""".stripMargin
+
+  /** Left-semi join (EXISTS). */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  /** Left-anti join (NOT EXISTS). */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin
+
+  /** Non-equi (range) join: equi key + band predicate. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(
+        broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey") &&
+          col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("l_quantity").as("sum_qty"))
+
+  val qRangeJoinSql: String =
+    """SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+      |GROUP BY p_brand""".stripMargin
+
+  /** Distinct aggregation: count(DISTINCT) alongside plain aggregates. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+
+  val qDistinctAggSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Window ranking: top-3 orders per customer, total-order tie-break. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  /** Window running aggregate: per-customer cumulative spend. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        fmtD(col("o_orderdate")).as("order_date"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS running_spend
+      |FROM orders""".stripMargin
+
+  /** Window lag: days since the customer's previous order. */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(
+          col("o_orderdate").cast("date"),
+          lag(col("o_orderdate").cast("date"), 1).over(w))
+          .cast("bigint").as("days_since_prev"))
+  }
+
+  val qWindowLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day',
+      |    lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey),
+      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+      |FROM orders""".stripMargin
+
+  /** Global top-k with deterministic tie-break (TopK = sort + limit;
+    * physical plan is TakeOrderedAndProject — no global sort).
+    */
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val qTopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Set ops: customers present in orders (INTERSECT). */
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+
+  val qIntersectSql: String =
+    "SELECT c_custkey AS custkey FROM customer INTERSECT " +
+      "SELECT o_custkey AS custkey FROM orders"
+
+  /** Set ops: customers with no orders at all (EXCEPT). */
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+
+  val qExceptSql: String =
+    "SELECT c_custkey AS custkey FROM customer EXCEPT " +
+      "SELECT o_custkey AS custkey FROM orders"
+
+  /** Set ops: UNION ALL of two projections + re-aggregation. */
+  def qUnionAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice").as("amount"))
+      .unionAll(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("custkey"),
+          col("l_extendedprice").as("amount")))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n"), round(sum("amount"), 2).as("total"))
+
+  val qUnionAllSql: String =
+    """SELECT custkey, count(*) AS n, round(sum(amount), 2) AS total FROM (
+      |  SELECT o_custkey AS custkey, o_totalprice AS amount FROM orders
+      |  UNION ALL
+      |  SELECT l_orderkey AS custkey, l_extendedprice AS amount FROM lineitem)
+      |GROUP BY custkey""".stripMargin
+
+  /** ROLLUP with grouping() disambiguation. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** CUBE over order status x priority. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("avg_price"))
+
+  val qCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** HAVING: post-aggregation filter. */
+  def qHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg("p_retailprice"), 2).as("avg_price"))
+      .filter(col("n_parts") >= 3 && col("avg_price") > 920.0)
+
+  val qHavingSql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  round(avg(p_retailprice), 2) AS avg_price
+      |FROM part GROUP BY p_brand
+      |HAVING count(*) >= 3 AND round(avg(p_retailprice), 2) > 920.0""".stripMargin
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def qCaseWhen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(0.0))
+          .as("qty_high_disc"),
+        sum(when(col("l_tax") === 0.0, lit(1)).otherwise(lit(0)))
+          .cast("bigint").as("n_taxfree"),
+        round(avg(when(col("l_quantity") >= 25, col("l_extendedprice"))), 2)
+          .as("avg_price_bulk"))
+
+  val qCaseWhenSql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END)
+      |    AS qty_high_disc,
+      |  CAST(sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_taxfree,
+      |  round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 2)
+      |    AS avg_price_bulk
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Scalar string functions. */
+  def qScalarString(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        replace(col("p_type"), lit("STANDARD"), lit("STD")).as("type_short"),
+        when(col("p_name").like("%part%"), lit(1)).otherwise(lit(0))
+          .cast("bigint").as("has_part"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        reverse(col("p_brand")).as("brand_rev"),
+        trim(lit("  x  ")).as("trimmed"))
+
+  val qScalarStringSql: String =
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  substring(p_name, 1, 8) AS name_prefix,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  replace(p_type, 'STANDARD', 'STD') AS type_short,
+      |  CAST(CASE WHEN p_name LIKE '%part%' THEN 1 ELSE 0 END AS BIGINT)
+      |    AS has_part,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+      |  reverse(p_brand) AS brand_rev,
+      |  trim('  x  ') AS trimmed
+      |FROM part""".stripMargin
+
+  /** Scalar date/time functions (all outputs string/bigint). */
+  def qScalarDate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+        quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+        fmtD(last_day(col("o_orderdate"))).as("month_end"),
+        fmtD(date_add(col("o_orderdate").cast("date"), 30)).as("plus30"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("bigint").as("days_to_2002"))
+
+  val qScalarDateSql: String =
+    """SELECT o_orderkey,
+      |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+      |  CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom,
+      |  CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+      |  strftime(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP),
+      |    '%Y-%m-%d') AS month_end,
+      |  strftime(CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP),
+      |    '%Y-%m-%d') AS plus30,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+      |    AS BIGINT) AS days_to_2002
+      |FROM orders""".stripMargin
+
+  /** Scalar math functions (row-level IEEE arithmetic: bit-identical
+    * across engines).
+    */
+  def qScalarMath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("bigint").as("ln"),
+        abs(col("l_quantity") - 25.0).as("abs_dev"),
+        ceil(col("l_extendedprice") / 1000.0).cast("bigint").as("price_k_ceil"),
+        floor(col("l_discount") * 100.0).cast("bigint").as("disc_pct"),
+        pmod(col("l_orderkey"), lit(7)).cast("bigint").as("key_mod7"),
+        pow(col("l_quantity"), 2.0).as("qty_sq"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"))
+
+  val qScalarMathSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  abs(l_quantity - 25.0) AS abs_dev,
+      |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+      |  CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_pct,
+      |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+      |  pow(l_quantity, 2.0) AS qty_sq,
+      |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+      |  greatest(l_discount, l_tax) AS max_rate,
+      |  least(l_discount, l_tax) AS min_rate
+      |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin
+
+  /** Statistical aggregates. */
+  def qStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("qty_price_cov"),
+        round(expr("median(l_extendedprice)"), 4).as("price_median"),
+        min("l_quantity").as("qty_min"),
+        max("l_quantity").as("qty_max"))
+
+  val qStatsSql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS qty_stddev,
+      |  round(var_samp(l_quantity), 4) AS qty_var,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+      |  round(median(l_extendedprice), 4) AS price_median,
+      |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join):
+    * customers above their nation's average balance.
+    *
+    * Computed in exact integer cents — `bal > avg(bal)` is evaluated as
+    * `bal_cents * n > sum_cents`, so no float division exists anywhere
+    * and the result is bit-stable across engines and partitionings
+    * (a float avg of 2-decimal money lands exactly on rounding
+    * boundaries often enough to flake a hash compare).
+    */
+  def qSubquery(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .withColumn("cents", round(col("c_acctbal") * 100, 0).cast("bigint"))
+    val natSum = c.groupBy("c_nationkey")
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))
+    c.join(broadcast(natSum), Seq("c_nationkey"))
+      .filter(col("cents") * col("n") > col("sum_cents"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("cents") * col("n") - col("sum_cents")).as("above_by_cents_x_n"))
+  }
+
+  val qSubquerySql: String =
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(cents * n - sum_cents AS BIGINT) AS above_by_cents_x_n
+      |FROM (SELECT c_custkey, c_nationkey,
+      |        CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+      |      FROM customer) c
+      |JOIN (
+      |  SELECT c_nationkey AS nk,
+      |    sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS sum_cents,
+      |    count(*) AS n
+      |  FROM customer GROUP BY c_nationkey) na ON c_nationkey = na.nk
+      |WHERE cents * n > sum_cents""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_filter_project" -> (qFilterProject _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_topk" -> (qTopK _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_union_all" -> (qUnionAll _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_having" -> (qHaving _),
+    "q_case_when" -> (qCaseWhen _),
+    "q_scalar_string" -> (qScalarString _),
+    "q_scalar_date" -> (qScalarDate _),
+    "q_scalar_math" -> (qScalarMath _),
+    "q_stats" -> (qStats _),
+    "q_subquery" -> (qSubquery _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
+    "q_filter_project" -> qFilterProjectSql,
+    "q_join_left" -> qJoinLeftSql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_distinct_agg" -> qDistinctAggSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_window_lag" -> qWindowLagSql,
+    "q_topk" -> qTopKSql,
+    "q_intersect" -> qIntersectSql,
+    "q_except" -> qExceptSql,
+    "q_union_all" -> qUnionAllSql,
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_having" -> qHavingSql,
+    "q_case_when" -> qCaseWhenSql,
+    "q_scalar_string" -> qScalarStringSql,
+    "q_scalar_date" -> qScalarDateSql,
+    "q_scalar_math" -> qScalarMathSql,
+    "q_stats" -> qStatsSql,
+    "q_subquery" -> qSubquerySql)
+}
