@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.ops.EventOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape: file-source
+  * stream -> watermarked event-time windows -> sink.
+  *
+  * The transforms are shared with [[EventOps]] (same functions applied
+  * to a streaming DataFrame), so batch and stream produce identical
+  * results on identical input — asserted in StreamingSpec.
+  *
+  * Scale notes:
+  *   - watermark (30 min) bounds state: expired windows/sessions are
+  *     evicted instead of accumulating forever;
+  *   - tumbling/sliding aggs are partial-aggregated before the state
+  *     store shuffle (same hash partitioning as batch groupBy);
+  *   - session windows use Spark's built-in session_window merge state;
+  *   - output mode `update`/`append` chosen per sink semantics (append
+  *     only emits finalized windows — what a downstream consumer of an
+  *     exactly-once pipeline wants).
+  */
+object EventStreams {
+
+  /** The parquet on-disk schema of events (ts as raw nanos long, as
+    * written by the generator; see [[graft.core.Tables]]).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files,
+    * normalized to the same shape batch [[EventOps.events]] sees.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+
+  /** Watermarked tumbling 1-hour aggregation (append mode compatible). */
+  def tumbling(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    EventOps.tumbling(events.withWatermark("ts", watermark))
+
+  /** Watermarked sliding windows. */
+  def sliding(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    EventOps.sliding(events.withWatermark("ts", watermark))
+
+  /** Watermarked session windows per user. */
+  def sessions(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    EventOps.sessions(events.withWatermark("ts", watermark))
+
+  /** Convenience: one-shot processing of all currently-available input
+    * (Trigger.AvailableNow) into an in-memory table named `queryName`.
+    * Used by tests and local inspection; a production sink would be
+    * kafka/parquet with checkpointing instead.
+    */
+  def runAvailableNow(
+      df: DataFrame, queryName: String, outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.mr.{KeyValue, MRJob, WordCountApp}
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.util.LongAccumulator
+
+/** Behavioral tier (SURVEY §5 port plan tier 4) — the Spark-native
+  * equivalents of the reference's mtiming/rtiming/jobcount/crash/
+  * early_exit tests:
+  *   - parallelism probes -> SparkListener asserting >=2 concurrent
+  *     tasks (test-mr.sh:151-208);
+  *   - jobcount -> accumulator asserting each partition's work runs
+  *     exactly once absent failures (test-mr.sh:211-235);
+  *   - crash -> fault injection via TaskContext.attemptNumber, output
+  *     must still be exactly-once correct (test-mr.sh:298-346) — the
+  *     reference's known at-least-once append bug is exactly what this
+  *     asserts we do NOT have;
+  *   - early_exit -> committed output is complete and atomic (_SUCCESS
+  *     plus no temp dirs, test-mr.sh:238-295).
+  */
+class BehavioralSpec extends SparkSpec {
+
+  test("map parallelism: >=2 tasks run concurrently (mtiming analog)") {
+    val sc = spark.sparkContext
+    val running = new AtomicInteger(0)
+    val maxConcurrent = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onTaskStart(t: SparkListenerTaskStart): Unit = {
+        val c = running.incrementAndGet()
+        maxConcurrent.accumulateAndGet(c, math.max)
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        running.decrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      // 8 partitions x 200ms sleep: long enough that 4 threads overlap
+      sc.parallelize(1 to 8, 8)
+        .map { i => Thread.sleep(200); i }
+        .count()
+      // listener events are delivered async; give the bus a moment
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (maxConcurrent.get() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(maxConcurrent.get() >= 2,
+        s"expected concurrent tasks, max was ${maxConcurrent.get()}")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("no duplicate task execution absent failures (jobcount analog)") {
+    val acc: LongAccumulator = spark.sparkContext.longAccumulator("invocations")
+    val n = 16
+    val result = spark.sparkContext.parallelize(1 to n, 8)
+      .map { i => acc.add(1); i }
+      .count()
+    assert(result === n.toLong)
+    assert(acc.value === n.toLong,
+      s"each element must be processed exactly once, got ${acc.value}")
+  }
+
+  test("exactly-once correct output under task failure (crash analog)") {
+    // First attempt of partition 0 throws; Spark retries the task
+    // (master local[4,2] allows 2 attempts). Result must equal the
+    // no-failure run exactly — no duplicates, no loss (the reference's
+    // O_APPEND shuffle would duplicate here, mr/worker.go:95).
+    val sc = spark.sparkContext
+    assert(sc.master.matches("local\\[\\d+,\\s*\\d+\\]"),
+      s"suite session must allow task retries, got ${sc.master}")
+    val data = sc.parallelize(1 to 100, 4)
+    val result = data
+      .map { i =>
+        val tc = TaskContext.get()
+        if (tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException("injected failure (crash.so analog)")
+        i.toLong
+      }
+      .sum()
+    assert(result === (1 to 100).sum.toLong.toDouble)
+  }
+
+  test("committed output is atomic and complete (early_exit analog)") {
+    val out = Files.createTempDirectory("graft-commit").toString + "/wc"
+    val pg = Seq("/root/reference/main/pg-being_ernest.txt",
+      "/root/reference/main/pg-metamorphosis.txt")
+    val result = MRJob.run(spark, WordCountApp, pg)
+    MRJob.writeText(result, out)
+    val files = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(files.contains("_SUCCESS"), "commit marker missing")
+    assert(!files.exists(_.startsWith("_temporary")),
+      "uncommitted attempt dirs must not survive job end")
+    // re-read: content equals the in-memory result exactly (stable
+    // after commit, second snapshot == first, test-mr.sh:285-294)
+    val written = spark.read.text(out).collect().map(_.getString(0)).sorted
+    val expected = result.collect()
+      .map(kv => s"${kv.key} ${kv.value}").sorted
+    assert(written === expected)
+  }
+}

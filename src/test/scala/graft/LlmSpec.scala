@@ -1,0 +1,134 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.vector
+import graft.llm.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Ground-truth tests for the LLM-pipeline operators whose seeded
+  * hashing makes them non-SQL-oracle-checkable (MinHash/SimHash/LSH),
+  * plus the custom vector expressions and the multimodal stub plumbing.
+  */
+class LlmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  // --- synthetic corpus with known duplicate structure -------------- //
+  private lazy val synth = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "s0"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "s0"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again", "s0"), // near dup of 1
+    (4L, "completely different content about spark query engines here", "s0"),
+    (5L, "yet another unrelated document mentioning snow and mountains", "s0"))
+    .toDF("doc_id", "text", "source")
+
+  test("minhash: exact duplicates always collide, unrelated never") {
+    val pairs = Dedup.minhashPairs(synth, minAgree = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dup = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(dup.isDefined, "identical docs must be candidates")
+    assert(dup.get._3 === 1.0, "identical docs must agree on all components")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L || p._2 == 5L),
+      s"unrelated docs must not pass 0.5 agreement: ${pairs.mkString(",")}")
+  }
+
+  test("minhash estimate tracks true shingle jaccard on real corpus") {
+    val pairs = Dedup.minhashPairs(docs, minAgree = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "sf0.001 corpus is known to contain near-dups")
+    // true 3-shingle jaccard, computed locally
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    val errs = pairs.map { case (a, b, est) =>
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val truth = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      math.abs(truth - est)
+    }
+    assert(errs.max <= 0.45, s"minhash-16 estimate too far off: ${errs.max}")
+    assert(errs.sum / errs.length <= 0.2,
+      s"mean abs error too high: ${errs.sum / errs.length}")
+  }
+
+  test("simhash: identical docs equal, near-dups closer than unrelated") {
+    val sh = Dedup.simhash(synth).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh(1L) === sh(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)),
+      "one-word-changed doc must be closer than unrelated doc")
+  }
+
+  test("cosine_similarity expression matches double-precision formula") {
+    val rows = emb.limit(50).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = cos(rows(0), rows(1))
+    val pair = emb.filter(col("vec_id") === 0)
+      .crossJoin(emb.filter(col("vec_id") === 1)
+        .select(col("embedding").as("emb_b")))
+    val got = pair
+      .select(vector.cosine_similarity(col("embedding"), col("emb_b")))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+    // self-similarity is exactly 1 up to fp
+    val self = pair
+      .select(vector.cosine_similarity(col("embedding"), col("embedding")))
+      .head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("lsh buckets partition the corpus; neighbors beat random baseline") {
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(emb, nPlanes = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // every vector landed in exactly one bucket
+    val n = emb.count()
+    assert(Similarity.lshBuckets(emb, 4).count() === n)
+    // for the query vectors that have LSH results, candidates within
+    // the same bucket must overlap the true top-10 better than chance
+    val overlaps = brute.keys.toSeq.flatMap { q =>
+      lsh.get(q).map(c => (c - q).intersect(brute(q) - q).size)
+    }
+    assert(overlaps.nonEmpty)
+    assert(overlaps.sum > 0,
+      "same-bucket candidates should recover some true neighbors")
+  }
+
+  test("multimodal decode stub: schema and batch shape are real") {
+    val decoded = Multimodal.decodeImages(spark, Multimodal.asMedia(docs.limit(20)))
+    val rows = decoded.collect()
+    assert(rows.length === 20)
+    rows.foreach { img =>
+      assert(img.channels === 3)
+      assert(img.pixels.length === img.width * img.height * img.channels)
+    }
+    // deterministic: same input -> same pixels
+    val again = Multimodal.decodeImages(spark, Multimodal.asMedia(docs.limit(20)))
+      .collect()
+    assert(rows.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => a.pixels.sameElements(b.pixels) })
+  }
+
+  test("decoded stats flow back into relational ops") {
+    val stats = Multimodal.decodedStats(spark, docs.limit(20))
+    assert(stats.count() === 20)
+    assert(stats.columns.toSeq ===
+      Seq("doc_id", "width", "height", "mean_pixel"))
+  }
+}
