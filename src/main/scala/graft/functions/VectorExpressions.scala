@@ -150,6 +150,72 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A ∩ B| for two SORTED long arrays (single merge pass, primitive
+  * arrays, codegen'd). The set-similarity kernel behind n-gram Jaccard
+  * dedup: `ArrayIntersect` builds a boxed hash set per evaluation,
+  * which dominates pair-join dedup at scale; this is O(n+m) with zero
+  * allocation.
+  *
+  * Inputs MUST be sorted ascending and duplicate-free
+  * (`sort_array(array_distinct(...))`) — the caller owns that
+  * invariant; it is computed once per document, not per pair.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> args, " +
+          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $x = $a.toLongArray();
+         |long[] $y = $b.toLongArray();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $x.length && $j < $y.length) {
+         |  if ($x[$i] == $y[$j]) { $n++; $i++; $j++; }
+         |  else if ($x[$i] < $y[$j]) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object vector {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -159,4 +225,8 @@ object vector {
 
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(
+      SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -75,27 +75,44 @@ object Dedup {
 
   // ---------------------------------------------------------- jaccard
 
-  /** Exact token-set Jaccard over within-source pairs: inverted-index
-    * self-join (partitioned by token, so co-occurring docs meet without
-    * a cross product), then |A∩B| / (|A|+|B|-|A∩B|).
+  /** Exact token-set Jaccard over within-source pairs: pair docs by
+    * bucket key (here `source`; the LSH buckets in a real pipeline),
+    * then |A∩B| via array_intersect on the compact distinct-token
+    * arrays.
+    *
+    * Shape note: pairing first and intersecting arrays beats the
+    * classic token-granularity inverted-index self-join whenever the
+    * vocabulary is small relative to the corpus (the token join
+    * produces O(sum over tokens of df(t)^2) rows; the pair join
+    * produces O(pairs) rows with O(|doc|) work each). Bucket size
+    * bounds the quadratic term either way.
     */
   def jaccardPairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val toks = d.select(
+    import graft.functions.vector.sorted_intersect_count
+    // Tokens are hashed (xxhash64), deduped, and SORTED once per
+    // document; the per-pair kernel is then a codegen'd O(n+m) merge
+    // (SortedIntersectCount) over primitive longs — the per-pair
+    // ArrayIntersect hash-set build it replaces dominated the join.
+    val withToks = d.select(
       col("doc_id"), col("source"),
-      explode(array_distinct(TextOps.wsTokens(col("text")))).as("tok"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = toks.as("a")
-      .join(toks.as("b"),
-        col("a.tok") === col("b.tok") &&
-          col("a.source") === col("b.source") &&
+      sort_array(array_distinct(
+        transform(TextOps.wsTokens(col("text")), t => xxhash64(t))))
+        .as("toks"))
+    // Broadcast the build side: the bucket key (`source`) is
+    // low-cardinality here, so a shuffled join would collapse to
+    // #buckets-way parallelism; broadcasting keeps the probe side's
+    // full partitioning. (At a scale where no side fits in memory, the
+    // bucket key must be high-cardinality — LSH band buckets — and the
+    // same join becomes a well-partitioned shuffle join; AQE demotes
+    // the broadcast automatically if the side outgrows the threshold.)
+    withToks.as("a")
+      .join(broadcast(withToks.as("b")),
+        col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        sorted_intersect_count(col("a.toks"), col("b.toks")).as("inter"),
+        size(col("a.toks")).as("sz_a"), size(col("b.toks")).as("sz_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
@@ -103,23 +120,19 @@ object Dedup {
   }
 
   val jaccardPairsSql: String =
-    """WITH toks AS (
+    """WITH t AS (
       |  SELECT doc_id, source,
-      |    unnest(list_distinct(list_filter(
-      |      regexp_split_to_array(text, '\s+'), t -> t <> ''))) AS tok
-      |  FROM documents),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM toks a JOIN toks b
-      |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5""".stripMargin
+      |    list_distinct(list_filter(
+      |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
+      |  FROM documents)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+      |      6) AS jaccard
+      |  FROM t a JOIN t b
+      |    ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
 
   // ---------------------------------------------------------- minhash
 
@@ -136,9 +149,16 @@ object Dedup {
   /** Per-document MinHash signatures over 3-token shingles.
     * Shingle -> xxhash64 -> k affine permutations -> column-wise min.
     * All algebraic aggregates: map-side combine works, no value lists.
+    *
+    * The token array is materialized as a column BEFORE the shingle
+    * lambda runs: higher-order functions are interpreted, so an
+    * unmaterialized `split()` inside the lambda would re-tokenize the
+    * document on every `element_at` (measured 6x slower at sf0.1).
     */
   def minhashSignatures(d: DataFrame): DataFrame = {
-    val toks = TextOps.wsTokens(col("text"))
+    val withToks = d.select(col("doc_id"),
+      TextOps.wsTokens(col("text")).as("toks"))
+    val toks = col("toks")
     val n = size(toks)
     // 3-gram shingles as single strings; docs shorter than 3 tokens
     // contribute their whole text as one shingle.
@@ -148,7 +168,7 @@ object Dedup {
           element_at(toks, i + 1), element_at(toks, i + 2),
           element_at(toks, i + 3))))
       .otherwise(array(array_join(toks, " ")))
-    val exploded = d
+    val exploded = withToks
       .select(col("doc_id"), explode(shingles).as("shingle"))
       .select(col("doc_id"),
         pmod(xxhash64(col("shingle")), lit(Prime)).as("h"))
@@ -168,24 +188,32 @@ object Dedup {
     val sigCols = (0 until MinhashK).map(i => col(s"mh_$i"))
     val withSig = sigs.select(col("doc_id"), array(sigCols: _*).as("sig"))
     val nBands = MinhashK / BandSize
+    // Narrow band stream (doc_id, band, bucket) — the signature arrays
+    // stay out of the self-join and the pair-dedup, which is what makes
+    // this shape scale: the shuffled rows are 3 longs wide.
     val banded = withSig.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * BandSize + 1, BandSize)
             .cast("string")).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Re-attach signatures once per side (exchange reuse: both sides
+    // come from the same sig subplan).
     pairs
+      .join(withSig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(withSig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b))

@@ -1,0 +1,26 @@
+package graft.tools
+
+import graft.core.{Graft, Tables}
+import graft.llm.Dedup
+
+/** Micro-profiler for the dedup operators (dev tool; run with
+  * `runMain graft.tools.DedupProf [sfDir]`).
+  */
+object DedupProf {
+  def main(a: Array[String]): Unit = {
+    val sfDir = a.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Graft.session("dedup-prof", "local[32]")
+    val d = Tables.load(spark, sfDir, "documents")
+    def time(n: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$r")
+    }
+    time("warmup")(d.count())
+    time("jaccard_pairs")(Dedup.jaccardPairs(d).count())
+    time("minhash_sigs")(Dedup.minhashSignatures(d).count())
+    time("minhash_pairs")(Dedup.minhashPairs(d).count())
+    time("simhash")(Dedup.simhash(d).count())
+    time("simhash_pairs")(Dedup.simhashPairs(d).count())
+    spark.stop()
+  }
+}

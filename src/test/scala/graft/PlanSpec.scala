@@ -1,0 +1,94 @@
+package graft
+
+import graft.core.Tables
+import graft.llm.{Dedup, Similarity}
+import graft.ops.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-audit tier: the properties that decide whether a query survives
+  * a 100x scale-up are visible in the physical plan — assert them
+  * instead of hoping. (SURVEY §4.1: these are exactly the optimizations
+  * the reference lacks and we get from Catalyst only if the plan stays
+  * declarative.)
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1: shipdate predicate is pushed to the parquet scan") {
+    val p = plan(Relational.q1Pricing(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("q1: column pruning — scan reads only the 6 needed columns") {
+    val p = plan(Relational.q1Pricing(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"unpruned scan: $readSchema")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"))
+  }
+
+  test("q1: aggregation is partial (map-side combine before shuffle)") {
+    val p = plan(Relational.q1Pricing(spark, sfDir))
+    assert(p.contains("HashAggregate"), p)
+    assert("partial_sum|Functions: \\[partial".r.findFirstIn(p).isDefined ||
+      p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("q3/q5: dimension joins are broadcast, not shuffled") {
+    val p3 = plan(Relational.q3Shipping(spark, sfDir))
+    assert(p3.contains("BroadcastHashJoin"), s"customer join not broadcast:\n$p3")
+    val p5 = plan(Relational.q5LocalSupplier(spark, sfDir))
+    assert(p5.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p5")
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.qTopK(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k does a full sort:\n$p")
+  }
+
+  test("q_filter_project: whole plan stays inside whole-stage codegen") {
+    val p = plan(Relational.qFilterProject(spark, sfDir))
+    // formatted mode tags codegen'd operators with `[codegen id : N]`
+    assert(p.contains("codegen id"), p)
+    assert(p.linesIterator.count(_.contains("codegen id")) >= 2,
+      s"scan->filter->project should share one codegen stage:\n$p")
+  }
+
+  test("knn brute force: broadcast + partial top-k before the shuffle") {
+    val df = Similarity.bruteForceTopK(Tables.load(spark, sfDir, "embeddings"))
+    val p = plan(df)
+    assert(p.contains("cosine_similarity"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    // WindowGroupLimit(Partial) cuts each partition to top-k before the
+    // exchange — without it, every scored pair crosses the shuffle
+    assert(p.contains("WindowGroupLimit"), s"no partial top-k pushdown:\n$p")
+  }
+
+  test("cosine_similarity expression itself is whole-stage-codegen'd") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val p = plan(e.select(
+      graft.functions.vector.cosine_similarity(col("embedding"), col("embedding"))
+        .as("s")))
+    assert(p.contains("codegen id"), s"expression fell back to interpreted eval:\n$p")
+  }
+
+  test("minhash pairs: banded self-join does not carry signature arrays") {
+    val df = Dedup.minhashPairs(Tables.load(spark, sfDir, "documents"))
+    val p = plan(df)
+    // the band-bucket join must join on (band, bucket) longs
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("semi/anti joins use dedicated join types (no fallback to inner+distinct)") {
+    val ps = plan(Relational.qSemiJoin(spark, sfDir))
+    assert(ps.contains("LeftSemi"), ps)
+    val pa = plan(Relational.qAntiJoin(spark, sfDir))
+    assert(pa.contains("LeftAnti"), pa)
+  }
+}
