@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's custom expressions, two ways:
+  *
+  *  - [[GraftExtensions]] via `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the SparkSessionExtensions injection path — what a deployment
+  *    sets once in spark-defaults);
+  *  - [[GraftFunctions.register]] for an already-built session (tests,
+  *    notebooks).
+  *
+  * After either, `SELECT cosine_similarity(a, b)` works in spark.sql.
+  */
+object GraftFunctions {
+
+  private def binary(name: String, f: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+      { exprs =>
+        require(exprs.length == 2, s"$name expects 2 arguments")
+        f(exprs(0), exprs(1))
+      })
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      binary("cosine_similarity", CosineSimilarity(_, _)),
+      binary("dot_product", DotProduct(_, _)),
+      binary("sorted_intersect_count", SortedIntersectCount(_, _)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(e.injectFunction)
+}

@@ -134,6 +134,37 @@ object Dedup {
       |    ON a.source = b.source AND a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  // ------------------------------------------------- embedding cosine
+
+  /** Embedding-cosine near-dup pairs within a `label` bucket: the
+    * dense-vector sibling of [[jaccardPairs]], scored with the
+    * codegen'd cosine kernel. DuckDB's double cosine is bitwise-equal
+    * to a sequential double loop (verified), so the rounded score is
+    * oracle-safe.
+    */
+  def embeddingPairs(e: DataFrame, threshold: Double = 0.3): DataFrame = {
+    import graft.functions.vector.cosine_similarity
+    val v = e.select(col("vec_id"), col("label"), col("embedding"))
+    v.as("a")
+      .join(broadcast(v.as("b")),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine_similarity(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  val embeddingPairsSql: String =
+    """SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_cosine_similarity(
+      |      CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      |WHERE cos_sim >= 0.3""".stripMargin
+
   // ---------------------------------------------------------- minhash
 
   val MinhashK = 16          // signature length
@@ -265,6 +296,8 @@ object Dedup {
     "q_dedup_exact" -> ((s, d) => exact(docs(s, d))),
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
+    "q_dedup_embedding" -> ((s, d) =>
+      embeddingPairs(graft.core.Tables.load(s, d, "embeddings"))),
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashPairs(docs(s, d))))
 
@@ -275,5 +308,6 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
     "q_dedup_canonical" -> canonicalSql,
-    "q_dedup_jaccard" -> jaccardPairsSql)
+    "q_dedup_jaccard" -> jaccardPairsSql,
+    "q_dedup_embedding" -> embeddingPairsSql)
 }

@@ -47,7 +47,12 @@ object MRJob {
   }
 
   /** Run the full map → shuffle → reduce pipeline; result is one
-    * KeyValue row per distinct key.
+    * KeyValue row per distinct key, hash-partitioned by key into
+    * `nReduce` partitions (the reference's `NReduce` bucket count,
+    * `main/mrcoordinator.go:23` — so `writeText` emits one part file
+    * per bucket like `mr-out-<b>`; Spark uses Murmur3 where the
+    * reference used FNV-1a, so bucket *assignment* differs but
+    * grouping semantics are identical).
     */
   def run(
       spark: SparkSession,
@@ -57,10 +62,38 @@ object MRJob {
     import spark.implicits._
     val files = read(spark, paths).as[(String, String)]
     val mapped = files.flatMap { case (f, c) => app.map(f, c) }
+    // One shuffle total: hash-partition by key into nReduce buckets,
+    // sort within each (sort-based shuffle spills when needed), then
+    // run-length group — exactly the reference's partition/sort/reduce
+    // phases (mr/worker.go:77-86,134-180,215-236) as a single Spark
+    // stage. groupByKey on the lambda key would re-shuffle on top of
+    // the repartition; this shape doesn't.
     mapped
-      .groupByKey(_.key)
-      .mapGroups((k, it) => KeyValue(k, app.reduce(k, it.map(_.value))))
+      .repartition(nReduce, col("key"))
+      .sortWithinPartitions("key")
+      .mapPartitions(it => reduceRuns(app, it))
   }
+
+  /** Streams a key-sorted iterator, applying `reduce` once per key run.
+    * Values are handed to the app as a lazy iterator; any unconsumed
+    * remainder is drained before moving to the next key.
+    */
+  private def reduceRuns(
+      app: MRApp, it: Iterator[KeyValue]): Iterator[KeyValue] =
+    new Iterator[KeyValue] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): KeyValue = {
+        val key = buf.head.key
+        val values = new Iterator[String] {
+          def hasNext: Boolean = buf.hasNext && buf.head.key == key
+          def next(): String = buf.next().value
+        }
+        val out = KeyValue(key, app.reduce(key, values))
+        while (values.hasNext) values.next() // drain unconsumed tail
+        out
+      }
+    }
 
   /** Reference sink format: `"key value"` lines (`mr/worker.go:233`),
     * one part file per shuffle partition (≈ the reference's

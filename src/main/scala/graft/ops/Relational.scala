@@ -542,9 +542,23 @@ object Relational {
       |  FROM customer GROUP BY c_nationkey) na ON c_nationkey = na.nk
       |WHERE cents * n > sum_cents""".stripMargin
 
+  /** Skew-safe two-phase aggregation ([[Skew.saltedSumCount]]); the
+    * oracle is the plain single-phase GROUP BY — salting must be
+    * invisible in the result.
+    */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(
+      t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_quantity")
+
+  val qSaltedAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_l_quantity, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> (qSaltedAgg _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -572,6 +586,7 @@ object Relational {
     "q_subquery" -> (qSubquery _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_salted_agg" -> qSaltedAggSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,

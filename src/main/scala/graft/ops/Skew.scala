@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: two-phase (salted) aggregation.
+  *
+  * A plain `groupBy(key).agg(...)` sends every row of a hot key to one
+  * reducer. Salting splits each key into `buckets` sub-groups for a
+  * partial aggregate, then merges the partials — the hot key's work
+  * spreads over `buckets` tasks, at the cost of one extra (tiny)
+  * shuffle over the partial rows. This is the manual complement to
+  * AQE's skew-join splitting (enabled in [[graft.core.Graft]]), which
+  * handles joins but not single-key aggregation skew.
+  *
+  * Works for any algebraic aggregate whose partial and merge forms are
+  * expressible as columns (sum/sum, count/sum, min/min, max/max, ...).
+  */
+object Skew {
+
+  /** Random-but-cheap salt derived from the row's position; correctness
+    * does not depend on the salt values, only the spread does.
+    */
+  private def salt(buckets: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong))
+
+  /** Salted sum+count per key (the building block for avg too). */
+  def saltedSumCount(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      buckets: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("_salt", salt(buckets))
+      .groupBy((keyCols :+ col("_salt")): _*)
+      .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(sum("_psum").as(s"sum_$valueCol"),
+        sum("_pcnt").as("n_rows"))
+  }
+}

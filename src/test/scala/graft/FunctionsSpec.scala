@@ -1,0 +1,71 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.ops.Skew
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** SQL-registered custom functions, salted aggregation equivalence, and
+  * source/sink format round-trips.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT vec_id,
+        |  cosine_similarity(embedding, embedding) AS self_sim,
+        |  dot_product(embedding, embedding) AS self_dot,
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic
+        |FROM emb_v LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+      assert(row.getDouble(2) > 0.0)
+      assert(row.getLong(3) === 2L)
+    }
+  }
+
+  test("sorted_intersect_count agrees with array_intersect semantics") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  sorted_intersect_count(array(1L,2L,3L), array(4L,5L)) AS disjoint,
+        |  sorted_intersect_count(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS empty,
+        |  sorted_intersect_count(array(1L,2L,3L), array(1L,2L,3L)) AS same
+        |""".stripMargin).head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === 3L)
+  }
+
+  test("salted aggregation == direct aggregation") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val salted = Skew.saltedSumCount(
+      li, Seq("l_returnflag", "l_linestatus"), "l_quantity", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val direct = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(salted === direct)
+  }
+
+  test("csv and json sinks/sources round-trip the documents table") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")  // text has newlines-free synthetic content but keep it simple
+    val base = Files.createTempDirectory("graft-formats").toString
+    d.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    d.write.mode("overwrite").json(s"$base/json")
+    val fromCsv = spark.read.option("header", "true")
+      .schema(d.schema).csv(s"$base/csv")
+    val fromJson = spark.read.schema(d.schema).json(s"$base/json")
+    def key(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(key(fromCsv) === key(d))
+    assert(key(fromJson) === key(d))
+  }
+}
