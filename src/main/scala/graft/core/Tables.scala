@@ -28,7 +28,9 @@ object Tables {
       // TIMESTAMP_NS -> TIMESTAMP the same way (floor division).
       case "events" if raw.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // integer division — `/` would go through double and lose
+        // sub-microsecond precision at 2024-epoch nanos (~1.7e18)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => raw
     }
   }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the latest right row with
+  * `rightTime <= leftTime` within the same key group (the time-series
+  * join Spark's built-in operator set lacks; DuckDB spells it
+  * `ASOF JOIN`, kdb `aj`).
+  *
+  * Implementation is Spark-first composition (preference (a) of
+  * SURVEY §7.4 / the custom-operator ladder) rather than a custom
+  * `SparkStrategy`: tag both inputs, union, and carry the right
+  * payload forward with `last(_, ignoreNulls) over (partition by keys
+  * order by time, side rows unbounded preceding..current)`.
+  *
+  * Scale shape: ONE shuffle (hash by keys) + one in-partition sort —
+  * identical cost to a sort-merge join, with none of the range-join
+  * row explosion a `l.t between r.t and r.t+big` rewrite would cause;
+  * state per key is O(1) (the carried payload), so hot keys don't
+  * blow memory.
+  *
+  * Contract: right payload columns must not collide with left column
+  * names (rename beforehand); right payload values should be non-null
+  * (a null payload cell would carry the previous non-null value past
+  * it); ties at equal time match (right sorts before left via the side
+  * tag, mirroring ASOF's `<=`).
+  */
+object AsOfJoin {
+
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val leftPayload = left.columns
+      .filterNot(c => keys.contains(c) || c == leftTime).toSeq
+    val rightPayload = right.columns
+      .filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    require(leftPayload.intersect(rightPayload).isEmpty,
+      s"column collision: ${leftPayload.intersect(rightPayload).mkString(",")}")
+
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    def nullAs(name: String, types: Map[String, org.apache.spark.sql.types.DataType]): Column =
+      lit(null).cast(types(name)).as(name)
+
+    // keep the matched right timestamp under a reserved name
+    val matchedTime = s"asof_$rightTime"
+    val l = left.select(
+      (keys.map(col) :+ col(leftTime).as("_t") :+ lit(1).as("_side")) ++
+        leftPayload.map(col) ++
+        (nullAs(rightTime, rightTypes).as(matchedTime) +:
+          rightPayload.map(nullAs(_, rightTypes))): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side")) ++
+        leftPayload.map(nullAs(_, leftTypes)) ++
+        (col(rightTime).as(matchedTime) +: rightPayload.map(col)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = (matchedTime +: rightPayload).foldLeft(l.unionByName(r)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .filter(col("_side") === 1)
+      .select(
+        (keys.map(col) :+ col("_t").as(leftTime)) ++
+          leftPayload.map(col) ++
+          (col(matchedTime) +: rightPayload.map(col)): _*)
+  }
+}

@@ -124,7 +124,44 @@ object EventOps {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
       |FROM events""".stripMargin
 
+  /** As-of join over the event stream: each purchase matched to the
+    * user's latest click at-or-before it ([[AsOfJoin]]; oracle uses
+    * DuckDB's native ASOF LEFT JOIN).
+    */
+  def asOfPurchaseClick(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    // dedupe right side to one row per (key, time): ASOF picks an
+    // arbitrary row among equal timestamps otherwise
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("click_id"))
+    AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(
+        col("user_id"), col("purchase_id"),
+        fmtTs(col("ts")).as("purchase_ts"),
+        fmtTs(col("asof_ts")).as("click_ts"),
+        col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+          .as("gap_micros"))
+  }
+
+  val asOfPurchaseClickSql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.user_id, p.event_id AS purchase_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  c.click_id,
+      |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_micros
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> ((s, d) => asOfPurchaseClick(events(s, d))),
     "q_events_tumbling" -> ((s, d) => tumbling(events(s, d))),
     "q_events_sliding" -> ((s, d) => sliding(events(s, d))),
     "q_events_session" -> ((s, d) => sessions(events(s, d))),
@@ -132,6 +169,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" -> asOfPurchaseClickSql,
     "q_events_tumbling" -> tumblingSql,
     "q_events_sliding" -> slidingSql,
     "q_events_session" -> sessionsSql,

@@ -542,6 +542,22 @@ object Relational {
       |  FROM customer GROUP BY c_nationkey) na ON c_nationkey = na.nk
       |WHERE cents * n > sum_cents""".stripMargin
 
+  /** Sketch-based approximate aggregates (HyperLogLog++ distinct count,
+    * quantile summaries): mergeable constant-size state, the only
+    * viable shape for distinct/quantile at 100 TB. Estimates are
+    * engine-specific, so no DuckDB value-oracle — the driver's
+    * rows-only check applies, and FunctionsSpec bounds the error
+    * against exact values.
+    */
+  def qApproxAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+
   /** Skew-safe two-phase aggregation ([[Skew.saltedSumCount]]); the
     * oracle is the plain single-phase GROUP BY — salting must be
     * invisible in the result.
@@ -559,6 +575,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_approx_agg" -> (qApproxAgg _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),

@@ -43,7 +43,9 @@ object EventStreams {
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer division: see graft.core.Tables (double division loses
+      // sub-microsecond precision at nanosecond epoch magnitudes)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** Watermarked tumbling 1-hour aggregation (append mode compatible). */
   def tumbling(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

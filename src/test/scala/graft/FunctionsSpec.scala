@@ -54,6 +54,23 @@ class FunctionsSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("approximate aggregates land within sketch error of exact values") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val approx = graft.ops.Relational.qApproxAgg(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("d"),
+        expr("median(l_extendedprice)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (d, m)) =>
+      val (ad, am) = approx(flag)
+      assert(math.abs(ad - d).toDouble / d < 0.1,
+        s"$flag: hll distinct $ad vs exact $d")
+      assert(math.abs(am - m) / m < 0.05,
+        s"$flag: approx median $am vs exact $m")
+    }
+  }
+
   test("csv and json sinks/sources round-trip the documents table") {
     val d = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "lang", "source", "n_chars")  // text has newlines-free synthetic content but keep it simple
