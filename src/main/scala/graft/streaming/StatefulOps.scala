@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators via
+  * `KeyValueGroupedDataset.{map,flatMap}GroupsWithState` — the
+  * arbitrary-state path for semantics the built-in windowed aggs can't
+  * express.
+  *
+  * Scale notes: state lives in the state store, partitioned by key —
+  * the same hash shuffle as a batch groupBy; per-key state here is
+  * O(1) (a boolean / a counter), so state size is bounded by distinct
+  * keys, and `ProcessingTimeTimeout` (used by [[firstSeenExpiring]])
+  * evicts idle keys so unbounded key domains don't accumulate forever —
+  * the streaming analog of the dedup watermark.
+  */
+object StatefulOps {
+
+  case class Seen(firstTs: Long)
+  case class KeyedEvent(key: String, ts: Long, payload: String)
+
+  /** Streaming first-seen dedup: emits each key's FIRST event only,
+    * suppressing every later duplicate (streaming exact dedup — the
+    * stateful sibling of `dropDuplicates`).
+    */
+  def firstSeen(
+      spark: SparkSession,
+      events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Seen, KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Seen]) =>
+          if (state.exists) {
+            rows.foreach(_ => ()) // drain: all duplicates
+            Iterator.empty
+          } else {
+            val first = rows.minBy(_.ts)
+            state.update(Seen(first.ts))
+            Iterator(first)
+          }
+      }
+  }
+
+  /** Like [[firstSeen]] but with idle-key expiry: keys idle longer than
+    * `ttlMs` of processing time are evicted, so a duplicate arriving
+    * after the TTL is treated as new. Bounds state for unbounded key
+    * domains.
+    */
+  def firstSeenExpiring(
+      spark: SparkSession,
+      events: Dataset[KeyedEvent],
+      ttlMs: Long): Dataset[KeyedEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Seen, KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key, rows, state: GroupState[Seen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            rows.foreach(_ => ())
+            state.setTimeoutDuration(ttlMs)
+            Iterator.empty
+          } else if (rows.isEmpty) {
+            Iterator.empty
+          } else {
+            val first = rows.minBy(_.ts)
+            state.update(Seen(first.ts))
+            state.setTimeoutDuration(ttlMs)
+            Iterator(first)
+          }
+      }
+  }
+
+  case class KeyCount(key: String, n: Long)
+
+  /** Running per-key event count, re-emitted on every batch that
+    * touches the key (Update mode) — the minimal custom streaming
+    * aggregate.
+    */
+  def runningCount(
+      spark: SparkSession,
+      events: Dataset[KeyedEvent]): Dataset[KeyCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[Long, KeyCount](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          KeyCount(key, n)
+      }
+  }
+}

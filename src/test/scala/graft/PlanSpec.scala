@@ -85,6 +85,16 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("as-of join costs exactly one shuffle") {
+    import spark.implicits._
+    val left = Seq((1, 10L, "x")).toDF("k", "lt", "lv")
+    val right = Seq((1, 5L, "y")).toDF("k", "rt", "rv")
+    val p = plan(graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt"))
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains(" Exchange"))
+    assert(exchanges === 1, s"expected 1 Exchange, got $exchanges:\n$p")
+  }
+
   test("semi/anti joins use dedicated join types (no fallback to inner+distinct)") {
     val ps = plan(Relational.qSemiJoin(spark, sfDir))
     assert(ps.contains("LeftSemi"), ps)
