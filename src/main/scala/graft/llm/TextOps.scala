@@ -229,7 +229,57 @@ object TextOps {
       |      AS toks
       |  FROM documents)""".stripMargin
 
+  /** TF-IDF top terms per document: tf = in-doc count, idf scaled to an
+    * exact integer (`1e6 * N DIV df` — deliberately no log/float so the
+    * score is bit-stable across engines; the ranking semantics are
+    * unchanged), top-3 terms per doc by (score desc, word).
+    *
+    * Shape: one tokenize pass, one (doc, word) count, one broadcast of
+    * the df table (vocabulary-sized), one WindowGroupLimit top-k — at
+    * corpus scale the df table is the only global state and it is
+    * O(vocabulary).
+    */
+  def tfidf(d: DataFrame, k: Int = 3): DataFrame = {
+    val n = d.count() // corpus size: a scalar, computed once
+    val tf = d
+      .select(col("doc_id"), explode(letterTokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(df_), "word")
+      .select(col("doc_id"), col("word"),
+        (col("tf") * expr(s"CAST(${1000000L * n} DIV df AS BIGINT)"))
+          .as("score"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "word", "score", "rank")
+  }
+
+  val tfidfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |        t -> t <> '')) AS word
+      |    FROM documents) GROUP BY 1, 2),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    tf.tf * CAST(1000000 * n.n // df.df AS BIGINT) AS score
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+      |SELECT doc_id, word, score, rank FROM (
+      |  SELECT doc_id, word, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, word) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> ((s, d) => tfidf(docs(s, d))),
     "q_text_wordcount" -> ((s, d) => wordCount(docs(s, d))),
     "q_text_inverted_index" -> ((s, d) => invertedIndex(docs(s, d))),
     "q_text_sorted_join" -> ((s, d) => sortedJoin(docs(s, d))),
@@ -239,6 +289,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_tfidf" -> tfidfSql,
     "q_text_wordcount" -> wordCountSql,
     "q_text_inverted_index" -> invertedIndexSql,
     "q_text_sorted_join" -> sortedJoinSql,

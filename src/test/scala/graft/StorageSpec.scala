@@ -1,0 +1,78 @@
+package graft
+
+import graft.core.Tables
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Storage-layout tier: the two layout techniques that remove shuffles
+  * and IO at cluster scale — bucketing (co-located joins) and partition
+  * pruning — demonstrated and asserted on the physical plan.
+  */
+class StorageSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("bucketed tables join without any Exchange (co-located join)") {
+    // warehouse.dir is static; bucketed tables land in ./spark-warehouse
+    // (gitignored) under the test JVM's cwd. Clean any residue from
+    // prior runs (a crashed run can leave the dir without the table).
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists())
+        scala.reflect.io.Directory(dir).deleteRecursively()
+    }
+    Tables.load(spark, sfDir, "orders")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    Tables.load(spark, sfDir, "lineitem")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum("l_quantity").as("q"))
+    // disable auto-broadcast: at test scale the dim fits in broadcast,
+    // which would bypass the bucketed-join path this test demonstrates
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try plan(joined)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    val exchanges = p.linesIterator
+      .count(l => l.trim.startsWith("(") && l.contains(" Exchange") &&
+        !l.contains("Broadcast"))
+    // join side exchanges eliminated by bucketing; only the final
+    // 1-column groupBy may shuffle
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(exchanges <= 1, s"bucketed join should not shuffle join keys:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+    // and it's still correct
+    val direct = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    assert(joined.collect().map(_.mkString("|")).sorted.toSeq ===
+      direct.collect().map(_.mkString("|")).sorted.toSeq)
+  }
+
+  test("partitioned parquet writes prune partitions on read") {
+    val base = Files.createTempDirectory("graft-part").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$base/events")
+    val read = spark.read.parquet(s"$base/events")
+      .filter(col("day") === "2024-01-02")
+    val p = plan(read)
+    assert(p.contains("PartitionFilters: [isnotnull(day"),
+      s"no partition pruning:\n$p")
+    val expected = ev.filter(col("day") === "2024-01-02").count()
+    assert(read.count() === expected)
+    assert(expected > 0)
+  }
+}
