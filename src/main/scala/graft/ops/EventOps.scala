@@ -29,14 +29,16 @@ object EventOps {
   def tumbling(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"))
+        sum(round(col("value") * 100, 0).cast("bigint")).as("sum_value_cents"))
       .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_cents"))
 
   val tumblingSql: String =
     """SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
       |    '%Y-%m-%d %H:%M:%S') AS window_start,
-      |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Sliding windows: 1 hour wide, every 30 minutes. Each event falls
@@ -46,15 +48,17 @@ object EventOps {
   def sliding(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"))
+        sum(round(col("value") * 100, 0).cast("bigint")).as("sum_value_cents"))
       .select(fmtTs(col("w.start")).as("window_start"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_cents"))
 
   val slidingSql: String =
     """SELECT strftime(CAST(time_bucket(INTERVAL '30 minutes', ts)
       |      AS TIMESTAMP) - INTERVAL '30 minutes' * shift.k,
       |    '%Y-%m-%d %H:%M:%S') AS window_start,
-      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
       |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) shift
       |GROUP BY 1""".stripMargin
 
@@ -65,9 +69,9 @@ object EventOps {
   def sessions(ev: DataFrame): DataFrame =
     ev.groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"))
+        sum(round(col("value") * 100, 0).cast("bigint")).as("sum_value_cents"))
       .select(col("user_id"), fmtTs(col("w.start")).as("session_start"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_cents"))
 
   val sessionsSql: String =
     """WITH e AS (
@@ -85,7 +89,9 @@ object EventOps {
       |  FROM marked)
       |SELECT user_id,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
   /** Pivot: events per day x event_type (missing combos filled with 0

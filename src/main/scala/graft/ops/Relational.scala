@@ -43,29 +43,47 @@ object Relational {
 
   // ---------------------------------------------------------------- //
 
-  /** TPC-H Q1-style pricing summary: filter + group + algebraic aggs. */
+  /** TPC-H Q1-style pricing summary: filter + group + algebraic aggs.
+    *
+    * Money math convention (all pricing queries): prices/discounts are
+    * exact 2-decimal rationals, so every money output is computed in
+    * scaled integers (cents / basis points / "micros" = cents x 1e4)
+    * and integer division — `round()` of a float sum lands on exact
+    * `.xx5` midpoints in this data, where Spark's and DuckDB's rounding
+    * implementations disagree (observed at sf0.1). Integer arithmetic
+    * is bit-stable across engines, aggregation orders, and scale.
+    */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        round(col("l_extendedprice") * 100, 0).cast("bigint").as("cents"),
+        round(col("l_discount") * 100, 0).cast("bigint").as("disc_bp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        sum("cents").as("sum_base_cents"),
+        sum(col("cents") * (lit(100) - col("disc_bp"))).as("sum_disc_micros"),
+        expr("CAST(CAST(sum(l_quantity) AS BIGINT) * 10000 DIV count(*) AS BIGINT)")
+          .as("avg_qty_x10000"),
+        expr("CAST(sum(disc_bp) * 100 DIV count(*) AS BIGINT)")
+          .as("avg_disc_x10000"),
         count(lit(1)).as("count_order"))
 
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+      |  CAST(sum(cents * (100 - disc_bp)) AS BIGINT) AS sum_disc_micros,
+      |  CAST(CAST(sum(l_quantity) AS BIGINT) * 10000 // count(*) AS BIGINT)
+      |    AS avg_qty_x10000,
+      |  CAST(sum(disc_bp) * 100 // count(*) AS BIGINT) AS avg_disc_x10000,
       |  count(*) AS count_order
-      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+      |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+      |        CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_bp
+      |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style: dim filter -> broadcast join -> fact-fact join ->
@@ -78,15 +96,18 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("bigint") *
+        (lit(100) - round(col("l_discount") * 100, 0).cast("bigint")))
+        .as("revenue_micros"))
+      .orderBy(col("revenue_micros").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3ShippingSql: String =
     """SELECT l_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |    (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      |    AS revenue_micros
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -94,7 +115,7 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '2000-01-01'
       |  AND l_shipdate > TIMESTAMP '1996-01-01'
       |GROUP BY l_orderkey
-      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+      |ORDER BY revenue_micros DESC, l_orderkey LIMIT 10""".stripMargin
 
   /** TPC-H Q5-style 6-way join: every dim broadcast, one fact shuffle. */
   def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
@@ -112,14 +133,17 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("bigint") *
+        (lit(100) - round(col("l_discount") * 100, 0).cast("bigint")))
+        .as("revenue_micros"))
 
   }
 
   val q5LocalSupplierSql: String =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |    (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+      |    AS revenue_micros
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -141,12 +165,16 @@ object Relational {
       .select(
         col("l_orderkey"),
         col("l_linenumber").cast("bigint").as("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax")), 2).as("charge"))
+        (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+          (lit(100) - round(col("l_discount") * 100, 0).cast("bigint")) *
+          (lit(100) + round(col("l_tax") * 100, 0).cast("bigint")))
+          .as("charge_x1e6"))
 
   val qFilterProjectSql: String =
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-      |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+      |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+      |    (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) *
+      |    (100 + CAST(round(l_tax * 100, 0) AS BIGINT)) AS charge_x1e6
       |FROM lineitem
       |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
       |  AND l_discount BETWEEN 0.03 AND 0.08 AND l_quantity < 25""".stripMargin
@@ -158,11 +186,13 @@ object Relational {
       .groupBy("c_custkey", "c_mktsegment")
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        coalesce(sum(round(col("o_totalprice") * 100, 0).cast("bigint")),
+          lit(0L)).as("total_spent_cents"))
 
   val qJoinLeftSql: String =
     """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
-      |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+      |  CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0)
+      |    AS BIGINT) AS total_spent_cents
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_mktsegment""".stripMargin
 
@@ -216,11 +246,14 @@ object Relational {
       .agg(
         countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total"))
+        sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
+          .as("total_cents"))
 
   val qDistinctAggSql: String =
     """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
-      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   /** Window ranking: top-3 orders per customer, total-order tie-break. */
@@ -249,16 +282,18 @@ object Relational {
       .select(
         col("o_custkey"), col("o_orderkey"),
         fmtD(col("o_orderdate")).as("order_date"),
-        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+        sum(round(col("o_totalprice") * 100, 0).cast("bigint")).over(w)
+          .as("running_spend_cents"))
   }
 
   val qWindowRunningSql: String =
     """SELECT o_custkey, o_orderkey,
       |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_date,
-      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-      |    AS running_spend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS running_spend_cents
       |FROM orders""".stripMargin
 
   /** Window lag: days since the customer's previous order. */
@@ -321,10 +356,14 @@ object Relational {
         .select(col("l_orderkey").as("custkey"),
           col("l_extendedprice").as("amount")))
       .groupBy("custkey")
-      .agg(count(lit(1)).as("n"), round(sum("amount"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("amount") * 100, 0).cast("bigint")).as("total_cents"))
 
   val qUnionAllSql: String =
-    """SELECT custkey, count(*) AS n, round(sum(amount), 2) AS total FROM (
+    """SELECT custkey, count(*) AS n,
+      |  CAST(sum(CAST(round(amount * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM (
       |  SELECT o_custkey AS custkey, o_totalprice AS amount FROM orders
       |  UNION ALL
       |  SELECT l_orderkey AS custkey, l_extendedprice AS amount FROM lineitem)
@@ -350,31 +389,42 @@ object Relational {
   def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) " +
+          "DIV count(*) AS BIGINT)").as("avg_price_cents"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        col("n"), col("avg_price"))
+        col("n"), col("avg_price_cents"))
 
   val qCubeSql: String =
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
       |  coalesce(o_orderpriority, 'ALL') AS priority,
-      |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) // count(*)
+      |    AS BIGINT) AS avg_price_cents
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
-  /** HAVING: post-aggregation filter. */
+  /** HAVING: post-aggregation filter. Prices are 1-decimal; the avg
+    * comparison is exact integer (`sum_deci > 9200 * n` ⟺ avg > 920.0).
+    */
   def qHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_parts"),
-        round(avg("p_retailprice"), 2).as("avg_price"))
-      .filter(col("n_parts") >= 3 && col("avg_price") > 920.0)
+        sum(round(col("p_retailprice") * 10, 0).cast("bigint"))
+          .as("sum_deci"))
+      .filter(col("n_parts") >= 3 && col("sum_deci") > lit(9200L) * col("n_parts"))
+      .select(col("p_brand"), col("n_parts"),
+        expr("CAST(sum_deci * 10 DIV n_parts AS BIGINT)").as("avg_price_centis"))
 
   val qHavingSql: String =
     """SELECT p_brand, count(*) AS n_parts,
-      |  round(avg(p_retailprice), 2) AS avg_price
+      |  CAST(sum(CAST(round(p_retailprice * 10, 0) AS BIGINT)) * 10
+      |    // count(*) AS BIGINT) AS avg_price_centis
       |FROM part GROUP BY p_brand
-      |HAVING count(*) >= 3 AND round(avg(p_retailprice), 2) > 920.0""".stripMargin
+      |HAVING count(*) >= 3
+      |  AND sum(CAST(round(p_retailprice * 10, 0) AS BIGINT)) > 9200 * count(*)""".stripMargin
 
   /** Conditional aggregation (CASE WHEN inside agg). */
   def qCaseWhen(s: SparkSession, dir: String): DataFrame =
@@ -385,8 +435,10 @@ object Relational {
           .as("qty_high_disc"),
         sum(when(col("l_tax") === 0.0, lit(1)).otherwise(lit(0)))
           .cast("bigint").as("n_taxfree"),
-        round(avg(when(col("l_quantity") >= 25, col("l_extendedprice"))), 2)
-          .as("avg_price_bulk"))
+        sum(when(col("l_quantity") >= 25,
+          round(col("l_extendedprice") * 100, 0).cast("bigint")))
+          .as("bulk_cents"),
+        count(when(col("l_quantity") >= 25, lit(1))).as("n_bulk"))
 
   val qCaseWhenSql: String =
     """SELECT l_returnflag,
@@ -394,8 +446,10 @@ object Relational {
       |    AS qty_high_disc,
       |  CAST(sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_taxfree,
-      |  round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 2)
-      |    AS avg_price_bulk
+      |  CAST(sum(CASE WHEN l_quantity >= 25
+      |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS BIGINT)
+      |    AS bulk_cents,
+      |  count(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Scalar string functions. */
@@ -495,7 +549,10 @@ object Relational {
           .as("qty_price_corr"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
           .as("qty_price_cov"),
-        round(expr("median(l_extendedprice)"), 4).as("price_median"),
+        // median of an even count = midpoint of two cents values; x2
+        // keeps it integral and engine-exact
+        expr("CAST(round(median(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 2, 0) AS BIGINT)")
+          .as("price_median_cents_x2"),
         min("l_quantity").as("qty_min"),
         max("l_quantity").as("qty_max"))
 
@@ -505,7 +562,8 @@ object Relational {
       |  round(var_samp(l_quantity), 4) AS qty_var,
       |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
       |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
-      |  round(median(l_extendedprice), 4) AS price_median,
+      |  CAST(round(median(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 2,
+      |    0) AS BIGINT) AS price_median_cents_x2,
       |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
