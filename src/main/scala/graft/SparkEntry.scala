@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Pipeline, Similarity, TextOps}
 import graft.ops.{EventOps, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -26,12 +26,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
+      Pipeline.oracleSql
 }

@@ -600,6 +600,53 @@ object Relational {
       |  FROM customer GROUP BY c_nationkey) na ON c_nationkey = na.nk
       |WHERE cents * n > sum_cents""".stripMargin
 
+  /** Analytic window functions: ntile bucketing + frame first/last
+    * values over a totally-ordered per-customer window.
+    */
+  def qWindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        fmtD(first(col("o_orderdate")).over(wFull)).as("first_order"),
+        fmtD(last(col("o_orderdate")).over(wFull)).as("last_order"),
+        count(lit(1)).over(wFull).as("n_orders"))
+  }
+
+  val qWindowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  strftime(CAST(first_value(o_orderdate) OVER wf AS TIMESTAMP),
+      |    '%Y-%m-%d') AS first_order,
+      |  strftime(CAST(last_value(o_orderdate) OVER wf AS TIMESTAMP),
+      |    '%Y-%m-%d') AS last_order,
+      |  count(*) OVER wf AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** Regex scalar functions: extract + replace + full-match test. */
+  def qScalarRegex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devoweled"),
+        when(col("p_type").rlike("^(STANDARD|PROMO)"), lit(1)).otherwise(lit(0))
+          .cast("bigint").as("is_std_or_promo"))
+
+  val qScalarRegexSql: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+      |  CAST(CASE WHEN regexp_matches(p_type, '^(STANDARD|PROMO)')
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_std_or_promo
+      |FROM part""".stripMargin
+
   /** Sketch-based approximate aggregates (HyperLogLog++ distinct count,
     * quantile summaries): mergeable constant-size state, the only
     * viable shape for distinct/quantile at 100 TB. Estimates are
@@ -634,6 +681,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (qSaltedAgg _),
     "q_approx_agg" -> (qApproxAgg _),
+    "q_window_analytics" -> (qWindowAnalytics _),
+    "q_scalar_regex" -> (qScalarRegex _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -662,6 +711,8 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
+    "q_window_analytics" -> qWindowAnalyticsSql,
+    "q_scalar_regex" -> qScalarRegexSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
