@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   *     partial aggregation; no collect_list on unbounded groups.
   *
   * Determinism conventions (the DuckDB-oracle hash compare):
-  *   - float aggregates are round()ed (row-level arithmetic is
-  *     IEEE-identical across engines; only aggregation order varies);
+  *   - money arithmetic is exact scaled-integer end-to-end (cents /
+  *     basis points, integer DIV for averages) — see q1Pricing's doc;
+  *     round() only on genuinely irrational outputs (sqrt, stddev);
   *   - computed integers are cast to bigint (DuckDB length() etc.
   *     return BIGINT, Spark returns int);
   *   - timestamps/dates leave the plan as formatted strings;
@@ -339,14 +340,15 @@ object Relational {
     "SELECT c_custkey AS custkey FROM customer INTERSECT " +
       "SELECT o_custkey AS custkey FROM orders"
 
-  /** Set ops: customers with no orders at all (EXCEPT). */
+  /** Set ops: customers who never placed a >300k order (EXCEPT). */
   def qExcept(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").select(col("c_custkey").as("custkey"))
-      .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("custkey")))
 
   val qExceptSql: String =
     "SELECT c_custkey AS custkey FROM customer EXCEPT " +
-      "SELECT o_custkey AS custkey FROM orders"
+      "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0"
 
   /** Set ops: UNION ALL of two projections + re-aggregation. */
   def qUnionAll(s: SparkSession, dir: String): DataFrame =
@@ -406,7 +408,7 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
 
   /** HAVING: post-aggregation filter. Prices are 1-decimal; the avg
-    * comparison is exact integer (`sum_deci > 9200 * n` ⟺ avg > 920.0).
+    * comparison is exact integer (`sum_deci > 9050 * n` ⟺ avg > 905.0).
     */
   def qHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -414,7 +416,7 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"),
         sum(round(col("p_retailprice") * 10, 0).cast("bigint"))
           .as("sum_deci"))
-      .filter(col("n_parts") >= 3 && col("sum_deci") > lit(9200L) * col("n_parts"))
+      .filter(col("n_parts") >= 3 && col("sum_deci") > lit(9050L) * col("n_parts"))
       .select(col("p_brand"), col("n_parts"),
         expr("CAST(sum_deci * 10 DIV n_parts AS BIGINT)").as("avg_price_centis"))
 
@@ -424,7 +426,7 @@ object Relational {
       |    // count(*) AS BIGINT) AS avg_price_centis
       |FROM part GROUP BY p_brand
       |HAVING count(*) >= 3
-      |  AND sum(CAST(round(p_retailprice * 10, 0) AS BIGINT)) > 9200 * count(*)""".stripMargin
+      |  AND sum(CAST(round(p_retailprice * 10, 0) AS BIGINT)) > 9050 * count(*)""".stripMargin
 
   /** Conditional aggregation (CASE WHEN inside agg). */
   def qCaseWhen(s: SparkSession, dir: String): DataFrame =

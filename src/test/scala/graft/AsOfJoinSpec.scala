@@ -29,6 +29,29 @@ class AsOfJoinSpec extends SparkSpec {
       (2, 7L, null, null)))
   }
 
+  test("as-of join matches brute-force reference on random data") {
+    val rnd = new scala.util.Random(99)
+    val leftRows = Seq.fill(300)((rnd.nextInt(8), rnd.nextInt(1000).toLong))
+    val rightRows = Seq.fill(120)(
+      (rnd.nextInt(8), rnd.nextInt(1000).toLong, rnd.nextInt(100000)))
+      // dedupe (k, rt): as-of picks an arbitrary one among exact ties
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val expected = leftRows.map { case (k, lt) =>
+      val m = rightRows.filter(r => r._1 == k && r._2 <= lt)
+      val best = if (m.isEmpty) None else Some(m.maxBy(_._2))
+      (k, lt, best.map(_._2), best.map(_._3))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val got = AsOfJoin.asOf(
+      leftRows.toDF("k", "lt"), rightRows.toDF("k", "rt", "v"),
+      Seq("k"), "lt", "rt")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got === expected)
+  }
+
   test("as-of join is stable across partitioning") {
     val left = (1 to 200).map(i => (i % 5, i.toLong)).toDF("k", "lt")
     val right = (1 to 50).map(i => (i % 5, (i * 3).toLong, s"p$i"))
