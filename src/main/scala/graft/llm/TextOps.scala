@@ -229,6 +229,30 @@ object TextOps {
       |      AS toks
       |  FROM documents)""".stripMargin
 
+  /** Corpus-level character 3-gram profile (the feature basis of
+    * real n-gram language ID): top 20 trigrams with counts,
+    * deterministic tie-break.
+    */
+  def charNgrams(d: DataFrame, n: Int = 3, topK: Int = 20): DataFrame = {
+    val grams = when(length(col("text")) >= n,
+      transform(sequence(lit(1), length(col("text")) - (n - 1)),
+        i => col("text").substr(i, lit(n))))
+      .otherwise(array())
+    d.select(explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(topK)
+  }
+
+  val charNgramsSql: String =
+    """SELECT ngram, count(*) AS cnt FROM (
+      |  SELECT substr(text, CAST(i AS INTEGER), 3) AS ngram
+      |  FROM documents,
+      |    LATERAL unnest(generate_series(1, length(text) - 2)) t(i)
+      |  WHERE length(text) >= 3)
+      |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin
+
   /** TF-IDF top terms per document: tf = in-doc count, idf scaled to an
     * exact integer (`1e6 * N DIV df` — deliberately no log/float so the
     * score is bit-stable across engines; the ranking semantics are
@@ -279,6 +303,7 @@ object TextOps {
       |WHERE rank <= 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_ngrams" -> ((s, d) => charNgrams(docs(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidf(docs(s, d))),
     "q_text_wordcount" -> ((s, d) => wordCount(docs(s, d))),
     "q_text_inverted_index" -> ((s, d) => invertedIndex(docs(s, d))),
@@ -289,6 +314,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_ngrams" -> charNgramsSql,
     "q_text_tfidf" -> tfidfSql,
     "q_text_wordcount" -> wordCountSql,
     "q_text_inverted_index" -> invertedIndexSql,

@@ -602,6 +602,27 @@ object Relational {
       |  FROM customer GROUP BY c_nationkey) na ON c_nationkey = na.nk
       |WHERE cents * n > sum_cents""".stripMargin
 
+  /** GROUPING SETS via the SQL surface (the DataFrame API covers
+    * rollup/cube above; arbitrary set lists go through spark.sql over
+    * the registered views).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
   /** Analytic window functions: ntile bucketing + frame first/last
     * values over a totally-ordered per-customer window.
     */
@@ -685,6 +706,7 @@ object Relational {
     "q_approx_agg" -> (qApproxAgg _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_scalar_regex" -> (qScalarRegex _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -715,6 +737,7 @@ object Relational {
     "q_salted_agg" -> qSaltedAggSql,
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_scalar_regex" -> qScalarRegexSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,

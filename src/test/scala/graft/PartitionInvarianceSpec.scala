@@ -1,0 +1,45 @@
+package graft
+
+import graft.core.Tables
+import graft.llm.{Dedup, TextOps}
+import org.apache.spark.sql.DataFrame
+
+/** SURVEY §7.5 item 5: collect_set/collect_list accumulate in
+  * partition-dependent order, so every ordered aggregate must be
+  * wrapped in sort_array — assert that results are identical under
+  * shuffle.partitions ∈ {1, 4, 17} for the order-sensitive queries.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  private def underPartitions[A](n: Int)(f: => A): A = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  private val cases: Seq[(String, () => DataFrame)] = Seq(
+    ("sorted_join (ordered string-agg)",
+      () => TextOps.sortedJoin(Tables.load(spark, sfDir, "documents"))),
+    ("inverted_index (sorted collect_set)",
+      () => TextOps.invertedIndex(Tables.load(spark, sfDir, "documents"))),
+    ("dedup_canonical (sorted members csv)",
+      () => Dedup.canonical(Tables.load(spark, sfDir, "documents"))),
+    ("minhash_pairs (min aggregates)",
+      () => Dedup.minhashPairs(Tables.load(spark, sfDir, "documents"))),
+    ("tfidf (rank tie-breaks)",
+      () => TextOps.tfidf(Tables.load(spark, sfDir, "documents"))))
+
+  cases.foreach { case (name, mk) =>
+    test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {
+      val r1 = underPartitions(1)(rows(mk()))
+      val r4 = underPartitions(4)(rows(mk()))
+      val r17 = underPartitions(17)(rows(mk()))
+      assert(r1 === r4, s"$name differs between 1 and 4 partitions")
+      assert(r4 === r17, s"$name differs between 4 and 17 partitions")
+      assert(r1.nonEmpty)
+    }
+  }
+}
