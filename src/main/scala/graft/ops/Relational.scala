@@ -39,7 +39,6 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
   private def fmtD(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
   // ---------------------------------------------------------------- //
