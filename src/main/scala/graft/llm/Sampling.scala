@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * Both operators key on a content hash (md5) instead of `rand()`:
+  * the assignment is a pure function of the row, so it is reproducible
+  * across runs, partitionings, and engines (no seed bookkeeping, no
+  * partition-order dependence — the property `df.sample`/`rand(seed)`
+  * do NOT have), and a re-ingested duplicate lands in the same split.
+  *
+  * Scale: the per-group sample is one window top-k (WindowGroupLimit
+  * partial before the shuffle); the split assign is a stateless map.
+  */
+object Sampling {
+
+  /** k docs per group, chosen by smallest content hash — a
+    * deterministic uniform-ish reservoir (equivalent to A-Res weighted
+    * sampling with uniform weights and hash-derived keys).
+    */
+  def samplePerGroup(
+      d: DataFrame, groupCol: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    d.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("doc_id"), col("rn"))
+  }
+
+  val samplePerGroupSql: String =
+    """SELECT lang, doc_id, rn FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5""".stripMargin
+
+  /** Deterministic train/val/test assignment from the content hash:
+    * bucket = first hash byte mod 10 -> 0-7 train, 8 val, 9 test.
+    */
+  def trainTestSplit(d: DataFrame): DataFrame = {
+    val bucket = pmod(ascii(substring(md5(col("text").cast("binary")), 1, 1)) +
+      ascii(substring(md5(col("text").cast("binary")), 2, 1)), lit(10))
+    d.select(col("doc_id"),
+      when(bucket <= 7, "train").when(bucket === 8, "val")
+        .otherwise("test").as("split"))
+  }
+
+  val trainTestSplitSql: String =
+    """SELECT doc_id,
+      |  CASE
+      |    WHEN (ascii(substr(md5(text), 1, 1)) + ascii(substr(md5(text), 2, 1)))
+      |      % 10 <= 7 THEN 'train'
+      |    WHEN (ascii(substr(md5(text), 1, 1)) + ascii(substr(md5(text), 2, 1)))
+      |      % 10 = 8 THEN 'val'
+      |    ELSE 'test'
+      |  END AS split
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_per_group" -> ((s, d) =>
+      samplePerGroup(Tables.load(s, d, "documents"), "lang")),
+    "q_train_test_split" -> ((s, d) =>
+      trainTestSplit(Tables.load(s, d, "documents"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sample_per_group" -> samplePerGroupSql,
+    "q_train_test_split" -> trainTestSplitSql)
+}

@@ -30,7 +30,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     ("minhash_pairs (min aggregates)",
       () => Dedup.minhashPairs(Tables.load(spark, sfDir, "documents"))),
     ("tfidf (rank tie-breaks)",
-      () => TextOps.tfidf(Tables.load(spark, sfDir, "documents"))))
+      () => TextOps.tfidf(Tables.load(spark, sfDir, "documents"))),
+    ("sample_per_group (hash-ordered reservoir)",
+      () => graft.llm.Sampling.samplePerGroup(
+        Tables.load(spark, sfDir, "documents"), "lang")))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {
