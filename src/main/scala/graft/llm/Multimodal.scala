@@ -110,6 +110,39 @@ object Multimodal {
       }
   }
 
+  /** Nearest-neighbor resize over decoded pixel buffers — the
+    * feature-extraction-adjacent transform a vision pipeline runs after
+    * decode. Pure per-row array math (no codec needed), so unlike the
+    * decode kernel this is NOT a stub.
+    */
+  def resize(
+      spark: SparkSession,
+      images: Dataset[DecodedImage],
+      outW: Int,
+      outH: Int): Dataset[DecodedImage] = {
+    import spark.implicits._
+    images.map { img =>
+      val px = new Array[Byte](outW * outH * img.channels)
+      var y = 0
+      while (y < outH) {
+        val sy = y * img.height / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * img.width / outW
+          var c = 0
+          while (c < img.channels) {
+            px((y * outW + x) * img.channels + c) =
+              img.pixels((sy * img.width + sx) * img.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(img.doc_id, outW, outH, img.channels, px)
+    }
+  }
+
   /** Aggregate feature over decoded images (mean pixel value) — shows
     * decoded batches flowing back into relational ops.
     */

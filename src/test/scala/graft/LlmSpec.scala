@@ -125,6 +125,20 @@ class LlmSpec extends SparkSpec {
       .forall { case (a, b) => a.pixels.sameElements(b.pixels) })
   }
 
+  test("resize produces exact target dims and preserves corner pixels") {
+    val decoded = Multimodal.decodeImages(spark, Multimodal.asMedia(docs.limit(10)))
+    val resized = Multimodal.resize(spark, decoded, 16, 12).collect()
+    val originals = decoded.collect().map(i => i.doc_id -> i).toMap
+    assert(resized.length === 10)
+    resized.foreach { r =>
+      assert((r.width, r.height) === (16, 12))
+      assert(r.pixels.length === 16 * 12 * 3)
+      // nearest-neighbor maps (0,0) to (0,0): top-left pixel survives
+      val o = originals(r.doc_id)
+      assert(r.pixels.take(3).toSeq === o.pixels.take(3).toSeq)
+    }
+  }
+
   test("decoded stats flow back into relational ops") {
     val stats = Multimodal.decodedStats(spark, docs.limit(20))
     assert(stats.count() === 20)
