@@ -59,14 +59,16 @@ object Similarity {
       |WHERE rank <= 10""".stripMargin
 
   /** Deterministic random hyperplanes (seeded): nPlanes x dim. */
-  private[llm] def planes(nPlanes: Int, dim: Int = 64): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(1234)
+  private[llm] def planes(
+      nPlanes: Int, dim: Int = 64, seed: Long = 1234L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Sign-of-projection LSH bucket id for every vector. */
-  def lshBuckets(e: DataFrame, nPlanes: Int = 4): DataFrame = {
-    val ps = planes(nPlanes)
+  def lshBuckets(
+      e: DataFrame, nPlanes: Int = 4, seed: Long = 1234L): DataFrame = {
+    val ps = planes(nPlanes, seed = seed)
     val bucket = ps.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(v => lit(v)): _*)
       when(vector.dot_product(col("embedding"), planeCol) >= 0,
@@ -75,17 +77,36 @@ object Similarity {
     e.withColumn("bucket", bucket)
   }
 
-  /** Approximate top-k: rank within LSH bucket only. */
-  def lshTopK(e: DataFrame, nPlanes: Int = 4, k: Int = 5): DataFrame = {
-    val bucketed = lshBuckets(e, nPlanes)
+  /** Approximate top-k via multi-table LSH: `nTables` independent
+    * hyperplane sets, candidates unioned across tables (a miss in one
+    * table is recovered by another — the standard recall lever), scored
+    * once per distinct pair, ranked per query.
+    *
+    * Scale: each table's candidate join is bucket-partitioned; total
+    * work is sum of per-bucket squares per table — still sub-quadratic
+    * while recall rises with nTables.
+    */
+  def lshTopK(
+      e: DataFrame, nPlanes: Int = 4, k: Int = 5,
+      nTables: Int = 2): DataFrame = {
+    val candidates = (0 until nTables).map { t =>
+      val bucketed = lshBuckets(e, nPlanes, seed = 1234L + 7919L * t)
+        .select("vec_id", "bucket")
+      bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+    }.reduce(_ unionAll _).distinct()
+    val withVec = e.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        vector.cosine_similarity(col("a.embedding"), col("b.embedding"))
-          .as("sim"))
+    candidates
+      .join(withVec.select(col("vec_id").as("a_id"),
+        col("embedding").as("emb_a")), "a_id")
+      .join(withVec.select(col("vec_id").as("b_id"),
+        col("embedding").as("emb_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        vector.cosine_similarity(col("emb_a"), col("emb_b")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),

@@ -90,24 +90,27 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
-  test("lsh buckets partition the corpus; neighbors beat random baseline") {
-    val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+  test("multi-table lsh recall beats single-table; both beat zero") {
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, nQueries = n, k = 11)
+      .filter(col("rank") > 1) // drop self-match (rank 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    val lsh = Similarity.lshTopK(emb, nPlanes = 4, k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-      .view.mapValues(_.map(_._2).toSet).toMap
-    // every vector landed in exactly one bucket
-    val n = emb.count()
-    assert(Similarity.lshBuckets(emb, 4).count() === n)
-    // for the query vectors that have LSH results, candidates within
-    // the same bucket must overlap the true top-10 better than chance
-    val overlaps = brute.keys.toSeq.flatMap { q =>
-      lsh.get(q).map(c => (c - q).intersect(brute(q) - q).size)
+    def recall(nTables: Int): Double = {
+      val lsh = Similarity.lshTopK(emb, nPlanes = 4, k = 10, nTables = nTables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val hits = brute.toSeq.map { case (q, truth) =>
+        lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.size
     }
-    assert(overlaps.nonEmpty)
-    assert(overlaps.sum > 0,
-      "same-bucket candidates should recover some true neighbors")
+    assert(Similarity.lshBuckets(emb, 4).count() === n.toLong)
+    val r1 = recall(1)
+    val r2 = recall(2)
+    info(f"recall@10: 1 table = $r1%.3f, 2 tables = $r2%.3f")
+    assert(r1 > 0.05, s"single-table recall degenerate: $r1")
+    assert(r2 > r1, s"multi-table must improve recall: $r2 vs $r1")
   }
 
   test("multimodal decode stub: schema and batch shape are real") {
