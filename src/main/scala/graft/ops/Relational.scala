@@ -601,6 +601,30 @@ object Relational {
       |  FROM customer GROUP BY c_nationkey) na ON c_nationkey = na.nk
       |WHERE cents * n > sum_cents""".stripMargin
 
+  /** Unpivot (melt): wide rate columns -> long (rate_type, rate) rows —
+    * the inverse of pivot. Values pass through unchanged (no
+    * arithmetic), so raw doubles are hash-safe.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("ln"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("ln")),
+        Array(col("l_discount"), col("l_tax")),
+        "rate_type", "rate")
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  'l_discount' AS rate_type, l_discount AS rate
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |UNION ALL
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  'l_tax' AS rate_type, l_tax AS rate
+      |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin
+
   /** GROUPING SETS via the SQL surface (the DataFrame API covers
     * rollup/cube above; arbitrary set lists go through spark.sql over
     * the registered views).
@@ -706,6 +730,7 @@ object Relational {
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_scalar_regex" -> (qScalarRegex _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_unpivot" -> (qUnpivot _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -737,6 +762,7 @@ object Relational {
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_scalar_regex" -> qScalarRegexSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_unpivot" -> qUnpivotSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
