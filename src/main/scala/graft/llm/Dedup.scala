@@ -292,6 +292,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Scale-path SimHash candidate generation: band the 64-bit
+    * fingerprint into `nBands` chunks and join on (band index, band
+    * bits) — by pigeonhole, any pair with hamming distance < nBands
+    * agrees on at least one band, so candidates are GUARANTEED to
+    * contain every such pair with no per-bucket quadratic blowup
+    * (the within-`source` variant above is the exhaustive small-scale
+    * check; this is what runs at 100 TB).
+    */
+  def simhashPairsBanded(d: DataFrame, nBands: Int = 4): DataFrame = {
+    val bits = 64
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val sh = simhash(d)
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+            .as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("bigint").as("hamming"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exact(docs(s, d))),
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),

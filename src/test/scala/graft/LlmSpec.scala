@@ -63,6 +63,18 @@ class LlmSpec extends SparkSpec {
       "one-word-changed doc must be closer than unrelated doc")
   }
 
+  test("banded simhash candidates: pigeonhole guarantee for hamming < nBands") {
+    val full = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairsBanded(docs, nBands = 4)
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every within-source hamming<=3 pair must be recovered by banding
+    // (banding also finds cross-source pairs - a superset there)
+    assert(full.subsetOf(banded),
+      s"banding missed guaranteed pairs: ${(full -- banded).take(5)}")
+  }
+
   test("cosine_similarity expression matches double-precision formula") {
     val rows = emb.limit(50).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)

@@ -67,6 +67,19 @@ class MRGoldenSpec extends SparkSpec {
     assert(native === expected)
   }
 
+  test("tokenizer edge cases: empty, separators-only, unicode letters") {
+    assert(GoTokens.split("").toSeq === Seq.empty)
+    assert(GoTokens.split("  12 --- \n\t 99 ").toSeq === Seq.empty)
+    // accented + CJK are Unicode letters (category L) for both Go's
+    // unicode.IsLetter and Java's \p{L}; digits/underscores are not
+    assert(GoTokens.split("café _niño_ 中文123日本語").toSeq ===
+      Seq("café", "niño", "中文", "日本語"))
+    // the oracle and the engine agree on an edge corpus
+    val files = Seq(("f0", ""), ("f1", " -- 12 "), ("f2", "café 中文 café"))
+    val out = SequentialOracle.run(files, WordCountApp)
+    assert(out === Seq("café 2", "中文 1"))
+  }
+
   test("tokenizer parity: Go FieldsFunc(!IsLetter) vs split regex on corpus") {
     // Character-level parity check across the whole corpus: the Scala
     // splitter (used by the oracle) and Spark's split() (used by the
