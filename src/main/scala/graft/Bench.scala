@@ -22,13 +22,19 @@ object Bench {
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // A failed query reports its elapsed time NEGATED (and lands in
+    // "failed") so a fast failure can't masquerade as a fast query.
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -v)
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -59,8 +59,10 @@ object NativeApps {
     files
       .select(explode(array(
         struct(lit("a").as("key"), col("filename").as("v")),
-        struct(lit("b").as("key"), length(col("filename")).cast("string").as("v")),
-        struct(lit("c").as("key"), length(col("contents")).cast("string").as("v")),
+        // octet_length = UTF-8 bytes, matching Go len() in crash.go and
+        // CrashPayloadApp.utf8Len (length() would count code points)
+        struct(lit("b").as("key"), octet_length(col("filename")).cast("string").as("v")),
+        struct(lit("c").as("key"), octet_length(col("contents")).cast("string").as("v")),
         struct(lit("d").as("key"), lit("xyzzy").as("v")))).as("kv"))
       .select(col("kv.key").as("key"), col("kv.v").as("v"))
       .groupBy("key")

@@ -69,11 +69,17 @@ object InvertedIndexApp extends MRApp {
   * reference's one genuinely order-sensitive aggregate.
   */
 object CrashPayloadApp extends MRApp {
+  // Go's len() counts BYTES (`mrapps/crash.go:40,43`); UTF-8 octet
+  // length reproduces that for non-ASCII text where String.length
+  // (UTF-16 units) and code-point counts both diverge. NativeApps
+  // mirrors this with octet_length().
+  private def utf8Len(s: String): Int =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
   def map(filename: String, contents: String): IterableOnce[KeyValue] =
     Seq(
       KeyValue("a", filename),
-      KeyValue("b", filename.length.toString),
-      KeyValue("c", contents.length.toString),
+      KeyValue("b", utf8Len(filename).toString),
+      KeyValue("c", utf8Len(contents).toString),
       KeyValue("d", "xyzzy"))
   def reduce(key: String, values: Iterator[String]): String =
     values.toArray.sorted.mkString(" ")

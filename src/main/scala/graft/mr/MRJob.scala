@@ -34,15 +34,27 @@ import org.apache.spark.sql.functions._
 object MRJob {
 
   /** Whole-file source: one row per file, schema
-    * (filename string, contents string). `filename` is the basename, so
-    * results don't depend on where the corpus is mounted.
+    * (filename string, contents string). `filename` is the decoded
+    * basename, so results don't depend on where the corpus is mounted
+    * and names with spaces / non-ASCII come back verbatim
+    * (`input_file_name()` returns a URL-encoded URI; `%XX` escapes are
+    * undone here, with `+` protected first since in a URI path it is a
+    * literal plus, not form-encoded space).
+    *
+    * Contract: basenames must be unique across `paths` — the reference
+    * worker keys records by filename alone (`mr/worker.go:62-66`), so
+    * two inputs sharing a basename in different directories would merge
+    * into one map record, same as copying both into the reference's
+    * flat working directory would.
     */
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     spark.read
       .option("wholetext", "true")
       .text(paths: _*)
       .select(
-        regexp_extract(input_file_name(), "([^/]+)$", 1).as("filename"),
+        url_decode(regexp_replace(
+          regexp_extract(input_file_name(), "([^/]+)$", 1),
+          "\\+", "%2B")).as("filename"),
         col("value").as("contents"))
   }
 

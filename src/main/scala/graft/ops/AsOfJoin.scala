@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * names (rename beforehand); right payload values should be non-null
   * (a null payload cell would carry the previous non-null value past
   * it); ties at equal time match (right sorts before left via the side
-  * tag, mirroring ASOF's `<=`).
+  * tag, mirroring ASOF's `<=`). When several RIGHT rows share
+  * (keys, time), the winner among them is undefined unless `tieBreak`
+  * names right-side columns to order by (ascending; the LAST row in
+  * that order wins) — without it, callers must guarantee at most one
+  * right row per (keys, time), as [[graft.ops.EventOps]] does by
+  * pre-deduplicating.
   */
 object AsOfJoin {
 
@@ -34,7 +39,8 @@ object AsOfJoin {
       right: DataFrame,
       keys: Seq[String],
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val leftPayload = left.columns
       .filterNot(c => keys.contains(c) || c == leftTime).toSeq
     val rightPayload = right.columns
@@ -60,8 +66,15 @@ object AsOfJoin {
         leftPayload.map(nullAs(_, leftTypes)) ++
         (col(rightTime).as(matchedTime) +: rightPayload.map(col)): _*)
 
+    require(tieBreak.forall(rightPayload.contains),
+      s"tieBreak must name right payload columns; got ${tieBreak.mkString(",")}")
+    // Only right-vs-right ties need breaking: left rows at equal _t all
+    // see the same preceding rights (their own nulls are ignored by
+    // last(ignoreNulls)), and (_t, _side) already orders across sides.
+    // tieBreak columns are null on left rows; nulls-first keeps left
+    // rows' relative order stable without affecting the carried value.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t") +: col("_side") +: tieBreak.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = (matchedTime +: rightPayload).foldLeft(l.unionByName(r)) {

@@ -18,11 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Random-but-cheap salt derived from the row's position; correctness
-    * does not depend on the salt values, only the spread does.
+  /** Deterministic salt derived from row content (grouping keys +
+    * value), so a map-task rerun after shuffle-fetch failure recomputes
+    * identical salts — correctness never leans on Spark's
+    * INDETERMINATE-stage full-rollback handling, which a
+    * position-derived (`monotonically_increasing_id`) salt would
+    * require. Spread comes from value diversity within a hot key; the
+    * degenerate all-identical-values key collapses to one bucket, but
+    * map-side partial aggregation already reduces that case to one row
+    * per input partition before the shuffle.
     */
-  private def salt(buckets: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong))
+  private def salt(on: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(on: _*), lit(buckets.toLong))
 
   /** Salted sum+count per key (the building block for avg too). */
   def saltedSumCount(
@@ -31,7 +38,7 @@ object Skew {
       valueCol: String,
       buckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    df.withColumn("_salt", salt(buckets))
+    df.withColumn("_salt", salt(keyCols :+ col(valueCol), buckets))
       .groupBy((keyCols :+ col("_salt")): _*)
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(keyCols: _*)

@@ -52,6 +52,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("as-of join right-side ties are deterministic with tieBreak") {
+    // three right rows share (k=1, rt=10); tieBreak on "seq" must make
+    // the largest-seq payload win, on every partitioning
+    val left = Seq((1, 10L), (1, 50L)).toDF("k", "lt")
+    val right = Seq((1, 10L, 1, "lo"), (1, 10L, 3, "hi"), (1, 10L, 2, "mid"))
+    def run(parts: Int) = AsOfJoin.asOf(
+      left.repartition(parts), right.toDF("k", "rt", "seq", "v")
+        .repartition(parts),
+      Seq("k"), "lt", "rt", tieBreak = Seq("seq"))
+      .select("k", "lt", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val expected = Seq((1, 10L, "hi"), (1, 50L, "hi"))
+    assert(run(1) === expected)
+    assert(run(5) === expected)
+  }
+
   test("as-of join is stable across partitioning") {
     val left = (1 to 200).map(i => (i % 5, i.toLong)).toDF("k", "lt")
     val right = (1 to 50).map(i => (i % 5, (i * 3).toLong, s"p$i"))

@@ -67,6 +67,35 @@ class MRGoldenSpec extends SparkSpec {
     assert(native === expected)
   }
 
+  test("filenames with spaces/non-ASCII decode; byte lengths match Go len()") {
+    // input_file_name() returns a URL-encoded URI; MRJob.read must hand
+    // apps the verbatim basename, and crashpayload's lengths must be
+    // UTF-8 bytes (Go len()) — "¡hölá!" is 6 code points / 9 bytes.
+    val dir = Files.createTempDirectory("graft-names")
+    val contents = "¡hölá! plus ascii\n"
+    // (non-ASCII *names* are untestable here — the container JVM's
+    // sun.jnu.encoding is ASCII — but %XX-decoding is byte-generic, so
+    // space covers the escape path; '+' covers the literal-plus path)
+    val names = Seq("pg weird name.txt", "pg-plus+x.txt")
+    val paths = names.map { n =>
+      val p = dir.resolve(n)
+      Files.write(p, contents.getBytes("UTF-8"))
+      p.toString
+    }
+    val files = MRJob.read(spark, paths)
+    val gotNames = files.select("filename").collect().map(_.getString(0)).sorted
+    assert(gotNames.toSeq === names.sorted)
+    val local = names.map(_ -> contents)
+    val expected = SequentialOracle.run(local, CrashPayloadApp).sorted
+    val native = NativeApps.crashPayload(files).collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}").sorted.toSeq
+    val mr = MRJob.canonical(MRJob.run(spark, CrashPayloadApp, paths))
+    assert(native === expected)
+    assert(mr === expected)
+    // Go len("¡hölá! plus ascii\n") = 21 bytes (3 two-byte chars), not 18
+    assert(expected.exists(_.startsWith("c 21 21")), expected.mkString(";"))
+  }
+
   test("tokenizer edge cases: empty, separators-only, unicode letters") {
     assert(GoTokens.split("").toSeq === Seq.empty)
     assert(GoTokens.split("  12 --- \n\t 99 ").toSeq === Seq.empty)
