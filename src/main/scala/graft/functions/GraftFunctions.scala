@@ -25,11 +25,22 @@ object GraftFunctions {
         f(exprs(0), exprs(1))
       })
 
+  private def unary(name: String, f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+      { exprs =>
+        require(exprs.length == 1, s"$name expects 1 argument")
+        f(exprs(0))
+      })
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       binary("cosine_similarity", CosineSimilarity(_, _)),
       binary("dot_product", DotProduct(_, _)),
-      binary("sorted_intersect_count", SortedIntersectCount(_, _)))
+      binary("sorted_intersect_count", SortedIntersectCount(_, _)),
+      unary("hashed_sorted_tokens", HashedSortedTokens(_)),
+      unary("simhash64", SimHash64(_)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (ident, _, builder) =>

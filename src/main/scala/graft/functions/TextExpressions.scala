@@ -1,0 +1,320 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-dedup kernels.
+  *
+  * Each kernel fuses tokenize -> hash -> reduce for ONE document into a
+  * tight byte-level loop over the UTF-8 payload, replacing plan shapes
+  * that were per-token: `transform(split(...), xxhash64)` evaluates an
+  * interpreted lambda per token (HOFs don't codegen), and the
+  * MinHash/SimHash signature aggregations exploded every token/shingle
+  * through a hash-partitioned shuffle just to min/sum them back per
+  * document. With the kernels, signature computation is a MAP-ONLY
+  * projection — no explode, no shuffle, nothing crosses the wire but
+  * (doc_id, signature). That is the shape that matters at 100 TB: the
+  * dedup signature stage becomes embarrassingly parallel and its
+  * network cost drops from O(tokens) to O(documents).
+  *
+  * Numeric compatibility invariants (pinned by ScalaTest):
+  *   - tokens = Java regex `\s+` split semantics = maximal runs of
+  *     non-[\t\n\x0B\f\r ] bytes (ASCII ws never occurs inside a UTF-8
+  *     multibyte sequence, so byte scanning is exact);
+  *   - token/shingle hash = Spark `xxhash64` (XXH64, seed 42) over the
+  *     exact UTF-8 bytes; shingles are 3 tokens joined by 0x20;
+  *   - the MinHash permutation arithmetic reproduces
+  *     `pmod(h, p)` / `(h*a + b) % p` on nonnegative operands.
+  */
+object TextKernels {
+
+  /** Spark's default xxhash64 seed (`XxHash64` expression). */
+  final val HashSeed = 42L
+
+  /** Java-regex `\s`: [ \t\n\x0B\f\r]. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Find token spans; returns packed (start, end) offset pairs. */
+  private def tokenSpans(base: AnyRef, off: Long, n: Int): (Array[Int], Int) = {
+    var spans = new Array[Int](16)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(Platform.getByte(base, off + i))) i += 1
+      val st = i
+      while (i < n && !isWs(Platform.getByte(base, off + i))) i += 1
+      if (i > st) {
+        if (2 * cnt == spans.length) spans = java.util.Arrays.copyOf(spans, spans.length * 2)
+        spans(2 * cnt) = st
+        spans(2 * cnt + 1) = i
+        cnt += 1
+      }
+    }
+    (spans, cnt)
+  }
+
+  /** sort_array(array_distinct(transform(wsTokens(text), xxhash64))) in
+    * one pass: the per-document input of the Jaccard pair kernel
+    * ([[SortedIntersectCount]]).
+    */
+  def hashedSortedTokens(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val (spans, cnt) = tokenSpans(base, off, s.numBytes)
+    val hs = new Array[Long](cnt)
+    var t = 0
+    while (t < cnt) {
+      hs(t) = XXH64.hashUnsafeBytes(
+        base, off + spans(2 * t), spans(2 * t + 1) - spans(2 * t), HashSeed)
+      t += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < cnt) {
+      if (w == 0 || hs(w - 1) != hs(r)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** 64-bit SimHash: per ws-token occurrence, bit b of xxhash64(token)
+    * votes +1/-1; fingerprint bit b is set iff the vote sum is > 0.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val (spans, cnt) = tokenSpans(base, off, s.numBytes)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < cnt) {
+      val h = XXH64.hashUnsafeBytes(
+        base, off + spans(2 * t), spans(2 * t + 1) - spans(2 * t), HashSeed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** MinHash signature over 3-token shingles (tokens joined by a single
+    * 0x20, exactly `concat_ws(" ", ...)`); documents with fewer than 3
+    * tokens contribute one shingle = all tokens joined (the empty
+    * string for an all-whitespace document). Per shingle:
+    * h = pmod(xxhash64(shingle), prime); component k is the min of
+    * (h * a(k) + b(k)) % prime — all operands nonnegative and
+    * < 2^31, so the product stays far from overflow.
+    */
+  def minhashSignature(
+      s: UTF8String, a: Array[Long], b: Array[Long], prime: Long): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val (spans, cnt) = tokenSpans(base, off, s.numBytes)
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+
+    var buf = new Array[Byte](64)
+    def shingleHash(from: Int, until: Int): Long = {
+      // join token spans [from, until) with single spaces into buf
+      var len = 0
+      var t = from
+      while (t < until) {
+        val tl = spans(2 * t + 1) - spans(2 * t)
+        if (len + tl + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tl + 1))
+        if (t > from) { buf(len) = 0x20; len += 1 }
+        Platform.copyMemory(base, off + spans(2 * t), buf,
+          Platform.BYTE_ARRAY_OFFSET + len, tl.toLong)
+        len += tl
+        t += 1
+      }
+      XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, HashSeed)
+    }
+
+    def fold(h0: Long): Unit = {
+      val h = ((h0 % prime) + prime) % prime
+      var j = 0
+      while (j < k) {
+        val v = (h * a(j) + b(j)) % prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+
+    if (cnt >= 3) {
+      var i = 0
+      while (i <= cnt - 3) { fold(shingleHash(i, i + 3)); i += 1 }
+    } else {
+      fold(shingleHash(0, cnt))
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** All code-point n-grams of `s`, equal to
+    * `substr(s, i, n) for i in 1..numChars-n+1` (code-point windows,
+    * matching SQL substring semantics for non-ASCII too). One byte scan
+    * finds code-point starts; each n-gram is a byte-range slice.
+    *
+    * Exists so `explode(char_ngrams(text, n))` generates SHORT strings:
+    * the explode-an-index-sequence formulation carried the whole
+    * document text into every generated row (O(len^2) bytes copied per
+    * document through the Generate operator).
+    */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // byte offset of each code-point start (UTF-8 continuation bytes
+    // are 10xxxxxx)
+    var offs = new Array[Int](math.max(16, bytes.length + 1))
+    var chars = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) {
+        offs(chars) = b
+        chars += 1
+      }
+      b += 1
+    }
+    offs(chars) = bytes.length
+    if (chars < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](chars - n + 1)
+    var i = 0
+    while (i <= chars - n) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Base for the string -> kernel expressions: null-safe, codegen emits
+  * a single static call into [[TextKernels]] so the surrounding
+  * operators stay inside whole-stage codegen.
+  */
+abstract class TextKernelExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+}
+
+/** hashed_sorted_tokens(text): sorted distinct xxhash64 of each
+  * whitespace token — see [[TextKernels.hashedSortedTokens]].
+  */
+case class HashedSortedTokens(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "hashed_sorted_tokens"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashedSortedTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.hashedSortedTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash64(text): 64-bit SimHash fingerprint — see
+  * [[TextKernels.simhash64]].
+  */
+case class SimHash64(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhash_signature(text): k-component MinHash signature with the
+  * given affine permutations — see [[TextKernels.minhashSignature]].
+  * Coefficients are Seq (value equality) so identical calls
+  * canonicalize together for subplan/exchange reuse.
+  */
+case class MinHashSignature(
+    child: Expression,
+    aCoeffs: Seq[Long],
+    bCoeffs: Seq[Long],
+    prime: Long) extends TextKernelExpression {
+  require(aCoeffs.length == bCoeffs.length && aCoeffs.nonEmpty,
+    "aCoeffs/bCoeffs must be same nonempty length")
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val aArr = aCoeffs.toArray
+  @transient private lazy val bArr = bCoeffs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignature(
+      input.asInstanceOf[UTF8String], aArr, bArr, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhACoeffs", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhBCoeffs", bArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.minhashSignature($c, $aRef, $bRef, ${prime}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** char_ngrams(text, n): all code-point n-grams — see
+  * [[TextKernels.charNgrams]]. `n` is a plan-time constant.
+  */
+case class CharNgrams(child: Expression, n: Int) extends TextKernelExpression {
+  require(n >= 1, "n must be >= 1")
+  override def prettyName: String = "char_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level entry points. */
+object text {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def hashed_sorted_tokens(c: Column): Column =
+    Bridge.column(HashedSortedTokens(Bridge.expression(c)))
+
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def minhash_signature(
+      c: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(c), a, b, prime))
+
+  def char_ngrams(c: Column, n: Int): Column =
+    Bridge.column(CharNgrams(Bridge.expression(c), n))
+}

@@ -38,30 +38,17 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   protected def rightIsFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Pull a primitive double[] out of either array element type. */
-  protected def toDoubles(a: Any, isFloat: Boolean): Array[Double] = {
-    val arr = a.asInstanceOf[ArrayData]
-    if (isFloat) {
-      val f = arr.toFloatArray()
-      val out = new Array[Double](f.length)
-      var i = 0
-      while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
-      out
-    } else arr.toDoubleArray()
-  }
+  /** In-place element read (no per-evaluation array copy: a
+    * toFloatArray()/toDoubleArray() here would allocate per PAIR in the
+    * similarity joins — getFloat/getDouble on UnsafeArrayData is a
+    * direct word read).
+    */
+  protected def elemAt(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 
-  /** Codegen snippet producing a double[] local named `out`. */
-  protected def genToDoubles(
-      ctx: CodegenContext, in: String, out: String, isFloat: Boolean): String =
-    if (isFloat) {
-      val f = ctx.freshName("f")
-      val i = ctx.freshName("i")
-      s"""
-         |float[] $f = $in.toFloatArray();
-         |double[] $out = new double[$f.length];
-         |for (int $i = 0; $i < $f.length; $i++) { $out[$i] = (double) $f[$i]; }
-       """.stripMargin
-    } else s"double[] $out = $in.toDoubleArray();\n"
+  /** Codegen snippet for an in-place element read as double. */
+  protected def genElemAt(in: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $in.getFloat($i)" else s"$in.getDouble($i)"
 }
 
 /** cosine(a, b) = dot(a,b) / (||a|| * ||b||), computed in double.
@@ -73,34 +60,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xa = toDoubles(a, leftIsFloat)
-    val ya = toDoubles(b, rightIsFloat)
-    val n = math.min(xa.length, ya.length)
+    val xa = a.asInstanceOf[ArrayData]
+    val ya = b.asInstanceOf[ArrayData]
+    val n = math.min(xa.numElements(), ya.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      dot += xa(i) * ya(i); nx += xa(i) * xa(i); ny += ya(i) * ya(i); i += 1
+      val x = elemAt(xa, i, leftIsFloat); val y = elemAt(ya, i, rightIsFloat)
+      dot += x * y; nx += x * x; ny += y * y; i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
-      val xa = ctx.freshName("xa")
-      val ya = ctx.freshName("ya")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
-         |${genToDoubles(ctx, x, xa, leftIsFloat)}
-         |${genToDoubles(ctx, y, ya, rightIsFloat)}
-         |int $n = Math.min($xa.length, $ya.length);
+         |int $n = Math.min($xa.numElements(), $ya.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $xa[$i] * $ya[$i];
-         |  $nx += $xa[$i] * $xa[$i];
-         |  $ny += $ya[$i] * $ya[$i];
+         |  double $x = ${genElemAt(xa, i, leftIsFloat)};
+         |  double $y = ${genElemAt(ya, i, rightIsFloat)};
+         |  $dot += $x * $y;
+         |  $nx += $x * $x;
+         |  $ny += $y * $y;
          |}
          |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
        """.stripMargin
@@ -118,28 +106,26 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xa = toDoubles(a, leftIsFloat)
-    val ya = toDoubles(b, rightIsFloat)
-    val n = math.min(xa.length, ya.length)
+    val xa = a.asInstanceOf[ArrayData]
+    val ya = b.asInstanceOf[ArrayData]
+    val n = math.min(xa.numElements(), ya.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += xa(i) * ya(i); i += 1 }
+    while (i < n) {
+      dot += elemAt(xa, i, leftIsFloat) * elemAt(ya, i, rightIsFloat); i += 1
+    }
     dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
-      val xa = ctx.freshName("xa")
-      val ya = ctx.freshName("ya")
       s"""
-         |${genToDoubles(ctx, x, xa, leftIsFloat)}
-         |${genToDoubles(ctx, y, ya, rightIsFloat)}
-         |int $n = Math.min($xa.length, $ya.length);
+         |int $n = Math.min($xa.numElements(), $ya.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $xa[$i] * $ya[$i];
+         |  $dot += (${genElemAt(xa, i, leftIsFloat)}) * (${genElemAt(ya, i, rightIsFloat)});
          |}
          |${ev.value} = $dot;
        """.stripMargin
@@ -179,13 +165,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
           s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
+  // Reads ArrayData elements in place (getLong is a direct word read on
+  // UnsafeArrayData) — a toLongArray() per evaluation would copy both
+  // operands per PAIR, and that allocation churn, not the merge itself,
+  // dominated the pair join (observed ~2x on the sf0.1 jaccard query).
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toLongArray()
-    val y = b.asInstanceOf[ArrayData].toLongArray()
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var n = 0L
-    while (i < x.length && j < y.length) {
-      if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
-      else if (x(i) < y(j)) i += 1
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
       else j += 1
     }
     n
@@ -193,21 +185,90 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       s"""
-         |long[] $x = $a.toLongArray();
-         |long[] $y = $b.toLongArray();
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $n = 0L;
-         |while ($i < $x.length && $j < $y.length) {
-         |  if ($x[$i] == $y[$j]) { $n++; $i++; $j++; }
-         |  else if ($x[$i] < $y[$j]) { $i++; }
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
          |  else { $j++; }
          |}
          |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard similarity |A∩B| / |A∪B| for two SORTED duplicate-free long
+  * arrays — [[SortedIntersectCount]] fused with the union-size
+  * arithmetic so the pair join evaluates ONE expression per pair
+  * (intersect + two size() + div as separate plan nodes measurably
+  * drag the 600k-pair sf0.1 join). Empty∪empty yields NaN, matching
+  * 0/0 double division.
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sorted_jaccard"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> args, " +
+          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n.toDouble / (nx.toLong + ny.toLong - n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = (double) $n / ((long) $nx + (long) $ny - $n);
        """.stripMargin
     })
 
@@ -229,4 +290,7 @@ object vector {
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(
       SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
 }

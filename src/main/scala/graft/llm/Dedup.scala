@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   *   - Jaccard is restricted to within-`source` pairs (a real pipeline
   *     would use the LSH buckets instead of `source`): the join is
   *     token-partitioned, never a full cross product;
-  *   - MinHash+LSH: signatures are k independent min-aggregates
-  *     (algebraic, partial-agg friendly); candidate generation is a
-  *     self-join on (band, band-hash) buckets only — the classic
-  *     sub-quadratic near-dup path;
-  *   - SimHash reduces each doc to one long; bucketing by prefix keeps
-  *     the pair search bounded.
+  *   - MinHash+LSH: signatures come from a single-pass codegen kernel
+  *     inside the scan stage (map-only — no shuffle until candidate
+  *     generation); candidates are a self-join on (band, band-hash)
+  *     buckets only — the classic sub-quadratic near-dup path;
+  *   - SimHash reduces each doc to one long in the same map-only way;
+  *     bucketing by prefix bands keeps the pair search bounded.
   *
   * MinHash/SimHash use deterministic seeded hash mixes (xxhash64 +
   * affine permutations mod a Mersenne-ish prime), so results are stable
@@ -88,16 +88,18 @@ object Dedup {
     * bounds the quadratic term either way.
     */
   def jaccardPairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
-    import graft.functions.vector.sorted_intersect_count
+    import graft.functions.text.hashed_sorted_tokens
+    import graft.functions.vector.sorted_jaccard
     // Tokens are hashed (xxhash64), deduped, and SORTED once per
-    // document; the per-pair kernel is then a codegen'd O(n+m) merge
-    // (SortedIntersectCount) over primitive longs — the per-pair
-    // ArrayIntersect hash-set build it replaces dominated the join.
-    val withToks = d.select(
+    // document by the single-pass HashedSortedTokens kernel (the
+    // equivalent transform()-lambda runs interpreted per token); the
+    // per-pair score is then ONE codegen'd O(n+m) merge (SortedJaccard)
+    // over primitive longs — both the per-pair ArrayIntersect hash-set
+    // build and the intersect+size+divide multi-node plan it replaces
+    // dominated the join.
+    val withToks = graft.core.Layout.spread(d, "doc_id").select(
       col("doc_id"), col("source"),
-      sort_array(array_distinct(
-        transform(TextOps.wsTokens(col("text")), t => xxhash64(t))))
-        .as("toks"))
+      hashed_sorted_tokens(col("text")).as("toks"))
     // Broadcast the build side: the bucket key (`source`) is
     // low-cardinality here, so a shuffled join would collapse to
     // #buckets-way parallelism; broadcasting keeps the probe side's
@@ -111,11 +113,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        sorted_intersect_count(col("a.toks"), col("b.toks")).as("inter"),
-        size(col("a.toks")).as("sz_a"), size(col("b.toks")).as("sz_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+        round(sorted_jaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -144,7 +142,8 @@ object Dedup {
     */
   def embeddingPairs(e: DataFrame, threshold: Double = 0.3): DataFrame = {
     import graft.functions.vector.cosine_similarity
-    val v = e.select(col("vec_id"), col("label"), col("embedding"))
+    val v = graft.core.Layout.spread(e, "vec_id")
+      .select(col("vec_id"), col("label"), col("embedding"))
     v.as("a")
       .join(broadcast(v.as("b")),
         col("a.label") === col("b.label") &&
@@ -177,113 +176,84 @@ object Dedup {
       math.abs(rnd.nextLong()) % Prime))
   }
 
-  /** Per-document MinHash signatures over 3-token shingles.
-    * Shingle -> xxhash64 -> k affine permutations -> column-wise min.
-    * All algebraic aggregates: map-side combine works, no value lists.
+  /** Per-document MinHash signatures over 3-token shingles, computed by
+    * the single-pass [[graft.functions.TextKernels.minhashSignature]]
+    * kernel (shingle -> xxhash64 -> k affine permutations -> running
+    * min, all inside one codegen'd projection).
     *
-    * The token array is materialized as a column BEFORE the shingle
-    * lambda runs: higher-order functions are interpreted, so an
-    * unmaterialized `split()` inside the lambda would re-tokenize the
-    * document on every `element_at` (measured 6x slower at sf0.1).
+    * Scale shape: MAP-ONLY. The previous formulation exploded every
+    * shingle through a hash-partitioned shuffle and re-aggregated k
+    * column-wise mins; the kernel keeps the whole signature computation
+    * inside the scan stage, so nothing crosses the network but
+    * (doc_id, 16-long signature).
     */
-  def minhashSignatures(d: DataFrame): DataFrame = {
-    val withToks = d.select(col("doc_id"),
-      TextOps.wsTokens(col("text")).as("toks"))
-    val toks = col("toks")
-    val n = size(toks)
-    // 3-gram shingles as single strings; docs shorter than 3 tokens
-    // contribute their whole text as one shingle.
-    val shingles = when(n >= 3,
-      transform(sequence(lit(0), n - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3))))
-      .otherwise(array(array_join(toks, " ")))
-    val exploded = withToks
-      .select(col("doc_id"), explode(shingles).as("shingle"))
-      .select(col("doc_id"),
-        pmod(xxhash64(col("shingle")), lit(Prime)).as("h"))
-    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(Prime))).as(s"mh_$i")
-    }
-    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-  }
+  def minhashSignatures(d: DataFrame): DataFrame =
+    graft.core.Layout.spread(d, "doc_id").select(col("doc_id"),
+      graft.functions.text.minhash_signature(
+        col("text"), perms.map(_._1), perms.map(_._2), Prime).as("sig"))
 
   /** Candidate near-dup pairs via LSH banding + signature agreement.
     * Two docs are candidates if any band of `BandSize` consecutive
     * signature components matches exactly; the emitted `est_jaccard`
     * is the fraction of agreeing components across the full signature.
+    *
+    * The signature array (16 longs) is carried THROUGH the band
+    * self-join, so agreement is scored directly at pair time — two
+    * fewer shuffles than re-attaching signatures by doc_id afterwards,
+    * at +128 bytes per banded row. Candidate pairs found by several
+    * bands score identically, so the final distinct() collapses them.
     */
   def minhashPairs(d: DataFrame, minAgree: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(d)
-    val sigCols = (0 until MinhashK).map(i => col(s"mh_$i"))
-    val withSig = sigs.select(col("doc_id"), array(sigCols: _*).as("sig"))
+    val withSig = minhashSignatures(d)
     val nBands = MinhashK / BandSize
-    // Narrow band stream (doc_id, band, bucket) — the signature arrays
-    // stay out of the self-join and the pair-dedup, which is what makes
-    // this shape scale: the shuffled rows are 3 longs wide.
     val banded = withSig.select(
-      col("doc_id"),
+      col("doc_id"), col("sig"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * BandSize + 1, BandSize)
             .cast("string")).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-    val pairs = banded.as("a")
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // Re-attach signatures once per side (exchange reuse: both sides
-    // come from the same sig subplan).
-    pairs
-      .join(withSig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-        "doc_a")
-      .join(withSig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-        "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => x === y), b => b))
           .cast("double") / MinhashK).as("est_jaccard"))
       .filter(col("est_jaccard") >= minAgree)
+      .distinct()
   }
 
   // ---------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens: per token a 64-bit
-    * xxhash64; each bit votes +1/-1 weighted by term frequency; the
-    * sign vector is the fingerprint. Computed with per-bit algebraic
-    * sums (bit b extracted via shiftright/and) — no UDF, partial-agg
-    * friendly.
+  /** 64-bit SimHash over whitespace tokens: per token occurrence, each
+    * bit of xxhash64(token) votes +1/-1; the sign vector is the
+    * fingerprint. Computed by the single-pass
+    * [[graft.functions.TextKernels.simhash64]] kernel — a MAP-ONLY
+    * projection (the previous formulation exploded every token through
+    * a shuffle and summed 64 per-bit vote columns back per document).
     */
-  def simhash(d: DataFrame, bits: Int = 64): DataFrame = {
-    val tok = d.select(col("doc_id"),
-      explode(TextOps.wsTokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v_$b")
-    }
-    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until bits).map { b =>
-      when(col(s"v_$b") > 0, lit(1L) * lit(1L << b).cast("long"))
-        .otherwise(0L)
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhash(d: DataFrame): DataFrame =
+    graft.core.Layout.spread(d, "doc_id").select(col("doc_id"),
+      graft.functions.text.simhash64(col("text")).as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance (within-source bucket
     * to bound the pair count; a production pipeline buckets by simhash
-    * prefix bands instead).
+    * prefix bands instead). Fingerprint and bucket key come from one
+    * projection — no join against the base table, and the broadcast
+    * build side is the same map-only subplan (AQE demotes the
+    * broadcast if a larger corpus outgrows the threshold).
     */
   def simhashPairs(d: DataFrame, maxHamming: Int = 16): DataFrame = {
-    val withSrc = simhash(d).join(d.select("doc_id", "source"), "doc_id")
+    val withSrc = graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"), col("source"),
+      graft.functions.text.simhash64(col("text")).as("simhash"))
     withSrc.as("a")
-      .join(withSrc.as("b"),
+      .join(broadcast(withSrc.as("b")),
         col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

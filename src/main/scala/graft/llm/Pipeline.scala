@@ -23,7 +23,8 @@ object Pipeline {
     val canonKey = md5(array_join(
       sort_array(array_distinct(TextOps.wsTokens(col("text")))), " ")
       .cast("binary"))
-    val withKey = d.withColumn("canon", canonKey)
+    val withKey = graft.core.Layout.spread(d, "doc_id")
+      .withColumn("canon", canonKey)
     val survivors = withKey.groupBy("canon")
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")

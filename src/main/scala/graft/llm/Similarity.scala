@@ -39,7 +39,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))
-    e.crossJoin(broadcast(queries))
+    graft.core.Layout.spread(e, "vec_id").crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
         vector.cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))

@@ -34,7 +34,8 @@ object TextOps {
 
   /** Word count over documents — the wc app on a columnar source. */
   def wordCount(d: DataFrame): DataFrame =
-    d.select(explode(letterTokens(col("text"))).as("word"))
+    graft.core.Layout.spread(d, "doc_id")
+      .select(explode(letterTokens(col("text"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
@@ -48,7 +49,8 @@ object TextOps {
     * word -> (n_docs, sorted csv of doc ids).
     */
   def invertedIndex(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(letterTokens(col("text"))).as("word"))
+    graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"), explode(letterTokens(col("text"))).as("word"))
       .distinct()
       .groupBy("word")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
@@ -232,15 +234,16 @@ object TextOps {
   /** Corpus-level character 3-gram profile (the feature basis of
     * real n-gram language ID): top 20 trigrams with counts,
     * deterministic tie-break.
+    *
+    * The CharNgrams kernel slices all n-grams in one byte scan, so the
+    * Generate emits 3-byte strings; the previous
+    * explode-an-index-sequence shape carried the full document text
+    * into every generated row — O(len^2) bytes through the explode.
     */
   def charNgrams(d: DataFrame, n: Int = 3, topK: Int = 20): DataFrame =
-    // explode a plain int sequence, THEN slice in a separate projection:
-    // the substring runs codegen'd per exploded row instead of inside an
-    // interpreted transform() lambda (~2x faster at sf0.1)
-    d.filter(length(col("text")) >= n)
-      .select(col("text"),
-        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"))
-      .select(col("text").substr(col("i"), lit(n)).as("ngram"))
+    graft.core.Layout.spread(d, "doc_id")
+      .select(explode(graft.functions.text.char_ngrams(col("text"), n))
+        .as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
@@ -266,7 +269,7 @@ object TextOps {
     */
   def tfidf(d: DataFrame, k: Int = 3): DataFrame = {
     val n = d.count() // corpus size: a scalar, computed once
-    val tf = d
+    val tf = graft.core.Layout.spread(d, "doc_id")
       .select(col("doc_id"), explode(letterTokens(col("text"))).as("word"))
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("tf"))

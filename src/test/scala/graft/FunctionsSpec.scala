@@ -41,6 +41,64 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(2) === 3L)
   }
 
+  test("text kernels match their Column-expression formulations") {
+    // Pins TextKernels' numeric-compatibility invariants: byte-level
+    // tokenize+hash must equal split("\\s+")+xxhash64, per doc, on the
+    // real corpus plus whitespace/short-doc edge cases.
+    import graft.functions.text._
+    import graft.llm.TextOps
+    val edge = Seq(
+      (900001L, ""), (900002L, "   \t\n  "), (900003L, "one"),
+      (900004L, "one two"), (900005L, " ab\fc\rd e\tf "),
+      (900006L, "dup dup dup"), (900007L, "café 中文 café"))
+    val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .unionByName(spark.createDataFrame(edge).toDF("doc_id", "text"))
+    val toks = TextOps.wsTokens(col("text"))
+    val rows = d.select(
+      hashed_sorted_tokens(col("text")).as("k_toks"),
+      sort_array(array_distinct(transform(toks, t => xxhash64(t))))
+        .as("e_toks"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"token hash mismatch: $r")
+    }
+    // simhash + minhash checked against a direct Scala reimplementation
+    // from the *string* tokens (independent of byte scanning)
+    val local = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = d.select(col("doc_id"), simhash64(col("text")).as("s"),
+      minhash_signature(col("text"), Seq(7L, 13L), Seq(3L, 5L), 2147483647L)
+        .as("m")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    val P = 2147483647L
+    def xxh(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+    local.foreach { case (id, text) =>
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      val votes = new Array[Int](64)
+      tk.foreach { t =>
+        val h = xxh(t)
+        (0 until 64).foreach(b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      val expSim = (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+      assert(got(id)._1 === expSim, s"simhash mismatch doc $id")
+      val shingles =
+        if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(tk.mkString(" "))
+      val expMh = Seq((7L, 3L), (13L, 5L)).map { case (a, b) =>
+        shingles.map { sh =>
+          val h = ((xxh(sh) % P) + P) % P
+          (h * a + b) % P
+        }.min
+      }
+      assert(got(id)._2 === expMh, s"minhash mismatch doc $id")
+    }
+  }
+
   test("salted aggregation == direct aggregation") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val salted = Skew.saltedSumCount(
