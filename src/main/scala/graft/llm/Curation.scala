@@ -1,0 +1,240 @@
+package graft.llm
+
+import graft.core.{Layout, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of training-data curation operators: context-window
+  * chunking, sequence packing, PII redaction, URL-canonicalization
+  * dedup, and repetition/boilerplate detection.
+  *
+  * All five are pure DataFrame plans with exact DuckDB oracles
+  * (integer-scaled ratios, no float aggregation). The synthetic corpus
+  * carries no real URLs/PII, so the PII and URL operators derive a
+  * deterministic column from (doc_id, source, lang) first — the
+  * operator contract (regex extraction, canonicalization, dedup
+  * grouping) is what is exercised, exactly as TextOps.langId does for
+  * language markers.
+  *
+  * Scale notes:
+  *   - chunking/packing/PII/repetition are map-only or one-shuffle
+  *     shapes: per-doc work + (for packing) a per-lang window and (for
+  *     repetition) a (doc, token) partial-agg shuffle;
+  *   - URL dedup is the exact-dedup shape on the canonical key: one
+  *     hash-partitioned groupBy, O(1) state per group;
+  *   - sequence packing uses a cumulative-sum window per language —
+  *     at 100 TB the partition key would be (lang, shard) to bound
+  *     window state; the contiguous-fill discipline is unchanged.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  /** Chunk each document into fixed token windows (size 50, stride 40,
+    * so 10 tokens of overlap between consecutive chunks) — the standard
+    * pre-tokenization step for bounded-context training examples.
+    * Empty documents yield one empty chunk (stable row count).
+    */
+  def chunk(d: DataFrame): DataFrame = {
+    val toks = TextOps.wsTokens(col("text"))
+    Layout.spread(d, "doc_id")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        (((col("start") - 1) / ChunkStride)).cast("bigint").as("chunk_id"),
+        array_join(slice(col("toks"), col("start"), lit(ChunkSize)), " ")
+          .as("chunk_text"),
+        least(size(col("toks")) - col("start") + 1, lit(ChunkSize))
+          .cast("bigint").as("n_chunk_tokens"))
+  }
+
+  val chunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+       |      AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+       |  array_to_string(toks[start:start + ${ChunkSize - 1}], ' ')
+       |    AS chunk_text,
+       |  CAST(least(len(toks) - start + 1, $ChunkSize) AS BIGINT)
+       |    AS n_chunk_tokens
+       |FROM t, LATERAL unnest(
+       |  generate_series(1, greatest(len(toks), 1), $ChunkStride)) s(start)""".stripMargin
+
+  private val PackBudget = 256L
+
+  /** Sequence packing: assign documents (in doc_id order, per language)
+    * to contiguous token-budget bins — the deterministic contiguous-fill
+    * packing used to batch variable-length documents into fixed-size
+    * training sequences. A doc's bin is its starting cumulative token
+    * offset DIV budget.
+    */
+  def packSequences(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.select(col("doc_id"), col("lang"),
+      size(TextOps.wsTokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"CAST(cum_before DIV $PackBudget AS BIGINT)").as("bin"))
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT doc_id, lang, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    // $PackBudget AS BIGINT) AS bin
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents)""".stripMargin
+
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]+\\.com"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** PII detection + redaction: count and mask email/phone matches.
+    * Contact strings are derived deterministically (only some docs get
+    * each kind), so counts vary and the redacted output is
+    * hash-checkable.
+    */
+  def piiRedact(d: DataFrame): DataFrame = {
+    val contact = concat(
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" reach user"), col("doc_id"), lit("@"),
+          col("source"), lit(".com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(" tel 555-"),
+          lpad(pmod(col("doc_id") * 7919, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Layout.spread(d, "doc_id")
+      .select(col("doc_id"), concat(col("text"), contact).as("full"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("full"), lit(EmailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("full"), lit(PhoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("full"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
+  }
+
+  val piiRedactSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN ' reach user' || doc_id || '@' || source || '.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN ' tel 555-' || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR),
+       |        4, '0')
+       |      ELSE '' END AS fullt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(fullt, '$EmailRe')) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(fullt, '$PhoneRe')) AS BIGINT)
+       |    AS n_phones,
+       |  md5(regexp_replace(regexp_replace(fullt, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM f""".stripMargin
+
+  /** URL-canonicalization dedup: normalize scheme/host case, strip
+    * `www.`, query string, fragment, and trailing slash; group by the
+    * canonical URL (the exact-dedup shape — one hash-partitioned
+    * groupBy). URLs are derived deterministically from
+    * (source, lang, doc_id % 50), so many docs collapse per page.
+    */
+  def urlDedup(d: DataFrame): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM/"),
+      col("lang"), lit("/page"), pmod(col("doc_id"), lit(50)).cast("string"),
+      lit("/?utm_source=feed&id="), col("doc_id"), lit("#frag"))
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    d.select(col("doc_id"),
+      concat(scheme, lit("://"), host, path).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dupes"))
+  }
+
+  val urlDedupSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || upper(source) || '.Example.COM/' || lang ||
+      |    '/page' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '/?utm_source=feed&id=' || doc_id || '#frag' AS url
+      |  FROM documents)
+      |SELECT
+      |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+      |  regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+      |    '^www\.', '') ||
+      |  regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+      |    '/$', '') AS canon_url,
+      |  min(doc_id) AS keep_id, count(*) AS n_dupes
+      |FROM u GROUP BY 1""".stripMargin
+
+  /** Repetition / boilerplate detection: per-document distinct-token
+    * ratio and top-token share (integer basis points — exact). High
+    * top-share or low distinct-ratio marks degenerate/templated text.
+    */
+  def repetition(d: DataFrame): DataFrame =
+    Layout.spread(d, "doc_id")
+      .select(col("doc_id"), explode(TextOps.wsTokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("CAST(n_distinct * 10000 DIV n_tokens AS BIGINT)")
+          .as("distinct_x10000"),
+        expr("CAST(top_cnt * 10000 DIV n_tokens AS BIGINT)")
+          .as("top_share_x10000"))
+
+  val repetitionSql: String =
+    """SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(n_distinct * 10000 // n_tokens AS BIGINT) AS distinct_x10000,
+      |  CAST(top_cnt * 10000 // n_tokens AS BIGINT) AS top_share_x10000
+      |FROM (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+      |    max(cnt) AS top_cnt
+      |  FROM (
+      |    SELECT doc_id, tok, count(*) AS cnt FROM (
+      |      SELECT doc_id,
+      |        unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |          x -> x <> '')) AS tok
+      |      FROM documents) GROUP BY doc_id, tok)
+      |  GROUP BY doc_id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunk" -> ((s, d) => chunk(docs(s, d))),
+    "q_pack_sequences" -> ((s, d) => packSequences(docs(s, d))),
+    "q_text_pii" -> ((s, d) => piiRedact(docs(s, d))),
+    "q_dedup_url" -> ((s, d) => urlDedup(docs(s, d))),
+    "q_text_repetition" -> ((s, d) => repetition(docs(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_chunk" -> chunkSql,
+    "q_pack_sequences" -> packSequencesSql,
+    "q_text_pii" -> piiRedactSql,
+    "q_dedup_url" -> urlDedupSql,
+    "q_text_repetition" -> repetitionSql)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.Tables
+import graft.llm.Curation
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the second-wave curation operators (the DuckDB
+  * oracle pins exact values; these pin the operator CONTRACTS).
+  */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("chunking covers every token with the configured stride/overlap") {
+    val perDoc = Curation.chunk(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_chunk_tokens").as("sum_chunk_toks"),
+        max("chunk_id").as("max_chunk"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val nToks = docs.select(col("doc_id"),
+      size(graft.llm.TextOps.wsTokens(col("text"))).cast("bigint").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nToks.foreach { case (id, n) =>
+      val (nChunks, sumToks, maxChunk) = perDoc(id)
+      val expChunks = math.max(1, math.ceil(n.toDouble / 40).toInt)
+      assert(nChunks === expChunks.toLong, s"doc $id: $n tokens")
+      assert(maxChunk === nChunks - 1)
+      // stride 40 / size 50: every chunk except the last carries 50
+      // tokens, so total chunked tokens = n + 10 * (full windows)
+      val expSum = (0 until expChunks).map(i =>
+        math.min(50L, n - i * 40L)).sum
+      assert(sumToks === expSum, s"doc $id")
+    }
+  }
+
+  test("packing bins are contiguous, ordered, and budget-aligned") {
+    val rows = Curation.packSequences(docs)
+      .orderBy("lang", "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      var cum = 0L
+      rs.foreach { case (_, id, n, bin) =>
+        assert(bin === cum / 256, s"$lang doc $id")
+        cum += n
+      }
+      // bins are non-decreasing in doc_id order
+      assert(rs.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("pii redaction counts follow the deterministic injection rules") {
+    val rows = Curation.piiRedact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    rows.foreach { case (id, nEmail, nPhone) =>
+      assert(nEmail === (if (id % 3 == 0) 1L else 0L), s"doc $id emails")
+      assert(nPhone === (if (id % 2 == 0) 1L else 0L), s"doc $id phones")
+    }
+  }
+
+  test("url dedup collapses to distinct canonical pages") {
+    val expected = docs
+      .select(col("source"), col("lang"), pmod(col("doc_id"), lit(50)).as("p"))
+      .distinct().count()
+    val out = Curation.urlDedup(docs)
+    assert(out.count() === expected)
+    // canonical form: lowercase scheme+host, no www/query/fragment/
+    // trailing slash
+    val urls = out.select("canon_url").collect().map(_.getString(0))
+    urls.foreach { u =>
+      assert(u.startsWith("https://"), u)
+      assert(!u.contains("www.") && !u.contains("?") && !u.contains("#"), u)
+      assert(!u.endsWith("/"), u)
+      assert(u.contains(".example.com/"), u)
+    }
+  }
+
+  test("repetition metrics are consistent and bounded") {
+    val rows = Curation.repetition(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, distinct, dRatio, topShare) =>
+      assert(distinct <= n)
+      assert(dRatio === distinct * 10000 / n)
+      assert(topShare >= 10000L / n && topShare <= 10000L)
+    }
+  }
+}
