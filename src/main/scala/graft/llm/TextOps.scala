@@ -306,7 +306,51 @@ object TextOps {
       |  FROM scored)
       |WHERE rank <= 3""".stripMargin
 
+  /** Array-function surface over the token arrays: size / contains /
+    * position / element_at (try_ variant — ANSI mode throws on
+    * out-of-bounds) / slice / reverse / distinct / min / max, each
+    * mirrored by a DuckDB list function.
+    */
+  def arrayOps(d: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    d.select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_toks"),
+        when(array_contains(col("toks"), "the"), 1L).otherwise(0L)
+          .as("has_the"),
+        array_position(col("toks"), "table").cast("bigint").as("pos_table"),
+        try_element_at(col("toks"), lit(1)).as("first_tok"),
+        try_element_at(col("toks"), lit(-1)).as("last_tok"),
+        array_join(slice(col("toks"), 1, 3), "-").as("first3"),
+        array_join(reverse(slice(col("toks"), 1, 3)), "-").as("first3_rev"),
+        size(array_distinct(col("toks"))).cast("bigint").as("n_distinct"),
+        array_min(col("toks")).as("tok_min"),
+        array_max(col("toks")).as("tok_max"))
+  }
+
+  val arrayOpsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+      |    AS BIGINT) AS has_the,
+      |  CAST(coalesce(list_position(toks, 'table'), 0) AS BIGINT)
+      |    AS pos_table,
+      |  toks[1] AS first_tok,
+      |  toks[-1] AS last_tok,
+      |  array_to_string(toks[1:3], '-') AS first3,
+      |  array_to_string(list_reverse(toks[1:3]), '-') AS first3_rev,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  list_min(toks) AS tok_min,
+      |  list_max(toks) AS tok_max
+      |FROM (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |      AS toks
+      |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_array" -> ((s, d) => arrayOps(docs(s, d))),
     "q_text_ngrams" -> ((s, d) => charNgrams(docs(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidf(docs(s, d))),
     "q_text_wordcount" -> ((s, d) => wordCount(docs(s, d))),
@@ -318,6 +362,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_scalar_array" -> arrayOpsSql,
     "q_text_ngrams" -> charNgramsSql,
     "q_text_tfidf" -> tfidfSql,
     "q_text_wordcount" -> wordCountSql,

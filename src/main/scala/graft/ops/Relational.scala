@@ -722,6 +722,78 @@ object Relational {
       |  sum(l_quantity) AS sum_l_quantity, count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Mode (most frequent value) per group via count + deterministic
+    * argmax window — the engine-portable spelling of `mode()` (whose
+    * native tie-breaks differ across engines).
+    */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"), col("n"))
+  }
+
+  val qModeSql: String =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY count(*) DESC, o_orderpriority) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |WHERE rn = 1""".stripMargin
+
+  /** Exact discrete quantiles (p25/p50/p75) per group via rank — picks
+    * an actual element (the ceil(p*n)-th in (cents, key) order), so the
+    * result is integer-exact across engines, unlike interpolating
+    * percentile functions. The quantile fractions are binary-exact
+    * doubles, so ceil(p*n) is deterministic.
+    */
+  def qQuantileExact(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"),
+      col("o_orderkey"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wAll = Window.partitionBy("o_orderstatus")
+    base
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy("o_orderstatus")
+      .agg(
+        max(when(col("rn") === expr("CAST(ceil(0.25 * cnt) AS BIGINT)"),
+          col("cents"))).as("p25_cents"),
+        max(when(col("rn") === expr("CAST(ceil(0.5 * cnt) AS BIGINT)"),
+          col("cents"))).as("p50_cents"),
+        max(when(col("rn") === expr("CAST(ceil(0.75 * cnt) AS BIGINT)"),
+          col("cents"))).as("p75_cents"),
+        max("cents").as("max_cents"))
+  }
+
+  val qQuantileExactSql: String =
+    """SELECT o_orderstatus,
+      |  max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT)
+      |    THEN cents END) AS p25_cents,
+      |  max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+      |    THEN cents END) AS p50_cents,
+      |  max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT)
+      |    THEN cents END) AS p75_cents,
+      |  max(cents) AS max_cents
+      |FROM (
+      |  SELECT o_orderstatus, cents,
+      |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      |  FROM (SELECT o_orderstatus,
+      |          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |          o_orderkey
+      |        FROM orders))
+      |GROUP BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -755,7 +827,9 @@ object Relational {
     "q_scalar_date" -> (qScalarDate _),
     "q_scalar_math" -> (qScalarMath _),
     "q_stats" -> (qStats _),
-    "q_subquery" -> (qSubquery _))
+    "q_subquery" -> (qSubquery _),
+    "q_mode" -> (qMode _),
+    "q_quantile_exact" -> (qQuantileExact _))
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -787,5 +861,7 @@ object Relational {
     "q_scalar_date" -> qScalarDateSql,
     "q_scalar_math" -> qScalarMathSql,
     "q_stats" -> qStatsSql,
-    "q_subquery" -> qSubquerySql)
+    "q_subquery" -> qSubquerySql,
+    "q_mode" -> qModeSql,
+    "q_quantile_exact" -> qQuantileExactSql)
 }
