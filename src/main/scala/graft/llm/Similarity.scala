@@ -82,31 +82,45 @@ object Similarity {
     * table is recovered by another — the standard recall lever), scored
     * once per distinct pair, ranked per query.
     *
+    * Two further levers over the textbook shape:
+    *   - embeddings are CARRIED through the bucket self-join and pairs
+    *     are scored at match time — two fewer shuffle-joins than
+    *     re-attaching vectors by id, at +`dim` floats per bucket row
+    *     (the same bandwidth-for-stages trade as the MinHash band
+    *     join); the pair-dedup distinct() keys on (ids, sim), which is
+    *     deterministic per pair;
+    *   - `multiprobe`: the probe side also visits every bucket at
+    *     hamming distance 1 (flip each plane bit once), so a pair
+    *     split by ONE hyperplane is still found without paying for
+    *     another table — the classic multiprobe-LSH recall lever.
+    *
     * Scale: each table's candidate join is bucket-partitioned; total
-    * work is sum of per-bucket squares per table — still sub-quadratic
-    * while recall rises with nTables.
+    * work is sum of per-bucket squares per table (x (nPlanes+1) probes
+    * with multiprobe) — still sub-quadratic while recall rises.
     */
   def lshTopK(
-      e: DataFrame, nPlanes: Int = 4, k: Int = 5,
-      nTables: Int = 2): DataFrame = {
+      e: DataFrame, nPlanes: Int = 6, k: Int = 5,
+      nTables: Int = 2, multiprobe: Boolean = true): DataFrame = {
+    val v = graft.core.Layout.spread(e, "vec_id")
     val candidates = (0 until nTables).map { t =>
-      val bucketed = lshBuckets(e, nPlanes, seed = 1234L + 7919L * t)
-        .select("vec_id", "bucket")
-      bucketed.as("a")
+      val bucketed = lshBuckets(v, nPlanes, seed = 1234L + 7919L * t)
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      val probes =
+        if (!multiprobe) bucketed.select(col("vec_id"), col("embedding"),
+          col("bucket").as("probe"))
+        else bucketed.select(col("vec_id"), col("embedding"),
+          explode(array((col("bucket") +: (0 until nPlanes).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("probe"))
+      probes.as("a")
         .join(bucketed.as("b"),
-          col("a.bucket") === col("b.bucket") &&
+          col("a.probe") === col("b.bucket") &&
             col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          vector.cosine_similarity(col("a.embedding"), col("b.embedding"))
+            .as("sim"))
     }.reduce(_ unionAll _).distinct()
-    val withVec = e.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
     candidates
-      .join(withVec.select(col("vec_id").as("a_id"),
-        col("embedding").as("emb_a")), "a_id")
-      .join(withVec.select(col("vec_id").as("b_id"),
-        col("embedding").as("emb_b")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        vector.cosine_similarity(col("emb_a"), col("emb_b")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
