@@ -143,4 +143,18 @@ class FunctionsSpec extends SparkSpec {
     assert(key(fromCsv) === key(d))
     assert(key(fromJson) === key(d))
   }
+
+  test("orc sink/source round-trips with predicate pushdown") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val base = Files.createTempDirectory("graft-orc").toString
+    d.write.mode("overwrite").orc(s"$base/orc")
+    val back = spark.read.orc(s"$base/orc")
+    assert(back.collect().map(_.mkString("|")).toSet ===
+      d.collect().map(_.mkString("|")).toSet)
+    // ORC scans take pushed filters like parquet ones
+    val p = back.filter(col("doc_id") === 42L).queryExecution
+      .executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]"),
+      s"orc pushdown missing:\n$p")
+  }
 }
