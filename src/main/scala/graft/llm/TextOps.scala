@@ -349,7 +349,46 @@ object TextOps {
       |      AS toks
       |  FROM documents)""".stripMargin
 
+  /** Higher-order-function surface: transform / filter / aggregate
+    * (fold) / exists over the token arrays, mirrored by DuckDB's
+    * list_transform / list_filter / list_reduce. HOF lambdas are
+    * interpreted (not codegen'd) — fine for this per-doc arity; the
+    * hot-path kernels in graft.functions exist precisely for the cases
+    * where that interpretation cost compounds (per-token hashing).
+    */
+  def hofOps(d: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    d.select(
+      col("doc_id"),
+      size(filter(toks, t => length(t) > 4)).cast("bigint")
+        .as("n_long_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .as("sum_tok_chars"),
+      array_join(transform(slice(toks, 1, 5), t => upper(t)), ",")
+        .as("first5_upper"),
+      when(exists(toks, t => t === "the"), 1L).otherwise(0L).as("has_the"))
+  }
+
+  val hofOpsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT)
+      |    AS n_long_tokens,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+      |    (a, b) -> a + b) AS sum_tok_chars,
+      |  array_to_string(list_transform(toks[1:5], t -> upper(t)), ',')
+      |    AS first5_upper,
+      |  CAST(CASE WHEN len(list_filter(toks, t -> t = 'the')) > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS has_the
+      |FROM (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |      AS toks
+      |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_hof" -> ((s, d) => hofOps(docs(s, d))),
     "q_scalar_array" -> ((s, d) => arrayOps(docs(s, d))),
     "q_text_ngrams" -> ((s, d) => charNgrams(docs(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidf(docs(s, d))),
@@ -362,6 +401,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_scalar_hof" -> hofOpsSql,
     "q_scalar_array" -> arrayOpsSql,
     "q_text_ngrams" -> charNgramsSql,
     "q_text_tfidf" -> tfidfSql,

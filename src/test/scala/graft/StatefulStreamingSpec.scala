@@ -38,6 +38,35 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming content dedup: simhash kernel + watermarked dropDuplicates") {
+    // the custom codegen kernel runs inside Structured Streaming, and
+    // dropDuplicatesWithinWatermark gives bounded-state streaming dedup
+    // on the fingerprint — the streaming face of Dedup.simhash
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = input.toDS().toDF("doc_id", "ts", "text")
+      .withColumn("sig", graft.functions.text.simhash64(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("sig")
+    val q = out.writeStream.format("memory").queryName("sdd_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, ts(0), "hello world spark engine"),
+      (2L, ts(1), "completely different content"),
+      (3L, ts(2), "hello world spark engine")) // within-batch dup of 1
+    q.processAllAvailable()
+    input.addData(
+      (4L, ts(3), "hello world spark engine"), // cross-batch dup, in watermark
+      (5L, ts(4), "brand new material"))
+    q.processAllAvailable()
+    val ids = spark.table("sdd_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 5L))
+    q.stop()
+  }
+
   test("runningCount accumulates per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
