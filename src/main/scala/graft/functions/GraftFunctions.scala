@@ -42,14 +42,24 @@ object GraftFunctions {
       unary("hashed_sorted_tokens", HashedSortedTokens(_)),
       unary("simhash64", SimHash64(_)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (ident, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+    // the already-built-session path for the optimizer rule the
+    // extensions inject at session build time
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.TokenHashKernelRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TokenHashKernelRule
+    }
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.TokenHashKernelRule)
+  }
 }

@@ -54,11 +54,18 @@ class FunctionsSpec extends SparkSpec {
     val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
       .unionByName(spark.createDataFrame(edge).toDF("doc_id", "text"))
     val toks = TextOps.wsTokens(col("text"))
-    val rows = d.select(
-      hashed_sorted_tokens(col("text")).as("k_toks"),
-      sort_array(array_distinct(transform(toks, t => xxhash64(t))))
-        .as("e_toks"))
-      .collect()
+    // TokenHashKernelRule would rewrite the composed side INTO the
+    // kernel (making this compare kernel vs kernel) — suspend any
+    // session-installed extra optimizations for the comparison
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    val rows =
+      try d.select(
+        hashed_sorted_tokens(col("text")).as("k_toks"),
+        sort_array(array_distinct(transform(toks, t => xxhash64(t))))
+          .as("e_toks"))
+        .collect()
+      finally spark.experimental.extraOptimizations = saved
     rows.foreach { r =>
       assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"token hash mismatch: $r")
     }

@@ -85,6 +85,26 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("optimizer rule rewrites composed tokenize+hash+sort to the kernel") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val composed = sort_array(array_distinct(transform(
+      filter(split(col("text"), "\\s+"), t => length(t) > 0),
+      t => xxhash64(t))))
+    val d = Tables.load(spark, sfDir, "documents")
+    val df = d.select(composed.as("toks"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("hashed_sorted_tokens"),
+      s"rule did not fire:\n$opt")
+    // rewrite preserves results exactly (vs the kernel called directly)
+    val viaKernel = d.select(
+      graft.functions.text.hashed_sorted_tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[Long](0).toVector).sortBy(_.hashCode)
+    val viaRule = df.collect().map(_.getSeq[Long](0).toVector)
+      .sortBy(_.hashCode)
+    assert(viaRule === viaKernel)
+  }
+
   test("as-of join costs exactly one shuffle") {
     import spark.implicits._
     val left = Seq((1, 10L, "x")).toDF("k", "lt", "lv")
