@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.core.Tables
 import graft.functions.vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -127,6 +127,85 @@ object Similarity {
         col("rank"))
   }
 
+  /** Deterministic IVF coarse quantizer: k centroids from a fixed-seed
+    * Lloyd refinement (seeds = the k lowest vec_ids, `iters` rounds of
+    * assign + per-cell mean). Returns (cellId, centroid) — k x dim
+    * doubles, legitimately driver-sized (the *codebook*, not the data;
+    * at 100 TB the codebook is still k x dim).
+    */
+  private[llm] def ivfCentroids(
+      e: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    var cents: Array[Array[Double]] =
+      e.orderBy("vec_id").limit(k).collect().map(vecOf)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(e, cents)
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      // a cell that lost all members keeps its previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Nearest-cell assignment: argmin over squared L2, computed as
+    * `c.c - 2 x.c` (the `x.x` term is row-constant so argmin-safe),
+    * with the cell index as deterministic tie-break via struct
+    * ordering.
+    */
+  private def cellDists(cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      struct(
+        (lit(cc) - lit(2.0) * vector.dot_product(col("embedding"),
+          array(c.map(lit): _*))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+
+  private def assignCells(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    e.withColumn("cell", array_min(cellDists(cents)).getField("i"))
+
+  /** Approximate top-k via IVF: coarse-quantize the corpus into
+    * `nCells` cells, then for each query probe its `nProbe` nearest
+    * cells and score only those candidates — the learned-partitioning
+    * sibling of [[lshTopK]] (same carried-embedding join shape).
+    *
+    * Scale: the codebook broadcasts (k x dim); the candidate join is
+    * cell-partitioned with expected cost n * nProbe * (n / nCells) —
+    * sub-quadratic, tunable by nCells/nProbe.
+    */
+  def ivfTopK(
+      e: DataFrame, k: Int = 5, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val v = graft.core.Layout.spread(e, "vec_id")
+    val cents = ivfCentroids(v, nCells)
+    val assigned = assignCells(v, cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val probes = v
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(transform(array_sort(cellDists(cents)),
+          s => s.getField("i")), 1, nProbe)).as("probe"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    probes.as("a")
+      .join(assigned.as("b"),
+        col("a.probe") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        vector.cosine_similarity(col("a.embedding"), col("b.embedding"))
+          .as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"))
+  }
+
   /** Centroid per label (classification-ish aggregate over vectors):
     * element-wise mean via posexplode + group — algebraic, partial-agg
     * friendly, and SQL-mirrorable.
@@ -154,9 +233,13 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopK(emb(s, d))),
+    "q_knn_ivf" -> ((s, d) => ivfTopK(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
 
-  /** q_knn_lsh depends on seeded hyperplanes — rows-only check. */
+  /** q_knn_lsh / q_knn_ivf depend on seeded hyperplanes / iterative
+    * float centroids — rows-only check; recall vs brute force is
+    * asserted in LlmSpec.
+    */
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> bruteForceTopKSql,
     "q_label_centroid" -> labelCentroidNormSql)

@@ -125,6 +125,28 @@ class LlmSpec extends SparkSpec {
     assert(r2 > r1, s"multi-table must improve recall: $r2 vs $r1")
   }
 
+  test("ivf ann: more probes raise recall; assignments cover the corpus") {
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, nQueries = n, k = 11)
+      .filter(col("rank") > 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, k = 10, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val hits = brute.toSeq.map { case (q, truth) =>
+        ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    info(f"ivf recall@10: 1 probe = $r1%.3f, 3 probes = $r3%.3f")
+    assert(r1 > 0.05, s"single-probe recall degenerate: $r1")
+    assert(r3 > r1, s"more probes must improve recall: $r3 vs $r1")
+  }
+
   test("multimodal decode stub: schema and batch shape are real") {
     val decoded = Multimodal.decodeImages(spark, Multimodal.asMedia(docs.limit(20)))
     val rows = decoded.collect()
