@@ -206,6 +206,54 @@ object Similarity {
         col("rank"))
   }
 
+  /** Symmetric int8 quantization of the embedding column (the storage /
+    * bandwidth lever for 100 TB vector corpora): per-vector max-abs
+    * scale, elements rounded to [-127, 127], plus the reconstruction
+    * error. Map-only; every arithmetic step is per-row IEEE double (the
+    * error fold runs in array order), so the DuckDB oracle matches
+    * exactly.
+    */
+  def quantizeInt8(e: DataFrame): DataFrame = {
+    def resid(v: Column): Column =
+      v - round(v / col("scale"), 0) * col("scale")
+    e.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .withColumn("scale",
+        array_max(transform(col("emb"), v => abs(v))) / lit(127.0))
+      .withColumn("q", transform(col("emb"), v =>
+        round(v / col("scale"), 0).cast("bigint")))
+      .withColumn("err2", aggregate(
+        transform(col("emb"), v => resid(v) * resid(v)),
+        lit(0.0), (acc, x) => acc + x))
+      .select(
+        col("vec_id"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        round(col("scale"), 9).as("scale_r"),
+        round(sqrt(col("err2")), 9).as("l2_err_r"))
+  }
+
+  val quantizeInt8Sql: String =
+    """SELECT vec_id,
+      |  CAST(list_min(q) AS BIGINT) AS q_min,
+      |  CAST(list_max(q) AS BIGINT) AS q_max,
+      |  round(scale, 9) AS scale_r,
+      |  round(sqrt(list_reduce(
+      |    list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(emb, v ->
+      |        (v - round(v / scale, 0) * scale) *
+      |        (v - round(v / scale, 0) * scale))),
+      |    (a, b) -> a + b)), 9) AS l2_err_r
+      |FROM (
+      |  SELECT vec_id, emb, scale,
+      |    list_transform(emb, v -> CAST(round(v / scale, 0) AS BIGINT)) AS q
+      |  FROM (
+      |    SELECT vec_id, emb,
+      |      list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale
+      |    FROM (SELECT vec_id,
+      |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+      |          FROM embeddings)))""".stripMargin
+
   /** Centroid per label (classification-ish aggregate over vectors):
     * element-wise mean via posexplode + group — algebraic, partial-agg
     * friendly, and SQL-mirrorable.
@@ -234,6 +282,7 @@ object Similarity {
     "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopK(emb(s, d))),
     "q_knn_ivf" -> ((s, d) => ivfTopK(emb(s, d))),
+    "q_embed_quantize" -> ((s, d) => quantizeInt8(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
 
   /** q_knn_lsh / q_knn_ivf depend on seeded hyperplanes / iterative
@@ -242,5 +291,6 @@ object Similarity {
     */
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> bruteForceTopKSql,
+    "q_embed_quantize" -> quantizeInt8Sql,
     "q_label_centroid" -> labelCentroidNormSql)
 }
