@@ -167,6 +167,47 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** Per-document term frequencies over LETTER-RUN tokens (the
+    * reference tokenizer: maximal runs of Unicode category-L code
+    * points, `Character.isLetter` == Java regex `\p{L}`), as a
+    * string->count map with keys in sorted order (deterministic map
+    * layout). Makes the TF stage of TF-IDF-style pipelines MAP-ONLY:
+    * the (doc, token)-granularity shuffle collapses to
+    * (doc, distinct-token) rows emitted by exploding the map.
+    */
+  def tokenCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val str = s.toString
+    val m = new java.util.TreeMap[String, Long]()
+    val n = str.length
+    var i = 0
+    var start = -1
+    def flush(end: Int): Unit =
+      if (start >= 0) {
+        val w = str.substring(start, end)
+        m.merge(w, 1L, (a, b) => a + b)
+        start = -1
+      }
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (Character.isLetter(cp)) { if (start < 0) start = i }
+      else flush(i)
+      i += Character.charCount(cp)
+    }
+    flush(n)
+    val keys = new Array[AnyRef](m.size)
+    val vals = new Array[Any](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      keys.asInstanceOf[Array[Any]], vals)
+  }
+
   /** All code-point n-grams of `s`, equal to
     * `substr(s, i, n) for i in 1..numChars-n+1` (code-point windows,
     * matching SQL substring semantics for non-ASCII too). One byte scan
@@ -283,6 +324,24 @@ case class MinHashSignature(
     copy(child = newChild)
 }
 
+/** token_counts(text): letter-run term-frequency map — see
+  * [[TextKernels.tokenCounts]].
+  */
+case class TokenCounts(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "token_counts"
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** char_ngrams(text, n): all code-point n-grams — see
   * [[TextKernels.charNgrams]]. `n` is a plan-time constant.
   */
@@ -317,4 +376,7 @@ object text {
 
   def char_ngrams(c: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(c), n))
+
+  def token_counts(c: Column): Column =
+    Bridge.column(TokenCounts(Bridge.expression(c)))
 }

@@ -269,12 +269,17 @@ object TextOps {
     */
   def tfidf(d: DataFrame, k: Int = 3): DataFrame = {
     val n = d.count() // corpus size: a scalar, computed once
+    // TF is MAP-ONLY: the TokenCounts kernel counts terms per document
+    // in one pass, so exploding it emits (doc, distinct-word, tf)
+    // directly — the (doc, token)-granularity shuffle + groupBy the
+    // explode-then-count formulation needed disappears, and DF is a
+    // plain count (rows are already distinct per doc).
     val tf = graft.core.Layout.spread(d, "doc_id")
-      .select(col("doc_id"), explode(letterTokens(col("text"))).as("word"))
-      .groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.text.token_counts(col("text")))
+          .as(Seq("word", "tf")))
     val df_ = tf.groupBy("word")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     tf.join(broadcast(df_), "word")
@@ -387,7 +392,53 @@ object TextOps {
       |      AS toks
       |  FROM documents)""".stripMargin
 
+  /** Map-function surface over the per-document term-frequency map
+    * (the TokenCounts kernel): size / element_at (try_ variant — ANSI
+    * throws on missing keys) / map_values + array_max / fold /
+    * map_filter. The DuckDB oracle recomputes every scalar from first
+    * principles over the token list (DuckDB's map type has no stable
+    * cross-engine literal form).
+    */
+  def mapOps(d: DataFrame): DataFrame =
+    graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"),
+        graft.functions.text.token_counts(col("text")).as("m"))
+      .select(
+        col("doc_id"),
+        size(col("m")).cast("bigint").as("n_distinct_words"),
+        coalesce(try_element_at(col("m"), lit("the")), lit(0L)).as("cnt_the"),
+        coalesce(array_max(map_values(col("m"))), lit(0L)).as("top_cnt"),
+        aggregate(map_values(col("m")), lit(0L), (a, v) => a + v)
+          .as("n_letter_tokens"),
+        size(map_filter(col("m"), (_, v) => v >= 3)).cast("bigint")
+          .as("n_frequent"))
+
+  val mapOpsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |      t -> t <> '')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |agg AS (SELECT doc_id,
+      |    count(*) AS n_distinct_words,
+      |    CAST(sum(CASE WHEN w = 'the' THEN c ELSE 0 END) AS BIGINT)
+      |      AS cnt_the,
+      |    CAST(max(c) AS BIGINT) AS top_cnt,
+      |    CAST(sum(c) AS BIGINT) AS n_letter_tokens,
+      |    CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_frequent
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
+      |  coalesce(a.cnt_the, 0) AS cnt_the,
+      |  coalesce(a.top_cnt, 0) AS top_cnt,
+      |  coalesce(a.n_letter_tokens, 0) AS n_letter_tokens,
+      |  coalesce(a.n_frequent, 0) AS n_frequent
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_map" -> ((s, d) => mapOps(docs(s, d))),
     "q_scalar_hof" -> ((s, d) => hofOps(docs(s, d))),
     "q_scalar_array" -> ((s, d) => arrayOps(docs(s, d))),
     "q_text_ngrams" -> ((s, d) => charNgrams(docs(s, d))),
@@ -401,6 +452,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_scalar_map" -> mapOpsSql,
     "q_scalar_hof" -> hofOpsSql,
     "q_scalar_array" -> arrayOpsSql,
     "q_text_ngrams" -> charNgramsSql,

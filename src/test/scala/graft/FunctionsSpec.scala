@@ -69,6 +69,17 @@ class FunctionsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"token hash mismatch: $r")
     }
+    // token_counts (letter-run TF map) vs the explode+count formulation
+    val tcRows = d.select(col("doc_id"),
+      graft.functions.text.token_counts(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getMap[String, Long](1)).toMap
+    d.collect().foreach { r =>
+      val id = r.getLong(0)
+      val expected = r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(tcRows(id).toMap === expected, s"token_counts mismatch doc $id")
+    }
+
     // simhash + minhash checked against a direct Scala reimplementation
     // from the *string* tokens (independent of byte scanning)
     val local = d.collect().map(r => (r.getLong(0), r.getString(1)))
