@@ -166,7 +166,36 @@ object EventOps {
       |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_micros
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
 
+  /** Interval join over the event stream: each purchase matched to ALL
+    * of the user's clicks in the preceding 30 minutes
+    * ([[IntervalJoin.within]] — bucketized equi-join, no nested-loop).
+    */
+  def intervalPurchaseClick(ev: DataFrame): DataFrame = {
+    val win = 1800000000L // 30 min in micros
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pt"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("ct"))
+    IntervalJoin.within(purchases, clicks, Seq("user_id"), "pt", "ct", win)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("pt") - col("ct")).as("gap_micros"))
+  }
+
+  val intervalPurchaseClickSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+      |    epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_micros
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND epoch_us(CAST(c.ts AS TIMESTAMP))
+      |    BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000
+      |    AND epoch_us(CAST(p.ts AS TIMESTAMP))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> ((s, d) => intervalPurchaseClick(events(s, d))),
     "q_asof_join" -> ((s, d) => asOfPurchaseClick(events(s, d))),
     "q_events_tumbling" -> ((s, d) => tumbling(events(s, d))),
     "q_events_sliding" -> ((s, d) => sliding(events(s, d))),
@@ -175,6 +204,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_interval_join" -> intervalPurchaseClickSql,
     "q_asof_join" -> asOfPurchaseClickSql,
     "q_events_tumbling" -> tumblingSql,
     "q_events_sliding" -> slidingSql,
