@@ -167,7 +167,7 @@ object Dedup {
       // AQE can't make the call; at a scale where |V| outgrows
       // broadcast, drop the hint and these become shuffle joins
       // co-partitioned on id (the Pregel shape).
-      val next = edges
+      val nm = edges
         .join(broadcast(labels.select(col("id").as("dst"), col("label").as("nl"))),
           "dst")
         .groupBy(col("src").as("id"))
@@ -175,6 +175,15 @@ object Dedup {
         .join(broadcast(labels), "id")
         .select(col("id"), col("label").as("old"),
           least(col("label"), col("nmin")).as("label"))
+      // pointer jump: follow label -> label(label) once per round, which
+      // roughly halves the rounds a long chain needs (min labels are
+      // monotone non-increasing ids within the component, so the
+      // fixpoint — every label = component min — is unchanged)
+      val next = nm.as("x")
+        .join(broadcast(nm.select(col("id").as("pid"), col("label").as("pl"))),
+          col("x.label") === col("pid"), "left")
+        .select(col("x.id").as("id"), col("x.old").as("old"),
+          coalesce(col("pl"), col("x.label")).as("label"))
         .localCheckpoint()
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("id", "label")

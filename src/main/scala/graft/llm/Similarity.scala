@@ -132,15 +132,22 @@ object Similarity {
     * assign + per-cell mean). Returns (cellId, centroid) — k x dim
     * doubles, legitimately driver-sized (the *codebook*, not the data;
     * at 100 TB the codebook is still k x dim).
+    *
+    * Training runs on a deterministic 1-in-`sampleMod` slice — the
+    * standard IVF practice (the codebook needs the distribution, not
+    * the corpus; at 100 TB training on everything is neither feasible
+    * nor useful) and it cuts the per-iteration jobs proportionally.
     */
   private[llm] def ivfCentroids(
-      e: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+      e: DataFrame, k: Int = 16, iters: Int = 2,
+      sampleMod: Int = 4): Array[Array[Double]] = {
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    val sample = e.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
     var cents: Array[Array[Double]] =
-      e.orderBy("vec_id").limit(k).collect().map(vecOf)
+      sample.orderBy("vec_id").limit(k).collect().map(vecOf)
     for (_ <- 0 until iters) {
-      val assigned = assignCells(e, cents)
+      val assigned = assignCells(sample, cents)
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
