@@ -59,6 +59,32 @@ object EventStreams {
   def sessions(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     EventOps.sessions(events.withWatermark("ts", watermark))
 
+  /** Stream-stream interval join: purchases x the user's clicks in the
+    * trailing 30 minutes — the streaming face of
+    * [[EventOps.intervalPurchaseClick]]. The explicit time-range join
+    * condition plus watermarks on BOTH sides is what lets Spark bound
+    * the join state store (a buffered click is droppable once the
+    * purchase-side watermark passes click time + window); without the
+    * range condition the state would grow forever.
+    */
+  def intervalJoin(events: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    val purchases = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val clicks = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("cts"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_micros"))
+  }
+
   /** Convenience: one-shot processing of all currently-available input
     * (Trigger.AvailableNow) into an in-memory table named `queryName`.
     * Used by tests and local inspection; a production sink would be

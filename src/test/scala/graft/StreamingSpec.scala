@@ -61,6 +61,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.intervalJoin(stream).writeStream
+      .format("memory").queryName("t_ssjoin").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = rows(spark.table("t_ssjoin"))
+    val want = rows(EventOps.intervalPurchaseClick(
+      Tables.load(spark, sfDir, "events")))
+    // inner stream-stream join emits every match (watermarks only bound
+    // state), so the full batch result must appear
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming append mode emits only watermark-finalized windows") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.tumbling(stream).writeStream
