@@ -47,12 +47,17 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
-    // the already-built-session path for the optimizer rule the
-    // extensions inject at session build time
+    // the already-built-session path for the optimizer rule and planner
+    // strategy the extensions inject at session build time
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.TokenHashKernelRule)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TokenHashKernelRule
+    }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     }
   }
 }
@@ -61,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.TokenHashKernelRule)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -88,4 +88,48 @@ object AsOfJoin {
           leftPayload.map(col) ++
           (col(matchedTime) +: rightPayload.map(col)): _*)
   }
+
+  /** The same as-of semantics through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]] — streaming per-partition merge, one
+    * exchange per side, O(1) state). Requires
+    * [[graft.plans.AsOfJoinStrategy]] to be registered (GraftExtensions
+    * or `GraftFunctions.register`). Output schema matches [[asOf]]:
+    * left columns, then `asof_<rightTime>` and the right payload
+    * (nulls when no right row is at-or-before).
+    */
+  def asOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.Bridge
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias the right side to FRESH exprIds: when both inputs derive
+    // from the same scan (self-join shape), shared attribute ids across
+    // the children confuse analysis/pruning around a custom node (the
+    // analyzer's relation-dedup only knows built-in operators).
+    val rAliases = right.queryExecution.analyzed.output
+      .map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, right.queryExecution.analyzed)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n'"))
+    val rightPayload = rPlan.output
+      .filterNot(a => keys.contains(a.name) || a.name == rightTime)
+    val rt = attr(rPlan, rightTime)
+    // fresh attributes for the matched columns (declared as produced)
+    val matchedOutput =
+      AttributeReference(s"asof_$rightTime", rt.dataType, nullable = true)() +:
+        rightPayload.map(a =>
+          AttributeReference(a.name, a.dataType, nullable = true)())
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), rt, rightPayload, matchedOutput)
+    Bridge.dataset(left.sparkSession, node)
+  }
 }

@@ -134,7 +134,7 @@ object EventOps {
     * user's latest click at-or-before it ([[AsOfJoin]]; oracle uses
     * DuckDB's native ASOF LEFT JOIN).
     */
-  def asOfPurchaseClick(ev: DataFrame): DataFrame = {
+  def asOfPurchaseClick(ev: DataFrame, native: Boolean = false): DataFrame = {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
     // dedupe right side to one row per (key, time): ASOF picks an
@@ -142,7 +142,10 @@ object EventOps {
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy("user_id", "ts")
       .agg(max("event_id").as("click_id"))
-    AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts")
+    val joined =
+      if (native) AsOfJoin.asOfNative(purchases, clicks, Seq("user_id"), "ts", "ts")
+      else AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts")
+    joined
       .select(
         col("user_id"), col("purchase_id"),
         fmtTs(col("ts")).as("purchase_ts"),
@@ -197,6 +200,10 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_join" -> ((s, d) => intervalPurchaseClick(events(s, d))),
     "q_asof_join" -> ((s, d) => asOfPurchaseClick(events(s, d))),
+    "q_asof_join_native" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s) // planner strategy
+      asOfPurchaseClick(events(s, d), native = true)
+    }),
     "q_events_tumbling" -> ((s, d) => tumbling(events(s, d))),
     "q_events_sliding" -> ((s, d) => sliding(events(s, d))),
     "q_events_session" -> ((s, d) => sessions(events(s, d))),
@@ -206,6 +213,7 @@ object EventOps {
   val oracleSql: Map[String, String] = Map(
     "q_interval_join" -> intervalPurchaseClickSql,
     "q_asof_join" -> asOfPurchaseClickSql,
+    "q_asof_join_native" -> asOfPurchaseClickSql,
     "q_events_tumbling" -> tumblingSql,
     "q_events_sliding" -> slidingSql,
     "q_events_session" -> sessionsSql,

@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) logical plan as a DataFrame —
+    * `classic.Dataset.ofRows` is `private[sql]`; needed to hand custom
+    * LogicalPlan nodes (e.g. graft's native as-of join) to the session.
+    */
+  def dataset(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.AsOfJoin
+import org.apache.spark.sql.functions.col
 
 /** Unit semantics of the composed as-of join, pinned to the same
   * example verified against DuckDB's native ASOF LEFT JOIN.
@@ -66,6 +67,67 @@ class AsOfJoinSpec extends SparkSpec {
     val expected = Seq((1, 10L, "hi"), (1, 50L, "hi"))
     assert(run(1) === expected)
     assert(run(5) === expected)
+  }
+
+  test("native as-of exec == composed as-of on random data") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val left = Seq.fill(400)((rnd.nextInt(7), rnd.nextInt(500).toLong,
+      rnd.nextInt(1000))).toDF("k", "lt", "lv")
+    // dedupe right per (k, rt): tie winner is undefined in both impls
+    val right = Seq.fill(150)((rnd.nextInt(7), rnd.nextInt(500).toLong,
+      rnd.nextInt(100000)))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "rt", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      assert(df.columns.toSeq === Seq("k", "lt", "lv", "asof_rt", "rv"))
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    }
+    val composed = canon(AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt"))
+    val native = canon(AsOfJoin.asOfNative(left, right, Seq("k"), "lt", "rt"))
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of plans as AsOfJoinExec with per-side sort, no window") {
+    graft.functions.GraftFunctions.register(spark)
+    val left = Seq((1, 10L, "x")).toDF("k", "lt", "lv")
+    val right = Seq((1, 5L, "y")).toDF("k", "rt", "rv")
+    val p = AsOfJoin.asOfNative(left, right, Seq("k"), "lt", "rt")
+      .queryExecution.executedPlan.toString
+    // SparkPlan nodeName drops the Exec suffix
+    assert(p.contains("AsOfJoin ["), p)
+    assert(!p.contains("!AsOfJoin"), s"unresolved attributes in exec:\n$p")
+    assert(!p.contains("Window"), s"native path must not use a window:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) === 2, p)
+  }
+
+  test("native as-of handles self-join shape (both sides from one scan)") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Seq((1, 10L, "a", 1), (1, 20L, "b", 2), (2, 5L, "c", 3),
+      (1, 15L, "d", 4)).toDF("k", "t", "tag", "n")
+    val l = base.filter(col("n") % 2 === 0)
+      .select(col("k"), col("t").as("lt"), col("tag").as("ltag"))
+    val r = base.filter(col("n") % 2 === 1)
+      .select(col("k"), col("t").as("rt"), col("tag").as("rtag"))
+    val native = AsOfJoin.asOfNative(l, r, Seq("k"), "lt", "rt")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val composed = AsOfJoin.asOf(l, r, Seq("k"), "lt", "rt")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of is stable across partitioning") {
+    graft.functions.GraftFunctions.register(spark)
+    val left = (1 to 300).map(i => (i % 6, i.toLong)).toDF("k", "lt")
+    val right = (1 to 60).map(i => (i % 6, (i * 4).toLong, s"p$i"))
+      .toDF("k", "rt", "v")
+    def run(parts: Int) =
+      AsOfJoin.asOfNative(left.repartition(parts), right.repartition(parts),
+        Seq("k"), "lt", "rt")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    assert(run(1) === run(8))
   }
 
   test("as-of join is stable across partitioning") {
