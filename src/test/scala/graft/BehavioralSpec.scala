@@ -81,6 +81,44 @@ class BehavioralSpec extends SparkSpec {
     assert(result === (1 to 100).sum.toLong.toDouble)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the runtime complement to Skew.saltedSumCount: a hot join key
+    // must be split by AQE's skew handling, not melt one reducer
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // key 0 carries 100x the rows of every other key, with an
+      // INCOMPRESSIBLE payload (shuffle sizes are of compressed bytes —
+      // a constant pad compresses away and defeats skew detection)
+      val left = spark.range(60000)
+        .select(lit(0).as("k"), sha2(col("id").cast("string"), 256).as("payload"))
+        .unionAll(spark.range(600).select(
+          (col("id") % 50 + 1).cast("int").as("k"),
+          sha2(col("id").cast("string"), 256).as("payload")))
+      val right = (0 to 50).toDF("k").withColumn("rv", col("k") * 2)
+      val joined = left.join(right, "k")
+      // collect() drives THIS Dataset's QueryExecution, so its adaptive
+      // plan finalizes (count() would plan a separate query)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew split in final plan:\n$p")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("committed output is atomic and complete (early_exit analog)") {
     val out = Files.createTempDirectory("graft-commit").toString + "/wc"
     val pg = Seq("/root/reference/main/pg-being_ernest.txt",
