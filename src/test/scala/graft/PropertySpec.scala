@@ -55,6 +55,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text kernels match reference semantics on random unicode (40 docs)") {
+    // byte-level kernels vs String-level reference implementations over
+    // adversarial inputs: mixed ASCII/CJK/accents/supplementary-plane
+    // chars, every Java-regex \s whitespace, empty/ws-only strings
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.unsafe.types.UTF8String
+    val wsChars = Seq(' ', '\t', '\n', '', '\f', '\r')
+    val tokenChar = Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('é', 'ü', '中', '文', 'й', '!', '.'))
+    // supplementary-plane (4-byte UTF-8) content as a whole token so no
+    // lone surrogate halves are generated
+    val emojiTok = Gen.const(new String(Character.toChars(0x1F600)) + "x")
+    val uText = Gen.listOf(Gen.oneOf(
+      Gen.nonEmptyListOf(tokenChar).map(_.mkString),
+      emojiTok,
+      Gen.oneOf(wsChars).map(_.toString))).map(_.mkString)
+    def xxh(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+    val texts = samples(uText, 40) ++ Seq("", " ", "a", "é 中文 é")
+    texts.foreach { t =>
+      val u = UTF8String.fromString(t)
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      // hashedSortedTokens == sorted distinct xxhash64 of \s+ tokens
+      val got = graft.functions.TextKernels.hashedSortedTokens(u).toLongArray().toSeq
+      assert(got === toks.map(xxh).distinct.sorted.toSeq, s"text=[$t]")
+      // simhash64 == bit-vote reference
+      val votes = new Array[Int](64)
+      toks.foreach { w =>
+        val h = xxh(w)
+        (0 until 64).foreach(b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      val expSim = (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+      assert(graft.functions.TextKernels.simhash64(u) === expSim, s"text=[$t]")
+      // charNgrams == code-point substring windows
+      val cps = t.codePoints().toArray
+      val expGrams = (0 to cps.length - 3).map(i =>
+        new String(cps, i, 3))
+      val gotGrams = graft.functions.TextKernels.charNgrams(u, 3)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      assert(gotGrams === expGrams, s"text=[$t]")
+      // tokenCounts == letter-run grouping
+      val letterToks = t.split("[^\\p{L}]+").filter(_.nonEmpty)
+      val gotTc = {
+        val m = graft.functions.TextKernels.tokenCounts(u)
+        val ks = m.keyArray().toArray[UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString)
+        val vs = m.valueArray().toLongArray()
+        ks.zip(vs).toMap
+      }
+      assert(gotTc ===
+        letterToks.groupBy(identity).view.mapValues(_.length.toLong).toMap,
+        s"text=[$t]")
+    }
+  }
+
   test("associative fast path == holistic path (wc + indexer, pg sample)") {
     val pg = Seq(
       "/root/reference/main/pg-being_ernest.txt",
