@@ -18,7 +18,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // Memoized per (session, dir, table): a load is file listing + footer
+  // schema inference, and re-running it for every query in a bench or
+  // verify sweep re-pays that per query. The cached value is just an
+  // immutable logical plan — execution state is not shared.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, name), doLoad(spark, sfDir, name))
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       // events.ts is parquet TIMESTAMP(NANOS); with
