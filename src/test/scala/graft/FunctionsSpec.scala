@@ -162,6 +162,31 @@ class FunctionsSpec extends SparkSpec {
     assert(key(fromJson) === key(d))
   }
 
+  test("count-min sketch and bloom filter obey their error contracts") {
+    // the remaining sketch family beyond HLL/approx-quantile: both are
+    // mergeable fixed-size summaries (the only viable distinct/filter
+    // state at 100 TB); Spark exposes them via DataFrameStatFunctions
+    val orders = Tables.load(spark, sfDir, "orders")
+    val n = orders.count()
+    // CMS estimate >= true count, within eps * total (w.h.p.)
+    val cms = orders.stat.countMinSketch(
+      "o_orderpriority", eps = 0.01, confidence = 0.99, seed = 42)
+    val truth = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS under-counted $k")
+      assert(est <= c + (0.01 * n).toLong + 1, s"CMS over-counted $k: $est vs $c")
+    }
+    // Bloom filter: zero false negatives; FPP near configured
+    val bloom = orders.stat.bloomFilter("o_orderkey", expectedNumItems = n, fpp = 0.03)
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0))
+    assert(keys.forall(bloom.mightContain), "bloom false negative")
+    val misses = (1 to 20000).map(i => -i.toLong)
+      .count(bloom.mightContain)
+    assert(misses <= 20000 * 0.06, s"bloom fpp too high: $misses/20000")
+  }
+
   test("orc sink/source round-trips with predicate pushdown") {
     val d = Tables.load(spark, sfDir, "documents")
     val base = Files.createTempDirectory("graft-orc").toString
