@@ -33,7 +33,15 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => TextOps.tfidf(Tables.load(spark, sfDir, "documents"))),
     ("sample_per_group (hash-ordered reservoir)",
       () => graft.llm.Sampling.samplePerGroup(
-        Tables.load(spark, sfDir, "documents"), "lang")))
+        Tables.load(spark, sfDir, "documents"), "lang")),
+    ("dup_clusters (iterative min-label propagation)",
+      () => Dedup.dupClusters(Tables.load(spark, sfDir, "documents"))),
+    ("pack_sequences (per-lang cumsum bins)",
+      () => graft.llm.Curation.packSequences(
+        Tables.load(spark, sfDir, "documents"))),
+    ("interval_join (bucketized equi-join)",
+      () => graft.ops.EventOps.intervalPurchaseClick(
+        Tables.load(spark, sfDir, "events"))))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {
