@@ -39,8 +39,22 @@ object GraftFunctions {
       binary("cosine_similarity", CosineSimilarity(_, _)),
       binary("dot_product", DotProduct(_, _)),
       binary("sorted_intersect_count", SortedIntersectCount(_, _)),
+      binary("sorted_jaccard", SortedJaccard(_, _)),
       unary("hashed_sorted_tokens", HashedSortedTokens(_)),
-      unary("simhash64", SimHash64(_)))
+      unary("simhash64", SimHash64(_)),
+      unary("token_counts", TokenCounts(_)),
+      // char_ngrams(text, n) with n a literal int
+      (FunctionIdentifier("char_ngrams"),
+        new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+        { exprs =>
+          require(exprs.length == 2, "char_ngrams expects (text, n)")
+          val n = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"char_ngrams n must be an int literal, got $other")
+          }
+          CharNgrams(exprs(0), n)
+        }))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (ident, _, builder) =>

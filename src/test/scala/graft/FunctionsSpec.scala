@@ -28,6 +28,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("text kernels are callable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("docs_v")
+    val r = spark.sql(
+      """SELECT
+        |  size(hashed_sorted_tokens(text)) AS n_tok,
+        |  simhash64(text) AS sh,
+        |  size(token_counts(text)) AS n_tc,
+        |  size(char_ngrams(text, 3)) AS n_ng,
+        |  sorted_jaccard(hashed_sorted_tokens(text),
+        |                 hashed_sorted_tokens(text)) AS self_j
+        |FROM docs_v LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    r.foreach { row =>
+      assert(row.getInt(0) > 0)
+      assert(row.getInt(2) > 0 && row.getInt(3) > 0)
+      assert(row.getDouble(4) === 1.0)
+    }
+  }
+
   test("sorted_intersect_count agrees with array_intersect semantics") {
     GraftFunctions.register(spark)
     val r = spark.sql(
