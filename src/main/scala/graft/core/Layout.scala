@@ -26,4 +26,43 @@ object Layout {
 
   def spread(df: DataFrame, key: Column): DataFrame =
     df.repartition(key)
+
+  /** Z-order (Morton) clustering for multi-dimensional data skipping:
+    * interleave the low `bits` of each (non-negative integral) column
+    * into one key, range-partition and sort by it, so every output
+    * file's min/max footer stats are TIGHT on every dimension — a scan
+    * filtering on ANY of the columns can skip most files. Plain
+    * single-column sort gives that for one dimension only; at 100 TB
+    * the difference is reading one file vs the whole table for the
+    * second predicate column.
+    *
+    * Columns are clamped into [0, 2^bits); callers with other domains
+    * pre-normalize (e.g. rank or scale). The `_z` key is dropped from
+    * the result.
+    */
+  def zorder(
+      df: DataFrame, cols: Seq[String], bits: Int = 16,
+      partitions: Int = 0): DataFrame = {
+    require(cols.nonEmpty && bits * cols.length <= 62,
+      s"need cols and bits*n <= 62, got $bits x ${cols.length}")
+    val max = (1L << bits) - 1
+    val clamped = cols.map(c =>
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.greatest(col(c).cast("long"),
+          org.apache.spark.sql.functions.lit(0L)),
+        org.apache.spark.sql.functions.lit(max)))
+    val z = (0 until bits).flatMap { b =>
+      clamped.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.functions.shiftleft(
+          org.apache.spark.sql.functions.shiftright(c, b)
+            .bitwiseAND(org.apache.spark.sql.functions.lit(1L)),
+          b * cols.length + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    val keyed = df.withColumn("_z", z)
+    val ranged =
+      if (partitions > 0) keyed.repartitionByRange(partitions, col("_z"))
+      else keyed.repartitionByRange(col("_z"))
+    ranged.sortWithinPartitions("_z").drop("_z")
+  }
 }

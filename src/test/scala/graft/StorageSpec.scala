@@ -75,4 +75,34 @@ class StorageSpec extends SparkSpec {
     assert(read.count() === expected)
     assert(expected > 0)
   }
+
+  test("z-order layout tightens per-file ranges on EVERY dimension") {
+    import spark.implicits._
+    // 2-D uniform data; a single-column sort would tighten only that
+    // column's per-file stats, z-order must tighten both
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(40000)((rnd.nextInt(1 << 12), rnd.nextInt(1 << 12)))
+      .toDF("a", "b")
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    graft.core.Layout.zorder(df, Seq("a", "b"), bits = 12, partitions = 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    df.orderBy("a").repartitionByRange(16, col("a"))
+      .write.mode("overwrite").parquet(s"$dir/plain")
+    def avgSpan(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Int]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val full = (1 << 12).toDouble
+    // plain range layout: a is tight, b spans nearly everything
+    assert(avgSpan(s"$dir/plain", "a") < 0.2 * full)
+    assert(avgSpan(s"$dir/plain", "b") > 0.8 * full)
+    // z-order: BOTH dimensions well under the full range
+    val za = avgSpan(s"$dir/z", "a")
+    val zb = avgSpan(s"$dir/z", "b")
+    assert(za < 0.6 * full, s"z a-span $za")
+    assert(zb < 0.6 * full, s"z b-span $zb")
+  }
 }
