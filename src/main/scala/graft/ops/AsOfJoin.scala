@@ -102,7 +102,8 @@ object AsOfJoin {
       right: DataFrame,
       keys: Seq[String],
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graftbridge.Bridge
@@ -129,7 +130,8 @@ object AsOfJoin {
     val node = graft.plans.AsOfJoinNode(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), rt, rightPayload, matchedOutput)
+      attr(lPlan, leftTime), rt, rightPayload, matchedOutput,
+      tieBreak.map(attr(rPlan, _)))
     Bridge.dataset(left.sparkSession, node)
   }
 }

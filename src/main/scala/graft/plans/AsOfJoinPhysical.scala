@@ -35,7 +35,8 @@ case class AsOfJoinNode(
     leftTime: Attribute,
     rightTime: Attribute,
     rightPayload: Seq[Attribute],
-    matchedOutput: Seq[Attribute]) extends BinaryNode {
+    matchedOutput: Seq[Attribute],
+    tieBreak: Seq[Attribute] = Nil) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ matchedOutput
 
@@ -54,7 +55,8 @@ case class AsOfJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     rightPayload: Seq[Attribute],
-    matchedOutput: Seq[Attribute]) extends BinaryExecNode {
+    matchedOutput: Seq[Attribute],
+    tieBreak: Seq[Attribute]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ matchedOutput
 
@@ -63,9 +65,12 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // tieBreak columns extend the right-side sort, so among right rows
+  // sharing (keys, time) the LAST in tieBreak order is consumed last
+  // and wins — same contract as the composed operator's tieBreak
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    (rightKeys ++ (rightTime +: tieBreak)).map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -130,7 +135,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
-        n.rightPayload, n.matchedOutput) :: Nil
+        n.rightPayload, n.matchedOutput, n.tieBreak) :: Nil
     case _ => Nil
   }
 }

@@ -102,6 +102,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange")) === 2, p)
   }
 
+  test("native as-of tieBreak matches composed tieBreak semantics") {
+    graft.functions.GraftFunctions.register(spark)
+    val left = Seq((1, 10L), (1, 50L)).toDF("k", "lt")
+    val right = Seq((1, 10L, 1, "lo"), (1, 10L, 3, "hi"), (1, 10L, 2, "mid"))
+      .toDF("k", "rt", "seq", "v")
+    def run(parts: Int) = AsOfJoin.asOfNative(
+      left.repartition(parts), right.repartition(parts),
+      Seq("k"), "lt", "rt", tieBreak = Seq("seq"))
+      .select("k", "lt", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val expected = Seq((1, 10L, "hi"), (1, 50L, "hi"))
+    assert(run(1) === expected)
+    assert(run(6) === expected)
+  }
+
   test("native as-of handles self-join shape (both sides from one scan)") {
     graft.functions.GraftFunctions.register(spark)
     val base = Seq((1, 10L, "a", 1), (1, 20L, "b", 2), (2, 5L, "c", 3),
