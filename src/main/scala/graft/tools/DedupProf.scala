@@ -21,6 +21,9 @@ object DedupProf {
     time("minhash_pairs")(Dedup.minhashPairs(d).count())
     time("simhash")(Dedup.simhash(d).count())
     time("simhash_pairs")(Dedup.simhashPairs(d).count())
+    time("simhash_pairs_banded")(Dedup.simhashPairsBanded(d).count())
+    time("dup_clusters")(Dedup.dupClusters(d).count())
+    time("url_dedup")(graft.llm.Curation.urlDedup(d).count())
     spark.stop()
   }
 }
