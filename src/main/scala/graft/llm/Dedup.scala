@@ -223,6 +223,45 @@ object Dedup {
       |  CAST(coalesce(comp.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
       |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id""".stripMargin
 
+  /** Two-phase fuzzy dedup: CHEAP candidates (token-set Jaccard) then
+    * an EXPENSIVE per-pair verifier (Levenshtein over a bounded prefix)
+    * only on the candidates — the standard shape when the precise
+    * metric is quadratic in document length: at corpus scale you can
+    * afford edit distance on thousands of candidate pairs, never on
+    * all pairs. Prefix-bounding keeps the verifier O(prefix^2).
+    */
+  def editVerifiedPairs(
+      d: DataFrame, threshold: Double = 0.5, prefix: Int = 60): DataFrame = {
+    val texts = graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"), substring(col("text"), 1, prefix).as("head"))
+    jaccardPairs(d, threshold)
+      .join(broadcast(texts.select(col("doc_id").as("doc_a"),
+        col("head").as("head_a"))), "doc_a")
+      .join(broadcast(texts.select(col("doc_id").as("doc_b"),
+        col("head").as("head_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("head_a"), col("head_b")).cast("bigint")
+          .as(s"edit_$prefix"))
+  }
+
+  val editVerifiedPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, substring(text, 1, 60) AS head,
+      |    list_distinct(list_filter(
+      |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
+      |  FROM documents)
+      |SELECT doc_a, doc_b, jaccard,
+      |  CAST(levenshtein(head_a, head_b) AS BIGINT) AS edit_60
+      |FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.head AS head_a, b.head AS head_b,
+      |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+      |      6) AS jaccard
+      |  FROM t a JOIN t b
+      |    ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
   // ------------------------------------------------- embedding cosine
 
   /** Embedding-cosine near-dup pairs within a `label` bucket: the
@@ -391,6 +430,7 @@ object Dedup {
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
+    "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
     "q_dedup_embedding" -> ((s, d) =>
       embeddingPairs(graft.core.Tables.load(s, d, "embeddings"))),
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
@@ -405,5 +445,6 @@ object Dedup {
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" -> dupClustersSql,
+    "q_dedup_edit" -> editVerifiedPairsSql,
     "q_dedup_embedding" -> embeddingPairsSql)
 }
