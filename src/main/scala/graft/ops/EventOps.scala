@@ -197,7 +197,59 @@ object EventOps {
       |    BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000
       |    AND epoch_us(CAST(p.ts AS TIMESTAMP))""".stripMargin
 
+  /** Funnel / sequence analytics: per user, the first click, the first
+    * purchase AT-OR-AFTER that click, and a conversion flag — the
+    * order-sensitive pattern ("did B happen after A") spelled as
+    * conditional aggregates over event time, one shuffle by user.
+    */
+  def funnel(ev: DataFrame): DataFrame = {
+    val t = unix_micros(col("ts"))
+    ev.groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        min(when(col("event_type") === "click", t)).as("first_click_us"))
+      .join(
+        ev.select(col("user_id"),
+          when(col("event_type") === "purchase", t).as("pt")),
+        Seq("user_id"), "left")
+      .groupBy("user_id", "n_clicks", "n_purchases", "first_click_us")
+      .agg(min(when(col("pt") >= col("first_click_us"), col("pt")))
+        .as("first_purchase_after_us"))
+      .select(col("user_id"), col("n_clicks"), col("n_purchases"),
+        col("first_click_us"), col("first_purchase_after_us"),
+        when(col("first_purchase_after_us").isNotNull, 1L).otherwise(0L)
+          .as("converted"))
+  }
+
+  val funnelSql: String =
+    """WITH base AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_clicks,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchases,
+      |    min(CASE WHEN event_type = 'click'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_click_us
+      |  FROM events GROUP BY user_id),
+      |pa AS (
+      |  SELECT e.user_id,
+      |    min(CASE WHEN e.event_type = 'purchase'
+      |      AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= b.first_click_us
+      |      THEN epoch_us(CAST(e.ts AS TIMESTAMP)) END)
+      |      AS first_purchase_after_us
+      |  FROM events e JOIN base b ON e.user_id = b.user_id
+      |  GROUP BY e.user_id)
+      |SELECT b.user_id, b.n_clicks, b.n_purchases, b.first_click_us,
+      |  pa.first_purchase_after_us,
+      |  CAST(CASE WHEN pa.first_purchase_after_us IS NOT NULL
+      |    THEN 1 ELSE 0 END AS BIGINT) AS converted
+      |FROM base b LEFT JOIN pa ON b.user_id = pa.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_funnel" -> ((s, d) => funnel(events(s, d))),
     "q_interval_join" -> ((s, d) => intervalPurchaseClick(events(s, d))),
     "q_asof_join" -> ((s, d) => asOfPurchaseClick(events(s, d))),
     "q_asof_join_native" -> ((s, d) => {
@@ -211,6 +263,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_funnel" -> funnelSql,
     "q_interval_join" -> intervalPurchaseClickSql,
     "q_asof_join" -> asOfPurchaseClickSql,
     "q_asof_join_native" -> asOfPurchaseClickSql,
