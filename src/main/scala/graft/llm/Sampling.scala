@@ -61,13 +61,52 @@ object Sampling {
       |  END AS split
       |FROM documents""".stripMargin
 
+  /** Deterministic WEIGHTED (importance) sampling: keep probability
+    * proportional to a per-doc weight (here token count, capped), with
+    * the Bernoulli draw replaced by an integer hash of the content —
+    * longer/higher-quality docs are kept more often, assignment stays a
+    * pure row function (integer-exact across engines, reproducible,
+    * duplicate-stable). The standard up-weighting step of training-data
+    * mixes, minus the seed bookkeeping.
+    */
+  def weightedSample(d: DataFrame): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    // portable uniform-ish integer in [0, 10000) from hex chars
+    val u = pmod(
+      (ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1))) * 131 +
+        ascii(substring(h, 3, 1)), lit(10000))
+    val ntok = size(TextOps.wsTokens(col("text")))
+    val keepBelow = least(ntok, lit(200)) * 50 // weight cap -> p <= 1
+    d.select(col("doc_id"),
+      ntok.cast("bigint").as("n_tokens"),
+      u.cast("bigint").as("u"),
+      keepBelow.cast("bigint").as("keep_below"))
+      .filter(col("u") < col("keep_below"))
+  }
+
+  val weightedSampleSql: String =
+    """SELECT doc_id, n_tokens, u, keep_below FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(((ascii(substr(md5(text), 1, 1)) * 131 +
+      |           ascii(substr(md5(text), 2, 1))) * 131 +
+      |          ascii(substr(md5(text), 3, 1))) % 10000 AS BIGINT) AS u,
+      |    CAST(least(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> '')), 200) * 50 AS BIGINT) AS keep_below
+      |  FROM documents)
+      |WHERE u < keep_below""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_per_group" -> ((s, d) =>
       samplePerGroup(Tables.load(s, d, "documents"), "lang")),
     "q_train_test_split" -> ((s, d) =>
-      trainTestSplit(Tables.load(s, d, "documents"))))
+      trainTestSplit(Tables.load(s, d, "documents"))),
+    "q_sample_weighted" -> ((s, d) =>
+      weightedSample(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
     "q_sample_per_group" -> samplePerGroupSql,
-    "q_train_test_split" -> trainTestSplitSql)
+    "q_train_test_split" -> trainTestSplitSql,
+    "q_sample_weighted" -> weightedSampleSql)
 }
