@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * Scale: decode via `mapPartitions` keeps codec initialization
   * per-partition (not per-row); frame explosion multiplies rows before
   * a narrow projection, so it stays pipelined inside the same stage —
-  * no shuffle anywhere.
+  * no shuffle anywhere. `mapPartitions` here is the JVM analog of the
+  * `mapInPandas` contract (one stream of batches per partition,
+  * schema-typed output): a PySpark deployment swaps the stub for a
+  * Pandas decode function with the identical schema and batch shape,
+  * and nothing else in the plan changes.
   */
 object Multimodal {
 
