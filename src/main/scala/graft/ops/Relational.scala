@@ -794,6 +794,57 @@ object Relational {
       |        FROM orders))
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** Bitwise aggregate + scalar surface: bit_and/bit_or/bit_xor over
+    * the keys of each group, plus shift/mask scalars.
+    */
+  def qScalarBit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        bit_and(col("o_orderkey")).as("keys_and"),
+        bit_or(col("o_orderkey")).as("keys_or"),
+        bit_xor(col("o_orderkey")).as("keys_xor"),
+        bit_count(bit_or(col("o_orderkey"))).cast("bigint").as("or_bits"),
+        max(shiftleft(col("o_orderkey").bitwiseAND(lit(0xffL)), 8))
+          .as("max_shifted"))
+
+  val qScalarBitSql: String =
+    """SELECT o_orderstatus,
+      |  bit_and(o_orderkey) AS keys_and,
+      |  bit_or(o_orderkey) AS keys_or,
+      |  bit_xor(o_orderkey) AS keys_xor,
+      |  CAST(bit_count(bit_or(o_orderkey)) AS BIGINT) AS or_bits,
+      |  max((o_orderkey & 255) * 256) AS max_shifted
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Null-handling scalar surface: nullif / coalesce / nvl2-style
+    * three-way / null-safe equality, with nulls DERIVED in-query (the
+    * testdata has none) so every branch is exercised.
+    */
+  def qScalarNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 40 === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("ln"),
+        // tax of exactly 0 -> NULL, then handled
+        nullif(col("l_tax"), lit(0.0)).as("tax_or_null"),
+        coalesce(nullif(col("l_tax"), lit(0.0)), lit(-1.0)).as("tax_coalesced"),
+        when(nullif(col("l_tax"), lit(0.0)).isNotNull, lit("taxed"))
+          .otherwise(lit("taxfree")).as("nvl2_style"),
+        (nullif(col("l_discount"), lit(0.0)) <=> nullif(col("l_tax"), lit(0.0)))
+          .cast("bigint").as("null_safe_eq"))
+
+  val qScalarNullSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  nullif(l_tax, 0.0) AS tax_or_null,
+      |  coalesce(nullif(l_tax, 0.0), -1.0) AS tax_coalesced,
+      |  CASE WHEN nullif(l_tax, 0.0) IS NOT NULL THEN 'taxed'
+      |    ELSE 'taxfree' END AS nvl2_style,
+      |  CAST(nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)
+      |    AS BIGINT) AS null_safe_eq
+      |FROM lineitem WHERE l_orderkey % 40 = 0""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -829,7 +880,9 @@ object Relational {
     "q_stats" -> (qStats _),
     "q_subquery" -> (qSubquery _),
     "q_mode" -> (qMode _),
-    "q_quantile_exact" -> (qQuantileExact _))
+    "q_quantile_exact" -> (qQuantileExact _),
+    "q_scalar_bit" -> (qScalarBit _),
+    "q_scalar_null" -> (qScalarNull _))
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -863,5 +916,7 @@ object Relational {
     "q_stats" -> qStatsSql,
     "q_subquery" -> qSubquerySql,
     "q_mode" -> qModeSql,
-    "q_quantile_exact" -> qQuantileExactSql)
+    "q_quantile_exact" -> qQuantileExactSql,
+    "q_scalar_bit" -> qScalarBitSql,
+    "q_scalar_null" -> qScalarNullSql)
 }
