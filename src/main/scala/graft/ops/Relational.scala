@@ -845,6 +845,59 @@ object Relational {
       |    AS BIGINT) AS null_safe_eq
       |FROM lineitem WHERE l_orderkey % 40 = 0""".stripMargin
 
+  /** MERGE / upsert as a relational plan (CDC apply on plain columnar
+    * storage — what table formats run under the hood): base FULL OUTER
+    * JOIN updates on the key; matched rows take the update's values,
+    * unmatched-left keep the base, unmatched-right insert. The update
+    * set here is derived deterministically from the base (every 10th
+    * customer re-priced, plus brand-new keys), so the oracle reproduces
+    * it exactly.
+    *
+    * Scale: one hash-partitioned full-outer join — the snapshot-merge
+    * cost is O(base + updates), and writing the result partitioned by
+    * the join key makes the next merge co-partitioned.
+    */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("bigint").as("bal_cents"))
+    val updates = t(s, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("k"), lit("REPRICED").as("seg"),
+        (round(col("c_acctbal") * 100, 0).cast("bigint") + 5000L)
+          .as("bal_cents"))
+      .unionAll(t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"), lit("NEW").as("seg"),
+          lit(0L).as("bal_cents")))
+    base.as("b").join(updates.as("u"), col("b.k") === col("u.k"), "full_outer")
+      .select(
+        coalesce(col("b.k"), col("u.k")).as("k"),
+        coalesce(col("u.seg"), col("b.seg")).as("seg"),
+        coalesce(col("u.bal_cents"), col("b.bal_cents")).as("bal_cents"),
+        when(col("b.k").isNull, "insert")
+          .when(col("u.k").isNull, "keep").otherwise("update").as("action"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |updates AS (
+      |  SELECT c_custkey AS k, 'REPRICED' AS seg,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) + 5000 AS bal_cents
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS k, 'NEW' AS seg, 0 AS bal_cents
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT coalesce(b.k, u.k) AS k,
+      |  coalesce(u.seg, b.seg) AS seg,
+      |  CAST(coalesce(u.bal_cents, b.bal_cents) AS BIGINT) AS bal_cents,
+      |  CASE WHEN b.k IS NULL THEN 'insert'
+      |    WHEN u.k IS NULL THEN 'keep' ELSE 'update' END AS action
+      |FROM base b FULL OUTER JOIN updates u ON b.k = u.k""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -882,7 +935,8 @@ object Relational {
     "q_mode" -> (qMode _),
     "q_quantile_exact" -> (qQuantileExact _),
     "q_scalar_bit" -> (qScalarBit _),
-    "q_scalar_null" -> (qScalarNull _))
+    "q_scalar_null" -> (qScalarNull _),
+    "q_merge_upsert" -> (qMergeUpsert _))
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -918,5 +972,6 @@ object Relational {
     "q_mode" -> qModeSql,
     "q_quantile_exact" -> qQuantileExactSql,
     "q_scalar_bit" -> qScalarBitSql,
-    "q_scalar_null" -> qScalarNullSql)
+    "q_scalar_null" -> qScalarNullSql,
+    "q_merge_upsert" -> qMergeUpsertSql)
 }
