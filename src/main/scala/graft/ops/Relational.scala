@@ -845,6 +845,33 @@ object Relational {
       |    AS BIGINT) AS null_safe_eq
       |FROM lineitem WHERE l_orderkey % 40 = 0""".stripMargin
 
+  /** RANGE-frame window (value-based, not row-based): for each order,
+    * aggregate over all of the customer's orders whose price is within
+    * 50000 cents BELOW this one — frames defined by VALUE distance
+    * include a variable number of rows, which rowsBetween cannot
+    * express.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("cents"))
+      .rangeBetween(-5000000L, Window.currentRow)
+    base.select(col("o_custkey"), col("o_orderkey"), col("cents"),
+      count(lit(1)).over(w).as("n_in_band"),
+      sum("cents").over(w).as("band_cents"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT o_custkey, o_orderkey, cents,
+      |  count(*) OVER w AS n_in_band,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS band_cents
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+      |  RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** MERGE / upsert as a relational plan (CDC apply on plain columnar
     * storage — what table formats run under the hood): base FULL OUTER
     * JOIN updates on the key; matched rows take the update's values,
@@ -936,7 +963,8 @@ object Relational {
     "q_quantile_exact" -> (qQuantileExact _),
     "q_scalar_bit" -> (qScalarBit _),
     "q_scalar_null" -> (qScalarNull _),
-    "q_merge_upsert" -> (qMergeUpsert _))
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_window_range" -> (qWindowRange _))
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -973,5 +1001,6 @@ object Relational {
     "q_quantile_exact" -> qQuantileExactSql,
     "q_scalar_bit" -> qScalarBitSql,
     "q_scalar_null" -> qScalarNullSql,
-    "q_merge_upsert" -> qMergeUpsertSql)
+    "q_merge_upsert" -> qMergeUpsertSql,
+    "q_window_range" -> qWindowRangeSql)
 }

@@ -105,4 +105,27 @@ class StorageSpec extends SparkSpec {
     assert(za < 0.6 * full, s"z a-span $za")
     assert(zb < 0.6 * full, s"z b-span $zb")
   }
+
+  test("ANALYZE TABLE statistics reach the optimizer (CBO)") {
+    val keepCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_stats_t")
+      Tables.load(spark, sfDir, "orders")
+        .write.mode("overwrite").saveAsTable("graft_stats_t")
+      spark.sql("ANALYZE TABLE graft_stats_t COMPUTE STATISTICS " +
+        "FOR COLUMNS o_custkey")
+      val stats = spark.table("graft_stats_t")
+        .queryExecution.optimizedPlan.stats
+      val expected = Tables.load(spark, sfDir, "orders").count()
+      assert(stats.rowCount.exists(_.toLong == expected),
+        s"rowCount stat missing/wrong: ${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty, "no column stats")
+      val cs = stats.attributeStats.head._2
+      assert(cs.distinctCount.isDefined, "no NDV for analyzed column")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_stats_t")
+      spark.conf.set("spark.sql.cbo.enabled", keepCbo)
+    }
+  }
 }
