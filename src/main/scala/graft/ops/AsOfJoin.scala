@@ -89,6 +89,26 @@ object AsOfJoin {
           (col(matchedTime) +: rightPayload.map(col)): _*)
   }
 
+  /** FORWARD as-of: for every left row, the EARLIEST right row with
+    * `rightTime >= leftTime` — implemented by running the backward
+    * operator on negated numeric times (order reversal), so both
+    * directions share one code path and one set of invariants.
+    * Requires numeric time columns.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val l = left.withColumn(leftTime, -col(leftTime))
+    val r = right.withColumn(rightTime, -col(rightTime))
+    val joined = asOf(l, r, keys, leftTime, rightTime)
+    joined
+      .withColumn(leftTime, -col(leftTime))
+      .withColumn(s"asof_$rightTime", -col(s"asof_$rightTime"))
+  }
+
   /** The same as-of semantics through the NATIVE physical operator
     * ([[graft.plans.AsOfJoinExec]] — streaming per-partition merge, one
     * exchange per side, O(1) state). Requires

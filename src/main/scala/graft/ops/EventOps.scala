@@ -248,7 +248,41 @@ object EventOps {
       |    THEN 1 ELSE 0 END AS BIGINT) AS converted
       |FROM base b LEFT JOIN pa ON b.user_id = pa.user_id""".stripMargin
 
+  /** Forward as-of: each click matched to the user's NEXT purchase
+    * at-or-after it (the "time to conversion" join).
+    */
+  def forwardClickPurchase(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("ct"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("pt"))
+      .agg(max("event_id").as("purchase_id"))
+    AsOfJoin.asOfForward(clicks, purchases, Seq("user_id"), "ct", "pt")
+      .select(col("user_id"), col("click_id"), col("asof_pt"),
+        col("purchase_id"),
+        (col("asof_pt") - col("ct")).as("wait_micros"))
+  }
+
+  val forwardClickPurchaseSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ct
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt,
+      |    max(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |nxt AS (
+      |  SELECT c.user_id, c.click_id, c.ct, min(p.pt) AS asof_pt
+      |  FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.pt >= c.ct
+      |  GROUP BY 1, 2, 3)
+      |SELECT n.user_id, n.click_id, n.asof_pt, p.purchase_id,
+      |  n.asof_pt - n.ct AS wait_micros
+      |FROM nxt n LEFT JOIN p ON n.user_id = p.user_id AND n.asof_pt = p.pt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_forward" -> ((s, d) => forwardClickPurchase(events(s, d))),
     "q_events_funnel" -> ((s, d) => funnel(events(s, d))),
     "q_interval_join" -> ((s, d) => intervalPurchaseClick(events(s, d))),
     "q_asof_join" -> ((s, d) => asOfPurchaseClick(events(s, d))),
@@ -263,6 +297,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_forward" -> forwardClickPurchaseSql,
     "q_events_funnel" -> funnelSql,
     "q_interval_join" -> intervalPurchaseClickSql,
     "q_asof_join" -> asOfPurchaseClickSql,
