@@ -167,6 +167,45 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** sorted distinct xxhash64 of each n-token shingle (tokens joined by
+    * 0x20, same shingle convention as [[minhashSignature]]; a document
+    * with fewer than n tokens contributes its whole token string as one
+    * shingle). The per-document input for EXACT shingle-Jaccard via
+    * [[SortedJaccard]].
+    */
+  def hashedSortedShingles(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val (spans, cnt) = tokenSpans(base, off, s.numBytes)
+    var buf = new Array[Byte](64)
+    def shingleHash(from: Int, until: Int): Long = {
+      var len = 0
+      var t = from
+      while (t < until) {
+        val tl = spans(2 * t + 1) - spans(2 * t)
+        if (len + tl + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tl + 1))
+        if (t > from) { buf(len) = 0x20; len += 1 }
+        Platform.copyMemory(base, off + spans(2 * t), buf,
+          Platform.BYTE_ARRAY_OFFSET + len, tl.toLong)
+        len += tl
+        t += 1
+      }
+      XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, HashSeed)
+    }
+    val hs =
+      if (cnt >= n) Array.tabulate(cnt - n + 1)(i => shingleHash(i, i + n))
+      else Array(shingleHash(0, cnt))
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (w == 0 || hs(w - 1) != hs(r)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+
   /** Per-document term frequencies over LETTER-RUN tokens (the
     * reference tokenizer: maximal runs of Unicode category-L code
     * points, `Character.isLetter` == Java regex `\p{L}`), as a
@@ -268,6 +307,26 @@ case class HashedSortedTokens(child: Expression) extends TextKernelExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextKernels.hashedSortedTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** hashed_sorted_shingles(text, n): sorted distinct xxhash64 of n-token
+  * shingles — see [[TextKernels.hashedSortedShingles]].
+  */
+case class HashedSortedShingles(child: Expression, n: Int)
+    extends TextKernelExpression {
+  require(n >= 1, "n must be >= 1")
+  override def prettyName: String = "hashed_sorted_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashedSortedShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.hashedSortedShingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -379,4 +438,7 @@ object text {
 
   def token_counts(c: Column): Column =
     Bridge.column(TokenCounts(Bridge.expression(c)))
+
+  def hashed_sorted_shingles(c: Column, n: Int): Column =
+    Bridge.column(HashedSortedShingles(Bridge.expression(c), n))
 }

@@ -132,6 +132,54 @@ object Dedup {
       |    ON a.source = b.source AND a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  /** EXACT shingle (word n-gram) Jaccard pairs: the order-sensitive
+    * sibling of [[jaccardPairs]] — two docs with the same vocabulary in
+    * different order share tokens but few 3-gram shingles, so this
+    * catches rewording that token-set Jaccard cannot. Same kernel
+    * discipline: one single-pass shingle-hash per doc, one
+    * SortedJaccard merge per pair. This is also exactly the similarity
+    * the MinHash signature ([[minhashSignatures]]) estimates, so it
+    * doubles as the ground-truth side of that estimate.
+    */
+  def jaccardShinglePairs(
+      d: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    import graft.functions.text.hashed_sorted_shingles
+    import graft.functions.vector.sorted_jaccard
+    val withSh = graft.core.Layout.spread(d, "doc_id").select(
+      col("doc_id"), col("source"),
+      hashed_sorted_shingles(col("text"), n).as("sh"))
+    withSh.as("a")
+      .join(broadcast(withSh.as("b")),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(sorted_jaccard(col("a.sh"), col("b.sh")), 6).as("sh_jaccard"))
+      .filter(col("sh_jaccard") >= threshold)
+  }
+
+  val jaccardShinglePairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |      AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> array_to_string(toks[i:i + 2], ' ')))
+      |    ELSE [array_to_string(toks, ' ')] END AS sset
+      |  FROM t)
+      |SELECT doc_a, doc_b, sh_jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+      |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))),
+      |      6) AS sh_jaccard
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE sh_jaccard >= 0.2""".stripMargin
+
   /** Near-dup CLUSTERS: connected components over the Jaccard pair
     * graph, by iterative min-label propagation (each vertex repeatedly
     * takes the min of its own and its neighbors' labels until
@@ -431,6 +479,7 @@ object Dedup {
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
+    "q_dedup_shingle" -> ((s, d) => jaccardShinglePairs(docs(s, d))),
     "q_dedup_embedding" -> ((s, d) =>
       embeddingPairs(graft.core.Tables.load(s, d, "embeddings"))),
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
@@ -446,5 +495,6 @@ object Dedup {
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" -> dupClustersSql,
     "q_dedup_edit" -> editVerifiedPairsSql,
+    "q_dedup_shingle" -> jaccardShinglePairsSql,
     "q_dedup_embedding" -> embeddingPairsSql)
 }
