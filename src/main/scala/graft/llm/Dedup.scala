@@ -107,10 +107,16 @@ object Dedup {
     // bucket key must be high-cardinality — LSH band buckets — and the
     // same join becomes a well-partitioned shuffle join; AQE demotes
     // the broadcast automatically if the side outgrows the threshold.)
+    // length filter (PPJoin-family): J(A,B) >= t forces the set sizes
+    // within a factor of t of each other — a necessary condition, so
+    // pruning on it before the merge kernel cannot change the result,
+    // and it skips the O(n+m) merge for obviously-dissimilar pairs
     withToks.as("a")
       .join(broadcast(withToks.as("b")),
         col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          size(col("a.toks")) >= lit(threshold) * size(col("b.toks")) &&
+          size(col("b.toks")) >= lit(threshold) * size(col("a.toks")))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(sorted_jaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
@@ -151,7 +157,10 @@ object Dedup {
     withSh.as("a")
       .join(broadcast(withSh.as("b")),
         col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          // length filter — see jaccardPairs
+          size(col("a.sh")) >= lit(threshold) * size(col("b.sh")) &&
+          size(col("b.sh")) >= lit(threshold) * size(col("a.sh")))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(sorted_jaccard(col("a.sh"), col("b.sh")), 6).as("sh_jaccard"))
