@@ -67,6 +67,52 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("foreachBatch CDC loop: per-batch merge upsert into a parquet snapshot") {
+    // the lakehouse write path: each micro-batch full-outer-merges into
+    // the snapshot (latest value per key wins), so the table is always
+    // a consistent upsert state — batch and stream share the merge shape
+    import org.apache.spark.sql.{DataFrame, functions => F}
+    implicit val sqlCtx = spark.sqlContext
+    val snapDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-snap").toString + "/snap"
+    val input = MemoryStream[(Long, String, Long)] // key, value, seq
+    def mergeBatch(batch: DataFrame, id: Long): Unit = {
+      // latest row per key within the batch (highest seq)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(F.col("seq").desc)
+      val updates = batch.toDF("k", "v", "seq")
+        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") === 1)
+        .drop("rn")
+      val base: DataFrame =
+        if (new java.io.File(snapDir).exists())
+          spark.read.parquet(snapDir)
+        else updates.limit(0)
+      val merged = base.as("b")
+        .join(updates.as("u"), F.col("b.k") === F.col("u.k"), "full_outer")
+        .select(
+          F.coalesce(F.col("u.k"), F.col("b.k")).as("k"),
+          F.coalesce(F.col("u.v"), F.col("b.v")).as("v"),
+          F.coalesce(F.col("u.seq"), F.col("b.seq")).as("seq"))
+      // write-then-swap keeps the snapshot readable mid-merge
+      merged.write.mode("overwrite").parquet(snapDir + ".next")
+      val fs = new java.io.File(snapDir)
+      if (fs.exists()) scala.reflect.io.Directory(fs).deleteRecursively()
+      new java.io.File(snapDir + ".next").renameTo(fs)
+    }
+    val q = input.toDS().toDF("k", "v", "seq").writeStream
+      .foreachBatch(mergeBatch _).outputMode("append").start()
+    input.addData((1L, "a1", 1L), (2L, "b1", 2L))
+    q.processAllAvailable()
+    input.addData((1L, "a2", 3L), (3L, "c1", 4L))
+    q.processAllAvailable()
+    input.addData((2L, "b2", 5L))
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.read.parquet(snapDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap === Map(1L -> "a2", 2L -> "b2", 3L -> "c1"))
+  }
+
   test("runningCount accumulates per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedEvent]
