@@ -925,6 +925,58 @@ object Relational {
       |    WHEN u.k IS NULL THEN 'keep' ELSE 'update' END AS action
       |FROM base b FULL OUTER JOIN updates u ON b.k = u.k""".stripMargin
 
+  /** Distribution window functions: percent_rank / cume_dist /
+    * dense_rank over a totally ordered per-group window (both engines
+    * compute the same IEEE divisions of the same integers, so doubles
+    * compare exactly).
+    */
+  def qWindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"),
+        dense_rank().over(w).cast("bigint").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  val qWindowDistSql: String =
+    """SELECT o_orderstatus, o_orderkey,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders
+      |WHERE o_orderkey % 20 = 0
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
+  /** ANSI-safe arithmetic: with spark.sql.ansi.enabled (the default in
+    * Spark 4) plain division by zero or overflow THROWS; the `try_`
+    * family yields NULL instead — the contract batch pipelines want for
+    * dirty data. The oracle spells the same semantics with CASE.
+    */
+  def qScalarTry(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 60 === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("ln"),
+        try_divide(col("l_extendedprice"),
+          round(col("l_tax") * 100, 0)).as("price_per_taxpoint"),
+        try_add(col("l_orderkey") + lit(1L), lit(Long.MaxValue)).as("overflowed"),
+        try_to_number(lit("not a number"), lit("999")).as("bad_parse"))
+
+  val qScalarTrySql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  CASE WHEN round(l_tax * 100, 0) = 0 THEN NULL
+      |    ELSE l_extendedprice / round(l_tax * 100, 0) END
+      |    AS price_per_taxpoint,
+      |  CAST(NULL AS BIGINT) AS overflowed,
+      |  CAST(NULL AS DECIMAL(3,0)) AS bad_parse
+      |FROM lineitem WHERE l_orderkey % 60 = 0""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -964,7 +1016,9 @@ object Relational {
     "q_scalar_bit" -> (qScalarBit _),
     "q_scalar_null" -> (qScalarNull _),
     "q_merge_upsert" -> (qMergeUpsert _),
-    "q_window_range" -> (qWindowRange _))
+    "q_window_range" -> (qWindowRange _),
+    "q_window_dist" -> (qWindowDist _),
+    "q_scalar_try" -> (qScalarTry _))
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -1002,5 +1056,7 @@ object Relational {
     "q_scalar_bit" -> qScalarBitSql,
     "q_scalar_null" -> qScalarNullSql,
     "q_merge_upsert" -> qMergeUpsertSql,
-    "q_window_range" -> qWindowRangeSql)
+    "q_window_range" -> qWindowRangeSql,
+    "q_window_dist" -> qWindowDistSql,
+    "q_scalar_try" -> qScalarTrySql)
 }
