@@ -977,6 +977,60 @@ object Relational {
       |  CAST(NULL AS DECIMAL(3,0)) AS bad_parse
       |FROM lineitem WHERE l_orderkey % 60 = 0""".stripMargin
 
+  /** Date/time truncation family: week/month/quarter/year bucket
+    * starts (the time-dimension rollup keys of every calendar report),
+    * emitted as formatted strings for engine-exact compare.
+    */
+  def qScalarDateTrunc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 25 === 0)
+      .select(
+        col("o_orderkey"),
+        fmtD(date_trunc("week", col("o_orderdate"))).as("wk"),
+        fmtD(date_trunc("month", col("o_orderdate"))).as("mo"),
+        fmtD(date_trunc("quarter", col("o_orderdate"))).as("qt"),
+        fmtD(date_trunc("year", col("o_orderdate"))).as("yr"),
+        dayofweek(col("o_orderdate")).cast("bigint").as("dow_1sun"),
+        weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"))
+
+  val qScalarDateTruncSql: String =
+    """SELECT o_orderkey,
+      |  strftime(CAST(date_trunc('week', ts) AS TIMESTAMP), '%Y-%m-%d') AS wk,
+      |  strftime(CAST(date_trunc('month', ts) AS TIMESTAMP), '%Y-%m-%d') AS mo,
+      |  strftime(CAST(date_trunc('quarter', ts) AS TIMESTAMP), '%Y-%m-%d') AS qt,
+      |  strftime(CAST(date_trunc('year', ts) AS TIMESTAMP), '%Y-%m-%d') AS yr,
+      |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow_1sun,
+      |  CAST(weekofyear(ts) AS BIGINT) AS iso_week
+      |FROM (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts
+      |      FROM orders WHERE o_orderkey % 25 = 0)""".stripMargin
+
+  /** Second string-function family: split_part / translate / repeat /
+    * left / right / position — each with a direct DuckDB equivalent.
+    */
+  def qScalarString2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        split(col("p_type"), " ").getItem(0).as("type_first"),
+        element_at(split(col("p_type"), " "), -1).as("type_last"),
+        translate(col("p_brand"), "Brand#", "marke.").as("brand_xlat"),
+        repeat(lit("ab"), 3).as("repeated"),
+        substring(col("p_name"), 1, 4).as("left4"),
+        col("p_name").substr(length(col("p_name")) - 3, lit(4)).as("right4"),
+        instr(col("p_type"), "ED").cast("bigint").as("pos_ed"))
+
+  val qScalarString2Sql: String =
+    """SELECT p_partkey,
+      |  split_part(p_type, ' ', 1) AS type_first,
+      |  split_part(p_type, ' ', -1) AS type_last,
+      |  translate(p_brand, 'Brand#', 'marke.') AS brand_xlat,
+      |  repeat('ab', 3) AS repeated,
+      |  left(p_name, 4) AS left4,
+      |  right(p_name, 4) AS right4,
+      |  CAST(CASE WHEN position('ED' IN p_type) IS NULL THEN 0
+      |    ELSE position('ED' IN p_type) END AS BIGINT) AS pos_ed
+      |FROM part""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1018,7 +1072,9 @@ object Relational {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_window_range" -> (qWindowRange _),
     "q_window_dist" -> (qWindowDist _),
-    "q_scalar_try" -> (qScalarTry _))
+    "q_scalar_try" -> (qScalarTry _),
+    "q_scalar_datetrunc" -> (qScalarDateTrunc _),
+    "q_scalar_string2" -> (qScalarString2 _))
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -1058,5 +1114,7 @@ object Relational {
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_window_range" -> qWindowRangeSql,
     "q_window_dist" -> qWindowDistSql,
-    "q_scalar_try" -> qScalarTrySql)
+    "q_scalar_try" -> qScalarTrySql,
+    "q_scalar_datetrunc" -> qScalarDateTruncSql,
+    "q_scalar_string2" -> qScalarString2Sql)
 }
