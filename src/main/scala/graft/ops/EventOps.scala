@@ -281,7 +281,36 @@ object EventOps {
       |  n.asof_pt - n.ct AS wait_micros
       |FROM nxt n LEFT JOIN p ON n.user_id = p.user_id AND n.asof_pt = p.pt""".stripMargin
 
+  /** Trending: top-2 event types per tumbling hour (windowed top-k —
+    * the aggregation + per-window rank composite behind every
+    * "top items this hour" feed), deterministic tie-break.
+    */
+  def topKPerWindow(ev: DataFrame, k: Int = 2): DataFrame = {
+    val counts = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(fmtTs(col("w.start")).as("window_start"),
+        col("event_type"), col("n"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(rankW).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  val topKPerWindowSql: String =
+    """SELECT window_start, event_type, n, rnk FROM (
+      |  SELECT window_start, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY window_start
+      |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+      |  FROM (
+      |    SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+      |        '%Y-%m-%d %H:%M:%S') AS window_start,
+      |      event_type, count(*) AS n
+      |    FROM events GROUP BY 1, 2))
+      |WHERE rnk <= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_window_topk" -> ((s, d) => topKPerWindow(events(s, d))),
     "q_asof_forward" -> ((s, d) => forwardClickPurchase(events(s, d))),
     "q_events_funnel" -> ((s, d) => funnel(events(s, d))),
     "q_interval_join" -> ((s, d) => intervalPurchaseClick(events(s, d))),
@@ -297,6 +326,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_window_topk" -> topKPerWindowSql,
     "q_asof_forward" -> forwardClickPurchaseSql,
     "q_events_funnel" -> funnelSql,
     "q_interval_join" -> intervalPurchaseClickSql,
