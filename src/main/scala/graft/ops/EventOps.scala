@@ -309,7 +309,37 @@ object EventOps {
       |    FROM events GROUP BY 1, 2))
       |WHERE rnk <= 2""".stripMargin
 
+  /** Hour-over-hour retention: of the distinct users active in hour h,
+    * how many are also active in hour h+1 — the cohort-retention shape
+    * (distinct per bucket, self-join on adjacent buckets).
+    */
+  def retention(ev: DataFrame): DataFrame = {
+    val hourly = ev.select(
+      date_trunc("hour", col("ts")).as("h"), col("user_id")).distinct()
+    hourly.as("a")
+      .join(hourly.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.h") === col("a.h") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("a.h"))
+      .agg(countDistinct(col("a.user_id")).as("active"),
+        countDistinct(col("b.user_id")).as("retained"))
+      .select(fmtTs(col("h")).as("hour"), col("active"), col("retained"))
+  }
+
+  val retentionSql: String =
+    """WITH hourly AS (
+      |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    user_id
+      |  FROM events)
+      |SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  count(DISTINCT a.user_id) AS active,
+      |  count(DISTINCT b.user_id) AS retained
+      |FROM hourly a LEFT JOIN hourly b
+      |  ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+      |GROUP BY a.h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_retention" -> ((s, d) => retention(events(s, d))),
     "q_events_window_topk" -> ((s, d) => topKPerWindow(events(s, d))),
     "q_asof_forward" -> ((s, d) => forwardClickPurchase(events(s, d))),
     "q_events_funnel" -> ((s, d) => funnel(events(s, d))),
@@ -326,6 +356,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_retention" -> retentionSql,
     "q_events_window_topk" -> topKPerWindowSql,
     "q_asof_forward" -> forwardClickPurchaseSql,
     "q_events_funnel" -> funnelSql,

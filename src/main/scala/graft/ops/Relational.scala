@@ -1031,6 +1031,50 @@ object Relational {
       |    ELSE position('ED' IN p_type) END AS BIGINT) AS pos_ed
       |FROM part""".stripMargin
 
+  /** Numeric histogram: fixed-width binning of order totals (integer
+    * cents DIV width — the distributed histogram shape: one map-side
+    * bin assignment, one tiny aggregation).
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select((round(col("o_totalprice") * 100, 0).cast("bigint") / 5000000L)
+        .cast("bigint").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select((col("bin") * 50000L).as("bin_floor_dollars_x100"), col("n"))
+
+  val qHistogramSql: String =
+    """SELECT CAST(bin * 50000 AS BIGINT) AS bin_floor_dollars_x100,
+      |  count(*) AS n
+      |FROM (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 5000000
+      |        AS bin
+      |      FROM orders)
+      |GROUP BY bin""".stripMargin
+
+  /** Ratio-to-report: each nation's share of total revenue in basis
+    * points — the percent-of-total reporting op via an unpartitioned
+    * window over the aggregated (tiny) result, so the full-table
+    * window state is one row per group, never per fact row.
+    */
+  def qPercentOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val perNation = t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(sum(round(col("c_acctbal") * 100, 0).cast("bigint")).as("cents"))
+    val w = Window.partitionBy()
+    perNation.select(col("c_nationkey"), col("cents"),
+      expr("CAST(cents * 10000 DIV (sum(cents) OVER ()) AS BIGINT)")
+        .as("share_bp"))
+  }
+
+  val qPercentOfTotalSql: String =
+    """SELECT c_nationkey, cents,
+      |  CAST(cents * 10000 // (sum(cents) OVER ()) AS BIGINT) AS share_bp
+      |FROM (
+      |  SELECT c_nationkey,
+      |    CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM customer GROUP BY c_nationkey)""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1074,7 +1118,9 @@ object Relational {
     "q_window_dist" -> (qWindowDist _),
     "q_scalar_try" -> (qScalarTry _),
     "q_scalar_datetrunc" -> (qScalarDateTrunc _),
-    "q_scalar_string2" -> (qScalarString2 _))
+    "q_scalar_string2" -> (qScalarString2 _),
+    "q_histogram" -> (qHistogram _),
+    "q_pct_of_total" -> (qPercentOfTotal _))
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -1116,5 +1162,7 @@ object Relational {
     "q_window_dist" -> qWindowDistSql,
     "q_scalar_try" -> qScalarTrySql,
     "q_scalar_datetrunc" -> qScalarDateTruncSql,
-    "q_scalar_string2" -> qScalarString2Sql)
+    "q_scalar_string2" -> qScalarString2Sql,
+    "q_histogram" -> qHistogramSql,
+    "q_pct_of_total" -> qPercentOfTotalSql)
 }
