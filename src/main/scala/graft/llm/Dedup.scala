@@ -189,6 +189,34 @@ object Dedup {
       |    ON a.source = b.source AND a.doc_id < b.doc_id)
       |WHERE sh_jaccard >= 0.2""".stripMargin
 
+  /** Containment (truncation) duplicates: document A is a strict PREFIX
+    * of document B — the scraped-data case where one copy was cut off.
+    * Length ordering makes the pair direction deterministic and prunes
+    * the candidate set before the O(len) startswith.
+    */
+  def prefixDups(d: DataFrame): DataFrame = {
+    val t = graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("len"))
+    t.as("a")
+      .join(broadcast(t.as("b")),
+        col("a.source") === col("b.source") &&
+          col("a.len") < col("b.len") &&
+          col("b.text").startsWith(col("a.text")))
+      .select(col("a.doc_id").as("short_id"), col("b.doc_id").as("long_id"),
+        col("a.len").cast("bigint").as("short_len"),
+        col("b.len").cast("bigint").as("long_len"))
+  }
+
+  val prefixDupsSql: String =
+    """SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+      |  CAST(length(a.text) AS BIGINT) AS short_len,
+      |  CAST(length(b.text) AS BIGINT) AS long_len
+      |FROM documents a JOIN documents b
+      |  ON a.source = b.source
+      |  AND length(a.text) < length(b.text)
+      |  AND starts_with(b.text, a.text)""".stripMargin
+
   /** Near-dup CLUSTERS: connected components over the Jaccard pair
     * graph, by iterative min-label propagation (each vertex repeatedly
     * takes the min of its own and its neighbors' labels until
@@ -489,6 +517,7 @@ object Dedup {
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
     "q_dedup_shingle" -> ((s, d) => jaccardShinglePairs(docs(s, d))),
+    "q_dedup_prefix" -> ((s, d) => prefixDups(docs(s, d))),
     "q_dedup_embedding" -> ((s, d) =>
       embeddingPairs(graft.core.Tables.load(s, d, "embeddings"))),
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
@@ -505,5 +534,6 @@ object Dedup {
     "q_dedup_clusters" -> dupClustersSql,
     "q_dedup_edit" -> editVerifiedPairsSql,
     "q_dedup_shingle" -> jaccardShinglePairsSql,
+    "q_dedup_prefix" -> prefixDupsSql,
     "q_dedup_embedding" -> embeddingPairsSql)
 }

@@ -349,6 +349,16 @@ object Relational {
     "SELECT c_custkey AS custkey FROM customer EXCEPT " +
       "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0"
 
+  /** Set ops: UNION (distinct) across two different key domains. */
+  def qUnionDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  val qUnionDistinctSql: String =
+    "SELECT c_nationkey AS nationkey FROM customer UNION " +
+      "SELECT s_nationkey AS nationkey FROM supplier"
+
   /** Set ops: UNION ALL of two projections + re-aggregation. */
   def qUnionAll(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1120,7 +1130,8 @@ object Relational {
     "q_scalar_datetrunc" -> (qScalarDateTrunc _),
     "q_scalar_string2" -> (qScalarString2 _),
     "q_histogram" -> (qHistogram _),
-    "q_pct_of_total" -> (qPercentOfTotal _))
+    "q_pct_of_total" -> (qPercentOfTotal _),
+    "q_union_distinct" -> (qUnionDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -1164,5 +1175,6 @@ object Relational {
     "q_scalar_datetrunc" -> qScalarDateTruncSql,
     "q_scalar_string2" -> qScalarString2Sql,
     "q_histogram" -> qHistogramSql,
-    "q_pct_of_total" -> qPercentOfTotalSql)
+    "q_pct_of_total" -> qPercentOfTotalSql,
+    "q_union_distinct" -> qUnionDistinctSql)
 }
