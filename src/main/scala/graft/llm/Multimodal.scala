@@ -80,6 +80,45 @@ object Multimodal {
       |      octet_length(encode(text)) % 30)) AS frame_idx
       |  FROM documents)""".stripMargin
 
+  /** Inference batching: assign media to contiguous byte-budget batches
+    * (doc_id order, 64 KB per batch) and report per-batch stats — the
+    * serving-side sibling of Curation.packSequences: GPU inference
+    * wants fixed-size payload batches, and the assignment must be a
+    * pure function of the data (reproducible across runs).
+    *
+    * Scale note: the cumulative sum here is a GLOBAL ordered window —
+    * fine for a demo corpus, a single-reducer bottleneck at 100 TB. A
+    * production batcher partitions the window by shard (as
+    * packSequences does by lang): batches stay contiguous within each
+    * shard and the shards pack independently.
+    */
+  def inferenceBatches(d: DataFrame, budget: Long = 65536L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    asMedia(d)
+      .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_bytes"),
+        expr(s"CAST(cum_before DIV $budget AS BIGINT)").as("batch_id"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("batch_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  val inferenceBatchesSql: String =
+    """SELECT batch_id, count(*) AS n_items,
+      |  CAST(sum(n_bytes) AS BIGINT) AS batch_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM (
+      |  SELECT doc_id, n_bytes,
+      |    CAST(coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // 65536 AS BIGINT) AS batch_id
+      |  FROM (SELECT doc_id,
+      |          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |        FROM documents))
+      |GROUP BY batch_id""".stripMargin
+
   /** Decoded-image batch record (the schema a real decoder would emit). */
   case class DecodedImage(
       doc_id: Long,
@@ -159,10 +198,12 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_batches" -> ((s, d) => inferenceBatches(docs(s, d))),
     "q_multimodal_meta" -> ((s, d) => mediaMeta(docs(s, d))),
     "q_multimodal_frames" -> ((s, d) => frameSample(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_batches" -> inferenceBatchesSql,
     "q_multimodal_meta" -> mediaMetaSql,
     "q_multimodal_frames" -> frameSampleSql)
 }
