@@ -21,12 +21,13 @@ object Tables {
   // Memoized per (session, dir, table): a load is file listing + footer
   // schema inference, and re-running it for every query in a bench or
   // verify sweep re-pays that per query. The cached value is just an
-  // immutable logical plan — execution state is not shared.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // immutable logical plan — execution state is not shared. Entries are
+  // evicted when the owning session's context stops (SessionCache), so
+  // multi-session JVMs don't leak stopped sessions' plans.
+  private val cache = new SessionCache[(String, String), DataFrame]
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, name), doLoad(spark, sfDir, name))
+    cache.getOrElseUpdate(spark, (sfDir, name))(doLoad(spark, sfDir, name))
 
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")

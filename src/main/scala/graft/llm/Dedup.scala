@@ -275,6 +275,14 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // Exiting via the iteration cap means the labels are NOT component
+    // minima and would silently diverge from the recursive-CTE oracle —
+    // fail loudly instead. With per-round pointer jumping the effective
+    // reach is ~2^maxIters, so hitting this requires a pathological
+    // graph, not a big one.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters: label propagation did not converge within $maxIters " +
+        "rounds; raise maxIters (reach doubles per round)")
     d.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -226,8 +226,12 @@ object Similarity {
       v - round(v / col("scale"), 0) * col("scale")
     e.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("emb"))
-      .withColumn("scale",
-        array_max(transform(col("emb"), v => abs(v))) / lit(127.0))
+      // nullif guard: an all-zero vector would make scale 0, v/scale NaN,
+      // and the bigint cast a runtime ANSI error. NULL scale instead
+      // propagates NULL quantized values / error — a clean row, and the
+      // identical spelling in the DuckDB oracle below.
+      .withColumn("scale", nullif(
+        array_max(transform(col("emb"), v => abs(v))) / lit(127.0), lit(0.0)))
       .withColumn("q", transform(col("emb"), v =>
         round(v / col("scale"), 0).cast("bigint")))
       .withColumn("err2", aggregate(
@@ -257,7 +261,8 @@ object Similarity {
       |    list_transform(emb, v -> CAST(round(v / scale, 0) AS BIGINT)) AS q
       |  FROM (
       |    SELECT vec_id, emb,
-      |      list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale
+      |      nullif(list_max(list_transform(emb, v -> abs(v))) / 127.0, 0)
+      |        AS scale
       |    FROM (SELECT vec_id,
       |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
       |          FROM embeddings)))""".stripMargin
@@ -289,12 +294,13 @@ object Similarity {
   // The codebook is a deterministic trained ARTIFACT of the corpus —
   // memoize it per (session, corpus dir) like any model: re-training it
   // on every query invocation would re-pay the Lloyd jobs for an
-  // identical result.
-  private val codebookCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Array[Array[Double]]]
+  // identical result. Session-stop evicts (SessionCache), so stopped
+  // sessions' codebooks don't pile up across a JVM's lifetime.
+  private val codebookCache =
+    new graft.core.SessionCache[String, Array[Array[Double]]]
 
   private def cachedCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    codebookCache.getOrElseUpdate((s, dir), ivfCentroids(emb(s, dir)))
+    codebookCache.getOrElseUpdate(s, dir)(ivfCentroids(emb(s, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),

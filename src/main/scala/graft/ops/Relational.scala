@@ -1070,15 +1070,20 @@ object Relational {
     val perNation = t(s, dir, "customer")
       .groupBy("c_nationkey")
       .agg(sum(round(col("c_acctbal") * 100, 0).cast("bigint")).as("cents"))
-    val w = Window.partitionBy()
+    // floor(double-division) rather than integer DIV: Spark DIV
+    // truncates toward zero where DuckDB // floors, so the two diverge
+    // on negative sums. IEEE double division is bit-identical in both
+    // engines, and bp numerators (<~1e14) are exactly representable, so
+    // floor() is deterministic and sign-consistent.
     perNation.select(col("c_nationkey"), col("cents"),
-      expr("CAST(cents * 10000 DIV (sum(cents) OVER ()) AS BIGINT)")
+      expr("CAST(floor(cents * 10000 / (sum(cents) OVER ())) AS BIGINT)")
         .as("share_bp"))
   }
 
   val qPercentOfTotalSql: String =
     """SELECT c_nationkey, cents,
-      |  CAST(cents * 10000 // (sum(cents) OVER ()) AS BIGINT) AS share_bp
+      |  CAST(floor(cents * 10000 / (sum(cents) OVER ())) AS BIGINT)
+      |    AS share_bp
       |FROM (
       |  SELECT c_nationkey,
       |    CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)

@@ -38,6 +38,17 @@ case class AsOfJoinNode(
     matchedOutput: Seq[Attribute],
     tieBreak: Seq[Attribute] = Nil) extends BinaryNode {
 
+  // The exec's cross-side comparators are built from LEFT data types and
+  // applied to rows projected from the right; mismatched types (int vs
+  // bigint key, date vs timestamp time) would read fields with the wrong
+  // accessor and silently corrupt the merge. Fail at construction.
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types must match: left=${leftKeys.map(_.dataType)} " +
+      s"right=${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types must match: left=${leftTime.dataType} " +
+      s"right=${rightTime.dataType}")
+
   override def output: Seq[Attribute] = left.output ++ matchedOutput
 
   override def producedAttributes: AttributeSet = AttributeSet(matchedOutput)

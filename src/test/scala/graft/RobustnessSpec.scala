@@ -37,6 +37,49 @@ class RobustnessSpec extends SparkSpec {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("native as-of rejects mismatched key/time types at construction") {
+    graft.functions.GraftFunctions.register(spark)
+    // int key on the left vs bigint key on the right: the merge's
+    // comparators are built from left types, so this must fail fast
+    // instead of reading right rows with the wrong accessor.
+    val rLong = Seq((1L, 5L, "y")).toDF("k", "rt", "w")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, rLong, Seq("k"), "lt", "rt")
+    }
+    assert(e.getMessage.contains("key types"))
+    val rIntTime = Seq((1, 5, "y")).toDF("k", "rt", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, rIntTime, Seq("k"), "lt", "rt")
+    }
+    assert(e2.getMessage.contains("time types"))
+  }
+
+  test("int8 quantization survives an all-zero embedding") {
+    // zero vector => scale 0 => v/scale NaN => ANSI bigint cast crash
+    // without the nullif guard; with it the row comes back NULL-quantized
+    val df = Seq(
+      (1L, Array(0f, 0f, 0f), "a"),
+      (2L, Array(1f, -2f, 3f), "a")).toDF("vec_id", "embedding", "label")
+    val out = graft.llm.Similarity.quantizeInt8(df)
+      .orderBy("vec_id").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(out(0).fieldIndex("scale_r")))
+    assert(out(0).isNullAt(out(0).fieldIndex("q_min")))
+    assert(!out(1).isNullAt(out(1).fieldIndex("scale_r")))
+    assert(out(1).getLong(out(1).fieldIndex("q_max")) == 127L)
+  }
+
+  test("session cache evicts a session's entries") {
+    val c = new graft.core.SessionCache[String, Int]
+    c.getOrElseUpdate(spark, "a")(1)
+    c.getOrElseUpdate(spark, "b")(2)
+    assert(c.size == 2)
+    c.evict(spark)
+    assert(c.size == 0)
+    // re-populate after evict works (listener re-hooks)
+    assert(c.getOrElseUpdate(spark, "a")(3) == 3)
+  }
+
   test("interval join rejects non-positive windows") {
     val e = intercept[IllegalArgumentException] {
       IntervalJoin.within(l, r, Seq("k"), "lt", "rt", 0L)
