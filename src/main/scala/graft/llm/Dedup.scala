@@ -9,25 +9,41 @@ import org.apache.spark.sql.functions._
   * n-gram Jaccard (relational set-similarity), MinHash+LSH (scalable
   * near-dup candidates), SimHash (hamming-distance near-dup).
   *
-  * Scale design:
+  * Scale design — every default path here is the shape that survives
+  * 100 TB; nothing broadcasts the corpus and no candidate generator is
+  * quadratic in a low-cardinality bucket:
   *   - exact/canonical dedup are a single hash-partitioned groupBy on a
   *     16-byte key — the canonical 100 TB dedup shape (shuffle is
   *     O(corpus), state per group is O(1));
-  *   - Jaccard is restricted to within-`source` pairs (a real pipeline
-  *     would use the LSH buckets instead of `source`): the join is
-  *     token-partitioned, never a full cross product;
+  *   - exact Jaccard pairs use PREFIX-FILTER candidate generation
+  *     (AllPairs/PPJoin): order each doc's distinct tokens by ascending
+  *     document frequency, explode only the first |x|-ceil(t*|x|)+1 of
+  *     them, and self-join on those prefix tokens. Any pair with
+  *     J >= t provably shares its globally-smallest common token inside
+  *     both prefixes, so the candidate set is COMPLETE — the verified
+  *     output is the exact threshold join, oracle-checkable — while
+  *     the join stays token-partitioned and sub-quadratic (rare tokens
+  *     first means prefix buckets are small);
   *   - MinHash+LSH: signatures come from a single-pass codegen kernel
   *     inside the scan stage (map-only — no shuffle until candidate
   *     generation); candidates are a self-join on (band, band-hash)
   *     buckets only — the classic sub-quadratic near-dup path;
   *   - SimHash reduces each doc to one long in the same map-only way;
-  *     bucketing by prefix bands keeps the pair search bounded.
+  *     the default pair path bands the fingerprint (pigeonhole: any
+  *     pair with hamming < nBands agrees on a band) — guaranteed
+  *     recall with bucketed sub-quadratic search;
+  *   - prefix/truncation dups are found by RANGE-SORTING the corpus:
+  *     in lexicographic order every string's extensions form a
+  *     contiguous run, so one sorted scan with a stack yields each
+  *     string's longest in-corpus proper prefix (its "parent"), and
+  *     pointer-jumping closes the chain — O(n log n), no broadcast.
   *
-  * MinHash/SimHash use deterministic seeded hash mixes (xxhash64 +
-  * affine permutations mod a Mersenne-ish prime), so results are stable
-  * across runs/partitionings — but not expressible in ANSI SQL, hence
-  * no DuckDB oracle for those two (rows-only check); their correctness
-  * is asserted in ScalaTest against brute-force Jaccard ground truth.
+  * MinHash/SimHash/LSH use deterministic seeded hash mixes (xxhash64 +
+  * affine permutations mod a Mersenne-ish prime / seeded hyperplanes),
+  * so results are stable across runs/partitionings — but not
+  * expressible in ANSI SQL, hence no DuckDB oracle for those (rows-only
+  * check); their correctness is asserted in ScalaTest against
+  * brute-force ground truth.
   */
 object Dedup {
 
@@ -75,57 +91,87 @@ object Dedup {
 
   // ---------------------------------------------------------- jaccard
 
-  /** Exact token-set Jaccard over within-source pairs: pair docs by
-    * bucket key (here `source`; the LSH buckets in a real pipeline),
-    * then |A∩B| via array_intersect on the compact distinct-token
-    * arrays.
+  /** Prefix-filter candidate pairs (the AllPairs/PPJoin family): the
+    * scalable COMPLETE candidate generator for threshold set-similarity
+    * joins.
     *
-    * Shape note: pairing first and intersecting arrays beats the
-    * classic token-granularity inverted-index self-join whenever the
-    * vocabulary is small relative to the corpus (the token join
-    * produces O(sum over tokens of df(t)^2) rows; the pair join
-    * produces O(pairs) rows with O(|doc|) work each). Bucket size
-    * bounds the quadratic term either way.
+    * Input: (doc_id, `setCol`: array<long> of distinct element hashes).
+    *
+    * Theory (why candidates lose nothing): order every set by one
+    * global total order — here (document frequency asc, hash asc).
+    * J(x,y) >= t implies overlap o >= t/(1+t)(|x|+|y|) >= t*max(|x|,|y|),
+    * so o >= ceil(t*|x|) and o >= ceil(t*|y|). If the SMALLEST common
+    * element (in the global order) were outside x's first
+    * |x|-ceil(t*|x|)+1 elements, all o common elements would fit in
+    * x's last ceil(t*|x|)-1 — contradiction; symmetrically for y. So
+    * every qualifying pair shares >= 1 token inside both prefixes, and
+    * a self-join on exploded prefix tokens is a complete candidate set.
+    *
+    * Scale shape: frequency-ascending ordering puts RARE tokens in the
+    * prefixes, so per-token join buckets stay small (a stopword never
+    * lands in a prefix unless a doc is nearly all stopwords); the
+    * self-join is token-hash-partitioned; nothing broadcasts. The df
+    * aggregate is vocabulary-sized and the re-sort is one
+    * explode+join+regroup — the same O(total tokens) passes TF-IDF
+    * already pays.
+    */
+  private def prefixFilterCandidates(
+      tok: DataFrame, setCol: String, threshold: Double): DataFrame = {
+    val exploded = tok.select(col("doc_id"), explode(col(setCol)).as("tok"))
+    val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = exploded
+      .join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("tok")))).as("ftoks"),
+        count(lit(1)).as("sz"))
+    val prefix = ordered.select(
+      col("doc_id"), col("sz"),
+      explode(slice(col("ftoks"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1)).cast("int")))
+        .as("pt"))
+      .select(col("doc_id"), col("sz"), col("pt.tok").as("tok"))
+    // length filter (PPJoin-family): J(A,B) >= t forces set sizes
+    // within a factor t of each other — necessary, so pruning on it
+    // cannot drop a qualifying pair
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard pairs over the WHOLE corpus, threshold
+    * join via prefix-filter candidates ([[prefixFilterCandidates]])
+    * verified with the codegen'd O(n+m) SortedJaccard merge. Tokens are
+    * hashed (xxhash64), deduped and value-SORTED once per document by
+    * the single-pass HashedSortedTokens kernel; candidate (doc_a,
+    * doc_b) pairs are distinct'd BEFORE re-fetching the token arrays
+    * (two hash joins on doc_id), so the shuffle carries each array
+    * once per surviving pair side, not once per shared prefix token.
     */
   def jaccardPairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
     import graft.functions.text.hashed_sorted_tokens
     import graft.functions.vector.sorted_jaccard
-    // Tokens are hashed (xxhash64), deduped, and SORTED once per
-    // document by the single-pass HashedSortedTokens kernel (the
-    // equivalent transform()-lambda runs interpreted per token); the
-    // per-pair score is then ONE codegen'd O(n+m) merge (SortedJaccard)
-    // over primitive longs — both the per-pair ArrayIntersect hash-set
-    // build and the intersect+size+divide multi-node plan it replaces
-    // dominated the join.
     val withToks = graft.core.Layout.spread(d, "doc_id").select(
-      col("doc_id"), col("source"),
-      hashed_sorted_tokens(col("text")).as("toks"))
-    // Broadcast the build side: the bucket key (`source`) is
-    // low-cardinality here, so a shuffled join would collapse to
-    // #buckets-way parallelism; broadcasting keeps the probe side's
-    // full partitioning. (At a scale where no side fits in memory, the
-    // bucket key must be high-cardinality — LSH band buckets — and the
-    // same join becomes a well-partitioned shuffle join; AQE demotes
-    // the broadcast automatically if the side outgrows the threshold.)
-    // length filter (PPJoin-family): J(A,B) >= t forces the set sizes
-    // within a factor of t of each other — a necessary condition, so
-    // pruning on it before the merge kernel cannot change the result,
-    // and it skips the O(n+m) merge for obviously-dissimilar pairs
-    withToks.as("a")
-      .join(broadcast(withToks.as("b")),
-        col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          size(col("a.toks")) >= lit(threshold) * size(col("b.toks")) &&
-          size(col("b.toks")) >= lit(threshold) * size(col("a.toks")))
+      col("doc_id"), hashed_sorted_tokens(col("text")).as("toks"))
+    prefixFilterCandidates(withToks, "toks", threshold)
+      .join(withToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        "doc_a")
+      .join(withToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        "doc_b")
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(sorted_jaccard(col("a.toks"), col("b.toks")), 6).as("jaccard"))
+        col("doc_a"), col("doc_b"),
+        round(sorted_jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   val jaccardPairsSql: String =
     """WITH t AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id,
       |    list_distinct(list_filter(
       |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
       |  FROM documents)
@@ -135,46 +181,45 @@ object Dedup {
       |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
       |      6) AS jaccard
       |  FROM t a JOIN t b
-      |    ON a.source = b.source AND a.doc_id < b.doc_id)
+      |    ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
   /** EXACT shingle (word n-gram) Jaccard pairs: the order-sensitive
     * sibling of [[jaccardPairs]] — two docs with the same vocabulary in
     * different order share tokens but few 3-gram shingles, so this
-    * catches rewording that token-set Jaccard cannot. Same kernel
-    * discipline: one single-pass shingle-hash per doc, one
-    * SortedJaccard merge per pair. This is also exactly the similarity
-    * the MinHash signature ([[minhashSignatures]]) estimates, so it
-    * doubles as the ground-truth side of that estimate.
+    * catches rewording that token-set Jaccard cannot. Same discipline:
+    * one single-pass shingle-hash kernel per doc, prefix-filter
+    * candidates (shingles are near-unique, so prefix buckets are tiny
+    * even at the low 0.2 threshold), one SortedJaccard merge per
+    * surviving pair. This is also exactly the similarity the MinHash
+    * signature ([[minhashSignatures]]) estimates, so it doubles as the
+    * ground-truth side of that estimate.
     */
   def jaccardShinglePairs(
       d: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
     import graft.functions.text.hashed_sorted_shingles
     import graft.functions.vector.sorted_jaccard
     val withSh = graft.core.Layout.spread(d, "doc_id").select(
-      col("doc_id"), col("source"),
-      hashed_sorted_shingles(col("text"), n).as("sh"))
-    withSh.as("a")
-      .join(broadcast(withSh.as("b")),
-        col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          // length filter — see jaccardPairs
-          size(col("a.sh")) >= lit(threshold) * size(col("b.sh")) &&
-          size(col("b.sh")) >= lit(threshold) * size(col("a.sh")))
+      col("doc_id"), hashed_sorted_shingles(col("text"), n).as("sh"))
+    prefixFilterCandidates(withSh, "sh", threshold)
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(sorted_jaccard(col("a.sh"), col("b.sh")), 6).as("sh_jaccard"))
+        col("doc_a"), col("doc_b"),
+        round(sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("sh_jaccard"))
       .filter(col("sh_jaccard") >= threshold)
   }
 
   val jaccardShinglePairsSql: String =
     """WITH t AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
       |      AS toks
       |  FROM documents),
       |sh AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id,
       |    CASE WHEN len(toks) >= 3 THEN
       |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
       |        i -> array_to_string(toks[i:i + 2], ' ')))
@@ -186,26 +231,104 @@ object Dedup {
       |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))),
       |      6) AS sh_jaccard
       |  FROM sh a JOIN sh b
-      |    ON a.source = b.source AND a.doc_id < b.doc_id)
+      |    ON a.doc_id < b.doc_id)
       |WHERE sh_jaccard >= 0.2""".stripMargin
 
   /** Containment (truncation) duplicates: document A is a strict PREFIX
     * of document B — the scraped-data case where one copy was cut off.
-    * Length ordering makes the pair direction deterministic and prunes
-    * the candidate set before the O(len) startswith.
+    *
+    * Sort-based scale path (no broadcast of the corpus, no quadratic
+    * bucket): range-partition + sort the DISTINCT texts. In
+    * lexicographic order the extensions of any string form a CONTIGUOUS
+    * run (if a <= x <= b and a is a prefix of b, a is a prefix of x),
+    * so a single sorted scan with a stack finds each text's LONGEST
+    * in-corpus proper prefix — its "parent"; a text's full ancestor set
+    * is exactly its parent chain, closed by iterative doubling
+    * (O(log depth) self-joins). Cross-partition chains are repaired via
+    * the partition-first elements: any ancestor of any text in
+    * partition p that lives in an earlier partition must be a prefix of
+    * p's first text (same contiguity lemma), and those candidates —
+    * at most numPartitions x chain-depth strings — are the ONLY thing
+    * this operator ever broadcasts.
     */
   def prefixDups(d: DataFrame): DataFrame = {
-    val t = graft.core.Layout.spread(d, "doc_id")
-      .select(col("doc_id"), col("source"), col("text"),
-        length(col("text")).as("len"))
-    t.as("a")
-      .join(broadcast(t.as("b")),
-        col("a.source") === col("b.source") &&
-          col("a.len") < col("b.len") &&
-          col("b.text").startsWith(col("a.text")))
-      .select(col("a.doc_id").as("short_id"), col("b.doc_id").as("long_id"),
-        col("a.len").cast("bigint").as("short_len"),
-        col("b.len").cast("bigint").as("long_len"))
+    val spark = d.sparkSession
+    import spark.implicits._
+    // Equal texts are never prefix dups of each other (strict length),
+    // so the scan runs over distinct texts; doc ids (all of them, for
+    // duplicated texts) re-attach by hash join at the end.
+    val texts = d.select(col("text")).distinct()
+    val sorted = texts
+      .repartitionByRange(col("text"))
+      .sortWithinPartitions("text")
+      .as[String]
+      // materialized once: the boundary pass and the stack pass below
+      // must see the SAME partitioning and order
+      .localCheckpoint()
+    val firsts: Array[String] = sorted.mapPartitions(_.take(1)).collect()
+    // Stack scan: pop while the top is not a prefix of the current
+    // text (a popped string can never be a prefix of anything later —
+    // contiguity lemma), then the top is the longest in-partition
+    // proper prefix. An empty stack means any parent lives in an
+    // earlier partition -> repair below.
+    val scanned = sorted.mapPartitions { it =>
+      val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+      it.map { s =>
+        while (stack.nonEmpty && !s.startsWith(stack.last))
+          stack.remove(stack.length - 1)
+        val parent = if (stack.isEmpty) null else stack.last
+        stack += s
+        (s, parent)
+      }
+    }.toDF("text", "parent")
+    // Cross-partition repair: candidate ancestors are corpus texts that
+    // are proper prefixes of some partition-first element — a tiny,
+    // provably sufficient set (see scaladoc). For an unresolved text
+    // the longest candidate prefix is its true parent.
+    val firstsDf = firsts.toSeq.toDF("f")
+    val cands = texts.join(broadcast(firstsDf),
+        col("f").startsWith(col("text")) && col("f") =!= col("text"))
+      .select(col("text").as("ctext")).distinct()
+    val repaired = scanned.filter(col("parent").isNull)
+      .join(broadcast(cands),
+        col("text").startsWith(col("ctext")) && col("ctext") =!= col("text"))
+      .groupBy("text")
+      .agg(max_by(col("ctext"), length(col("ctext"))).as("parent"))
+    // Ancestor closure over the parent forest by iterative doubling:
+    // ancestors of x = parent chain of x, reach doubles per round.
+    var anc = scanned.filter(col("parent").isNotNull)
+      .unionAll(repaired)
+      .localCheckpoint()
+    var n = anc.count()
+    var grown = true
+    var rounds = 0
+    while (grown && rounds < 30) {
+      val next = anc.as("x")
+        .join(anc.as("y"), col("x.parent") === col("y.text"))
+        .select(col("x.text").as("text"), col("y.parent").as("parent"))
+        .unionAll(anc)
+        .distinct()
+        .localCheckpoint()
+      val m = next.count()
+      grown = m > n
+      anc = next
+      n = m
+      rounds += 1
+    }
+    // reach is 2^rounds; exhausting the cap while still growing means a
+    // >2^30-deep prefix chain — fail loudly rather than emit a partial
+    // ancestor set (same contract as dupClusters)
+    if (grown) throw new IllegalStateException(
+      "prefixDups: ancestor closure did not converge within 30 doubling " +
+        "rounds (prefix chain deeper than 2^30?)")
+    val ids = d.select(col("text"), col("doc_id"),
+      length(col("text")).cast("bigint").as("len"))
+    anc.select(col("parent").as("anc_text"), col("text").as("desc_text"))
+      .join(ids.select(col("text").as("anc_text"), col("doc_id").as("short_id"),
+        col("len").as("short_len")), "anc_text")
+      .join(ids.select(col("text").as("desc_text"), col("doc_id").as("long_id"),
+        col("len").as("long_len")), "desc_text")
+      .select(col("short_id"), col("long_id"), col("short_len"), col("long_len"))
   }
 
   val prefixDupsSql: String =
@@ -213,8 +336,7 @@ object Dedup {
       |  CAST(length(a.text) AS BIGINT) AS short_len,
       |  CAST(length(b.text) AS BIGINT) AS long_len
       |FROM documents a JOIN documents b
-      |  ON a.source = b.source
-      |  AND length(a.text) < length(b.text)
+      |  ON length(a.text) < length(b.text)
       |  AND starts_with(b.text, a.text)""".stripMargin
 
   /** Near-dup CLUSTERS: connected components over the Jaccard pair
@@ -225,10 +347,11 @@ object Dedup {
     * Catalyst has no recursion operator. Every doc gets a cluster id;
     * docs outside the graph are their own singleton cluster.
     *
-    * Scale shape: edges materialize once (persisted) and each round is
-    * one join + one aggregate on them; rounds needed = component
-    * diameter, which for near-dup graphs is small (dups of a page are
-    * mutually similar). Deterministic: min-labels only.
+    * Scale shape: edges come from the prefix-filter threshold join
+    * (complete, sub-quadratic) and materialize once; each round is one
+    * join + one aggregate on them; rounds needed = component diameter,
+    * which for near-dup graphs is small (dups of a page are mutually
+    * similar). Deterministic: min-labels only.
     */
   def dupClusters(
       d: DataFrame, threshold: Double = 0.9, maxIters: Int = 20): DataFrame = {
@@ -291,7 +414,7 @@ object Dedup {
 
   val dupClustersSql: String =
     """WITH RECURSIVE t AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id,
       |    list_distinct(list_filter(
       |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
       |  FROM documents),
@@ -302,7 +425,7 @@ object Dedup {
       |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
       |        6) AS jaccard
       |    FROM t a JOIN t b
-      |      ON a.source = b.source AND a.doc_id < b.doc_id)
+      |      ON a.doc_id < b.doc_id)
       |  WHERE jaccard >= 0.9),
       |edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -316,22 +439,26 @@ object Dedup {
       |  CAST(coalesce(comp.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
       |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id""".stripMargin
 
-  /** Two-phase fuzzy dedup: CHEAP candidates (token-set Jaccard) then
-    * an EXPENSIVE per-pair verifier (Levenshtein over a bounded prefix)
-    * only on the candidates — the standard shape when the precise
-    * metric is quadratic in document length: at corpus scale you can
-    * afford edit distance on thousands of candidate pairs, never on
-    * all pairs. Prefix-bounding keeps the verifier O(prefix^2).
+  /** Two-phase fuzzy dedup: CHEAP candidates (the prefix-filter
+    * threshold join) then an EXPENSIVE per-pair verifier (Levenshtein
+    * over a bounded prefix) only on the candidates — the standard shape
+    * when the precise metric is quadratic in document length: at corpus
+    * scale you can afford edit distance on thousands of candidate
+    * pairs, never on all pairs. Prefix-bounding keeps the verifier
+    * O(prefix^2). The head re-fetch is a plain hash join on doc_id
+    * (pair-side partitioned; AQE may still choose to broadcast the
+    * projected heads when they fit — a runtime decision, not a baked-in
+    * assumption).
     */
   def editVerifiedPairs(
       d: DataFrame, threshold: Double = 0.5, prefix: Int = 60): DataFrame = {
     val texts = graft.core.Layout.spread(d, "doc_id")
       .select(col("doc_id"), substring(col("text"), 1, prefix).as("head"))
     jaccardPairs(d, threshold)
-      .join(broadcast(texts.select(col("doc_id").as("doc_a"),
-        col("head").as("head_a"))), "doc_a")
-      .join(broadcast(texts.select(col("doc_id").as("doc_b"),
-        col("head").as("head_b"))), "doc_b")
+      .join(texts.select(col("doc_id").as("doc_a"),
+        col("head").as("head_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"),
+        col("head").as("head_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         levenshtein(col("head_a"), col("head_b")).cast("bigint")
           .as(s"edit_$prefix"))
@@ -339,7 +466,7 @@ object Dedup {
 
   val editVerifiedPairsSql: String =
     """WITH t AS (
-      |  SELECT doc_id, source, substring(text, 1, 60) AS head,
+      |  SELECT doc_id, substring(text, 1, 60) AS head,
       |    list_distinct(list_filter(
       |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
       |  FROM documents)
@@ -352,23 +479,45 @@ object Dedup {
       |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
       |      6) AS jaccard
       |  FROM t a JOIN t b
-      |    ON a.source = b.source AND a.doc_id < b.doc_id)
+      |    ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
   // ------------------------------------------------- embedding cosine
 
-  /** Embedding-cosine near-dup pairs within a `label` bucket: the
-    * dense-vector sibling of [[jaccardPairs]], scored with the
-    * codegen'd cosine kernel. DuckDB's double cosine is bitwise-equal
-    * to a sequential double loop (verified), so the rounded score is
-    * oracle-safe.
+  /** Embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB path):
+    * candidates come from multi-table + multiprobe random-hyperplane
+    * buckets ([[Similarity.lshCandidatePairs]] — the same generator the
+    * ANN search uses), each candidate scored once with the codegen'd
+    * cosine kernel and kept iff cos >= threshold. Precision is exact
+    * (every emitted pair is verified); recall is the LSH collision
+    * probability — near-1 for near-identical vectors, asserted against
+    * the exhaustive variant in LlmSpec. Seeded hyperplanes are not
+    * ANSI-expressible, so the driver check is rows-only.
     */
-  def embeddingPairs(e: DataFrame, threshold: Double = 0.3): DataFrame = {
+  def embeddingPairs(
+      e: DataFrame, threshold: Double = 0.3,
+      nPlanes: Int = 4, nTables: Int = 4): DataFrame = {
+    val v = graft.core.Layout.spread(e, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.lshCandidatePairs(v, nPlanes, nTables, multiprobe = true,
+        (a, b) => a < b)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        round(col("sim"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Exhaustive within-`label` variant — the small-scale ground truth
+    * [[embeddingPairs]]' recall is measured against (LlmSpec). Not the
+    * driver path: the all-pairs bucket join is quadratic in bucket
+    * size.
+    */
+  def embeddingPairsExhaustive(
+      e: DataFrame, threshold: Double = 0.3): DataFrame = {
     import graft.functions.vector.cosine_similarity
     val v = graft.core.Layout.spread(e, "vec_id")
       .select(col("vec_id"), col("label"), col("embedding"))
     v.as("a")
-      .join(broadcast(v.as("b")),
+      .join(v.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -376,16 +525,6 @@ object Dedup {
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
-
-  val embeddingPairsSql: String =
-    """SELECT vec_a, vec_b, cos_sim FROM (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |    round(list_cosine_similarity(
-      |      CAST(a.embedding AS DOUBLE[]),
-      |      CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-      |  FROM embeddings a JOIN embeddings b
-      |    ON a.label = b.label AND a.vec_id < b.vec_id)
-      |WHERE cos_sim >= 0.3""".stripMargin
 
   // ---------------------------------------------------------- minhash
 
@@ -464,12 +603,10 @@ object Dedup {
     graft.core.Layout.spread(d, "doc_id").select(col("doc_id"),
       graft.functions.text.simhash64(col("text")).as("simhash"))
 
-  /** Near-dup pairs by SimHash hamming distance (within-source bucket
-    * to bound the pair count; a production pipeline buckets by simhash
-    * prefix bands instead). Fingerprint and bucket key come from one
-    * projection — no join against the base table, and the broadcast
-    * build side is the same map-only subplan (AQE demotes the
-    * broadcast if a larger corpus outgrows the threshold).
+  /** EXHAUSTIVE near-dup pairs by SimHash hamming distance within the
+    * `source` bucket — the small-scale ground-truth check the banded
+    * path's guarantee is asserted against (LlmSpec). Not the driver
+    * path: the per-bucket pair count is quadratic.
     */
   def simhashPairs(d: DataFrame, maxHamming: Int = 16): DataFrame = {
     val withSrc = graft.core.Layout.spread(d, "doc_id")
@@ -485,15 +622,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Scale-path SimHash candidate generation: band the 64-bit
+  /** DEFAULT SimHash near-dup path (Charikar fingerprints searched the
+    * way the simhash web-dedup literature prescribes): band the 64-bit
     * fingerprint into `nBands` chunks and join on (band index, band
     * bits) — by pigeonhole, any pair with hamming distance < nBands
-    * agrees on at least one band, so candidates are GUARANTEED to
-    * contain every such pair with no per-bucket quadratic blowup
-    * (the within-`source` variant above is the exhaustive small-scale
-    * check; this is what runs at 100 TB).
+    * agrees on at least one band, so with `maxHamming < nBands` the
+    * result is EXACTLY the set of corpus-wide pairs at that distance,
+    * found with a bucketed sub-quadratic join instead of all-pairs.
     */
-  def simhashPairsBanded(d: DataFrame, nBands: Int = 4): DataFrame = {
+  def simhashPairsBanded(
+      d: DataFrame, nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole completeness needs maxHamming < nBands, " +
+        s"got $maxHamming >= $nBands")
     val bits = 64
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1
@@ -515,6 +656,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 
@@ -529,11 +671,11 @@ object Dedup {
     "q_dedup_embedding" -> ((s, d) =>
       embeddingPairs(graft.core.Tables.load(s, d, "embeddings"))),
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
-    "q_dedup_simhash" -> ((s, d) => simhashPairs(docs(s, d))))
+    "q_dedup_simhash" -> ((s, d) => simhashPairsBanded(docs(s, d))))
 
-  /** minhash/simhash are not ANSI-SQL-expressible (seeded xxhash64) —
-    * rows-only driver check; ScalaTest asserts them against brute-force
-    * Jaccard ground truth instead.
+  /** minhash/simhash/embedding-LSH are not ANSI-SQL-expressible (seeded
+    * xxhash64 / hyperplanes) — rows-only driver check; ScalaTest
+    * asserts them against brute-force ground truth instead.
     */
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -542,6 +684,5 @@ object Dedup {
     "q_dedup_clusters" -> dupClustersSql,
     "q_dedup_edit" -> editVerifiedPairsSql,
     "q_dedup_shingle" -> jaccardShinglePairsSql,
-    "q_dedup_prefix" -> prefixDupsSql,
-    "q_dedup_embedding" -> embeddingPairsSql)
+    "q_dedup_prefix" -> prefixDupsSql)
 }

@@ -102,7 +102,30 @@ object Similarity {
       e: DataFrame, nPlanes: Int = 6, k: Int = 5,
       nTables: Int = 2, multiprobe: Boolean = true): DataFrame = {
     val v = graft.core.Layout.spread(e, "vec_id")
-    val candidates = (0 until nTables).map { t =>
+    val candidates =
+      lshCandidatePairs(v, nPlanes, nTables, multiprobe, (a, b) => a =!= b)
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"))
+  }
+
+  /** Scored LSH candidate pairs — the shared candidate generator behind
+    * [[lshTopK]] and [[Dedup.embeddingPairs]]: per table, bucket by
+    * hyperplane signs, (multi)probe, join within buckets, score each
+    * matched pair with the codegen'd cosine at match time (embeddings
+    * carried through the join — two fewer shuffles than re-attaching
+    * them by id). `pairCond` picks the pair shape: `=!=` for per-query
+    * neighbor lists, `<` for unordered dedup pairs. The same pair found
+    * by several tables/probes scores identically (same kernel, same
+    * inputs), so distinct() collapses duplicates exactly.
+    */
+  private[llm] def lshCandidatePairs(
+      v: DataFrame, nPlanes: Int, nTables: Int, multiprobe: Boolean,
+      pairCond: (Column, Column) => Column): DataFrame =
+    (0 until nTables).map { t =>
       val bucketed = lshBuckets(v, nPlanes, seed = 1234L + 7919L * t)
         .select(col("vec_id"), col("embedding"), col("bucket"))
       val probes =
@@ -114,18 +137,11 @@ object Similarity {
       probes.as("a")
         .join(bucketed.as("b"),
           col("a.probe") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
+            pairCond(col("a.vec_id"), col("b.vec_id")))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
           vector.cosine_similarity(col("a.embedding"), col("b.embedding"))
             .as("sim"))
     }.reduce(_ unionAll _).distinct()
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-    candidates
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
-        col("rank"))
-  }
 
   /** Deterministic IVF coarse quantizer: k centroids from a fixed-seed
     * Lloyd refinement (seeds = the k lowest vec_ids, `iters` rounds of

@@ -75,6 +75,97 @@ class LlmSpec extends SparkSpec {
       s"banding missed guaranteed pairs: ${(full -- banded).take(5)}")
   }
 
+  test("prefix-filter jaccard equals brute force (corpus-wide, both thresholds)") {
+    def brute(threshold: Double): Set[(Long, Long)] = {
+      val toks = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) ->
+          r.getString(1).split("\\s+").filter(_.nonEmpty).toSet).toMap
+      (for {
+        a <- toks.keys; b <- toks.keys if a < b
+        j = toks(a).intersect(toks(b)).size.toDouble / toks(a).union(toks(b)).size
+        if j >= threshold
+      } yield (a, b)).toSet
+    }
+    for (t <- Seq(0.5, 0.9)) {
+      val got = Dedup.jaccardPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute(t), s"threshold $t: candidate generation lost pairs")
+    }
+  }
+
+  test("sorted prefixDups equals brute force on a chain-heavy multi-partition corpus") {
+    // every binary string of length 1..9 -> deep prefix chains that are
+    // guaranteed to straddle range-partition boundaries, plus duplicated
+    // texts (same text twice is NOT a prefix dup, but both ids pair with
+    // every extension)
+    val texts = (1 to 9).flatMap(n =>
+      (0 until (1 << n)).map(i =>
+        (0 until n).map(b => if (((i >> b) & 1) == 1) 'b' else 'a').mkString))
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Seq((10000L, "aaa"), (10001L, "ab"))
+    val d = rows.toDF("doc_id", "text")
+    val got = Dedup.prefixDups(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ta.length < tb.length && tb.startsWith(ta)
+    } yield (ia, ib)).toSet
+    assert(got === brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("banded simhash equals corpus-wide brute force at maxHamming < nBands") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashPairsBanded(docs, nBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute,
+      s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+  }
+
+  test("lsh embedding pairs: exact precision, high recall on strong pairs") {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Dedup.embeddingPairs(emb)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision is exact: every emitted pair is a true cos >= 0.3 pair
+    // with the correctly-rounded score
+    got.foreach { case ((a, b), s) =>
+      val truth = cos(vecs(a), vecs(b))
+      assert(truth >= 0.3 - 1e-9, s"false positive ($a,$b): $truth")
+      assert(math.abs(s - BigDecimal(truth).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    val all = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+    } yield ((a, b), cos(vecs(a), vecs(b)))).toMap
+    val strong = all.filter(_._2 >= 0.9).keySet
+    val weak = all.filter(_._2 >= 0.3).keySet
+    val strongRecall =
+      if (strong.isEmpty) 1.0
+      else strong.count(got.contains).toDouble / strong.size
+    val weakRecall = weak.count(got.contains).toDouble / weak.size
+    info(f"recall: cos>=0.9 $strongRecall%.3f (${strong.size}), " +
+      f"cos>=0.3 $weakRecall%.3f (${weak.size})")
+    assert(strongRecall >= 0.95,
+      s"near-identical vectors must collide in some table: $strongRecall")
+    assert(weakRecall >= 0.5, s"overall recall degenerate: $weakRecall")
+  }
+
   test("cosine_similarity expression matches double-precision formula") {
     val rows = emb.limit(50).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)

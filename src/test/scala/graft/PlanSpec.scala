@@ -105,6 +105,34 @@ class PlanSpec extends SparkSpec {
     assert(viaRule === viaKernel)
   }
 
+  test("dedup defaults carry no broadcast hint (the corpus must never broadcast)") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val e = Tables.load(spark, sfDir, "embeddings")
+    for ((name, df) <- Seq(
+        "jaccard" -> Dedup.jaccardPairs(d),
+        "shingle" -> Dedup.jaccardShinglePairs(d),
+        "edit" -> Dedup.editVerifiedPairs(d),
+        "simhash_banded" -> Dedup.simhashPairsBanded(d),
+        "minhash" -> Dedup.minhashPairs(d),
+        "embedding" -> Dedup.embeddingPairs(e))) {
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$name: default dedup path must not hint-broadcast anything:\n$analyzed")
+    }
+  }
+
+  test("prefixDups result plan: id re-attach joins carry no broadcast hint") {
+    // the only explicit broadcasts inside prefixDups are the
+    // partition-first candidate sets (numPartitions x chain-depth
+    // strings, materialized in the eager closure phase); the returned
+    // plan — ancestor pairs joined back to doc ids — must be plain
+    // shuffled joins on text
+    val d = Tables.load(spark, sfDir, "documents")
+    val analyzed = Dedup.prefixDups(d).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"prefixDups output joins must not hint-broadcast:\n$analyzed")
+  }
+
   test("as-of join costs exactly one shuffle") {
     import spark.implicits._
     val left = Seq((1, 10L, "x")).toDF("k", "lt", "lv")

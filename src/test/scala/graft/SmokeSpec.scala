@@ -18,7 +18,7 @@ class SmokeSpec extends SparkSpec {
   test("rows-only queries are exactly the documented seeded-hash ops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
-      "q_approx_agg"),
+      "q_approx_agg", "q_dedup_embedding"),
       s"every other query must carry a DuckDB oracle, got: $rowsOnly")
   }
 
