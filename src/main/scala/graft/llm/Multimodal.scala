@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded / feature-extracted /
   * frame-sampled in distributed batch passes.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * STUB (deterministic fake pixels derived from the bytes) — but the
-  * Spark-side plumbing is real and tested: binary column handling,
-  * schema of the decoded batch, mapPartitions batch shape (one codec
-  * init per partition, streamed rows), and the explode-to-frames
-  * layout a video pipeline uses.
+  * The decode kernel is REAL: [[BmpCodec]] parses uncompressed 24-bit
+  * BMP (the one raster format needing no native codec) inside
+  * `mapPartitions` — binary in, typed struct out, one potential codec
+  * init per partition. Richer formats (JPEG/audio/video) slot into the
+  * same kernel signature; only the per-blob parse changes.
   *
-  * The testdata has no binary table, so `documents.text` bytes stand in
-  * for the media payload (`encode(text, 'utf-8')`).
+  * The testdata has no binary table, so blobs are synthesized:
+  * `documents.text` bytes stand in for opaque payloads in the
+  * meta/frames/batches queries (`encode(text, 'utf-8')`), and
+  * [[bmpFixtures]] builds real BMPs with closed-form pixel arithmetic
+  * so the decode path is DuckDB-oracle-checkable end to end.
   *
   * Scale: decode via `mapPartitions` keeps codec initialization
   * per-partition (not per-row); frame explosion multiplies rows before
@@ -119,7 +121,7 @@ object Multimodal {
       |        FROM documents))
       |GROUP BY batch_id""".stripMargin
 
-  /** Decoded-image batch record (the schema a real decoder would emit). */
+  /** Decoded-image batch record (the schema the decoder emits). */
   case class DecodedImage(
       doc_id: Long,
       width: Int,
@@ -127,28 +129,41 @@ object Multimodal {
       channels: Int,
       pixels: Array[Byte])
 
-  /** STUB decode kernel: a real implementation would initialize a codec
-    * (libjpeg/ffmpeg) once per partition here and decode each blob.
-    * The stub emits deterministic fake pixels (payload bytes cycled to
-    * width*height*channels) so the plumbing — partition-wise batching,
-    * binary in / struct out, schema — is fully exercised and testable.
+  /** Synthesized BMP fixture blobs: one real 24-bit BMP per document
+    * with arithmetic dims/pixels (w = doc_id%13+5 exercises every row
+    * stride padding 0..3; pixel = (3x+7y+11c+doc_id) mod 256), so the
+    * DuckDB oracle can compute the decoded statistics in closed form
+    * WITHOUT a decoder — any decode defect (padding, bottom-up flip,
+    * BGR order) breaks the compare.
+    */
+  def bmpFixtures(d: DataFrame): DataFrame = {
+    val enc = udf { id: Long =>
+      BmpCodec.encode((id % 13).toInt + 5, (id % 7).toInt + 3,
+        (x, y, c) => ((x * 3 + y * 7 + c * 11 + id) % 256).toInt)
+    }
+    d.select(col("doc_id"), enc(col("doc_id")).as("media"))
+  }
+
+  /** REAL decode kernel: parses each blob as an uncompressed 24-bit BMP
+    * ([[BmpCodec.decode]] — header validation, row-stride padding,
+    * bottom-up/top-down order, BGR->RGB). `mapPartitions` keeps any
+    * per-partition codec initialization (buffers, native contexts for
+    * richer formats) out of the per-row path; a corrupt blob throws
+    * with its content rather than emitting silent garbage.
     */
   def decodeImages(spark: SparkSession, media: DataFrame): Dataset[DecodedImage] = {
     import spark.implicits._
     media.select("doc_id", "media").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition "codec init" happens here (stubbed)
+        // per-partition codec init would go here (BmpCodec is stateless)
         rows.map { case (id, bytes) =>
-          val w = (bytes.length % 64) + 8
-          val h = ((bytes.length * 7) % 48) + 8
-          val c = 3
-          val px = new Array[Byte](w * h * c)
-          var i = 0
-          while (i < px.length) {
-            px(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
-            i += 1
-          }
-          DecodedImage(id, w, h, c, px)
+          val r =
+            try BmpCodec.decode(bytes)
+            catch {
+              case e: IllegalArgumentException => throw new IllegalArgumentException(
+                s"doc_id=$id: ${e.getMessage}", e)
+            }
+          DecodedImage(id, r.width, r.height, 3, r.pixels)
         }
       }
   }
@@ -186,24 +201,76 @@ object Multimodal {
     }
   }
 
-  /** Aggregate feature over decoded images (mean pixel value) — shows
-    * decoded batches flowing back into relational ops.
+  /** Aggregate features over decoded images, flowing back into
+    * relational ops: total pixel mass, a position-weighted checksum
+    * (catches any pixel landing at the wrong (x, y, c) — transposition,
+    * missed bottom-up flip, stride/padding errors), and the packed
+    * top-left RGB (catches a missed vertical flip even when sums
+    * accidentally agree).
     */
   def decodedStats(spark: SparkSession, d: DataFrame): DataFrame = {
     import spark.implicits._
-    decodeImages(spark, asMedia(d))
-      .map(img => (img.doc_id, img.width, img.height,
-        img.pixels.foldLeft(0L)((a, b) => a + (b & 0xff)) / img.pixels.length))
-      .toDF("doc_id", "width", "height", "mean_pixel")
+    decodeImages(spark, bmpFixtures(d))
+      .map { img =>
+        val (w, h) = (img.width, img.height)
+        var psum = 0L
+        var possum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              val v = (img.pixels((y * w + x) * 3 + c) & 0xff).toLong
+              psum += v
+              possum += (x + 7L * y + 13L * c) * v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val topLeft = (img.pixels(0) & 0xff).toLong * 65536 +
+          (img.pixels(1) & 0xff).toLong * 256 + (img.pixels(2) & 0xff)
+        (img.doc_id, w.toLong, h.toLong, psum, possum, topLeft)
+      }
+      .toDF("doc_id", "width", "height", "pixel_sum", "pos_sum", "top_left")
   }
+
+  /** The oracle recomputes the fixture arithmetic directly — it never
+    * sees a BMP, so agreement proves the Spark side's encode->decode
+    * round-trip places every byte correctly.
+    */
+  val decodedStatsSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 13 + 5 AS w, doc_id % 7 + 3 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, gx.x, gy.y, gc.c,
+      |    (gx.x * 3 + gy.y * 7 + gc.c * 11 + d.doc_id) % 256 AS v
+      |  FROM dims d,
+      |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx,
+      |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy,
+      |    (SELECT unnest(generate_series(0, 2)) AS c) gc)
+      |SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+      |  CAST(max(h) AS BIGINT) AS height,
+      |  CAST(sum(v) AS BIGINT) AS pixel_sum,
+      |  CAST(sum((x + 7 * y + 13 * c) * v) AS BIGINT) AS pos_sum,
+      |  CAST(max(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN v END) * 65536 +
+      |       max(CASE WHEN x = 0 AND y = 0 AND c = 1 THEN v END) * 256 +
+      |       max(CASE WHEN x = 0 AND y = 0 AND c = 2 THEN v END) AS BIGINT)
+      |    AS top_left
+      |FROM px GROUP BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_batches" -> ((s, d) => inferenceBatches(docs(s, d))),
     "q_multimodal_meta" -> ((s, d) => mediaMeta(docs(s, d))),
-    "q_multimodal_frames" -> ((s, d) => frameSample(docs(s, d))))
+    "q_multimodal_frames" -> ((s, d) => frameSample(docs(s, d))),
+    "q_multimodal_decode" -> ((s, d) => decodedStats(s, docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_batches" -> inferenceBatchesSql,
     "q_multimodal_meta" -> mediaMetaSql,
-    "q_multimodal_frames" -> frameSampleSql)
+    "q_multimodal_frames" -> frameSampleSql,
+    "q_multimodal_decode" -> decodedStatsSql)
 }

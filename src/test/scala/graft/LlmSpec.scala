@@ -238,23 +238,68 @@ class LlmSpec extends SparkSpec {
     assert(r3 > r1, s"more probes must improve recall: $r3 vs $r1")
   }
 
-  test("multimodal decode stub: schema and batch shape are real") {
-    val decoded = Multimodal.decodeImages(spark, Multimodal.asMedia(docs.limit(20)))
+  test("bmp codec: encode->decode round-trips every stride padding (0..3)") {
+    for (w <- 5 to 8; h <- Seq(1, 3)) {
+      def px(x: Int, y: Int, c: Int): Int = (x * 31 + y * 17 + c * 7 + 5) % 256
+      val bytes = graft.llm.BmpCodec.encode(w, h, px)
+      val r = graft.llm.BmpCodec.decode(bytes)
+      assert((r.width, r.height) === (w, h))
+      for (x <- 0 until w; y <- 0 until h; c <- 0 until 3)
+        assert((r.pixels((y * w + x) * 3 + c) & 0xff) === px(x, y, c),
+          s"w=$w h=$h pixel ($x,$y,$c)")
+    }
+  }
+
+  test("bmp codec: decodes top-down (negative height) files too") {
+    def px(x: Int, y: Int, c: Int): Int = (x + 10 * y + 100 * c) % 256
+    val w = 5; val h = 3
+    val bottomUp = graft.llm.BmpCodec.encode(w, h, px)
+    // flip the height sign and reverse the stored row order -> a valid
+    // top-down file with identical image content
+    val stride = (w * 3 + 3) & ~3
+    val topDown = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -h)
+    for (row <- 0 until h)
+      System.arraycopy(bottomUp, 54 + (h - 1 - row) * stride,
+        topDown, 54 + row * stride, stride)
+    assert(graft.llm.BmpCodec.decode(topDown).pixels.toSeq ===
+      graft.llm.BmpCodec.decode(bottomUp).pixels.toSeq)
+  }
+
+  test("bmp codec: rejects garbage loudly instead of emitting pixels") {
+    val bad = Seq(
+      Array.empty[Byte],
+      "not a bitmap at all, just text".getBytes,
+      graft.llm.BmpCodec.encode(4, 4, (_, _, _) => 0).take(40)) // truncated
+    bad.foreach { b =>
+      assertThrows[IllegalArgumentException](graft.llm.BmpCodec.decode(b))
+    }
+  }
+
+  test("multimodal decode: real BMP kernel, schema and determinism") {
+    val decoded = Multimodal.decodeImages(spark, Multimodal.bmpFixtures(docs.limit(20)))
     val rows = decoded.collect()
     assert(rows.length === 20)
     rows.foreach { img =>
       assert(img.channels === 3)
+      assert(img.width === (img.doc_id % 13).toInt + 5)
+      assert(img.height === (img.doc_id % 7).toInt + 3)
       assert(img.pixels.length === img.width * img.height * img.channels)
+      // decoded (x,y,c) must be the generator's arithmetic exactly
+      val w = img.width
+      for (x <- 0 until w; c <- 0 until 3)
+        assert((img.pixels(x * 3 + c) & 0xff) ===
+          ((x * 3 + c * 11 + img.doc_id) % 256).toInt, s"(${x},0,$c)")
     }
-    // deterministic: same input -> same pixels
-    val again = Multimodal.decodeImages(spark, Multimodal.asMedia(docs.limit(20)))
+    val again = Multimodal.decodeImages(spark, Multimodal.bmpFixtures(docs.limit(20)))
       .collect()
     assert(rows.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
       .forall { case (a, b) => a.pixels.sameElements(b.pixels) })
   }
 
   test("resize produces exact target dims and preserves corner pixels") {
-    val decoded = Multimodal.decodeImages(spark, Multimodal.asMedia(docs.limit(10)))
+    val decoded = Multimodal.decodeImages(spark, Multimodal.bmpFixtures(docs.limit(10)))
     val resized = Multimodal.resize(spark, decoded, 16, 12).collect()
     val originals = decoded.collect().map(i => i.doc_id -> i).toMap
     assert(resized.length === 10)
@@ -271,6 +316,6 @@ class LlmSpec extends SparkSpec {
     val stats = Multimodal.decodedStats(spark, docs.limit(20))
     assert(stats.count() === 20)
     assert(stats.columns.toSeq ===
-      Seq("doc_id", "width", "height", "mean_pixel"))
+      Seq("doc_id", "width", "height", "pixel_sum", "pos_sum", "top_left"))
   }
 }
