@@ -81,6 +81,33 @@ class BehavioralSpec extends SparkSpec {
     assert(result === (1 to 100).sum.toLong.toDouble)
   }
 
+  test("straggler requeue: stalled attempt is killed and retried exactly-once (stall analog)") {
+    // The reference coordinator requeues a task whose worker stalls for
+    // 10 s (mr/coordinator.go:208-266; the mtiming/rtiming stall half of
+    // mrapps/crash.go). Spark's spark.speculation covers this on a real
+    // cluster but is hard-disabled in local mode, so the library ships
+    // StragglerWatchdog: kill-and-requeue on timeout. Here partition 3's
+    // FIRST attempt hangs "forever"; the watchdog must kill it, the
+    // scheduler must re-attempt, and the result must be exactly-once.
+    val sc = spark.sparkContext
+    val wd = new graft.mr.StragglerWatchdog(sc,
+      timeoutMs = 1500, checkIntervalMs = 150).start()
+    try {
+      val result = sc.parallelize(1 to 80, 8)
+        .map { i =>
+          val tc = TaskContext.get()
+          if (tc.partitionId() == 3 && tc.attemptNumber() == 0)
+            Thread.sleep(120000) // hung task; the kill interrupt lands here
+          i.toLong
+        }
+        .sum()
+      assert(result === (1 to 80).sum.toLong.toDouble,
+        "retried partition must contribute exactly once")
+      assert(wd.totalKills >= 1,
+        "watchdog must have killed the stalled attempt")
+    } finally wd.stop()
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the runtime complement to Skew.saltedSumCount: a hot join key
     // must be split by AQE's skew handling, not melt one reducer
