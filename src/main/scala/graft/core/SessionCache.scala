@@ -2,6 +2,7 @@ package graft.core
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.spark.SparkContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.SparkSession
 
@@ -13,28 +14,64 @@ import org.apache.spark.sql.SparkSession
   * Weak keys alone wouldn't work here: a cached DataFrame strongly
   * references its SparkSession through its QueryExecution, so a
   * WeakHashMap keyed on the session could never collect. Eviction has
-  * to be explicit, and `onApplicationEnd` is the session's natural end
-  * of life.
+  * to be explicit, and `onApplicationEnd` is the natural end of life.
+  *
+  * Granularity: entries are keyed per SESSION, but the eviction hook is
+  * per CONTEXT (`onApplicationEnd` is a context-level event — Spark has
+  * no per-session listener), so sessions sharing one context via
+  * `newSession()` keep their entries until the context dies or
+  * [[evict]] is called explicitly. The hook registry is also keyed per
+  * context, so a manual [[evict]] followed by re-population does NOT
+  * stack a second listener.
+  *
+  * Concurrency: the value thunk runs inside a lazy holder inserted with
+  * `putIfAbsent`, so two threads racing a session's first access
+  * compute the (possibly expensive — e.g. IVF codebook training) value
+  * exactly once.
   */
 final class SessionCache[K, V] {
-  private val cache = TrieMap.empty[(SparkSession, K), V]
-  private val hooked = TrieMap.empty[SparkSession, Unit]
+  // lazy holder: insertion is atomic (putIfAbsent); only the WINNING
+  // holder's thunk ever runs, and `lazy val` makes concurrent get()s
+  // on it block rather than recompute
+  private final class Holder(thunk: () => V) { lazy val get: V = thunk() }
+
+  private val cache = TrieMap.empty[(SparkSession, K), Holder]
+  private val hooked = TrieMap.empty[SparkContext, Unit]
 
   def getOrElseUpdate(spark: SparkSession, key: K)(value: => V): V = {
-    hooked.getOrElseUpdate(spark, {
-      spark.sparkContext.addSparkListener(new SparkListener {
+    val sc = spark.sparkContext
+    // hook once per context; a stopped context can't accept listeners
+    // (addSparkListener would throw from a dead LiveListenerBus) — the
+    // caller is about to fail on the actual Spark job anyway, so skip
+    if (!sc.isStopped && hooked.putIfAbsent(sc, ()).isEmpty) {
+      try sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          evict(spark)
+          evictContext(sc)
       })
-      ()
-    })
-    cache.getOrElseUpdate((spark, key), value)
+      catch {
+        case _: IllegalStateException => hooked.remove(sc) // stop() raced us
+      }
+    }
+    val holder = cache.get((spark, key)) match {
+      case Some(h) => h
+      case None =>
+        val fresh = new Holder(() => value)
+        cache.putIfAbsent((spark, key), fresh).getOrElse(fresh)
+    }
+    holder.get
   }
 
-  /** Drop every entry belonging to `spark`. */
-  def evict(spark: SparkSession): Unit = {
+  /** Drop every entry belonging to `spark` (the hook stays registered —
+    * re-population after a manual evict does not stack listeners).
+    */
+  def evict(spark: SparkSession): Unit =
     cache.keysIterator.filter(_._1 eq spark).toList.foreach(cache.remove)
-    hooked.remove(spark)
+
+  /** Drop every entry of every session on `sc` (context end-of-life). */
+  private def evictContext(sc: SparkContext): Unit = {
+    cache.keysIterator.filter(_._1.sparkContext eq sc).toList
+      .foreach(cache.remove)
+    hooked.remove(sc)
   }
 
   def size: Int = cache.size

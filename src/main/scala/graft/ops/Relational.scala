@@ -1070,25 +1070,34 @@ object Relational {
     val perNation = t(s, dir, "customer")
       .groupBy("c_nationkey")
       .agg(sum(round(col("c_acctbal") * 100, 0).cast("bigint")).as("cents"))
-    // floor(double-division) rather than integer DIV: Spark DIV
-    // truncates toward zero where DuckDB // floors, so the two diverge
-    // on negative sums. IEEE double division is bit-identical in both
-    // engines, and bp numerators (<~1e14) are exactly representable, so
-    // floor() is deterministic and sign-consistent.
-    perNation.select(col("c_nationkey"), col("cents"),
-      expr("CAST(floor(cents * 10000 / (sum(cents) OVER ())) AS BIGINT)")
-        .as("share_bp"))
+    // EXACT floor division in wide-integer arithmetic: n - pmod(n, total)
+    // is exactly divisible by total, so truncating `div` equals floor
+    // regardless of sign (Spark DIV truncates toward zero, DuckDB //
+    // floors — on an exact multiple they agree). DECIMAL(38,0) keeps the
+    // numerator exact far past the 2^53 bound where the previous
+    // floor(double-division) spelling could be off by 1 bp (per-nation
+    // cents*10000 exceeds 2^53 somewhere around petabyte scale). The
+    // DuckDB oracle spells the identical algebra in HUGEINT.
+    perNation
+      .withColumn("n", col("cents").cast("decimal(38,0)") * lit(10000))
+      .withColumn("total", expr("sum(CAST(cents AS DECIMAL(38,0))) OVER ()"))
+      .select(col("c_nationkey"), col("cents"),
+        expr("CAST((n - pmod(n, total)) div total AS BIGINT)").as("share_bp"))
   }
 
   val qPercentOfTotalSql: String =
     """SELECT c_nationkey, cents,
-      |  CAST(floor(cents * 10000 / (sum(cents) OVER ())) AS BIGINT)
+      |  CAST((n - ((n % total) + total) % total) // total AS BIGINT)
       |    AS share_bp
       |FROM (
-      |  SELECT c_nationkey,
-      |    CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
-      |      AS cents
-      |  FROM customer GROUP BY c_nationkey)""".stripMargin
+      |  SELECT c_nationkey, cents,
+      |    CAST(cents AS HUGEINT) * 10000 AS n,
+      |    sum(CAST(cents AS HUGEINT)) OVER () AS total
+      |  FROM (
+      |    SELECT c_nationkey,
+      |      CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+      |        AS cents
+      |    FROM customer GROUP BY c_nationkey))""".stripMargin
 
   // ---------------------------------------------------------------- //
 

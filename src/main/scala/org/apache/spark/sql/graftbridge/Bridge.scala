@@ -11,6 +11,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * expressions — the standard extension-library pattern.
   */
 object Bridge {
+  // Version contract: `classic.ExpressionUtils` and `classic.Dataset
+  // .ofRows` are Spark 4.x `private[sql]` INTERNALS (developed and
+  // tested against 4.1.2). They can move or change shape in a major
+  // bump without any deprecation cycle, so fail loudly and explicitly
+  // at first use on an unexpected major version instead of surfacing
+  // as a mysterious linkage error deep inside a query.
+  require(org.apache.spark.SPARK_VERSION.startsWith("4."),
+    s"graftbridge.Bridge relies on Spark 4.x private[sql] internals " +
+      s"(ExpressionUtils, Dataset.ofRows); running on " +
+      s"${org.apache.spark.SPARK_VERSION} — re-verify these entry points " +
+      "before lifting this check")
+
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -76,8 +76,29 @@ class RobustnessSpec extends SparkSpec {
     assert(c.size == 2)
     c.evict(spark)
     assert(c.size == 0)
-    // re-populate after evict works (listener re-hooks)
+    // re-populate after evict works (hook registry is per-context and
+    // survives a manual evict — no listener stacking)
     assert(c.getOrElseUpdate(spark, "a")(3) == 3)
+  }
+
+  test("session cache: racing first accesses compute the value exactly once") {
+    val c = new graft.core.SessionCache[String, Int]
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int = c.getOrElseUpdate(spark, "expensive") {
+            Thread.sleep(50) // widen the race window
+            computes.incrementAndGet()
+            42
+          }
+        }))
+      assert(results.map(_.get()).toSet === Set(42))
+      assert(computes.get() === 1,
+        s"value thunk ran ${computes.get()} times — codebook-sized work " +
+          "must not duplicate under concurrent first access")
+    } finally pool.shutdown()
   }
 
   test("interval join rejects non-positive windows") {
