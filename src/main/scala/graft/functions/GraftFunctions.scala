@@ -40,6 +40,7 @@ object GraftFunctions {
       binary("dot_product", DotProduct(_, _)),
       binary("sorted_intersect_count", SortedIntersectCount(_, _)),
       binary("sorted_jaccard", SortedJaccard(_, _)),
+      binary("sorted_first_common", SortedFirstCommon(_, _)),
       unary("hashed_sorted_tokens", HashedSortedTokens(_)),
       unary("simhash64", SimHash64(_)),
       unary("token_counts", TokenCounts(_)),

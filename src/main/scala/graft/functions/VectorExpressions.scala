@@ -277,6 +277,75 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** FIRST common element of two SORTED duplicate-free long arrays, or
+  * -1 if none (callers use non-negative domains — dense ranks). The
+  * deduplication primitive of the prefix-filter pair join: a candidate
+  * pair is generated once per shared prefix element, and keeping only
+  * the row whose join key equals the smallest shared element emits each
+  * pair EXACTLY once — no distinct(), no post-join shuffle. Same
+  * zero-allocation O(n+m) merge discipline as [[SortedIntersectCount]],
+  * but with early exit at the first match (for near-dup pairs that is
+  * typically after one or two comparisons).
+  */
+case class SortedFirstCommon(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sorted_first_common"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> args, " +
+          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) return xv
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    -1L
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.value} = -1L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { ${ev.value} = $xv; break; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object vector {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -293,4 +362,7 @@ object vector {
 
   def sorted_jaccard(a: Column, b: Column): Column =
     Bridge.column(SortedJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  def sorted_first_common(a: Column, b: Column): Column =
+    Bridge.column(SortedFirstCommon(Bridge.expression(a), Bridge.expression(b)))
 }

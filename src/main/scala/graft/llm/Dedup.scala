@@ -115,58 +115,110 @@ object Dedup {
     * explode+join+regroup — the same O(total tokens) passes TF-IDF
     * already pays.
     */
-  private def prefixFilterCandidates(
-      tok: DataFrame, setCol: String, threshold: Double): DataFrame = {
-    val exploded = tok.select(col("doc_id"), explode(col(setCol)).as("tok"))
-    val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ordered = exploded
-      .join(dfreq, "tok")
+  /** The prefix-filter threshold join in its CARRY-THROUGH form (the
+    * published MapReduce set-similarity join shape), shared by the
+    * token, shingle, and edit-verified pair operators.
+    *
+    * Pipeline:
+    *   1. tokenize once per doc (single-pass kernel), explode, count
+    *      document frequency per token (vocabulary-sized aggregate);
+    *   2. assign every token its GLOBAL DENSE RANK in (df asc, tok asc)
+    *      order — computed scalably by range-partition + in-partition
+    *      sort + zipWithIndex (no single-partition window), so it holds
+    *      for shingle "vocabularies" that are corpus-sized;
+    *   3. re-express every doc as its sorted rank array (a bijection,
+    *      so Jaccard over ranks == Jaccard over tokens), take the
+    *      prefix = lowest |x|-ceil(t*|x|)+1 ranks (rank order IS
+    *      rarest-first order, the AllPairs candidate-shrinking
+    *      heuristic), and explode it;
+    *   4. ONE self-join on prefix rank. Rank arrays ride through the
+    *      join, so the pair is length-filtered, deduplicated, AND
+    *      scored inside the join stage: the `sorted_first_common`
+    *      condition keeps exactly the row whose join key is the
+    *      smallest shared prefix rank — each pair emitted ONCE, no
+    *      distinct(), no re-fetch joins, nothing shuffled after the
+    *      join but the final pairs.
+    *
+    * Completeness: J(x,y) >= t implies overlap o >= t*max(|x|,|y|), so
+    * o >= ceil(t*|x|) and the smallest common rank cannot sit outside
+    * x's first |x|-ceil(t*|x|)+1 ranks (all o common ranks would have
+    * to fit in the ceil(t*|x|)-1 suffix) — symmetrically for y, so the
+    * smallest common rank lies in BOTH prefixes and the join finds it.
+    */
+  private def prefixRankJoin(
+      d: DataFrame, tokens: Column, threshold: Double, scoreName: String,
+      payload: Option[(String, Column)] = None): DataFrame = {
+    import graft.functions.vector.{sorted_first_common, sorted_jaccard}
+    val spark = d.sparkSession
+    import spark.implicits._
+    val base = graft.core.Layout.spread(d, "doc_id").select(
+      Seq(col("doc_id"), tokens.as("toks")) ++
+        payload.map { case (n, c) => c.as(n) }: _*)
+    val ex = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = dfreq
+      .repartitionByRange(col("df"), col("tok"))
+      .sortWithinPartitions("df", "tok")
+      .select("tok").rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i) }
+      .toDF("tok", "rank")
+    val ranksPerDoc = ex.join(ranked, "tok")
       .groupBy("doc_id")
-      .agg(
-        sort_array(collect_list(struct(col("df"), col("tok")))).as("ftoks"),
-        count(lit(1)).as("sz"))
-    val prefix = ordered.select(
-      col("doc_id"), col("sz"),
-      explode(slice(col("ftoks"), lit(1),
+      .agg(sort_array(collect_list(col("rank"))).as("ranks"))
+    val docs = payload
+      .map { case (n, _) => ranksPerDoc.join(base.select(col("doc_id"), col(n)),
+        "doc_id") }
+      .getOrElse(ranksPerDoc)
+      .withColumn("sz", size(col("ranks")))
+      .withColumn("pref", slice(col("ranks"), lit(1),
         (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1)).cast("int")))
-        .as("pt"))
-      .select(col("doc_id"), col("sz"), col("pt.tok").as("tok"))
-    // length filter (PPJoin-family): J(A,B) >= t forces set sizes
-    // within a factor t of each other — necessary, so pruning on it
-    // cannot drop a qualifying pair
-    prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") &&
+    val sideCols = Seq(col("doc_id"), col("ranks"), col("sz"), col("pref")) ++
+      payload.map { case (n, _) => col(n) }
+    val exploded = docs.select(sideCols :+ explode(col("pref")).as("prank"): _*)
+    // Condition order is deliberate — Spark evaluates the non-equi
+    // conjuncts left to right per key-equal pair, and the pair MULTISET
+    // (one evaluation per shared prefix rank) is ~10x the pair count:
+    // cheap prunes first (id order, lengths), then the early-exit
+    // emit-once merge, and the O(n+m) scoring kernel LAST so it runs
+    // once per pair, not once per shared rank. The threshold lives in
+    // the join condition rather than a filter() above it precisely to
+    // control this order (a pushed-down filter lands leftmost).
+    //
+    // hint("merge"): the exploded inputs can look broadcast-small while
+    // the join's true cost is the key-equal multiset; AQE's
+    // size-triggered broadcast conversion is a measured ~6x regression
+    // on hot keys (probe rows walk long hash chains), so pin the
+    // sort-merge strategy — on big corpora the inputs exceed the
+    // broadcast threshold and SMJ is what AQE would pick anyway.
+    exploded.as("a")
+      .join(exploded.as("b").hint("merge"),
+        col("a.prank") === col("b.prank") &&
           col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J >= t forces set sizes within factor t —
+          // necessary, so pruning cannot drop a qualifying pair
           col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          // emit-once: only the smallest shared prefix rank produces
+          // the pair
+          col("a.prank") === sorted_first_common(col("a.pref"), col("b.pref")) &&
+          round(sorted_jaccard(col("a.ranks"), col("b.ranks")), 6) >=
+            lit(threshold))
+      .select(
+        Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(sorted_jaccard(col("a.ranks"), col("b.ranks")), 6)
+            .as(scoreName)) ++
+          payload.toSeq.flatMap { case (n, _) =>
+            Seq(col(s"a.$n").as(s"${n}_a"), col(s"b.$n").as(s"${n}_b")) }: _*)
   }
 
-  /** Exact token-set Jaccard pairs over the WHOLE corpus, threshold
-    * join via prefix-filter candidates ([[prefixFilterCandidates]])
-    * verified with the codegen'd O(n+m) SortedJaccard merge. Tokens are
-    * hashed (xxhash64), deduped and value-SORTED once per document by
-    * the single-pass HashedSortedTokens kernel; candidate (doc_a,
-    * doc_b) pairs are distinct'd BEFORE re-fetching the token arrays
-    * (two hash joins on doc_id), so the shuffle carries each array
-    * once per surviving pair side, not once per shared prefix token.
+  /** Exact token-set Jaccard pairs over the WHOLE corpus — the
+    * [[prefixRankJoin]] threshold join over whitespace-token sets
+    * (hashed by the single-pass HashedSortedTokens kernel).
     */
   def jaccardPairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
     import graft.functions.text.hashed_sorted_tokens
-    import graft.functions.vector.sorted_jaccard
-    val withToks = graft.core.Layout.spread(d, "doc_id").select(
-      col("doc_id"), hashed_sorted_tokens(col("text")).as("toks"))
-    prefixFilterCandidates(withToks, "toks", threshold)
-      .join(withToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
-        "doc_a")
-      .join(withToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
-        "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        round(sorted_jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    prefixRankJoin(d, hashed_sorted_tokens(col("text")), threshold, "jaccard")
   }
 
   val jaccardPairsSql: String =
@@ -198,18 +250,8 @@ object Dedup {
   def jaccardShinglePairs(
       d: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
     import graft.functions.text.hashed_sorted_shingles
-    import graft.functions.vector.sorted_jaccard
-    val withSh = graft.core.Layout.spread(d, "doc_id").select(
-      col("doc_id"), hashed_sorted_shingles(col("text"), n).as("sh"))
-    prefixFilterCandidates(withSh, "sh", threshold)
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-        "doc_a")
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        round(sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("sh_jaccard"))
-      .filter(col("sh_jaccard") >= threshold)
+    prefixRankJoin(d, hashed_sorted_shingles(col("text"), n), threshold,
+      "sh_jaccard")
   }
 
   val jaccardShinglePairsSql: String =
@@ -445,20 +487,15 @@ object Dedup {
     * when the precise metric is quadratic in document length: at corpus
     * scale you can afford edit distance on thousands of candidate
     * pairs, never on all pairs. Prefix-bounding keeps the verifier
-    * O(prefix^2). The head re-fetch is a plain hash join on doc_id
-    * (pair-side partitioned; AQE may still choose to broadcast the
-    * projected heads when they fit — a runtime decision, not a baked-in
-    * assumption).
+    * O(prefix^2). The bounded heads ride through the candidate join as
+    * [[prefixRankJoin]] payload, so the verifier runs inside the join
+    * stage — no re-fetch join at all.
     */
   def editVerifiedPairs(
       d: DataFrame, threshold: Double = 0.5, prefix: Int = 60): DataFrame = {
-    val texts = graft.core.Layout.spread(d, "doc_id")
-      .select(col("doc_id"), substring(col("text"), 1, prefix).as("head"))
-    jaccardPairs(d, threshold)
-      .join(texts.select(col("doc_id").as("doc_a"),
-        col("head").as("head_a")), "doc_a")
-      .join(texts.select(col("doc_id").as("doc_b"),
-        col("head").as("head_b")), "doc_b")
+    import graft.functions.text.hashed_sorted_tokens
+    prefixRankJoin(d, hashed_sorted_tokens(col("text")), threshold, "jaccard",
+      payload = Some("head" -> substring(col("text"), 1, prefix)))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         levenshtein(col("head_a"), col("head_b")).cast("bigint")
           .as(s"edit_$prefix"))

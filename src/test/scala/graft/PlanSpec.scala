@@ -116,7 +116,11 @@ class PlanSpec extends SparkSpec {
         "minhash" -> Dedup.minhashPairs(d),
         "embedding" -> Dedup.embeddingPairs(e))) {
       val analyzed = df.queryExecution.analyzed.toString
-      assert(!analyzed.contains("ResolvedHint"),
+      // the prefix-rank join pins SMJ via a merge hint (join cost is in
+      // the key-equal multiset, not the input sizes) — that is fine;
+      // what must never appear is a broadcast of corpus-derived data
+      assert(!analyzed.toLowerCase.contains("strategy=broadcast") &&
+        !analyzed.contains("UnresolvedHint"),
         s"$name: default dedup path must not hint-broadcast anything:\n$analyzed")
     }
   }
