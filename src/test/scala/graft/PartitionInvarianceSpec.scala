@@ -41,7 +41,15 @@ class PartitionInvarianceSpec extends SparkSpec {
         Tables.load(spark, sfDir, "documents"))),
     ("interval_join (bucketized equi-join)",
       () => graft.ops.EventOps.intervalPurchaseClick(
-        Tables.load(spark, sfDir, "events"))))
+        Tables.load(spark, sfDir, "events"))),
+    ("jaccard_pairs (rank assignment + emit-once join)",
+      () => Dedup.jaccardPairs(Tables.load(spark, sfDir, "documents"))),
+    ("prefix_dups (range-sorted stack scan + closure)",
+      () => Dedup.prefixDups(Tables.load(spark, sfDir, "documents"))),
+    ("simhash_banded (band-bucket join)",
+      () => Dedup.simhashPairsBanded(Tables.load(spark, sfDir, "documents"))),
+    ("embedding_pairs (lsh candidates + exact verify)",
+      () => Dedup.embeddingPairs(Tables.load(spark, sfDir, "embeddings"))))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {

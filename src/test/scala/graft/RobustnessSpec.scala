@@ -81,6 +81,22 @@ class RobustnessSpec extends SparkSpec {
     assert(c.getOrElseUpdate(spark, "a")(3) == 3)
   }
 
+  test("dedup joins handle degenerate corpora (empty, single-doc, blank texts)") {
+    import graft.llm.Dedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(empty).count() === 0)
+    assert(Dedup.prefixDups(empty).count() === 0)
+    val one = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(one).count() === 0)
+    assert(Dedup.prefixDups(one).count() === 0)
+    // blank texts: empty token sets pair with nothing under Jaccard,
+    // but "" IS a strict prefix of every non-empty text
+    val blank = Seq((1L, ""), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(blank).count() === 0)
+    assert(Dedup.prefixDups(blank).collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet === Set((1L, 3L), (2L, 3L)))
+  }
+
   test("session cache: racing first accesses compute the value exactly once") {
     val c = new graft.core.SessionCache[String, Int]
     val computes = new java.util.concurrent.atomic.AtomicInteger(0)
