@@ -17,6 +17,9 @@ object DedupProf {
     }
     time("warmup")(d.count())
     time("jaccard_pairs")(Dedup.jaccardPairs(d).count())
+    time("jaccard_pairs_t09")(Dedup.jaccardPairs(d, 0.9).count())
+    time("edit_pairs")(Dedup.editVerifiedPairs(d).count())
+    time("prefix_dups")(Dedup.prefixDups(d).count())
     time("minhash_sigs")(Dedup.minhashSignatures(d).count())
     time("minhash_pairs")(Dedup.minhashPairs(d).count())
     time("simhash")(Dedup.simhash(d).count())
