@@ -125,6 +125,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("jaccard candidate join stays sort-merge through AQE finalization") {
+    // AQE's size-triggered broadcast conversion on the (small-looking)
+    // exploded prefix side is a measured ~6x regression — the join's
+    // cost is the hot-key multiset, not the inputs. The merge hint must
+    // survive into the FINAL adaptive plan.
+    val d = Tables.load(spark, sfDir, "documents")
+    val q = Dedup.jaccardPairs(d)
+    q.collect() // finalize the adaptive plan of THIS QueryExecution
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("SortMergeJoin"),
+      s"candidate join lost the merge pin:\n$finalPlan")
+  }
+
   test("prefixDups result plan: id re-attach joins carry no broadcast hint") {
     // the only explicit broadcasts inside prefixDups are the
     // partition-first candidate sets (numPartitions x chain-depth
