@@ -175,7 +175,8 @@ object Dedup {
         (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1)).cast("int")))
     val sideCols = Seq(col("doc_id"), col("ranks"), col("sz"), col("pref")) ++
       payload.map { case (n, _) => col(n) }
-    val exploded = docs.select(sideCols :+ explode(col("pref")).as("prank"): _*)
+    val exploded = docs.select(
+      sideCols :+ posexplode(col("pref")).as(Seq("ppos", "prank")): _*)
     // Condition order is deliberate — Spark evaluates the non-equi
     // conjuncts left to right per key-equal pair, and the pair MULTISET
     // (one evaluation per shared prefix rank) is ~10x the pair count:
@@ -202,6 +203,18 @@ object Dedup {
           // emit-once: only the smallest shared prefix rank produces
           // the pair
           col("a.prank") === sorted_first_common(col("a.pref"), col("b.pref")) &&
+          // positional filter (PPJoin): GIVEN the matched rank is the
+          // first common element, every other common element sits after
+          // position ppos on both sides, so overlap <= 1 + min(suffix
+          // lengths); J >= t needs overlap >= t/(1+t)*(|a|+|b|). A
+          // necessary condition evaluated in a few flops — kills
+          // below-threshold pairs before the O(n+m) scoring merge
+          // (the 1e-9 slack absorbs double rounding of the rational
+          // bound so a boundary-exact pair can never be dropped)
+          (lit(1) + least(col("a.sz") - col("a.ppos") - 1,
+            col("b.sz") - col("b.ppos") - 1)) >=
+            lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")) -
+              lit(1e-9) &&
           round(sorted_jaccard(col("a.ranks"), col("b.ranks")), 6) >=
             lit(threshold))
       .select(
