@@ -93,6 +93,37 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("prefix-rank join is sub-quadratic on a realistic vocabulary (planted dups)") {
+    // The bench corpus has a ~31-token vocabulary, which makes ANY
+    // threshold join's OUTPUT quadratic (71% of pairs clear 0.5) and
+    // hides the candidate generator's asymptotics. This corpus is the
+    // regime the design targets: 20k docs over a 50k-token vocabulary —
+    // 200M+ possible pairs, but random docs share ~0 tokens, so the
+    // rarest-first prefix join touches only the 50 planted near-dup
+    // pairs (plus astronomically unlikely collisions). Brute force at
+    // this size is not even testable locally.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 20000).map { i =>
+      (i.toLong, Array.fill(25)("w" + rnd.nextInt(50000)).mkString(" "))
+    }
+    val planted = (0 until 50).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(0) = "CHANGED" + i // one-token edit: J ~ (n-1)/(n+1) ~ 0.92
+      (100000L + i, toks.mkString(" "))
+    }
+    val d = (base ++ planted).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Dedup.jaccardPairs(d, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20050 docs, 50k vocab: ${got.size} pairs in $secs%.1f s")
+    val expected = (0 until 50).map(i => (i.toLong, 100000L + i)).toSet
+    assert(expected.subsetOf(got), s"lost planted pairs: ${expected -- got}")
+    assert(got === expected,
+      s"unexpected extra pairs (random 25-of-50k docs can't reach J=0.5): " +
+        s"${(got -- expected).take(5)}")
+  }
+
   test("sorted prefixDups equals brute force on a chain-heavy multi-partition corpus") {
     // every binary string of length 1..9 -> deep prefix chains that are
     // guaranteed to straddle range-partition boundaries, plus duplicated
