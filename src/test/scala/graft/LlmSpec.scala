@@ -145,6 +145,29 @@ class LlmSpec extends SparkSpec {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("sorted prefixDups scales past brute-force reach (planted truncations)") {
+    // 20k distinct random docs (no accidental prefixes w.h.p., fixed
+    // seed) + 50 planted truncations; brute force would be 400M
+    // startswith evaluations. The range-sort + stack scan must return
+    // exactly the planted pairs.
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 20000).map { i =>
+      (i.toLong, Array.fill(25)("w" + rnd.nextInt(50000)).mkString(" "))
+    }
+    val planted = (0 until 50).map { i =>
+      (100000L + i, base(i)._2.take(60)) // strict prefix of base doc i
+    }
+    val d = (base ++ planted).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Dedup.prefixDups(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20050 docs: ${got.size} prefix pairs in $secs%.1f s")
+    val expected = (0 until 50).map(i => (100000L + i, i.toLong)).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("banded simhash equals corpus-wide brute force at maxHamming < nBands") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
