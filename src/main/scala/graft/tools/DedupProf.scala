@@ -17,6 +17,11 @@ object DedupProf {
     }
     time("warmup")(d.count())
     time("jaccard_pairs")(Dedup.jaccardPairs(d).count())
+    // steady-state salting sweep (first run above pays JIT/codegen)
+    time("jaccard_unsalted")(Dedup.jaccardPairs(d, 0.5, -1).count())
+    time("jaccard_salt_512")(Dedup.jaccardPairs(d, 0.5, 512).count())
+    time("shingle_default")(Dedup.jaccardShinglePairs(d).count())
+    time("shingle_unsalted")(Dedup.jaccardShinglePairs(d, saltTarget = -1).count())
     time("jaccard_pairs_t09")(Dedup.jaccardPairs(d, 0.9).count())
     time("edit_pairs")(Dedup.editVerifiedPairs(d).count())
     time("prefix_dups")(Dedup.prefixDups(d).count())

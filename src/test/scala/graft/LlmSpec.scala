@@ -145,6 +145,16 @@ class LlmSpec extends SparkSpec {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("hot-key salting preserves the exact pair set") {
+    // saltTarget=64 makes every prefix rank hot on this corpus
+    // (membership ~hundreds), so the probe/build sub-bucket split is
+    // fully exercised — the result must be identical to the unsalted
+    // default, scores included
+    def pairs(st: Int) = Dedup.jaccardPairs(docs, 0.5, saltTarget = st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(64) === pairs(4096))
+  }
+
   test("sorted prefixDups scales past brute-force reach (planted truncations)") {
     // 20k distinct random docs (no accidental prefixes w.h.p., fixed
     // seed) + 50 planted truncations; brute force would be 400M

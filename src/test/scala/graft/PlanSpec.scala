@@ -115,13 +115,23 @@ class PlanSpec extends SparkSpec {
         "simhash_banded" -> Dedup.simhashPairsBanded(d),
         "minhash" -> Dedup.minhashPairs(d),
         "embedding" -> Dedup.embeddingPairs(e))) {
-      val analyzed = df.queryExecution.analyzed.toString
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, ResolvedHint}
       // the prefix-rank join pins SMJ via a merge hint (join cost is in
       // the key-equal multiset, not the input sizes) — that is fine;
-      // what must never appear is a broadcast of corpus-derived data
-      assert(!analyzed.toLowerCase.contains("strategy=broadcast") &&
-        !analyzed.contains("UnresolvedHint"),
-        s"$name: default dedup path must not hint-broadcast anything:\n$analyzed")
+      // what must never broadcast is PER-ROW corpus data. Broadcast
+      // hints are only allowed above a reduction (e.g. the hot-rank
+      // salting table: ranks whose prefix membership exceeds the salt
+      // target — bounded by prefix-rows/target by construction).
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      hints.filter(_.hints.strategy.exists(_.toString.toLowerCase.contains("broadcast")))
+        .foreach { h =>
+          val isReduction = h.child.collectFirst {
+            case _: Aggregate => ()
+            case _: LocalRelation => ()
+          }.isDefined
+          assert(isReduction,
+            s"$name: broadcast hint over non-reduced corpus data:\n$h")
+        }
     }
   }
 
