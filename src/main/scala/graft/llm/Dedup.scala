@@ -189,7 +189,12 @@ object Dedup {
           .agg(count(lit(1)).as("pn"))
           .filter(col("pn") > saltTarget)
           .select(col("prank"),
-            ceil(col("pn").cast("double") / saltTarget).cast("int").as("nsalt"))
+            // cap: the build side materializes a sequence(0, nsalt-1)
+            // array per row before exploding — an uncapped nsalt on a
+            // pathologically hot rank would allocate megabytes per row.
+            // The cap only coarsens the split, never changes results.
+            least(ceil(col("pn").cast("double") / saltTarget), lit(65536))
+              .cast("int").as("nsalt"))
         val salted = exploded.join(broadcast(hot), Seq("prank"), "left")
           .withColumn("nsalt", coalesce(col("nsalt"), lit(1)))
         (salted.withColumn("salt",
