@@ -262,15 +262,67 @@ object Multimodal {
       |    AS top_left
       |FROM px GROUP BY doc_id""".stripMargin
 
+  /** decode -> nearest-neighbor resize -> aggregate, end to end: the
+    * fixture arithmetic composes exactly through the resampling
+    * (sx = x*w/outW is integer floor division on both sides), so the
+    * oracle can verify every resampled byte without decoding anything.
+    */
+  def resizedStats(
+      spark: SparkSession, d: DataFrame,
+      outW: Int = 8, outH: Int = 6): DataFrame = {
+    import spark.implicits._
+    resize(spark, decodeImages(spark, bmpFixtures(d)), outW, outH)
+      .map { img =>
+        var psum = 0L
+        var possum = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            var c = 0
+            while (c < 3) {
+              val v = (img.pixels((y * img.width + x) * 3 + c) & 0xff).toLong
+              psum += v
+              possum += (x + 7L * y + 13L * c) * v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (img.doc_id, img.width.toLong, img.height.toLong, psum, possum)
+      }
+      .toDF("doc_id", "width", "height", "pixel_sum", "pos_sum")
+  }
+
+  val resizedStatsSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 13 + 5 AS w, doc_id % 7 + 3 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, gx.x, gy.y, gc.c,
+      |    ((gx.x * d.w) // 8 * 3 + (gy.y * d.h) // 6 * 7 +
+      |      gc.c * 11 + d.doc_id) % 256 AS v
+      |  FROM dims d,
+      |    (SELECT unnest(generate_series(0, 7)) AS x) gx,
+      |    (SELECT unnest(generate_series(0, 5)) AS y) gy,
+      |    (SELECT unnest(generate_series(0, 2)) AS c) gc)
+      |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+      |  CAST(sum(v) AS BIGINT) AS pixel_sum,
+      |  CAST(sum((x + 7 * y + 13 * c) * v) AS BIGINT) AS pos_sum
+      |FROM px GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_batches" -> ((s, d) => inferenceBatches(docs(s, d))),
     "q_multimodal_meta" -> ((s, d) => mediaMeta(docs(s, d))),
     "q_multimodal_frames" -> ((s, d) => frameSample(docs(s, d))),
-    "q_multimodal_decode" -> ((s, d) => decodedStats(s, docs(s, d))))
+    "q_multimodal_decode" -> ((s, d) => decodedStats(s, docs(s, d))),
+    "q_multimodal_resize" -> ((s, d) => resizedStats(s, docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_batches" -> inferenceBatchesSql,
     "q_multimodal_meta" -> mediaMetaSql,
     "q_multimodal_frames" -> frameSampleSql,
-    "q_multimodal_decode" -> decodedStatsSql)
+    "q_multimodal_decode" -> decodedStatsSql,
+    "q_multimodal_resize" -> resizedStatsSql)
 }
