@@ -65,17 +65,18 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-of-projection LSH bucket id for every vector. */
-  def lshBuckets(
-      e: DataFrame, nPlanes: Int = 4, seed: Long = 1234L): DataFrame = {
-    val ps = planes(nPlanes, seed = seed)
-    val bucket = ps.zipWithIndex.map { case (p, i) =>
+  /** Sign-of-projection bucket id expression over `embedding`. */
+  private def bucketCol(nPlanes: Int, seed: Long): Column =
+    planes(nPlanes, seed = seed).zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(v => lit(v)): _*)
       when(vector.dot_product(col("embedding"), planeCol) >= 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    e.withColumn("bucket", bucket)
-  }
+
+  /** Sign-of-projection LSH bucket id for every vector. */
+  def lshBuckets(
+      e: DataFrame, nPlanes: Int = 4, seed: Long = 1234L): DataFrame =
+    e.withColumn("bucket", bucketCol(nPlanes, seed))
 
   /** Approximate top-k via multi-table LSH: `nTables` independent
     * hyperplane sets, candidates unioned across tables (a miss in one
@@ -124,24 +125,33 @@ object Similarity {
     */
   private[llm] def lshCandidatePairs(
       v: DataFrame, nPlanes: Int, nTables: Int, multiprobe: Boolean,
-      pairCond: (Column, Column) => Column): DataFrame =
-    (0 until nTables).map { t =>
-      val bucketed = lshBuckets(v, nPlanes, seed = 1234L + 7919L * t)
-        .select(col("vec_id"), col("embedding"), col("bucket"))
-      val probes =
-        if (!multiprobe) bucketed.select(col("vec_id"), col("embedding"),
-          col("bucket").as("probe"))
-        else bucketed.select(col("vec_id"), col("embedding"),
-          explode(array((col("bucket") +: (0 until nPlanes).map(i =>
-            col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("probe"))
-      probes.as("a")
-        .join(bucketed.as("b"),
+      pairCond: (Column, Column) => Column): DataFrame = {
+    // All tables fused into ONE bucket join: each row computes its
+    // nTables bucket ids in a single projection and explodes to
+    // (table, bucket) — versus the naive per-table spelling (nTables
+    // separate joins unioned), this scans the corpus twice instead of
+    // 2 x nTables times and shuffles once per side instead of once per
+    // table, for the identical candidate set (the table id is part of
+    // the join key, so buckets never collide across tables).
+    val tableBuckets =
+      (0 until nTables).map(t => bucketCol(nPlanes, seed = 1234L + 7919L * t))
+    val built = v.select(col("vec_id"), col("embedding"),
+      posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
+    val probes =
+      if (!multiprobe) built.withColumnRenamed("bucket", "probe")
+      else built.select(col("vec_id"), col("embedding"), col("tbl"),
+        explode(array((col("bucket") +: (0 until nPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("probe"))
+    probes.as("a")
+      .join(built.as("b"),
+        col("a.tbl") === col("b.tbl") &&
           col("a.probe") === col("b.bucket") &&
-            pairCond(col("a.vec_id"), col("b.vec_id")))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          vector.cosine_similarity(col("a.embedding"), col("b.embedding"))
-            .as("sim"))
-    }.reduce(_ unionAll _).distinct()
+          pairCond(col("a.vec_id"), col("b.vec_id")))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        vector.cosine_similarity(col("a.embedding"), col("b.embedding"))
+          .as("sim"))
+      .distinct()
+  }
 
   /** Deterministic IVF coarse quantizer: k centroids from a fixed-seed
     * Lloyd refinement (seeds = the k lowest vec_ids, `iters` rounds of
