@@ -83,43 +83,49 @@ object Multimodal {
       |  FROM documents)""".stripMargin
 
   /** Inference batching: assign media to contiguous byte-budget batches
-    * (doc_id order, 64 KB per batch) and report per-batch stats — the
-    * serving-side sibling of Curation.packSequences: GPU inference
-    * wants fixed-size payload batches, and the assignment must be a
-    * pure function of the data (reproducible across runs).
+    * (doc_id order within a shard, 64 KB per batch) and report
+    * per-batch stats — the serving-side sibling of
+    * Curation.packSequences: GPU inference wants fixed-size payload
+    * batches, and the assignment must be a pure function of the data
+    * (reproducible across runs).
     *
-    * Scale note: the cumulative sum here is a GLOBAL ordered window —
-    * fine for a demo corpus, a single-reducer bottleneck at 100 TB. A
-    * production batcher partitions the window by shard (as
-    * packSequences does by lang): batches stay contiguous within each
-    * shard and the shards pack independently.
+    * Scale shape: the cumulative sum is windowed PER SHARD
+    * (deterministic `doc_id mod nShards`), exactly as packSequences
+    * partitions by lang — shards pack independently in parallel and no
+    * single reducer ever sees the whole table. Batch identity is the
+    * (shard, batch_id) pair; batches stay contiguous in doc_id order
+    * within their shard. Size `nShards` to the cluster (O(cores)); a
+    * shard's data must fit one task, which is the same contract every
+    * partitioned window in the engine already carries.
     */
-  def inferenceBatches(d: DataFrame, budget: Long = 65536L): DataFrame = {
+  def inferenceBatches(
+      d: DataFrame, budget: Long = 65536L, nShards: Int = 32): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id")
+      .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     asMedia(d)
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
       .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
-      .select(col("doc_id"), col("n_bytes"),
+      .select(col("shard"), col("doc_id"), col("n_bytes"),
         expr(s"CAST(cum_before DIV $budget AS BIGINT)").as("batch_id"))
-      .groupBy("batch_id")
+      .groupBy("shard", "batch_id")
       .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("batch_bytes"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
   val inferenceBatchesSql: String =
-    """SELECT batch_id, count(*) AS n_items,
+    """SELECT shard, batch_id, count(*) AS n_items,
       |  CAST(sum(n_bytes) AS BIGINT) AS batch_bytes,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM (
-      |  SELECT doc_id, n_bytes,
-      |    CAST(coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+      |  SELECT shard, doc_id, n_bytes,
+      |    CAST(coalesce(sum(n_bytes) OVER (PARTITION BY shard ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      // 65536 AS BIGINT) AS batch_id
-      |  FROM (SELECT doc_id,
+      |  FROM (SELECT doc_id % 32 AS shard, doc_id,
       |          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |        FROM documents))
-      |GROUP BY batch_id""".stripMargin
+      |GROUP BY shard, batch_id""".stripMargin
 
   /** Decoded-image batch record (the schema the decoder emits). */
   case class DecodedImage(

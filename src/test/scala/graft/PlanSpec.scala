@@ -170,6 +170,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 Exchange, got $exchanges:\n$p")
   }
 
+  test("no query plans a global unpartitioned window (single-reducer at scale)") {
+    // Window.orderBy with no partitionBy moves the WHOLE table to one
+    // task ("WindowExec: No Partition Defined" at runtime) — the defect
+    // class q_multimodal_batches used to carry. Assert it never comes
+    // back anywhere in the registered query surface.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((name, fn) <- SparkEntry.queries) {
+      val offenders = fn(spark, sfDir).queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$name: unpartitioned global window:\n${offenders.headOption}")
+    }
+  }
+
   test("semi/anti joins use dedicated join types (no fallback to inner+distinct)") {
     val ps = plan(Relational.qSemiJoin(spark, sfDir))
     assert(ps.contains("LeftSemi"), ps)
