@@ -28,8 +28,18 @@ import org.apache.spark.sql.SparkSession
   * `putIfAbsent`, so two threads racing a session's first access
   * compute the (possibly expensive — e.g. IVF codebook training) value
   * exactly once.
+  *
+  * Bound: a deployment that churns `newSession()` on one long-lived
+  * context (per-request sessions on a shared app) never fires
+  * `onApplicationEnd`, so context-end eviction alone is unbounded.
+  * A session has no individual end-of-life event Spark exposes, and
+  * weak keys can't work (values reference their session, see above) —
+  * so the cache keeps entries for at most `maxSessions` LEAST RECENTLY
+  * USED sessions; older sessions' entries are dropped and simply
+  * recompute if that session ever comes back. Active sessions are
+  * touched on every access and never evicted.
   */
-final class SessionCache[K, V] {
+final class SessionCache[K, V](maxSessions: Int = 64) {
   // lazy holder: insertion is atomic (putIfAbsent); only the WINNING
   // holder's thunk ever runs, and `lazy val` makes concurrent get()s
   // on it block rather than recompute
@@ -37,9 +47,23 @@ final class SessionCache[K, V] {
 
   private val cache = TrieMap.empty[(SparkSession, K), Holder]
   private val hooked = TrieMap.empty[SparkContext, Unit]
+  // LRU tick per session (monotonic counter, not wall clock); races
+  // only skew eviction order, never correctness — an evicted-too-early
+  // entry recomputes on next access
+  private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastUse = TrieMap.empty[SparkSession, Long]
 
   def getOrElseUpdate(spark: SparkSession, key: K)(value: => V): V = {
     val sc = spark.sparkContext
+    lastUse.put(spark, tick.incrementAndGet())
+    if (lastUse.size > maxSessions) {
+      lastUse.toSeq.sortBy(_._2)
+        .dropRight(maxSessions)
+        .foreach { case (s, t) =>
+          // guard against evicting a session touched since the snapshot
+          if (lastUse.remove(s, t)) evict(s)
+        }
+    }
     // hook once per context; a stopped context can't accept listeners
     // (addSparkListener would throw from a dead LiveListenerBus) — the
     // caller is about to fail on the actual Spark job anyway, so skip
@@ -71,6 +95,8 @@ final class SessionCache[K, V] {
   private def evictContext(sc: SparkContext): Unit = {
     cache.keysIterator.filter(_._1.sparkContext eq sc).toList
       .foreach(cache.remove)
+    lastUse.keysIterator.filter(_.sparkContext eq sc).toList
+      .foreach(lastUse.remove)
     hooked.remove(sc)
   }
 

@@ -87,12 +87,23 @@ object BmpCodec {
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
     require(width > 0 && height > 0, s"bad dims ${width}x$rawHeight")
-    val rowBytes = width * 3
-    val stride = (rowBytes + 3) & ~3
+    // All size arithmetic in Long first: an adversarial header with
+    // width > ~715M makes `width * 3` overflow Int (negative stride that
+    // slips past the bounds require and dies as ArrayIndexOutOfBounds,
+    // bypassing the quarantine contract above).
+    // width*height ≤ 2^62 cannot overflow Long; bounding IT first makes
+    // every later product (x3 for bytes, stride*height) overflow-free —
+    // totalL computed directly would itself wrap for Int.MaxValue² dims.
+    val whL = width.toLong * height.toLong
+    require(whL <= (Int.MaxValue.toLong - 8L) / 3L,
+      s"image too large: ${width}x$height (${whL} pixels)")
+    val rowBytesL = width.toLong * 3L
+    val strideL = (rowBytesL + 3L) & ~3L
     require(dataOffset >= FileHeaderSize + InfoHeaderSize &&
-      bytes.length.toLong >= dataOffset.toLong + stride.toLong * height,
-      s"pixel data out of bounds: offset=$dataOffset stride=$stride h=$height " +
+      bytes.length.toLong >= dataOffset.toLong + strideL * height,
+      s"pixel data out of bounds: offset=$dataOffset stride=$strideL h=$height " +
         s"len=${bytes.length}")
+    val stride = strideL.toInt
     val out = new Array[Byte](width * height * 3)
     var stored = 0
     while (stored < height) {

@@ -131,6 +131,30 @@ object Dedup {
     * to fit in the ceil(t*|x|)-1 suffix) — symmetrically for y, so the
     * smallest common rank lies in BOTH prefixes and the join finds it.
     */
+  /** Positional filter (PPJoin): GIVEN the matched rank is the first
+    * common element, every other common element sits after position
+    * ppos on both sides, so overlap <= 1 + min(suffix lengths); J >= t
+    * needs overlap >= t/(1+t)*(|a|+|b|). A necessary condition
+    * evaluated in a few flops — kills below-threshold pairs before the
+    * O(n+m) scoring merge.
+    *
+    * Numerics: compared in the rearranged form o*(1+t) >= t*(sa+sb)
+    * (one rounding per side, no division) with a RELATIVE 1e-12 slack
+    * on the right. An absolute slack does not scale — at sa+sb ~ 1e7+
+    * elements double rounding of t/(1+t)*(sa+sb) can exceed any fixed
+    * epsilon and drop a boundary-exact pair. The relative slack is
+    * ~1e4x the worst-case rounding (a few ulps, ~4e-16 relative) yet
+    * admits only borderline candidates, which the exact sorted_jaccard
+    * conjunct after this filter then scores — correctness never
+    * depends on the slack being tight.
+    */
+  private[graft] def positionalFilter(
+      szA: Column, pposA: Column, szB: Column, pposB: Column,
+      threshold: Double): Column =
+    (lit(1) + least(szA - pposA - 1, szB - pposB - 1)).cast("double") *
+      lit(1.0 + threshold) >=
+      lit(threshold) * (szA + szB).cast("double") * lit(1.0 - 1e-12)
+
   private def prefixRankJoin(
       d: DataFrame, tokens: Column, threshold: Double, scoreName: String,
       payload: Option[(String, Column)] = None,
@@ -229,18 +253,8 @@ object Dedup {
           // emit-once: only the smallest shared prefix rank produces
           // the pair
           col("a.prank") === sorted_first_common(col("a.pref"), col("b.pref")) &&
-          // positional filter (PPJoin): GIVEN the matched rank is the
-          // first common element, every other common element sits after
-          // position ppos on both sides, so overlap <= 1 + min(suffix
-          // lengths); J >= t needs overlap >= t/(1+t)*(|a|+|b|). A
-          // necessary condition evaluated in a few flops — kills
-          // below-threshold pairs before the O(n+m) scoring merge
-          // (the 1e-9 slack absorbs double rounding of the rational
-          // bound so a boundary-exact pair can never be dropped)
-          (lit(1) + least(col("a.sz") - col("a.ppos") - 1,
-            col("b.sz") - col("b.ppos") - 1)) >=
-            lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")) -
-              lit(1e-9) &&
+          positionalFilter(col("a.sz"), col("a.ppos"),
+            col("b.sz"), col("b.ppos"), threshold) &&
           round(sorted_jaccard(col("a.ranks"), col("b.ranks")), 6) >=
             lit(threshold))
       .select(

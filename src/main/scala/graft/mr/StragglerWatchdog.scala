@@ -5,7 +5,7 @@ import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd, SparkListenerTaskStart}
 
 /** Straggler requeue — the Spark-native analog of the reference
   * coordinator's 10-second task timeout (mr/coordinator.go:208-266): a
@@ -33,7 +33,8 @@ final class StragglerWatchdog(
     checkIntervalMs: Long = 500L,
     maxKillsPerTask: Int = 3) extends SparkListener {
 
-  private final case class Running(startedMs: Long, stageId: Int, partition: Int)
+  private final case class Running(
+      startedMs: Long, stageId: Int, partition: Int, refusedKills: Int = 0)
   private val running = TrieMap.empty[Long, Running]
   // (stage, partition) -> kills so far; a task that legitimately needs
   // longer than the timeout is left alone after `maxKillsPerTask`
@@ -49,8 +50,22 @@ final class StragglerWatchdog(
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
     running.remove(t.taskInfo.taskId)
 
+  // A stage's (stage, partition) kill budget is only meaningful while
+  // the stage runs; without pruning, a long-lived session's `kills` map
+  // grows one entry per killed partition forever.
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+    val sid = s.stageInfo.stageId
+    kills.keySet.filter(_._1 == sid).foreach(kills.remove)
+  }
+
   /** Attempts killed over this watchdog's lifetime. */
   def totalKills: Long = killedTotal
+
+  // Test hooks (BehavioralSpec): drive one scan pass synchronously and
+  // inspect tracking state without depending on timer scheduling.
+  private[graft] def scanOnce(): Unit = scan()
+  private[graft] def isTracked(taskId: Long): Boolean = running.contains(taskId)
+  private[graft] def killBudgetEntries: Int = kills.size
 
   def start(): this.type = {
     sc.addSparkListener(this)
@@ -77,19 +92,29 @@ final class StragglerWatchdog(
         val key = (r.stageId, r.partition)
         // drop from tracking first: if the attempt finished in the
         // meantime killTaskAttempt is a no-op, and we must not kill the
-        // RETRY attempt on a stale timer
+        // RETRY attempt on a stale timer (a retry is a NEW taskId, so
+        // re-tracking this id below can never target the retry)
         running.remove(taskId)
         if (kills.getOrElse(key, 0) < maxKillsPerTask) {
-          try {
-            if (sc.killTaskAttempt(taskId, interruptThread = true,
-                reason = s"graft straggler watchdog: attempt exceeded ${timeoutMs}ms " +
-                  s"(stage ${r.stageId}, partition ${r.partition})")) {
-              kills.update(key, kills.getOrElse(key, 0) + 1)
-              killedTotal += 1
+          val killed =
+            try sc.killTaskAttempt(taskId, interruptThread = true,
+              reason = s"graft straggler watchdog: attempt exceeded ${timeoutMs}ms " +
+                s"(stage ${r.stageId}, partition ${r.partition})")
+            catch {
+              // racing a finished/unknown attempt — treat as refused
+              case _: Exception => false
             }
-          } catch {
-            // racing a finished/unknown attempt is fine — nothing to kill
-            case _: Exception => ()
+          if (killed) {
+            kills.update(key, kills.getOrElse(key, 0) + 1)
+            killedTotal += 1
+          } else if (r.refusedKills + 1 < maxKillsPerTask) {
+            // Refused kill (scheduler busy, transient race): re-track so
+            // the next scan retries — otherwise a genuinely hung attempt
+            // whose first kill fails is permanently untracked. Bounded:
+            // an attempt that actually FINISHED between the remove above
+            // and this put is dropped for good after maxKillsPerTask
+            // refusals instead of being retried forever.
+            running.putIfAbsent(taskId, r.copy(refusedKills = r.refusedKills + 1))
           }
         }
       }

@@ -108,6 +108,57 @@ class BehavioralSpec extends SparkSpec {
     } finally wd.stop()
   }
 
+  test("straggler watchdog: refused kill is retried on the next scan, bounded") {
+    // killTaskAttempt can return false (scheduler race, attempt unknown).
+    // The watchdog must NOT permanently untrack the attempt on a refusal
+    // — it re-tracks and retries next scan — but a refusal loop is
+    // bounded by maxKillsPerTask so a long-gone attempt isn't retried
+    // forever. Driven synchronously via scanOnce() with a fabricated
+    // taskId no scheduler knows (kill always refuses).
+    import org.apache.spark.scheduler.{SparkListenerTaskStart, TaskInfo, TaskLocality}
+    val sc = spark.sparkContext
+    val wd = new graft.mr.StragglerWatchdog(sc,
+      timeoutMs = -1, checkIntervalMs = 3600000, maxKillsPerTask = 3)
+    // not start()ed: no listener registration, no timer — pure unit drive
+    val phantomId = 987654321L
+    val info = new TaskInfo(phantomId, 0, 0, 0, System.currentTimeMillis() - 10,
+      "driver", "localhost", TaskLocality.PROCESS_LOCAL, false)
+    wd.onTaskStart(SparkListenerTaskStart(1, 0, info))
+    assert(wd.isTracked(phantomId))
+    wd.scanOnce() // kill refused (unknown attempt) -> must stay tracked
+    assert(wd.isTracked(phantomId),
+      "a refused kill must re-track the attempt for retry on the next scan")
+    wd.scanOnce() // second refusal -> still under the bound
+    assert(wd.isTracked(phantomId))
+    wd.scanOnce() // third refusal hits maxKillsPerTask -> dropped for good
+    assert(!wd.isTracked(phantomId),
+      "refusal retries must be bounded by maxKillsPerTask")
+    assert(wd.totalKills === 0)
+  }
+
+  test("straggler watchdog: kill budget is pruned when the stage completes") {
+    val sc = spark.sparkContext
+    val wd = new graft.mr.StragglerWatchdog(sc, timeoutMs = 1500,
+      checkIntervalMs = 150).start()
+    try {
+      sc.parallelize(1 to 80, 8)
+        .map { i =>
+          val tc = TaskContext.get()
+          if (tc.partitionId() == 2 && tc.attemptNumber() == 0)
+            Thread.sleep(120000)
+          i.toLong
+        }
+        .sum()
+      // the job's stages have completed; listener events are async, so
+      // wait for the stage-completed prune to land
+      val deadline = System.currentTimeMillis() + 10000
+      while (wd.killBudgetEntries > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(wd.killBudgetEntries === 0,
+        "kills map must be pruned per-stage on onStageCompleted")
+    } finally wd.stop()
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the runtime complement to Skew.saltedSumCount: a hot join key
     // must be split by AQE's skew handling, not melt one reducer

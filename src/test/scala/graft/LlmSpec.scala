@@ -341,6 +341,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("bmp codec: adversarial huge-dimension headers raise IAE, not AIOOBE") {
+    // width > ~715M makes `width * 3` overflow Int; before the Long-math
+    // fix the negative stride slipped past the bounds require and died
+    // as ArrayIndexOutOfBounds — escaping decodeImages' quarantine
+    // routing, which catches only IllegalArgumentException.
+    val base = graft.llm.BmpCodec.encode(4, 4, (_, _, _) => 0)
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val b = base.clone()
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(18, w).putInt(22, h)
+      b
+    }
+    val adversarial = Seq(
+      withDims(750 * 1000 * 1000, 1),   // width*3 overflows Int
+      withDims(1431655766, 1),          // width*3 wraps to exactly 2
+      withDims(46341, 46341),           // width*height*3 overflows
+      withDims(Int.MaxValue, Int.MaxValue))
+    adversarial.foreach { b =>
+      assertThrows[IllegalArgumentException](graft.llm.BmpCodec.decode(b))
+    }
+  }
+
   test("multimodal decode: real BMP kernel, schema and determinism") {
     val decoded = Multimodal.decodeImages(spark, Multimodal.bmpFixtures(docs.limit(20)))
     val rows = decoded.collect()

@@ -130,4 +130,38 @@ class PropertySpec extends SparkSpec {
       canon(AssociativeMRJob.run(spark, InvertedIndexFast, pg)) ===
         canon(MRJob.run(spark, InvertedIndexApp, pg)))
   }
+
+  test("PPJoin positional filter keeps boundary-exact pairs at any set size") {
+    // The filter is a NECESSARY condition: a pair with Jaccard exactly
+    // at the threshold must pass at every magnitude — including sizes
+    // (~1e7+ elements) where double rounding of the old
+    // t/(1+t)*(sa+sb) - 1e-9 form exceeded the absolute slack. A pair
+    // clearly below the bound must still be pruned (the filter's job).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val thresholds = Seq(0.5, 0.8, 0.9)
+    val sizes = Seq(30L, 3000L, 3_000_000L, 30_000_000L, 3_000_000_000L)
+    val rows = for (t <- thresholds; n <- sizes) yield {
+      // sa = sb = n; smallest qualifying overlap o = ceil(t/(1+t)*2n)
+      // computed in exact rational arithmetic (BigDecimal(t) is the
+      // exact double value, so this matches the filter's semantics).
+      // When the bound is an integer (t=0.5 with 3|n) o sits EXACTLY on
+      // it — the boundary-exact case the old absolute slack dropped.
+      val num = BigDecimal(t) / (1 + BigDecimal(t)) * 2 * n
+      val o = num.setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact
+      (t, n, n - o, n) // pposA = sz - o => overlap UB == o
+    }
+    val df = rows.toDF("t", "sz", "ppos", "n")
+    thresholds.foreach { t =>
+      val sub = df.filter(col("t") === t)
+      val kept = sub.filter(graft.llm.Dedup.positionalFilter(
+        col("sz"), col("ppos"), col("sz"), col("ppos"), t)).count()
+      assert(kept === sub.count(),
+        s"boundary-exact pair dropped at t=$t")
+      // sanity: an overlap clearly below the bound must be pruned
+      val pruned = sub.filter(graft.llm.Dedup.positionalFilter(
+        col("sz"), col("sz") - 1, col("sz"), col("sz") - 1, t)).count()
+      assert(pruned === 0L, s"filter vacuous at t=$t")
+    }
+  }
 }

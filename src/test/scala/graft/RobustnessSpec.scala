@@ -81,6 +81,30 @@ class RobustnessSpec extends SparkSpec {
     assert(c.getOrElseUpdate(spark, "a")(3) == 3)
   }
 
+  test("session cache stays bounded under newSession() churn") {
+    // Per-request sessions on one shared context never fire
+    // onApplicationEnd, so without the LRU session bound every churned
+    // session's entries would accumulate until the CONTEXT died.
+    val c = new graft.core.SessionCache[String, Int](maxSessions = 8)
+    (1 to 100).foreach { i =>
+      val s = spark.newSession()
+      c.getOrElseUpdate(s, "a")(i)
+      c.getOrElseUpdate(s, "b")(i)
+    }
+    assert(c.size <= 16, // 8 sessions x 2 keys
+      s"cache grew to ${c.size} entries across 100 churned sessions")
+    // the ACTIVE session's entries survive churn: touch one session
+    // throughout and verify its value is still memoized at the end
+    val live = spark.newSession()
+    c.getOrElseUpdate(live, "pinned")(7)
+    (1 to 20).foreach { i =>
+      val s = spark.newSession()
+      c.getOrElseUpdate(s, "a")(i)
+      assert(c.getOrElseUpdate(live, "pinned")(-1) == 7,
+        "recently-used session must not be evicted by churn")
+    }
+  }
+
   test("dedup joins handle degenerate corpora (empty, single-doc, blank texts)") {
     import graft.llm.Dedup
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
