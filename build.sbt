@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to LoggedOutput, which re-emits every
+// child stdout line prefixed with "[info] " — breaking any consumer
+// that JSON-parses the tool's output lines (the bench driver does
+// json.loads on the tail of sbt's stdout). StdoutOutput hands the
+// child sbt's own stdout: program output lands verbatim at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,29 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark harness. Prints ONE JSON line with the total and the
-  * slowest per-query times, and writes the COMPLETE per-query map to
-  * `bench_full.json`.
+/** Benchmark harness. Emits ONE JSON line with the total and the
+  * slowest per-query times, and writes the COMPLETE per-query map
+  * (including both samples per query) to `bench_full.json`.
   *
-  * Why the stdout line is size-capped: the round driver stores only the
-  * last ~2000 characters of sbt output and JSON-parses lines found
-  * there. 97 query names at full float precision are ~3.3 KB — the line
-  * gets beheaded by the tail window and never parses (BENCH_r1..r4 all
-  * have `parsed: null`). So the line packs queries slowest-first until
-  * a fixed byte budget and points at `bench_full.json` for the rest;
-  * the JSON prefix shape ({"metric","value","unit","queries",...}) is
-  * unchanged for any consumer that greps it.
+  * Reporting contract, learned the hard way across rounds:
+  *
+  *  - The round driver captures sbt's stdout and JSON-parses lines in
+  *    the last ~2000 characters. Under `sbt runMain` the program's
+  *    System.out is routed through sbt's logger, which prefixes every
+  *    line with "[info] " — and a line that does not START with '{'
+  *    never parses (BENCH r1..r6 all have `parsed: null`; r6's line was
+  *    intact in the tail and parseable standalone, killing the earlier
+  *    line-length theory). So the line is written STRAIGHT TO FD 1
+  *    (`FileDescriptor.out`), which no in-process logger can intercept,
+  *    preceded by a newline to guarantee it starts at column 0.
+  *  - The line is also size-capped (queries packed slowest-first until
+  *    a byte budget) so the tail window cannot behead it, and the
+  *    failed list is capped the same way — 97 failing names would blow
+  *    the budget exactly when the line matters most.
+  *  - Numbers are formatted with Locale.ROOT: the default-locale `f`
+  *    interpolator emits "86,694" under comma-decimal locales, which is
+  *    invalid JSON.
+  *  - Env-derived strings (sfDir, outPath) are JSON-escaped.
+  *
+  * Measurement: each query runs TWICE and reports the MIN. One sample
+  * made driver numbers hostage to container load spikes (r5 recorded
+  * 27.5 s for a query that reproduces at 9.4 s cold / 4.3 s warm; r6
+  * recorded 47 s with no code change in the query path). Min-of-2 is
+  * the cheapest estimator that discards a one-off spike; both samples
+  * land in bench_full.json so variance stays visible.
   */
 object Bench {
   // stdout-line byte budget: 2000-char driver tail minus sbt's
   // "[success] Total time ..." trailer (~80 chars) minus safety margin
   private val LineBudget = 1700
 
+  private def ms3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => String.format("\\u%04x", Int.box(c.toInt))
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default mirrors the documented bench environment (local[32],
     // 32 hardware threads); SPARK_GRAFT_CPUS overrides for smaller boxes.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,38 +70,60 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => }
+    // (name, samples, ok): min-of-`runs` per query; a failure short-
+    // circuits remaining samples (a deterministic failure would just
+    // fail slowly twice) and marks the query failed even if another
+    // sample succeeded — flakiness is a failure, not a fast run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      var ok = true
+      val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < runs && ok) {
+        val t0 = System.nanoTime()
+        ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        samples += (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      (name, samples.toSeq, ok)
     }
     // A failed query reports its elapsed time NEGATED (and lands in
     // "failed") so a fast failure can't masquerade as a fast query.
-    def ms3(v: Double): String = f"$v%.3f"
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val failedNames = results.collect { case (k, _, false) => k }
+    val failedFull = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val chosen = results.map { case (k, ss, ok) => (k, ss.min, ok) }
+    val total = chosen.collect { case (_, v, true) => v }.sum
 
-    // Complete map, full precision, alphabetical — written to a file the
-    // driver commits with the round, so nothing is lost to the tail cap.
-    val fullQs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -v)
+    // Complete map, full precision, alphabetical, plus every raw
+    // sample — written to a file the driver commits with the round, so
+    // nothing is lost to the tail cap and variance stays inspectable.
+    val fullQs = chosen.map { case (k, v, ok) =>
+      "\"" + k + "\":" + ms3(if (ok) v else -v)
     }.mkString("{", ",", "}")
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir","cpus":$cpus}"""
+    val fullSamples = results.map { case (k, ss, _) =>
+      "\"" + k + "\":" + ss.map(ms3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val fullJson =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_$runs","queries":$fullQs,"samples":$fullSamples,"failed":$failedFull,"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () } // read-only cwd: stdout line still stands
 
     // stdout line: slowest-first entries (failed negated) packed until
-    // the byte budget; fast queries are the omitted ones.
-    val byCost = results.sortBy { case (_, v, _) => -v }
-    val tailFixed =
-      s"""},"failed":$failed,"sf":"$sfDir","nq":${results.size},"full":"$outPath"}"""
-    val head = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":{"""
+    // the byte budget; fast queries are the omitted ones. The failed
+    // list is capped to its first 5 names + a count for the same
+    // reason.
+    val failedCapped = failedNames.take(5).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val byCost = chosen.sortBy { case (_, v, _) => -v }
+    val tailFixed = "},\"failed\":" + failedCapped +
+      ",\"failed_n\":" + failedNames.size +
+      ",\"sf\":\"" + jsonEscape(sfDir) + "\"" +
+      ",\"nq\":" + results.size +
+      ",\"full\":\"" + jsonEscape(outPath) + "\"}"
+    val head = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_$runs","queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     var omitted = 0
@@ -83,13 +135,21 @@ object Bench {
         sb.append(entry); first = false
       } else omitted += 1
     }
-    sb.append("},\"failed\":").append(failed)
-      .append(",\"sf\":\"").append(sfDir).append('"')
+    sb.append("},\"failed\":").append(failedCapped)
+      .append(",\"failed_n\":").append(failedNames.size)
+      .append(",\"sf\":\"").append(jsonEscape(sfDir)).append('"')
       .append(",\"nq\":").append(results.size)
       .append(",\"omitted\":").append(omitted)
-      .append(",\"full\":\"").append(outPath).append('"').append('}')
-    println(sb.toString)
-    Console.out.flush()
+      .append(",\"full\":\"").append(jsonEscape(outPath)).append('"').append('}')
+    // Straight to fd 1: under `sbt runMain`, System.out is captured by
+    // sbt's logger and re-emitted with an "[info] " prefix, which makes
+    // the line unparseable by a consumer doing json.loads(line). No
+    // in-process redirection can intercept the raw file descriptor.
+    val fd1 = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    fd1.println()            // guarantee column 0
+    fd1.println(sb.toString)
+    fd1.flush()
     spark.stop()
   }
 }
