@@ -455,40 +455,56 @@ object Dedup {
     * join + one aggregate on them; rounds needed = component diameter,
     * which for near-dup graphs is small (dups of a page are mutually
     * similar). Deterministic: min-labels only.
+    *
+    * `broadcastLabels`: with true (default) the label table rides each
+    * round's joins as a broadcast — right while |V| (distinct docs IN
+    * the pair graph, typically a small fraction of the corpus) fits an
+    * executor. At a scale where it doesn't, pass false: every join
+    * becomes a shuffle join co-partitioned on the join key (edges are
+    * pre-partitioned by dst once, outside the loop, so the big edge
+    * side does not re-shuffle every round) — the Pregel shape. Both
+    * paths compute identical labels (LlmSpec asserts equality).
     */
   def dupClusters(
-      d: DataFrame, threshold: Double = 0.9, maxIters: Int = 20): DataFrame = {
+      d: DataFrame, threshold: Double = 0.9, maxIters: Int = 20,
+      broadcastLabels: Boolean = true): DataFrame = {
     val pairs = jaccardPairs(d, threshold).select("doc_a", "doc_b")
+    // size-side hint: identity when broadcasting is on; otherwise leave
+    // the plan alone so Spark picks a co-partitioned shuffle join
+    def side(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
     // localCheckpoint (eager) rather than cache: each round's plan must
     // START from materialized data, or lineage compounds and round N
     // re-derives rounds 1..N-1 (measured: per-round wall time DOUBLES
     // without the truncation).
-    val edges = pairs
+    val edgesRaw = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    // shuffle path: partition edges by the per-round join key ONCE;
+    // localCheckpoint preserves the partitioning (LogicalRDD carries
+    // it), so each round only shuffles the |V|-sized label table
+    val edges = (if (broadcastLabels) edgesRaw
+      else edgesRaw.repartition(col("dst"))).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       // `next` carries the previous label so the convergence count
-      // reads the checkpointed result directly. The label table
-      // broadcasts explicitly — checkpointed RDDs report no stats, so
-      // AQE can't make the call; at a scale where |V| outgrows
-      // broadcast, drop the hint and these become shuffle joins
-      // co-partitioned on id (the Pregel shape).
+      // reads the checkpointed result directly. The label table's side
+      // is explicit (`side`) — checkpointed RDDs report no stats, so
+      // AQE can't make the broadcast call itself.
       // Materialized (localCheckpoint) BEFORE the pointer-jump self-join:
       // nm feeds that join twice (probe + broadcast build), and an
       // unmaterialized plan would re-run the edge join + aggregate once
       // per consumer — measured ~40% of round time for a plan that's
       // only |V| rows once evaluated.
       val nm = edges
-        .join(broadcast(labels.select(col("id").as("dst"), col("label").as("nl"))),
+        .join(side(labels.select(col("id").as("dst"), col("label").as("nl"))),
           "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nl").as("nmin"))
-        .join(broadcast(labels), "id")
+        .join(side(labels), "id")
         .select(col("id"), col("label").as("old"),
           least(col("label"), col("nmin")).as("label"))
         .localCheckpoint()
@@ -497,7 +513,7 @@ object Dedup {
       // monotone non-increasing ids within the component, so the
       // fixpoint — every label = component min — is unchanged)
       val next = nm.as("x")
-        .join(broadcast(nm.select(col("id").as("pid"), col("label").as("pl"))),
+        .join(side(nm.select(col("id").as("pid"), col("label").as("pl"))),
           col("x.label") === col("pid"), "left")
         .select(col("x.id").as("id"), col("x.old").as("old"),
           coalesce(col("pl"), col("x.label")).as("label"))

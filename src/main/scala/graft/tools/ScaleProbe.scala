@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   * below (below = fixed costs amortizing; well above = a scaling
   * bottleneck). Results feed BASELINE.md's scale-evidence table.
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir]
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [salt]
+  *
+  * With `salt`: instead of the operator sweep, probe the prefix-rank
+  * threshold join's hot-key salting on a 10x-unioned documents corpus
+  * (the corpus' degenerate ~31-token vocabulary makes every prefix
+  * rank hot, and the union multiplies each rank's membership 10x — the
+  * worst-case output-skew shape). Reports wall time, emitted pairs,
+  * pair throughput, and PEAK SINGLE-TASK runtime (the straggler the
+  * salting exists to break up) with salting off vs on. Run with sf0.01
+  * (10x-unioned = sf0.1-sized input, quadratic-output corpus).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -32,6 +41,35 @@ object ScaleProbe {
         keyCols.foldLeft(df)((d, k) =>
           d.withColumn(k, col(k) + lit(i * 100000000L)))
       }.reduce(_ unionAll _)
+
+    if (args.contains("salt")) {
+      val docs10 = rep(Tables.load(spark, dir, "documents"), Seq("doc_id"), 10)
+        .localCheckpoint() // probe the JOIN, not the union re-scan
+      // peak single-task runtime across the query — output skew shows
+      // up as one task grinding through a hot rank's n^2 pairs
+      final class TaskPeak extends org.apache.spark.scheduler.SparkListener {
+        val maxRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            maxRunMs.getAndAccumulate(t.taskMetrics.executorRunTime, math.max)
+      }
+      Seq("unsalted" -> -1, "salt512" -> 512).foreach { case (label, st) =>
+        val pairs = graft.llm.Dedup.jaccardPairs(docs10, 0.5, saltTarget = st)
+        pairs.count() // warm codegen/JIT so the timed run measures the join
+        val l = new TaskPeak
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val n = pairs.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // listener bus drains async
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[salt-probe] $label%-9s $n%11d pairs  $dt%7.2f s  " +
+          f"${n / dt / 1e6}%6.2f M pairs/s  peak task ${l.maxRunMs.get / 1e3}%6.2f s")
+      }
+      spark.stop()
+      return
+    }
 
     def timeWarm(name: String)(mk: => DataFrame): Double = {
       mk.count() // warm: codegen + JIT

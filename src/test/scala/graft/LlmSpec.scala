@@ -341,6 +341,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dup clusters: shuffle-join path computes identical labels to broadcast") {
+    // broadcastLabels=false is the 100TB shape (label table outgrows an
+    // executor): co-partitioned shuffle joins, edges partitioned once.
+    // The two paths must be result-identical — min-label propagation is
+    // deterministic regardless of join strategy.
+    val corpus = docs.limit(300)
+    val viaBroadcast = graft.llm.Dedup.dupClusters(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val viaShuffle = graft.llm.Dedup.dupClusters(corpus, broadcastLabels = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaShuffle === viaBroadcast)
+    assert(viaBroadcast.exists { case (id, c) => id != c },
+      "fixture corpus must contain at least one non-singleton cluster")
+  }
+
   test("bmp codec: adversarial huge-dimension headers raise IAE, not AIOOBE") {
     // width > ~715M makes `width * 3` overflow Int; before the Long-math
     // fix the negative stride slipped past the bounds require and died
