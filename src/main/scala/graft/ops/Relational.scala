@@ -1062,9 +1062,14 @@ object Relational {
       |GROUP BY bin""".stripMargin
 
   /** Ratio-to-report: each nation's share of total revenue in basis
-    * points — the percent-of-total reporting op via an unpartitioned
-    * window over the aggregated (tiny) result, so the full-table
-    * window state is one row per group, never per fact row.
+    * points. The grand total is a RE-AGGREGATION of the tiny per-nation
+    * result broadcast-cross-joined back — not `sum(...) OVER ()`, whose
+    * unpartitioned window plans a single-partition exchange (the
+    * "WindowExec: No Partition Defined" single-reducer shape PlanSpec
+    * bans). The per-nation aggregate subplan appears in both branches
+    * and its exchange is reused (ReusedExchange/AQE stage reuse), so
+    * the fact table is scanned and partially aggregated ONCE; the
+    * second branch only adds a 25-row global aggregate and a broadcast.
     */
   def qPercentOfTotal(s: SparkSession, dir: String): DataFrame = {
     val perNation = t(s, dir, "customer")
@@ -1078,9 +1083,11 @@ object Relational {
     // floor(double-division) spelling could be off by 1 bp (per-nation
     // cents*10000 exceeds 2^53 somewhere around petabyte scale). The
     // DuckDB oracle spells the identical algebra in HUGEINT.
+    val total = perNation
+      .agg(sum(col("cents").cast("decimal(38,0)")).as("total"))
     perNation
       .withColumn("n", col("cents").cast("decimal(38,0)") * lit(10000))
-      .withColumn("total", expr("sum(CAST(cents AS DECIMAL(38,0))) OVER ()"))
+      .crossJoin(broadcast(total))
       .select(col("c_nationkey"), col("cents"),
         expr("CAST((n - pmod(n, total)) div total AS BIGINT)").as("share_bp"))
   }

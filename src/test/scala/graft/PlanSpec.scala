@@ -175,10 +175,18 @@ class PlanSpec extends SparkSpec {
     // task ("WindowExec: No Partition Defined" at runtime) — the defect
     // class q_multimodal_batches used to carry. Assert it never comes
     // back anywhere in the registered query surface.
-    import org.apache.spark.sql.execution.window.WindowExec
+    //
+    // Checked on the OPTIMIZED LOGICAL plan, not executedPlan: under
+    // AQE the executed plan is a leaf AdaptiveSparkPlanExec whose
+    // collect() traverses nothing, which made the physical-plan version
+    // of this check pass vacuously (it missed q_pct_of_total's
+    // `sum OVER ()`). The logical check also catches windows whose
+    // literal partition keys the optimizer folds away
+    // (EliminateWindowPartitions), which execute just as globally.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
     for ((name, fn) <- SparkEntry.queries) {
-      val offenders = fn(spark, sfDir).queryExecution.executedPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+      val offenders = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
       }
       assert(offenders.isEmpty,
         s"$name: unpartitioned global window:\n${offenders.headOption}")
