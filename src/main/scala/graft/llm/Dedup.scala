@@ -780,7 +780,88 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus documents that share at
+    * least `minHits` distinct n-token shingles with ANY document of a
+    * reference (eval/benchmark) set — the training-data hygiene op
+    * that keeps eval questions out of the training corpus. Asymmetric
+    * by design: the reference side is small (benchmark suites, ~1e4-1e6
+    * docs), the corpus side is the 100 TB one.
+    *
+    * Scale shape: the corpus is never broadcast and never self-joined.
+    * Corpus shingles come from the same single-pass hash kernel as
+    * [[jaccardShinglePairs]] and explode map-side; the reference
+    * collapses to DISTINCT shingle hashes (one 8-byte value per
+    * distinct reference shingle) which ride the join as a broadcast by
+    * default (`broadcastRef = false` switches to a hash-partitioned
+    * shuffle join for reference sets that outgrow an executor). Join
+    * multiplicity is 1 on the reference side — every corpus shingle
+    * matches at most one distinct reference hash — so output is
+    * bounded by the exploded corpus, never quadratic, and a "stop
+    * shingle" hot in the corpus cannot melt a reducer (its matches
+    * stay on their map-side partitions under broadcast). The per-doc
+    * hit count is a map-side-combinable groupBy on doc_id.
+    *
+    * Output: (doc_id, n_hits, n_shingles) for contaminated docs —
+    * n_hits/n_shingles is the contamination fraction, left to the
+    * caller as exact integers.
+    */
+  def decontaminate(
+      corpus: DataFrame, reference: DataFrame, n: Int = 3,
+      minHits: Int = 2, broadcastRef: Boolean = true): DataFrame = {
+    import graft.functions.text.hashed_sorted_shingles
+    val refSh = reference
+      .select(explode(hashed_sorted_shingles(col("text"), n)).as("g"))
+      .distinct()
+    val refSide = if (broadcastRef) broadcast(refSh) else refSh
+    graft.core.Layout.spread(corpus, "doc_id")
+      .select(col("doc_id"),
+        hashed_sorted_shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .join(refSide, "g")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"))
+  }
+
+  /** DuckDB mirror of [[decontaminate]] with the documents table split
+    * by doc_id % 97 (≈1% reference sample): string shingles stand in
+    * for the kernel's xxhash64'd shingles — distinct-count identical
+    * absent 64-bit collisions, the same equivalence every shingle
+    * oracle here relies on.
+    */
+  val decontaminateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> array_to_string(toks[i:i + 2], ' ')))
+      |    ELSE [array_to_string(toks, ' ')] END AS sset
+      |  FROM t),
+      |ref AS (
+      |  SELECT DISTINCT unnest(sset) AS g FROM sh WHERE doc_id % 97 = 0),
+      |corp AS (
+      |  SELECT doc_id, unnest(sset) AS g FROM sh WHERE doc_id % 97 <> 0),
+      |szs AS (
+      |  SELECT doc_id, len(sset) AS n_shingles FROM sh
+      |  WHERE doc_id % 97 <> 0),
+      |hits AS (
+      |  SELECT c.doc_id, count(*) AS n_hits
+      |  FROM corp c JOIN ref r ON c.g = r.g GROUP BY 1)
+      |SELECT h.doc_id, h.n_hits, s.n_shingles
+      |FROM hits h JOIN szs s USING (doc_id)
+      |WHERE h.n_hits >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_decontam" -> ((s, d) => decontaminate(
+      docs(s, d).filter(col("doc_id") % 97 =!= 0),
+      docs(s, d).filter(col("doc_id") % 97 === 0))),
     "q_dedup_exact" -> ((s, d) => exact(docs(s, d))),
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
@@ -798,6 +879,7 @@ object Dedup {
     * asserts them against brute-force ground truth instead.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_decontam" -> decontaminateSql,
     "q_dedup_exact" -> exactSql,
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_jaccard" -> jaccardPairsSql,

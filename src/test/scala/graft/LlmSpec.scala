@@ -341,6 +341,37 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("decontamination matches local brute force; shuffle path identical") {
+    // corpus split 99%/1% by doc_id % 97: the 1% is the "eval set",
+    // flagged docs are those sharing >= 2 distinct 3-shingles with it
+    val corpus = docs.limit(400)
+    val ref = corpus.filter(col("doc_id") % 97 === 0)
+    val corp = corpus.filter(col("doc_id") % 97 =!= 0)
+    val out = Dedup.decontaminate(corp, ref).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val texts = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val refSh = texts.filter(_._1 % 97 == 0).flatMap(p => sh(p._2)).toSet
+    val truth = texts.filter(_._1 % 97 != 0).map { case (id, t) =>
+      val s = sh(t)
+      (id, (s.count(refSh.contains).toLong, s.size.toLong))
+    }.filter(_._2._1 >= 2).toMap
+    assert(out === truth)
+    assert(out.nonEmpty, "fixture corpus must contain contaminated docs")
+    assert(out.size < texts.length,
+      "decontamination must not flag the whole corpus")
+    // the shuffle-join path (reference outgrows an executor) must be
+    // result-identical to the broadcast default
+    val shuf = Dedup.decontaminate(corp, ref, broadcastRef = false).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(shuf === out)
+  }
+
   test("dup clusters: shuffle-join path computes identical labels to broadcast") {
     // broadcastLabels=false is the 100TB shape (label table outgrows an
     // executor): co-partitioned shuffle joins, edges partitioned once.
