@@ -48,6 +48,13 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => Dedup.prefixDups(Tables.load(spark, sfDir, "documents"))),
     ("simhash_banded (band-bucket join)",
       () => Dedup.simhashPairsBanded(Tables.load(spark, sfDir, "documents"))),
+    ("decontaminate (asymmetric shingle-hit join)",
+      () => {
+        import org.apache.spark.sql.functions.col
+        val d = Tables.load(spark, sfDir, "documents")
+        Dedup.decontaminate(d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0))
+      }),
     ("embedding_pairs (lsh candidates + exact verify)",
       () => Dedup.embeddingPairs(Tables.load(spark, sfDir, "embeddings"))))
 
