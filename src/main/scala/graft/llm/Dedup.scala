@@ -780,6 +780,34 @@ object Dedup {
       .distinct()
   }
 
+  /** The DEDUPLICATED CORPUS — what a pipeline user actually runs: one
+    * survivor (the min-doc_id member) per near-dup cluster, with the
+    * member count it stands for. Composes [[dupClusters]] (itself the
+    * prefix-rank threshold join + min-label propagation); the extra
+    * cost over clustering is one map-side-combinable groupBy on
+    * cluster_id. Singletons survive trivially (their own cluster), so
+    * output row count = corpus minus discarded near-dup members.
+    */
+  def dedupSurvivors(
+      d: DataFrame, threshold: Double = 0.9,
+      broadcastLabels: Boolean = true): DataFrame =
+    dupClusters(d, threshold, broadcastLabels = broadcastLabels)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("doc_id"), col("n_members"))
+
+  /** DuckDB mirror: [[dupClustersSql]]'s recursive-CTE clustering,
+    * re-aggregated to (survivor, member count).
+    */
+  val dedupSurvivorsSql: String = {
+    // reuse the clustering CTE verbatim; min-label semantics make the
+    // survivor (= cluster_id) identical on both sides
+    val clusters = dupClustersSql
+    s"""WITH clusters AS ($clusters)
+       |SELECT cluster_id AS doc_id, count(*) AS n_members
+       |FROM clusters GROUP BY 1""".stripMargin
+  }
+
   /** Benchmark DECONTAMINATION: flag corpus documents that share at
     * least `minHits` distinct n-token shingles with ANY document of a
     * reference (eval/benchmark) set — the training-data hygiene op
@@ -866,6 +894,7 @@ object Dedup {
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
+    "q_dedup_survivors" -> ((s, d) => dedupSurvivors(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
     "q_dedup_shingle" -> ((s, d) => jaccardShinglePairs(docs(s, d))),
     "q_dedup_prefix" -> ((s, d) => prefixDups(docs(s, d))),
@@ -884,6 +913,7 @@ object Dedup {
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" -> dupClustersSql,
+    "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_edit" -> editVerifiedPairsSql,
     "q_dedup_shingle" -> jaccardShinglePairsSql,
     "q_dedup_prefix" -> prefixDupsSql)

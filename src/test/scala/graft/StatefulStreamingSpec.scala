@@ -131,4 +131,38 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(last === Map("x" -> 3L, "y" -> 1L))
     q.stop()
   }
+
+  test("streaming decontamination == batch operator on the same corpus") {
+    // stream-static shingle-hit join: documents arrive over two
+    // micro-batches, the reference (eval) set is static; the streamed
+    // result must equal Dedup.decontaminate over the unioned batches.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].limit(300).collect()
+    val ref = docs.filter(_._1 % 97 == 0)
+    val corp = docs.filter(_._1 % 97 != 0)
+    val (b1, b2) = corp.splitAt(corp.length / 2)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val refDf = ref.toSeq.toDF("doc_id", "text")
+    val q = graft.streaming.DocStreams.decontaminate(
+        input.toDF().toDF("doc_id", "text"), refDf)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    // each doc_id lives in one micro-batch, so its latest update row is
+    // its final count
+    val streamed = spark.table("decon_out").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batch = graft.llm.Dedup.decontaminate(
+        corp.toSeq.toDF("doc_id", "text"), refDf)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture corpus must contain contaminated docs")
+    q.stop()
+  }
 }
