@@ -62,6 +62,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // measure operators, not memo hits: some deterministic artifacts
+      // (dup-cluster labels) are session-cached for composing queries;
+      // a second timed sample must re-pay the real cost
+      .config("spark.graft.memoize", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs one-time session/codegen/JIT startup so

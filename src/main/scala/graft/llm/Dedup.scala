@@ -465,9 +465,39 @@ object Dedup {
     * side does not re-shuffle every round) — the Pregel shape. Both
     * paths compute identical labels (LlmSpec asserts equality).
     */
+  // Cluster labels are a deterministic ARTIFACT of (corpus, threshold)
+  // — memoize the final label table per session like the IVF codebook:
+  // q_dedup_survivors composes on q_dedup_clusters and would otherwise
+  // re-pay the candidate join + propagation rounds for an identical
+  // result in the same session. Keyed by the input's canonicalized
+  // logical plan (semanticHash), so any semantically different corpus
+  // misses; the cached table is localCheckpoint-materialized, which
+  // lives exactly as long as the owning context — the same lifetime
+  // SessionCache evicts on.
+  private val labelCache =
+    new graft.core.SessionCache[(Int, Double, Boolean, Int, String), DataFrame]
+
   def dupClusters(
       d: DataFrame, threshold: Double = 0.9, maxIters: Int = 20,
       broadcastLabels: Boolean = true): DataFrame = {
+    // spark.graft.memoize=false bypasses the memo entirely — Bench sets
+    // it so per-query timings measure the operator, not a cache hit
+    // (min-of-N sampling would otherwise report the rerun).
+    if (!d.sparkSession.conf.get("spark.graft.memoize", "true").toBoolean)
+      return dupClustersUncached(d, threshold, maxIters, broadcastLabels)
+    // shuffle.partitions is part of the key so partition-invariance
+    // testing (same corpus under different settings) still recomputes —
+    // results are invariant, but that must stay OBSERVED, not cached
+    val key = (d.queryExecution.analyzed.canonicalized.semanticHash(),
+      threshold, broadcastLabels, maxIters,
+      d.sparkSession.conf.get("spark.sql.shuffle.partitions", "default"))
+    labelCache.getOrElseUpdate(d.sparkSession, key)(
+      dupClustersUncached(d, threshold, maxIters, broadcastLabels))
+  }
+
+  private def dupClustersUncached(
+      d: DataFrame, threshold: Double, maxIters: Int,
+      broadcastLabels: Boolean): DataFrame = {
     val pairs = jaccardPairs(d, threshold).select("doc_a", "doc_b")
     // size-side hint: identity when broadcasting is on; otherwise leave
     // the plan alone so Spark picks a co-partitioned shuffle join
