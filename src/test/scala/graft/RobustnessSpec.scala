@@ -105,6 +105,23 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  test("decontamination/survivors handle degenerate corpora") {
+    import graft.llm.Dedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    // empty reference: nothing can be contaminated
+    assert(Dedup.decontaminate(one, empty).count() === 0)
+    // empty corpus: nothing to flag
+    assert(Dedup.decontaminate(empty, one).count() === 0)
+    // blank texts on either side don't crash and don't match
+    val blank = Seq((2L, "")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(blank, one).count() === 0)
+    // survivors of an empty corpus / singleton corpus
+    assert(Dedup.dedupSurvivors(empty).count() === 0)
+    val sv = Dedup.dedupSurvivors(one).collect()
+    assert(sv.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 1L)))
+  }
+
   test("dedup joins handle degenerate corpora (empty, single-doc, blank texts)") {
     import graft.llm.Dedup
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
