@@ -106,16 +106,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup defaults carry no broadcast hint (the corpus must never broadcast)") {
+    import org.apache.spark.sql.functions.col
     val d = Tables.load(spark, sfDir, "documents")
     val e = Tables.load(spark, sfDir, "embeddings")
-    for ((name, df) <- Seq(
+    for ((name, df) <- Seq[(String, DataFrame)](
         "jaccard" -> Dedup.jaccardPairs(d),
         "shingle" -> Dedup.jaccardShinglePairs(d),
         "edit" -> Dedup.editVerifiedPairs(d),
         "simhash_banded" -> Dedup.simhashPairsBanded(d),
         "minhash" -> Dedup.minhashPairs(d),
-        "embedding" -> Dedup.embeddingPairs(e))) {
-      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, ResolvedHint}
+        "embedding" -> Dedup.embeddingPairs(e),
+        // decontam broadcasts only the reference's DISTINCT shingle
+        // hashes (an Aggregate — the allowed reduction shape), never
+        // the corpus side
+        "decontam" -> Dedup.decontaminate(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0)))) {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, LocalRelation, ResolvedHint}
       // the prefix-rank join pins SMJ via a merge hint (join cost is in
       // the key-equal multiset, not the input sizes) — that is fine;
       // what must never broadcast is PER-ROW corpus data. Broadcast
@@ -127,6 +134,7 @@ class PlanSpec extends SparkSpec {
         .foreach { h =>
           val isReduction = h.child.collectFirst {
             case _: Aggregate => ()
+            case _: Deduplicate => () // .distinct() pre-optimization
             case _: LocalRelation => ()
           }.isDefined
           assert(isReduction,
