@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Curation, Dedup, Multimodal, Pipeline, Sampling, Similarity, TextOps}
+import graft.llm.{CorpusOps, Curation, Dedup, Multimodal, Pipeline, Sampling, Similarity, TextOps}
 import graft.ops.{EventOps, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -27,7 +27,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Pipeline.queries ++ Sampling.queries ++ Curation.queries
+      Pipeline.queries ++ Sampling.queries ++ Curation.queries ++
+      CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      Pipeline.oracleSql ++ Sampling.oracleSql ++ Curation.oracleSql
+      Pipeline.oracleSql ++ Sampling.oracleSql ++ Curation.oracleSql ++
+      CorpusOps.oracleSql
 }

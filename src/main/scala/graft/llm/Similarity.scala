@@ -293,6 +293,62 @@ object Similarity {
       |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
       |          FROM embeddings)))""".stripMargin
 
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions
+    * over the int8-QUANTIZED embedding (reusing [[quantizeInt8]]'s
+    * max-abs scale): out[j] = sum_i q[i] * sign(i, j), where the sign
+    * matrix derives from a linear-congruential generator
+    * (lcg(x) = (1103515245 x + 12345) mod 2^31, parity = sign — the
+    * classic Achlioptas ±1 projection with a seed both engines can
+    * evaluate in exact integer arithmetic).
+    *
+    * Projecting the quantized ints instead of the raw floats keeps
+    * every sum ORDER-INDEPENDENT (bigint adds commute exactly; float
+    * adds don't), so the DuckDB oracle matches bit-for-bit — unlike the
+    * seeded-xxhash ops that are rows-only. The dimensionality knob for
+    * 100 TB ANN: 64 float32 dims -> `outDim` small ints shrinks the
+    * candidate-verify bandwidth ~8x while JL preserves pairwise
+    * distances (asserted in LlmSpec). Map-only, no shuffle.
+    */
+  def jlProject(e: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame = {
+    def sign(i: Column, j: Column): Column =
+      when(((lit(1103515245L) * (j * inDim + i) + 12345L) % 2147483648L) % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+    e.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .withColumn("scale", nullif(
+        array_max(transform(col("emb"), v => abs(v))) / lit(127.0), lit(0.0)))
+      .withColumn("q", transform(col("emb"), v =>
+        round(v / col("scale"), 0).cast("bigint")))
+      .select(
+        col("vec_id"),
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          aggregate(sequence(lit(0), lit(inDim - 1)), lit(0L),
+            (acc, i) => acc + element_at(col("q"), i + 1) * sign(i, j)))
+          .as("proj"),
+        round(col("scale"), 9).as("scale_r"))
+  }
+
+  val jlProjectSql: String =
+    """SELECT vec_id,
+      |  list_transform(range(16), j -> CAST(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(64), i -> q[i + 1] *
+      |        CASE WHEN ((1103515245 * (j * 64 + i) + 12345)
+      |                   % 2147483648) % 2 = 0
+      |             THEN 1 ELSE -1 END)),
+      |    (a, b) -> a + b) AS BIGINT)) AS proj,
+      |  round(scale, 9) AS scale_r
+      |FROM (
+      |  SELECT vec_id, scale,
+      |    list_transform(emb, v -> CAST(round(v / scale, 0) AS BIGINT)) AS q
+      |  FROM (
+      |    SELECT vec_id, emb,
+      |      nullif(list_max(list_transform(emb, v -> abs(v))) / 127.0, 0)
+      |        AS scale
+      |    FROM (SELECT vec_id,
+      |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+      |          FROM embeddings)))""".stripMargin
+
   /** Centroid per label (classification-ish aggregate over vectors):
     * element-wise mean via posexplode + group — algebraic, partial-agg
     * friendly, and SQL-mirrorable.
@@ -334,6 +390,7 @@ object Similarity {
     "q_knn_ivf" -> ((s, d) =>
       ivfTopK(emb(s, d), codebook = Some(cachedCentroids(s, d)))),
     "q_embed_quantize" -> ((s, d) => quantizeInt8(emb(s, d))),
+    "q_embed_project" -> ((s, d) => jlProject(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
 
   /** q_knn_lsh / q_knn_ivf depend on seeded hyperplanes / iterative
@@ -343,5 +400,6 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> bruteForceTopKSql,
     "q_embed_quantize" -> quantizeInt8Sql,
+    "q_embed_project" -> jlProjectSql,
     "q_label_centroid" -> labelCentroidNormSql)
 }

@@ -1,0 +1,178 @@
+package graft
+
+import graft.core.Tables
+import graft.llm.{CorpusOps, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ground truth for [[graft.llm.CorpusOps]] and the JL projection:
+  * the Misra-Gries pass must be EXACT (equal to a brute-force count)
+  * regardless of partitioning, BM25 must match a hand-computed score,
+  * boilerplate must match closed-form expectations on a constructed
+  * corpus, and the JL projection must preserve norms within the
+  * Johnson-Lindenstrauss tolerance.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def docs: DataFrame = Tables.load(spark, sfDir, "documents")
+
+  private def mkDocs(rows: Seq[(Long, String, String, String)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (i, t, l, s) => Row(i, t, l, s) }, 3),
+      schema)
+  }
+
+  // ---------------------------------------------------------------- MG
+
+  test("freqTerms equals brute-force exact counts (sf0.001)") {
+    val got = CorpusOps.freqTerms(docs, phi = 0.02, capacity = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val toks = docs.select(
+      explode(TextOps.letterTokens(col("text"))).as("tok"))
+    val n = toks.count()
+    val thresh = math.ceil(0.02 * n).toLong
+    val want = toks.groupBy("tok").count()
+      .filter(col("count") >= thresh)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(want.nonEmpty, "fixture should have frequent terms")
+    assert(got === want)
+  }
+
+  test("freqTerms exact even at minimal sketch capacity") {
+    // capacity=9 with phi=0.1: the MG bound (cap+1)*phi >= 1 holds with
+    // zero slack, the regime where a buggy sketch loses candidates.
+    // 60 tokens: 'hot' x 12 (20%), 'warm' x 6 (10%), rest unique.
+    // Letter-only fillers — letterTokens strips digits.
+    val filler = (0 until 42)
+      .map(i => s"u${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    val text = (Seq.fill(12)("hot") ++ Seq.fill(6)("warm")).mkString(" ") +
+      " " + filler
+    val d = mkDocs(Seq((1L, text, "en", "s0")))
+    val got = CorpusOps.freqTerms(d, phi = 0.1, capacity = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("hot", 12L), ("warm", 6L)))
+  }
+
+  // -------------------------------------------------------------- BM25
+
+  test("bm25 matches a hand-computed score on a tiny corpus") {
+    val d = mkDocs(Seq(
+      (1L, "spark join spark filter", "en", "s0"),
+      (2L, "join scan scan scan", "en", "s0"),
+      (3L, "filter scan group agg", "en", "s0")))
+    // N=3, avgdl=4. 'spark': df=1, tf(1)=2. 'join': df=2, tf(1)=1, tf(2)=1.
+    val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+    def s(tf: Double, idfV: Double, dl: Double) =
+      idfV * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 4.0))
+    val want1 = BigDecimal(s(2, idf(1), 4) + s(1, idf(2), 4))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want2 = BigDecimal(s(1, idf(2), 4))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.bm25(d, terms = Seq("spark", "join"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, want1, 2L), (2L, want2, 1L)))
+  }
+
+  test("bm25 on the corpus: descending, deterministic, bounded") {
+    val rows = CorpusOps.bm25(docs).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse, "scores must be descending")
+    assert(scores.forall(_ > 0))
+  }
+
+  // ------------------------------------------------------- boilerplate
+
+  test("boilerplate flags shared windows, spares unique docs") {
+    // 5 docs of source s0 share the identical 5-token page chrome
+    // (3 windows each); one unique doc in s0 and one doc in s1 share
+    // nothing. minDocs=5 flags exactly the chrome grams.
+    val chrome = "home about contact privacy terms"
+    // Letter-only unique suffixes — letterTokens strips digits, so
+    // "body1"/"body2" would collapse to the same token.
+    def sfx(i: Long): String = {
+      val c = ('a' + i.toInt).toChar; s"body$c extra$c"
+    }
+    val d = mkDocs(
+      (1L to 5L).map(i => (i, s"$chrome ${sfx(i)}", "en", "s0")) ++
+        Seq((6L, "completely unique text here now", "en", "s0"),
+          (7L, chrome, "en", "s1")))
+    val got = CorpusOps.boilerplate(d, n = 3, minDocs = 5)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // chrome docs: 7 tokens -> 5 windows, 3 of them chrome windows
+    (1L to 5L).foreach { i => assert(got(i) === ((5L, 3L, 0.6)), s"doc $i") }
+    assert(got(6L) === ((3L, 0L, 0.0)))
+    assert(got(7L) === ((3L, 0L, 0.0)), "same grams in another source don't count")
+  }
+
+  test("boilerplate handles docs shorter than the window") {
+    val d = mkDocs(Seq((1L, "one two", "en", "s0"), (2L, "", "en", "s0")))
+    val got = CorpusOps.boilerplate(d, n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  // ------------------------------------------------------- mix domains
+
+  test("mixDomains shares sum to 1 and downsample-only caps hold") {
+    val rows = CorpusOps.mixDomains(docs).collect()
+    assert(rows.length === 5)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      val (nTok, w, sampled) = (r.getLong(2), r.getDouble(5), r.getLong(6))
+      assert(w > 0)
+      assert(sampled <= nTok, "downsample-only pass can't add tokens")
+    }
+  }
+
+  // ------------------------------------------------------ JL projection
+
+  test("jlProject preserves norms within JL tolerance (sf0.001)") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val k = 16
+    val joined = Similarity.jlProject(e, outDim = k)
+      .select(col("vec_id"),
+        aggregate(col("proj"), lit(0L), (a, x) => a + x * x).as("p2"),
+        col("scale_r"))
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .collect()
+    val ratios = joined.map { r =>
+      val p2 = r.getLong(1).toDouble
+      val scale = r.getDouble(2)
+      val emb = r.getSeq[Float](3)
+      // quantized-int norm the projection actually acts on
+      val q2 = emb.map(v => math.round(v / scale).toDouble).map(x => x * x).sum
+      p2 / (k * q2)
+    }
+    // E[||Rq||^2] = k ||q||^2; the mean over 500 vectors concentrates
+    // hard, and the median of a chi-square-like ratio sits near 1. A
+    // SINGLE vector's ratio is a 16-dim quadratic form and can
+    // legitimately land far out in either tail, so no per-vector bound.
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"norm-ratio mean $mean")
+    // All vectors share ONE fixed R, so the ratio distribution mirrors
+    // the corpus geometry (clustered vectors load the same directions
+    // of R); the median is only a non-degeneracy check, not chi-square.
+    val median = ratios.sorted.apply(ratios.length / 2)
+    assert(median > 0.2 && median < 5.0, s"norm-ratio median $median")
+  }
+
+  test("jlProject is deterministic") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val a = Similarity.jlProject(e).collect().map(_.toString).sorted
+    val b = Similarity.jlProject(e).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
