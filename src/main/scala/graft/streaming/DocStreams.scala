@@ -41,4 +41,65 @@ object DocStreams {
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
+
+  /** A token routed to its sketch shard (shard = hash(tok) mod
+    * nShards, so every occurrence of a token lands in ONE shard and
+    * the per-shard Misra-Gries bound applies to its full count).
+    */
+  case class ShardTok(shard: Int, tok: String)
+
+  /** One shard's sketch snapshot after a batch: `lower` is the MG
+    * count (true count minus at most n_shard/(capacity+1)), `n_shard`
+    * the shard's total tokens so far — together they let a consumer
+    * apply the frequent-items threshold without a second pass.
+    */
+  case class MGSnapshot(shard: Int, tok: String, lower: Long, n_shard: Long)
+
+  /** Per-shard sketch state: MG entries + the shard's token count.
+    * Public: Spark's state-store encoder codegen constructs it. */
+  case class MGFreqState(items: Map[String, Long], n: Long)
+
+  /** Streaming frequent-terms candidates: the continuous-ingestion
+    * mirror of [[graft.llm.CorpusOps.freqTerms]]'s pass 1. Tokens are
+    * sharded BY TOKEN HASH and each shard folds them into a
+    * Misra-Gries summary held in `flatMapGroupsWithState` state —
+    * bounded at `capacity` entries per shard, regardless of stream
+    * length. After every batch the shard re-emits its snapshot
+    * (Update mode); any token whose global count so far is at least
+    * n_shard/(capacity+1) is guaranteed present (its count lives
+    * entirely in its own shard, so the batch-MG survival argument
+    * applies verbatim), so the snapshot union is a superset of the
+    * true frequent set at every point in the stream — candidates for
+    * the same exact recount the batch operator runs.
+    *
+    * Tokenize + shard with
+    * `explode(letterTokens(text))` / `pmod(hash(tok), nShards)`
+    * map-side; the only shuffle is the state-store hash exchange on
+    * shard — nShards keys, not vocabulary keys.
+    */
+  def freqTermCandidates(
+      toks: org.apache.spark.sql.Dataset[ShardTok],
+      capacity: Int = 128): org.apache.spark.sql.Dataset[MGSnapshot] = {
+    import toks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    toks.groupByKey(_.shard)
+      .flatMapGroupsWithState[MGFreqState, MGSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard, rows, state) =>
+          val prev = state.getOption.getOrElse(MGFreqState(Map.empty, 0L))
+          val acc = new java.util.HashMap[String, Long](capacity * 2)
+          prev.items.foreach { case (k, v) => acc.put(k, v) }
+          var n = prev.n
+          rows.foreach { r =>
+            n += 1; graft.llm.CorpusOps.mgAdd(acc, r.tok, capacity)
+          }
+          val items = Map.newBuilder[String, Long]
+          acc.forEach((k, v) => items += ((k, v)))
+          state.update(MGFreqState(items.result(), n))
+          val nFinal = n
+          import scala.jdk.CollectionConverters._
+          acc.entrySet().asScala.toVector.iterator.map(e =>
+            MGSnapshot(shard, e.getKey, e.getValue, nFinal))
+      }
+  }
 }

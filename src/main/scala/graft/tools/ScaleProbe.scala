@@ -71,6 +71,66 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("freq")) {
+      // Heavy-hitters probe: the testdata corpus's ~31-token vocabulary
+      // can't show what Misra-Gries buys, because the direct groupBy's
+      // shuffle is 31 keys. Synthesize the REAL shape — a web-scale
+      // vocabulary where almost every token is unique (URLs, typos,
+      // hashes) and a few terms are hot — and compare the direct
+      // full-vocabulary groupBy against the sketch+recount on wall
+      // time and TOTAL SHUFFLE WRITE (locally shuffle is a memcpy; on
+      // a 1000-executor cluster it's the network, so bytes are the
+      // transferable number).
+      val nDocs = 5000000L
+      // 5 tokens/doc: one from a small hot set on 2/7 of docs, plus
+      // unique-per-doc fillers (digits->letters: letterTokens strips
+      // digits). ~21.4M distinct tokens, 25M total.
+      val uniq = translate(col("id").cast("string"),
+        "0123456789", "abcdefghij")
+      val synth = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 7 === 0, lit("alpha"))
+            .when(col("id") % 7 === 1, lit("beta"))
+            .otherwise(concat(lit("x"), uniq)),
+          concat(lit("p"), uniq), concat(lit("q"), uniq),
+          concat(lit("r"), uniq), concat(lit("s"), uniq)).as("text"))
+        .localCheckpoint() // probe the aggregation, not range+concat
+      final class ShuffleSum extends org.apache.spark.scheduler.SparkListener {
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytes.getAndAdd(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      val phi = 0.02
+      def direct(): DataFrame = {
+        val toks = synth.select(
+          explode(graft.llm.TextOps.letterTokens(col("text"))).as("tok"))
+        val n = toks.count()
+        toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= math.ceil(phi * n).toLong)
+      }
+      Seq(
+        "direct groupBy" -> (() => direct()),
+        "MG sketch+recount" -> (() =>
+          graft.llm.CorpusOps.freqTerms(synth, phi = phi))).foreach {
+        case (label, mk) =>
+          mk().count() // warm codegen/JIT
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val rows = mk().count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // listener bus drains async
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[freq-probe] $label%-18s $rows%3d frequent  $dt%7.2f s  " +
+            f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
     def timeWarm(name: String)(mk: => DataFrame): Double = {
       mk.count() // warm: codegen + JIT
       val t0 = System.nanoTime()

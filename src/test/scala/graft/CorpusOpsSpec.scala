@@ -123,6 +123,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L))
   }
 
+  // -------------------------------------------------------- unigram LM
+
+  test("unigramLogProb matches hand-computed scores") {
+    val d = mkDocs(Seq(
+      (1L, "aa aa bb", "en", "s0"),
+      (2L, "bb cc", "en", "s0")))
+    // counts: aa=2, bb=2, cc=1; N=5
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      1L -> (3L, r4(-math.log(2.0 / 5) * 3 / 3)),
+      2L -> (2L, r4((-math.log(2.0 / 5) - math.log(1.0 / 5)) / 2)))
+    val got = CorpusOps.unigramLogProb(d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+  }
+
+  test("unigramLogProb: rare-token docs score higher than typical docs") {
+    val scored = CorpusOps.unigramLogProb(docs).collect()
+    assert(scored.length === docs.count())
+    val scores = scored.map(_.getDouble(2))
+    assert(scores.forall(s => s > 0 && !s.isNaN))
+  }
+
   // ------------------------------------------------------- mix domains
 
   test("mixDomains shares sum to 1 and downsample-only caps hold") {

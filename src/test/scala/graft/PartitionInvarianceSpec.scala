@@ -56,7 +56,12 @@ class PartitionInvarianceSpec extends SparkSpec {
           d.filter(col("doc_id") % 97 === 0))
       }),
     ("embedding_pairs (lsh candidates + exact verify)",
-      () => Dedup.embeddingPairs(Tables.load(spark, sfDir, "embeddings"))))
+      () => Dedup.embeddingPairs(Tables.load(spark, sfDir, "embeddings"))),
+    ("freq_terms (partition-local sketch + exact recount)",
+      // the MG sketch's CANDIDATE set depends on partitioning; the
+      // recount must erase that dependence from the final answer
+      () => graft.llm.CorpusOps.freqTerms(
+        Tables.load(spark, sfDir, "documents"))))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {

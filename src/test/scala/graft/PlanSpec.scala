@@ -207,4 +207,33 @@ class PlanSpec extends SparkSpec {
     val pa = plan(Relational.qAntiJoin(spark, sfDir))
     assert(pa.contains("LeftAnti"), pa)
   }
+
+  test("freqTerms recount joins the candidate set by broadcast") {
+    // Pass 2 of the Misra-Gries frequent-items op must semi-join the
+    // corpus tokens against the (answer-sized) candidate list with a
+    // broadcast — a shuffled join here would re-shuffle O(corpus
+    // tokens) and defeat the sketch entirely.
+    val p = plan(graft.llm.CorpusOps.freqTerms(
+      Tables.load(spark, sfDir, "documents")))
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-shuffling join:\n$p")
+  }
+
+  test("bm25 top-k is TakeOrderedAndProject, stats broadcast") {
+    val p = plan(graft.llm.CorpusOps.bm25(
+      Tables.load(spark, sfDir, "documents")))
+    assert(p.contains("TakeOrderedAndProject"), s"bm25 does a full sort:\n$p")
+    // the |terms|-row df table and the 1-row (N, avgdl) stats must both
+    // arrive by broadcast; the only shuffled join key is doc_id
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"stats not broadcast:\n$p")
+  }
+
+  test("jlProject is map-only: zero exchanges") {
+    val p = plan(graft.llm.Similarity.jlProject(
+      Tables.load(spark, sfDir, "embeddings")))
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains(" Exchange"))
+    assert(exchanges === 0, s"projection should not shuffle:\n$p")
+  }
 }

@@ -165,4 +165,55 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture corpus must contain contaminated docs")
     q.stop()
   }
+
+  test("streaming MG candidates cover exact frequent terms; recount == batch") {
+    // tokens stream in over 3 micro-batches; each shard's Misra-Gries
+    // state must, at end of stream, contain every token whose GLOBAL
+    // count passes the frequent-items threshold — so the exact recount
+    // over the final candidates equals the batch operator's answer.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = graft.core.Tables.load(spark, sfDir, "documents")
+    val corp = docsDf.select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = corp.grouped((corp.length + 2) / 3).toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val toks = input.toDF().toDF("doc_id", "text")
+      .select(explode(
+        graft.llm.TextOps.letterTokens(col("text"))).as("tok"))
+      .select(pmod(hash(col("tok")), lit(8)).cast("int").as("shard"),
+        col("tok"))
+      .as[graft.streaming.DocStreams.ShardTok]
+    val q = graft.streaming.DocStreams.freqTermCandidates(toks, capacity = 128)
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode(OutputMode.Update()).start()
+    chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+
+    // final snapshot per shard = the rows carrying its max n_shard
+    val snaps = spark.table("mg_out")
+      .as[graft.streaming.DocStreams.MGSnapshot].collect()
+    val finalCands = snaps.groupBy(_.shard).toSeq.flatMap { case (_, rows) =>
+      val nMax = rows.map(_.n_shard).max
+      rows.filter(_.n_shard == nMax).map(_.tok).toSeq
+    }.toSet
+
+    val phi = 0.02
+    val counts = docsDf
+      .select(explode(graft.llm.TextOps.letterTokens(col("text"))).as("tok"))
+      .groupBy("tok").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    val exact = counts.filter(_._2 >= math.ceil(phi * n).toLong)
+    assert(exact.nonEmpty, "fixture should have frequent terms")
+    assert(exact.keySet.subsetOf(finalCands),
+      s"missing: ${exact.keySet -- finalCands}")
+
+    // recount candidates exactly == batch operator
+    val recount = counts.view.filterKeys(finalCands)
+      .filter(_._2 >= math.ceil(phi * n).toLong).toMap
+    val batch = graft.llm.CorpusOps.freqTerms(docsDf, phi = phi)
+      .select("word", "cnt").as[(String, Long)].collect().toMap
+    assert(recount === batch)
+    q.stop()
+  }
 }
