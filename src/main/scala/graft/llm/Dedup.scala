@@ -883,6 +883,73 @@ object Dedup {
       .select(col("doc_id"), col("n_hits"), col("n_shingles"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter: when the
+    * reference set outgrows what a broadcast (or even a comfortable
+    * shuffle) wants to carry, summarize its distinct shingle hashes
+    * into a Bloom sketch (~1.2 MB per 1 M shingles at 1% fpp — built
+    * with a tree aggregation, broadcast once) and drop the ~99% of
+    * corpus shingles that cannot match BEFORE the exact join. The
+    * join then verifies the survivors — hits plus the fpp sliver —
+    * against the real reference hashes, so false positives are
+    * eliminated and the RESULT IS EXACTLY [[decontaminate]]'s (same
+    * DuckDB oracle). The join runs hash-partitioned (not broadcast):
+    * the sketch already did the broadcast's job, and only
+    * bloom-surviving shingles shuffle.
+    *
+    * The `mightContainLong` probe is a non-codegen UDF, but it guards
+    * the exchange, not a per-row hot loop: at 100 TB it deletes the
+    * shuffle of every clean document's shingles, which is the whole
+    * cost of the operator.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, reference: DataFrame, n: Int = 3,
+      minHits: Int = 2, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.text.hashed_sorted_shingles
+    val refSh = reference
+      .select(explode(hashed_sorted_shingles(col("text"), n)).as("g"))
+      .distinct()
+    // expectedNumItems needs a count — one reference-sized pass; the
+    // reference is the small side by the operator's contract.
+    val expected = math.max(refSh.count(), 1000L)
+    val bf = refSh.stat.bloomFilter("g", expected, fpp)
+    val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: Long) => bfBc.value.mightContainLong(g))
+    graft.core.Layout.spread(corpus, "doc_id")
+      .select(col("doc_id"),
+        hashed_sorted_shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .filter(mightContain(col("g")))
+      .join(refSh, "g")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"))
+  }
+
+  /** Incremental (snapshot-delta) exact dedup: the documents of an
+    * incoming batch whose content hash does NOT already exist in the
+    * standing corpus — the continuous-ingest shape of [[exact]]. A
+    * left-anti join on the content hash: both sides co-partition on
+    * the hash (no broadcast hint — at scale both sides are large),
+    * and map-side distinct-ish partial aggregation is unnecessary
+    * because the anti join already short-circuits on first match.
+    */
+  def incrementalNew(incoming: DataFrame, corpus: DataFrame): DataFrame =
+    incoming
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      .join(
+        corpus.select(md5(col("text").cast("binary")).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+
+  val incrementalNewSql: String =
+    """SELECT doc_id, md5(text) AS content_hash
+      |FROM documents
+      |WHERE source = 'src0'
+      |  AND md5(text) NOT IN
+      |    (SELECT md5(text) FROM documents WHERE source <> 'src0')""".stripMargin
+
   /** DuckDB mirror of [[decontaminate]] with the documents table split
     * by doc_id % 97 (≈1% reference sample): string shingles stand in
     * for the kernel's xxhash64'd shingles — distinct-count identical
@@ -920,6 +987,12 @@ object Dedup {
     "q_dedup_decontam" -> ((s, d) => decontaminate(
       docs(s, d).filter(col("doc_id") % 97 =!= 0),
       docs(s, d).filter(col("doc_id") % 97 === 0))),
+    "q_dedup_decontam_bloom" -> ((s, d) => decontaminateBloom(
+      docs(s, d).filter(col("doc_id") % 97 =!= 0),
+      docs(s, d).filter(col("doc_id") % 97 === 0))),
+    "q_dedup_incremental" -> ((s, d) => incrementalNew(
+      docs(s, d).filter(col("source") === "src0"),
+      docs(s, d).filter(col("source") =!= "src0"))),
     "q_dedup_exact" -> ((s, d) => exact(docs(s, d))),
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
@@ -939,6 +1012,9 @@ object Dedup {
     */
   val oracleSql: Map[String, String] = Map(
     "q_dedup_decontam" -> decontaminateSql,
+    // bloom prefilter is result-transparent: same oracle as decontam
+    "q_dedup_decontam_bloom" -> decontaminateSql,
+    "q_dedup_incremental" -> incrementalNewSql,
     "q_dedup_exact" -> exactSql,
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_jaccard" -> jaccardPairsSql,

@@ -338,7 +338,50 @@ object EventOps {
       |  ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
       |GROUP BY a.h""".stripMargin
 
+  /** Anomalous traffic windows: hourly event counts per type sitting
+    * more than `z` population standard deviations above the type's
+    * mean hourly count — the monitoring/alerting query an ingest
+    * pipeline runs over its own event firehose.
+    *
+    * Scale: one windowed aggregation over the events (map-side
+    * combined), then a |types|-row stats broadcast back onto the
+    * window counts — the corpus is touched once. A zero-variance type
+    * can't divide by zero: its filter `n > mu` is unsatisfiable when
+    * every window count equals mu.
+    */
+  def anomalyWindows(ev: DataFrame, z: Double = 2.0): DataFrame = {
+    val wins = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(fmtTs(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+    val stats = wins.groupBy("event_type")
+      .agg(avg("n_events").as("mu"), stddev_pop("n_events").as("sigma"))
+    wins.join(broadcast(stats), "event_type")
+      .filter(col("n_events") > col("mu") + lit(z) * col("sigma"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("mu"), 4).as("mu"),
+        round((col("n_events") - col("mu")) / col("sigma"), 4).as("zscore"))
+  }
+
+  val anomalyWindowsSql: String =
+    """WITH wins AS (
+      |  SELECT strftime(CAST(date_trunc('hour', ts) AS TIMESTAMP),
+      |      '%Y-%m-%d %H:%M:%S') AS window_start,
+      |    event_type, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, avg(n_events) AS mu,
+      |    stddev_pop(n_events) AS sigma
+      |  FROM wins GROUP BY 1)
+      |SELECT w.window_start, w.event_type, w.n_events,
+      |  round(s.mu, 4) AS mu,
+      |  round((w.n_events - s.mu) / s.sigma, 4) AS zscore
+      |FROM wins w JOIN stats s USING (event_type)
+      |WHERE w.n_events > s.mu + 2.0 * s.sigma""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly" -> ((s, d) => anomalyWindows(events(s, d))),
     "q_events_retention" -> ((s, d) => retention(events(s, d))),
     "q_events_window_topk" -> ((s, d) => topKPerWindow(events(s, d))),
     "q_asof_forward" -> ((s, d) => forwardClickPurchase(events(s, d))),
@@ -356,6 +399,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_anomaly" -> anomalyWindowsSql,
     "q_events_retention" -> retentionSql,
     "q_events_window_topk" -> topKPerWindowSql,
     "q_asof_forward" -> forwardClickPurchaseSql,

@@ -147,6 +147,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores.forall(s => s > 0 && !s.isNaN))
   }
 
+  test("ccnetBuckets: 3 buckets per lang, disjoint score ranges, all docs") {
+    val rows = CorpusOps.ccnetBuckets(docs).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    val langs = rows.keys.map(_._1).toSet
+    assert(langs === Set("en", "zh", "es", "de", "fr"))
+    langs.foreach { l =>
+      val bs = (1 to 3).map(b => rows((l, b)))
+      assert(bs.map(_._1).sum === docs.filter(col("lang") === l).count())
+      // tercile sizes differ by at most 1; ranges are ordered
+      assert(bs.map(_._1).max - bs.map(_._1).min <= 1)
+      assert(bs(0)._3 <= bs(1)._2 + 1e-9 && bs(1)._3 <= bs(2)._2 + 1e-9,
+        s"$l bucket score ranges must be ordered: $bs")
+    }
+  }
+
   // ------------------------------------------------------- mix domains
 
   test("mixDomains shares sum to 1 and downsample-only caps hold") {

@@ -370,6 +370,29 @@ class LlmSpec extends SparkSpec {
     val shuf = Dedup.decontaminate(corp, ref, broadcastRef = false).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(shuf === out)
+    // bloom-prefiltered path: the sketch only prunes, the exact join
+    // verifies — result must be identical at any fpp
+    val bloom = Dedup.decontaminateBloom(corp, ref).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(bloom === out)
+    val bloomCoarse = Dedup.decontaminateBloom(corp, ref, fpp = 0.5).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(bloomCoarse === out, "a coarse sketch may pass more candidates " +
+      "to the verify join but must never change the verified result")
+  }
+
+  test("incremental dedup: new-batch anti-join equals set difference") {
+    val incoming = docs.filter(col("source") === "src0")
+    val standing = docs.filter(col("source") =!= "src0")
+    val got = Dedup.incrementalNew(incoming, standing).collect()
+      .map(_.getLong(0)).sorted
+    val standingTexts = standing.select("text").collect()
+      .map(_.getString(0)).toSet
+    val want = incoming.select("doc_id", "text").collect()
+      .filter(r => !standingTexts.contains(r.getString(1)))
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty, "src0 should contribute genuinely new docs")
   }
 
   test("dup clusters: shuffle-join path computes identical labels to broadcast") {
