@@ -318,7 +318,110 @@ object Multimodal {
       |  CAST(sum((x + 7 * y + 13 * c) * v) AS BIGINT) AS pos_sum
       |FROM px GROUP BY doc_id""".stripMargin
 
+  /** Decoded-audio batch record (the schema the audio decoder emits). */
+  case class DecodedAudio(
+      doc_id: Long,
+      sample_rate: Int,
+      samples: Array[Short])
+
+  /** Synthesized WAV fixture blobs: one real 16-bit PCM mono WAV per
+    * document with arithmetic rate/samples (rate = 8000 + (doc_id%4) *
+    * 4000, n = doc_id%50 + 20, sample[i] = (doc_id*31 + i*17) % 2003 -
+    * 1001), so the DuckDB oracle computes the decoded statistics in
+    * closed form WITHOUT a decoder — any decode defect (chunk walk,
+    * endianness, sign) breaks the compare.
+    */
+  def wavFixtures(d: DataFrame): DataFrame = {
+    val enc = udf { id: Long =>
+      val n = (id % 50).toInt + 20
+      WavCodec.encode(
+        8000 + (id % 4).toInt * 4000,
+        Array.tabulate[Short](n)(i => ((id * 31 + i * 17) % 2003 - 1001).toShort))
+    }
+    d.select(col("doc_id"), enc(col("doc_id")).as("media"))
+  }
+
+  /** REAL audio decode kernel: parses each blob as canonical PCM WAV
+    * ([[WavCodec.decode]] — RIFF chunk walk, strict validation) inside
+    * `mapPartitions`, same contract as [[decodeImages]]: corrupt blobs
+    * throw IllegalArgumentException for quarantine routing.
+    */
+  def decodeAudio(
+      spark: SparkSession, media: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val w =
+            try WavCodec.decode(bytes)
+            catch {
+              case e: IllegalArgumentException => throw new IllegalArgumentException(
+                s"doc_id=$id: ${e.getMessage}", e)
+            }
+          DecodedAudio(id, w.sampleRate, w.samples)
+        }
+      }
+  }
+
+  /** Aggregate features over decoded audio — duration, peak amplitude,
+    * RMS energy, silence ratio (the framing/VAD precursors an audio
+    * pipeline computes after decode). Integer sums keep everything the
+    * closed-form oracle can reproduce exactly.
+    */
+  def audioStats(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeAudio(spark, wavFixtures(d))
+      .map { a =>
+        val n = a.samples.length
+        var sum2 = 0L
+        var peak = 0L
+        var silent = 0L
+        var i = 0
+        while (i < n) {
+          val v = a.samples(i).toLong
+          sum2 += v * v
+          val av = math.abs(v)
+          if (av > peak) peak = av
+          if (av < 100) silent += 1
+          i += 1
+        }
+        (a.doc_id, a.sample_rate.toLong, n.toLong,
+          n.toLong * 1000 / a.sample_rate, peak,
+          BigDecimal(math.sqrt(sum2.toDouble / n))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(silent.toDouble / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_ms",
+        "peak_abs", "rms_r", "silence_ratio_r")
+  }
+
+  /** Closed-form oracle: recomputes the fixture waveform arithmetic
+    * directly, never parsing a WAV — agreement proves the encode ->
+    * chunk-walk -> sample decode round trip bit-exact.
+    */
+  val audioStatsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 50 + 20 AS n,
+      |    8000 + (doc_id % 4) * 4000 AS rate
+      |  FROM documents),
+      |s AS (
+      |  SELECT b.doc_id, b.n, b.rate,
+      |    (b.doc_id * 31 + g.i * 17) % 2003 - 1001 AS v
+      |  FROM base b,
+      |    LATERAL (SELECT unnest(generate_series(0, b.n - 1)) AS i) g)
+      |SELECT doc_id,
+      |  CAST(min(rate) AS BIGINT) AS sample_rate,
+      |  CAST(min(n) AS BIGINT) AS n_samples,
+      |  CAST(min(n) * 1000 // min(rate) AS BIGINT) AS duration_ms,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |  round(sqrt(sum(v * v)::DOUBLE / min(n)), 4) AS rms_r,
+      |  round(sum(CASE WHEN abs(v) < 100 THEN 1 ELSE 0 END)::DOUBLE
+      |    / min(n), 4) AS silence_ratio_r
+      |FROM s GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_audio" -> ((s, d) => audioStats(s, docs(s, d))),
     "q_multimodal_batches" -> ((s, d) => inferenceBatches(docs(s, d))),
     "q_multimodal_meta" -> ((s, d) => mediaMeta(docs(s, d))),
     "q_multimodal_frames" -> ((s, d) => frameSample(docs(s, d))),
@@ -326,6 +429,7 @@ object Multimodal {
     "q_multimodal_resize" -> ((s, d) => resizedStats(s, docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_audio" -> audioStatsSql,
     "q_multimodal_batches" -> inferenceBatchesSql,
     "q_multimodal_meta" -> mediaMetaSql,
     "q_multimodal_frames" -> frameSampleSql,

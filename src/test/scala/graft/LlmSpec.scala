@@ -341,6 +341,43 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("wav codec: encode/decode round trip preserves every sample") {
+    val samples = Array.tabulate[Short](777)(i => ((i * 31 - 12345) % 32768).toShort)
+    val w = graft.llm.WavCodec.decode(graft.llm.WavCodec.encode(44100, samples))
+    assert(w.sampleRate === 44100)
+    assert(w.samples.toSeq === samples.toSeq)
+  }
+
+  test("wav codec: skips unknown chunks, rejects garbage loudly") {
+    import graft.llm.WavCodec
+    // LIST chunk between fmt and data must be skipped (odd size: RIFF
+    // pads to even, the offset the chunk walk must honor)
+    val good = WavCodec.encode(8000, Array[Short](1, -2, 3))
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'a', 'b', 'c', 'd', 'e', 0)
+    val withList = good.take(36) ++ list ++ good.drop(36)
+    assert(WavCodec.decode(withList).samples.toSeq === Seq[Short](1, -2, 3))
+    val bad = Seq(
+      Array.empty[Byte],
+      "just some text, definitely not RIFF audio".getBytes,
+      good.take(20), // truncated fmt
+      { val b = good.clone(); b(20) = 2; b }, // format tag 2 (ADPCM)
+      { val b = good.clone(); b(22) = 2; b }) // stereo
+    bad.foreach { b =>
+      assertThrows[IllegalArgumentException](WavCodec.decode(b))
+    }
+  }
+
+  test("wav codec: adversarial u32 chunk sizes raise IAE, not AIOOBE/OOM") {
+    // a data chunk declaring 0xFFFFFFF0 bytes would be negative as Int;
+    // the u32 Long read must range-check it against the real length
+    val good = graft.llm.WavCodec.encode(8000, Array[Short](1, 2, 3))
+    val evil = good.clone()
+    // data chunk size field sits at offset 40 in the canonical layout
+    evil(40) = 0xf0.toByte; evil(41) = 0xff.toByte
+    evil(42) = 0xff.toByte; evil(43) = 0xff.toByte
+    assertThrows[IllegalArgumentException](graft.llm.WavCodec.decode(evil))
+  }
+
   test("decontamination matches local brute force; shuffle path identical") {
     // corpus split 99%/1% by doc_id % 97: the 1% is the "eval set",
     // flagged docs are those sharing >= 2 distinct 3-shingles with it

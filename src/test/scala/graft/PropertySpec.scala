@@ -164,4 +164,52 @@ class PropertySpec extends SparkSpec {
       assert(pruned === 0L, s"filter vacuous at t=$t")
     }
   }
+
+  test("wav codec round-trips arbitrary rates and waveforms (40 cases)") {
+    val wav = for {
+      rate <- Gen.chooseNum(1, 192000)
+      n <- Gen.chooseNum(0, 2000)
+      samples <- Gen.listOfN(n,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, samples.map(_.toShort).toArray)
+    samples(wav, 40).foreach { case (rate, ss) =>
+      val back = graft.llm.WavCodec.decode(graft.llm.WavCodec.encode(rate, ss))
+      assert(back.sampleRate === rate)
+      assert(back.samples.toSeq === ss.toSeq, s"rate=$rate n=${ss.length}")
+    }
+  }
+
+  test("Misra-Gries frequent terms exact on random zipf-ish streams (20 cases)") {
+    import org.apache.spark.sql.functions.{col, explode}
+    // skewed streams: token k drawn with weight ~ 1/(k+1); every
+    // (phi, capacity) pair satisfies the (cap+1)*phi >= 1 bound with
+    // little slack, the regime where sketch bugs surface
+    val stream = for {
+      n <- Gen.chooseNum(50, 400)
+      toks <- Gen.listOfN(n, Gen.frequency(
+        (60, Gen.const("zipfa")), (30, Gen.const("zipfb")),
+        (15, Gen.const("zipfc")), (8, Gen.const("zipfd")),
+        (40, Gen.identifier.map(s => "u" + s.filter(_.isLetter)))))
+    } yield toks
+    val spark2 = spark
+    import spark2.implicits._
+    samples(stream, 20).zipWithIndex.foreach { case (toks, i) =>
+      val phi = 0.05 + (i % 4) * 0.05
+      val cap = math.ceil(1.0 / phi).toInt // zero-slack capacity
+      // split the stream over several docs so the sketch really runs
+      // per-partition (a single row would give it the whole stream)
+      val d = toks.grouped(40).zipWithIndex
+        .map { case (g, j) => (j.toLong, g.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text").repartition(3)
+      val got = graft.llm.CorpusOps.freqTerms(d, phi, cap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val letterToks = d.select(
+        explode(graft.llm.TextOps.letterTokens(col("text"))).as("t"))
+        .as[String].collect()
+      val thresh = math.ceil(phi * letterToks.length).toLong
+      val want = letterToks.groupBy(identity).view
+        .mapValues(_.length.toLong).filter(_._2 >= thresh).toMap
+      assert(got === want, s"case $i phi=$phi cap=$cap n=${letterToks.length}")
+    }
+  }
 }
