@@ -420,7 +420,92 @@ object Multimodal {
       |    / min(n), 4) AS silence_ratio_r
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** Synthesized Y4M fixture blobs: one real YUV4MPEG2 clip per
+    * document — w in {4,6,8}, h in {2,4}, frames = doc_id%5+1,
+    * luma(f, x, y) = (doc_id + f*37 + x*5 + y*11) % 256 — so the
+    * DuckDB oracle computes decoded statistics in closed form WITHOUT
+    * a parser; any chunk-walk defect (chroma-plane misalignment shifts
+    * every following FRAME marker) breaks the compare.
+    */
+  def y4mFixtures(d: DataFrame): DataFrame = {
+    val enc = udf { id: Long =>
+      Y4mCodec.encode(
+        ((id % 3).toInt + 2) * 2, ((id % 2).toInt + 1) * 2,
+        (id % 5).toInt + 1,
+        (f, x, y) => ((id + f * 37 + x * 5 + y * 11) % 256).toInt)
+    }
+    d.select(col("doc_id"), enc(col("doc_id")).as("media"))
+  }
+
+  /** Aggregate features over decoded video: frame count, dims, total
+    * luma mass, and MOTION ENERGY (sum of |luma delta| between
+    * consecutive frames — the scene-change / static-clip signal a
+    * video curation pipeline filters on). The fixture luma ramps by
+    * f*37 per frame, so per-pixel deltas are closed-form mirrorable.
+    */
+  def videoStats(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    y4mFixtures(d).select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // map-only: fixture synthesis, decode, and the stats fold all
+        // ride one partition-local pass; blobs never shuffle
+        rows.map { case (id, blob) =>
+          val v =
+            try Y4mCodec.decode(blob)
+            catch {
+              case e: IllegalArgumentException => throw new IllegalArgumentException(
+                s"doc_id=$id: ${e.getMessage}", e)
+            }
+          var lumaSum = 0L
+          v.lumaFrames.foreach(fr => fr.foreach(b => lumaSum += b & 0xff))
+          var motion = 0L
+          var f = 1
+          while (f < v.lumaFrames.length) {
+            val a = v.lumaFrames(f - 1); val b = v.lumaFrames(f)
+            var i = 0
+            while (i < a.length) {
+              motion += math.abs((b(i) & 0xff) - (a(i) & 0xff)); i += 1
+            }
+            f += 1
+          }
+          (id, v.width.toLong, v.height.toLong,
+            v.lumaFrames.length.toLong, lumaSum, motion)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_frames", "luma_sum", "motion")
+  }
+
+  /** Closed-form oracle: recomputes the fixture luma arithmetic per
+    * (frame, x, y), never parsing a byte — agreement proves header
+    * parse, plane stride, and frame alignment are all exact.
+    */
+  val videoStatsSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 3 + 2) * 2 AS w, (doc_id % 2 + 1) * 2 AS h,
+      |    doc_id % 5 + 1 AS nf
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, d.nf, gf.f, gx.x, gy.y,
+      |    (d.doc_id + gf.f * 37 + gx.x * 5 + gy.y * 11) % 256 AS v
+      |  FROM dims d,
+      |    LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS f) gf,
+      |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx,
+      |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy),
+      |deltas AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN f > 0 THEN abs(
+      |      v - (doc_id + (f - 1) * 37 + x * 5 + y * 11) % 256)
+      |      ELSE 0 END) AS motion,
+      |    sum(v) AS luma_sum
+      |  FROM px GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+      |  CAST(d.h AS BIGINT) AS height, CAST(d.nf AS BIGINT) AS n_frames,
+      |  CAST(x.luma_sum AS BIGINT) AS luma_sum,
+      |  CAST(x.motion AS BIGINT) AS motion
+      |FROM dims d JOIN deltas x USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_video" -> ((s, d) => videoStats(s, docs(s, d))),
     "q_multimodal_audio" -> ((s, d) => audioStats(s, docs(s, d))),
     "q_multimodal_batches" -> ((s, d) => inferenceBatches(docs(s, d))),
     "q_multimodal_meta" -> ((s, d) => mediaMeta(docs(s, d))),
@@ -429,6 +514,7 @@ object Multimodal {
     "q_multimodal_resize" -> ((s, d) => resizedStats(s, docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_video" -> videoStatsSql,
     "q_multimodal_audio" -> audioStatsSql,
     "q_multimodal_batches" -> inferenceBatchesSql,
     "q_multimodal_meta" -> mediaMetaSql,

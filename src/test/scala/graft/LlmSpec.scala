@@ -378,6 +378,32 @@ class LlmSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](graft.llm.WavCodec.decode(evil))
   }
 
+  test("y4m codec: encode/decode round trip preserves every luma plane") {
+    import graft.llm.Y4mCodec
+    val v = Y4mCodec.decode(Y4mCodec.encode(6, 4, 3,
+      (f, x, y) => f * 50 + x * 7 + y * 3, fpsNum = 30))
+    assert((v.width, v.height, v.fpsNum, v.fpsDen) === ((6, 4, 30, 1)))
+    assert(v.lumaFrames.length === 3)
+    for (f <- 0 until 3; y <- 0 until 4; x <- 0 until 6)
+      assert((v.lumaFrames(f)(y * 6 + x) & 0xff) === (f * 50 + x * 7 + y * 3) % 256,
+        s"f=$f x=$x y=$y")
+  }
+
+  test("y4m codec: rejects garbage and adversarial headers loudly") {
+    import graft.llm.Y4mCodec
+    val good = Y4mCodec.encode(4, 2, 1, (_, _, _) => 0)
+    val bad = Seq(
+      Array.empty[Byte],
+      "MPEG4 is not this format at all........".getBytes,
+      good.dropRight(3), // truncated chroma plane
+      new String(good, "ISO-8859-1").replace("W4", "W5").getBytes("ISO-8859-1"), // odd width
+      new String(good, "ISO-8859-1")
+        .replace("W4", "W2000000000").getBytes("ISO-8859-1")) // overflow dims
+    bad.foreach { b =>
+      assertThrows[IllegalArgumentException](Y4mCodec.decode(b))
+    }
+  }
+
   test("decontamination matches local brute force; shuffle path identical") {
     // corpus split 99%/1% by doc_id % 97: the 1% is the "eval set",
     // flagged docs are those sharing >= 2 distinct 3-shingles with it
