@@ -504,7 +504,58 @@ object Multimodal {
       |  CAST(x.motion AS BIGINT) AS motion
       |FROM dims d JOIN deltas x USING (doc_id)""".stripMargin
 
+  /** Decode with QUARANTINE ROUTING — the operator face of the codec
+    * contract: every malformed blob becomes a `quarantined` row
+    * instead of failing the job or emitting silent garbage. One row
+    * per blob, decoded fields zeroed for quarantined ones; corrupt
+    * inputs never abort the scan (the mapPartitions catch is the
+    * per-row `try` a 100 TB ingest needs — one bad blob in a billion
+    * must not kill the stage).
+    */
+  def decodeAudioSafe(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val w = WavCodec.decode(bytes)
+            (id, "ok", w.sampleRate.toLong, w.samples.length.toLong)
+          } catch {
+            case _: IllegalArgumentException => (id, "quarantined", 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "status", "sample_rate", "n_samples")
+  }
+
+  /** q_multimodal_quarantine: WAV fixtures with a deterministic 1-in-97
+    * slice truncated to 10 bytes (unparseable), decoded with routing,
+    * aggregated by status. The oracle derives both partitions in closed
+    * form — the Spark side must actually decode-or-quarantine every
+    * blob to agree.
+    */
+  def quarantineStats(spark: SparkSession, d: DataFrame): DataFrame = {
+    val media = wavFixtures(d).select(
+      col("doc_id"),
+      when(col("doc_id") % 97 === 0, expr("substring(media, 1, 10)"))
+        .otherwise(col("media")).as("media"))
+    decodeAudioSafe(spark, media)
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_samples").cast("bigint").as("total_samples"))
+  }
+
+  val quarantineStatsSql: String =
+    """SELECT CASE WHEN doc_id % 97 = 0 THEN 'quarantined' ELSE 'ok' END
+      |    AS status,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0
+      |       ELSE doc_id % 50 + 20 END) AS BIGINT) AS total_samples
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_quarantine" -> ((s, d) => quarantineStats(s, docs(s, d))),
     "q_multimodal_video" -> ((s, d) => videoStats(s, docs(s, d))),
     "q_multimodal_audio" -> ((s, d) => audioStats(s, docs(s, d))),
     "q_multimodal_batches" -> ((s, d) => inferenceBatches(docs(s, d))),
@@ -514,6 +565,7 @@ object Multimodal {
     "q_multimodal_resize" -> ((s, d) => resizedStats(s, docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_quarantine" -> quarantineStatsSql,
     "q_multimodal_video" -> videoStatsSql,
     "q_multimodal_audio" -> audioStatsSql,
     "q_multimodal_batches" -> inferenceBatchesSql,
