@@ -165,6 +165,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("codec fuzz: decode never escapes the IAE quarantine contract") {
+    // The quarantine routing catches IllegalArgumentException ONLY —
+    // any other throwable (ArrayIndexOutOfBounds, BufferUnderflow,
+    // NegativeArraySize, OOM from a trusted size field) escapes and
+    // kills the stage. Fuzz all three codecs with random buffers and
+    // single-byte mutations of valid files; decode must either succeed
+    // or raise IAE.
+    val rnd = new scala.util.Random(42)
+    def assertContained(name: String, decode: Array[Byte] => Any,
+        valid: Array[Byte]): Unit = {
+      def tryOne(b: Array[Byte], what: String): Unit =
+        try { decode(b); () } catch {
+          case _: IllegalArgumentException => ()
+          case t: Throwable =>
+            fail(s"$name escaped quarantine on $what: ${t.getClass.getName}: ${t.getMessage}")
+        }
+      (0 until 150).foreach { i =>
+        val b = new Array[Byte](rnd.nextInt(200))
+        rnd.nextBytes(b)
+        tryOne(b, s"random buffer $i")
+      }
+      (0 until 300).foreach { i =>
+        val b = valid.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        tryOne(b, s"mutation $i")
+        tryOne(b.take(rnd.nextInt(b.length)), s"truncation $i")
+      }
+    }
+    assertContained("BmpCodec", graft.llm.BmpCodec.decode,
+      graft.llm.BmpCodec.encode(7, 5, (x, y, c) => x + y + c))
+    assertContained("WavCodec", graft.llm.WavCodec.decode,
+      graft.llm.WavCodec.encode(8000, Array.tabulate[Short](64)(_.toShort)))
+    assertContained("Y4mCodec", graft.llm.Y4mCodec.decode,
+      graft.llm.Y4mCodec.encode(6, 4, 2, (f, x, y) => f + x + y))
+  }
+
   test("wav codec round-trips arbitrary rates and waveforms (40 cases)") {
     val wav = for {
       rate <- Gen.chooseNum(1, 192000)
