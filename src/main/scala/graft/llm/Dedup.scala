@@ -914,7 +914,13 @@ object Dedup {
     val bf = refSh.stat.bloomFilter("g", expected, fpp)
     val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((g: Long) => bfBc.value.mightContainLong(g))
-    graft.core.Layout.spread(corpus, "doc_id")
+    // Deliberately NO Layout.spread (unlike [[decontaminate]]): this
+    // variant's whole point is that everything before the verify join
+    // is map-side, so an up-front repartition would shuffle the full
+    // corpus — the very cost the sketch deletes (measured in
+    // `ScaleProbe bloom`: the spread was 100% of the shuffle volume).
+    // Scan splits provide the parallelism at scale.
+    corpus
       .select(col("doc_id"),
         hashed_sorted_shingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_shingles"),

@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   * (10x-unioned = sf0.1-sized input, quadratic-output corpus).
   */
 object ScaleProbe {
+
+  /** Sums shuffle-write bytes across all tasks while registered —
+    * locally shuffle is a memcpy, but on a real cluster it's the
+    * network, so bytes are the transferable scale number.
+    */
+  private final class ShuffleSum extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        bytes.getAndAdd(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -71,6 +84,49 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("bloom")) {
+      // Decontamination prefilter probe: shuffle-join decontamination
+      // (the large-reference shape) with and without the Bloom sketch
+      // prefilter. The sketch's claim is that it deletes the shuffle of
+      // every CLEAN document's shingles before the verify join — the
+      // testdata corpus can't show that (its ~31-token vocabulary makes
+      // nearly every shingle match the reference), so synthesize the
+      // web shape: unique-shingled docs with a 2% contaminated slice
+      // that replicates the eval text.
+      val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+      val uniq = translate(col("id").cast("string"),
+        "0123456789", "abcdefghij")
+      val corp = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        when(col("id") % 50 === 0, lit(evalText))
+          .otherwise(concat_ws(" ",
+            concat(lit("p"), uniq), concat(lit("q"), uniq),
+            concat(lit("r"), uniq), concat(lit("s"), uniq),
+            concat(lit("t"), uniq), concat(lit("u"), uniq))).as("text"))
+        .localCheckpoint()
+      val ref = spark.range(1).select(
+        col("id").as("doc_id"), lit(evalText).as("text"))
+      Seq(
+        "shuffle join" -> (() =>
+          graft.llm.Dedup.decontaminate(corp, ref, broadcastRef = false)),
+        "bloom+verify" -> (() =>
+          graft.llm.Dedup.decontaminateBloom(corp, ref))).foreach {
+        case (label, mk) =>
+          mk().count() // warm codegen/JIT (and bloom build)
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val rows = mk().count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // listener bus drains async
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[bloom-probe] $label%-13s $rows%7d flagged  $dt%7.2f s  " +
+            f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("freq")) {
       // Heavy-hitters probe: the testdata corpus's ~31-token vocabulary
       // can't show what Misra-Gries buys, because the direct groupBy's
@@ -96,13 +152,6 @@ object ScaleProbe {
           concat(lit("p"), uniq), concat(lit("q"), uniq),
           concat(lit("r"), uniq), concat(lit("s"), uniq)).as("text"))
         .localCheckpoint() // probe the aggregation, not range+concat
-      final class ShuffleSum extends org.apache.spark.scheduler.SparkListener {
-        val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null)
-            bytes.getAndAdd(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      }
       val phi = 0.02
       def direct(): DataFrame = {
         val toks = synth.select(
