@@ -989,7 +989,128 @@ object Dedup {
       |FROM hits h JOIN szs s USING (doc_id)
       |WHERE h.n_hits >= 2""".stripMargin
 
+  // ------------------------------------------- duplicate substring spans
+
+  /** Exact duplicate-SUBSTRING detection: for every document, find the
+    * maximal token spans whose every `k`-token window occurs at least
+    * twice in the corpus (in any document, including the same one) —
+    * the ExactSubstr dedup of Lee et al. 2022 (arXiv:2107.06499),
+    * re-expressed relationally. Suffix arrays find the same spans with
+    * a global sort; here each k-token window is reduced to a 16-byte
+    * hash and duplicate windows are found by a hash-partitioned count,
+    * then per-document overlapping windows merge into maximal spans by
+    * a gaps-and-islands pass.
+    *
+    * Output per document: token count, number of maximal duplicated
+    * spans, tokens covered by those spans, and the covered fraction —
+    * the statistic a curation pipeline thresholds on (or uses to cut
+    * the spans out).
+    *
+    * Scale: the window table is O(corpus tokens) rows but each row is
+    * (doc_id, pos, 16-byte hash) — the duplicate-window count is ONE
+    * hash-partitioned algebraic aggregation on the hash (map-side
+    * combined, so a virally-copied span costs its partition count, not
+    * its occurrence count, in shuffle), and the verdict join back is
+    * co-partitioned on the same key. The islands merge runs in windows
+    * PARTITIONED per doc_id (never global) and the final span
+    * aggregation is answer-sized. No stage broadcasts or collects
+    * anything; two corpus-token-sized exchanges total — the same cost
+    * class as the suffix-array sort it replaces, with Spark handling
+    * distribution.
+    */
+  def duplicateSpans(d: DataFrame, k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = d.select(
+      col("doc_id"), TextOps.letterTokens(col("text")).as("toks"))
+    // 1-based window starts; docs shorter than k contribute no windows
+    // (guard: sequence() would count DOWN and fabricate them).
+    val wins = base.select(
+      col("doc_id"),
+      explode(
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+            i => struct(
+              i.as("pos"),
+              md5(concat_ws(" ", slice(col("toks"), i, lit(k)))
+                .cast("binary")).as("g"))))
+          .otherwise(array().cast("array<struct<pos:int,g:string>>")))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    val dup = wins.groupBy("g")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+    val marked = wins.join(dup.select("g"), "g")
+    // Windows are fixed-length k at ascending pos, so the cumulative
+    // max end is lag(pos)+k-1 and a new span starts exactly when the
+    // current window clears it (pos > lag(pos)+k would leave a gap of
+    // uncovered tokens; pos = lag(pos)+k is adjacent = same coverage
+    // run). First row per doc: lag is null -> sentinel -1 -> new span.
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = marked
+      .withColumn("flag",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(byPos) + k,
+          lit(-1)), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("flag")).over(byPos.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg((max(col("pos")) + k - min(col("pos"))).as("span_len"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("span_len")).cast("bigint").as("dup_tokens"))
+    val dupToks = coalesce(col("dup_tokens"), lit(0L))
+    base.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        dupToks.as("dup_tokens"),
+        round(
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(dupToks.cast("double") / col("n_tokens")),
+          4).as("dup_ratio"))
+  }
+
+  val duplicateSpansSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'g': md5(array_to_string(toks[i:i+14], ' '))}
+      |            FOR i IN range(1, greatest(len(toks) - 13, 1))]) AS w
+      |  FROM base),
+      |wp AS (SELECT doc_id, w.pos AS pos, w.g AS g FROM wins),
+      |dup AS (SELECT g FROM wp GROUP BY g HAVING count(*) >= 2),
+      |m AS (SELECT doc_id, pos FROM wp JOIN dup USING (g)),
+      |fl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15, -1)
+      |      THEN 1 ELSE 0 END AS flag
+      |  FROM m),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM fl),
+      |sp AS (
+      |  SELECT doc_id, island, max(pos) + 15 - min(pos) AS span_len
+      |  FROM isl GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_tokens
+      |  FROM sp GROUP BY 1)
+      |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  round(CASE WHEN len(b.toks) = 0 THEN 0
+      |    ELSE coalesce(a.dup_tokens, 0)::DOUBLE / len(b.toks) END, 4)
+      |    AS dup_ratio
+      |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring" -> ((s, d) => duplicateSpans(docs(s, d))),
     "q_dedup_decontam" -> ((s, d) => decontaminate(
       docs(s, d).filter(col("doc_id") % 97 =!= 0),
       docs(s, d).filter(col("doc_id") % 97 === 0))),
@@ -1017,6 +1138,7 @@ object Dedup {
     * asserts them against brute-force ground truth instead.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_substring" -> duplicateSpansSql,
     "q_dedup_decontam" -> decontaminateSql,
     // bloom prefilter is result-transparent: same oracle as decontam
     "q_dedup_decontam_bloom" -> decontaminateSql,

@@ -536,4 +536,36 @@ class LlmSpec extends SparkSpec {
     assert(stats.columns.toSeq ===
       Seq("doc_id", "width", "height", "pixel_sum", "pos_sum", "top_left"))
   }
+
+  test("duplicateSpans merges windows into maximal spans (closed form)") {
+    // k=3 fixture with every case hand-derivable:
+    //  - docs 1/2 share "a b c d" -> windows abc,bcd dup; one 4-token span
+    //  - doc 3 shares nothing -> zero spans
+    //  - doc 4 repeats "m n o" x3 WITHIN itself -> all 7 windows dup,
+    //    one span covering all 9 tokens
+    //  - docs 5/6 share two SEPARATED runs (abc / def) -> two spans each
+    // tokens are letter-runs and every token below is unique to its
+    // role: shared runs never collide across doc pairs
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d z w"),
+      (3L, "p q r s t u v"),
+      (4L, "m n o m n o m n o"),
+      (5L, "ga gb gc qa qb qc qd qe qf qg ha hb hc"),
+      (6L, "ga gb gc za zb zc ha hb hc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(d, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) === ((8L, 1L, 4L, 0.5)))
+    assert(got(2L) === ((8L, 1L, 4L, 0.5)))
+    assert(got(3L) === ((7L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((9L, 1L, 9L, 1.0)))
+    assert(got(5L) === ((13L, 2L, 6L, round4(6.0 / 13))))
+    assert(got(6L) === ((9L, 2L, 6L, round4(6.0 / 9))))
+  }
+
+  private def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

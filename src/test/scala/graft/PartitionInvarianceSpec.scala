@@ -61,7 +61,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       // the MG sketch's CANDIDATE set depends on partitioning; the
       // recount must erase that dependence from the final answer
       () => graft.llm.CorpusOps.freqTerms(
-        Tables.load(spark, sfDir, "documents"))))
+        Tables.load(spark, sfDir, "documents"))),
+    ("duplicate_spans (islands merge over per-doc windows)",
+      () => Dedup.duplicateSpans(Tables.load(spark, sfDir, "documents"))))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {
