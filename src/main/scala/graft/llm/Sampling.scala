@@ -97,16 +97,56 @@ object Sampling {
       |  FROM documents)
       |WHERE u < keep_below""".stripMargin
 
+  /** Deterministic GLOBAL SHUFFLE + shard assignment — the "shuffle
+    * the corpus and write N training shards" step, as a pure row
+    * function: shard = hash-derived bucket, position = rank of the
+    * content hash WITHIN the shard. Reading shards in (shard, pos)
+    * order yields a reproducible, source/time-decorrelated epoch order
+    * (hash order is independent of ingest order), and a re-ingested
+    * duplicate lands at the same place.
+    *
+    * Scale: the tempting alternative — round-robin over one global
+    * row_number — is the single-reducer window anti-pattern. Hash-mod
+    * sharding needs no coordination (shards balance to O(sqrt(n/k))
+    * jitter, the same guarantee hash partitioning itself gives), and
+    * the position window is PARTITIONED by shard, so ordering work
+    * distributes one shard per reducer — exactly the layout the shard
+    * writer wants (one sorted file per shard, cf. sortWithinPartitions).
+    */
+  def shardShuffle(d: DataFrame, nShards: Int = 8): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    val shard = pmod(
+      ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
+      lit(nShards))
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"), h.as("h"), shard.cast("bigint").as("shard"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val shardShuffleSql: String =
+    """SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard
+      |    ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM (
+      |  SELECT doc_id, md5(text) AS h,
+      |    CAST((ascii(substr(md5(text), 1, 1)) * 131 +
+      |          ascii(substr(md5(text), 2, 1))) % 8 AS BIGINT) AS shard
+      |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_per_group" -> ((s, d) =>
       samplePerGroup(Tables.load(s, d, "documents"), "lang")),
     "q_train_test_split" -> ((s, d) =>
       trainTestSplit(Tables.load(s, d, "documents"))),
     "q_sample_weighted" -> ((s, d) =>
-      weightedSample(Tables.load(s, d, "documents"))))
+      weightedSample(Tables.load(s, d, "documents"))),
+    "q_shard_shuffle" -> ((s, d) =>
+      shardShuffle(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
     "q_sample_per_group" -> samplePerGroupSql,
     "q_train_test_split" -> trainTestSplitSql,
-    "q_sample_weighted" -> weightedSampleSql)
+    "q_sample_weighted" -> weightedSampleSql,
+    "q_shard_shuffle" -> shardShuffleSql)
 }

@@ -437,7 +437,68 @@ object TextOps {
       |  coalesce(a.n_frequent, 0) AS n_frequent
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** Hashing-trick LINEAR quality classifier (the fastText shape —
+    * Joulin et al. 2016, arXiv:1607.01759 — with a fixed weight
+    * vector): every token hashes into one of 64 buckets, each bucket
+    * carries a deterministic weight in [-500, 500], and a document's
+    * score is the mean bucket weight of its tokens; positive mean =>
+    * 'keep'. The weights here are a Knuth-multiplicative mix of the
+    * bucket id — a stand-in for trained coefficients that keeps the
+    * whole operator integer-exact and therefore bit-identical across
+    * engines (a real deployment swaps in a learned `Map[Int, Int]`;
+    * the plan shape is unchanged).
+    *
+    * Scale: the model application is a pure HOF over the token array —
+    * transform + integer fold inside the scan stage, ZERO exchanges
+    * (the same map-only class as q_embed_project). No explode, no
+    * per-token rows, no shuffle: this is the plan a classifier sweep
+    * over 100 TB wants — embarrassingly parallel, bounded memory.
+    */
+  def classifierScore(d: DataFrame): DataFrame = {
+    val toks = letterTokens(lower(col("text")))
+    def weight(t: Column): Column = {
+      val h = md5(t.cast("binary"))
+      val b = pmod(
+        ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
+        lit(64)).cast("bigint")
+      pmod(b * 2654435761L, lit(1001L)) - 500L
+    }
+    val raw = aggregate(transform(toks, weight _), lit(0L), (a, x) => a + x)
+    d.select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      raw.as("raw"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("raw"),
+        round(
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(col("raw").cast("double") / (col("n_tokens") * 500)),
+          4).as("score"),
+        when(col("raw") > 0, "keep").otherwise("drop").as("label"))
+  }
+
+  val classifierScoreSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    coalesce(list_sum(list_transform(toks, t ->
+      |      ((ascii(substr(md5(t), 1, 1)) * 131 +
+      |        ascii(substr(md5(t), 2, 1))) % 64 * 2654435761) % 1001
+      |        - 500)), 0) AS raw
+      |  FROM base)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(raw AS BIGINT) AS raw,
+      |  round(CASE WHEN n_tokens = 0 THEN 0
+      |    ELSE raw::DOUBLE / (n_tokens * 500) END, 4) AS score,
+      |  CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_classifier" -> ((s, d) => classifierScore(docs(s, d))),
     "q_scalar_map" -> ((s, d) => mapOps(docs(s, d))),
     "q_scalar_hof" -> ((s, d) => hofOps(docs(s, d))),
     "q_scalar_array" -> ((s, d) => arrayOps(docs(s, d))),
@@ -452,6 +513,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_classifier" -> classifierScoreSql,
     "q_scalar_map" -> mapOpsSql,
     "q_scalar_hof" -> hofOpsSql,
     "q_scalar_array" -> arrayOpsSql,

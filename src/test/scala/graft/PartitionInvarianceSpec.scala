@@ -63,7 +63,10 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.llm.CorpusOps.freqTerms(
         Tables.load(spark, sfDir, "documents"))),
     ("duplicate_spans (islands merge over per-doc windows)",
-      () => Dedup.duplicateSpans(Tables.load(spark, sfDir, "documents"))))
+      () => Dedup.duplicateSpans(Tables.load(spark, sfDir, "documents"))),
+    ("shard_shuffle (per-shard hash-rank positions)",
+      () => graft.llm.Sampling.shardShuffle(
+        Tables.load(spark, sfDir, "documents"))))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {

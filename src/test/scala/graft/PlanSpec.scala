@@ -236,4 +236,14 @@ class PlanSpec extends SparkSpec {
       l.trim.startsWith("(") && l.contains(" Exchange"))
     assert(exchanges === 0, s"projection should not shuffle:\n$p")
   }
+
+  test("classifierScore is map-only: zero exchanges, no explode") {
+    val p = plan(graft.llm.TextOps.classifierScore(
+      Tables.load(spark, sfDir, "documents")))
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains(" Exchange"))
+    assert(exchanges === 0, s"classifier sweep should not shuffle:\n$p")
+    assert(!p.contains("Generate"),
+      s"classifier should fold over the token array, not explode it:\n$p")
+  }
 }
