@@ -240,6 +240,48 @@ object Similarity {
         col("rank"))
   }
 
+  /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embeddings with the IVF
+    * codebook, then within each cluster drop every vector that has an
+    * eps-similar neighbor with a smaller vec_id — the greedy
+    * keep-lowest-id rule, so each chain of semantic duplicates keeps
+    * exactly its minimum element. Unlike [[Dedup.embeddingPairs]]
+    * (which REPORTS near-dup pairs), this emits the keep/drop decision
+    * a curation pipeline applies.
+    *
+    * Scale — the paper's entire point is that clustering makes
+    * within-cluster pairwise feasible: the self-join is
+    * cell-partitioned (expected n^2/nCells work, tunable), the
+    * codebook broadcast is k x dim, the dropped set is answer-sized,
+    * and the verdict join is co-partitioned on vec_id. Nothing
+    * quadratic crosses a cell boundary; a pathologically hot cell is
+    * AQE's skew-join case and, structurally, the signal to raise
+    * nCells.
+    *
+    * Seeded float centroids => not ANSI-expressible: rows-only driver
+    * check; LlmSpec asserts equality against a brute-force in-memory
+    * replay of the same rule.
+    */
+  def semDedup(
+      e: DataFrame, eps: Double = 0.96, nCells: Int = 16,
+      codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    val v = graft.core.Layout.spread(e, "vec_id")
+    val cents = codebook.getOrElse(ivfCentroids(v, nCells))
+    val assigned = assignCells(v, cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(vector.cosine_similarity(
+        col("a.embedding"), col("b.embedding")) >= eps)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell").cast("bigint").as("cell"))
+      .join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("d").isNotNull, "drop").otherwise("keep").as("action"))
+  }
+
   /** Symmetric int8 quantization of the embedding column (the storage /
     * bandwidth lever for 100 TB vector corpora): per-vector max-abs
     * scale, elements rounded to [-127, 127], plus the reconstruction
@@ -389,6 +431,18 @@ object Similarity {
     "q_knn_lsh" -> ((s, d) => lshTopK(emb(s, d))),
     "q_knn_ivf" -> ((s, d) =>
       ivfTopK(emb(s, d), codebook = Some(cachedCentroids(s, d)))),
+    // the synthetic embeddings carry no true near-dups (max pairwise
+    // cos ~0.51), so the query plants exact duplicates of a 1-in-50
+    // slice under offset ids — the same make-the-operator-observable
+    // device as the decontam queries' doc_id%97 reference split
+    "q_dedup_semantic" -> ((s, d) => {
+      val e = emb(s, d).select("vec_id", "embedding")
+      semDedup(
+        e.unionByName(e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 10000000L).as("vec_id"),
+            col("embedding"))),
+        codebook = Some(cachedCentroids(s, d)))
+    }),
     "q_embed_quantize" -> ((s, d) => quantizeInt8(emb(s, d))),
     "q_embed_project" -> ((s, d) => jlProject(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))

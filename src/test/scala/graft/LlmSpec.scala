@@ -230,6 +230,48 @@ class LlmSpec extends SparkSpec {
     assert(weakRecall >= 0.5, s"overall recall degenerate: $weakRecall")
   }
 
+  test("semDedup equals the brute-force greedy rule on its own cells") {
+    // plant exact duplicates (the corpus has no true near-dups): every
+    // planted copy must be dropped, and the rule replay must agree on
+    // everything else
+    val base = emb.select("vec_id", "embedding")
+    val input = base.unionByName(
+      base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+    val res = Similarity.semDedup(input).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(res.length === input.count(), "one verdict per vector")
+    val cells = res.map(r => r._1 -> r._2).toMap
+    val vecs = input.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // replay the greedy min-id rule on the cells the operator itself
+    // assigned (the codebook is float-iterative, so the cells are the
+    // operator's contract; the DROP decision within them must match
+    // exact brute force)
+    val ids = vecs.keys.toSeq.sorted
+    val shouldDrop = (for {
+      b <- ids
+      if ids.exists(a => a < b && cells(a) == cells(b) &&
+        cos(vecs(a), vecs(b)) >= 0.96)
+    } yield b).toSet
+    val gotDrop = res.collect { case (id, _, "drop") => id }.toSet
+    assert(gotDrop === shouldDrop,
+      s"missing=${(shouldDrop -- gotDrop).take(5)} " +
+        s"extra=${(gotDrop -- shouldDrop).take(5)}")
+    assert(shouldDrop.nonEmpty,
+      "fixture must exercise the drop path (eps too high?)")
+  }
+
   test("cosine_similarity expression matches double-precision formula") {
     val rows = emb.limit(50).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
