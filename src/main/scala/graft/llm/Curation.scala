@@ -224,7 +224,76 @@ object Curation {
       |      FROM documents) GROUP BY doc_id, tok)
       |  GROUP BY doc_id)""".stripMargin
 
+  /** Distributed BPE merge training (Sennrich et al. 2016,
+    * arXiv:1508.07909): learn the first `nMerges` byte-pair merges of
+    * the corpus — repeatedly count adjacent symbol pairs weighted by
+    * word frequency, adopt the most frequent pair (ties broken
+    * lexicographically, so the result is deterministic), and rewrite
+    * the symbol sequences. Returns the learned merge table
+    * (rank, left, right, pair_count) — the artifact a tokenizer ships.
+    *
+    * Scale — this is how production tokenizers train on web-scale
+    * corpora: the corpus is scanned ONCE to build the word-frequency
+    * table (vocabulary-sized, kept DISTRIBUTED — never collected);
+    * each round then touches only that table: an algebraic pair-count
+    * (map-side combined, shuffle = distinct pairs x partitions), a
+    * 1-ROW argmax collect (the merge decision — legitimately
+    * driver-sized), and a map-only symbol rewrite. Lineage across
+    * rounds is bounded by localCheckpoint, the same discipline as
+    * [[Dedup.dupClusters]]' label iteration.
+    *
+    * Iterative (each round's input depends on the last round's merge)
+    * => no ANSI oracle; rows-only driver check + a hand-computed
+    * fixture in CurationSpec.
+    */
+  def bpeTrain(d: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var words = d
+      .select(explode(TextOps.letterTokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toSeq: Seq[String], f) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val top = words
+        .flatMap { case (syms, f) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), f))
+        }
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r + 1L, l, rt, cnt))
+        words = words
+          .map { case (syms, f) => (applyMerge(syms, l, rt), f) }
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bpe" -> ((s, d) => bpeTrain(docs(s, d))),
     "q_text_chunk" -> ((s, d) => chunk(docs(s, d))),
     "q_pack_sequences" -> ((s, d) => packSequences(docs(s, d))),
     "q_text_pii" -> ((s, d) => piiRedact(docs(s, d))),

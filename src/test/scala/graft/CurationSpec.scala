@@ -86,4 +86,33 @@ class CurationSpec extends SparkSpec {
       assert(topShare >= 10000L / n && topShare <= 10000L)
     }
   }
+
+  test("bpeTrain learns the hand-computed merges of the Sennrich corpus") {
+    import spark.implicits._
+    // word freqs: low x3, lower x2, newest x4, widest x1. Hand trace:
+    //  round 1: w-e = 4(newest) + 2(lower) = 6        -> merge (w, e)
+    //  round 2: l-o = 5 ties s-t = 5; (l,o) < (s,t)   -> merge (l, o)
+    //  round 3: s-t = 4(newest) + 1(widest) = 5       -> merge (s, t)
+    val corpus = (Seq.fill(3)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(4)("newest") ++ Seq("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Curation.bpeTrain(corpus, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      (1L, "w", "e", 6L),
+      (2L, "l", "o", 5L),
+      (3L, "s", "t", 5L)))
+  }
+
+  test("bpeTrain stops when no pairs remain") {
+    import spark.implicits._
+    val corpus = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // merges: (a,b) cnt 2 -> then (c,d) cnt 1 -> symbols exhausted
+    val got = Curation.bpeTrain(corpus, nMerges = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((1L, "a", "b", 2L), (2L, "c", "d", 1L)))
+  }
 }

@@ -15,10 +15,12 @@ class SmokeSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
-  test("rows-only queries are exactly the documented seeded-hash ops") {
+  test("rows-only queries are exactly the documented non-ANSI ops") {
+    // seeded-hash / float-iterative / merge-iterative ops — each
+    // asserted against ground truth in ScalaTest instead
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
-      "q_approx_agg", "q_dedup_embedding"),
+      "q_approx_agg", "q_dedup_embedding", "q_dedup_semantic", "q_text_bpe"),
       s"every other query must carry a DuckDB oracle, got: $rowsOnly")
   }
 
