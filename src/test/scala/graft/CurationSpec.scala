@@ -106,6 +106,28 @@ class CurationSpec extends SparkSpec {
       (3L, "s", "t", 5L)))
   }
 
+  test("bpeEncode applies merges by rank (closed form) and bounds hold") {
+    import spark.implicits._
+    // merges rank0 (a,b), rank1 (ab,c); word "abcabd":
+    //   chars a b c a b d -> (a,b): ab c ab d -> (ab,c): abc ab d = 3
+    val d = Seq((1L, "abcabd"), (2L, "xyz")).toDF("doc_id", "text")
+    val got = Curation.bpeEncode(d, Seq(("a", "b"), ("ab", "c"))).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((1L, 6L, 3L, 2.0)))
+    assert(got(2L) === ((1L, 3L, 3L, 1.0))) // no merge applies
+    // on the real corpus with trained merges: word <= bpe <= chars
+    val real = Curation.bpeEncode(docs,
+      Curation.bpeTrain(docs).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq)
+      .collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (w, c, b) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w <= b && b <= c, s"doc ${r.getLong(0)}: words=$w bpe=$b chars=$c")
+    }
+  }
+
   test("bpeTrain stops when no pairs remain") {
     import spark.implicits._
     val corpus = Seq((1L, "ab ab cd")).toDF("doc_id", "text")

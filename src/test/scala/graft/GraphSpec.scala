@@ -1,0 +1,57 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Ground truth for the iterative graph operators (float power
+  * iteration — not SQL-oracle-checkable).
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pageRank on a symmetric cycle is the uniform fixed point") {
+    // a->b->c->a: every iteration maps 1/3 to (1-d)/3 + d/3 = 1/3
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.pageRank(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6, got))
+  }
+
+  test("pageRank matches an in-memory replay on the event graph") {
+    val edges = GraphOps.eventTransitions(Tables.load(spark, sfDir, "events"))
+    val es = edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val outW = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val d = 0.85
+    var rank = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 0 until 10) {
+      val in = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => rank(s) * w / outW(s) }.sum).toMap
+      rank = nodes.map(n =>
+        n -> ((1 - d) / nodes.size + d * in.getOrElse(n, 0.0))).toMap
+    }
+    val got = GraphOps.pageRank(edges).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === rank.keySet)
+    rank.foreach { case (n, v) =>
+      assert(math.abs(got(n) - v) < 1e-6, s"$n: got ${got(n)} want $v")
+    }
+    // sanity: a real distribution, not degenerate
+    assert(got.values.sum > 0.5 && got.values.max < 1.0)
+  }
+
+  test("eventTransitions weights sum to (events - users) and self-loops exist") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val edges = GraphOps.eventTransitions(ev)
+    val totalW = edges.agg(sum("w")).head().getLong(0)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(totalW === nEvents - nUsers,
+      "every user contributes (events-1) transitions")
+  }
+}
