@@ -42,6 +42,17 @@ object DocStreams {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Streaming quality classification: the continuous-ingestion mirror
+    * of [[graft.llm.TextOps.classifierScore]]. The scorer is a pure
+    * per-row HOF fold (no state, no shuffle), so the streaming form is
+    * the IDENTICAL expression applied to an unbounded source — the
+    * no-op case of stream/batch unification, and exactly why the batch
+    * operator was built map-only: stateless map operators stream for
+    * free in Append mode with no watermark.
+    */
+  def classify(docsStream: DataFrame): DataFrame =
+    graft.llm.TextOps.classifierScore(docsStream)
+
   /** A token routed to its sketch shard (shard = hash(tok) mod
     * nShards, so every occurrence of a token lands in ONE shard and
     * the per-shard Misra-Gries bound applies to its full count).

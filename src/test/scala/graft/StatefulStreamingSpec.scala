@@ -166,6 +166,35 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming classification == batch classifier on the same docs") {
+    // stateless map operator: Append mode, no watermark, no state —
+    // the streamed rows must be row-identical to the batch operator
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].limit(200).collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.classify(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("classify_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(b1.toSeq)
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("classify_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSet
+    val batch = graft.llm.TextOps.classifierScore(
+        docs.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._5 == "keep") && batch.exists(_._5 == "drop"),
+      "fixture must exercise both labels")
+    q.stop()
+  }
+
   test("streaming MG candidates cover exact frequent terms; recount == batch") {
     // tokens stream in over 3 micro-batches; each shard's Misra-Gries
     // state must, at end of stream, contain every token whose GLOBAL
