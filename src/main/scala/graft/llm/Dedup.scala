@@ -1024,6 +1024,11 @@ object Dedup {
       col("doc_id"), TextOps.letterTokens(col("text")).as("toks"))
     // 1-based window starts; docs shorter than k contribute no windows
     // (guard: sequence() would count DOWN and fabricate them).
+    // g is the RAW 16-byte digest (unhex), not the 32-char hex string:
+    // the window table is the dominant shuffle (it crosses the wire
+    // twice — count exchange + verdict exchange) and the key is most
+    // of the row, so this halves the operator's shuffle volume. The
+    // oracle is unaffected: g never reaches the output.
     val wins = base.select(
       col("doc_id"),
       explode(
@@ -1031,9 +1036,9 @@ object Dedup {
           transform(sequence(lit(1), size(col("toks")) - (k - 1)),
             i => struct(
               i.as("pos"),
-              md5(concat_ws(" ", slice(col("toks"), i, lit(k)))
-                .cast("binary")).as("g"))))
-          .otherwise(array().cast("array<struct<pos:int,g:string>>")))
+              unhex(md5(concat_ws(" ", slice(col("toks"), i, lit(k)))
+                .cast("binary"))).as("g"))))
+          .otherwise(array().cast("array<struct<pos:int,g:binary>>")))
         .as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
     val dup = wins.groupBy("g")

@@ -127,6 +127,53 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("substr")) {
+      // Duplicate-substring probe: web-shaped corpus (unique filler
+      // text, a 1-in-50 slice carrying one shared boilerplate passage)
+      // at 1x and 4x. The claims to measure: the window table shuffles
+      // as 16-byte hashes with MAP-SIDE COMBINE absorbing the viral
+      // gram (its shuffle rows ~= partitions, not occurrences), and
+      // wall time scales ~linearly in corpus size.
+      val passage = (1 to 20).map(i => s"boiler$i").mkString(" ")
+      def corp(nDocs: Long) = {
+        val uniq = translate(col("id").cast("string"),
+          "0123456789", "abcdefghij")
+        spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          concat_ws(" ",
+            concat(lit("p"), uniq), concat(lit("q"), uniq),
+            when(col("id") % 50 === 0, lit(passage)).otherwise(
+              concat_ws(" ",
+                concat(lit("r"), uniq), concat(lit("s"), uniq),
+                concat(lit("t"), uniq), concat(lit("u"), uniq),
+                concat(lit("v"), uniq), concat(lit("w"), uniq),
+                concat(lit("x"), uniq), concat(lit("y"), uniq),
+                concat(lit("z"), uniq), concat(lit("za"), uniq),
+                concat(lit("zb"), uniq), concat(lit("zc"), uniq),
+                concat(lit("zd"), uniq), concat(lit("ze"), uniq),
+                concat(lit("zf"), uniq), concat(lit("zg"), uniq),
+                concat(lit("zh"), uniq), concat(lit("zi"), uniq)))
+          ).as("text")).localCheckpoint()
+      }
+      Seq("1x (500k docs)" -> 500000L, "4x (2M docs)" -> 2000000L)
+        .foreach { case (label, n) =>
+          val d = corp(n)
+          graft.llm.Dedup.duplicateSpans(d).count() // warm
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val rows = graft.llm.Dedup.duplicateSpans(d)
+            .filter(col("n_spans") > 0).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000) // listener bus drains async
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[substr-probe] $label%-15s $rows%8d flagged  $dt%7.2f s  " +
+            f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("freq")) {
       // Heavy-hitters probe: the testdata corpus's ~31-token vocabulary
       // can't show what Misra-Gries buys, because the direct groupBy's

@@ -215,6 +215,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans == brute-force replay on random small-vocab corpora") {
+    import org.apache.spark.sql.functions.col
+    // tiny vocabulary + short docs force heavy window collisions and
+    // adjacent/overlapping islands — the merge logic's hard regime
+    val k = 3
+    val doc = for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield toks
+    val corpus = Gen.chooseNum(2, 8).flatMap(Gen.listOfN(_, doc))
+    val spark2 = spark
+    import spark2.implicits._
+    samples(corpus, 15).foreach { docsToks =>
+      val df = docsToks.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.llm.Dedup.duplicateSpans(df, k).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // brute force: count every k-window across the corpus, mark docs'
+      // duplicated positions, merge [p, p+k) unions per doc
+      val wins = docsToks.zipWithIndex.flatMap { case (t, i) =>
+        t.sliding(k).filter(_.size == k).zipWithIndex
+          .map { case (w, p) => (i.toLong, p, w.mkString(" ")) }
+      }
+      val occ = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      docsToks.zipWithIndex.foreach { case (t, i) =>
+        val dupPos = wins.collect {
+          case (d, p, w) if d == i.toLong && occ(w) >= 2 => p
+        }.sorted
+        val covered = dupPos.flatMap(p => p until p + k).toSet.size
+        var spans = 0
+        var prevEnd = Int.MinValue
+        dupPos.foreach { p =>
+          if (p > prevEnd) spans += 1
+          prevEnd = math.max(prevEnd, p + k)
+        }
+        val (nTok, nSpans, dupToks) = got(i.toLong)
+        assert(nTok === t.size.toLong, s"doc $i token count")
+        assert(nSpans === spans.toLong, s"doc $i spans: $t")
+        assert(dupToks === covered.toLong, s"doc $i coverage: $t")
+      }
+    }
+  }
+
   test("Misra-Gries frequent terms exact on random zipf-ish streams (20 cases)") {
     import org.apache.spark.sql.functions.{col, explode}
     // skewed streams: token k drawn with weight ~ 1/(k+1); every
