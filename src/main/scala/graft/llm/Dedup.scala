@@ -1041,24 +1041,8 @@ object Dedup {
           .otherwise(array().cast("array<struct<pos:int,g:binary>>")))
         .as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
-    val dup = wins.groupBy("g")
-      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
-    val marked = wins.join(dup.select("g"), "g")
-    // Windows are fixed-length k at ascending pos, so the cumulative
-    // max end is lag(pos)+k-1 and a new span starts exactly when the
-    // current window clears it (pos > lag(pos)+k would leave a gap of
-    // uncovered tokens; pos = lag(pos)+k is adjacent = same coverage
-    // run). First row per doc: lag is null -> sentinel -1 -> new span.
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = marked
-      .withColumn("flag",
-        when(col("pos") > coalesce(lag(col("pos"), 1).over(byPos) + k,
-          lit(-1)), 1).otherwise(0))
-      .withColumn("island",
-        sum(col("flag")).over(byPos.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .groupBy("doc_id", "island")
-      .agg((max(col("pos")) + k - min(col("pos"))).as("span_len"))
+    val spans = spanRanges(wins, k)
+      .select(col("doc_id"), (col("e") - col("s") + 1).as("span_len"))
     val perDoc = spans.groupBy("doc_id").agg(
       count(lit(1)).as("n_spans"),
       sum(col("span_len")).cast("bigint").as("dup_tokens"))
@@ -1074,6 +1058,120 @@ object Dedup {
             .otherwise(dupToks.cast("double") / col("n_tokens")),
           4).as("dup_ratio"))
   }
+
+  /** Maximal duplicated-span ranges (doc_id, island, s, e) from the
+    * window table — the shared core of [[duplicateSpans]] (reporting)
+    * and [[duplicateSpanRemove]] (applying). Windows are fixed-length
+    * k at ascending pos, so the cumulative max end is lag(pos)+k-1 and
+    * a new span starts exactly when the current window clears it
+    * (pos > lag(pos)+k would leave a gap of uncovered tokens;
+    * pos = lag(pos)+k is adjacent = same coverage run). First row per
+    * doc: lag is null -> sentinel -1 -> new span. Both windows are
+    * PARTITIONED by doc_id.
+    */
+  private def spanRanges(wins: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = wins.groupBy("g")
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+    val marked = wins.join(dup.select("g"), "g")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("flag",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(byPos) + k,
+          lit(-1)), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("flag")).over(byPos.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+  }
+
+  /** The APPLY form of [[duplicateSpans]]: cut every maximal
+    * duplicated span out of each document and emit the kept token
+    * count plus an md5 of the cleaned text (the content identity a
+    * downstream exact-dedup pass keys on) — the "remove duplicated
+    * passages, keep the rest" step of Lee et al. 2022.
+    *
+    * Scale: identical exchanges to the detection operator plus one
+    * answer-sized span-list aggregation (spans per doc, bounded by
+    * doc length / k); the reconstruction is a HOF filter over the
+    * token array against the doc's own span list — no explode, no
+    * extra shuffle beyond the per-doc join.
+    */
+  def duplicateSpanRemove(d: DataFrame, k: Int = 15): DataFrame = {
+    val base = d.select(
+      col("doc_id"), TextOps.letterTokens(col("text")).as("toks"))
+    val wins = base.select(
+      col("doc_id"),
+      explode(
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+            i => struct(
+              i.as("pos"),
+              unhex(md5(concat_ws(" ", slice(col("toks"), i, lit(k)))
+                .cast("binary"))).as("g"))))
+          .otherwise(array().cast("array<struct<pos:int,g:binary>>")))
+        .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    val spanList = spanRanges(wins, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"))
+    base.join(spanList, Seq("doc_id"), "left")
+      .withColumn("spn",
+        coalesce(col("sp"), array().cast("array<struct<s:int,e:int>>")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("spn"), r =>
+            (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e")))
+          .as("kept"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("kept_md5"))
+  }
+
+  val duplicateSpanRemoveSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'g': md5(array_to_string(toks[i:i+14], ' '))}
+      |            FOR i IN range(1, greatest(len(toks) - 13, 1))]) AS w
+      |  FROM base),
+      |wp AS (SELECT doc_id, w.pos AS pos, w.g AS g FROM wins),
+      |dup AS (SELECT g FROM wp GROUP BY g HAVING count(*) >= 2),
+      |m AS (SELECT doc_id, pos FROM wp JOIN dup USING (g)),
+      |fl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15, -1)
+      |      THEN 1 ELSE 0 END AS flag
+      |  FROM m),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM fl),
+      |sp AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(pos) + 14 AS e
+      |  FROM isl GROUP BY 1, 2),
+      |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM sp GROUP BY 1),
+      |cleaned AS (
+      |  SELECT b.doc_id, b.toks,
+      |    [b.toks[i] FOR i IN range(1, len(b.toks) + 1)
+      |     IF len(list_filter(coalesce(l.sp, []),
+      |           x -> i >= x.s AND i <= x.e)) = 0] AS kept
+      |  FROM base b LEFT JOIN spl l USING (doc_id))
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws is ''
+      |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+      |FROM cleaned""".stripMargin
 
   val duplicateSpansSql: String =
     """WITH base AS (
@@ -1116,6 +1214,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_substring" -> ((s, d) => duplicateSpans(docs(s, d))),
+    "q_dedup_substring_clean" -> ((s, d) => duplicateSpanRemove(docs(s, d))),
     "q_dedup_decontam" -> ((s, d) => decontaminate(
       docs(s, d).filter(col("doc_id") % 97 =!= 0),
       docs(s, d).filter(col("doc_id") % 97 === 0))),
@@ -1144,6 +1243,7 @@ object Dedup {
     */
   val oracleSql: Map[String, String] = Map(
     "q_dedup_substring" -> duplicateSpansSql,
+    "q_dedup_substring_clean" -> duplicateSpanRemoveSql,
     "q_dedup_decontam" -> decontaminateSql,
     // bloom prefilter is result-transparent: same oracle as decontam
     "q_dedup_decontam_bloom" -> decontaminateSql,

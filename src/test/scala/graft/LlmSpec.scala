@@ -610,4 +610,20 @@ class LlmSpec extends SparkSpec {
 
   private def round4(v: Double): Double =
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("duplicateSpanRemove keeps exactly the tokens duplicateSpans spares") {
+    val report = Dedup.duplicateSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(3))).toMap
+    val cleaned = Dedup.duplicateSpanRemove(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(cleaned.length === report.size)
+    cleaned.foreach { case (id, nKept, md5hex) =>
+      assert(nKept === report(id), s"doc $id kept-count mismatch")
+      assert(md5hex.length === 32)
+    }
+    // a fully-duplicated doc cleans to the empty string's md5
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(cleaned.exists(_._2 == 0L) ===
+      cleaned.exists(c => c._2 == 0L && c._3 == emptyMd5))
+  }
 }
