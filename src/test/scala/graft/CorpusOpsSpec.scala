@@ -140,6 +140,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bigramLogProb matches hand-computed transition scores") {
+    val d = mkDocs(Seq(
+      (1L, "aa bb aa cc", "en", "s0"),
+      (2L, "aa bb", "en", "s0"),
+      (3L, "dd", "en", "s0"))) // single token -> 0 bigrams, score 0
+    // bigrams: d1 (aa,bb)(bb,aa)(aa,cc); d2 (aa,bb)
+    // c2: (aa,bb)=2 (bb,aa)=1 (aa,cc)=1; starts: aa=3, bb=1
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      1L -> (3L, r4((-math.log(2.0 / 3) - math.log(1.0) - math.log(1.0 / 3)) / 3)),
+      2L -> (1L, r4(-math.log(2.0 / 3))),
+      3L -> (0L, 0.0))
+    val got = CorpusOps.bigramLogProb(d)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want)
+  }
+
+  test("bigramLogProb is word-order-sensitive where unigram is not") {
+    // same bag of words, one doc scrambled against the corpus pattern:
+    // unigram scores tie, bigram must separate them
+    val d = mkDocs(Seq(
+      (1L, "aa bb aa bb aa bb", "en", "s0"),
+      (2L, "aa bb aa bb aa bb", "en", "s0"),
+      (3L, "bb bb aa aa bb aa", "en", "s0")))
+    val uni = CorpusOps.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = CorpusOps.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) === uni(3L), "bag-of-words score can't see order")
+    assert(bi(3L) > bi(1L), s"scrambled doc must score worse: $bi")
+  }
+
   test("unigramLogProb: rare-token docs score higher than typical docs") {
     val scored = CorpusOps.unigramLogProb(docs).collect()
     assert(scored.length === docs.count())
