@@ -66,7 +66,15 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => Dedup.duplicateSpans(Tables.load(spark, sfDir, "documents"))),
     ("shard_shuffle (per-shard hash-rank positions)",
       () => graft.llm.Sampling.shardShuffle(
-        Tables.load(spark, sfDir, "documents"))))
+        Tables.load(spark, sfDir, "documents"))),
+    ("substring_clean (span-list reconstruction)",
+      () => Dedup.duplicateSpanRemove(Tables.load(spark, sfDir, "documents"))),
+    ("bigram_lp (co-partitioned model joins)",
+      () => graft.llm.CorpusOps.bigramLogProb(
+        Tables.load(spark, sfDir, "documents"))),
+    ("bpe_train (pair-count argmax rounds)",
+      () => graft.llm.Curation.bpeTrain(
+        Tables.load(spark, sfDir, "documents"), nMerges = 5)))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {

@@ -234,6 +234,8 @@ class PropertySpec extends SparkSpec {
       val got = graft.llm.Dedup.duplicateSpans(df, k).collect()
         .map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val gotKept = graft.llm.Dedup.duplicateSpanRemove(df, k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
       // brute force: count every k-window across the corpus, mark docs'
       // duplicated positions, merge [p, p+k) unions per doc
       val wins = docsToks.zipWithIndex.flatMap { case (t, i) =>
@@ -256,6 +258,16 @@ class PropertySpec extends SparkSpec {
         assert(nTok === t.size.toLong, s"doc $i token count")
         assert(nSpans === spans.toLong, s"doc $i spans: $t")
         assert(dupToks === covered.toLong, s"doc $i coverage: $t")
+        // removal: kept tokens are exactly the uncovered positions
+        val coveredPos = dupPos.flatMap(p => p until p + k).toSet
+        val keptToks = t.zipWithIndex.collect {
+          case (tok, p) if !coveredPos(p) => tok
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(keptToks.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(gotKept(i.toLong) === ((keptToks.size.toLong, md)),
+          s"doc $i cleaned text: $t")
       }
     }
   }
