@@ -497,7 +497,61 @@ object TextOps {
       |  CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS label
       |FROM scored""".stripMargin
 
+  /** Per-document CHARACTER entropy — the Shannon entropy of the char
+    * distribution, the classic gibberish/binary-junk signal (natural
+    * text sits in a narrow band; base64 blobs and keyboard mash fall
+    * outside it). Computed with the algebraic identity
+    * H = ln n - (sum c*ln c)/n, so the whole operator is one two-level
+    * aggregation keyed (doc_id, ch) then doc_id — partial-agg
+    * friendly, no window, no join other than the keep-all-docs left
+    * join. The (doc, char) key space is bounded by alphabet size per
+    * doc, so the first shuffle is at most |alphabet| x docs rows.
+    */
+  def charEntropy(d: DataFrame): DataFrame = {
+    val chars = d.select(col("doc_id"),
+      explode(filter(split(col("text"), ""), c => c =!= lit("")))
+        .as("ch"))
+    val perDoc = chars
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").cast("bigint").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clnc"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        round(
+          when(coalesce(col("n_chars"), lit(0L)) === 0, lit(0.0))
+            .otherwise(log(col("n_chars").cast("double")) -
+              col("clnc") / col("n_chars")),
+          4).as("entropy"))
+  }
+
+  val charEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+      |    count(*) AS n_distinct_chars,
+      |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+      |  FROM cnt GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(a.n_chars, 0) AS n_chars,
+      |  CAST(coalesce(a.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
+      |  round(CASE WHEN coalesce(a.n_chars, 0) = 0 THEN 0
+      |    ELSE ln(a.n_chars::DOUBLE) - a.clnc / a.n_chars END, 4)
+      |    AS entropy
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_entropy" -> ((s, d) => charEntropy(docs(s, d))),
     "q_text_classifier" -> ((s, d) => classifierScore(docs(s, d))),
     "q_scalar_map" -> ((s, d) => mapOps(docs(s, d))),
     "q_scalar_hof" -> ((s, d) => hofOps(docs(s, d))),
@@ -513,6 +567,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_entropy" -> charEntropySql,
     "q_text_classifier" -> classifierScoreSql,
     "q_scalar_map" -> mapOpsSql,
     "q_scalar_hof" -> hofOpsSql,

@@ -140,6 +140,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("charEntropy matches closed forms: uniform = ln(k), constant = 0") {
+    val d = mkDocs(Seq(
+      (1L, "aaaa", "en", "s0"),   // one symbol -> H = 0
+      (2L, "abcd", "en", "s0"),   // uniform over 4 -> H = ln 4
+      (3L, "aab", "en", "s0")))   // H = ln 3 - (2 ln 2)/3
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.llm.TextOps.charEntropy(d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    assert(got(2L) === ((4L, 4L, r4(math.log(4)))))
+    assert(got(3L) === ((3L, 2L, r4(math.log(3) - 2 * math.log(2) / 3))))
+  }
+
   test("bigramLogProb matches hand-computed transition scores") {
     val d = mkDocs(Seq(
       (1L, "aa bb aa cc", "en", "s0"),
