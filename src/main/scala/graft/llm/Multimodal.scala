@@ -554,7 +554,78 @@ object Multimodal {
       |       ELSE doc_id % 50 + 20 END) AS BIGINT) AS total_samples
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Per-image 64-bit AVERAGE HASH (aHash): decode, resize to 8x8,
+    * bit i set iff pixel i's luma exceeds the image mean (compared as
+    * luma*64 > total — integer-exact, no float threshold). The
+    * perceptual fingerprint step of an image-dedup pipeline; decode +
+    * hash run map-only inside the scan stage, so only (doc_id, 8-byte
+    * hash) ever crosses the network.
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    resize(spark, decodeImages(spark, media), 8, 8).map { img =>
+      val lum = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < 64) {
+        val o = i * 3
+        val l = (img.pixels(o) & 0xff).toLong +
+          (img.pixels(o + 1) & 0xff) + (img.pixels(o + 2) & 0xff)
+        lum(i) = l; total += l; i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) { if (lum(i) * 64L > total) h |= (1L << i); i += 1 }
+      (img.doc_id, h)
+    }.toDF("doc_id", "phash")
+  }
+
+  /** NEAR-DUPLICATE IMAGE pairs by banded hamming join over the aHash
+    * — the multimodal sibling of [[Dedup.simhashPairsBanded]], same
+    * pigeonhole completeness: any pair with hamming <= maxHamming <
+    * nBands agrees on at least one 16-bit band, so the (band, key)
+    * self-join misses nothing while staying bucketed sub-quadratic.
+    * The driver query plants exact blob copies of a 1-in-25 slice
+    * under offset ids (the fixture corpus has no natural image dups at
+    * small SF), the same observability device as q_dedup_semantic.
+    *
+    * Scale: hashing is map-only; the join shuffles (doc_id, hash,
+    * band key) rows — 4 x 8-byte-keyed rows per image, nothing else;
+    * verification (bit_count of xor) happens inside the join stage.
+    */
+  def imageNearDups(
+      spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(maxHamming < nBands, "pigeonhole completeness needs h < bands")
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    val hashes = imageHashes(spark, media)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("phash"), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = hashes
+      .select(col("doc_id"), col("phash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_phash" -> ((s, d) => {
+      val media = bmpFixtures(docs(s, d))
+      imageNearDups(s, media.unionByName(
+        media.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
+    }),
     "q_multimodal_quarantine" -> ((s, d) => quarantineStats(s, docs(s, d))),
     "q_multimodal_video" -> ((s, d) => videoStats(s, docs(s, d))),
     "q_multimodal_audio" -> ((s, d) => audioStats(s, docs(s, d))),

@@ -611,6 +611,27 @@ class LlmSpec extends SparkSpec {
   private def round4(v: Double): Double =
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("image near-dups: banded join equals brute-force hamming pairs") {
+    val media = Multimodal.bmpFixtures(docs.limit(100))
+    val input = media.unionByName(
+      media.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("media")))
+    val hashes = Multimodal.imageHashes(spark, input).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Multimodal.imageNearDups(spark, input).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // the planted exact copies are hamming-0 pairs and must all appear
+    val planted = hashes.map(_._1).filter(_ >= 10000000L)
+      .map(id => (id - 10000000L, id)).toSet
+    assert(planted.subsetOf(got), s"planted copies missed: ${planted -- got}")
+  }
+
   test("duplicateSpanRemove keeps exactly the tokens duplicateSpans spares") {
     val report = Dedup.duplicateSpans(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(3))).toMap
