@@ -595,11 +595,21 @@ object Multimodal {
     */
   def imageNearDups(
       spark: SparkSession, media: DataFrame,
-      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    bandedHammingPairs(imageHashes(spark, media), maxHamming, nBands)
+
+  /** Banded hamming self-join over any (doc_id, phash: long) table —
+    * the shared candidate engine behind [[imageNearDups]] and
+    * [[audioNearDups]] (and conceptually [[Dedup.simhashPairsBanded]]):
+    * any pair with hamming <= maxHamming < nBands agrees on at least
+    * one band (pigeonhole), so the bucketed join is COMPLETE while
+    * sub-quadratic; verification is a bit_count inside the join stage.
+    */
+  private[llm] def bandedHammingPairs(
+      hashes: DataFrame, maxHamming: Int, nBands: Int): DataFrame = {
     require(maxHamming < nBands, "pigeonhole completeness needs h < bands")
     val width = 64 / nBands
     val mask = (1L << width) - 1
-    val hashes = imageHashes(spark, media)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("phash"), b * width).bitwiseAND(lit(mask)).as("key"))
@@ -619,10 +629,50 @@ object Multimodal {
       .distinct()
   }
 
+  /** Per-clip 64-bit ENERGY-ENVELOPE hash: decode, split the samples
+    * into 64 equal windows, bit i set iff window i's total absolute
+    * amplitude (scaled by 64) exceeds the clip total — the same
+    * integer-exact mean threshold as [[imageHashes]], over time
+    * instead of space. A crude but deterministic acoustic fingerprint:
+    * amplitude-scaled or re-encoded copies keep their envelope shape.
+    */
+  def audioHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeAudio(spark, media).map { a =>
+      val n = a.samples.length
+      val win = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        val v = math.abs(a.samples(i).toLong)
+        win(i * 64 / n) += v; total += v; i += 1
+      }
+      var h = 0L
+      i = 0
+      while (i < 64) { if (win(i) * 64L > total) h |= (1L << i); i += 1 }
+      (a.doc_id, h)
+    }.toDF("doc_id", "phash")
+  }
+
+  /** NEAR-DUPLICATE AUDIO pairs: envelope hash + the shared banded
+    * hamming join. Same scale shape as the image path — hashing
+    * map-only in the scan stage, only (doc_id, 8 bytes) shuffled.
+    */
+  def audioNearDups(
+      spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    bandedHammingPairs(audioHashes(spark, media), maxHamming, nBands)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_phash" -> ((s, d) => {
       val media = bmpFixtures(docs(s, d))
       imageNearDups(s, media.unionByName(
+        media.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
+    }),
+    "q_multimodal_audio_dup" -> ((s, d) => {
+      val media = wavFixtures(docs(s, d))
+      audioNearDups(s, media.unionByName(
         media.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
     }),
