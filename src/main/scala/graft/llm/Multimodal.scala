@@ -663,6 +663,46 @@ object Multimodal {
       maxHamming: Int = 3, nBands: Int = 4): DataFrame =
     bandedHammingPairs(audioHashes(spark, media), maxHamming, nBands)
 
+  /** Per-clip 64-bit SPACE-TIME luma hash for video: decode, stream
+    * every luma sample (all frames, scan order) into 64 equal windows,
+    * mean-threshold bits as in [[imageHashes]] — robust to any clip
+    * length, sensitive to both spatial layout and temporal ramp.
+    */
+  def videoHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, blob) =>
+          val v =
+            try Y4mCodec.decode(blob)
+            catch {
+              case e: IllegalArgumentException => throw new IllegalArgumentException(
+                s"doc_id=$id: ${e.getMessage}", e)
+            }
+          val n = v.lumaFrames.iterator.map(_.length.toLong).sum
+          val win = new Array[Long](64)
+          var total = 0L
+          var i = 0L
+          v.lumaFrames.foreach(_.foreach { b =>
+            val l = (b & 0xff).toLong
+            win((i * 64 / n).toInt) += l; total += l; i += 1
+          })
+          var h = 0L
+          var j = 0
+          while (j < 64) { if (win(j) * 64L > total) h |= (1L << j); j += 1 }
+          (id, h)
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** NEAR-DUPLICATE VIDEO pairs — completing the modality trio on the
+    * shared [[bandedHammingPairs]] engine.
+    */
+  def videoNearDups(
+      spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame =
+    bandedHammingPairs(videoHashes(spark, media), maxHamming, nBands)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_phash" -> ((s, d) => {
       val media = bmpFixtures(docs(s, d))
@@ -673,6 +713,12 @@ object Multimodal {
     "q_multimodal_audio_dup" -> ((s, d) => {
       val media = wavFixtures(docs(s, d))
       audioNearDups(s, media.unionByName(
+        media.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
+    }),
+    "q_multimodal_video_dup" -> ((s, d) => {
+      val media = y4mFixtures(docs(s, d))
+      videoNearDups(s, media.unionByName(
         media.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
     }),

@@ -652,6 +652,26 @@ class LlmSpec extends SparkSpec {
     assert(planted.subsetOf(got), s"planted copies missed: ${planted -- got}")
   }
 
+  test("video near-dups: banded join equals brute force; copies found") {
+    val media = Multimodal.y4mFixtures(docs.limit(100))
+    val input = media.unionByName(
+      media.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("media")))
+    val hashes = Multimodal.videoHashes(spark, input).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Multimodal.videoNearDups(spark, input).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    val planted = hashes.map(_._1).filter(_ >= 10000000L)
+      .map(id => (id - 10000000L, id)).toSet
+    assert(planted.subsetOf(got), s"planted copies missed: ${planted -- got}")
+  }
+
   test("duplicateSpanRemove keeps exactly the tokens duplicateSpans spares") {
     val report = Dedup.duplicateSpans(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(3))).toMap

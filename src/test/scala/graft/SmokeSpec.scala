@@ -22,7 +22,7 @@ class SmokeSpec extends SparkSpec {
     assert(rowsOnly === Set("q_dedup_minhash", "q_dedup_simhash", "q_knn_lsh", "q_knn_ivf",
       "q_approx_agg", "q_dedup_embedding", "q_dedup_semantic", "q_text_bpe",
       "q_text_bpe_encode", "q_graph_pagerank", "q_multimodal_phash",
-      "q_multimodal_audio_dup"),
+      "q_multimodal_audio_dup", "q_multimodal_video_dup"),
       s"every other query must carry a DuckDB oracle, got: $rowsOnly")
   }
 
