@@ -27,6 +27,38 @@ object Layout {
   def spread(df: DataFrame, key: Column): DataFrame =
     df.repartition(key)
 
+  /** Write a deterministically SHUFFLED, SHARDED training corpus: one
+    * parquet file per shard, rows sorted by content hash within each
+    * shard — the materialization of [[graft.llm.Sampling.shardShuffle]].
+    * A trainer streaming shard files in (shard, row) order gets a
+    * reproducible, source/time-decorrelated epoch order, and any shard
+    * is an unbiased 1/n sample of the corpus.
+    *
+    * Plan shape: one hash exchange INTO the shards (repartition by the
+    * shard expression so each task owns exactly one shard's rows —
+    * `partitionBy` alone would have every task write to every shard
+    * directory, nShards small files per task) + an in-partition sort;
+    * no global sort, no driver involvement. At 100 TB with thousands
+    * of shards this is the same plan — tasks scale with shards.
+    */
+  def writeShards(
+      df: DataFrame, path: String, textCol: String = "text",
+      nShards: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{ascii, lit, md5, pmod, substring}
+    val h = md5(col(textCol).cast("binary"))
+    val shard = pmod(
+      ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
+      lit(nShards))
+    // sort prefix = the partition column: the dynamic-partition writer
+    // requires child ordering on it and would otherwise inject its own
+    // (unstable) sort, destroying the in-shard hash order. sort_key
+    // stays in the output so readers (and the spec) can verify order.
+    df.withColumn("sort_key", h).withColumn("shard", shard)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "sort_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Z-order (Morton) clustering for multi-dimensional data skipping:
     * interleave the low `bits` of each (non-negative integral) column
     * into one key, range-partition and sort by it, so every output

@@ -128,4 +128,35 @@ class StorageSpec extends SparkSpec {
       spark.conf.set("spark.sql.cbo.enabled", keepCbo)
     }
   }
+
+  test("writeShards: one sorted file per shard, lossless, shard-pure") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = Files.createTempDirectory("graft-shards").toString
+    graft.core.Layout.writeShards(docs, out, nShards = 8)
+    // every shard directory holds exactly ONE data file (the writer
+    // claim: repartition-by-shard prevents the nShards-files-per-task
+    // small-file explosion of naive partitionBy)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${dir.getName}: ${files.length} files")
+    }
+    val back = spark.read.parquet(out)
+    // lossless round-trip
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    // shard assignment is the documented pure row function
+    val h = md5(col("text").cast("binary"))
+    val expectShard = pmod(
+      ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)), lit(8))
+    assert(back.filter(col("shard") =!= expectShard).count() === 0)
+    // within each shard FILE, rows are in sort_key order
+    shardDirs.foreach { dir =>
+      val keys = spark.read.parquet(dir.getAbsolutePath)
+        .select("sort_key").collect().map(_.getString(0))
+      assert(keys.sameElements(keys.sorted), s"${dir.getName} unsorted")
+    }
+  }
 }
