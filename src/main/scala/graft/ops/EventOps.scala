@@ -197,6 +197,32 @@ object EventOps {
       |    BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000
       |    AND epoch_us(CAST(p.ts AS TIMESTAMP))""".stripMargin
 
+  /** LEFT OUTER interval join: every purchase, with its in-window
+    * clicks when any exist and NULL click columns otherwise — the
+    * "which conversions had no attributable click" shape. Composed as
+    * purchases left-joined to the INNER bucketized interval join on
+    * (user_id, purchase_id): the non-equi work stays in the bucketized
+    * equi-join (no nested loop), and the outer extension is an
+    * ordinary co-partitioned left join. Streaming mirror:
+    * [[graft.streaming.EventStreams.intervalJoinLeftOuter]].
+    */
+  def intervalPurchaseClickLeft(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"))
+      .join(intervalPurchaseClick(ev), Seq("user_id", "purchase_id"), "left")
+
+  val intervalPurchaseClickLeftSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) -
+      |    epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS gap_micros
+      |FROM events p LEFT JOIN events c
+      |  ON p.user_id = c.user_id
+      |  AND c.event_type = 'click'
+      |  AND epoch_us(CAST(c.ts AS TIMESTAMP))
+      |    BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000
+      |    AND epoch_us(CAST(p.ts AS TIMESTAMP))
+      |WHERE p.event_type = 'purchase'""".stripMargin
+
   /** Funnel / sequence analytics: per user, the first click, the first
     * purchase AT-OR-AFTER that click, and a conversion flag — the
     * order-sensitive pattern ("did B happen after A") spelled as
@@ -387,6 +413,7 @@ object EventOps {
     "q_asof_forward" -> ((s, d) => forwardClickPurchase(events(s, d))),
     "q_events_funnel" -> ((s, d) => funnel(events(s, d))),
     "q_interval_join" -> ((s, d) => intervalPurchaseClick(events(s, d))),
+    "q_interval_join_left" -> ((s, d) => intervalPurchaseClickLeft(events(s, d))),
     "q_asof_join" -> ((s, d) => asOfPurchaseClick(events(s, d))),
     "q_asof_join_native" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s) // planner strategy
@@ -405,6 +432,7 @@ object EventOps {
     "q_asof_forward" -> forwardClickPurchaseSql,
     "q_events_funnel" -> funnelSql,
     "q_interval_join" -> intervalPurchaseClickSql,
+    "q_interval_join_left" -> intervalPurchaseClickLeftSql,
     "q_asof_join" -> asOfPurchaseClickSql,
     "q_asof_join_native" -> asOfPurchaseClickSql,
     "q_events_tumbling" -> tumblingSql,

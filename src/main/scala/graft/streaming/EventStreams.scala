@@ -85,6 +85,36 @@ object EventStreams {
         (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_micros"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase emits,
+    * with its preceding click when one exists and NULL click columns
+    * otherwise. The outer side's null rows can only be emitted once
+    * the watermark passes the join window's end (until then a matching
+    * click could still arrive), so unmatched results trail the inner
+    * ones by the watermark delay — the documented outer-join latency
+    * contract of Structured Streaming, asserted against the batch
+    * left join in StreamingSpec. State stays watermark-bounded on both
+    * sides, exactly as the inner form.
+    */
+  def intervalJoinLeftOuter(
+      events: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    val purchases = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val clicks = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("cts"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_micros"))
+  }
+
   /** Convenience: one-shot processing of all currently-available input
     * (Trigger.AvailableNow) into an in-memory table named `queryName`.
     * Used by tests and local inspection; a production sink would be

@@ -76,6 +76,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join == batch after flush") {
+    import spark.implicits._
+    // outer-side null rows only emit once the watermark passes their
+    // join window, so append a late sentinel event (matches neither
+    // side, advances BOTH watermarks) — then the streamed result must
+    // equal the batch left join over the ORIGINAL events exactly
+    val d = Files.createTempDirectory("graft-events-louter")
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
+    // Catalyst pushes the event-type filters THROUGH the watermark
+    // nodes, so each branch's watermark only advances with its own
+    // event type — a neutral sentinel advances neither. The sentinel
+    // is therefore a purchase+click pair under a reserved user id
+    // (they match each other; the reserved id is excluded from the
+    // compare), which advances BOTH branch watermarks past every real
+    // event; the final no-data batch then flushes all null rows.
+    val sentinelUser = 999990L
+    val sentT = maxNanos + 7200L * 1000000000L
+    val tmp = Files.createTempDirectory("graft-sentinel")
+    Seq(
+      (999999991L, sentT, sentinelUser, "purchase", 0.0, "{}"),
+      (999999992L, sentT, sentinelUser, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, d.resolve("zz_sentinel.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = EventStreams.readEvents(spark, d.toString)
+    val q = EventStreams.intervalJoinLeftOuter(stream).writeStream
+      .format("memory").queryName("t_louter").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = rows(spark.table("t_louter")
+      .filter(s"user_id != $sentinelUser"))
+    val want = rows(EventOps.intervalPurchaseClickLeft(
+      Tables.load(spark, sfDir, "events")))
+    assert(got === want)
+    // the outer extension is real: some purchases have no click
+    assert(spark.table("t_louter").filter("click_id IS NULL").count() > 0)
+  }
+
   test("streaming append mode emits only watermark-finalized windows") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.tumbling(stream).writeStream
