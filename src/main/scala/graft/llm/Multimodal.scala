@@ -645,7 +645,9 @@ object Multimodal {
       var i = 0
       while (i < n) {
         val v = math.abs(a.samples(i).toLong)
-        win(i * 64 / n) += v; total += v; i += 1
+        // long arithmetic: i*64 overflows Int past ~33.5M samples
+        // (a 35-minute 16 kHz clip), which would negate the index
+        win((i.toLong * 64 / n).toInt) += v; total += v; i += 1
       }
       var h = 0L
       i = 0

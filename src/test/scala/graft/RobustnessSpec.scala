@@ -179,4 +179,21 @@ class RobustnessSpec extends SparkSpec {
       spark.sql("SELECT sorted_jaccard(array('a'), array('b'))").collect()
     }
   }
+
+  test("audio envelope hash survives clips past the Int*64 overflow point") {
+    // 34M samples: i*64 overflows Int (negative window index) unless
+    // the index math is done in Long — a ~35-minute 16 kHz clip
+    val n = 34000000
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = ((i % 251) - 125).toShort; i += 1 }
+    val blob = graft.llm.WavCodec.encode(16000, samples)
+    val media = Seq((1L, blob)).toDF("doc_id", "media")
+    val h = graft.llm.Multimodal.audioHashes(spark, media).collect()
+    assert(h.length === 1)
+    assert(h(0).getLong(0) === 1L) // doc survived; not crashing IS the test
+    // determinism across two runs of the same clip
+    val h2 = graft.llm.Multimodal.audioHashes(spark, media).collect()
+    assert(h2(0).getLong(1) === h(0).getLong(1))
+  }
 }
