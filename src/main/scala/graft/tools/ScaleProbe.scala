@@ -174,6 +174,37 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("pagerank")) {
+      // PageRank probe: synthetic power-law-ish graph (dst biased hard
+      // toward low ids -> hubs), fixed 5 rounds (tol=0 disables early
+      // stop so 1x/4x run identical work per edge). Claims: per-round
+      // cost is two co-partitioned joins + one algebraic aggregation,
+      // scaling ~linearly in |E|; hub nodes are absorbed by map-side
+      // combine on the contribution sum.
+      def graph(nEdges: Long, nNodes: Long) = spark.range(nEdges).select(
+        (col("id") % nNodes).as("src"),
+        (pmod(col("id") * 2654435761L, lit(nNodes)) %
+          (pmod(col("id") * 31, lit(997L)) + 1)).as("dst"),
+        lit(1L).as("w")).localCheckpoint()
+      Seq("1x (5M edges, 1M nodes)" -> ((5000000L, 1000000L)),
+        "4x (20M edges, 4M nodes)" -> ((20000000L, 4000000L)))
+        .foreach { case (label, (e, nn)) =>
+          val g = graph(e, nn)
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val rows = graft.ops.GraphOps.pageRank(g, iters = 5, tol = 0.0)
+            .count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[pagerank-probe] $label%-26s $rows%9d nodes  $dt%7.2f s  " +
+            f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("freq")) {
       // Heavy-hitters probe: the testdata corpus's ~31-token vocabulary
       // can't show what Misra-Gries buys, because the direct groupBy's

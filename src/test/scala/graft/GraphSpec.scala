@@ -29,11 +29,17 @@ class GraphSpec extends SparkSpec {
     val outW = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val d = 0.85
     var rank = nodes.map(_ -> 1.0 / nodes.size).toMap
-    for (_ <- 0 until 10) {
+    var it = 0
+    var done = false
+    while (it < 10 && !done) {
       val in = es.groupBy(_._2).view.mapValues(
         _.map { case (s, _, w) => rank(s) * w / outW(s) }.sum).toMap
-      rank = nodes.map(n =>
+      val next = nodes.map(n =>
         n -> ((1 - d) / nodes.size + d * in.getOrElse(n, 0.0))).toMap
+      // mirror the operator's convergence stop exactly
+      done = nodes.map(n => math.abs(next(n) - rank(n))).max < 1e-7
+      rank = next
+      it += 1
     }
     val got = GraphOps.pageRank(edges).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
