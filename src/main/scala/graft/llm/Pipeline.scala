@@ -72,10 +72,125 @@ object Pipeline {
        |  AND len(list_filter(toks, t -> t IN ($stops))) * 10 <= len(toks) * 5""".stripMargin
   }
 
+  /** The FULL curation pipeline v2, composing the session's deeper
+    * operators end-to-end in one declarative plan:
+    *
+    *   1. exact-dedup survivors (min doc_id per content hash, semi
+    *      join — co-partitioned, no broadcast: at web scale the
+    *      survivor set IS most of the corpus);
+    *   2. duplicated-span removal ([[Dedup.duplicateSpanRemove]]) —
+    *      per-doc kept-token counts after cutting corpus-repeated
+    *      passages;
+    *   3. quality gates: hashing-trick classifier 'keep' AND char
+    *      entropy >= 2.7 AND >= 10 surviving tokens;
+    *   4. shard assignment + per-shard rollup (docs, kept tokens) —
+    *      the numbers a shard writer needs.
+    *
+    * Every stage keys on doc_id or a content derivative, so the
+    * composed plan is co-partitioned joins over per-doc metrics; the
+    * only non-doc-keyed shuffles are the ones the component operators
+    * already account for (window-hash count, char histogram).
+    */
+  def curateFull(d: DataFrame): DataFrame = {
+    val survivors = d
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val sd = d.join(survivors, Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.duplicateSpanRemove(sd)
+      .select(col("doc_id"), col("n_kept"))
+    val cls = TextOps.classifierScore(sd)
+      .select(col("doc_id"), col("label"))
+    val ent = TextOps.charEntropy(sd)
+      .select(col("doc_id"), col("entropy"))
+    val h = md5(col("text").cast("binary"))
+    val shards = sd.select(col("doc_id"),
+      pmod(ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
+        lit(8)).cast("bigint").as("shard"))
+    cleaned.join(cls, "doc_id").join(ent, "doc_id").join(shards, "doc_id")
+      .filter(col("label") === "keep" && col("entropy") >= 2.7 &&
+        col("n_kept") >= 10)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_kept").cast("bigint").as("kept_tokens"))
+  }
+
+  val curateFullSql: String =
+    """WITH surv AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |sd AS (SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)),
+      |base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |      t -> t <> '') AS toks
+      |  FROM sd),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i, 'g': md5(array_to_string(toks[i:i+14], ' '))}
+      |            FOR i IN range(1, greatest(len(toks) - 13, 1))]) AS w
+      |  FROM base),
+      |wp AS (SELECT doc_id, w.pos AS pos, w.g AS g FROM wins),
+      |dup AS (SELECT g FROM wp GROUP BY g HAVING count(*) >= 2),
+      |m AS (SELECT doc_id, pos FROM wp JOIN dup USING (g)),
+      |fl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(
+      |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15, -1)
+      |      THEN 1 ELSE 0 END AS flag
+      |  FROM m),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM fl),
+      |sp AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(pos) + 14 AS e
+      |  FROM isl GROUP BY 1, 2),
+      |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM sp GROUP BY 1),
+      |cleaned AS (
+      |  SELECT b.doc_id,
+      |    len([b.toks[i] FOR i IN range(1, len(b.toks) + 1)
+      |         IF len(list_filter(coalesce(l.sp, []),
+      |               x -> i >= x.s AND i <= x.e)) = 0]) AS n_kept
+      |  FROM base b LEFT JOIN spl l USING (doc_id)),
+      |cls AS (
+      |  SELECT doc_id,
+      |    coalesce(list_sum(list_transform(
+      |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+      |        t -> t <> ''),
+      |      t -> ((ascii(substr(md5(t), 1, 1)) * 131 +
+      |             ascii(substr(md5(t), 2, 1))) % 64 * 2654435761) % 1001
+      |           - 500)), 0) AS raw
+      |  FROM sd),
+      |chars AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch FROM sd),
+      |ccnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT doc_id,
+      |    round(CASE WHEN sum(c) = 0 THEN 0
+      |      ELSE ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)
+      |      END, 4) AS entropy
+      |  FROM ccnt GROUP BY 1),
+      |shards AS (
+      |  SELECT doc_id,
+      |    CAST((ascii(substr(md5(text), 1, 1)) * 131 +
+      |          ascii(substr(md5(text), 2, 1))) % 8 AS BIGINT) AS shard
+      |  FROM sd)
+      |SELECT s.shard, count(*) AS n_docs,
+      |  CAST(sum(c.n_kept) AS BIGINT) AS kept_tokens
+      |FROM cleaned c
+      |JOIN cls USING (doc_id)
+      |JOIN ent USING (doc_id)
+      |JOIN shards s USING (doc_id)
+      |WHERE cls.raw > 0 AND ent.entropy >= 2.7 AND c.n_kept >= 10
+      |GROUP BY s.shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_curate" -> ((s, d) =>
-      curate(Tables.load(s, d, "documents"))))
+      curate(Tables.load(s, d, "documents"))),
+    "q_pipeline_full" -> ((s, d) =>
+      curateFull(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
-    "q_pipeline_curate" -> curateSql)
+    "q_pipeline_curate" -> curateSql,
+    "q_pipeline_full" -> curateFullSql)
 }
