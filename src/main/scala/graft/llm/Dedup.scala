@@ -956,6 +956,52 @@ object Dedup {
       |  AND md5(text) NOT IN
       |    (SELECT md5(text) FROM documents WHERE source <> 'src0')""".stripMargin
 
+  /** SNAPSHOT DIFF between two corpus versions: per-status counts of
+    * added / removed / changed / unchanged documents, by full-outer
+    * joining the two sides' (doc_id, content hash). The audit step of
+    * an incremental ingestion pipeline ([[incrementalNew]] answers
+    * "which docs are new by CONTENT"; this answers "what happened to
+    * each doc_id between snapshots").
+    *
+    * Scale: both sides reduce to (doc_id, 16-byte hash) map-side; one
+    * co-partitioned full-outer join on doc_id; answer-sized rollup.
+    * Nothing broadcasts — at 100 TB both snapshots are corpus-sized.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, hname: String) = df.select(
+      col("doc_id"), md5(col("text").cast("binary")).as(hname))
+    keyed(oldSnap, "old_h")
+      .join(keyed(newSnap, "new_h"), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The driver query derives both snapshots from the documents table:
+    * old = doc_id % 10 != 0, new = doc_id % 7 != 0 with a ' v2' text
+    * suffix on doc_id % 13 == 0 — exercising all four statuses.
+    */
+  val snapshotDiffSql: String =
+    """WITH oldv AS (
+      |  SELECT doc_id, md5(text) AS old_h FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |newv AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+      |      AS new_h
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT CASE
+      |    WHEN o.old_h IS NULL THEN 'added'
+      |    WHEN n.new_h IS NULL THEN 'removed'
+      |    WHEN o.old_h <> n.new_h THEN 'changed'
+      |    ELSE 'unchanged' END AS status,
+      |  count(*) AS n_docs
+      |FROM oldv o FULL OUTER JOIN newv n USING (doc_id)
+      |GROUP BY 1""".stripMargin
+
   /** DuckDB mirror of [[decontaminate]] with the documents table split
     * by doc_id % 97 (≈1% reference sample): string shingles stand in
     * for the kernel's xxhash64'd shingles — distinct-count identical
@@ -1224,6 +1270,12 @@ object Dedup {
     "q_dedup_incremental" -> ((s, d) => incrementalNew(
       docs(s, d).filter(col("source") === "src0"),
       docs(s, d).filter(col("source") =!= "src0"))),
+    "q_dedup_diff" -> ((s, d) => snapshotDiff(
+      docs(s, d).filter(col("doc_id") % 10 =!= 0),
+      docs(s, d).filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))))),
     "q_dedup_exact" -> ((s, d) => exact(docs(s, d))),
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
@@ -1248,6 +1300,7 @@ object Dedup {
     // bloom prefilter is result-transparent: same oracle as decontam
     "q_dedup_decontam_bloom" -> decontaminateSql,
     "q_dedup_incremental" -> incrementalNewSql,
+    "q_dedup_diff" -> snapshotDiffSql,
     "q_dedup_exact" -> exactSql,
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
