@@ -41,20 +41,35 @@ object Layout {
     * no global sort, no driver involvement. At 100 TB with thousands
     * of shards this is the same plan — tasks scale with shards.
     */
+  /** The shared content-hash shard bucket: a pure function of the text
+    * used identically by [[graft.llm.Sampling.shardShuffle]] (the
+    * assignment operator), [[writeShards]] (its materialization), and
+    * [[graft.llm.Pipeline.curateFull]] (the rollup) — one definition so
+    * the three can never desynchronize.
+    */
+  def contentShard(textCol: Column, nShards: Int): Column = {
+    import org.apache.spark.sql.functions.{ascii, lit, md5, pmod, substring}
+    val h = md5(textCol.cast("binary"))
+    pmod(ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
+      lit(nShards))
+  }
+
   def writeShards(
       df: DataFrame, path: String, textCol: String = "text",
       nShards: Int = 8): Unit = {
-    import org.apache.spark.sql.functions.{ascii, lit, md5, pmod, substring}
-    val h = md5(col(textCol).cast("binary"))
-    val shard = pmod(
-      ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
-      lit(nShards))
+    import org.apache.spark.sql.functions.md5
+    // RANGE partition on the shard value: a hash repartition would
+    // murmur the values 0..n-1 mod n, colliding several shards into
+    // one task and leaving others empty (skewed writes); ranges map
+    // the n values 1:1 onto n tasks.
+    //
     // sort prefix = the partition column: the dynamic-partition writer
     // requires child ordering on it and would otherwise inject its own
     // (unstable) sort, destroying the in-shard hash order. sort_key
     // stays in the output so readers (and the spec) can verify order.
-    df.withColumn("sort_key", h).withColumn("shard", shard)
-      .repartition(nShards, col("shard"))
+    df.withColumn("sort_key", md5(col(textCol).cast("binary")))
+      .withColumn("shard", contentShard(col(textCol), nShards))
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "sort_key")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }

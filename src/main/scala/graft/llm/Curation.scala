@@ -310,21 +310,28 @@ object Curation {
   def bpeEncode(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    // ONE broadcast carries both lookup directions; the encode lambda
+    // must touch only bc.value — referencing the driver-side `merges`
+    // inside it would capture the whole table in every task closure,
+    // defeating the broadcast for the ~50k-merge tables a real
+    // tokenizer ships
+    val bc = spark.sparkContext.broadcast(
+      (merges.toArray, merges.zipWithIndex.toMap))
     def encodeLen(word: String): Int = {
+      val (pairs, rankOf) = bc.value
       var syms: Vector[String] = word.map(_.toString).toVector
       var done = false
       while (!done && syms.length > 1) {
         var best = Int.MaxValue
         var i = 0
         while (i < syms.length - 1) {
-          val r = bc.value.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          val r = rankOf.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
           if (r < best) best = r
           i += 1
         }
         if (best == Int.MaxValue) done = true
         else {
-          val (l, rr) = merges(best)
+          val (l, rr) = pairs(best)
           val out = Vector.newBuilder[String]
           var j = 0
           while (j < syms.length) {

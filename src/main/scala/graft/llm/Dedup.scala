@@ -1064,18 +1064,17 @@ object Dedup {
     * class as the suffix-array sort it replaces, with Spark handling
     * distribution.
     */
-  def duplicateSpans(d: DataFrame, k: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = d.select(
-      col("doc_id"), TextOps.letterTokens(col("text")).as("toks"))
-    // 1-based window starts; docs shorter than k contribute no windows
-    // (guard: sequence() would count DOWN and fabricate them).
-    // g is the RAW 16-byte digest (unhex), not the 32-char hex string:
-    // the window table is the dominant shuffle (it crosses the wire
-    // twice — count exchange + verdict exchange) and the key is most
-    // of the row, so this halves the operator's shuffle volume. The
-    // oracle is unaffected: g never reaches the output.
-    val wins = base.select(
+  /** The k-token window table (doc_id, pos, g) shared by the report
+    * and apply forms. 1-based window starts; docs shorter than k
+    * contribute no windows (guard: sequence() would count DOWN and
+    * fabricate them). g is the RAW 16-byte digest (unhex), not the
+    * 32-char hex string: the window table is the dominant shuffle (it
+    * crosses the wire twice — count exchange + verdict exchange) and
+    * the key is most of the row, so this halves the operator's shuffle
+    * volume. The oracle is unaffected: g never reaches any output.
+    */
+  private def windowTable(base: DataFrame, k: Int): DataFrame =
+    base.select(
       col("doc_id"),
       explode(
         when(size(col("toks")) >= k,
@@ -1087,6 +1086,11 @@ object Dedup {
           .otherwise(array().cast("array<struct<pos:int,g:binary>>")))
         .as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
+
+  def duplicateSpans(d: DataFrame, k: Int = 15): DataFrame = {
+    val base = d.select(
+      col("doc_id"), TextOps.letterTokens(col("text")).as("toks"))
+    val wins = windowTable(base, k)
     val spans = spanRanges(wins, k)
       .select(col("doc_id"), (col("e") - col("s") + 1).as("span_len"))
     val perDoc = spans.groupBy("doc_id").agg(
@@ -1147,18 +1151,7 @@ object Dedup {
   def duplicateSpanRemove(d: DataFrame, k: Int = 15): DataFrame = {
     val base = d.select(
       col("doc_id"), TextOps.letterTokens(col("text")).as("toks"))
-    val wins = base.select(
-      col("doc_id"),
-      explode(
-        when(size(col("toks")) >= k,
-          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-            i => struct(
-              i.as("pos"),
-              unhex(md5(concat_ws(" ", slice(col("toks"), i, lit(k)))
-                .cast("binary"))).as("g"))))
-          .otherwise(array().cast("array<struct<pos:int,g:binary>>")))
-        .as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    val wins = windowTable(base, k)
     val spanList = spanRanges(wins, k)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("sp"))

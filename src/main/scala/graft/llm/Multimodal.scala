@@ -427,6 +427,17 @@ object Multimodal {
     * a parser; any chunk-walk defect (chroma-plane misalignment shifts
     * every following FRAME marker) breaks the compare.
     */
+  /** Shared video decode-and-tag (the quarantine error contract of
+    * [[decodeImages]]/[[decodeAudio]] for the third modality) — one
+    * definition for [[videoStats]] and [[videoHashes]].
+    */
+  private def decodeY4mTagged(id: Long, blob: Array[Byte]): Y4mCodec.Y4m =
+    try Y4mCodec.decode(blob)
+    catch {
+      case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"doc_id=$id: ${e.getMessage}", e)
+    }
+
   def y4mFixtures(d: DataFrame): DataFrame = {
     val enc = udf { id: Long =>
       Y4mCodec.encode(
@@ -450,12 +461,7 @@ object Multimodal {
         // map-only: fixture synthesis, decode, and the stats fold all
         // ride one partition-local pass; blobs never shuffle
         rows.map { case (id, blob) =>
-          val v =
-            try Y4mCodec.decode(blob)
-            catch {
-              case e: IllegalArgumentException => throw new IllegalArgumentException(
-                s"doc_id=$id: ${e.getMessage}", e)
-            }
+          val v = decodeY4mTagged(id, blob)
           var lumaSum = 0L
           v.lumaFrames.foreach(fr => fr.foreach(b => lumaSum += b & 0xff))
           var motion = 0L
@@ -675,12 +681,7 @@ object Multimodal {
     media.select("doc_id", "media").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, blob) =>
-          val v =
-            try Y4mCodec.decode(blob)
-            catch {
-              case e: IllegalArgumentException => throw new IllegalArgumentException(
-                s"doc_id=$id: ${e.getMessage}", e)
-            }
+          val v = decodeY4mTagged(id, blob)
           val n = v.lumaFrames.iterator.map(_.length.toLong).sum
           val win = new Array[Long](64)
           var total = 0L

@@ -96,16 +96,19 @@ object Pipeline {
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val sd = d.join(survivors, Seq("doc_id"), "left_semi")
-    val cleaned = Dedup.duplicateSpanRemove(sd)
-      .select(col("doc_id"), col("n_kept"))
+    // the report form suffices: the pipeline only needs the kept-token
+    // COUNT, which is n_tokens - dup_tokens (LlmSpec proves the apply
+    // form agrees) — skipping the O(tokens x spans) reconstruction
+    val cleaned = Dedup.duplicateSpans(sd)
+      .select(col("doc_id"),
+        (col("n_tokens") - col("dup_tokens")).as("n_kept"))
     val cls = TextOps.classifierScore(sd)
       .select(col("doc_id"), col("label"))
     val ent = TextOps.charEntropy(sd)
       .select(col("doc_id"), col("entropy"))
-    val h = md5(col("text").cast("binary"))
     val shards = sd.select(col("doc_id"),
-      pmod(ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
-        lit(8)).cast("bigint").as("shard"))
+      graft.core.Layout.contentShard(col("text"), 8)
+        .cast("bigint").as("shard"))
     cleaned.join(cls, "doc_id").join(ent, "doc_id").join(shards, "doc_id")
       .filter(col("label") === "keep" && col("entropy") >= 2.7 &&
         col("n_kept") >= 10)
@@ -162,7 +165,10 @@ object Pipeline {
       |           - 500)), 0) AS raw
       |  FROM sd),
       |chars AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch FROM sd),
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, ''),
+      |      c -> c <> '')) AS ch
+      |  FROM sd),
       |ccnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
       |ent AS (
       |  SELECT doc_id,

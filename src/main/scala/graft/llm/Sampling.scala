@@ -115,9 +115,7 @@ object Sampling {
     */
   def shardShuffle(d: DataFrame, nShards: Int = 8): DataFrame = {
     val h = md5(col("text").cast("binary"))
-    val shard = pmod(
-      ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
-      lit(nShards))
+    val shard = graft.core.Layout.contentShard(col("text"), nShards)
     val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
     d.select(col("doc_id"), h.as("h"), shard.cast("bigint").as("shard"))
       .withColumn("pos", row_number().over(w).cast("bigint"))

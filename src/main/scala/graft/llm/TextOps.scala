@@ -534,7 +534,11 @@ object TextOps {
 
   val charEntropySql: String =
     """WITH chars AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+      |  -- list_filter: DuckDB splits '' into [''] where Spark's side
+      |  -- filters the empty element — an empty doc must yield 0 chars
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, ''),
+      |      c -> c <> '')) AS ch
       |  FROM documents),
       |cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
       |agg AS (

@@ -53,9 +53,15 @@ object GraphOps {
   def pageRank(
       edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
       tol: Double = 1e-7): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
-    val outW = edges.groupBy(col("src")).agg(sum("w").as("out_w"))
+    // edges materialize ONCE: every iteration joins them, and an
+    // unmaterialized lineage (e.g. the eventTransitions scan + window
+    // + aggregation) would re-execute per round. outW is node-sized
+    // and joined per round — same treatment.
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val outW = e.groupBy(col("src")).agg(sum("w").as("out_w"))
+      .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge table")
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -63,7 +69,7 @@ object GraphOps {
     var converged = false
     while (i < iters && !converged) {
       val contribs = ranks
-        .join(edges, col("node") === col("src"))
+        .join(e, col("node") === col("src"))
         .join(outW, "src")
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("out_w")).as("c"))

@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+
 
 /** Dev mirror of [[graft.Verify]] for a SUBSET of queries: dumps each
   * named query's result parquet plus its oracle SQL entry so
@@ -29,20 +29,7 @@ object VerifyOne {
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    Files.writeString(Paths.get(s"$outDir/queries.json"),
-      names.sorted.map(q).mkString("[", ",", "]"))
+    graft.Verify.writeManifests(outDir, names)
     spark.stop()
   }
 }
