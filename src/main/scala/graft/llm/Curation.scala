@@ -372,7 +372,61 @@ object Curation {
     else mergeCache.getOrElseUpdate(s, dir)(train())
   }
 
+  /** Deterministic MLM-style token masking — the denoising-objective
+    * data prep step (mask a fixed fraction of tokens, emit the
+    * corrupted text plus label positions). The mask decision is a pure
+    * function of (doc_id, position), so the corruption is reproducible
+    * across runs and engines without seed bookkeeping — the same
+    * no-rand() discipline as [[Sampling]]. Output: token counts, mask
+    * count, the masked text's md5 (content identity), and the label
+    * positions' sum (an order-sensitive checksum of WHICH tokens were
+    * masked, cheap to mirror exactly).
+    *
+    * Scale: pure HOF transform over the token array — zero exchanges,
+    * the classifier's map-only class.
+    */
+  def mlmMask(d: DataFrame, everyNth: Int = 7): DataFrame = {
+    val toks = TextOps.wsTokens(col("text"))
+    d.select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        transform(col("toks"), (t, i) =>
+          when(pmod(i + col("doc_id"), lit(everyNth)) === 0, lit("<mask>"))
+            .otherwise(t)).as("masked"),
+        filter(transform(col("toks"), (_, i) => i),
+          i => pmod(i + col("doc_id"), lit(everyNth)) === 0).as("positions"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        size(col("positions")).cast("bigint").as("n_masked"),
+        md5(concat_ws(" ", col("masked")).cast("binary")).as("masked_md5"),
+        aggregate(col("positions"), lit(0L), (a, p) => a + p)
+          .as("pos_checksum"))
+  }
+
+  val mlmMaskSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |      AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    -- DuckDB lambda index i is 1-based; Spark's is 0-based
+      |    list_transform(toks, (t, i) ->
+      |      CASE WHEN (i - 1 + doc_id) % 7 = 0 THEN '<mask>' ELSE t END)
+      |      AS masked,
+      |    [i - 1 FOR i IN range(1, len(toks) + 1)
+      |     IF (i - 1 + doc_id) % 7 = 0] AS positions
+      |  FROM base)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(len(positions) AS BIGINT) AS n_masked,
+      |  md5(coalesce(array_to_string(masked, ' '), '')) AS masked_md5,
+      |  CAST(coalesce(list_sum(positions), 0) AS BIGINT) AS pos_checksum
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_mlm_mask" -> ((s, d) => mlmMask(docs(s, d))),
     "q_text_bpe" -> ((s, d) => bpeTrain(docs(s, d))),
     "q_text_bpe_encode" -> ((s, d) =>
       bpeEncode(docs(s, d), trainedMerges(s, d))),
@@ -383,6 +437,7 @@ object Curation {
     "q_text_repetition" -> ((s, d) => repetition(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_mlm_mask" -> mlmMaskSql,
     "q_text_chunk" -> chunkSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_pii" -> piiRedactSql,
