@@ -82,9 +82,11 @@ object Dedup {
 
   val canonicalSql: String =
     """SELECT
-      |  md5(array_to_string(list_sort(list_distinct(
+      |  -- coalesce: array_to_string([]) is NULL in DuckDB where
+      |  -- Spark's concat_ws is '' — a tokenless doc must hash md5('')
+      |  md5(coalesce(array_to_string(list_sort(list_distinct(
       |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))),
-      |    ' ')) AS canon_hash,
+      |    ' '), '')) AS canon_hash,
       |  min(doc_id) AS keep_id, count(*) AS n_copies,
       |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS members
       |FROM documents GROUP BY 1""".stripMargin
@@ -255,8 +257,14 @@ object Dedup {
           col("a.prank") === sorted_first_common(col("a.pref"), col("b.pref")) &&
           positionalFilter(col("a.sz"), col("a.ppos"),
             col("b.sz"), col("b.ppos"), threshold) &&
-          round(sorted_jaccard(col("a.ranks"), col("b.ranks")), 6) >=
-            lit(threshold))
+          // RAW comparison: the candidate filters above are complete
+          // for exact J >= t, and the raw IEEE division is identical
+          // in Spark and DuckDB — comparing the ROUNDED score instead
+          // would diverge at exact-half boundaries (Spark rounds
+          // decimal HALF_UP, DuckDB rounds the binary double) and
+          // admit pairs the length filter already pruned. The score
+          // COLUMN stays rounded for display.
+          sorted_jaccard(col("a.ranks"), col("b.ranks")) >= lit(threshold))
       .select(
         Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           round(sorted_jaccard(col("a.ranks"), col("b.ranks")), 6)
@@ -283,14 +291,14 @@ object Dedup {
       |    list_distinct(list_filter(
       |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
       |  FROM documents)
-      |SELECT doc_a, doc_b, jaccard FROM (
+      |SELECT doc_a, doc_b, round(raw, 6) AS jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
-      |      6) AS jaccard
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      |      AS raw
       |  FROM t a JOIN t b
       |    ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.5""".stripMargin
+      |WHERE raw >= 0.5""".stripMargin
 
   /** EXACT shingle (word n-gram) Jaccard pairs: the order-sensitive
     * sibling of [[jaccardPairs]] — two docs with the same vocabulary in
@@ -326,16 +334,16 @@ object Dedup {
       |    CASE WHEN len(toks) >= 3 THEN
       |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
       |        i -> array_to_string(toks[i:i + 2], ' ')))
-      |    ELSE [array_to_string(toks, ' ')] END AS sset
+      |    ELSE [coalesce(array_to_string(toks, ' '), '')] END AS sset
       |  FROM t)
-      |SELECT doc_a, doc_b, sh_jaccard FROM (
+      |SELECT doc_a, doc_b, round(raw, 6) AS sh_jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
-      |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))),
-      |      6) AS sh_jaccard
+      |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+      |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+      |      AS raw
       |  FROM sh a JOIN sh b
       |    ON a.doc_id < b.doc_id)
-      |WHERE sh_jaccard >= 0.2""".stripMargin
+      |WHERE raw >= 0.2""".stripMargin
 
   /** Containment (truncation) duplicates: document A is a strict PREFIX
     * of document B — the scraped-data case where one copy was cut off.
@@ -510,10 +518,14 @@ object Dedup {
     val edgesRaw = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // shuffle path: partition edges by the per-round join key ONCE;
-    // localCheckpoint preserves the partitioning (LogicalRDD carries
-    // it), so each round only shuffles the |V|-sized label table
-    val edges = (if (broadcastLabels) edgesRaw
+    // partition edges by the per-round hot key ONCE; localCheckpoint
+    // preserves the partitioning (LogicalRDD carries it). Shuffle
+    // path: by dst, the shuffle-join key, so each round only shuffles
+    // the |V|-sized label table. Broadcast path: by src — the
+    // broadcast join preserves the streamed side's partitioning, so
+    // the per-round groupBy(src) aggregate finds its distribution
+    // already satisfied and the |E|-row exchange per round disappears.
+    val edges = (if (broadcastLabels) edgesRaw.repartition(col("src"))
       else edgesRaw.repartition(col("dst"))).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
@@ -576,12 +588,12 @@ object Dedup {
       |pairs AS (
       |  SELECT doc_a, doc_b FROM (
       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
-      |        6) AS jaccard
+      |      CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      |        AS raw
       |    FROM t a JOIN t b
       |      ON a.doc_id < b.doc_id)
-      |  WHERE jaccard >= 0.9),
+      |  WHERE raw >= 0.9),
       |edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -620,17 +632,17 @@ object Dedup {
       |    list_distinct(list_filter(
       |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
       |  FROM documents)
-      |SELECT doc_a, doc_b, jaccard,
+      |SELECT doc_a, doc_b, round(raw, 6) AS jaccard,
       |  CAST(levenshtein(head_a, head_b) AS BIGINT) AS edit_60
       |FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.head AS head_a, b.head AS head_b,
-      |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
-      |      6) AS jaccard
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      |      AS raw
       |  FROM t a JOIN t b
       |    ON a.doc_id < b.doc_id)
-      |WHERE jaccard >= 0.5""".stripMargin
+      |WHERE raw >= 0.5""".stripMargin
 
   // ------------------------------------------------- embedding cosine
 
@@ -905,9 +917,12 @@ object Dedup {
       corpus: DataFrame, reference: DataFrame, n: Int = 3,
       minHits: Int = 2, fpp: Double = 0.01): DataFrame = {
     import graft.functions.text.hashed_sorted_shingles
+    // materialize ONCE: three consumers (the count below, the bloom
+    // aggregation, the verify join) would otherwise each re-run the
+    // reference scan + shingle explode + shuffle-distinct
     val refSh = reference
       .select(explode(hashed_sorted_shingles(col("text"), n)).as("g"))
-      .distinct()
+      .distinct().localCheckpoint()
     // expectedNumItems needs a count — one reference-sized pass; the
     // reference is the small side by the operator's contract.
     val expected = math.max(refSh.count(), 1000L)
@@ -1019,7 +1034,7 @@ object Dedup {
       |    CASE WHEN len(toks) >= 3 THEN
       |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
       |        i -> array_to_string(toks[i:i + 2], ' ')))
-      |    ELSE [array_to_string(toks, ' ')] END AS sset
+      |    ELSE [coalesce(array_to_string(toks, ' '), '')] END AS sset
       |  FROM t),
       |ref AS (
       |  SELECT DISTINCT unnest(sset) AS g FROM sh WHERE doc_id % 97 = 0),

@@ -289,19 +289,27 @@ object Similarity {
     * error fold runs in array order), so the DuckDB oracle matches
     * exactly.
     */
-  def quantizeInt8(e: DataFrame): DataFrame = {
-    def resid(v: Column): Column =
-      v - round(v / col("scale"), 0) * col("scale")
+  /** (vec_id, emb: double[], scale, q: bigint[]) — the shared max-abs
+    * int8 quantization both [[quantizeInt8]] and [[jlProject]] derive
+    * from (one definition, so the projection can never drift from the
+    * quantization it claims to project). nullif guard: an all-zero
+    * vector would make scale 0, v/scale NaN, and the bigint cast a
+    * runtime ANSI error; NULL scale instead propagates NULL quantized
+    * values — a clean row, and the identical spelling in the DuckDB
+    * oracles.
+    */
+  private def withQuantized(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("emb"))
-      // nullif guard: an all-zero vector would make scale 0, v/scale NaN,
-      // and the bigint cast a runtime ANSI error. NULL scale instead
-      // propagates NULL quantized values / error — a clean row, and the
-      // identical spelling in the DuckDB oracle below.
       .withColumn("scale", nullif(
         array_max(transform(col("emb"), v => abs(v))) / lit(127.0), lit(0.0)))
       .withColumn("q", transform(col("emb"), v =>
         round(v / col("scale"), 0).cast("bigint")))
+
+  def quantizeInt8(e: DataFrame): DataFrame = {
+    def resid(v: Column): Column =
+      v - round(v / col("scale"), 0) * col("scale")
+    withQuantized(e)
       .withColumn("err2", aggregate(
         transform(col("emb"), v => resid(v) * resid(v)),
         lit(0.0), (acc, x) => acc + x))
@@ -355,12 +363,7 @@ object Similarity {
     def sign(i: Column, j: Column): Column =
       when(((lit(1103515245L) * (j * inDim + i) + 12345L) % 2147483648L) % 2 === 0,
         lit(1L)).otherwise(lit(-1L))
-    e.select(col("vec_id"),
-      transform(col("embedding"), v => v.cast("double")).as("emb"))
-      .withColumn("scale", nullif(
-        array_max(transform(col("emb"), v => abs(v))) / lit(127.0), lit(0.0)))
-      .withColumn("q", transform(col("emb"), v =>
-        round(v / col("scale"), 0).cast("bigint")))
+    withQuantized(e)
       .select(
         col("vec_id"),
         transform(sequence(lit(0), lit(outDim - 1)), j =>
