@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
   *     at 100 TB the partition key would be (lang, shard) to bound
   *     window state; the contiguous-fill discipline is unchanged.
   */
+/** Greedy left-to-right rewrite of every (l, r) adjacency into the
+  * merged symbol — THE single definition of the BPE merge semantics,
+  * shared by training ([[Curation.bpeTrain]]) and encoding
+  * ([[Curation.bpeEncode]]): encode correctness depends on reproducing
+  * exactly the rewrite the trainer applied, so two copies could
+  * silently diverge. Lives OUTSIDE the Curation object so executor
+  * closures reach it as a static module call instead of capturing
+  * Curation (whose SessionCache is deliberately not serializable).
+  */
+private[llm] object BpeMerge {
+  def applyMerge(
+      syms: IndexedSeq[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+}
+
 object Curation {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -249,16 +272,6 @@ object Curation {
   def bpeTrain(d: DataFrame, nMerges: Int = 10): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
-    def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          out += (l + r); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.toSeq
-    }
     var words = d
       .select(explode(TextOps.letterTokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -283,12 +296,20 @@ object Curation {
         val (l, rt, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r + 1L, l, rt, cnt))
+        val prev = words
         words = words
-          .map { case (syms, f) => (applyMerge(syms, l, rt), f) }
-          .localCheckpoint()
+          .map { case (syms, f) =>
+            (BpeMerge.applyMerge(syms.toIndexedSeq, l, rt): Seq[String], f)
+          }
+          .localCheckpoint() // eager: materialized before prev drops
+        prev.unpersist()
         r += 1
       }
     }
+    // drop the final checkpoint too: only the driver-side merge table
+    // escapes this method, and superseded vocabulary copies would
+    // otherwise pin executor storage for the session's lifetime
+    words.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
@@ -332,14 +353,7 @@ object Curation {
         if (best == Int.MaxValue) done = true
         else {
           val (l, rr) = pairs(best)
-          val out = Vector.newBuilder[String]
-          var j = 0
-          while (j < syms.length) {
-            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == rr) {
-              out += (l + rr); j += 2
-            } else { out += syms(j); j += 1 }
-          }
-          syms = out.result()
+          syms = BpeMerge.applyMerge(syms, l, rr)
         }
       }
       syms.length

@@ -51,7 +51,9 @@ object TextOps {
   def invertedIndex(d: DataFrame): DataFrame =
     graft.core.Layout.spread(d, "doc_id")
       .select(col("doc_id"), explode(letterTokens(col("text"))).as("word"))
-      .distinct()
+      // no distinct: collect_set dedups (map-side partials dedup
+      // locally pre-shuffle), and a distinct here would add a second
+      // full corpus-token exchange for byte-identical output
       .groupBy("word")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(
@@ -89,19 +91,23 @@ object TextOps {
     */
   def quality(d: DataFrame): DataFrame = {
     val toks = wsTokens(col("text"))
+    // zero guards: under ANSI mode (the Spark 4 default) an unguarded
+    // division by a zero token/char count THROWS and kills the job on
+    // the first empty document; NULL ratios are the clean contract,
+    // mirrored in the oracle
+    def safeRatio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den, 4))
     d.select(
       col("doc_id"),
       length(col("text")).cast("bigint").as("n_chars_calc"),
       size(toks).cast("bigint").as("n_tokens"),
-      round(
-        length(regexp_replace(col("text"), "\\s", "")).cast("double") /
-          size(toks), 4).as("avg_token_len"),
-      round(
-        size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
-          size(toks), 4).as("stopword_ratio"),
-      round(
-        length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("double") /
-          length(col("text")), 4).as("alpha_ratio"),
+      safeRatio(length(regexp_replace(col("text"), "\\s", "")), size(toks))
+        .as("avg_token_len"),
+      safeRatio(size(filter(toks, t => t.isin(stopwords: _*))), size(toks))
+        .as("stopword_ratio"),
+      safeRatio(length(regexp_replace(col("text"), "[^\\p{L}]", "")),
+        length(col("text"))).as("alpha_ratio"),
       length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("bigint")
         .as("punct_count"))
   }
@@ -111,12 +117,15 @@ object TextOps {
     s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-       |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-       |    / len(toks), 4) AS avg_token_len,
-       |  round(CAST(len(list_filter(toks, t -> t IN ($stops))) AS DOUBLE)
-       |    / len(toks), 4) AS stopword_ratio,
-       |  round(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
-       |    AS DOUBLE) / length(text), 4) AS alpha_ratio,
+       |  CASE WHEN len(toks) = 0 THEN NULL ELSE
+       |    round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(toks), 4) END AS avg_token_len,
+       |  CASE WHEN len(toks) = 0 THEN NULL ELSE
+       |    round(CAST(len(list_filter(toks, t -> t IN ($stops))) AS DOUBLE)
+       |      / len(toks), 4) END AS stopword_ratio,
+       |  CASE WHEN length(text) = 0 THEN NULL ELSE
+       |    round(CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+       |      AS DOUBLE) / length(text), 4) END AS alpha_ratio,
        |  CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT)
        |    AS punct_count
        |FROM (SELECT doc_id, text,
@@ -268,7 +277,6 @@ object TextOps {
     * O(vocabulary).
     */
   def tfidf(d: DataFrame, k: Int = 3): DataFrame = {
-    val n = d.count() // corpus size: a scalar, computed once
     // TF is MAP-ONLY: the TokenCounts kernel counts terms per document
     // in one pass, so exploding it emits (doc, distinct-word, tf)
     // directly — the (doc, token)-granularity shuffle + groupBy the
@@ -280,11 +288,16 @@ object TextOps {
           .as(Seq("word", "tf")))
     val df_ = tf.groupBy("word")
       .agg(count(lit(1)).as("df"))
+    // corpus size rides the plan as a 1-row broadcast (the oracle's
+    // 'n' CTE) — an eager d.count() here would fire a full corpus
+    // scan at PLAN CONSTRUCTION time, before any action
+    val nDf = d.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     tf.join(broadcast(df_), "word")
+      .crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("word"),
-        (col("tf") * expr(s"CAST(${1000000L * n} DIV df AS BIGINT)"))
+        (col("tf") * expr("CAST(1000000 * n DIV df AS BIGINT)"))
           .as("score"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)

@@ -45,20 +45,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("freqTerms exact even at minimal sketch capacity") {
-    // capacity=9 with phi=0.1: the MG bound (cap+1)*phi >= 1 holds with
-    // zero slack, the regime where a buggy sketch loses candidates.
-    // 60 tokens: 'hot' x 12 (20%), 'warm' x 6 (10%), rest unique.
-    // Letter-only fillers — letterTokens strips digits.
+  test("freqTerms exact at the minimal SOUND sketch capacity") {
+    // capacity=10 with phi=0.1 is the smallest capacity satisfying the
+    // STRICT bound (cap+1)*phi > 1 — the MG survival argument needs
+    // strict inequality: at (cap+1)*phi == 1 a term with count exactly
+    // ceil(phi*N) can be evicted from every partition sketch.
+    // 60 tokens: 'hot' x 12 (20%), 'warm' x 6 (exactly phi*N), rest
+    // unique. Letter-only fillers — letterTokens strips digits.
     val filler = (0 until 42)
       .map(i => s"u${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
       .mkString(" ")
     val text = (Seq.fill(12)("hot") ++ Seq.fill(6)("warm")).mkString(" ") +
       " " + filler
     val d = mkDocs(Seq((1L, text, "en", "s0")))
-    val got = CorpusOps.freqTerms(d, phi = 0.1, capacity = 9)
+    val got = CorpusOps.freqTerms(d, phi = 0.1, capacity = 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got === Set(("hot", 12L), ("warm", 6L)))
+    // the zero-slack configuration is unsound and must be rejected
+    intercept[IllegalArgumentException] {
+      CorpusOps.freqTerms(d, phi = 0.1, capacity = 9)
+    }
   }
 
   // -------------------------------------------------------------- BM25
