@@ -68,6 +68,11 @@ object BmpCodec {
     * route to a quarantine sink, not as silent garbage pixels.
     */
   def decode(bytes: Array[Byte]): Raster = {
+    // null check FIRST (matching WavCodec/Y4mCodec): a NULL blob from
+    // a nullable ingest column must surface as the contractual
+    // IllegalArgumentException quarantine routing catches, not an
+    // untagged NPE from bytes.length
+    require(bytes != null, "null BMP blob")
     require(bytes.length >= FileHeaderSize + InfoHeaderSize,
       s"truncated BMP: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -28,15 +28,22 @@ object Pipeline {
     val survivors = withKey.groupBy("canon")
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
+    // no broadcast hint: the exact-dedup survivor set is ~corpus-sized
+    // at web scale (almost every doc is unique) — the co-partitioned
+    // semi join is the shape that survives 100 TB, as curateFull below
+    // documents; at small SF AQE may still choose to broadcast it
     val kept = withKey
-      .join(broadcast(survivors), Seq("doc_id"), "left_semi")
+      .join(survivors, Seq("doc_id"), "left_semi")
     val toks = TextOps.wsTokens(col("text"))
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     kept
       .withColumn("n_tokens", size(toks).cast("bigint"))
+      // NULLIF guard: ANSI mode (the Spark 4 default) throws on DIV 0
+      // for an empty-text doc; DuckDB's // 0 yields NULL — NULL here
+      // matches, and the >= 7000 gate then drops the row in both
       .withColumn("alpha_x10000",
         expr("CAST(CAST(length(regexp_replace(text, '[^\\\\p{L}]', '')) AS BIGINT)" +
-          " * 10000 DIV length(text) AS BIGINT)"))
+          " * 10000 DIV nullif(length(text), 0) AS BIGINT)"))
       .withColumn("stop_hits",
         size(filter(toks, t => t.isin(stops: _*))).cast("bigint"))
       .filter(col("n_tokens") >= 20 &&
@@ -95,7 +102,11 @@ object Pipeline {
     val survivors = d
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val sd = d.join(survivors, Seq("doc_id"), "left_semi")
+    // materialize the deduped corpus ONCE: four metric branches
+    // consume sd, and each would otherwise re-run the scan + survivor
+    // aggregation + semi join — the intermediate write every real
+    // multi-stage pipeline does between dedup and scoring
+    val sd = d.join(survivors, Seq("doc_id"), "left_semi").localCheckpoint()
     // the report form suffices: the pipeline only needs the kept-token
     // COUNT, which is n_tokens - dup_tokens (LlmSpec proves the apply
     // form agrees) — skipping the O(tokens x spans) reconstruction

@@ -90,10 +90,21 @@ object GraphOps {
       // early)
       val delta = next.agg(max(abs(col("rank") - col("prev")))).head()
         .getDouble(0)
+      // superseded rank snapshot: unpersist (localCheckpoint blocks
+      // would otherwise pin `iters` node-sized copies for the session;
+      // `next` is already materialized so nothing recomputes). The
+      // FINAL checkpoint must stay alive — it backs the returned
+      // DataFrame and a truncated lineage cannot recompute.
+      if (i > 0) ranks.unpersist()
       ranks = next.drop("prev")
       converged = delta < tol
       i += 1
     }
+    // loop-only intermediates; after >= 1 iteration the result plan
+    // reads only the final checkpoint (with iters = 0 the init plan
+    // still derives from nodes, which must then stay alive)
+    e.unpersist(); outW.unpersist()
+    if (i > 0) nodes.unpersist()
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 

@@ -15,16 +15,22 @@ object DocStreams {
     * — a stateless per-micro-batch join, no stream state — and
     * aggregated per doc_id.
     *
-    * The only stateful operator is the per-doc hit-count aggregation,
-    * and its state is bounded: each doc_id arrives in one micro-batch,
-    * so keys stop updating immediately and the sink sees their final
-    * count in the next trigger (run in Update mode; pair with a
-    * watermark on an ingest-time column to let Spark evict the
-    * finished keys when the stream carries one).
+    * State contract, stated honestly: the per-doc hit-count
+    * aggregation keeps ONE state entry per doc_id, and Spark can only
+    * evict aggregation state whose grouping key carries an event-time
+    * window — doc_id does not, so over an unbounded stream this form's
+    * state grows with the number of distinct documents seen. It is the
+    * right shape for bounded replays (tests, backfills). For the
+    * unbounded 100 TB ingest, run the BATCH operator inside
+    * foreachBatch instead: each doc_id arrives within one micro-batch,
+    * so per-batch decontamination needs NO cross-batch state at all —
+    * the same pattern as the CDC upsert loop in StatefulStreamingSpec.
     *
-    * The reference side is static and broadcast — the same asymmetry
-    * contract as the batch operator: eval suites are small, the stream
-    * is the 100 TB side.
+    * The reference side is static, materialized once (cached — a
+    * per-trigger recompute would re-run the scan + shingle explode +
+    * shuffle-distinct on every micro-batch), and broadcast — the same
+    * asymmetry contract as the batch operator: eval suites are small,
+    * the stream is the 100 TB side.
     */
   def decontaminate(
       docsStream: DataFrame, reference: DataFrame, n: Int = 3,
@@ -32,7 +38,7 @@ object DocStreams {
     import graft.functions.text.hashed_sorted_shingles
     val refSh = reference
       .select(explode(hashed_sorted_shingles(col("text"), n)).as("g"))
-      .distinct()
+      .distinct().cache()
     docsStream
       .select(col("doc_id"),
         explode(hashed_sorted_shingles(col("text"), n)).as("g"))
@@ -76,10 +82,12 @@ object DocStreams {
     * Misra-Gries summary held in `flatMapGroupsWithState` state —
     * bounded at `capacity` entries per shard, regardless of stream
     * length. After every batch the shard re-emits its snapshot
-    * (Update mode); any token whose global count so far is at least
-    * n_shard/(capacity+1) is guaranteed present (its count lives
-    * entirely in its own shard, so the batch-MG survival argument
-    * applies verbatim), so the snapshot union is a superset of the
+    * (Update mode); any token whose global count so far is STRICTLY
+    * greater than n_shard/(capacity+1) is guaranteed present (its
+    * count lives entirely in its own shard, so the batch-MG survival
+    * argument applies verbatim — at exact equality a boundary token
+    * can be evicted, the same strictness [[graft.llm.CorpusOps]]
+    * documents), so the snapshot union is a superset of the
     * true frequent set at every point in the stream — candidates for
     * the same exact recount the batch operator runs.
     *

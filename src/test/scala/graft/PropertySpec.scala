@@ -192,6 +192,9 @@ class PropertySpec extends SparkSpec {
         tryOne(b, s"mutation $i")
         tryOne(b.take(rnd.nextInt(b.length)), s"truncation $i")
       }
+      // a NULL blob (nullable ingest column) must also route to IAE,
+      // not escape as an untagged NPE from a length dereference
+      tryOne(null, "null blob")
     }
     assertContained("BmpCodec", graft.llm.BmpCodec.decode,
       graft.llm.BmpCodec.encode(7, 5, (x, y, c) => x + y + c))
