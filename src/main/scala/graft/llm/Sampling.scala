@@ -40,7 +40,15 @@ object Sampling {
       |WHERE rn <= 5""".stripMargin
 
   /** Deterministic train/val/test assignment from the content hash:
-    * bucket = first hash byte mod 10 -> 0-7 train, 8 val, 9 test.
+    * bucket = (ascii of hex char 1) * 1 + (ascii of hex char 2), mod
+    * 10 -> 0-7 train, 8 val, 9 test. NOTE the bucket function is the
+    * SUM OF THE ASCII CODES of the first two hex characters, not a
+    * hash byte — any external reimplementation must copy this exact
+    * rule (that reproducibility is the operator's whole point). The
+    * ascii-sum distribution over uniform hex is slightly uneven:
+    * measured shares are ~78.5 / 10.6 / 10.9 rather than a crisp
+    * 80/10/10 — acceptable for split assignment, documented so nobody
+    * reads the 0-7/8/9 bucketing as exact decile shares.
     */
   def trainTestSplit(d: DataFrame): DataFrame = {
     val bucket = pmod(ascii(substring(md5(col("text").cast("binary")), 1, 1)) +
@@ -132,6 +140,82 @@ object Sampling {
       |          ascii(substr(md5(text), 2, 1))) % 8 AS BIGINT) AS shard
       |  FROM documents)""".stripMargin
 
+  /** Quality-ranked selection under a per-domain TOKEN BUDGET — "take
+    * the best docs of each language until its budget is spent", the
+    * step that turns quality scores into an actual training mix.
+    * Docs are ordered (quality desc, doc_id) per lang; a doc is kept
+    * iff the running token total through it is within the budget.
+    * Quality is the integer alpha-ratio permille-x10 (alpha chars *
+    * 10000 DIV chars), so ordering is integer-exact across engines.
+    *
+    * Scale: the textbook form — one cumulative-sum window PARTITIONED
+    * BY lang over the doc table — puts an entire domain through one
+    * reducer (a web corpus is 40% English: that is a 40 TB single
+    * task). This implementation decomposes it exactly:
+    *   1. aggregate per (lang, quality) class — ≤ 10002 rows per lang,
+    *      whatever the corpus size;
+    *   2. cumulative-sum over CLASSES (a window over the tiny
+    *      aggregate) to find each lang's budget boundary;
+    *   3. classes fully inside the budget keep all their docs via a
+    *      broadcast-sized semi join — no doc-level window at all;
+    *   4. only the ONE boundary class per lang runs a doc-level
+    *      ordered prefix, partitioned by (lang, quality) — the skew
+    *      bound is the largest single quality class, not the largest
+    *      domain (degenerate only if one class IS the domain).
+    * Output is row-identical to the naive single-window form (the
+    * oracle below and PropertySpec's equivalence fuzz both assert it);
+    * `cum_tokens` is intentionally not a output column — emitting it
+    * would force the per-doc prefix back in for every kept row.
+    */
+  def tokenBudget(d: DataFrame, budget: Long = 3000L): DataFrame = {
+    val q = coalesce(
+      expr("CAST(CAST(length(regexp_replace(text, '[^\\\\p{L}]', '')) AS BIGINT)" +
+        " * 10000 DIV nullif(length(text), 0) AS BIGINT)"), lit(-1L))
+    val base = d.select(col("lang"), col("doc_id"), q.as("q_x10000"),
+      size(TextOps.wsTokens(col("text"))).cast("bigint").as("n_tokens"))
+    val classes = base.groupBy("lang", "q_x10000")
+      .agg(sum("n_tokens").as("class_tokens"))
+    // tokens in all strictly-better quality classes of the same lang
+    val wPrev = Window.partitionBy("lang").orderBy(col("q_x10000").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val annotated = classes.withColumn("cum_before",
+      coalesce(sum("class_tokens").over(wPrev), lit(0L)))
+    val full = annotated
+      .filter(col("cum_before") + col("class_tokens") <= budget)
+    // cum_before <= budget (not <): a zero-token doc sitting exactly
+    // at the boundary is kept by the naive form and must be here too
+    val boundary = annotated.filter(col("cum_before") <= budget &&
+      col("cum_before") + col("class_tokens") > budget)
+    val keptFull = base
+      .join(full.select("lang", "q_x10000"), Seq("lang", "q_x10000"), "left_semi")
+    val wDoc = Window.partitionBy("lang", "q_x10000").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = base
+      .join(boundary.select("lang", "q_x10000", "cum_before"),
+        Seq("lang", "q_x10000"))
+      .withColumn("cum", col("cum_before") + sum("n_tokens").over(wDoc))
+      .filter(col("cum") <= budget)
+      .select(base.columns.map(col): _*)
+    keptFull.unionByName(keptBoundary)
+      .select(col("lang"), col("doc_id"), col("q_x10000"), col("n_tokens"))
+  }
+
+  val tokenBudgetSql: String =
+    """SELECT lang, doc_id, q_x10000, n_tokens FROM (
+      |  SELECT lang, doc_id, q_x10000, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY q_x10000 DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM (
+      |    SELECT lang, doc_id,
+      |      coalesce(CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+      |          AS BIGINT) * 10000 // nullif(length(text), 0), -1)
+      |        AS q_x10000,
+      |      CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |        t -> t <> '')) AS BIGINT) AS n_tokens
+      |    FROM documents))
+      |WHERE cum <= 3000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_per_group" -> ((s, d) =>
       samplePerGroup(Tables.load(s, d, "documents"), "lang")),
@@ -140,11 +224,14 @@ object Sampling {
     "q_sample_weighted" -> ((s, d) =>
       weightedSample(Tables.load(s, d, "documents"))),
     "q_shard_shuffle" -> ((s, d) =>
-      shardShuffle(Tables.load(s, d, "documents"))))
+      shardShuffle(Tables.load(s, d, "documents"))),
+    "q_sample_token_budget" -> ((s, d) =>
+      tokenBudget(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
     "q_sample_per_group" -> samplePerGroupSql,
     "q_train_test_split" -> trainTestSplitSql,
     "q_sample_weighted" -> weightedSampleSql,
-    "q_shard_shuffle" -> shardShuffleSql)
+    "q_shard_shuffle" -> shardShuffleSql,
+    "q_sample_token_budget" -> tokenBudgetSql)
 }

@@ -308,4 +308,49 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"case $i phi=$phi cap=$cap n=${letterToks.length}")
     }
   }
+
+  test("tokenBudget two-pass decomposition == naive per-domain window") {
+    // The operator's whole point is replacing the per-domain global
+    // cumulative window with a class-histogram + boundary-class-only
+    // doc window; this fuzz pins row-identical output. The vocabulary
+    // is tiny so quality classes collide hard (every lang gets a fat
+    // boundary class), and empty/zero-token/punct-only docs hit the
+    // NULL-quality and zero-token edges of the boundary rule.
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Array("aa", "bb", "cc!", "d.", "123", "!!")
+    val docs = (0 until 400).map { i =>
+      val text = Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+        .mkString(" ")
+      (s"l${rnd.nextInt(3)}", i.toLong, text)
+    }.toDF("lang", "doc_id", "text")
+    docs.createOrReplaceTempView("docs_tb")
+    Seq(0L, 5L, 37L, 200L, 1000000L).foreach { budget =>
+      val got = graft.llm.Sampling.tokenBudget(docs, budget)
+      // NOT s-interpolated: the s interpolator processes \\ escapes even
+      // in triple quotes, and the SQL lexer then eats the lone backslash
+      // — '[^\p{L}]' silently becomes the regex [^p{L}] (this bit once)
+      val naive = spark.sql(
+        """SELECT lang, doc_id, q_x10000, n_tokens FROM (
+          |  SELECT lang, doc_id, q_x10000, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY lang
+          |      ORDER BY q_x10000 DESC, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS cum
+          |  FROM (
+          |    SELECT lang, doc_id,
+          |      coalesce(CAST(length(regexp_replace(text, '[^\\p{L}]', ''))
+          |          AS BIGINT) * 10000 DIV nullif(length(text), 0),
+          |        CAST(-1 AS BIGINT)) AS q_x10000,
+          |      CAST(size(filter(split(text, '\\s+'), t -> t <> ''))
+          |        AS BIGINT) AS n_tokens
+          |    FROM docs_tb))
+          |WHERE cum <= __BUDGET__""".stripMargin
+          .replace("__BUDGET__", budget.toString))
+      val extra = got.exceptAll(naive).count()
+      val missing = naive.exceptAll(got).count()
+      assert(extra === 0L && missing === 0L,
+        s"budget=$budget extra=$extra missing=$missing")
+    }
+  }
 }
