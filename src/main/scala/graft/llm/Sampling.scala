@@ -171,8 +171,14 @@ object Sampling {
     val q = coalesce(
       expr("CAST(CAST(length(regexp_replace(text, '[^\\\\p{L}]', '')) AS BIGINT)" +
         " * 10000 DIV nullif(length(text), 0) AS BIGINT)"), lit(-1L))
+    // materialize the compact doc-level base ONCE: three consumers
+    // (class histogram, full-class join, boundary join) would otherwise
+    // each re-scan the corpus WITH the text column — the one heavy
+    // column, dropped here after scoring. The checkpoint holds four
+    // narrow columns per doc (the curateFull pattern, Pipeline.scala)
     val base = d.select(col("lang"), col("doc_id"), q.as("q_x10000"),
       size(TextOps.wsTokens(col("text"))).cast("bigint").as("n_tokens"))
+      .localCheckpoint()
     val classes = base.groupBy("lang", "q_x10000")
       .agg(sum("n_tokens").as("class_tokens"))
     // tokens in all strictly-better quality classes of the same lang
