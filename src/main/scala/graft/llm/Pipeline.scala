@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * every piece of graft.llm exists for, as ONE declarative plan:
   *
   *   1. canonical dedup (keep the lowest doc_id per sorted-token-set
-  *      hash — broadcast semi-join of survivors);
+  *      hash — co-partitioned semi join of survivors; no broadcast
+  *      hint, the survivor set is ~corpus-sized at web scale);
   *   2. quality gate (token count, alpha ratio, stopword ratio);
   *   3. annotate: predicted language + order-sensitive fingerprint.
   *
-  * Because the whole pipeline is one Catalyst plan, the scan is read
-  * once, the dedup survivor set broadcasts, and every per-doc metric
-  * computes in the same codegen stage — at 100 TB the pipeline is one
-  * pass over the corpus plus one vocabulary-sized shuffle for dedup.
+  * Because the whole pipeline is one Catalyst plan, every per-doc
+  * metric computes in the same codegen stage — at 100 TB the pipeline
+  * is one pass over the corpus plus the key-hashed shuffles of the
+  * dedup (survivor aggregation + semi join on doc_id).
   */
 object Pipeline {
 
@@ -38,12 +39,9 @@ object Pipeline {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     kept
       .withColumn("n_tokens", size(toks).cast("bigint"))
-      // NULLIF guard: ANSI mode (the Spark 4 default) throws on DIV 0
-      // for an empty-text doc; DuckDB's // 0 yields NULL — NULL here
-      // matches, and the >= 7000 gate then drops the row in both
-      .withColumn("alpha_x10000",
-        expr("CAST(CAST(length(regexp_replace(text, '[^\\\\p{L}]', '')) AS BIGINT)" +
-          " * 10000 DIV nullif(length(text), 0) AS BIGINT)"))
+      // NULL (empty text) makes the >= 7000 gate drop the row in both
+      // engines; see alphaX10000OfText for the ANSI NULLIF rationale
+      .withColumn("alpha_x10000", TextOps.alphaX10000OfText)
       .withColumn("stop_hits",
         size(filter(toks, t => t.isin(stops: _*))).cast("bigint"))
       .filter(col("n_tokens") >= 20 &&
@@ -80,7 +78,8 @@ object Pipeline {
   }
 
   /** The FULL curation pipeline v2, composing the session's deeper
-    * operators end-to-end in one declarative plan:
+    * operators end-to-end (one plan per stage, split at the
+    * materialized dedup boundary below):
     *
     *   1. exact-dedup survivors (min doc_id per content hash, semi
     *      join — co-partitioned, no broadcast: at web scale the

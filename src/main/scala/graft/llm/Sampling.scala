@@ -168,9 +168,7 @@ object Sampling {
     * would force the per-doc prefix back in for every kept row.
     */
   def tokenBudget(d: DataFrame, budget: Long = 3000L): DataFrame = {
-    val q = coalesce(
-      expr("CAST(CAST(length(regexp_replace(text, '[^\\\\p{L}]', '')) AS BIGINT)" +
-        " * 10000 DIV nullif(length(text), 0) AS BIGINT)"), lit(-1L))
+    val q = coalesce(TextOps.alphaX10000OfText, lit(-1L))
     // materialize the compact doc-level base ONCE: three consumers
     // (class histogram, full-class join, boundary join) would otherwise
     // each re-scan the corpus WITH the text column — the one heavy

@@ -32,6 +32,20 @@ object TextOps {
   def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Integer alpha-quality score of the `text` column: letter chars *
+    * 10000 DIV total chars, NULL for empty text (the NULLIF keeps ANSI
+    * mode from throwing on the division). Integer-exact across engines
+    * — the property float ratios don't have. ONE definition shared by
+    * the curation quality gate ([[Pipeline.curate]]) and the
+    * token-budget sampler ([[Sampling.tokenBudget]]) so the gate and
+    * the sampler's quality classes can never drift. (expr string
+    * because DIV has no Column operator; it reads the column named
+    * `text`, which both call sites guarantee.)
+    */
+  val alphaX10000OfText: Column =
+    expr("CAST(CAST(length(regexp_replace(text, '[^\\\\p{L}]', '')) AS BIGINT)" +
+      " * 10000 DIV nullif(length(text), 0) AS BIGINT)")
+
   /** Word count over documents — the wc app on a columnar source. */
   def wordCount(d: DataFrame): DataFrame =
     graft.core.Layout.spread(d, "doc_id")

@@ -50,6 +50,20 @@ object GraphOps {
     * a supernode (hot dst) is an AQE skew case, and the aggregation
     * is algebraic so map-side combine absorbs most of it.
     */
+  /** Eagerly drop a localCheckpoint's storage blocks. NOTE
+    * `Dataset.unpersist` is a NO-OP for a checkpointed dataset: it only
+    * consults the CacheManager, which never sees a checkpoint's backing
+    * RDD (verified against Spark 4.1.2 — `localCheckpoint` persists the
+    * internal RDD directly and wraps it in a `LogicalRDD`). The blocks
+    * must be dropped on that RDD itself, reached via the plan's leaf.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def pageRank(
       edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
       tol: Double = 1e-7): DataFrame = {
@@ -90,12 +104,13 @@ object GraphOps {
       // early)
       val delta = next.agg(max(abs(col("rank") - col("prev")))).head()
         .getDouble(0)
-      // superseded rank snapshot: unpersist (localCheckpoint blocks
-      // would otherwise pin `iters` node-sized copies for the session;
-      // `next` is already materialized so nothing recomputes). The
-      // FINAL checkpoint must stay alive — it backs the returned
-      // DataFrame and a truncated lineage cannot recompute.
-      if (i > 0) ranks.unpersist()
+      // superseded rank snapshot: drop its blocks (they would otherwise
+      // pin `iters` node-sized copies until the ContextCleaner gets to
+      // them; `next` is already materialized so nothing recomputes).
+      // The FINAL checkpoint must stay alive — it backs the returned
+      // DataFrame and a truncated lineage cannot recompute. At i = 0
+      // `ranks` still derives from `nodes`, whose blocks are shared.
+      if (i > 0) freeCheckpoint(ranks)
       ranks = next.drop("prev")
       converged = delta < tol
       i += 1
@@ -103,8 +118,8 @@ object GraphOps {
     // loop-only intermediates; after >= 1 iteration the result plan
     // reads only the final checkpoint (with iters = 0 the init plan
     // still derives from nodes, which must then stay alive)
-    e.unpersist(); outW.unpersist()
-    if (i > 0) nodes.unpersist()
+    freeCheckpoint(e); freeCheckpoint(outW)
+    if (i > 0) freeCheckpoint(nodes)
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 

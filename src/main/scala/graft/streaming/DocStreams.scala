@@ -26,11 +26,15 @@ object DocStreams {
     * so per-batch decontamination needs NO cross-batch state at all —
     * the same pattern as the CDC upsert loop in StatefulStreamingSpec.
     *
-    * The reference side is static, materialized once (cached — a
-    * per-trigger recompute would re-run the scan + shingle explode +
-    * shuffle-distinct on every micro-batch), and broadcast — the same
-    * asymmetry contract as the batch operator: eval suites are small,
-    * the stream is the 100 TB side.
+    * The reference side is static, materialized once (an eager
+    * localCheckpoint — a per-trigger recompute would re-run the scan +
+    * shingle explode + shuffle-distinct on every micro-batch; NOT
+    * `cache()`, which would pin a CacheManager entry for the session
+    * per call with no handle to unpersist — checkpoint blocks are
+    * reclaimed by the ContextCleaner once the returned stream and its
+    * plan are unreachable), and broadcast — the same asymmetry
+    * contract as the batch operator: eval suites are small, the
+    * stream is the 100 TB side.
     */
   def decontaminate(
       docsStream: DataFrame, reference: DataFrame, n: Int = 3,
@@ -38,7 +42,7 @@ object DocStreams {
     import graft.functions.text.hashed_sorted_shingles
     val refSh = reference
       .select(explode(hashed_sorted_shingles(col("text"), n)).as("g"))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     docsStream
       .select(col("doc_id"),
         explode(hashed_sorted_shingles(col("text"), n)).as("g"))
