@@ -84,6 +84,76 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("budget")) {
+      // Token-budget probe: the naive form of per-domain budget
+      // selection is ONE cumulative-sum window PARTITIONED BY lang —
+      // and a web corpus is 40-90% one language, so the dominant
+      // domain sorts and scans through a single task. The two-pass
+      // class-histogram decomposition (Sampling.tokenBudget) claims
+      // identical output with the doc-level window confined to each
+      // domain's one boundary quality class. Synthesize the skew: 90%
+      // of docs in lang "en", ~220 quality classes from a varying
+      // letter/digit word mix. The transferable number is PEAK SINGLE
+      // TASK: at 100 TB the naive window's peak task IS the job.
+      import org.apache.spark.sql.expressions.Window
+      final class TaskPeak extends org.apache.spark.scheduler.SparkListener {
+        val maxRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            maxRunMs.getAndAccumulate(t.taskMetrics.executorRunTime, math.max)
+      }
+      Seq("1x (2M docs)" -> 2000000L, "4x (8M docs)" -> 8000000L)
+        .foreach { case (sizeLabel, nDocs) =>
+          val letters = (col("id") % 17 + 1).cast("int") // 1..17 words
+          val digits = (col("id") % 13).cast("int")      // 0..12 words
+          val docs = spark.range(nDocs).select(
+            when(col("id") % 10 < 9, lit("en"))
+              .otherwise(concat(lit("l"), col("id") % 10)).as("lang"),
+            col("id").as("doc_id"),
+            array_join(concat(
+              array_repeat(lit("aa"), letters),
+              array_repeat(lit("11"), digits)), " ").as("text"))
+            .localCheckpoint() // probe the operator, not the generation
+          // budget scales with the corpus so the selection cuts at the
+          // same relative depth (~1/3 of the dominant domain's tokens)
+          val budget = nDocs * 5L
+          def naive = {
+            val q = coalesce(graft.llm.TextOps.alphaX10000OfText, lit(-1L))
+            val base = docs.select(
+              col("lang"), col("doc_id"), q.as("q_x10000"),
+              size(graft.llm.TextOps.wsTokens(col("text"))).cast("bigint")
+                .as("n_tokens"))
+            val w = Window.partitionBy("lang")
+              .orderBy(col("q_x10000").desc, col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            base.withColumn("cum", sum("n_tokens").over(w))
+              .filter(col("cum") <= budget)
+              .select("lang", "doc_id", "q_x10000", "n_tokens")
+          }
+          Seq("naive window" -> (() => naive),
+            "two-pass" -> (() => graft.llm.Sampling.tokenBudget(docs, budget)))
+            .foreach { case (label, mk) =>
+              mk().count() // warm codegen/JIT
+              val l = new TaskPeak
+              spark.sparkContext.addSparkListener(l)
+              val t0 = System.nanoTime()
+              val rows = mk().count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              Thread.sleep(2000) // listener bus drains async
+              spark.sparkContext.removeSparkListener(l)
+              println(f"[budget-probe] $sizeLabel%-13s $label%-13s " +
+                f"$rows%9d kept  $dt%7.2f s  " +
+                f"peak task ${l.maxRunMs.get / 1e3}%6.2f s")
+            }
+          val tp = graft.llm.Sampling.tokenBudget(docs, budget)
+          val diff = naive.exceptAll(tp).count() + tp.exceptAll(naive).count()
+          println(s"[budget-probe] $sizeLabel symmetric diff rows = $diff (must be 0)")
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("bloom")) {
       // Decontamination prefilter probe: shuffle-join decontamination
       // (the large-reference shape) with and without the Bloom sketch
