@@ -51,6 +51,27 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum > 0.5 && got.values.max < 1.0)
   }
 
+  test("pageRank frees superseded checkpoint blocks (only the result stays)") {
+    // Regression for the no-op-unpersist finding: Dataset.unpersist
+    // does nothing for localCheckpointed datasets, so pageRank frees
+    // blocks via the LogicalRDD's RDD directly. After a multi-round
+    // run, exactly ONE of the RDDs it persisted may remain persisted —
+    // the final rank snapshot backing the returned DataFrame; edges,
+    // nodes, out-weights, and every superseded snapshot must be gone.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("c", "d", 2L), ("d", "a", 1L)).toDF("src", "dst", "w")
+    val result = GraphOps.pageRank(edges, iters = 4, tol = 0.0)
+    assert(result.count() === 4L) // materialize through the checkpoint
+    val added = sc.getPersistentRDDs.filter { case (id, r) =>
+      !before.contains(id) &&
+        r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+    }
+    assert(added.size === 1,
+      s"expected only the final snapshot persisted, found ${added.keys}")
+  }
+
   test("eventTransitions weights sum to (events - users) and self-loops exist") {
     val ev = Tables.load(spark, sfDir, "events")
     val edges = GraphOps.eventTransitions(ev)
