@@ -352,5 +352,13 @@ class PropertySpec extends SparkSpec {
       assert(extra === 0L && missing === 0L,
         s"budget=$budget extra=$extra missing=$missing")
     }
+    // partition invariance: the selection is a pure function of the
+    // data — the physical layout of the input must not change it
+    val ref = graft.llm.Sampling.tokenBudget(docs, 37L)
+    Seq(1, 13).foreach { p =>
+      val alt = graft.llm.Sampling.tokenBudget(docs.repartition(p), 37L)
+      assert(alt.exceptAll(ref).count() === 0L &&
+        ref.exceptAll(alt).count() === 0L, s"parts=$p changed the selection")
+    }
   }
 }
