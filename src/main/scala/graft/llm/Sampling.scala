@@ -220,6 +220,86 @@ object Sampling {
       |    FROM documents))
       |WHERE cum <= 3000""".stripMargin
 
+  /** Deterministic EPOCH UPSAMPLING — materializes the domain-mixing
+    * plan ([[CorpusOps.mixDomains]] computes the weights; this
+    * operator realizes them): every doc of a targeted language is
+    * emitted floor(w) or ceil(w) times, the fractional choice decided
+    * by a content-hash draw, so the output corpus hits the target mix
+    * in expectation with zero seed bookkeeping (pure row function:
+    * reproducible, partition-independent, duplicate-stable — the same
+    * contract as every operator in this file). Weights are integer
+    * permille ((target ‰ × total tokens) DIV domain tokens, capped at
+    * 4000 ‰ = 4 epochs) so both engines agree bit-exactly; the cap
+    * bounds output amplification, the standard guard against a tiny
+    * domain exploding the corpus.
+    *
+    * Scale: one domains-sized aggregation (tiny, broadcast back), then
+    * a map-side hash draw + explode — no shuffle touches the corpus.
+    */
+  def epochUpsample(d: DataFrame): DataFrame = {
+    val tgt = typedLit(Map(
+      "en" -> 300L, "zh" -> 250L, "es" -> 200L, "de" -> 150L, "fr" -> 100L))
+    val perLang = d.groupBy("lang")
+      .agg(sum(size(TextOps.wsTokens(col("text")))).cast("bigint")
+        .as("n_tokens"))
+    val total = perLang.agg(sum("n_tokens").cast("bigint").as("tot_tokens"))
+    val weights = perLang.crossJoin(broadcast(total))
+      .withColumn("permille", element_at(tgt, col("lang")))
+      // inner-join semantics vs the target map (mixDomains' contract);
+      // nullif guards the ANSI DIV against an all-empty-text domain
+      .filter(col("permille").isNotNull)
+      .withColumn("w_x1000",
+        expr("least(4000L, (permille * tot_tokens)" +
+          " DIV nullif(n_tokens, 0))"))
+      .filter(col("w_x1000").isNotNull)
+      .select("lang", "w_x1000")
+    val h = md5(col("text").cast("binary"))
+    val u = pmod(
+      (ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1))) * 131 +
+        ascii(substring(h, 3, 1)), lit(1000)).cast("bigint")
+    d.join(broadcast(weights), "lang")
+      .withColumn("n_copies",
+        expr("w_x1000 DIV 1000") +
+          when(u < col("w_x1000") % 1000, 1L).otherwise(0L))
+      // sequence(1, 0) in Spark steps BACKWARD ([1, 0]) — guard the
+      // zero-copy case with an empty array (explode then drops the row)
+      .withColumn("copy", explode(
+        when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("lang"), col("copy"),
+        col("n_copies").cast("bigint").as("n_copies"))
+  }
+
+  val epochUpsampleSql: String =
+    """WITH pl AS (
+      |  SELECT lang,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM pl),
+      |tgt(lang, permille) AS (VALUES
+      |  ('en', 300), ('zh', 250), ('es', 200), ('de', 150), ('fr', 100)),
+      |w AS (
+      |  SELECT pl.lang,
+      |    least(4000, (tgt.permille * tot.tot_tokens)
+      |      // nullif(pl.n_tokens, 0)) AS w_x1000
+      |  FROM pl JOIN tgt ON pl.lang = tgt.lang CROSS JOIN tot
+      |  WHERE (tgt.permille * tot.tot_tokens)
+      |    // nullif(pl.n_tokens, 0) IS NOT NULL),
+      |counted AS (
+      |  SELECT d.doc_id, d.lang,
+      |    w.w_x1000 // 1000 + CASE WHEN
+      |      ((ascii(substr(md5(d.text), 1, 1)) * 131 +
+      |        ascii(substr(md5(d.text), 2, 1))) * 131 +
+      |       ascii(substr(md5(d.text), 3, 1))) % 1000 < w.w_x1000 % 1000
+      |      THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN w ON d.lang = w.lang)
+      |SELECT doc_id, lang,
+      |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy,
+      |  CAST(n_copies AS BIGINT) AS n_copies
+      |FROM counted
+      |WHERE n_copies >= 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_per_group" -> ((s, d) =>
       samplePerGroup(Tables.load(s, d, "documents"), "lang")),
@@ -230,12 +310,15 @@ object Sampling {
     "q_shard_shuffle" -> ((s, d) =>
       shardShuffle(Tables.load(s, d, "documents"))),
     "q_sample_token_budget" -> ((s, d) =>
-      tokenBudget(Tables.load(s, d, "documents"))))
+      tokenBudget(Tables.load(s, d, "documents"))),
+    "q_sample_epochs" -> ((s, d) =>
+      epochUpsample(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
     "q_sample_per_group" -> samplePerGroupSql,
     "q_train_test_split" -> trainTestSplitSql,
     "q_sample_weighted" -> weightedSampleSql,
     "q_shard_shuffle" -> shardShuffleSql,
-    "q_sample_token_budget" -> tokenBudgetSql)
+    "q_sample_token_budget" -> tokenBudgetSql,
+    "q_sample_epochs" -> epochUpsampleSql)
 }

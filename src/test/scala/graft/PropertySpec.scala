@@ -361,4 +361,38 @@ class PropertySpec extends SparkSpec {
         ref.exceptAll(alt).count() === 0L, s"parts=$p changed the selection")
     }
   }
+
+  test("epochUpsample copies are floor/ceil of the permille weight and stable") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val out = graft.llm.Sampling.epochUpsample(d)
+    // per-doc: emitted rows agree with n_copies and are numbered 1..n
+    out.groupBy("doc_id", "n_copies")
+      .agg(count(lit(1)).as("rows"), max("copy").as("mx"),
+        min("copy").as("mn"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === r.getLong(2) && r.getLong(3) === r.getLong(1)
+          && r.getLong(4) === 1L, s"inconsistent copy numbering: $r")
+      }
+    // independent replay of the integer-permille weight formula
+    val toks = d.select(col("lang"),
+      size(graft.llm.TextOps.wsTokens(col("text"))).cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("n_tokens")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = toks.values.sum
+    val tgt = Map("en" -> 300L, "zh" -> 250L, "es" -> 200L, "de" -> 150L,
+      "fr" -> 100L)
+    val w = tgt.flatMap { case (l, p) =>
+      toks.get(l).map(n => l -> math.min(4000L, p * tot / n)) }
+    out.select("lang", "n_copies").distinct().collect().foreach { r =>
+      val base = w(r.getString(0)) / 1000
+      assert(r.getLong(1) === base || r.getLong(1) === base + 1,
+        s"${r.getString(0)}: ${r.getLong(1)} copies outside floor/ceil " +
+          s"of ${w(r.getString(0))} permille")
+    }
+    // partition invariance (pure row function contract)
+    val alt = graft.llm.Sampling.epochUpsample(d.repartition(7))
+    assert(out.exceptAll(alt).count() === 0L &&
+      alt.exceptAll(out).count() === 0L)
+  }
 }
