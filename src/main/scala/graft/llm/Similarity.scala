@@ -347,8 +347,11 @@ object Similarity {
     * over the int8-QUANTIZED embedding (reusing [[quantizeInt8]]'s
     * max-abs scale): out[j] = sum_i q[i] * sign(i, j), where the sign
     * matrix derives from a linear-congruential generator
-    * (lcg(x) = (1103515245 x + 12345) mod 2^31, parity = sign — the
-    * classic Achlioptas ±1 projection with a seed both engines can
+    * (lcg(x) = (1103515245 x + 12345) mod 2^31; sign = bit 16 of the
+    * state, NOT the low bit — an LCG's low bit has period 2, which
+    * would make sign(i, j) independent of j and collapse every output
+    * dimension to the same value. Bit 16 is the classic libc rand()
+    * fix. The Achlioptas ±1 projection with a seed both engines can
     * evaluate in exact integer arithmetic).
     *
     * Projecting the quantized ints instead of the raw floats keeps
@@ -361,7 +364,9 @@ object Similarity {
     */
   def jlProject(e: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame = {
     def sign(i: Column, j: Column): Column =
-      when(((lit(1103515245L) * (j * inDim + i) + 12345L) % 2147483648L) % 2 === 0,
+      when(shiftright(
+        (lit(1103515245L) * (j * inDim + i) + 12345L) % 2147483648L,
+        16) % 2 === 0,
         lit(1L)).otherwise(lit(-1L))
     withQuantized(e)
       .select(
@@ -373,13 +378,25 @@ object Similarity {
         round(col("scale"), 9).as("scale_r"))
   }
 
+  /** Driver-facing shape of [[jlProject]]: the grading harness
+    * canonicalizes results with a pandas sort, which cannot hash an
+    * array column — so the projection vector is emitted as a CSV
+    * string (bigint-to-decimal rendering is locale-free and identical
+    * in Spark and DuckDB, so the hash check stays bit-exact).
+    */
+  def jlProjectFlat(e: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame =
+    jlProject(e, outDim, inDim).select(
+      col("vec_id"),
+      array_join(col("proj").cast("array<string>"), ",").as("proj_csv"),
+      col("scale_r"))
+
   val jlProjectSql: String =
     """SELECT vec_id,
       |  list_transform(range(16), j -> CAST(list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
       |      list_transform(range(64), i -> q[i + 1] *
-      |        CASE WHEN ((1103515245 * (j * 64 + i) + 12345)
-      |                   % 2147483648) % 2 = 0
+      |        CASE WHEN (((1103515245 * (j * 64 + i) + 12345)
+      |                    % 2147483648) >> 16) % 2 = 0
       |             THEN 1 ELSE -1 END)),
       |    (a, b) -> a + b) AS BIGINT)) AS proj,
       |  round(scale, 9) AS scale_r
@@ -393,6 +410,16 @@ object Similarity {
       |    FROM (SELECT vec_id,
       |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
       |          FROM embeddings)))""".stripMargin
+
+  /** [[jlProjectSql]] reshaped to match [[jlProjectFlat]]. */
+  val jlProjectFlatSql: String =
+    s"""SELECT vec_id,
+       |  array_to_string(list_transform(proj, x -> CAST(x AS VARCHAR)), ',')
+       |    AS proj_csv,
+       |  scale_r
+       |FROM (
+       |$jlProjectSql
+       |)""".stripMargin
 
   /** Centroid per label (classification-ish aggregate over vectors):
     * element-wise mean via posexplode + group — algebraic, partial-agg
@@ -447,7 +474,7 @@ object Similarity {
         codebook = Some(cachedCentroids(s, d)))
     }),
     "q_embed_quantize" -> ((s, d) => quantizeInt8(emb(s, d))),
-    "q_embed_project" -> ((s, d) => jlProject(emb(s, d))),
+    "q_embed_project" -> ((s, d) => jlProjectFlat(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
 
   /** q_knn_lsh / q_knn_ivf depend on seeded hyperplanes / iterative
@@ -457,6 +484,6 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> bruteForceTopKSql,
     "q_embed_quantize" -> quantizeInt8Sql,
-    "q_embed_project" -> jlProjectSql,
+    "q_embed_project" -> jlProjectFlatSql,
     "q_label_centroid" -> labelCentroidNormSql)
 }
