@@ -97,6 +97,11 @@ object Bench {
     val failedFull = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val chosen = results.map { case (k, ss, ok) => (k, ss.min, ok) }
     val total = chosen.collect { case (_, v, true) => v }.sum
+    // First-sample sum: the cost a FRESH cluster pays (codegen compile,
+    // AQE first plan, page-cache misses). min-of-2 is the regression-
+    // tracking statistic; cold_total keeps the first-run story honest
+    // (r7 spread: q_dedup_edit 17.5 s cold vs 2.25 s warm).
+    val coldTotal = results.collect { case (_, ss, true) => ss.head }.sum
 
     // Complete map, full precision, alphabetical, plus every raw
     // sample — written to a file the driver commits with the round, so
@@ -109,7 +114,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_$runs","queries":$fullQs,"samples":$fullSamples,"failed":$failedFull,"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_$runs","cold_total":${ms3(coldTotal)},"queries":$fullQs,"samples":$fullSamples,"failed":$failedFull,"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -127,7 +132,7 @@ object Bench {
       ",\"sf\":\"" + jsonEscape(sfDir) + "\"" +
       ",\"nq\":" + results.size +
       ",\"full\":\"" + jsonEscape(outPath) + "\"}"
-    val head = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_$runs","queries":{"""
+    val head = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_$runs","cold_total":${ms3(coldTotal)},"queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     var omitted = 0
