@@ -727,15 +727,25 @@ object Dedup {
     * at +128 bytes per banded row. Candidate pairs found by several
     * bands score identically, so the final distinct() collapses them.
     */
-  def minhashPairs(d: DataFrame, minAgree: Double = 0.5): DataFrame = {
-    val withSig = minhashSignatures(d)
+  def minhashPairs(d: DataFrame, minAgree: Double = 0.5): DataFrame =
+    minhashBandJoin(minhashSignatures(d), minAgree,
+      band => xxhash64(band.cast("string")))
+
+  /** LSH banding + signature agreement shared by the kernel and the
+    * ANSI-replayable signature variants: explode each signature into
+    * `nBands` (band, bucket) rows, self-join on bucket equality, score
+    * agreement across the full signature carried through the join.
+    */
+  private def minhashBandJoin(
+      withSig: DataFrame, minAgree: Double,
+      bucketOf: Column => Column): DataFrame = {
     val nBands = MinhashK / BandSize
     val banded = withSig.select(
       col("doc_id"), col("sig"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * BandSize + 1, BandSize)
-            .cast("string")).as("bucket"))
+          bucketOf(slice(col("sig"), b * BandSize + 1, BandSize))
+            .as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -750,6 +760,95 @@ object Dedup {
           .cast("double") / MinhashK).as("est_jaccard"))
       .filter(col("est_jaccard") >= minAgree)
       .distinct()
+  }
+
+  /** ANSI-replayable MinHash: same shingle convention and affine
+    * permutation family as [[minhashSignatures]], but the shingle's
+    * base hash is the first 8 hex chars of md5 (mod the Mersenne
+    * prime) instead of xxhash64 — md5 is the one hash both Spark and
+    * DuckDB evaluate identically, so the DRIVER oracle replays the
+    * full signature bit-exactly (the xxhash64 kernel variant is
+    * checked against spec ground truth instead). Same map-only shape:
+    * md5 runs once per shingle (`hh` is materialized in its own
+    * projection — 16 references would otherwise re-inline it), the k
+    * component mins are codegen'd HOF passes over the hashed array.
+    */
+  def minhashSignaturesExact(d: DataFrame): DataFrame = {
+    val tk = TextOps.wsTokens(col("text"))
+    val shingles = when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", slice(tk, i, lit(3)))))
+      .otherwise(array(concat_ws(" ", tk)))
+    val hh = transform(shingles, s =>
+      pmod(conv(substring(md5(s.cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(Prime)))
+    graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"), hh.as("hh"))
+      .select(col("doc_id"),
+        array(perms.map { case (a, b) =>
+          array_min(transform(col("hh"), h => (h * a + b) % Prime))
+        }: _*).as("sig"))
+  }
+
+  /** [[minhashPairs]] over the md5-family signatures — the driver
+    * query: every stage (tokenize, shingle, hash, permute, band,
+    * join, score) has an exact DuckDB mirror in
+    * [[minhashPairsExactSql]]. The band bucket is the band's
+    * components joined as CSV (no bucket hash needed — equality on
+    * the string is equality on the band).
+    */
+  def minhashPairsExact(d: DataFrame, minAgree: Double = 0.5): DataFrame =
+    minhashBandJoin(minhashSignaturesExact(d), minAgree,
+      band => concat_ws(",", band.cast("array<string>")))
+
+  /** Exact DuckDB replay of [[minhashPairsExact]]. The permutation
+    * coefficients and the component list are generated from the same
+    * `perms` the Spark side uses — one source, no hand-copied
+    * constants.
+    */
+  val minhashPairsExactSql: String = {
+    val sigEntries = perms.map { case (a, b) =>
+      s"list_min(list_transform(hh, h -> (h * $a + $b) % $Prime))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    val nBands = MinhashK / BandSize
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+       |      AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_transform(range(len(tk) - 2),
+       |             i -> array_to_string(tk[i + 1:i + 3], ' '))
+       |      ELSE [array_to_string(tk, ' ')] END AS shingles
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s ->
+       |      list_reduce(list_transform(range(8), i ->
+       |        CAST(strpos('0123456789abcdef', substr(md5(s), i + 1, 1)) - 1
+       |          AS BIGINT)),
+       |        (a, b) -> a * 16 + b) % $Prime) AS hh
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigEntries AS sig
+       |  FROM hs),
+       |banded AS (
+       |  SELECT doc_id, sig, b.band AS band,
+       |    array_to_string(sig[b.band * $BandSize + 1:b.band * $BandSize + $BandSize], ',')
+       |      AS bucket
+       |  FROM sig, (SELECT unnest(range($nBands)) AS band) b)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_filter(range($MinhashK),
+       |    i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE) / $MinhashK
+       |    AS est_jaccard
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_filter(range($MinhashK),
+       |    i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE) / $MinhashK >= 0.5""".stripMargin
   }
 
   // ---------------------------------------------------------- simhash
@@ -1294,14 +1393,18 @@ object Dedup {
     "q_dedup_prefix" -> ((s, d) => prefixDups(docs(s, d))),
     "q_dedup_embedding" -> ((s, d) =>
       embeddingPairs(graft.core.Tables.load(s, d, "embeddings"))),
-    "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
+    "q_dedup_minhash" -> ((s, d) => minhashPairsExact(docs(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashPairsBanded(docs(s, d))))
 
-  /** minhash/simhash/embedding-LSH are not ANSI-SQL-expressible (seeded
+  /** simhash/embedding-LSH are not ANSI-SQL-expressible (seeded
     * xxhash64 / hyperplanes) — rows-only driver check; ScalaTest
-    * asserts them against brute-force ground truth instead.
+    * asserts them against brute-force ground truth instead. minhash
+    * IS oracle-checked via its md5 hash family
+    * ([[minhashPairsExact]]); the xxhash64 kernel path keeps its spec
+    * ground truth.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashPairsExactSql,
     "q_dedup_substring" -> duplicateSpansSql,
     "q_dedup_substring_clean" -> duplicateSpanRemoveSql,
     "q_dedup_decontam" -> decontaminateSql,

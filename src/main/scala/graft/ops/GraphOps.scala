@@ -123,12 +123,119 @@ object GraphOps {
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** ANSI-replayable PageRank: FIXED iteration count and SCALED-INTEGER
+    * arithmetic, so a (non-recursive, unrolled) DuckDB CTE chain
+    * replays every rank bit-exactly — float power iteration is not
+    * oracle-checkable because float addition does not commute across
+    * partitionings. Ranks live as `rank * scale` bigints; each
+    * iteration is
+    *   rank' = base + (dp * in_rank) DIV 1000,
+    *   in_rank = sum over in-edges of (rank * w) DIV out_w,
+    * with base = ((1000 - dp) * (scale DIV n)) DIV 1000 — every
+    * division integer, every operand nonnegative, so Spark DIV and
+    * DuckDB // agree exactly. Same distributed shape as [[pageRank]]
+    * (two co-partitioned joins + one algebraic agg per round,
+    * checkpoint-bounded lineage); `scale` caps rank*w at ~1e12 * max
+    * edge weight — far from bigint overflow for any real corpus graph.
+    * Truncation loses < n * iters / scale of total mass — ordering at
+    * scale=1e12 is unaffected for any graph whose ranks differ by more
+    * than 1e-9.
+    */
+  def pageRankScaled(
+      edges: DataFrame, iters: Int = 10, dampingPermille: Int = 850,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    val outW = e.groupBy(col("src")).agg(sum("w").as("out_w"))
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRankScaled needs a non-empty edge table")
+    val init = scale / n
+    val base = ((1000L - dampingPermille) * init) / 1000L
+    var ranks = nodes.withColumn("rank_scaled", lit(init))
+    var i = 0
+    while (i < iters) {
+      val contribs = ranks
+        .join(e, col("node") === col("src"))
+        .join(outW, "src")
+        .select(col("dst").as("node"),
+          expr("rank_scaled * w DIV out_w").as("c"))
+        .groupBy("node").agg(sum("c").as("in_rank"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampingPermille * coalesce(in_rank, CAST(0 AS BIGINT)))" +
+              " DIV 1000")).as("rank_scaled"))
+        .localCheckpoint()
+      if (i > 0) freeCheckpoint(ranks)
+      ranks = next
+      i += 1
+    }
+    freeCheckpoint(e); freeCheckpoint(outW)
+    if (iters > 0) freeCheckpoint(nodes)
+    ranks
+  }
+
+  /** DuckDB replay of [[pageRankScaled]] over the same
+    * event-transition graph: the power iteration is UNROLLED into one
+    * plain CTE per round (generated from the same iteration count and
+    * constants the Spark side uses — recursive-CTE aggregation
+    * restrictions never enter the picture).
+    */
+  def pageRankScaledSql(
+      iters: Int = 10, dampingPermille: Int = 850,
+      scale: Long = 1000000000000L): String = {
+    val head =
+      s"""WITH edges AS (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT event_type AS src,
+         |      lead(event_type) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |    FROM events)
+         |  WHERE dst IS NOT NULL GROUP BY src, dst),
+         |outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |consts AS (
+         |  SELECT $scale // n AS init,
+         |    ((1000 - $dampingPermille) * ($scale // n)) // 1000 AS base
+         |  FROM nn),
+         |r0 AS (
+         |  SELECT node, (SELECT init FROM consts) AS rank_scaled
+         |  FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (SELECT base FROM consts)
+         |      + ($dampingPermille * coalesce(c.in_rank, 0)) // 1000
+         |      AS rank_scaled
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum((p.rank_scaled * e.w) // o.out_w) AS in_rank
+         |    FROM r${i - 1} p
+         |    JOIN edges e ON p.node = e.src
+         |    JOIN outw o ON e.src = o.src
+         |    GROUP BY e.dst) c ON nodes.node = c.node)""".stripMargin
+    }.mkString
+    // DuckDB's sum() widens to HUGEINT — cast back so the driver
+    // canonicalizes both sides as int64
+    s"$head$rounds\nSELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r$iters"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s, d) =>
-      pageRank(eventTransitions(Tables.load(s, d, "events")))))
+      pageRankScaled(eventTransitions(Tables.load(s, d, "events")))))
 
-  /** Iterative float power iteration — not ANSI-expressible; rows-only
-    * driver check, ground truth replayed in GraphSpec.
+  /** The driver query is the scaled-integer fixed-iteration form, so
+    * it IS oracle-checkable; the float [[pageRank]] (convergence stop,
+    * production default) keeps its GraphSpec ground truth.
     */
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" -> pageRankScaledSql())
 }

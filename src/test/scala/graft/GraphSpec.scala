@@ -51,6 +51,33 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum > 0.5 && got.values.max < 1.0)
   }
 
+  test("pageRankScaled matches an exact integer replay on the event graph") {
+    val edges = GraphOps.eventTransitions(Tables.load(spark, sfDir, "events"))
+    val es = edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val outW = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val scale = 1000000000000L
+    val dp = 850L
+    val init = scale / nodes.size
+    val base = ((1000L - dp) * init) / 1000L
+    var rank = nodes.map(_ -> init).toMap
+    for (_ <- 0 until 10) {
+      val in = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => rank(s) * w / outW(s) }.sum).toMap
+      rank = nodes.map(n => n -> (base + dp * in.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    val got = GraphOps.pageRankScaled(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === rank, "scaled-integer ranks must replay EXACTLY")
+    // scaled ranks track the float operator's ordering
+    val fl = GraphOps.pageRank(edges).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.toSeq.sortBy(-_._2).map(_._1) ===
+      fl.toSeq.sortBy(-_._2).map(_._1),
+      "integer and float PageRank must agree on node ordering")
+  }
+
   test("pageRank frees superseded checkpoint blocks (only the result stays)") {
     // Regression for the no-op-unpersist finding: Dataset.unpersist
     // does nothing for localCheckpointed datasets, so pageRank frees

@@ -35,6 +35,23 @@ class LlmSpec extends SparkSpec {
       s"unrelated docs must not pass 0.5 agreement: ${pairs.mkString(",")}")
   }
 
+  test("minhash md5 family (driver query) behaves like the kernel family") {
+    // same estimator, different hash family: identical docs still
+    // collide on every component, unrelated docs still never pass
+    val pairs = Dedup.minhashPairsExact(synth, minAgree = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dup = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(dup.isDefined && dup.get._3 === 1.0)
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L || p._2 == 5L))
+    // and on the real corpus the two families agree on the pair SET at
+    // the 0.5 threshold (both estimate the same underlying jaccard)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.minhashPairsExact(docs)) ===
+      pairSet(Dedup.minhashPairs(docs)),
+      "hash families disagree on sf0.001 near-dup pairs")
+  }
+
   test("minhash estimate tracks true shingle jaccard on real corpus") {
     val pairs = Dedup.minhashPairs(docs, minAgree = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
