@@ -921,6 +921,95 @@ object Dedup {
       .distinct()
   }
 
+  /** ANSI-replayable SimHash: 60-bit fingerprint (15 md5 hex chars per
+    * token — the widest hash both engines derive identically without
+    * overflowing a signed bigint) instead of the xxhash64 kernel's 64.
+    * A bit is set iff strictly more token occurrences vote 1 than 0
+    * (2 * count_ones > count — the integer form of the vote sum, no
+    * +1/-1 accumulator needed). Map-only: md5 once per token into a
+    * materialized `hh` column, then 60 codegen'd filter passes.
+    */
+  def simhashExact(d: DataFrame): DataFrame = {
+    val tk = TextOps.wsTokens(col("text"))
+    val hh = transform(tk, t =>
+      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val sig = (0 until 60).map { b =>
+      when(size(filter(col("hh"),
+        h => h.bitwiseAND(lit(1L << b)) =!= 0)) * 2 > size(col("hh")),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"), hh.as("hh"))
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** [[simhashPairsBanded]] over the md5-family fingerprint — the
+    * driver query, mirrored bit-exactly by [[simhashPairsExactSql]].
+    * 4 bands of 15 bits; pigeonhole completeness at maxHamming < 4 is
+    * the same argument as the kernel path's.
+    */
+  def simhashPairsExact(d: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = 4
+    val bandBits = 15
+    val mask = (1L << bandBits) - 1
+    require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
+    val sh = simhashExact(d)
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+            .as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact DuckDB replay of [[simhashPairsExact]]. */
+  val simhashPairsExactSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+       |      AS tk
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(tk, t ->
+       |      list_reduce(list_transform(range(15), i ->
+       |        CAST(strpos('0123456789abcdef', substr(md5(t), i + 1, 1)) - 1
+       |          AS BIGINT)),
+       |        (a, b) -> a * 16 + b)) AS hh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(60), b ->
+       |        CASE WHEN 2 * len(list_filter(hh, h -> (h >> b) & 1 = 1))
+       |                  > len(hh)
+       |             THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT)
+       |        END)),
+       |      (a, b) -> a + b) AS simhash
+       |  FROM hs),
+       |banded AS (
+       |  SELECT doc_id, simhash, b.band AS band,
+       |    (simhash >> (b.band * 15)) & 32767 AS bits
+       |  FROM sig, (SELECT unnest(range(4)) AS band) b)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   /** The DEDUPLICATED CORPUS — what a pipeline user actually runs: one
     * survivor (the min-doc_id member) per near-dup cluster, with the
     * member count it stands for. Composes [[dupClusters]] (itself the
@@ -1394,17 +1483,18 @@ object Dedup {
     "q_dedup_embedding" -> ((s, d) =>
       embeddingPairs(graft.core.Tables.load(s, d, "embeddings"))),
     "q_dedup_minhash" -> ((s, d) => minhashPairsExact(docs(s, d))),
-    "q_dedup_simhash" -> ((s, d) => simhashPairsBanded(docs(s, d))))
+    "q_dedup_simhash" -> ((s, d) => simhashPairsExact(docs(s, d))))
 
-  /** simhash/embedding-LSH are not ANSI-SQL-expressible (seeded
-    * xxhash64 / hyperplanes) — rows-only driver check; ScalaTest
-    * asserts them against brute-force ground truth instead. minhash
-    * IS oracle-checked via its md5 hash family
-    * ([[minhashPairsExact]]); the xxhash64 kernel path keeps its spec
+  /** embedding-LSH is not ANSI-SQL-expressible (seeded hyperplanes) —
+    * rows-only driver check; ScalaTest asserts it against brute-force
+    * ground truth instead. minhash and simhash ARE oracle-checked via
+    * their md5 hash families ([[minhashPairsExact]],
+    * [[simhashPairsExact]]); the xxhash64 kernel paths keep their spec
     * ground truth.
     */
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashPairsExactSql,
+    "q_dedup_simhash" -> simhashPairsExactSql,
     "q_dedup_substring" -> duplicateSpansSql,
     "q_dedup_substring_clean" -> duplicateSpanRemoveSql,
     "q_dedup_decontam" -> decontaminateSql,

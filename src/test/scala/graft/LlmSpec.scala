@@ -208,6 +208,28 @@ class LlmSpec extends SparkSpec {
       s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
   }
 
+  test("md5-family simhash (driver query) equals brute force too") {
+    // the oracle-checkable 60-bit family obeys the same pigeonhole
+    // guarantee as the 64-bit kernel family
+    val sh = Dedup.simhashExact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashPairsExact(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute,
+      s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+    // identical docs carry identical fingerprints in this family too
+    val synthSh = Dedup.simhashExact(synth).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(synthSh(1L) === synthSh(2L))
+    assert(java.lang.Long.bitCount(synthSh(1L) ^ synthSh(3L)) <
+      java.lang.Long.bitCount(synthSh(1L) ^ synthSh(4L)),
+      "near-dup must be closer than unrelated")
+  }
+
   test("lsh embedding pairs: exact precision, high recall on strong pairs") {
     val vecs = emb.collect()
       .map(r => r.getLong(0) ->
