@@ -611,9 +611,30 @@ object Multimodal {
     * one band (pigeonhole), so the bucketed join is COMPLETE while
     * sub-quadratic; verification is a bit_count inside the join stage.
     */
-  private[llm] def bandedHammingPairs(
-      hashes: DataFrame, maxHamming: Int, nBands: Int): DataFrame = {
+  /** Adaptive HOT-BUCKET SALTING, same discipline as
+    * [[Dedup.prefixRankJoin]]: a duplicate-heavy corpus (the realistic
+    * near-dup regime — one viral image re-posted n times) puts n
+    * identical hashes in one (band, key) bucket, whose self-join emits
+    * n^2/2 pairs from ONE task. AQE's skew split cannot help: it
+    * detects byte-skew of join INPUTS, and these inputs are tiny while
+    * the OUTPUT explodes. Buckets whose membership exceeds
+    * `saltTarget` are split deterministically — the probe side picks
+    * pmod(xxhash64(doc_id), nsalt), the build side replicates across
+    * all nsalt sub-buckets — so every pair still meets exactly once
+    * and the per-task pair count drops to ~n * saltTarget. Bucket
+    * sizes come from a count-over-window on the banded rows (NOT a
+    * broadcast-joined aggregate: the window's exchange is shared by
+    * both join sides, so the upstream hash computation — a full media
+    * DECODE for the image path — still runs once). Cold buckets pay
+    * nothing (nsalt = 1, probe salt 0, build explodes a 1-element
+    * range). saltTarget < 0 disables the window entirely and restores
+    * the symmetric self-join (one exchange, reused).
+    */
+  private[graft] def bandedHammingPairs(
+      hashes: DataFrame, maxHamming: Int, nBands: Int,
+      saltTarget: Int = 1024): DataFrame = {
     require(maxHamming < nBands, "pigeonhole completeness needs h < bands")
+    require(saltTarget != 0, "saltTarget must be nonzero (negative disables)")
     val width = 64 / nBands
     val mask = (1L << width) - 1
     val bandCols = (0 until nBands).map { b =>
@@ -625,9 +646,29 @@ object Multimodal {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("phash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
+    val (probe, build) =
+      if (saltTarget < 0) {
+        val p = banded.withColumn("salt", lit(0))
+        (p, p)
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "key")
+        val withN = banded.withColumn("nsalt",
+          when(count(lit(1)).over(w) > saltTarget,
+            // cap: the build side materializes a sequence per row
+            // before exploding; the cap only coarsens the split
+            least(ceil(count(lit(1)).over(w).cast("double") / saltTarget),
+              lit(65536)))
+            .otherwise(lit(1)).cast("int"))
+        (withN.withColumn("salt",
+          pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int")),
+          withN.withColumn("salt",
+            explode(sequence(lit(0), col("nsalt") - 1))))
+      }
+    probe.as("a")
+      .join(build.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.salt") === col("b.salt") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))

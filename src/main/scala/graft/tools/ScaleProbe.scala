@@ -84,6 +84,57 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("hamming")) {
+      // Banded-hamming skew probe: a duplicate-heavy corpus (viral
+      // image re-posted n times) puts n identical hashes in one
+      // (band, key) bucket -> n^2/2 pairs from ONE task. Plant two
+      // such clusters that GROW with the corpus (the realistic viral
+      // regime: 1x -> 4x corpus means 4x cluster membership, 16x its
+      // pair count) over a unique-hash background, and measure wall +
+      // peak single task with the adaptive salting off vs on. Also
+      // asserts the salted result is pair-for-pair identical.
+      final class TaskPeak extends org.apache.spark.scheduler.SparkListener {
+        val maxRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            maxRunMs.getAndAccumulate(t.taskMetrics.executorRunTime, math.max)
+      }
+      Seq("1x (1M hashes, 2x1500-dup)" -> ((1000000L, 1500L)),
+        "4x (4M hashes, 2x6000-dup)" -> ((4000000L, 6000L)))
+        .foreach { case (label, (n, c)) =>
+          val hashes = spark.range(n).select(
+            col("id").as("doc_id"),
+            when(col("id") < c, lit(0x1234567890abcdefL))
+              .when(col("id") < 2 * c, lit(0x0fedcba987654321L))
+              .otherwise(xxhash64(col("id"))).as("phash"))
+            .localCheckpoint() // probe the join, not the generation
+          var counts = Map.empty[String, Long]
+          Seq("unsalted" -> -1, "salt1024" -> 1024, "salt256" -> 256)
+            .foreach {
+            case (sl, st) =>
+              def pairs = graft.llm.Multimodal
+                .bandedHammingPairs(hashes, maxHamming = 3, nBands = 4,
+                  saltTarget = st)
+              pairs.count() // warm codegen/JIT
+              val l = new TaskPeak
+              spark.sparkContext.addSparkListener(l)
+              val t0 = System.nanoTime()
+              val rows = pairs.count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              Thread.sleep(2000) // listener bus drains async
+              spark.sparkContext.removeSparkListener(l)
+              counts += sl -> rows
+              println(f"[hamming-probe] $label%-28s $sl%-9s $rows%10d pairs" +
+                f"  $dt%7.2f s  peak task ${l.maxRunMs.get / 1e3}%6.2f s")
+          }
+          require(counts.values.toSet.size == 1,
+            s"salting changed the result: $counts")
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("budget")) {
       // Token-budget probe: the naive form of per-domain budget
       // selection is ONE cumulative-sum window PARTITIONED BY lang —
