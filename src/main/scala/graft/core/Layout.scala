@@ -47,16 +47,37 @@ object Layout {
     * [[graft.llm.Pipeline.curateFull]] (the rollup) — one definition so
     * the three can never desynchronize.
     */
+  /** Default shard count shared by `Sampling.shardShuffle`,
+    * [[writeShards]], `Pipeline.curateFull` and their oracles.
+    */
+  val DefaultShards = 8
+
+  /** The multiplier in the two-hex-char mix below — one constant so
+    * [[contentShard]] and [[contentShardSql]] cannot drift.
+    */
+  private val ShardMult = 131
+
   def contentShard(textCol: Column, nShards: Int): Column = {
     import org.apache.spark.sql.functions.{ascii, lit, md5, pmod, substring}
     val h = md5(textCol.cast("binary"))
-    pmod(ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
+    pmod(ascii(substring(h, 1, 1)) * ShardMult + ascii(substring(h, 2, 1)),
       lit(nShards))
   }
 
+  /** DuckDB-side spelling of [[contentShard]], generated from the same
+    * constants — every oracle that mentions the shard interpolates
+    * this fragment instead of re-spelling the formula, so changing
+    * `nShards` or the mix cannot desync operator from oracle. (All
+    * operands nonnegative, so DuckDB `%` == Spark `pmod`.)
+    */
+  def contentShardSql(
+      textExpr: String, nShards: Int = DefaultShards): String =
+    s"(ascii(substr(md5($textExpr), 1, 1)) * $ShardMult + " +
+      s"ascii(substr(md5($textExpr), 2, 1))) % $nShards"
+
   def writeShards(
       df: DataFrame, path: String, textCol: String = "text",
-      nShards: Int = 8): Unit = {
+      nShards: Int = DefaultShards): Unit = {
     import org.apache.spark.sql.functions.md5
     // RANGE partition on the shard value: a hash repartition would
     // murmur the values 0..n-1 mod n, colliding several shards into

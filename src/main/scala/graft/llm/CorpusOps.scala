@@ -467,8 +467,11 @@ object CorpusOps {
     * after the first partial aggregate.
     */
   def mixDomains(d: DataFrame): DataFrame = {
-    val target = Seq(
-      "en" -> 0.30, "zh" -> 0.25, "es" -> 0.20, "de" -> 0.15, "fr" -> 0.10)
+    // derived from THE mix (Sampling.TargetMixPermille) — permille /
+    // 1000.0 and the oracle's 3-decimal literal round to the same
+    // double, so deriving both sides keeps them bit-identical
+    val target = Sampling.TargetMixPermille
+      .map { case (l, p) => l -> p / 1000.0 }
     val tgt = typedLit(target.toMap)
     val perLang = d.groupBy("lang").agg(
       count(lit(1)).as("n_docs"),
@@ -499,10 +502,7 @@ object CorpusOps {
       |      t -> t <> ''))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY lang),
       |t AS (SELECT sum(n_tokens)::DOUBLE AS tot_tokens FROM pl),
-      |tgt(lang, target_share) AS (VALUES
-      |  ('en', CAST(0.30 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),
-      |  ('es', CAST(0.20 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
-      |  ('fr', CAST(0.10 AS DOUBLE)))
+      |tgt(lang, target_share) AS (VALUES __TGT_VALUES__)
       |SELECT pl.lang, pl.n_docs, pl.n_tokens,
       |  round(pl.n_tokens / t.tot_tokens, 6) AS actual_share,
       |  tgt.target_share,
@@ -511,6 +511,9 @@ object CorpusOps {
       |    tgt.target_share / (pl.n_tokens / t.tot_tokens)), 0) AS BIGINT)
       |    AS sampled_tokens
       |FROM pl CROSS JOIN t JOIN tgt ON pl.lang = tgt.lang""".stripMargin
+      .replace("__TGT_VALUES__", Sampling.TargetMixPermille
+        .map { case (l, p) => f"('$l', CAST(0.$p%03d AS DOUBLE))" }
+        .mkString(", "))
 
   // --------------------------------------------------------------------
   // Corpus summary (data-card panel).

@@ -37,6 +37,24 @@ import org.apache.spark.sql.functions._
   * Curation (whose SessionCache is deliberately not serializable).
   */
 private[llm] object BpeMerge {
+  /** Seed symbols = Unicode CODE POINTS as strings, not UTF-16 code
+    * units: `w.map(_.toString)` would split a non-BMP letter (Gothic,
+    * CJK extensions — many pass \p{L}) into two unpaired-surrogate
+    * "symbols", putting invalid strings in the learned merge table.
+    * Train and encode both seed through here so the convention cannot
+    * fork.
+    */
+  def seedSymbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   def applyMerge(
       syms: IndexedSeq[String], l: String, r: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -276,7 +294,7 @@ object Curation {
       .select(explode(TextOps.letterTokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString).toSeq: Seq[String], f) }
+      .map { case (w, f) => (BpeMerge.seedSymbols(w): Seq[String], f) }
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 0
@@ -340,7 +358,7 @@ object Curation {
       (merges.toArray, merges.zipWithIndex.toMap))
     def encodeLen(word: String): Int = {
       val (pairs, rankOf) = bc.value
-      var syms: Vector[String] = word.map(_.toString).toVector
+      var syms: Vector[String] = BpeMerge.seedSymbols(word)
       var done = false
       while (!done && syms.length > 1) {
         var best = Int.MaxValue
@@ -426,12 +444,15 @@ object Curation {
       |  FROM documents),
       |m AS (
       |  SELECT doc_id, len(toks) AS n_tokens,
-      |    -- DuckDB lambda index i is 1-based; Spark's is 0-based
+      |    -- DuckDB lambda index i is 1-based; Spark's is 0-based.
+      |    -- Double-% mirrors Spark's pmod: DuckDB % keeps the
+      |    -- dividend's sign, so a negative doc_id would otherwise
+      |    -- silently desync the engines
       |    list_transform(toks, (t, i) ->
-      |      CASE WHEN (i - 1 + doc_id) % 7 = 0 THEN '<mask>' ELSE t END)
-      |      AS masked,
+      |      CASE WHEN ((i - 1 + doc_id) % 7 + 7) % 7 = 0
+      |           THEN '<mask>' ELSE t END) AS masked,
       |    [i - 1 FOR i IN range(1, len(toks) + 1)
-      |     IF (i - 1 + doc_id) % 7 = 0] AS positions
+      |     IF ((i - 1 + doc_id) % 7 + 7) % 7 = 0] AS positions
       |  FROM base)
       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
       |  CAST(len(positions) AS BIGINT) AS n_masked,

@@ -117,7 +117,8 @@ object Pipeline {
     val ent = TextOps.charEntropy(sd)
       .select(col("doc_id"), col("entropy"))
     val shards = sd.select(col("doc_id"),
-      graft.core.Layout.contentShard(col("text"), 8)
+      graft.core.Layout.contentShard(col("text"),
+        graft.core.Layout.DefaultShards)
         .cast("bigint").as("shard"))
     cleaned.join(cls, "doc_id").join(ent, "doc_id").join(shards, "doc_id")
       .filter(col("label") === "keep" && col("entropy") >= 2.7 &&
@@ -188,8 +189,7 @@ object Pipeline {
       |  FROM ccnt GROUP BY 1),
       |shards AS (
       |  SELECT doc_id,
-      |    CAST((ascii(substr(md5(text), 1, 1)) * 131 +
-      |          ascii(substr(md5(text), 2, 1))) % 8 AS BIGINT) AS shard
+      |    CAST(__SHARD__ AS BIGINT) AS shard
       |  FROM sd)
       |SELECT s.shard, count(*) AS n_docs,
       |  CAST(sum(c.n_kept) AS BIGINT) AS kept_tokens
@@ -199,6 +199,7 @@ object Pipeline {
       |JOIN shards s USING (doc_id)
       |WHERE cls.raw > 0 AND ent.entropy >= 2.7 AND c.n_kept >= 10
       |GROUP BY s.shard""".stripMargin
+      .replace("__SHARD__", graft.core.Layout.contentShardSql("text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_curate" -> ((s, d) =>

@@ -121,7 +121,9 @@ object Sampling {
     * distributes one shard per reducer — exactly the layout the shard
     * writer wants (one sorted file per shard, cf. sortWithinPartitions).
     */
-  def shardShuffle(d: DataFrame, nShards: Int = 8): DataFrame = {
+  def shardShuffle(
+      d: DataFrame,
+      nShards: Int = graft.core.Layout.DefaultShards): DataFrame = {
     val h = md5(col("text").cast("binary"))
     val shard = graft.core.Layout.contentShard(col("text"), nShards)
     val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
@@ -136,9 +138,9 @@ object Sampling {
       |    ORDER BY h, doc_id) AS BIGINT) AS pos
       |FROM (
       |  SELECT doc_id, md5(text) AS h,
-      |    CAST((ascii(substr(md5(text), 1, 1)) * 131 +
-      |          ascii(substr(md5(text), 2, 1))) % 8 AS BIGINT) AS shard
+      |    CAST(__SHARD__ AS BIGINT) AS shard
       |  FROM documents)""".stripMargin
+      .replace("__SHARD__", graft.core.Layout.contentShardSql("text"))
 
   /** Quality-ranked selection under a per-domain TOKEN BUDGET — "take
     * the best docs of each language until its budget is spent", the
@@ -236,9 +238,17 @@ object Sampling {
     * Scale: one domains-sized aggregation (tiny, broadcast back), then
     * a map-side hash draw + explode — no shuffle touches the corpus.
     */
+  /** THE target language mix, integer permille — the ONE source for
+    * [[epochUpsample]]'s weights, [[CorpusOps.mixDomains]]'s shares
+    * (permille / 1000.0), both operators' oracle VALUES lists, and
+    * PropertySpec's independent replay. Edit here; everything else is
+    * derived.
+    */
+  val TargetMixPermille: Seq[(String, Long)] = Seq(
+    "en" -> 300L, "zh" -> 250L, "es" -> 200L, "de" -> 150L, "fr" -> 100L)
+
   def epochUpsample(d: DataFrame): DataFrame = {
-    val tgt = typedLit(Map(
-      "en" -> 300L, "zh" -> 250L, "es" -> 200L, "de" -> 150L, "fr" -> 100L))
+    val tgt = typedLit(TargetMixPermille.toMap)
     val perLang = d.groupBy("lang")
       .agg(sum(size(TextOps.wsTokens(col("text")))).cast("bigint")
         .as("n_tokens"))
@@ -277,8 +287,7 @@ object Sampling {
       |      t -> t <> ''))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY lang),
       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM pl),
-      |tgt(lang, permille) AS (VALUES
-      |  ('en', 300), ('zh', 250), ('es', 200), ('de', 150), ('fr', 100)),
+      |tgt(lang, permille) AS (VALUES __TGT_VALUES__),
       |w AS (
       |  SELECT pl.lang,
       |    least(4000, (tgt.permille * tot.tot_tokens)
@@ -299,6 +308,8 @@ object Sampling {
       |  CAST(n_copies AS BIGINT) AS n_copies
       |FROM counted
       |WHERE n_copies >= 1""".stripMargin
+      .replace("__TGT_VALUES__", TargetMixPermille
+        .map { case (l, p) => s"('$l', $p)" }.mkString(", "))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_per_group" -> ((s, d) =>

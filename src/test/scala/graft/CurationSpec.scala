@@ -137,4 +137,32 @@ class CurationSpec extends SparkSpec {
       .toSeq
     assert(got === Seq((1L, "a", "b", 2L), (2L, "c", "d", 1L)))
   }
+
+  test("bpe seeds symbols by CODE POINT, not UTF-16 code unit") {
+    import spark.implicits._
+    // U+10348 GOTHIC LETTER HWAIR: a \p{L} letter outside the BMP
+    // (2 chars in UTF-16). Code-unit seeding would learn a merge of
+    // two unpaired surrogates; code-point seeding learns (hwair, a).
+    val hwair = new String(Character.toChars(0x10348))
+    val corpus = Seq((1L, s"${hwair}a ${hwair}a")).toDF("doc_id", "text")
+    val got = Curation.bpeTrain(corpus, nMerges = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq((hwair, "a", 2L)),
+      s"expected the hwair+a merge, got $got")
+    // every learned symbol is a VALID Unicode string: no code point
+    // may land in the surrogate range (an UNPAIRED surrogate shows up
+    // there; a correctly paired one decodes to its supplementary char)
+    got.foreach { case (l, r, _) =>
+      Seq(l, r).foreach { s =>
+        assert(s.codePoints().toArray.forall(cp =>
+          cp < 0xD800 || cp > 0xDFFF), s"unpaired surrogate in '$s'")
+      }
+    }
+    // encode agrees: the word collapses to ONE token after the merge
+    val merges = Curation.bpeTrain(corpus, 2).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Curation.bpeEncode(corpus, merges).collect()
+    assert(enc.length === 1 && enc(0).getAs[Long]("n_bpe_tokens") === 2L,
+      s"two hwair+a words -> 2 tokens, got ${enc.toSeq}")
+  }
 }

@@ -380,8 +380,7 @@ class PropertySpec extends SparkSpec {
       .groupBy("lang").agg(sum("nt").as("n_tokens")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val tot = toks.values.sum
-    val tgt = Map("en" -> 300L, "zh" -> 250L, "es" -> 200L, "de" -> 150L,
-      "fr" -> 100L)
+    val tgt = graft.llm.Sampling.TargetMixPermille.toMap
     val w = tgt.flatMap { case (l, p) =>
       toks.get(l).map(n => l -> math.min(4000L, p * tot / n)) }
     out.select("lang", "n_copies").distinct().collect().foreach { r =>
