@@ -346,6 +346,63 @@ case class SortedFirstCommon(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** dot(a, b) for two `array<bigint>` operands in EXACT long arithmetic
+  * — the scoring kernel for int8-quantized ANN (reference capability:
+  * similarity scoring; quantized variant per FAISS-style SQ8 scan). A
+  * 64-dim unit-scaled int8 pair peaks at 64 * 127^2 ≈ 1.03e6, so the
+  * long accumulator can never overflow for any realistic embedding
+  * width, and — unlike the float kernel — the result is
+  * order-independent, which is what lets a DuckDB oracle replay the
+  * whole ANN query bit-for-bit.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "long_dot_product"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> args, " +
+          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L; var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object vector {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -365,4 +422,7 @@ object vector {
 
   def sorted_first_common(a: Column, b: Column): Column =
     Bridge.column(SortedFirstCommon(Bridge.expression(a), Bridge.expression(b)))
+
+  def long_dot_product(a: Column, b: Column): Column =
+    Bridge.column(LongDotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

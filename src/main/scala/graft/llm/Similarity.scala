@@ -153,6 +153,155 @@ object Similarity {
       .distinct()
   }
 
+  // ---------------------------------------------- int8 ANN (oracle-exact)
+
+  /** ±1 sign stream from the shared bit-16 LCG (same generator family
+    * as [[jlProject]]'s sign matrix — bit 16 because an LCG's low bit
+    * has period 2). `idx` must be non-negative; every consumer gets a
+    * disjoint base offset so streams never alias.
+    */
+  private[llm] def lcgSign(idx: Long): Long =
+    if ((((1103515245L * idx + 12345L) % 2147483648L) >> 16) % 2 == 0) 1L
+    else -1L
+
+  /** Base offset for the LSH plane sign stream — clear of the
+    * [[jlProject]] index range (0..outDim*inDim).
+    */
+  private val PlaneBase = 1000003L
+
+  /** plane(t, p)[d] for the int8 LSH: one deterministic ±1 value per
+    * (table, plane, dim) — the SINGLE source both the Spark bucket
+    * expression and the generated DuckDB oracle inline, so the two
+    * engines cannot drift.
+    */
+  private[llm] def planeSign(t: Int, p: Int, d: Int, nPlanes: Int, dim: Int): Long =
+    lcgSign(PlaneBase + ((t.toLong * nPlanes + p) * dim + d))
+
+  /** (vec_id, qn: bigint[]) — UNIT-scale int8 quantization:
+    * qn[i] = round(v[i] / ||v||_2 * 127). Unlike [[withQuantized]]'s
+    * max-abs scale, the unit scale makes the integer dot product a
+    * cosine surrogate (dot(qn_a, qn_b) ≈ 127^2 cos), so ranking by it
+    * IS approximate cosine ranking — the FAISS-SQ8 trade. The norm fold
+    * runs in array order (IEEE double, same sequence as the DuckDB
+    * list_reduce replay); every later step is exact long arithmetic.
+    * Zero vectors (null scale) are dropped — they have no direction.
+    */
+  private[llm] def withUnitQuantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .withColumn("nrm", nullif(
+        sqrt(aggregate(transform(col("emb"), v => v * v),
+          lit(0.0), (acc, x) => acc + x)), lit(0.0)))
+      .filter(col("nrm").isNotNull)
+      .select(col("vec_id"), transform(col("emb"), v =>
+        round(v / col("nrm") * lit(127.0), 0).cast("bigint")).as("qn"))
+
+  /** SQL mirror of [[withUnitQuantized]] — aliased `base`. */
+  private val unitQuantizedSql: String =
+    """base AS (
+      |  SELECT vec_id,
+      |    list_transform(emb, v -> CAST(round(v / nrm * 127.0, 0) AS BIGINT))
+      |      AS qn
+      |  FROM (
+      |    SELECT vec_id, emb,
+      |      nullif(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(emb, v -> v * v)), (a, b) -> a + b)), 0) AS nrm
+      |    FROM (SELECT vec_id,
+      |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+      |          FROM embeddings))
+      |  WHERE nrm IS NOT NULL)""".stripMargin
+
+  /** Bucket id over `qn` for table `t`: bit p = sign of the exact long
+    * dot with plane(t, p).
+    */
+  private def int8BucketCol(t: Int, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(d =>
+        lit(planeSign(t, p, d, nPlanes, dim))): _*)
+      when(vector.long_dot_product(col("qn"), plane) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k in EXACT integer arithmetic — [[lshTopK]]'s
+    * multi-table + multiprobe shape (fused bucket join, carried
+    * vectors, hamming-1 probes) re-based on [[withUnitQuantized]]:
+    * buckets are signs of long dots with LCG ±1 planes, candidates are
+    * scored with [[vector.long_dot_product]]. Every step after the
+    * per-element quantization rounding is order-independent long math,
+    * so the DuckDB oracle ([[lshTopKInt8Sql]]) replays the whole query
+    * bit-for-bit — the driver-checkable ANN path.
+    *
+    * This is also the better 100 TB join: 64 bytes of int8 carried per
+    * bucket row instead of 256 bytes of float32 (4x candidate-join
+    * bandwidth), and the scoring kernel is long multiply-adds with no
+    * sqrt/div per pair. Recall vs float brute force is asserted in
+    * LlmSpec (quantization moves similarities by < 1e-2 at dim 64, so
+    * neighbor sets are near-identical).
+    */
+  def lshTopKInt8(
+      e: DataFrame, nPlanes: Int = 6, k: Int = 5, nTables: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val q = withUnitQuantized(graft.core.Layout.spread(e, "vec_id"))
+    val tableBuckets =
+      (0 until nTables).map(t => int8BucketCol(t, nPlanes, dim))
+    val built = q.select(col("vec_id"), col("qn"),
+      posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
+    val probes = built.select(col("vec_id"), col("qn"), col("tbl"),
+      explode(array((col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    probes.as("a")
+      .join(built.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.probe") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        vector.long_dot_product(col("a.qn"), col("b.qn")).as("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** Generated DuckDB replay of [[lshTopKInt8]] — the plane constants
+    * are inlined from [[planeSign]], the single source of truth.
+    */
+  def lshTopKInt8Sql(
+      nPlanes: Int = 6, k: Int = 5, nTables: Int = 2, dim: Int = 64): String = {
+    def planeList(t: Int, p: Int): String =
+      (0 until dim).map(d => planeSign(t, p, d, nPlanes, dim))
+        .mkString("[", ",", "]")
+    def bucketExpr(t: Int): String =
+      (0 until nPlanes).map(p =>
+        s"(CASE WHEN list_dot_product(qn, ${planeList(t, p)}) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    val builtSelects = (0 until nTables).map(t =>
+      s"  SELECT vec_id, qn, $t AS tbl, ${bucketExpr(t)} AS bucket FROM base")
+      .mkString("\n  UNION ALL\n")
+    val masks = (0 until nPlanes).map(p => s"(${1L << p})").mkString(",")
+    s"""WITH $unitQuantizedSql,
+       |built AS (
+       |$builtSelects),
+       |probes AS (
+       |  SELECT vec_id, qn, tbl, bucket AS probe FROM built
+       |  UNION ALL
+       |  SELECT vec_id, qn, tbl, xor(bucket, m.m) AS probe
+       |  FROM built, (VALUES $masks) m(m)),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(list_dot_product(a.qn, b.qn) AS BIGINT) AS sim
+       |  FROM probes a JOIN built b
+       |    ON a.tbl = b.tbl AND a.probe = b.bucket
+       |    AND a.vec_id <> b.vec_id)
+       |SELECT a_id AS vec_id, b_id AS neighbor_id, rank, sim
+       |FROM (SELECT a_id, b_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY a_id
+       |          ORDER BY sim DESC, b_id) AS BIGINT) AS rank
+       |      FROM pairs)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Deterministic IVF coarse quantizer: k centroids from a fixed-seed
     * Lloyd refinement (seeds = the k lowest vec_ids, `iters` rounds of
     * assign + per-cell mean). Returns (cellId, centroid) — k x dim
@@ -458,7 +607,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),
-    "q_knn_lsh" -> ((s, d) => lshTopK(emb(s, d))),
+    "q_knn_lsh" -> ((s, d) => lshTopKInt8(emb(s, d))),
     "q_knn_ivf" -> ((s, d) =>
       ivfTopK(emb(s, d), codebook = Some(cachedCentroids(s, d)))),
     // the synthetic embeddings carry no true near-dups (max pairwise
@@ -477,12 +626,13 @@ object Similarity {
     "q_embed_project" -> ((s, d) => jlProjectFlat(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
 
-  /** q_knn_lsh / q_knn_ivf depend on seeded hyperplanes / iterative
-    * float centroids — rows-only check; recall vs brute force is
-    * asserted in LlmSpec.
+  /** q_knn_ivf depends on iterative float centroids — rows-only check;
+    * recall vs brute force is asserted in LlmSpec. q_knn_lsh is the
+    * int8 path and replays exactly ([[lshTopKInt8Sql]]).
     */
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> bruteForceTopKSql,
+    "q_knn_lsh" -> lshTopKInt8Sql(),
     "q_embed_quantize" -> quantizeInt8Sql,
     "q_embed_project" -> jlProjectFlatSql,
     "q_label_centroid" -> labelCentroidNormSql)

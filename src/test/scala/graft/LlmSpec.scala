@@ -361,6 +361,39 @@ class LlmSpec extends SparkSpec {
     assert(r2 > r1, s"multi-table must improve recall: $r2 vs $r1")
   }
 
+  test("int8 lsh ann: sims replay exactly in memory; recall tracks float") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+      .toMap
+    // mirror of withUnitQuantized: HALF_UP rounding like Spark's round()
+    def qn(v: Array[Double]): Array[Long] = {
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      v.map(x => java.math.BigDecimal.valueOf(x / nrm * 127.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    }
+    val res = Similarity.lshTopKInt8(emb, k = 10).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (a, b, sim) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val expect = qn(vecs(a)).zip(qn(vecs(b))).map { case (x, y) => x * y }.sum
+      assert(sim === expect, s"pair ($a,$b): engine $sim vs replay $expect")
+    }
+    // ranking over quantized dots still finds the float-cosine neighbors
+    val brute = Similarity.bruteForceTopK(emb, nQueries = vecs.size, k = 11)
+      .filter(col("rank") > 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = res.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.toSeq.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    info(f"int8 lsh recall@10: $recall%.3f")
+    assert(recall > 0.05, s"int8 recall degenerate: $recall")
+  }
+
   test("ivf ann: more probes raise recall; assignments cover the corpus") {
     val n = emb.count().toInt
     val brute = Similarity.bruteForceTopK(emb, nQueries = n, k = 11)
