@@ -668,6 +668,37 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Cosine threshold 0.3 expressed on the int8 unit scale:
+    * dot(qn_a, qn_b) ≈ 127^2 cos, so 4839 ≈ round(0.3 * 127^2). One
+    * constant, shared by the Spark filter and the generated oracle.
+    */
+  val EmbedDupDotThreshold = 4839L
+  private val EmbedDupPlanes = 4
+  private val EmbedDupTables = 4
+
+  /** [[embeddingPairs]] re-based on the EXACT int8 machinery
+    * ([[Similarity.int8CandidatePairs]] — unit-scale quantization, LCG
+    * sign-plane buckets, long-dot scoring): every arithmetic step after
+    * the per-element rounding is order-independent long math, so the
+    * DuckDB oracle ([[Similarity.embeddingPairsInt8Sql]]) replays the
+    * emitted pair set bit-for-bit — near-dup reporting graduates from
+    * rows-only to hash-checked. Also the 100 TB shape: the candidate
+    * join carries 64 int8-range longs per row instead of 64 floats and
+    * verifies with sqrt-free integer multiply-adds. Precision stays
+    * exact (every emitted pair is verified against the threshold);
+    * recall vs the exhaustive float variant is asserted in LlmSpec.
+    */
+  def embeddingPairsInt8(
+      e: DataFrame, threshold: Long = EmbedDupDotThreshold): DataFrame =
+    Similarity.int8CandidatePairs(
+        e.select(col("vec_id"), col("embedding")),
+        EmbedDupPlanes, EmbedDupTables, (a, b) => a < b)
+      .filter(col("sim") >= threshold)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"), col("sim"))
+
+  val embeddingPairsInt8Sql: String = Similarity.embeddingPairsInt8Sql(
+    EmbedDupDotThreshold, EmbedDupPlanes, EmbedDupTables)
+
   /** Exhaustive within-`label` variant — the small-scale ground truth
     * [[embeddingPairs]]' recall is measured against (LlmSpec). Not the
     * driver path: the all-pairs bucket join is quadratic in bucket
@@ -1481,18 +1512,17 @@ object Dedup {
     "q_dedup_shingle" -> ((s, d) => jaccardShinglePairs(docs(s, d))),
     "q_dedup_prefix" -> ((s, d) => prefixDups(docs(s, d))),
     "q_dedup_embedding" -> ((s, d) =>
-      embeddingPairs(graft.core.Tables.load(s, d, "embeddings"))),
+      embeddingPairsInt8(graft.core.Tables.load(s, d, "embeddings"))),
     "q_dedup_minhash" -> ((s, d) => minhashPairsExact(docs(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashPairsExact(docs(s, d))))
 
-  /** embedding-LSH is not ANSI-SQL-expressible (seeded hyperplanes) —
-    * rows-only driver check; ScalaTest asserts it against brute-force
-    * ground truth instead. minhash and simhash ARE oracle-checked via
-    * their md5 hash families ([[minhashPairsExact]],
-    * [[simhashPairsExact]]); the xxhash64 kernel paths keep their spec
-    * ground truth.
+  /** minhash and simhash are oracle-checked via their md5 hash
+    * families ([[minhashPairsExact]], [[simhashPairsExact]]), embedding
+    * near-dup via the int8 machinery ([[embeddingPairsInt8]]); the
+    * xxhash64 / float-LSH kernel paths keep their spec ground truth.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_embedding" -> embeddingPairsInt8Sql,
     "q_dedup_minhash" -> minhashPairsExactSql,
     "q_dedup_simhash" -> simhashPairsExactSql,
     "q_dedup_substring" -> duplicateSpansSql,

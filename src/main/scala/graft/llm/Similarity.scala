@@ -238,9 +238,16 @@ object Similarity {
     * LlmSpec (quantization moves similarities by < 1e-2 at dim 64, so
     * neighbor sets are near-identical).
     */
-  def lshTopKInt8(
-      e: DataFrame, nPlanes: Int = 6, k: Int = 5, nTables: Int = 2,
-      dim: Int = 64): DataFrame = {
+  /** Distinct scored candidate pairs over the int8 vectors — the shared
+    * generator behind [[lshTopKInt8]] and [[Dedup.embeddingPairsInt8]]
+    * (the integer sibling of [[lshCandidatePairs]], same fused
+    * multi-table + hamming-1 multiprobe shape). `pairCond` picks the
+    * pair shape: `=!=` for per-query neighbor lists, `<` for unordered
+    * dedup pairs.
+    */
+  private[llm] def int8CandidatePairs(
+      e: DataFrame, nPlanes: Int, nTables: Int,
+      pairCond: (Column, Column) => Column, dim: Int = 64): DataFrame = {
     val q = withUnitQuantized(graft.core.Layout.spread(e, "vec_id"))
     val tableBuckets =
       (0 until nTables).map(t => int8BucketCol(t, nPlanes, dim))
@@ -249,26 +256,24 @@ object Similarity {
     val probes = built.select(col("vec_id"), col("qn"), col("tbl"),
       explode(array((col("bucket") +: (0 until nPlanes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
     probes.as("a")
       .join(built.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.probe") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
+          pairCond(col("a.vec_id"), col("b.vec_id")))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         vector.long_dot_product(col("a.qn"), col("b.qn")).as("sim"))
       .distinct()
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
-        col("rank"), col("sim"))
   }
 
-  /** Generated DuckDB replay of [[lshTopKInt8]] — the plane constants
-    * are inlined from [[planeSign]], the single source of truth.
+  /** Shared WITH-clause prefix for the int8 oracle replays: `base`
+    * (unit quantization), `built` (per-table buckets), `probes`
+    * (hamming-1 multiprobe), `pairs` (distinct scored candidates with
+    * `pairOp` between the two vec_ids). Plane constants inlined from
+    * [[planeSign]].
     */
-  def lshTopKInt8Sql(
-      nPlanes: Int = 6, k: Int = 5, nTables: Int = 2, dim: Int = 64): String = {
+  private def int8PairsSqlCtes(
+      nPlanes: Int, nTables: Int, pairOp: String, dim: Int = 64): String = {
     def planeList(t: Int, p: Int): String =
       (0 until dim).map(d => planeSign(t, p, d, nPlanes, dim))
         .mkString("[", ",", "]")
@@ -293,14 +298,40 @@ object Similarity {
        |    CAST(list_dot_product(a.qn, b.qn) AS BIGINT) AS sim
        |  FROM probes a JOIN built b
        |    ON a.tbl = b.tbl AND a.probe = b.bucket
-       |    AND a.vec_id <> b.vec_id)
+       |    AND a.vec_id $pairOp b.vec_id)""".stripMargin
+  }
+
+  def lshTopKInt8(
+      e: DataFrame, nPlanes: Int = 6, k: Int = 5, nTables: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    int8CandidatePairs(e, nPlanes, nTables, (a, b) => a =!= b, dim)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** Generated DuckDB replay of [[lshTopKInt8]] — the plane constants
+    * are inlined from [[planeSign]], the single source of truth.
+    */
+  def lshTopKInt8Sql(
+      nPlanes: Int = 6, k: Int = 5, nTables: Int = 2, dim: Int = 64): String =
+    s"""${int8PairsSqlCtes(nPlanes, nTables, "<>", dim)}
        |SELECT a_id AS vec_id, b_id AS neighbor_id, rank, sim
        |FROM (SELECT a_id, b_id, sim,
        |        CAST(row_number() OVER (PARTITION BY a_id
        |          ORDER BY sim DESC, b_id) AS BIGINT) AS rank
        |      FROM pairs)
        |WHERE rank <= $k""".stripMargin
-  }
+
+  /** Oracle replay of [[Dedup.embeddingPairsInt8]]. */
+  def embeddingPairsInt8Sql(
+      threshold: Long, nPlanes: Int, nTables: Int, dim: Int = 64): String =
+    s"""${int8PairsSqlCtes(nPlanes, nTables, "<", dim)}
+       |SELECT a_id AS vec_a, b_id AS vec_b, sim
+       |FROM pairs
+       |WHERE sim >= $threshold""".stripMargin
 
   /** Deterministic IVF coarse quantizer: k centroids from a fixed-seed
     * Lloyd refinement (seeds = the k lowest vec_ids, `iters` rounds of

@@ -269,6 +269,47 @@ class LlmSpec extends SparkSpec {
     assert(weakRecall >= 0.5, s"overall recall degenerate: $weakRecall")
   }
 
+  test("int8 embedding pairs: exact sims + threshold; recall vs float") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+      .toMap
+    def qn(v: Array[Double]): Array[Long] = {
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      v.map(x => java.math.BigDecimal.valueOf(x / nrm * 127.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    }
+    val qns = vecs.view.mapValues(qn).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val got = Dedup.embeddingPairsInt8(emb).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // precision exact: every emitted pair has the true integer dot and
+    // clears the threshold
+    got.foreach { case ((a, b), s) =>
+      assert(a < b)
+      assert(s === dot(qns(a), qns(b)), s"sim mismatch ($a,$b)")
+      assert(s >= Dedup.EmbedDupDotThreshold)
+    }
+    // recall vs the float-cosine truth at the equivalent threshold
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+    } yield ((a, b), cos(vecs(a), vecs(b)))).toMap
+    // margin 0.31: pairs within quantization error of the 0.3 cut may
+    // legitimately land on either side, so recall is measured on pairs
+    // safely above it
+    val safe = truth.filter(_._2 >= 0.31).keySet
+    val recall =
+      if (safe.isEmpty) 1.0 else safe.count(got.contains).toDouble / safe.size
+    info(f"int8 pair recall (cos>=0.31): $recall%.3f (${safe.size})")
+    assert(recall >= 0.5, s"int8 pair recall degenerate: $recall")
+  }
+
   test("semDedup equals the brute-force greedy rule on its own cells") {
     // plant exact duplicates (the corpus has no true near-dups): every
     // planted copy must be dropped, and the rule replay must agree on
