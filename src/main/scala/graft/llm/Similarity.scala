@@ -196,20 +196,26 @@ object Similarity {
       .select(col("vec_id"), transform(col("emb"), v =>
         round(v / col("nrm") * lit(127.0), 0).cast("bigint")).as("qn"))
 
-  /** SQL mirror of [[withUnitQuantized]] — aliased `base`. */
+  /** SQL mirror of [[withUnitQuantized]] over an arbitrary
+    * `(vec_id, embedding)` source select.
+    */
+  private def unitQuantSelect(src: String): String =
+    s"""SELECT vec_id,
+       |    list_transform(emb, v -> CAST(round(v / nrm * 127.0, 0) AS BIGINT))
+       |      AS qn
+       |  FROM (
+       |    SELECT vec_id, emb,
+       |      nullif(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(emb, v -> v * v)), (a, b) -> a + b)), 0) AS nrm
+       |    FROM (SELECT vec_id,
+       |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+       |          FROM ($src)))
+       |  WHERE nrm IS NOT NULL""".stripMargin
+
+  /** [[unitQuantSelect]] over the embeddings table — aliased `base`. */
   private val unitQuantizedSql: String =
-    """base AS (
-      |  SELECT vec_id,
-      |    list_transform(emb, v -> CAST(round(v / nrm * 127.0, 0) AS BIGINT))
-      |      AS qn
-      |  FROM (
-      |    SELECT vec_id, emb,
-      |      nullif(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |        list_transform(emb, v -> v * v)), (a, b) -> a + b)), 0) AS nrm
-      |    FROM (SELECT vec_id,
-      |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-      |          FROM embeddings))
-      |  WHERE nrm IS NOT NULL)""".stripMargin
+    s"""base AS (
+       |  ${unitQuantSelect("SELECT vec_id, embedding FROM embeddings")})""".stripMargin
 
   /** Bucket id over `qn` for table `t`: bit p = sign of the exact long
     * dot with plane(t, p).
@@ -420,6 +426,197 @@ object Similarity {
         col("rank"))
   }
 
+  // ------------------------------------------ int8 IVF (oracle-exact)
+
+  /** EXACT integer Lloyd over the unit-quantized vectors — the
+    * oracle-replayable sibling of [[ivfCentroids]]. Centroids are kept
+    * as element-wise ROUNDED MEANS (HALF_UP, the shared rounding of
+    * every int8 op), so they stay int8-range longs and the assignment
+    * metric ||x − m||² reduces to the exact long expression
+    * |m|² − 2·x·m (the row-constant |x|² dropped): every distance is
+    * order-independent integer math, every comparison exact, and the
+    * whole training loop nests as fixed-iteration CTEs in the DuckDB
+    * oracle. Same scale shape as the float path: train on a 1-in-
+    * `sampleMod` slice, distributed assign + per-cell sums, collect
+    * only the k x dim codebook; magnitudes stay ≤ 64 * 127² ≈ 1e6, so
+    * nothing can overflow at any corpus size.
+    */
+  private[llm] def ivfCentroidsInt8(
+      e: DataFrame, k: Int = 16, iters: Int = 2,
+      sampleMod: Int = 4): Array[Array[Long]] = {
+    val sample = withUnitQuantized(e)
+      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    def longs(r: org.apache.spark.sql.Row): Array[Long] =
+      r.getAs[scala.collection.Seq[Long]]("qn").toArray
+    var cents: Array[Array[Long]] =
+      sample.orderBy("vec_id").limit(k).collect().map(longs)
+    for (_ <- 0 until iters) {
+      val means = assignCellsInt8Q(sample, cents)
+        .select(col("cell"), posexplode(col("qn")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map { r =>
+            // round(s / n) in the same IEEE-then-HALF_UP sequence the
+            // DuckDB replay uses: CAST(round(s / n, 0) AS BIGINT)
+            java.math.BigDecimal.valueOf(r.getLong(2).toDouble / r.getLong(3))
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          }
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** (exact-long distance, cell) structs for argmin/sort — the int8
+    * analog of [[cellDists]].
+    */
+  private def cellDistsInt8(cents: Array[Array[Long]]): Column =
+    array(cents.zipWithIndex.map { case (m, i) =>
+      val mm = m.map(v => v * v).sum
+      struct(
+        (lit(mm) - lit(2L) * vector.long_dot_product(col("qn"),
+          array(m.map(lit): _*))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+
+  /** Assign rows that already carry `qn`. */
+  private def assignCellsInt8Q(q: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    q.withColumn("cell", array_min(cellDistsInt8(cents)).getField("i"))
+
+  /** (vec_id, qn, cell) for every non-zero vector of `e`. */
+  private[llm] def assignCellsInt8(
+      e: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    assignCellsInt8Q(withUnitQuantized(e), cents)
+
+  /** [[ivfTopK]] re-based on the exact int8 machinery: coarse cells
+    * from [[ivfCentroidsInt8]], per-query probes = the `nProbe`
+    * nearest cells by the exact long metric, candidates scored with
+    * [[vector.long_dot_product]]. Bit-for-bit replayable in DuckDB
+    * ([[ivfTopKInt8Sql]]) INCLUDING the codebook training — the oracle
+    * recomputes the same integer Lloyd in nested CTEs, so the check
+    * covers the quantizer, not just the scan.
+    */
+  def ivfTopKInt8(
+      e: DataFrame, k: Int = 5, nCells: Int = 16, nProbe: Int = 2,
+      codebook: Option[Array[Array[Long]]] = None): DataFrame = {
+    val v = graft.core.Layout.spread(e, "vec_id")
+    val cents = codebook.getOrElse(ivfCentroidsInt8(v, nCells))
+    val assigned = assignCellsInt8(v, cents)
+      .select(col("vec_id"), col("qn"), col("cell"))
+    val probes = withUnitQuantized(v)
+      .select(col("vec_id"), col("qn"),
+        explode(slice(transform(array_sort(cellDistsInt8(cents)),
+          s => s.getField("i")), 1, nProbe)).as("probe"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    probes.as("a")
+      .join(assigned.as("b"),
+        col("a.probe") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        vector.long_dot_product(col("a.qn"), col("b.qn")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** CTE chain replaying [[ivfCentroidsInt8]] + the final corpus
+    * assignment in DuckDB: `qsrc` (unit-quantized assignment corpus,
+    * from `srcSql`), `qtrain` (the 1-in-`sampleMod` training slice of
+    * the ORIGINAL embeddings), `seed` (k lowest-vec_id training
+    * vectors), then `iters` rounds of assign → rounded-mean (empty
+    * cells keep their previous centroid via the LEFT JOIN COALESCE),
+    * ending in `cells` = (vec_id, qn, cell) over `qsrc`. Every
+    * distance is exact long arithmetic; the mean rounding replays
+    * Spark's HALF_UP sequence.
+    */
+  private def int8IvfCtes(
+      srcSql: String, k: Int = 16, iters: Int = 2,
+      sampleMod: Int = 4): String = {
+    def assign(from: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, qn, cell FROM (
+         |    SELECT t.vec_id, t.qn, c.cell,
+         |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |        CAST(list_dot_product(c.m, c.m) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(t.qn, c.m) AS BIGINT), c.cell)
+         |        AS rn
+         |    FROM $from t CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    def means(prev: String, from: String, out: String): String =
+      s"""$out AS (
+         |  SELECT s.cell, COALESCE(n.m, s.m) AS m
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT cell, list(mv ORDER BY pos) AS m
+         |    FROM (SELECT cell, pos,
+         |            CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 0) AS BIGINT)
+         |              AS mv
+         |          FROM (SELECT cell, unnest(qn) AS q,
+         |                  generate_subscripts(qn, 1) AS pos FROM $from)
+         |          GROUP BY cell, pos)
+         |    GROUP BY cell) n ON s.cell = n.cell)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "seed" else s"m${r - 1}"
+      s"${assign("qtrain", prev, s"a$r")},\n${means(prev, s"a$r", s"m$r")}"
+    }.mkString(",\n")
+    s"""WITH qsrc AS (
+       |  ${unitQuantSelect(srcSql)}),
+       |qtrain AS (
+       |  ${unitQuantSelect(
+             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % $sampleMod = 0")}),
+       |seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qn AS m
+       |  FROM (SELECT vec_id, qn FROM qtrain ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assign("qsrc", s"m$iters", "cells")}""".stripMargin
+  }
+
+  /** Oracle replay of [[ivfTopKInt8]] — codebook training included. */
+  def ivfTopKInt8Sql(k: Int = 5, nCells: Int = 16, nProbe: Int = 2): String =
+    s"""${int8IvfCtes("SELECT vec_id, embedding FROM embeddings", nCells)},
+       |probes AS (
+       |  SELECT vec_id, qn, cell AS probe FROM (
+       |    SELECT t.vec_id, t.qn, c.cell,
+       |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |        CAST(list_dot_product(c.m, c.m) AS BIGINT)
+       |          - 2 * CAST(list_dot_product(t.qn, c.m) AS BIGINT), c.cell)
+       |        AS rn
+       |    FROM qsrc t CROSS JOIN m2 c)
+       |  WHERE rn <= $nProbe)
+       |SELECT a_id AS vec_id, b_id AS neighbor_id, rank, sim
+       |FROM (SELECT a_id, b_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY a_id
+       |          ORDER BY sim DESC, b_id) AS BIGINT) AS rank
+       |      FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |              CAST(list_dot_product(a.qn, b.qn) AS BIGINT) AS sim
+       |            FROM probes a JOIN cells b
+       |              ON a.probe = b.cell AND a.vec_id <> b.vec_id))
+       |WHERE rank <= $k""".stripMargin
+
+  /** Cosine eps 0.96 on the int8 unit scale:
+    * 15484 ≈ round(0.96 * 127^2). Identical vectors quantize
+    * identically, so a planted duplicate scores |qn|^2 ≈ 127^2 — far
+    * above the cut (LlmSpec asserts every plant drops).
+    */
+  val SemDupDotThreshold = 15484L
+
+  /** Oracle replay of [[semDedupInt8]] over `srcSql`. */
+  def semDedupInt8Sql(
+      srcSql: String, epsDot: Long = SemDupDotThreshold,
+      nCells: Int = 16): String =
+    s"""${int8IvfCtes(srcSql, nCells)},
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_dot_product(a.qn, b.qn) AS BIGINT) >= $epsDot)
+       |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       |  CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+       |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin
+
   /** SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): coarse-cluster the embeddings with the IVF
     * codebook, then within each cluster drop every vector that has an
@@ -455,6 +652,33 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .filter(vector.cosine_similarity(
         col("a.embedding"), col("b.embedding")) >= eps)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell").cast("bigint").as("cell"))
+      .join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("d").isNotNull, "drop").otherwise("keep").as("action"))
+  }
+
+  /** [[semDedup]] re-based on the exact int8 machinery: cells from
+    * [[ivfCentroidsInt8]], the within-cell greedy keep-lowest-id rule
+    * applied at long dot >= `epsDot` (≈ cos 0.96 on the unit-int8
+    * scale). Same cell-partitioned scale shape as the float path, and
+    * — with the codebook training replayed in the oracle's CTEs
+    * ([[semDedupInt8Sql]]) — the whole keep/drop decision is
+    * hash-checked by the driver instead of rows-only.
+    */
+  def semDedupInt8(
+      e: DataFrame, epsDot: Long = SemDupDotThreshold, nCells: Int = 16,
+      codebook: Option[Array[Array[Long]]] = None): DataFrame = {
+    val v = graft.core.Layout.spread(e, "vec_id")
+    val cents = codebook.getOrElse(ivfCentroidsInt8(v, nCells))
+    val assigned = assignCellsInt8(v, cents)
+      .select(col("vec_id"), col("qn"), col("cell"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(vector.long_dot_product(col("a.qn"), col("b.qn")) >= epsDot)
       .select(col("b.vec_id").as("vec_id")).distinct()
     assigned.select(col("vec_id"), col("cell").cast("bigint").as("cell"))
       .join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
@@ -636,34 +860,55 @@ object Similarity {
   private def cachedCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
     codebookCache.getOrElseUpdate(s, dir)(ivfCentroids(emb(s, dir)))
 
+  private val int8CodebookCache =
+    new graft.core.SessionCache[String, Array[Array[Long]]]
+
+  private def cachedCentroidsInt8(
+      s: SparkSession, dir: String): Array[Array[Long]] =
+    int8CodebookCache.getOrElseUpdate(s, dir)(ivfCentroidsInt8(emb(s, dir)))
+
+  /** The planted-duplicate source for q_dedup_semantic, once for both
+    * engines (Spark plant below; DuckDB plant inlined in the oracle):
+    * the synthetic embeddings carry no true near-dups (max pairwise
+    * cos ~0.51), so the query plants exact duplicates of a 1-in-50
+    * slice under offset ids — the same make-the-operator-observable
+    * device as the decontam queries' doc_id%97 reference split.
+    */
+  private val SemPlantMod = 50L
+  private val SemPlantOffset = 10000000L
+  private[llm] val semPlantSql: String =
+    s"""SELECT vec_id, embedding FROM embeddings
+       |    UNION ALL
+       |    SELECT vec_id + $SemPlantOffset AS vec_id, embedding
+       |    FROM embeddings WHERE vec_id % $SemPlantMod = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopKInt8(emb(s, d))),
     "q_knn_ivf" -> ((s, d) =>
-      ivfTopK(emb(s, d), codebook = Some(cachedCentroids(s, d)))),
-    // the synthetic embeddings carry no true near-dups (max pairwise
-    // cos ~0.51), so the query plants exact duplicates of a 1-in-50
-    // slice under offset ids — the same make-the-operator-observable
-    // device as the decontam queries' doc_id%97 reference split
+      ivfTopKInt8(emb(s, d), codebook = Some(cachedCentroidsInt8(s, d)))),
     "q_dedup_semantic" -> ((s, d) => {
       val e = emb(s, d).select("vec_id", "embedding")
-      semDedup(
-        e.unionByName(e.filter(col("vec_id") % 50 === 0)
-          .select((col("vec_id") + 10000000L).as("vec_id"),
+      semDedupInt8(
+        e.unionByName(e.filter(col("vec_id") % SemPlantMod === 0)
+          .select((col("vec_id") + SemPlantOffset).as("vec_id"),
             col("embedding"))),
-        codebook = Some(cachedCentroids(s, d)))
+        codebook = Some(cachedCentroidsInt8(s, d)))
     }),
     "q_embed_quantize" -> ((s, d) => quantizeInt8(emb(s, d))),
     "q_embed_project" -> ((s, d) => jlProjectFlat(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
 
-  /** q_knn_ivf depends on iterative float centroids — rows-only check;
-    * recall vs brute force is asserted in LlmSpec. q_knn_lsh is the
-    * int8 path and replays exactly ([[lshTopKInt8Sql]]).
+  /** Every similarity query replays in DuckDB: the int8 paths
+    * (q_knn_lsh / q_knn_ivf / q_dedup_semantic) in exact long
+    * arithmetic with codebook training recomputed in CTEs; the float
+    * paths via order-stable IEEE folds.
     */
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> bruteForceTopKSql,
     "q_knn_lsh" -> lshTopKInt8Sql(),
+    "q_knn_ivf" -> ivfTopKInt8Sql(),
+    "q_dedup_semantic" -> semDedupInt8Sql(semPlantSql),
     "q_embed_quantize" -> quantizeInt8Sql,
     "q_embed_project" -> jlProjectFlatSql,
     "q_label_centroid" -> labelCentroidNormSql)

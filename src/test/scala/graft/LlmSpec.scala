@@ -457,6 +457,35 @@ class LlmSpec extends SparkSpec {
     assert(r3 > r1, s"more probes must improve recall: $r3 vs $r1")
   }
 
+  test("int8 ivf ann: recall tracks float; int8 semDedup drops every plant") {
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, nQueries = n, k = 11)
+      .filter(col("rank") > 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopKInt8(emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.toSeq.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    info(f"int8 ivf recall@10: $recall%.3f")
+    assert(recall > 0.05, s"int8 ivf recall degenerate: $recall")
+    // planted exact duplicates must always drop: identical vectors
+    // quantize identically, so the pair scores |qn|^2 >= the eps cut
+    val e = emb.select("vec_id", "embedding")
+    val planted = e.unionByName(e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+    val actions = Similarity.semDedupInt8(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val plantIds = actions.keys.filter(_ >= 10000000L)
+    assert(plantIds.nonEmpty)
+    plantIds.foreach { id =>
+      assert(actions(id) === "drop", s"planted duplicate $id not dropped")
+    }
+  }
+
   test("bmp codec: encode->decode round-trips every stride padding (0..3)") {
     for (w <- 5 to 8; h <- Seq(1, 3)) {
       def px(x: Int, y: Int, c: Int): Int = (x * 31 + y * 17 + c * 7 + 5) % 256
