@@ -41,6 +41,9 @@ object GraftFunctions {
       binary("sorted_intersect_count", SortedIntersectCount(_, _)),
       binary("sorted_jaccard", SortedJaccard(_, _)),
       binary("sorted_first_common", SortedFirstCommon(_, _)),
+      binary("long_dot_product", LongDotProduct(_, _)),
+      binary("byte_dot_product", ByteDotProduct(_, _)),
+      unary("pack_int8", PackInt8(_)),
       unary("hashed_sorted_tokens", HashedSortedTokens(_)),
       unary("simhash64", SimHash64(_)),
       unary("token_counts", TokenCounts(_)),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -403,6 +403,114 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<bigint> (int8-range values) → binary, one signed byte per
+  * element — the wire format of the int8 ANN joins. An UnsafeArrayData
+  * of longs costs 8 bytes per element on the shuffle; packed bytes cost
+  * one: 8x smaller candidate-join rows (4x vs the float32 original).
+  * Values MUST be in [-128, 127] (the unit-int8 quantizer guarantees
+  * [-127, 127]); out-of-range input throws rather than silently
+  * truncating.
+  */
+case class PackInt8(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "pack_int8"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = x.getLong(i)
+      if (v < Byte.MinValue || v > Byte.MaxValue)
+        throw new IllegalArgumentException(s"pack_int8: $v out of byte range")
+      out(i) = v.toByte; i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $a.getLong($i);
+         |  if ($v < -128L || $v > 127L)
+         |    throw new IllegalArgumentException("pack_int8: out of byte range");
+         |  $out[$i] = (byte) $v;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** dot(a, b) over two packed-int8 `binary` operands in exact long
+  * arithmetic — the pair-scoring kernel of the int8 ANN joins
+  * ([[PackInt8]] is the producer). Bytes are SIGNED, matching the
+  * packer; the long accumulator is overflow-free for any realistic
+  * width (127^2 per element).
+  */
+case class ByteDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "byte_dot_product"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two binary args, " +
+          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var dot = 0L; var i = 0
+    while (i < n) { dot += x(i).toLong * y(i).toLong; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = Math.min($a.length, $b.length);
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object vector {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -425,4 +533,10 @@ object vector {
 
   def long_dot_product(a: Column, b: Column): Column =
     Bridge.column(LongDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def pack_int8(a: Column): Column =
+    Bridge.column(PackInt8(Bridge.expression(a)))
+
+  def byte_dot_product(a: Column, b: Column): Column =
+    Bridge.column(ByteDotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

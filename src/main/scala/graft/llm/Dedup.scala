@@ -689,10 +689,11 @@ object Dedup {
     * recall vs the exhaustive float variant is asserted in LlmSpec.
     */
   def embeddingPairsInt8(
-      e: DataFrame, threshold: Long = EmbedDupDotThreshold): DataFrame =
+      e: DataFrame, threshold: Long = EmbedDupDotThreshold,
+      nPlanes: Int = EmbedDupPlanes, nTables: Int = EmbedDupTables): DataFrame =
     Similarity.int8CandidatePairs(
         e.select(col("vec_id"), col("embedding")),
-        EmbedDupPlanes, EmbedDupTables, (a, b) => a < b)
+        nPlanes, nTables, (a, b) => a < b)
       .filter(col("sim") >= threshold)
       .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"), col("sim"))
 

@@ -142,8 +142,17 @@ object Similarity {
       else built.select(col("vec_id"), col("embedding"), col("tbl"),
         explode(array((col("bucket") +: (0 until nPlanes).map(i =>
           col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("probe"))
+    // SHUFFLE_HASH, not planner's choice: Catalyst sizes an array column
+    // as ONE element (ArrayType.defaultSize), so it estimates the built
+    // side ~70x too small and happily BROADCASTS THE ENTIRE VECTOR
+    // CORPUS — measured at 400k synthetic vectors (`ScaleProbe ann`),
+    // and a guaranteed driver OOM at real corpus sizes. Per-bucket hash
+    // build is small (planes are balanced), so shuffle-hash is the
+    // scale-correct strategy. The int8 variant needs no hint: packed
+    // binary is estimated at ~its true width, so the planner's
+    // broadcast-vs-shuffle choice is already driven by honest sizes.
     probes.as("a")
-      .join(built.as("b"),
+      .join(built.as("b").hint("SHUFFLE_HASH"),
         col("a.tbl") === col("b.tbl") &&
           col("a.probe") === col("b.bucket") &&
           pairCond(col("a.vec_id"), col("b.vec_id")))
@@ -155,27 +164,39 @@ object Similarity {
 
   // ---------------------------------------------- int8 ANN (oracle-exact)
 
-  /** ±1 sign stream from the shared bit-16 LCG (same generator family
-    * as [[jlProject]]'s sign matrix — bit 16 because an LCG's low bit
-    * has period 2). `idx` must be non-negative; every consumer gets a
-    * disjoint base offset so streams never alias.
-    */
-  private[llm] def lcgSign(idx: Long): Long =
-    if ((((1103515245L * idx + 12345L) % 2147483648L) >> 16) % 2 == 0) 1L
-    else -1L
-
   /** Base offset for the LSH plane sign stream — clear of the
     * [[jlProject]] index range (0..outDim*inDim).
     */
   private val PlaneBase = 1000003L
 
+  /** splitmix64 finalizer — full-avalanche 64-bit mixer (Steele et al.,
+    * "Fast Splittable Pseudorandom Number Generators", OOPSLA'14; the
+    * java.util.SplittableRandom mixer). Used for the LSH planes where
+    * the LCG is NOT good enough: adjacent-index LCG sign streams are
+    * strongly correlated (measured mean |plane·plane| ≈ 30 of 64 vs
+    * ≈ 6 for iid ±1 — near-duplicate hyperplanes), which collapsed the
+    * 2^14-bucket space to ~2.5k effective buckets and made the
+    * candidate join superlinear (910 MB shuffle at 400k vecs vs
+    * 181 MB for the float path — `ScaleProbe ann`, round 8). With this
+    * mixer the planes are iid-quality (mean |dot| 6.3, ~10k distinct
+    * buckets on 20k random vectors, max load 15).
+    */
+  private[llm] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** plane(t, p)[d] for the int8 LSH: one deterministic ±1 value per
     * (table, plane, dim) — the SINGLE source both the Spark bucket
     * expression and the generated DuckDB oracle inline, so the two
-    * engines cannot drift.
+    * engines cannot drift. Driver-side only (both engines see literal
+    * constants), so the generator needs no SQL spelling.
     */
   private[llm] def planeSign(t: Int, p: Int, d: Int, nPlanes: Int, dim: Int): Long =
-    lcgSign(PlaneBase + ((t.toLong * nPlanes + p) * dim + d))
+    if ((mix64(PlaneBase + ((t.toLong * nPlanes + p) * dim + d)) & 1L) == 0L) 1L
+    else -1L
 
   /** (vec_id, qn: bigint[]) — UNIT-scale int8 quantization:
     * qn[i] = round(v[i] / ||v||_2 * 127). Unlike [[withQuantized]]'s
@@ -257,9 +278,13 @@ object Similarity {
     val q = withUnitQuantized(graft.core.Layout.spread(e, "vec_id"))
     val tableBuckets =
       (0 until nTables).map(t => int8BucketCol(t, nPlanes, dim))
-    val built = q.select(col("vec_id"), col("qn"),
+    // buckets are computed map-side from the long array ONCE per row;
+    // the vector crosses the candidate-join shuffle PACKED (one signed
+    // byte per element — 8x smaller rows than the long array, 4x
+    // smaller than the float32 original; measured in `ScaleProbe ann`)
+    val built = q.select(col("vec_id"), vector.pack_int8(col("qn")).as("qb"),
       posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
-    val probes = built.select(col("vec_id"), col("qn"), col("tbl"),
+    val probes = built.select(col("vec_id"), col("qb"), col("tbl"),
       explode(array((col("bucket") +: (0 until nPlanes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("probe"))
     probes.as("a")
@@ -268,7 +293,7 @@ object Similarity {
           col("a.probe") === col("b.bucket") &&
           pairCond(col("a.vec_id"), col("b.vec_id")))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        vector.long_dot_product(col("a.qn"), col("b.qn")).as("sim"))
+        vector.byte_dot_product(col("a.qb"), col("b.qb")).as("sim"))
       .distinct()
   }
 
@@ -504,10 +529,12 @@ object Similarity {
       codebook: Option[Array[Array[Long]]] = None): DataFrame = {
     val v = graft.core.Layout.spread(e, "vec_id")
     val cents = codebook.getOrElse(ivfCentroidsInt8(v, nCells))
+    // cells computed map-side; the vector crosses the cell join packed
+    // (see int8CandidatePairs)
     val assigned = assignCellsInt8(v, cents)
-      .select(col("vec_id"), col("qn"), col("cell"))
+      .select(col("vec_id"), vector.pack_int8(col("qn")).as("qb"), col("cell"))
     val probes = withUnitQuantized(v)
-      .select(col("vec_id"), col("qn"),
+      .select(col("vec_id"), vector.pack_int8(col("qn")).as("qb"),
         explode(slice(transform(array_sort(cellDistsInt8(cents)),
           s => s.getField("i")), 1, nProbe)).as("probe"))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
@@ -516,7 +543,7 @@ object Similarity {
         col("a.probe") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        vector.long_dot_product(col("a.qn"), col("b.qn")).as("sim"))
+        vector.byte_dot_product(col("a.qb"), col("b.qb")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
@@ -673,12 +700,12 @@ object Similarity {
     val v = graft.core.Layout.spread(e, "vec_id")
     val cents = codebook.getOrElse(ivfCentroidsInt8(v, nCells))
     val assigned = assignCellsInt8(v, cents)
-      .select(col("vec_id"), col("qn"), col("cell"))
+      .select(col("vec_id"), vector.pack_int8(col("qn")).as("qb"), col("cell"))
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
-      .filter(vector.long_dot_product(col("a.qn"), col("b.qn")) >= epsDot)
+      .filter(vector.byte_dot_product(col("a.qb"), col("b.qb")) >= epsDot)
       .select(col("b.vec_id").as("vec_id")).distinct()
     assigned.select(col("vec_id"), col("cell").cast("bigint").as("cell"))
       .join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")

@@ -135,6 +135,51 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("ann")) {
+      // int8-ANN candidate-join probe: same bucket structure both
+      // sides (nPlanes=14 -> 16k buckets, 2 tables, hamming-1
+      // multiprobe); thresholds set high so the output stays
+      // answer-sized and the measurement is the join itself. This
+      // probe caught two round-8 bugs: (1) the LCG plane signs were
+      // correlated (mean |plane-pair dot| 30/64 vs 6 for iid) ->
+      // ~2.5k effective buckets of 16k -> superlinear candidate
+      // blowup, 142 s at 400k vecs; splitmix64 planes cut it to 10 s.
+      // (2) the float path's built side is size-UNDERestimated by
+      // Catalyst (array counted as 1 element) -> it broadcast the
+      // whole corpus; now pinned to SHUFFLE_HASH. Packed int8 rows
+      // are ~56 B compressed on the probe shuffle (vs ~300 B for
+      // carried float arrays), which is what a 1000-executor network
+      // moves per candidate row.
+      Seq("1x (100k vecs)" -> 100000L, "4x (400k vecs)" -> 400000L)
+        .foreach { case (label, n) =>
+          val vecs = spark.range(n).select(
+            col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              ((pmod(hash(col("id"), i), lit(2001)) - lit(1000)) / lit(1000.0))
+                .cast("float")).as("embedding"))
+            .localCheckpoint() // probe the join, not the generation
+          Seq(
+            "float32" -> (() => graft.llm.Dedup.embeddingPairs(
+              vecs, threshold = 0.9, nPlanes = 14, nTables = 2)),
+            "int8" -> (() => graft.llm.Dedup.embeddingPairsInt8(
+              vecs, threshold = 14500L, nPlanes = 14, nTables = 2)))
+            .foreach { case (pl, mk) =>
+              mk().count() // warm codegen/JIT
+              val l = new ShuffleSum
+              spark.sparkContext.addSparkListener(l)
+              val t0 = System.nanoTime()
+              val rows = mk().count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              Thread.sleep(2000) // listener bus drains async
+              spark.sparkContext.removeSparkListener(l)
+              println(f"[ann-probe] $label%-16s $pl%-8s $rows%8d pairs" +
+                f"  $dt%7.2f s  shuffle ${l.bytes.get / 1e6}%8.1f MB")
+            }
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("budget")) {
       // Token-budget probe: the naive form of per-domain budget
       // selection is ONE cumulative-sum window PARTITIONED BY lang —

@@ -48,6 +48,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("pack_int8 + byte_dot_product agree with long_dot_product exactly") {
+    GraftFunctions.register(spark)
+    // randomized int8-range vectors, incl. the extremes
+    val r = spark.sql(
+      """SELECT
+        |  long_dot_product(a, b) AS ld,
+        |  byte_dot_product(pack_int8(a), pack_int8(b)) AS bd
+        |FROM (
+        |  SELECT
+        |    transform(sequence(0, 63), i ->
+        |      CAST(pmod(hash(id, i), 255) - 127 AS BIGINT)) AS a,
+        |    transform(sequence(0, 63), i ->
+        |      CAST(pmod(hash(id + 1000, i), 255) - 127 AS BIGINT)) AS b
+        |  FROM range(200))""".stripMargin).collect()
+    assert(r.length === 200)
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+    // extremes survive the signed-byte round trip
+    val e = spark.sql(
+      """SELECT byte_dot_product(pack_int8(array(-127L, 127L)),
+        |                        pack_int8(array(-127L, 127L))) AS d
+        |""".stripMargin).head()
+    assert(e.getLong(0) === 2L * 127L * 127L)
+    // out-of-range input throws instead of silently truncating
+    val ex = intercept[Exception] {
+      spark.sql("SELECT pack_int8(array(128L))").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("sorted_intersect_count agrees with array_intersect semantics") {
     GraftFunctions.register(spark)
     val r = spark.sql(
