@@ -167,6 +167,134 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** MessageDigest is not thread-safe; one per executor thread. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 digest bytes of buf[0, len) as the unsigned big-endian
+    * 32-bit value — bit-identical to the SQL spelling
+    * `conv(substring(md5(x), 1, 8), 16, 10)` (8 hex chars = 4 bytes)
+    * without materializing the 32-char hex string or parsing it back.
+    */
+  @inline private def md5Prefix32(buf: Array[Byte], len: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(buf, 0, len)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First 15 md5 hex chars (= first 60 digest bits) of buf[0, len) as
+    * a nonnegative long — bit-identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)`: the big-endian value of
+    * the first 8 bytes shifted right 4 (15 hex chars drop the low
+    * nibble of byte 7).
+    */
+  @inline private def md5Prefix60(buf: Array[Byte], len: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(buf, 0, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** [[minhashSignature]] with the md5-prefix base hash — the fused
+    * kernel behind the DRIVER minhash query ([[graft.llm.Dedup
+    * .minhashPairsExact]]), where the shingle hash must replay in ANSI
+    * SQL (md5 is the one hash both engines evaluate identically).
+    * Equality with the composed-expression spelling (wsTokens ->
+    * concat_ws shingles -> md5/conv/pmod -> HOF min) is asserted in
+    * FunctionsSpec; the win over that spelling is allocation, not
+    * semantics — no shingle UTF8Strings, no hex strings, no conv
+    * parse, ~4x on the signature stage at sf0.1.
+    */
+  def minhashSignatureMd5(
+      s: UTF8String, a: Array[Long], b: Array[Long], prime: Long): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val (spans, cnt) = tokenSpans(base, off, s.numBytes)
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+
+    var buf = new Array[Byte](64)
+    def shingleHash(from: Int, until: Int): Long = {
+      var len = 0
+      var t = from
+      while (t < until) {
+        val tl = spans(2 * t + 1) - spans(2 * t)
+        if (len + tl + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tl + 1))
+        if (t > from) { buf(len) = 0x20; len += 1 }
+        Platform.copyMemory(base, off + spans(2 * t), buf,
+          Platform.BYTE_ARRAY_OFFSET + len, tl.toLong)
+        len += tl
+        t += 1
+      }
+      md5Prefix32(buf, len)
+    }
+
+    def fold(h0: Long): Unit = {
+      val h = h0 % prime // h0 is an unsigned 32-bit value: already >= 0
+      var j = 0
+      while (j < k) {
+        val v = (h * a(j) + b(j)) % prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+
+    if (cnt >= 3) {
+      var i = 0
+      while (i <= cnt - 3) { fold(shingleHash(i, i + 3)); i += 1 }
+    } else {
+      fold(shingleHash(0, cnt))
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** 60-bit md5-family SimHash fingerprint — the fused kernel behind
+    * the DRIVER simhash query ([[graft.llm.Dedup.simhashPairsExact]]).
+    * Per whitespace token (every OCCURRENCE, not distinct): h = first
+    * 60 md5 bits ([[md5Prefix60]]); bit b of the fingerprint is set iff
+    * strictly more tokens have bit b set than clear (2*ones > total).
+    * One pass, one digest per token, no hex strings, and the 60
+    * per-bit HOF filter passes of the composed spelling collapse into
+    * a vote array. Equality with that spelling is asserted in
+    * FunctionsSpec.
+    */
+  def simhash60Md5(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val (spans, cnt) = tokenSpans(base, off, s.numBytes)
+    val votes = new Array[Int](60)
+    var buf = new Array[Byte](64)
+    var t = 0
+    while (t < cnt) {
+      val tl = spans(2 * t + 1) - spans(2 * t)
+      if (tl > buf.length) buf = new Array[Byte](math.max(buf.length * 2, tl))
+      Platform.copyMemory(base, off + spans(2 * t), buf,
+        Platform.BYTE_ARRAY_OFFSET, tl.toLong)
+      val h = md5Prefix60(buf, tl)
+      var b = 0
+      while (b < 60) { votes(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * votes(b) > cnt) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** sorted distinct xxhash64 of each n-token shingle (tokens joined by
     * 0x20, same shingle convention as [[minhashSignature]]; a document
     * with fewer than n tokens contributes its whole token string as one
@@ -383,6 +511,55 @@ case class MinHashSignature(
     copy(child = newChild)
 }
 
+/** minhash_signature_md5(text): the md5-family MinHash signature —
+  * see [[TextKernels.minhashSignatureMd5]].
+  */
+case class MinHashSignatureMd5(
+    child: Expression,
+    aCoeffs: Seq[Long],
+    bCoeffs: Seq[Long],
+    prime: Long) extends TextKernelExpression {
+  require(aCoeffs.length == bCoeffs.length && aCoeffs.nonEmpty,
+    "aCoeffs/bCoeffs must be same nonempty length")
+
+  override def prettyName: String = "minhash_signature_md5"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val aArr = aCoeffs.toArray
+  @transient private lazy val bArr = bCoeffs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignatureMd5(
+      input.asInstanceOf[UTF8String], aArr, bArr, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhACoeffs", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhBCoeffs", bArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.minhashSignatureMd5($c, $aRef, $bRef, ${prime}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash60_md5(text): 60-bit md5-family SimHash — see
+  * [[TextKernels.simhash60Md5]].
+  */
+case class SimHash60Md5(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "simhash60_md5"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash60Md5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash60Md5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** token_counts(text): letter-run term-frequency map — see
   * [[TextKernels.tokenCounts]].
   */
@@ -432,6 +609,13 @@ object text {
   def minhash_signature(
       c: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
     Bridge.column(MinHashSignature(Bridge.expression(c), a, b, prime))
+
+  def minhash_signature_md5(
+      c: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
+    Bridge.column(MinHashSignatureMd5(Bridge.expression(c), a, b, prime))
+
+  def simhash60_md5(c: Column): Column =
+    Bridge.column(SimHash60Md5(Bridge.expression(c)))
 
   def char_ngrams(c: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(c), n))

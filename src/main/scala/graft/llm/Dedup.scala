@@ -677,14 +677,14 @@ object Dedup {
   private val EmbedDupTables = 4
 
   /** [[embeddingPairs]] re-based on the EXACT int8 machinery
-    * ([[Similarity.int8CandidatePairs]] — unit-scale quantization, LCG
-    * sign-plane buckets, long-dot scoring): every arithmetic step after
-    * the per-element rounding is order-independent long math, so the
-    * DuckDB oracle ([[Similarity.embeddingPairsInt8Sql]]) replays the
-    * emitted pair set bit-for-bit — near-dup reporting graduates from
-    * rows-only to hash-checked. Also the 100 TB shape: the candidate
-    * join carries 64 int8-range longs per row instead of 64 floats and
-    * verifies with sqrt-free integer multiply-adds. Precision stays
+    * ([[Similarity.int8CandidatePairs]] — unit-scale quantization,
+    * splitmix64 sign-plane buckets, byte-dot scoring): every arithmetic
+    * step after the per-element rounding is order-independent long
+    * math, so the DuckDB oracle ([[Similarity.embeddingPairsInt8Sql]])
+    * replays the emitted pair set bit-for-bit — near-dup reporting
+    * graduates from rows-only to hash-checked. Also the 100 TB shape:
+    * the candidate join carries 64 PACKED signed bytes per row instead
+    * of 64 floats and verifies with sqrt-free integer multiply-adds. Precision stays
     * exact (every emitted pair is verified against the threshold);
     * recall vs the exhaustive float variant is asserted in LlmSpec.
     */
@@ -800,12 +800,27 @@ object Dedup {
     * prime) instead of xxhash64 — md5 is the one hash both Spark and
     * DuckDB evaluate identically, so the DRIVER oracle replays the
     * full signature bit-exactly (the xxhash64 kernel variant is
-    * checked against spec ground truth instead). Same map-only shape:
-    * md5 runs once per shingle (`hh` is materialized in its own
-    * projection — 16 references would otherwise re-inline it), the k
-    * component mins are codegen'd HOF passes over the hashed array.
+    * checked against spec ground truth instead). Same map-only,
+    * fused-kernel shape as [[minhashSignatures]]:
+    * [[graft.functions.TextKernels.minhashSignatureMd5]] digests each
+    * shingle straight from the token byte spans — no shingle strings,
+    * no hex strings (asserted equal to the composed-expression
+    * spelling below).
     */
-  def minhashSignaturesExact(d: DataFrame): DataFrame = {
+  def minhashSignaturesExact(d: DataFrame): DataFrame =
+    graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"),
+        graft.functions.text.minhash_signature_md5(col("text"),
+          perms.map(_._1), perms.map(_._2), Prime).as("sig"))
+
+  /** The composed-expression spelling of [[minhashSignaturesExact]]
+    * (wsTokens -> concat_ws shingles -> md5/conv/pmod -> HOF mins) —
+    * the readable reference the kernel is asserted equal to in
+    * FunctionsSpec, and the direct mirror of the DuckDB oracle's CTEs.
+    * ~4x slower than the kernel at sf0.1 (shingle + hex string
+    * allocation), so the driver query uses the kernel.
+    */
+  private[graft] def minhashSignaturesExactExpr(d: DataFrame): DataFrame = {
     val tk = TextOps.wsTokens(col("text"))
     val shingles = when(size(tk) >= 3,
       transform(sequence(lit(1), size(tk) - 2), i =>
@@ -958,10 +973,20 @@ object Dedup {
     * overflowing a signed bigint) instead of the xxhash64 kernel's 64.
     * A bit is set iff strictly more token occurrences vote 1 than 0
     * (2 * count_ones > count — the integer form of the vote sum, no
-    * +1/-1 accumulator needed). Map-only: md5 once per token into a
-    * materialized `hh` column, then 60 codegen'd filter passes.
+    * +1/-1 accumulator needed). Map-only fused kernel
+    * ([[graft.functions.TextKernels.simhash60Md5]]): one digest per
+    * token, votes accumulated in one pass.
     */
-  def simhashExact(d: DataFrame): DataFrame = {
+  def simhashExact(d: DataFrame): DataFrame =
+    graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"),
+        graft.functions.text.simhash60_md5(col("text")).as("simhash"))
+
+  /** Composed-expression spelling of [[simhashExact]] (md5/conv per
+    * token, 60 HOF vote passes) — the kernel's reference in
+    * FunctionsSpec and the direct mirror of the DuckDB oracle.
+    */
+  private[graft] def simhashExactExpr(d: DataFrame): DataFrame = {
     val tk = TextOps.wsTokens(col("text"))
     val hh = transform(tk, t =>
       conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))

@@ -252,7 +252,7 @@ object Similarity {
   /** Approximate top-k in EXACT integer arithmetic — [[lshTopK]]'s
     * multi-table + multiprobe shape (fused bucket join, carried
     * vectors, hamming-1 probes) re-based on [[withUnitQuantized]]:
-    * buckets are signs of long dots with LCG ±1 planes, candidates are
+    * buckets are signs of long dots with splitmix64 ±1 planes, candidates are
     * scored with [[vector.long_dot_product]]. Every step after the
     * per-element quantization rounding is order-independent long math,
     * so the DuckDB oracle ([[lshTopKInt8Sql]]) replays the whole query
@@ -623,6 +623,79 @@ object Similarity {
        |              ON a.probe = b.cell AND a.vec_id <> b.vec_id))
        |WHERE rank <= $k""".stripMargin
 
+  /** Batch ANN serving — the ASYMMETRIC shape [[ivfTopKInt8]]'s
+    * self-join doesn't cover: a query batch searched AGAINST a corpus.
+    * The corpus side is the IVF index (assigned to cells once,
+    * cell-partitioned, vectors packed int8 — at 100 TB this side is
+    * built once per corpus snapshot and reused across query batches);
+    * each query probes only its `nProbe` nearest cells, so query-side
+    * work is |Q| x nProbe rows no matter how large the corpus — the
+    * property that makes serving feasible where brute force
+    * ([[bruteForceTopK]], which broadcasts the query batch and scans
+    * everything) stops at small batches. Identity matches (a query
+    * vector that IS a corpus vector) are excluded by id. Same exact
+    * long arithmetic as the self-join path, so the DuckDB oracle
+    * ([[ivfSearchInt8Sql]]) replays it bit-for-bit, codebook training
+    * included.
+    */
+  def ivfSearchInt8(
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, nCells: Int = 16,
+      nProbe: Int = 2,
+      codebook: Option[Array[Array[Long]]] = None): DataFrame = {
+    val v = graft.core.Layout.spread(corpus, "vec_id")
+    val cents = codebook.getOrElse(ivfCentroidsInt8(v, nCells))
+    val assigned = assignCellsInt8(v, cents)
+      .select(col("vec_id"), vector.pack_int8(col("qn")).as("qb"), col("cell"))
+    val probes = withUnitQuantized(queries)
+      .select(col("vec_id").as("query_id"),
+        vector.pack_int8(col("qn")).as("qb"),
+        explode(slice(transform(array_sort(cellDistsInt8(cents)),
+          s => s.getField("i")), 1, nProbe)).as("probe"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    probes.as("a")
+      .join(assigned.as("b"),
+        col("a.probe") === col("b.cell") &&
+          col("a.query_id") =!= col("b.vec_id"))
+      .select(col("a.query_id"), col("b.vec_id"),
+        vector.byte_dot_product(col("a.qb"), col("b.qb")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
+  /** 1-in-`SearchQueryMod` slice of the embeddings used as the serving
+    * query batch — one constant for the Spark query and the oracle.
+    */
+  private[graft] val SearchQueryMod = 7L
+
+  /** Oracle replay of [[ivfSearchInt8]] over the
+    * [[SearchQueryMod]]-slice query batch — codebook training included.
+    */
+  def ivfSearchInt8Sql(k: Int = 5, nCells: Int = 16, nProbe: Int = 2): String =
+    s"""${int8IvfCtes("SELECT vec_id, embedding FROM embeddings", nCells)},
+       |qq AS (
+       |  ${unitQuantSelect(
+             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % $SearchQueryMod = 0")}),
+       |probes AS (
+       |  SELECT vec_id AS query_id, qn, cell AS probe FROM (
+       |    SELECT t.vec_id, t.qn, c.cell,
+       |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |        CAST(list_dot_product(c.m, c.m) AS BIGINT)
+       |          - 2 * CAST(list_dot_product(t.qn, c.m) AS BIGINT), c.cell)
+       |        AS rn
+       |    FROM qq t CROSS JOIN m2 c)
+       |  WHERE rn <= $nProbe)
+       |SELECT query_id, neighbor_id, rank, sim
+       |FROM (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM (SELECT a.query_id, b.vec_id AS neighbor_id,
+       |              CAST(list_dot_product(a.qn, b.qn) AS BIGINT) AS sim
+       |            FROM probes a JOIN cells b
+       |              ON a.probe = b.cell AND a.query_id <> b.vec_id))
+       |WHERE rank <= $k""".stripMargin
+
   /** Cosine eps 0.96 on the int8 unit scale:
     * 15484 ≈ round(0.96 * 127^2). Identical vectors quantize
     * identically, so a planted duplicate scores |qn|^2 ≈ 127^2 — far
@@ -914,6 +987,10 @@ object Similarity {
     "q_knn_lsh" -> ((s, d) => lshTopKInt8(emb(s, d))),
     "q_knn_ivf" -> ((s, d) =>
       ivfTopKInt8(emb(s, d), codebook = Some(cachedCentroidsInt8(s, d)))),
+    "q_knn_search" -> ((s, d) =>
+      ivfSearchInt8(emb(s, d),
+        emb(s, d).filter(pmod(col("vec_id"), lit(SearchQueryMod)) === 0),
+        codebook = Some(cachedCentroidsInt8(s, d)))),
     "q_dedup_semantic" -> ((s, d) => {
       val e = emb(s, d).select("vec_id", "embedding")
       semDedupInt8(
@@ -935,6 +1012,7 @@ object Similarity {
     "q_knn_brute" -> bruteForceTopKSql,
     "q_knn_lsh" -> lshTopKInt8Sql(),
     "q_knn_ivf" -> ivfTopKInt8Sql(),
+    "q_knn_search" -> ivfSearchInt8Sql(),
     "q_dedup_semantic" -> semDedupInt8Sql(semPlantSql),
     "q_embed_quantize" -> quantizeInt8Sql,
     "q_embed_project" -> jlProjectFlatSql,

@@ -77,6 +77,31 @@ class FunctionsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("md5 minhash/simhash kernels equal the composed-expression spelling") {
+    // the composed spellings mirror the DuckDB oracle CTEs; the fused
+    // kernels must match them bit-for-bit on real docs + edge cases
+    val edge = Seq(
+      (910001L, ""), (910002L, "   \t\n  "), (910003L, "one"),
+      (910004L, "one two"), (910005L, " ab\fc\rd e\tf "),
+      (910006L, "dup dup dup dup"), (910007L, "café 中文 café naïve 中文"))
+    val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .unionByName(spark.createDataFrame(edge).toDF("doc_id", "text"))
+    val mh = graft.llm.Dedup.minhashSignaturesExact(d).as("k")
+      .join(graft.llm.Dedup.minhashSignaturesExactExpr(d).as("e"), "doc_id")
+      .select(col("doc_id"), col("k.sig").as("ks"), col("e.sig").as("es"))
+      .collect()
+    assert(mh.nonEmpty)
+    mh.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+      s"minhash md5 kernel mismatch doc ${r.getLong(0)}"))
+    val sh = graft.llm.Dedup.simhashExact(d).as("k")
+      .join(graft.llm.Dedup.simhashExactExpr(d).as("e"), "doc_id")
+      .select(col("doc_id"), col("k.simhash").as("ks"), col("e.simhash").as("es"))
+      .collect()
+    assert(sh.nonEmpty)
+    sh.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"simhash md5 kernel mismatch doc ${r.getLong(0)}"))
+  }
+
   test("sorted_intersect_count agrees with array_intersect semantics") {
     GraftFunctions.register(spark)
     val r = spark.sql(

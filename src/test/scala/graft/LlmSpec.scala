@@ -486,6 +486,41 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("int8 ivf search: full-probe equals exact int8 top-k per query") {
+    val queries = emb.filter(col("vec_id") % Similarity.SearchQueryMod === 0)
+    // probing ALL cells makes the candidate set the whole corpus (minus
+    // the identity id), so the approximate path must equal exact top-k
+    // over the quantized dots — the strongest property the operator has
+    val res = Similarity.ivfSearchInt8(
+      emb, queries, k = 5, nCells = 16, nProbe = 16).collect()
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray)
+      .toMap
+    def qn(v: Array[Double]): Array[Long] = {
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      v.map(x => java.math.BigDecimal.valueOf(x / nrm * 127.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    }
+    val q = vecs.map { case (id, v) => id -> qn(v) }
+    val expect = q.keys.filter(_ % Similarity.SearchQueryMod == 0).flatMap { qid =>
+      q.keys.filter(_ != qid).map(nid =>
+          (nid, q(qid).zip(q(nid)).map { case (a, b) => a * b }.sum))
+        .toSeq.sortBy { case (nid, sim) => (-sim, nid) }.take(5)
+        .zipWithIndex.map { case ((nid, sim), i) => (qid, nid, i + 1L, sim) }
+    }.toSet
+    val got = res.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    // default narrow probing still finds most of the full-probe answers
+    val narrow = Similarity.ivfSearchInt8(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = narrow.intersect(full).size.toDouble / full.size
+    info(f"ivf search recall@5 (2 of 16 probes): $recall%.3f")
+    assert(recall > 0.05, s"serving recall degenerate: $recall")
+  }
+
   test("bmp codec: encode->decode round-trips every stride padding (0..3)") {
     for (w <- 5 to 8; h <- Seq(1, 3)) {
       def px(x: Int, y: Int, c: Int): Int = (x * 31 + y * 17 + c * 7 + 5) % 256
