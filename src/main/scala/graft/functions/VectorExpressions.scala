@@ -511,6 +511,103 @@ case class ByteDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Kernel behind [[IvfProbesInt8]] — kept as a plain static-shaped
+  * method so generated code can call it.
+  */
+object VectorKernels {
+
+  /** Ids of the `nProbe` nearest IVF cells for a unit-quantized vector
+    * by the exact long metric d(c) = |m_c|^2 - 2 x·m_c, ties broken by
+    * lower cell id — the identical ordering to sorting (d, i) structs,
+    * which is what the DuckDB oracle replays. `mm` carries the
+    * precomputed |m_c|^2 terms. Partial selection is O(nCells x
+    * nProbe), fine for any realistic probe count.
+    */
+  def ivfNearestCells(
+      x: ArrayData, cents: Array[Array[Long]], mm: Array[Long],
+      nProbe: Int): ArrayData = {
+    val k = cents.length
+    val n = math.min(nProbe, k)
+    val ds = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val m = cents(c)
+      val len = math.min(m.length, x.numElements())
+      var dot = 0L
+      var i = 0
+      while (i < len) { dot += x.getLong(i) * m(i); i += 1 }
+      ds(c) = mm(c) - 2L * dot
+      c += 1
+    }
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < n) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!used(c2) && (best < 0 || ds(c2) < ds(best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** ivf_probes_int8(qn): the `nProbe` nearest IVF cell ids for a
+  * unit-quantized vector — the REPLACEMENT for unrolling one
+  * `struct(|m|^2 - 2 x·m, i)` expression PER CELL and array_sort-ing
+  * the lot: that expression tree is O(nCells) operators, so past ~100
+  * cells it bursts whole-stage codegen's method limits and the whole
+  * projection falls back to interpreted eval (measured: a 256-cell
+  * assignment over 250k vectors effectively hung — this kernel does it
+  * in seconds). nCells is THE scale knob for IVF at corpus size, so
+  * assignment cost must not be an expression-tree size. Codebook rides
+  * along as a reference object (driver-sized, k x dim longs);
+  * coefficients are Seq for value equality so identical calls
+  * canonicalize together for subplan reuse.
+  */
+case class IvfProbesInt8(
+    child: Expression, cents: Seq[Seq[Long]], nProbe: Int)
+    extends UnaryExpression {
+  require(cents.nonEmpty && nProbe >= 1, "need cells and nProbe >= 1")
+
+  override def prettyName: String = "ivf_probes_int8"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${dt.catalogString}")
+    }
+
+  @transient private lazy val centArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val mmArr: Array[Long] =
+    centArr.map(m => m.map(v => v * v).sum)
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.ivfNearestCells(
+      a.asInstanceOf[ArrayData], centArr, mmArr, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", centArr, "long[][]")
+    val mRef = ctx.addReferenceObj("ivfMm", mmArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.ivfNearestCells($c, $cRef, $mRef, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object vector {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -539,4 +636,8 @@ object vector {
 
   def byte_dot_product(a: Column, b: Column): Column =
     Bridge.column(ByteDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def ivf_probes_int8(
+      a: Column, cents: Seq[Seq[Long]], nProbe: Int): Column =
+    Bridge.column(IvfProbesInt8(Bridge.expression(a), cents, nProbe))
 }

@@ -466,7 +466,7 @@ object Similarity {
     * only the k x dim codebook; magnitudes stay ≤ 64 * 127² ≈ 1e6, so
     * nothing can overflow at any corpus size.
     */
-  private[llm] def ivfCentroidsInt8(
+  private[graft] def ivfCentroidsInt8(
       e: DataFrame, k: Int = 16, iters: Int = 2,
       sampleMod: Int = 4): Array[Array[Long]] = {
     val sample = withUnitQuantized(e)
@@ -495,21 +495,24 @@ object Similarity {
     cents
   }
 
-  /** (exact-long distance, cell) structs for argmin/sort — the int8
-    * analog of [[cellDists]].
+  /** The `nProbe` nearest cell ids for the `qn` column, as an array —
+    * one [[graft.functions.IvfProbesInt8]] kernel call per row. The
+    * earlier spelling unrolled a `struct(|m|^2 - 2 x·m, i)` expression
+    * PER CELL and array_sort-ed them: an O(nCells) expression tree that
+    * bursts codegen past ~100 cells and drops the projection to
+    * interpreted eval (a 256-cell assignment over 250k rows effectively
+    * hung). The kernel is a tight loop over a driver-sized codebook
+    * reference — nCells is now a real knob instead of a plan-size
+    * hazard. Ordering is identical (exact long metric, ties by cell
+    * id), pinned by the unchanged DuckDB oracles and LlmSpec.
     */
-  private def cellDistsInt8(cents: Array[Array[Long]]): Column =
-    array(cents.zipWithIndex.map { case (m, i) =>
-      val mm = m.map(v => v * v).sum
-      struct(
-        (lit(mm) - lit(2L) * vector.long_dot_product(col("qn"),
-          array(m.map(lit): _*))).as("d"),
-        lit(i).as("i"))
-    }: _*)
+  private def probeCellsInt8(
+      cents: Array[Array[Long]], nProbe: Int): Column =
+    vector.ivf_probes_int8(col("qn"), cents.map(_.toSeq).toSeq, nProbe)
 
   /** Assign rows that already carry `qn`. */
   private def assignCellsInt8Q(q: DataFrame, cents: Array[Array[Long]]): DataFrame =
-    q.withColumn("cell", array_min(cellDistsInt8(cents)).getField("i"))
+    q.withColumn("cell", element_at(probeCellsInt8(cents, 1), 1))
 
   /** (vec_id, qn, cell) for every non-zero vector of `e`. */
   private[llm] def assignCellsInt8(
@@ -535,8 +538,7 @@ object Similarity {
       .select(col("vec_id"), vector.pack_int8(col("qn")).as("qb"), col("cell"))
     val probes = withUnitQuantized(v)
       .select(col("vec_id"), vector.pack_int8(col("qn")).as("qb"),
-        explode(slice(transform(array_sort(cellDistsInt8(cents)),
-          s => s.getField("i")), 1, nProbe)).as("probe"))
+        explode(probeCellsInt8(cents, nProbe)).as("probe"))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
     probes.as("a")
       .join(assigned.as("b"),
@@ -644,16 +646,35 @@ object Similarity {
       codebook: Option[Array[Array[Long]]] = None): DataFrame = {
     val v = graft.core.Layout.spread(corpus, "vec_id")
     val cents = codebook.getOrElse(ivfCentroidsInt8(v, nCells))
-    val assigned = assignCellsInt8(v, cents)
+    ivfSearchInt8Indexed(ivfIndexInt8(v, cents), queries, cents, k, nProbe)
+  }
+
+  /** The index side of [[ivfSearchInt8]]: (vec_id, qb packed int8,
+    * cell) for every corpus vector. In a deployment this is the
+    * build-once artifact — materialize it (parquet partitioned/bucketed
+    * by `cell`) and serve every query batch from it via
+    * [[ivfSearchInt8Indexed]] without touching the corpus again. The
+    * one-shot [[ivfSearchInt8]] fuses the two for the driver query.
+    */
+  def ivfIndexInt8(corpus: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    assignCellsInt8(corpus, cents)
       .select(col("vec_id"), vector.pack_int8(col("qn")).as("qb"), col("cell"))
+
+  /** Search a prebuilt [[ivfIndexInt8]] index: per-batch cost is the
+    * query-side quantize + probe (|Q| x nProbe rows) plus the probed
+    * cells' candidates — independent of corpus size at constant
+    * per-cell occupancy (`ScaleProbe serve` measures exactly this).
+    */
+  def ivfSearchInt8Indexed(
+      index: DataFrame, queries: DataFrame, cents: Array[Array[Long]],
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
     val probes = withUnitQuantized(queries)
       .select(col("vec_id").as("query_id"),
         vector.pack_int8(col("qn")).as("qb"),
-        explode(slice(transform(array_sort(cellDistsInt8(cents)),
-          s => s.getField("i")), 1, nProbe)).as("probe"))
+        explode(probeCellsInt8(cents, nProbe)).as("probe"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     probes.as("a")
-      .join(assigned.as("b"),
+      .join(index.as("b"),
         col("a.probe") === col("b.cell") &&
           col("a.query_id") =!= col("b.vec_id"))
       .select(col("a.query_id"), col("b.vec_id"),

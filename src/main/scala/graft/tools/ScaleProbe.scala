@@ -180,6 +180,66 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("serve")) {
+      // Batch-serving probe (ivfIndexInt8 + ivfSearchInt8Indexed): a
+      // FIXED 2k-query batch against a 1x/4x corpus, index build timed
+      // separately from the per-batch search — the deployment split
+      // (the index is built once per corpus snapshot; batches reuse
+      // it). Claims under test: (1) per-batch cost tracks per-cell
+      // OCCUPANCY, not corpus size — 4x corpus at 4x cells must cost
+      // what 1x cost; (2) index build is the linear amortized cost,
+      // itself linear in nCells too (flat assignment scans every
+      // centroid — the measured argument for a hierarchical coarse
+      // quantizer once nCells reaches ~10^5). Codebooks trained on the
+      // 1x corpus (index params are fixed at build time). This probe
+      // only runs at all because assignment is the IvfProbesInt8
+      // kernel: the old per-cell expression tree fell out of codegen
+      // at 256 cells and effectively hung here.
+      val queries = spark.range(2000L).select(
+        (col("id") * 7919L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(hash(col("id") * 7919L, i), lit(2001)) - lit(1000))
+            / lit(1000.0)).cast("float")).as("embedding"))
+        .localCheckpoint()
+      def corpus(n: Long) = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(hash(col("id"), i), lit(2001)) - lit(1000)) / lit(1000.0))
+            .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val c1 = corpus(250000L)
+      val c4 = corpus(1000000L)
+      // the deployment response to a bigger corpus is MORE cells (keep
+      // per-cell occupancy ~constant) — feasible only because cell
+      // assignment is a kernel, not an O(nCells) expression tree
+      val book256 = graft.llm.Similarity.ivfCentroidsInt8(c1, 256)
+      val book1024 = graft.llm.Similarity.ivfCentroidsInt8(c1, 1024)
+      Seq(("1x corpus, 256 cells", c1, book256),
+          ("4x corpus, 256 cells", c4, book256),
+          ("4x corpus, 1024 cells", c4, book1024))
+        .foreach { case (label, c, book) =>
+          val t0 = System.nanoTime()
+          val index = graft.llm.Similarity.ivfIndexInt8(c, book)
+            .localCheckpoint() // the build-once artifact
+          val build = (System.nanoTime() - t0) / 1e9
+          val mk = () => graft.llm.Similarity.ivfSearchInt8Indexed(
+            index, queries, book, k = 10, nProbe = 4)
+          mk().count() // warm
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t1 = System.nanoTime()
+          val rows = mk().count()
+          val dt = (System.nanoTime() - t1) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[serve-probe] $label%-22s build $build%6.2f s |" +
+            f" batch $rows%6d results  $dt%6.2f s" +
+            f"  shuffle ${l.bytes.get / 1e6}%7.1f MB")
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("budget")) {
       // Token-budget probe: the naive form of per-domain budget
       // selection is ONE cumulative-sum window PARTITIONED BY lang —
