@@ -868,16 +868,31 @@ object Similarity {
       |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
       |          FROM embeddings)))""".stripMargin
 
+  /** Base offset for the JL sign stream — disjoint from [[PlaneBase]]'s
+    * LSH range so the two [[mix64]] streams never alias.
+    */
+  private val JlBase = 2000003L
+
+  /** sign(j, i) of the JL projection matrix — ONE driver-side source
+    * (splitmix64, like [[planeSign]]) inlined as literal constants into
+    * BOTH the Spark expression and the generated DuckDB oracle. The
+    * previous inline-LCG spelling (bit 16 of 1103515245x+12345 mod
+    * 2^31, replayed formula-for-formula in SQL) had the same disease
+    * the round-8 ann probe caught in the LSH planes: adjacent-index
+    * LCG sign streams are strongly correlated — measured mean
+    * |row-pair dot| 30.6 of 64 (max 60: two of the 16 output dims were
+    * near-duplicates), so the projection carried far fewer than 16
+    * independent directions. With mix64 the rows are iid-quality, and
+    * as literals the generator needs no SQL spelling at all.
+    */
+  private[llm] def jlSign(j: Int, i: Int, inDim: Int): Long =
+    if ((mix64(JlBase + (j.toLong * inDim + i)) & 1L) == 0L) 1L else -1L
+
   /** Johnson-Lindenstrauss random projection to `outDim` dimensions
     * over the int8-QUANTIZED embedding (reusing [[quantizeInt8]]'s
-    * max-abs scale): out[j] = sum_i q[i] * sign(i, j), where the sign
-    * matrix derives from a linear-congruential generator
-    * (lcg(x) = (1103515245 x + 12345) mod 2^31; sign = bit 16 of the
-    * state, NOT the low bit — an LCG's low bit has period 2, which
-    * would make sign(i, j) independent of j and collapse every output
-    * dimension to the same value. Bit 16 is the classic libc rand()
-    * fix. The Achlioptas ±1 projection with a seed both engines can
-    * evaluate in exact integer arithmetic).
+    * max-abs scale): out[j] = sum_i q[i] * sign(j, i), with the ±1
+    * sign matrix from [[jlSign]] (the Achlioptas projection, literal
+    * constants in both engines).
     *
     * Projecting the quantized ints instead of the raw floats keeps
     * every sum ORDER-INDEPENDENT (bigint adds commute exactly; float
@@ -885,21 +900,19 @@ object Similarity {
     * seeded-xxhash ops that are rows-only. The dimensionality knob for
     * 100 TB ANN: 64 float32 dims -> `outDim` small ints shrinks the
     * candidate-verify bandwidth ~8x while JL preserves pairwise
-    * distances (asserted in LlmSpec). Map-only, no shuffle.
+    * distances (asserted in CorpusOpsSpec). Map-only, no shuffle.
     */
   def jlProject(e: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame = {
-    def sign(i: Column, j: Column): Column =
-      when(shiftright(
-        (lit(1103515245L) * (j * inDim + i) + 12345L) % 2147483648L,
-        16) % 2 === 0,
-        lit(1L)).otherwise(lit(-1L))
     withQuantized(e)
       .select(
         col("vec_id"),
-        transform(sequence(lit(0), lit(outDim - 1)), j =>
+        array((0 until outDim).map { j =>
+          val signs = array((0 until inDim).map(i =>
+            lit(jlSign(j, i, inDim))): _*)
           aggregate(sequence(lit(0), lit(inDim - 1)), lit(0L),
-            (acc, i) => acc + element_at(col("q"), i + 1) * sign(i, j)))
-          .as("proj"),
+            (acc, i) => acc + element_at(col("q"), i + 1) *
+              element_at(signs, i + 1))
+        }: _*).as("proj"),
         round(col("scale"), 9).as("scale_r"))
   }
 
@@ -915,26 +928,33 @@ object Similarity {
       array_join(col("proj").cast("array<string>"), ",").as("proj_csv"),
       col("scale_r"))
 
-  val jlProjectSql: String =
-    """SELECT vec_id,
-      |  list_transform(range(16), j -> CAST(list_reduce(
-      |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(range(64), i -> q[i + 1] *
-      |        CASE WHEN (((1103515245 * (j * 64 + i) + 12345)
-      |                    % 2147483648) >> 16) % 2 = 0
-      |             THEN 1 ELSE -1 END)),
-      |    (a, b) -> a + b) AS BIGINT)) AS proj,
-      |  round(scale, 9) AS scale_r
-      |FROM (
-      |  SELECT vec_id, scale,
-      |    list_transform(emb, v -> CAST(round(v / scale, 0) AS BIGINT)) AS q
-      |  FROM (
-      |    SELECT vec_id, emb,
-      |      nullif(list_max(list_transform(emb, v -> abs(v))) / 127.0, 0)
-      |        AS scale
-      |    FROM (SELECT vec_id,
-      |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-      |          FROM embeddings)))""".stripMargin
+  /** Oracle replay of [[jlProject]] — the sign matrix is inlined from
+    * [[jlSign]], the single source of truth.
+    */
+  val jlProjectSql: String = {
+    val dims = (0 until 16).map { j =>
+      val signs = (0 until 64).map(i => jlSign(j, i, 64))
+        .mkString("[", ",", "]")
+      s"""    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(64), i -> q[i + 1] * ($signs)[i + 1])),
+         |      (a, b) -> a + b) AS BIGINT)""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT vec_id,
+       |  [
+       |$dims
+       |  ] AS proj,
+       |  round(scale, 9) AS scale_r
+       |FROM (
+       |  SELECT vec_id, scale,
+       |    list_transform(emb, v -> CAST(round(v / scale, 0) AS BIGINT)) AS q
+       |  FROM (
+       |    SELECT vec_id, emb,
+       |      nullif(list_max(list_transform(emb, v -> abs(v))) / 127.0, 0)
+       |        AS scale
+       |    FROM (SELECT vec_id,
+       |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+       |          FROM embeddings)))""".stripMargin
+  }
 
   /** [[jlProjectSql]] reshaped to match [[jlProjectFlat]]. */
   val jlProjectFlatSql: String =
