@@ -27,26 +27,6 @@ object Layout {
   def spread(df: DataFrame, key: Column): DataFrame =
     df.repartition(key)
 
-  /** Write a deterministically SHUFFLED, SHARDED training corpus: one
-    * parquet file per shard, rows sorted by content hash within each
-    * shard — the materialization of [[graft.llm.Sampling.shardShuffle]].
-    * A trainer streaming shard files in (shard, row) order gets a
-    * reproducible, source/time-decorrelated epoch order, and any shard
-    * is an unbiased 1/n sample of the corpus.
-    *
-    * Plan shape: one hash exchange INTO the shards (repartition by the
-    * shard expression so each task owns exactly one shard's rows —
-    * `partitionBy` alone would have every task write to every shard
-    * directory, nShards small files per task) + an in-partition sort;
-    * no global sort, no driver involvement. At 100 TB with thousands
-    * of shards this is the same plan — tasks scale with shards.
-    */
-  /** The shared content-hash shard bucket: a pure function of the text
-    * used identically by [[graft.llm.Sampling.shardShuffle]] (the
-    * assignment operator), [[writeShards]] (its materialization), and
-    * [[graft.llm.Pipeline.curateFull]] (the rollup) — one definition so
-    * the three can never desynchronize.
-    */
   /** Default shard count shared by `Sampling.shardShuffle`,
     * [[writeShards]], `Pipeline.curateFull` and their oracles.
     */
@@ -57,6 +37,12 @@ object Layout {
     */
   private val ShardMult = 131
 
+  /** The shared content-hash shard bucket: a pure function of the text
+    * used identically by [[graft.llm.Sampling.shardShuffle]] (the
+    * assignment operator), [[writeShards]] (its materialization), and
+    * [[graft.llm.Pipeline.curateFull]] (the rollup) — one definition so
+    * the three can never desynchronize.
+    */
   def contentShard(textCol: Column, nShards: Int): Column = {
     import org.apache.spark.sql.functions.{ascii, lit, md5, pmod, substring}
     val h = md5(textCol.cast("binary"))

@@ -377,7 +377,13 @@ case class LongDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // strict, like DuckDB's list_dot_product: a silent min-length dot
+    // would quietly score a dim-mismatched corpus with wrong buckets
+    // while the oracle errors loudly — fail the same way on both sides
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: length mismatch $n vs ${y.numElements()}")
     var dot = 0L; var i = 0
     while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
     dot
@@ -389,7 +395,10 @@ case class LongDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n)
+         |  throw new IllegalArgumentException(
+         |    "long_dot_product: length mismatch " + $n + " vs " + $b.numElements());
          |long $dot = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += $a.getLong($i) * $b.getLong($i);
@@ -485,7 +494,11 @@ case class ByteDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    val n = x.length
+    // strict for the same reason as long_dot_product
+    if (y.length != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: length mismatch $n vs ${y.length}")
     var dot = 0L; var i = 0
     while (i < n) { dot += x(i).toLong * y(i).toLong; i += 1 }
     dot
@@ -497,7 +510,10 @@ case class ByteDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = Math.min($a.length, $b.length);
+         |int $n = $a.length;
+         |if ($b.length != $n)
+         |  throw new IllegalArgumentException(
+         |    "byte_dot_product: length mismatch " + $n + " vs " + $b.length);
          |long $dot = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (long) $a[$i] * (long) $b[$i];

@@ -467,9 +467,9 @@ object CorpusOps {
     * after the first partial aggregate.
     */
   def mixDomains(d: DataFrame): DataFrame = {
-    // derived from THE mix (Sampling.TargetMixPermille) — permille /
-    // 1000.0 and the oracle's 3-decimal literal round to the same
-    // double, so deriving both sides keeps them bit-identical
+    // derived from THE mix (Sampling.TargetMixPermille) — both engines
+    // compute permille / 1000 in double, so deriving both sides keeps
+    // them bit-identical for any permille value
     val target = Sampling.TargetMixPermille
       .map { case (l, p) => l -> p / 1000.0 }
     val tgt = typedLit(target.toMap)
@@ -498,7 +498,7 @@ object CorpusOps {
   val mixDomainsSql: String =
     """WITH pl AS (
       |  SELECT lang, count(*) AS n_docs,
-      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
       |      t -> t <> ''))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY lang),
       |t AS (SELECT sum(n_tokens)::DOUBLE AS tot_tokens FROM pl),
@@ -511,8 +511,12 @@ object CorpusOps {
       |    tgt.target_share / (pl.n_tokens / t.tot_tokens)), 0) AS BIGINT)
       |    AS sampled_tokens
       |FROM pl CROSS JOIN t JOIN tgt ON pl.lang = tgt.lang""".stripMargin
+      // CAST(p AS DOUBLE)/1000 = Scala's p / 1000.0 bit-for-bit for ANY
+      // permille value — the earlier f"0.$p%03d" rendering silently
+      // produced 0.1000 (= 0.1) for p = 1000, desyncing the engines on
+      // a single-language mix
       .replace("__TGT_VALUES__", Sampling.TargetMixPermille
-        .map { case (l, p) => f"('$l', CAST(0.$p%03d AS DOUBLE))" }
+        .map { case (l, p) => s"('$l', CAST($p AS DOUBLE) / 1000)" }
         .mkString(", "))
 
   // --------------------------------------------------------------------
@@ -547,7 +551,7 @@ object CorpusOps {
   val corpusSummarySql: String =
     """WITH l1 AS (
       |  SELECT source, lang, md5(text) AS h, count(*) AS n,
-      |    sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    sum(len(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
       |      t -> t <> ''))) AS toks
       |  FROM documents GROUP BY 1, 2, 3)
       |SELECT source, lang,

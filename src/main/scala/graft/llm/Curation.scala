@@ -100,7 +100,7 @@ object Curation {
   val chunkSql: String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+       |    list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'), x -> x <> '')
        |      AS toks
        |  FROM documents)
        |SELECT doc_id,
@@ -137,7 +137,7 @@ object Curation {
        |    // $PackBudget AS BIGINT) AS bin
        |FROM (
        |  SELECT doc_id, lang,
-       |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'),
        |      x -> x <> '')) AS BIGINT) AS n_tokens
        |  FROM documents)""".stripMargin
 
@@ -260,7 +260,7 @@ object Curation {
       |  FROM (
       |    SELECT doc_id, tok, count(*) AS cnt FROM (
       |      SELECT doc_id,
-      |        unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |        unnest(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
       |          x -> x <> '')) AS tok
       |      FROM documents) GROUP BY doc_id, tok)
       |  GROUP BY doc_id)""".stripMargin
@@ -439,7 +439,7 @@ object Curation {
   val mlmMaskSql: String =
     """WITH base AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')
       |      AS toks
       |  FROM documents),
       |m AS (

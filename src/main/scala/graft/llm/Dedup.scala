@@ -85,7 +85,7 @@ object Dedup {
       |  -- coalesce: array_to_string([]) is NULL in DuckDB where
       |  -- Spark's concat_ws is '' — a tokenless doc must hash md5('')
       |  md5(coalesce(array_to_string(list_sort(list_distinct(
-      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))),
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> ''))),
       |    ' '), '')) AS canon_hash,
       |  min(doc_id) AS keep_id, count(*) AS n_copies,
       |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS members
@@ -289,7 +289,7 @@ object Dedup {
     """WITH t AS (
       |  SELECT doc_id,
       |    list_distinct(list_filter(
-      |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
+      |      regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')) AS toks
       |  FROM documents)
       |SELECT doc_a, doc_b, round(raw, 6) AS jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -326,7 +326,7 @@ object Dedup {
   val jaccardShinglePairsSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')
       |      AS toks
       |  FROM documents),
       |sh AS (
@@ -583,7 +583,7 @@ object Dedup {
     """WITH RECURSIVE t AS (
       |  SELECT doc_id,
       |    list_distinct(list_filter(
-      |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
+      |      regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')) AS toks
       |  FROM documents),
       |pairs AS (
       |  SELECT doc_a, doc_b FROM (
@@ -630,7 +630,7 @@ object Dedup {
     """WITH t AS (
       |  SELECT doc_id, substring(text, 1, 60) AS head,
       |    list_distinct(list_filter(
-      |      regexp_split_to_array(text, '\s+'), t -> t <> '')) AS toks
+      |      regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')) AS toks
       |  FROM documents)
       |SELECT doc_a, doc_b, round(raw, 6) AS jaccard,
       |  CAST(levenshtein(head_a, head_b) AS BIGINT) AS edit_60
@@ -860,7 +860,7 @@ object Dedup {
     val nBands = MinhashK / BandSize
     s"""WITH toks AS (
        |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+       |    list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'), t -> t <> '')
        |      AS tk
        |  FROM documents),
        |sh AS (
@@ -1036,7 +1036,7 @@ object Dedup {
   val simhashPairsExactSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+       |    list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'), t -> t <> '')
        |      AS tk
        |  FROM documents),
        |hs AS (
@@ -1271,7 +1271,7 @@ object Dedup {
   val decontaminateSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), x -> x <> '')
       |      AS toks
       |  FROM documents),
       |sh AS (

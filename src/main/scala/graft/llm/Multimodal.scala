@@ -610,8 +610,8 @@ object Multimodal {
     * any pair with hamming <= maxHamming < nBands agrees on at least
     * one band (pigeonhole), so the bucketed join is COMPLETE while
     * sub-quadratic; verification is a bit_count inside the join stage.
-    */
-  /** Adaptive HOT-BUCKET SALTING, same discipline as
+    *
+    * Adaptive HOT-BUCKET SALTING, same discipline as
     * [[Dedup.prefixRankJoin]]: a duplicate-heavy corpus (the realistic
     * near-dup regime — one viral image re-posted n times) puts n
     * identical hashes in one (band, key) bucket, whose self-join emits

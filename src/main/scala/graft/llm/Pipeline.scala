@@ -57,9 +57,9 @@ object Pipeline {
     s"""WITH keyed AS (
        |  SELECT doc_id, lang, text,
        |    md5(array_to_string(list_sort(list_distinct(
-       |      list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))),
+       |      list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'), t -> t <> ''))),
        |      ' ')) AS canon,
-       |    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+       |    list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'), t -> t <> '')
        |      AS toks
        |  FROM documents),
        |survivors AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY canon)

@@ -95,12 +95,12 @@ object Sampling {
   val weightedSampleSql: String =
     """SELECT doc_id, n_tokens, u, keep_below FROM (
       |  SELECT doc_id,
-      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
       |      t -> t <> '')) AS BIGINT) AS n_tokens,
       |    CAST(((ascii(substr(md5(text), 1, 1)) * 131 +
       |           ascii(substr(md5(text), 2, 1))) * 131 +
       |          ascii(substr(md5(text), 3, 1))) % 10000 AS BIGINT) AS u,
-      |    CAST(least(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    CAST(least(len(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
       |      t -> t <> '')), 200) * 50 AS BIGINT) AS keep_below
       |  FROM documents)
       |WHERE u < keep_below""".stripMargin
@@ -217,7 +217,7 @@ object Sampling {
       |      coalesce(CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
       |          AS BIGINT) * 10000 // nullif(length(text), 0), -1)
       |        AS q_x10000,
-      |      CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      CAST(len(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
       |        t -> t <> '')) AS BIGINT) AS n_tokens
       |    FROM documents))
       |WHERE cum <= 3000""".stripMargin
@@ -283,7 +283,7 @@ object Sampling {
   val epochUpsampleSql: String =
     """WITH pl AS (
       |  SELECT lang,
-      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
       |      t -> t <> ''))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY lang),
       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM pl),

@@ -249,22 +249,6 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k in EXACT integer arithmetic — [[lshTopK]]'s
-    * multi-table + multiprobe shape (fused bucket join, carried
-    * vectors, hamming-1 probes) re-based on [[withUnitQuantized]]:
-    * buckets are signs of long dots with splitmix64 ±1 planes, candidates are
-    * scored with [[vector.long_dot_product]]. Every step after the
-    * per-element quantization rounding is order-independent long math,
-    * so the DuckDB oracle ([[lshTopKInt8Sql]]) replays the whole query
-    * bit-for-bit — the driver-checkable ANN path.
-    *
-    * This is also the better 100 TB join: 64 bytes of int8 carried per
-    * bucket row instead of 256 bytes of float32 (4x candidate-join
-    * bandwidth), and the scoring kernel is long multiply-adds with no
-    * sqrt/div per pair. Recall vs float brute force is asserted in
-    * LlmSpec (quantization moves similarities by < 1e-2 at dim 64, so
-    * neighbor sets are near-identical).
-    */
   /** Distinct scored candidate pairs over the int8 vectors — the shared
     * generator behind [[lshTopKInt8]] and [[Dedup.embeddingPairsInt8]]
     * (the integer sibling of [[lshCandidatePairs]], same fused
@@ -332,6 +316,22 @@ object Similarity {
        |    AND a.vec_id $pairOp b.vec_id)""".stripMargin
   }
 
+  /** Approximate top-k in EXACT integer arithmetic — [[lshTopK]]'s
+    * multi-table + multiprobe shape (fused bucket join, carried
+    * vectors, hamming-1 probes) re-based on [[withUnitQuantized]]:
+    * buckets are signs of long dots with splitmix64 ±1 planes,
+    * candidates are scored with the packed-byte dot kernel. Every step
+    * after the per-element quantization rounding is order-independent
+    * long math, so the DuckDB oracle ([[lshTopKInt8Sql]]) replays the
+    * whole query bit-for-bit — the driver-checkable ANN path.
+    *
+    * This is also the better 100 TB join: 64 packed signed bytes
+    * carried per bucket row instead of 256 bytes of float32 (4x
+    * candidate-join bandwidth), and the scoring kernel is long
+    * multiply-adds with no sqrt/div per pair. Recall vs float brute
+    * force is asserted in LlmSpec (quantization moves similarities by
+    * < 1e-2 at dim 64, so neighbor sets are near-identical).
+    */
   def lshTopKInt8(
       e: DataFrame, nPlanes: Int = 6, k: Int = 5, nTables: Int = 2,
       dim: Int = 64): DataFrame = {
@@ -562,8 +562,16 @@ object Similarity {
     * distance is exact long arithmetic; the mean rounding replays
     * Spark's HALF_UP sequence.
     */
+  /** Name of the final trained-codebook CTE produced by
+    * [[int8IvfCtes]] for the default iteration count — callers must
+    * reference THIS, not a hardcoded round name, so changing `iters`
+    * cannot silently leave a consumer reading a stale training round.
+    */
+  private val Int8IvfIters = 2
+  private def int8IvfFinalCte: String = s"m$Int8IvfIters"
+
   private def int8IvfCtes(
-      srcSql: String, k: Int = 16, iters: Int = 2,
+      srcSql: String, k: Int = 16, iters: Int = Int8IvfIters,
       sampleMod: Int = 4): String = {
     def assign(from: String, cents: String, out: String): String =
       s"""$out AS (
@@ -613,7 +621,7 @@ object Similarity {
        |        CAST(list_dot_product(c.m, c.m) AS BIGINT)
        |          - 2 * CAST(list_dot_product(t.qn, c.m) AS BIGINT), c.cell)
        |        AS rn
-       |    FROM qsrc t CROSS JOIN m2 c)
+       |    FROM qsrc t CROSS JOIN $int8IvfFinalCte c)
        |  WHERE rn <= $nProbe)
        |SELECT a_id AS vec_id, b_id AS neighbor_id, rank, sim
        |FROM (SELECT a_id, b_id, sim,
@@ -705,7 +713,7 @@ object Similarity {
        |        CAST(list_dot_product(c.m, c.m) AS BIGINT)
        |          - 2 * CAST(list_dot_product(t.qn, c.m) AS BIGINT), c.cell)
        |        AS rn
-       |    FROM qq t CROSS JOIN m2 c)
+       |    FROM qq t CROSS JOIN $int8IvfFinalCte c)
        |  WHERE rn <= $nProbe)
        |SELECT query_id, neighbor_id, rank, sim
        |FROM (SELECT query_id, neighbor_id, sim,

@@ -143,7 +143,7 @@ object TextOps {
        |  CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT)
        |    AS punct_count
        |FROM (SELECT doc_id, text,
-       |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')
+       |  list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'), t -> t <> '')
        |    AS toks
        |FROM documents)""".stripMargin
   }
@@ -161,7 +161,7 @@ object TextOps {
 
   val tokenCountSql: String =
     """SELECT doc_id,
-      |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |  CAST(len(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
       |    t -> t <> '')) AS BIGINT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(text,
       |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
@@ -214,7 +214,7 @@ object TextOps {
        |FROM (
        |  SELECT doc_id, lang,
        |    list_distinct(list_filter(
-       |      regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS toks,
+       |      regexp_split_to_array(lower(text), '[ \\t-\\r]+'), t -> t <> '')) AS toks,
        |  $scores
        |  FROM documents)""".stripMargin
   }
@@ -250,7 +250,7 @@ object TextOps {
       |  CAST(len(toks) AS BIGINT) AS n_tokens
       |FROM (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')
       |      AS toks
       |  FROM documents)""".stripMargin
 
@@ -377,7 +377,7 @@ object TextOps {
       |  list_max(toks) AS tok_max
       |FROM (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')
       |      AS toks
       |  FROM documents)""".stripMargin
 
@@ -415,7 +415,7 @@ object TextOps {
       |    THEN 1 ELSE 0 END AS BIGINT) AS has_the
       |FROM (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')
       |      AS toks
       |  FROM documents)""".stripMargin
 

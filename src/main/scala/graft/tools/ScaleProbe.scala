@@ -109,7 +109,10 @@ object ScaleProbe {
               .when(col("id") < 2 * c, lit(0x0fedcba987654321L))
               .otherwise(xxhash64(col("id"))).as("phash"))
             .localCheckpoint() // probe the join, not the generation
-          var counts = Map.empty[String, Long]
+          // identity across salt settings is asserted on (count, an
+          // order-independent pair checksum) — a count alone would
+          // pass a salting bug that swaps WHICH pairs are emitted
+          var sums = Map.empty[String, (Long, Long)]
           Seq("unsalted" -> -1, "salt1024" -> 1024, "salt256" -> 256)
             .foreach {
             case (sl, st) =>
@@ -124,12 +127,15 @@ object ScaleProbe {
               val dt = (System.nanoTime() - t0) / 1e9
               Thread.sleep(2000) // listener bus drains async
               spark.sparkContext.removeSparkListener(l)
-              counts += sl -> rows
+              val ck = pairs
+                .agg(sum(xxhash64(col("doc_a"), col("doc_b"))).as("ck"))
+                .head().getLong(0)
+              sums += sl -> ((rows, ck))
               println(f"[hamming-probe] $label%-28s $sl%-9s $rows%10d pairs" +
                 f"  $dt%7.2f s  peak task ${l.maxRunMs.get / 1e3}%6.2f s")
           }
-          require(counts.values.toSet.size == 1,
-            s"salting changed the result: $counts")
+          require(sums.values.toSet.size == 1,
+            s"salting changed the result: $sums")
         }
       spark.stop()
       return
