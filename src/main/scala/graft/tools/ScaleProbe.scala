@@ -127,8 +127,11 @@ object ScaleProbe {
               val dt = (System.nanoTime() - t0) / 1e9
               Thread.sleep(2000) // listener bus drains async
               spark.sparkContext.removeSparkListener(l)
+              // bit_xor, not sum: ANSI sum of millions of full-range
+              // hashes overflows; xor is order-independent and safe
+              // (the pair set is distinct, so xor can't cancel dups)
               val ck = pairs
-                .agg(sum(xxhash64(col("doc_a"), col("doc_b"))).as("ck"))
+                .agg(bit_xor(xxhash64(col("doc_a"), col("doc_b"))).as("ck"))
                 .head().getLong(0)
               sums += sl -> ((rows, ck))
               println(f"[hamming-probe] $label%-28s $sl%-9s $rows%10d pairs" +
