@@ -673,13 +673,24 @@ object Similarity {
     * cells' candidates — independent of corpus size at constant
     * per-cell occupancy (`ScaleProbe serve` measures exactly this).
     */
-  def ivfSearchInt8Indexed(
-      index: DataFrame, queries: DataFrame, cents: Array[Array[Long]],
-      k: Int = 5, nProbe: Int = 2): DataFrame = {
-    val probes = withUnitQuantized(queries)
+  /** The query side of an indexed IVF search: (query_id, qb packed
+    * int8, probe) with one row per (query, probed cell). Stateless
+    * map-only (quantize + kernel probe + explode), so it applies
+    * unchanged to a STREAMING source — the shared front half of
+    * [[ivfSearchInt8Indexed]] and
+    * [[graft.streaming.DocStreams.nearDupMatches]].
+    */
+  private[graft] def ivfProbeSide(
+      queries: DataFrame, cents: Array[Array[Long]], nProbe: Int): DataFrame =
+    withUnitQuantized(queries)
       .select(col("vec_id").as("query_id"),
         vector.pack_int8(col("qn")).as("qb"),
         explode(probeCellsInt8(cents, nProbe)).as("probe"))
+
+  def ivfSearchInt8Indexed(
+      index: DataFrame, queries: DataFrame, cents: Array[Array[Long]],
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val probes = ivfProbeSide(queries, cents, nProbe)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     probes.as("a")
       .join(index.as("b"),

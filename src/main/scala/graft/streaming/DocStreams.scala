@@ -52,6 +52,47 @@ object DocStreams {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Streaming near-duplicate check against a standing int8 ANN index:
+    * incoming vectors are checked for eps-similar neighbors in the
+    * corpus as they arrive — the continuous-ingestion mirror of
+    * [[graft.llm.Similarity.semDedupInt8]]'s pair-finding half, built
+    * on the SAME machinery the batch serving path uses
+    * ([[graft.llm.Similarity.ivfProbeSide]] + the
+    * [[graft.llm.Similarity.ivfIndexInt8]] artifact).
+    *
+    * Emits one row per (incoming vector, eps-similar corpus neighbor):
+    * (query_id, dup_of, sim). Fully STATELESS streaming — the query
+    * side is map-only (quantize + kernel probe + explode) and the join
+    * is stream-static against the prebuilt index, so Append mode works
+    * with no watermark and no cross-batch state; dedup DECISIONS
+    * (drop/keep, cluster assignment) compose downstream exactly as in
+    * the batch pipeline. At 100 TB the index side is the
+    * cell-partitioned build-once artifact; per-trigger cost is the
+    * micro-batch's |rows| x nProbe probe rows — the serving economics
+    * measured in `ScaleProbe serve`.
+    *
+    * StreamingSpec asserts stream output == the batch spelling of the
+    * same join, and that every planted exact duplicate is flagged.
+    */
+  def nearDupMatches(
+      vecStream: DataFrame, index: DataFrame,
+      cents: Array[Array[Long]],
+      epsDot: Long = graft.llm.Similarity.SemDupDotThreshold,
+      nProbe: Int = 2): DataFrame =
+    graft.llm.Similarity.ivfProbeSide(vecStream, cents, nProbe).as("a")
+      .join(index.as("b"),
+        col("a.probe") === col("b.cell") &&
+          col("a.query_id") =!= col("b.vec_id"))
+      .select(col("a.query_id"),
+        col("b.vec_id").as("dup_of"),
+        graft.functions.vector.byte_dot_product(col("a.qb"), col("b.qb"))
+          .as("sim"))
+      .filter(col("sim") >= epsDot)
+      // no distinct needed (and none allowed — it would be stateful in
+      // streaming): the probed cells are distinct by construction and
+      // each index vector lives in exactly ONE cell, so a (query,
+      // neighbor) pair can match at most once
+
   /** Streaming quality classification: the continuous-ingestion mirror
     * of [[graft.llm.TextOps.classifierScore]]. The scorer is a pure
     * per-row HOF fold (no state, no shuffle), so the streaming form is

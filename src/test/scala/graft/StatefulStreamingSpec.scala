@@ -195,6 +195,51 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dup check == batch join; every plant flagged") {
+    // stream-static ANN: incoming vectors probe the standing int8 IVF
+    // index (stateless map + join, Append mode, no watermark); the
+    // streamed matches must equal the same expression run in batch,
+    // and planted exact duplicates must all be flagged
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val cents = graft.llm.Similarity.ivfCentroidsInt8(corpus)
+    val index = graft.llm.Similarity.ivfIndexInt8(corpus, cents)
+      .localCheckpoint()
+    // incoming = exact copies of a 1-in-50 corpus slice under offset
+    // ids (must flag: identical vectors quantize identically) over two
+    // micro-batches
+    val incoming = corpus.as[(Long, Seq[Float])].collect()
+      .filter(_._1 % 50 == 0)
+      .map { case (id, e) => (id + 20000000L, e) }
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.DocStreams.nearDupMatches(
+        input.toDF().toDF("vec_id", "embedding"), index, cents)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(b1.toSeq)
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.streaming.DocStreams.nearDupMatches(
+        incoming.toSeq.toDF("vec_id", "embedding"), index, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // every plant has its original in the corpus: self-similarity is
+    // |qn|^2 >= the eps cut, so each plant must be flagged against it
+    val flaggedAgainstOriginal = streamed.collect {
+      case (qid, dup, _) if dup == qid - 20000000L => qid
+    }
+    val plants = incoming.map(_._1).toSet
+    assert(plants.nonEmpty)
+    assert(plants.subsetOf(flaggedAgainstOriginal.toSet),
+      s"unflagged plants: ${plants -- flaggedAgainstOriginal.toSet}")
+    q.stop()
+  }
+
   test("streaming MG candidates cover exact frequent terms; recount == batch") {
     // tokens stream in over 3 micro-batches; each shard's Misra-Gries
     // state must, at end of stream, contain every token whose GLOBAL
