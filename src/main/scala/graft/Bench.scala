@@ -78,7 +78,16 @@ object Bench {
     // circuits remaining samples (a deterministic failure would just
     // fail slowly twice) and marks the query failed even if another
     // sample succeeded — flakiness is a failure, not a fast run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names, for local
+    // iteration on a slow query without paying the full suite. The
+    // driver never sets it, so round numbers always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
       val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0

@@ -42,6 +42,16 @@ object Tables {
         // integer division — `/` would go through double and lose
         // sub-microsecond precision at 2024-epoch nanos (~1.7e18)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // events.ts written as parquet TIMESTAMP(MICROS, isAdjustedToUTC
+      // =false) surfaces as TIMESTAMP_NTZ, which unix_micros/watermark
+      // APIs reject. The session timezone is pinned to UTC everywhere
+      // (Graft.session), so reinterpreting NTZ wall-clock values as
+      // UTC instants is value-preserving — and matches DuckDB, whose
+      // plain TIMESTAMP carries the same naive-as-UTC semantics.
+      case "events" if raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -25,12 +25,13 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The parquet on-disk schema of events (ts as raw nanos long, as
-    * written by the generator; see [[graft.core.Tables]]).
+  /** The parquet on-disk schema of events: ts is TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) as written by the generator, which Spark
+    * surfaces as TIMESTAMP_NTZ; see [[graft.core.Tables]].
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -43,9 +44,9 @@ object EventStreams {
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
-      // integer division: see graft.core.Tables (double division loses
-      // sub-microsecond precision at nanosecond epoch magnitudes)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // naive-as-UTC reinterpretation, identical to the batch loader
+      // (session timezone is pinned to UTC in Graft.session)
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Watermarked tumbling 1-hour aggregation (append mode compatible). */
   def tumbling(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

@@ -87,8 +87,9 @@ class StreamingSpec extends SparkSpec {
       Paths.get(s"$sfDir/events.parquet"),
       d.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    val maxNanos = spark.read.parquet(s"$sfDir/events.parquet")
-      .agg(org.apache.spark.sql.functions.max("ts")).head().getLong(0)
+    val maxTs = spark.read.parquet(s"$sfDir/events.parquet")
+      .agg(org.apache.spark.sql.functions.max("ts")).head()
+      .getAs[java.time.LocalDateTime](0)
     // Catalyst pushes the event-type filters THROUGH the watermark
     // nodes, so each branch's watermark only advances with its own
     // event type — a neutral sentinel advances neither. The sentinel
@@ -97,7 +98,9 @@ class StreamingSpec extends SparkSpec {
     // compare), which advances BOTH branch watermarks past every real
     // event; the final no-data batch then flushes all null rows.
     val sentinelUser = 999990L
-    val sentT = maxNanos + 7200L * 1000000000L
+    // LocalDateTime keeps the sentinel in the file's TIMESTAMP_NTZ
+    // type; readEvents reinterprets naive-as-UTC for both alike
+    val sentT = maxTs.plusHours(2)
     val tmp = Files.createTempDirectory("graft-sentinel")
     Seq(
       (999999991L, sentT, sentinelUser, "purchase", 0.0, "{}"),
