@@ -703,21 +703,165 @@ object Relational {
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_std_or_promo
       |FROM part""".stripMargin
 
-  /** Sketch-based approximate aggregates (HyperLogLog++ distinct count,
-    * quantile summaries): mergeable constant-size state, the only
-    * viable shape for distinct/quantile at 100 TB. Estimates are
-    * engine-specific, so no DuckDB value-oracle — the driver's
-    * rows-only check applies, and FunctionsSpec bounds the error
-    * against exact values.
+  /** Sketch-based approximate aggregates with the SAME mergeable,
+    * constant-size state shape as HyperLogLog / quantile summaries —
+    * the only viable shape for distinct/quantile at 100 TB — but built
+    * from an md5-family hash both engines share, so the result is
+    * bit-replayable ANSI SQL (full driver oracle) instead of an
+    * engine-specific estimate:
+    *
+    *  - HLL distinct (m=256 registers): h = 60-bit md5 prefix;
+    *    register = h mod 256, rho = leading-zero rank of h>>8 within
+    *    its 52-bit window (via length(bin(w)) — integer-exact in both
+    *    engines), capped at 50. The harmonic denominator is kept as
+    *    the INTEGER sum(2^(50-M_j)) so the whole sketch is exact
+    *    arithmetic; the single float op is the final alpha*m^2*2^50/S
+    *    division (both engines: one IEEE division of exact integers,
+    *    then round(.,3)). Raw HLL estimate, no small-range correction —
+    *    the spec bounds its error vs exact counts.
+    *  - approximate median by deterministic hash-sampling: rows whose
+    *    md5-derived 60-bit row hash ≡ 0 (mod 4) form a 25% Bernoulli
+    *    sample; the lower median over the sample is picked exactly
+    *    (rank = ceil(n/2) in price order). Sampling error shrinks as
+    *    1/sqrt(n) — at real scale the sample is millions of rows.
+    *
+    * At 100 TB both aggregates are a single map-side-combining
+    * groupBy: per-register max and a 25%-sample rank — no full sort,
+    * no per-group state beyond 256 longs.
     */
-  def qApproxAgg(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"))
+  def qApproxAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def h60(c: Column): Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    def bucket(c: Column): Column = pmod(h60(c), lit(256))
+    def rho(c: Column): Column = {
+      val w = shiftright(h60(c), 8)
+      when(w === 0, lit(50))
+        .otherwise(least(lit(50), lit(53) - length(bin(w))))
+    }
+    // one row per (flag, tracked-column, register-update)
+    val ex = li.select(col("l_returnflag"),
+        explode(array(
+          struct(lit("parts").as("which"),
+            bucket(col("l_partkey")).as("bucket"),
+            rho(col("l_partkey")).as("rho")),
+          struct(lit("orders").as("which"),
+            bucket(col("l_orderkey")).as("bucket"),
+            rho(col("l_orderkey")).as("rho")))).as("e"))
+      .select(col("l_returnflag"), col("e.which"), col("e.bucket"),
+        col("e.rho"))
+    val regs = ex.groupBy("l_returnflag", "which", "bucket")
+      .agg(max("rho").as("m"))
+    val sums = regs.groupBy("l_returnflag", "which")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m AS INT))"))
+          .as("s_used"),
+        count(lit(1)).as("n_used"))
+      .withColumn("s",
+        col("s_used") + (lit(256L) - col("n_used")) * lit(Hll2p50))
+      .withColumn("raw", lit(HllNum) / col("s").cast("double"))
+      // linear-counting small-range correction (n < 2.5m with empty
+      // registers): est = m*ln(m/V). ln is the one library-float op;
+      // both engines are within 1 ulp and the round(.,3) makes a
+      // cross-engine boundary flip astronomically unlikely.
+      .withColumn("est", round(
+        when(col("n_used") < 256 && col("raw") < 640.0,
+          lit(256.0) * log(lit(256.0) / (lit(256L) - col("n_used"))))
+          .otherwise(col("raw")), 3))
+    val hll = sums.groupBy("l_returnflag").agg(
+      max(when(col("which") === "parts", col("est"))).as("hll_parts"),
+      max(when(col("which") === "parts", col("s"))).as("s_parts"),
+      max(when(col("which") === "orders", col("est"))).as("hll_orders"),
+      max(when(col("which") === "orders", col("s"))).as("s_orders"))
+    // 25% deterministic sample keyed by the unique row identity
+    val rowKey = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+    val sample = li.filter(pmod(h60(rowKey), lit(4)) === 0)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val med = sample
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("l_returnflag")))
+      .filter(col("rn") === ceil(col("n").cast("double") / 2.0))
+      .select(col("l_returnflag"),
+        col("l_extendedprice").as("sample_median_price"))
+    hll.join(med, Seq("l_returnflag"))
+      .select("l_returnflag", "hll_parts", "hll_orders",
+        "s_parts", "s_orders", "sample_median_price")
+  }
+
+  // HLL constants shared by the Spark query and its oracle SQL (the
+  // SQL interpolates the Scala-computed double so neither engine
+  // re-derives alpha with its own intermediate rounding)
+  private val Hll2p50 = 1L << 50
+  private val HllNum: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * (1L << 50).toDouble
+
+  val qApproxAggSql: String = {
+    val h60 =
+      """list_reduce(list_transform(range(15), i ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(%s), i + 1, 1)) - 1
+        |        AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
+    s"""WITH vals AS (
+       |  SELECT l_returnflag, 'parts' AS which,
+       |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+       |  UNION ALL
+       |  SELECT l_returnflag, 'orders', CAST(l_orderkey AS VARCHAR)
+       |  FROM lineitem),
+       |h AS (
+       |  SELECT l_returnflag, which,
+       |    ${h60.format("v")} AS h60
+       |  FROM vals),
+       |r AS (
+       |  SELECT l_returnflag, which, h60 % 256 AS bucket,
+       |    CASE WHEN h60 // 256 = 0 THEN 50
+       |         ELSE least(50, 53 - length(bin(h60 // 256))) END AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT l_returnflag, which, bucket, max(rho) AS m
+       |  FROM r GROUP BY 1, 2, 3),
+       |sums AS (
+       |  SELECT l_returnflag, which,
+       |    sum(1::BIGINT << (50 - m)) AS s_used, count(*) AS n_used
+       |  FROM regs GROUP BY 1, 2),
+       |est AS (
+       |  SELECT l_returnflag, which,
+       |    CAST(s_used + (256 - n_used) * ${Hll2p50} AS BIGINT) AS s,
+       |    round(CASE WHEN n_used < 256 AND
+       |        $HllNum /
+       |          CAST(s_used + (256 - n_used) * ${Hll2p50} AS DOUBLE) < 640.0
+       |      THEN 256.0 * ln(256.0 / (256 - n_used))
+       |      ELSE $HllNum /
+       |        CAST(s_used + (256 - n_used) * ${Hll2p50} AS DOUBLE)
+       |      END, 3) AS est
+       |  FROM sums),
+       |hll AS (
+       |  SELECT l_returnflag,
+       |    max(CASE WHEN which = 'parts' THEN est END) AS hll_parts,
+       |    max(CASE WHEN which = 'parts' THEN s END) AS s_parts,
+       |    max(CASE WHEN which = 'orders' THEN est END) AS hll_orders,
+       |    max(CASE WHEN which = 'orders' THEN s END) AS s_orders
+       |  FROM est GROUP BY 1),
+       |sample AS (
+       |  SELECT l_returnflag, l_extendedprice FROM (
+       |    SELECT l_returnflag, l_extendedprice,
+       |      ${h60.format(
+             "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")}
+       |        AS rh
+       |    FROM lineitem)
+       |  WHERE rh % 4 = 0),
+       |med AS (
+       |  SELECT l_returnflag, l_extendedprice AS sample_median_price FROM (
+       |    SELECT l_returnflag, l_extendedprice,
+       |      row_number() OVER (PARTITION BY l_returnflag
+       |        ORDER BY l_extendedprice) AS rn,
+       |      count(*) OVER (PARTITION BY l_returnflag) AS n
+       |    FROM sample)
+       |  WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT))
+       |SELECT hll.l_returnflag, hll_parts, hll_orders, s_parts, s_orders,
+       |  sample_median_price
+       |FROM hll JOIN med ON hll.l_returnflag = med.l_returnflag""".stripMargin
+  }
 
   /** Skew-safe two-phase aggregation ([[Skew.saltedSumCount]]); the
     * oracle is the plain single-phase GROUP BY — salting must be
@@ -1156,6 +1300,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
+    "q_approx_agg" -> qApproxAggSql,
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_scalar_regex" -> qScalarRegexSql,
     "q_grouping_sets" -> qGroupingSetsSql,

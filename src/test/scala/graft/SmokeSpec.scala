@@ -20,7 +20,7 @@ class SmokeSpec extends SparkSpec {
     // asserted against ground truth in ScalaTest instead
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
-      "q_approx_agg", "q_text_bpe",
+      "q_text_bpe",
       "q_text_bpe_encode", "q_multimodal_phash",
       "q_multimodal_audio_dup", "q_multimodal_video_dup"),
       s"every other query must carry a DuckDB oracle, got: $rowsOnly")
