@@ -561,7 +561,58 @@ object CorpusOps {
       |  CAST(sum(n - 1) AS BIGINT) AS dup_docs
       |FROM l1 GROUP BY 1, 2""".stripMargin
 
+  /** Tokenizer-vocabulary coverage per language: build the exact
+    * corpus top-k token vocabulary (count desc, token asc — the unique
+    * tiebreak keeps the k-boundary deterministic in every engine) and
+    * report, per language, how many token OCCURRENCES fall outside it.
+    * This is the out-of-vocabulary-rate panel a team checks before
+    * committing to a tokenizer/vocab size: a language whose OOV rate
+    * is high is about to be shredded into bytes by the tokenizer.
+    *
+    * Scale: the only corpus-sized shuffle is the map-side-combined
+    * token count (inherent to an EXACT vocabulary; [[freqTerms]] is
+    * the sketch path when approximate heavy hitters suffice). The
+    * top-k is TakeOrdered over the vocabulary-sized count table, the
+    * vocab (k rows) broadcasts to an answer-preserving left join, and
+    * the final aggregate is |lang|-sized.
+    */
+  def vocabCoverage(d: DataFrame, k: Int = 1000): DataFrame = {
+    val toks = Layout.spread(d, "doc_id").select(col("doc_id"), col("lang"),
+      explode(TextOps.wsTokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
+      |      t -> t <> '')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+      |  ORDER BY n DESC, tok LIMIT 1000)
+      |SELECT t.lang,
+      |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS oov_rate
+      |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab_coverage" -> ((s, d) => vocabCoverage(docs(s, d))),
     "q_text_freq_terms" -> ((s, d) => freqTerms(docs(s, d))),
     "q_text_bm25" -> ((s, d) => bm25(docs(s, d))),
     "q_text_boilerplate" -> ((s, d) => boilerplate(docs(s, d))),
@@ -572,6 +623,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_vocab_coverage" -> vocabCoverageSql,
     "q_text_freq_terms" -> freqTermsSql,
     "q_text_bm25" -> bm25Sql,
     "q_text_boilerplate" -> boilerplateSql,

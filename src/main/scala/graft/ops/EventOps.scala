@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-windowed operators over the `events` table — the batch mirrors
@@ -406,7 +407,50 @@ object EventOps {
       |FROM wins w JOIN stats s USING (event_type)
       |WHERE w.n_events > s.mu + 2.0 * s.sigma""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the sequence-model prep step of a behavioral
+    * training-data pipeline (next-event prediction labels, session
+    * simulators). Each user's events are ordered by (ts, event_id) —
+    * the unique tiebreak makes the sequence, and hence every
+    * transition, deterministic — lagged one step, and the corpus-wide
+    * transition counts are normalized into per-source probabilities.
+    *
+    * Scale: ONE shuffle on user_id for the per-user window (users are
+    * independent — no global ordering anywhere), then an agg whose
+    * cardinality is |event_type|^2 (here 5x5); the probability
+    * normalization windows over that answer-sized table, not the
+    * events. Survives any corpus size that has bounded vocabulary of
+    * event types.
+    */
+  def markovTransitions(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = e
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    trans.withColumn("p", round(
+      col("n_trans").cast("double") /
+        sum("n_trans").over(Window.partitionBy("prev_type")), 6))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n_trans,
+      |  round(CAST(n_trans AS DOUBLE) /
+      |    sum(n_trans) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM trans""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_markov" -> ((s, d) => markovTransitions(events(s, d))),
     "q_events_anomaly" -> ((s, d) => anomalyWindows(events(s, d))),
     "q_events_retention" -> ((s, d) => retention(events(s, d))),
     "q_events_window_topk" -> ((s, d) => topKPerWindow(events(s, d))),
@@ -426,6 +470,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_markov" -> markovTransitionsSql,
     "q_events_anomaly" -> anomalyWindowsSql,
     "q_events_retention" -> retentionSql,
     "q_events_window_topk" -> topKPerWindowSql,

@@ -1250,9 +1250,53 @@ object Relational {
       |        AS cents
       |    FROM customer GROUP BY c_nationkey))""".stripMargin
 
+  /** Equal-frequency feature discretization (quantile binning): ntile
+    * buckets of l_extendedprice within each return flag, with exact
+    * per-bucket stats — the feature-engineering step that turns a
+    * continuous column into categorical training features. The ntile
+    * ORDER BY carries a unique tiebreak (orderkey, linenumber) so tied
+    * prices land in a deterministic bucket in every engine; sums are
+    * kept in exact integer cents.
+    *
+    * Scale: ntile needs a per-group sort — one shuffle on the group
+    * key, in-partition sort (no global order). Groups here are the 3
+    * return flags; a real pipeline bins per (feature, shard) so no
+    * single reducer sees more than a shard. The output is
+    * groups x buckets rows — answer-sized.
+    */
+  def qFeatureBinning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(10).over(w).cast("bigint"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("sum_cents"))
+  }
+
+  val qFeatureBinningSql: String =
+    """SELECT l_returnflag, bucket, count(*) AS n,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price,
+      |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(ntile(10) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+      |      AS bucket
+      |  FROM lineitem)
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_binning" -> (qFeatureBinning _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_approx_agg" -> (qApproxAgg _),
     "q_window_analytics" -> (qWindowAnalytics _),
@@ -1301,6 +1345,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
     "q_approx_agg" -> qApproxAggSql,
+    "q_feature_binning" -> qFeatureBinningSql,
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_scalar_regex" -> qScalarRegexSql,
     "q_grouping_sets" -> qGroupingSetsSql,

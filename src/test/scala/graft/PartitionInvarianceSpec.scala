@@ -74,7 +74,13 @@ class PartitionInvarianceSpec extends SparkSpec {
         Tables.load(spark, sfDir, "documents"))),
     ("bpe_train (pair-count argmax rounds)",
       () => graft.llm.Curation.bpeTrain(
-        Tables.load(spark, sfDir, "documents"), nMerges = 5)))
+        Tables.load(spark, sfDir, "documents"), nMerges = 5)),
+    ("markov_transitions (per-user lag sequences)",
+      () => graft.ops.EventOps.markovTransitions(
+        Tables.load(spark, sfDir, "events"))),
+    ("vocab_coverage (top-k boundary ties)",
+      () => graft.llm.CorpusOps.vocabCoverage(
+        Tables.load(spark, sfDir, "documents"))))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {
