@@ -1275,6 +1275,88 @@ object Dedup {
     * absent 64-bit collisions, the same equivalence every shingle
     * oracle here relies on.
     */
+  /** Graded contamination scoring — [[decontaminate]]'s continuous
+    * sibling. Instead of flagging docs at a hit threshold, report EVERY
+    * train doc's overlap fraction with the eval reference (distinct
+    * shingles hit / distinct shingles) and a contamination band, the
+    * input to contamination-aware weighting or doc-level quarantine
+    * review (dropping at a hard threshold throws away the borderline
+    * mass a curator usually wants to inspect or down-weight instead).
+    * Banding compares the ROUNDED ratio so the band boundary is the
+    * same literal in both engines.
+    *
+    * Scale: identical shape to [[decontaminate]] — reference shingles
+    * broadcast (or [[decontaminateBloom]]'s sketch when they outgrow
+    * it), corpus shingles map-side, one hit aggregate; the extra left
+    * join for zero-hit docs is corpus-row-sized against an
+    * answer-sized hit table.
+    */
+  def contaminationScore(
+      corpus: DataFrame, reference: DataFrame, n: Int = 3,
+      broadcastRef: Boolean = true): DataFrame = {
+    import graft.functions.text.hashed_sorted_shingles
+    val refSh = reference
+      .select(explode(hashed_sorted_shingles(col("text"), n)).as("g"))
+      .distinct()
+    val refSide = if (broadcastRef) broadcast(refSh) else refSh
+    val spread = graft.core.Layout.spread(corpus, "doc_id")
+      .select(col("doc_id"), hashed_sorted_shingles(col("text"), n).as("sh"))
+    val hits = spread
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(refSide, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    val contam = round(
+      when(col("n_shingles") === 0, lit(0.0))
+        .otherwise(col("n_hits").cast("double") / col("n_shingles")), 6)
+    spread.select(col("doc_id"),
+        size(col("sh")).cast("bigint").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contam", contam)
+      .withColumn("band",
+        when(col("contam") >= 0.5, "heavy")
+          .when(col("contam") >= 0.1, "medium")
+          .when(col("contam") > 0.0, "light")
+          .otherwise("clean"))
+  }
+
+  val contaminationScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> array_to_string(toks[i:i + 2], ' ')))
+      |    ELSE [coalesce(array_to_string(toks, ' '), '')] END AS sset
+      |  FROM t),
+      |ref AS (
+      |  SELECT DISTINCT unnest(sset) AS g FROM sh WHERE doc_id % 97 = 0),
+      |corp AS (
+      |  SELECT doc_id, unnest(sset) AS g FROM sh WHERE doc_id % 97 <> 0),
+      |hits AS (
+      |  SELECT c.doc_id, count(*) AS n_hits
+      |  FROM corp c JOIN ref r ON c.g = r.g GROUP BY 1),
+      |scored AS (
+      |  SELECT s.doc_id,
+      |    CAST(len(s.sset) AS BIGINT) AS n_shingles,
+      |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |    round(CASE WHEN len(s.sset) = 0 THEN 0.0
+      |      ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(s.sset) END, 6)
+      |      AS contam
+      |  FROM sh s LEFT JOIN hits h USING (doc_id)
+      |  WHERE s.doc_id % 97 <> 0)
+      |SELECT doc_id, n_shingles, n_hits, contam,
+      |  CASE WHEN contam >= 0.5 THEN 'heavy'
+      |       WHEN contam >= 0.1 THEN 'medium'
+      |       WHEN contam > 0.0 THEN 'light'
+      |       ELSE 'clean' END AS band
+      |FROM scored""".stripMargin
+
   val decontaminateSql: String =
     """WITH t AS (
       |  SELECT doc_id,
@@ -1524,6 +1606,9 @@ object Dedup {
     "q_dedup_decontam" -> ((s, d) => decontaminate(
       docs(s, d).filter(col("doc_id") % 97 =!= 0),
       docs(s, d).filter(col("doc_id") % 97 === 0))),
+    "q_dedup_contam_score" -> ((s, d) => contaminationScore(
+      docs(s, d).filter(col("doc_id") % 97 =!= 0),
+      docs(s, d).filter(col("doc_id") % 97 === 0))),
     "q_dedup_decontam_bloom" -> ((s, d) => decontaminateBloom(
       docs(s, d).filter(col("doc_id") % 97 =!= 0),
       docs(s, d).filter(col("doc_id") % 97 === 0))),
@@ -1561,6 +1646,7 @@ object Dedup {
     "q_dedup_substring" -> duplicateSpansSql,
     "q_dedup_substring_clean" -> duplicateSpanRemoveSql,
     "q_dedup_decontam" -> decontaminateSql,
+    "q_dedup_contam_score" -> contaminationScoreSql,
     // bloom prefilter is result-transparent: same oracle as decontam
     "q_dedup_decontam_bloom" -> decontaminateSql,
     "q_dedup_incremental" -> incrementalNewSql,

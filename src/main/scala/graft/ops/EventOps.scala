@@ -449,7 +449,63 @@ object EventOps {
       |    sum(n_trans) OVER (PARTITION BY prev_type), 6) AS p
       |FROM trans""".stripMargin
 
+  /** Time-series gap-fill: resample each user's purchase stream onto a
+    * dense hourly grid (their first..last purchase hour) and
+    * forward-fill missing hours with the last observed cumulative
+    * spend — the resampling step that turns sparse event telemetry
+    * into the fixed-step sequences a forecasting/behavior model trains
+    * on. Hourly sums are kept in exact integer cents so the fill value
+    * is deterministic (no float-summation-order dependence); `filled`
+    * marks carried-forward rows.
+    *
+    * Scale: the hourly aggregate is a map-side-combined groupBy; the
+    * grid explodes to users x span-hours — rows/(user density) times
+    * smaller than the input for any realistic event rate — and both
+    * the grid join and the forward-fill window are partitioned by
+    * user_id (one shuffle, reused; no global sort anywhere).
+    */
+  def gapFill(e: DataFrame): DataFrame = {
+    val hourly = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), fmtTs(col("h")).as("hour"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents"),
+        col("cents").isNull.as("filled"))
+  }
+
+  val gapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1,
+      |    INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+      |        FROM hourly GROUP BY 1)),
+      |joined AS (
+      |  SELECT g.user_id, g.h, hr.cents
+      |  FROM grid g LEFT JOIN hourly hr
+      |    ON g.user_id = hr.user_id AND g.h = hr.h)
+      |SELECT user_id,
+      |  strftime(CAST(h AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS cents,
+      |  cents IS NULL AS filled
+      |FROM joined""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_gapfill" -> ((s, d) => gapFill(events(s, d))),
     "q_events_markov" -> ((s, d) => markovTransitions(events(s, d))),
     "q_events_anomaly" -> ((s, d) => anomalyWindows(events(s, d))),
     "q_events_retention" -> ((s, d) => retention(events(s, d))),
@@ -470,6 +526,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_gapfill" -> gapFillSql,
     "q_events_markov" -> markovTransitionsSql,
     "q_events_anomaly" -> anomalyWindowsSql,
     "q_events_retention" -> retentionSql,
