@@ -311,7 +311,63 @@ object Sampling {
       .replace("__TGT_VALUES__", TargetMixPermille
         .map { case (l, p) => s"('$l', $p)" }.mkString(", "))
 
+  /** Curriculum schedule: assign every doc a training PHASE by quality
+    * band (integer alpha-ratio, the shared curation score — band
+    * boundaries are integer compares, bit-identical across engines)
+    * and a deterministic position within (shard, phase) by content
+    * hash. The curriculum order a trainer consumes is
+    * (phase, pos, shard): all phase-1 docs first, round-robin across
+    * shards, shuffled-within-shard by hash — quality-first scheduling
+    * with zero seed bookkeeping, reproducible across reruns and
+    * repartitions.
+    *
+    * Scale: the only shuffle is the (shard, phase)-partitioned
+    * position window — 32 shards x 3 phases of bounded size; there is
+    * deliberately NO global ordinal (a global row_number would
+    * single-reduce 100 TB; the (phase, pos, shard) sort key gives the
+    * same total order for free at read time).
+    */
+  def curriculumSchedule(
+      d: DataFrame,
+      nShards: Int = graft.core.Layout.DefaultShards): DataFrame = {
+    val q = coalesce(TextOps.alphaX10000OfText, lit(-1L))
+    val h = md5(col("text").cast("binary"))
+    val shard = graft.core.Layout.contentShard(col("text"), nShards)
+    val w = Window.partitionBy("shard", "phase").orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"), q.as("q_x10000"), h.as("h"),
+        shard.cast("bigint").as("shard"))
+      .withColumn("phase",
+        when(col("q_x10000") >= 8000, lit(1L))
+          .when(col("q_x10000") >= 6000, lit(2L))
+          .otherwise(lit(3L)))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("q_x10000"), col("phase"), col("shard"),
+        col("pos"))
+  }
+
+  val curriculumScheduleSql: String =
+    """SELECT doc_id, q_x10000, phase, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard, phase
+      |    ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM (
+      |  SELECT doc_id, q_x10000,
+      |    CAST(CASE WHEN q_x10000 >= 8000 THEN 1
+      |         WHEN q_x10000 >= 6000 THEN 2
+      |         ELSE 3 END AS BIGINT) AS phase,
+      |    h, shard
+      |  FROM (
+      |    SELECT doc_id,
+      |      coalesce(CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+      |          AS BIGINT) * 10000 // nullif(length(text), 0), -1)
+      |        AS q_x10000,
+      |      md5(text) AS h,
+      |      CAST(__SHARD__ AS BIGINT) AS shard
+      |    FROM documents))""".stripMargin
+      .replace("__SHARD__", graft.core.Layout.contentShardSql("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_curriculum" -> ((s, d) =>
+      curriculumSchedule(Tables.load(s, d, "documents"))),
     "q_sample_per_group" -> ((s, d) =>
       samplePerGroup(Tables.load(s, d, "documents"), "lang")),
     "q_train_test_split" -> ((s, d) =>
@@ -326,6 +382,7 @@ object Sampling {
       epochUpsample(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_curriculum" -> curriculumScheduleSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_train_test_split" -> trainTestSplitSql,
     "q_sample_weighted" -> weightedSampleSql,

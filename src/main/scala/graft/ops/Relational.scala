@@ -1293,9 +1293,64 @@ object Relational {
       |  FROM lineitem)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Join-key skew diagnostics: the top-20 heaviest l_suppkey values
+    * with rank, share and cumulative share of all rows — the panel an
+    * operator reads before deciding which keys need salting ([[Skew]])
+    * or an AQE skew-join hint. At 100 TB this is run BEFORE the big
+    * join, on the cheap count aggregate, not after the join blows up.
+    *
+    * Scale: the per-key count is map-side combined; the top-20 is
+    * TakeOrdered (no global sort); rank/cumulative are computed by a
+    * triangular self-join over the 20-row answer — deliberately NOT a
+    * global window, which would single-reduce and which PlanSpec
+    * forbids across the whole query surface. The totals ride in on a
+    * 1-row broadcast cross join.
+    */
+  def qSkewDiag(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(20)
+    val tot = counts.agg(sum("n").as("total"),
+      count(lit(1)).cast("bigint").as("n_keys"))
+    top.as("a")
+      .join(broadcast(top.select(col("key").as("bk"), col("n").as("bn"))),
+        col("bn") > col("n") ||
+          (col("bn") === col("n") && col("bk") <= col("key")))
+      .groupBy("key", "n")
+      .agg(count(lit(1)).as("rank"), sum("bn").as("cum_n"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n"), col("rank"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(col("cum_n").cast("double") / col("total"), 6).as("cum_share"),
+        col("total"), col("n_keys"))
+  }
+
+  val qSkewDiagSql: String =
+    """WITH counts AS (
+      |  SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n_keys
+      |  FROM counts),
+      |top AS (
+      |  SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 20),
+      |ranked AS (
+      |  SELECT key, n,
+      |    row_number() OVER (ORDER BY n DESC, key) AS rank,
+      |    sum(n) OVER (ORDER BY n DESC, key
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+      |  FROM top)
+      |SELECT r.key, r.n, r.rank,
+      |  round(CAST(r.n AS DOUBLE) / t.total, 6) AS share,
+      |  round(CAST(r.cum_n AS DOUBLE) / t.total, 6) AS cum_share,
+      |  t.total, t.n_keys
+      |FROM ranked r CROSS JOIN tot t""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_diag" -> (qSkewDiag _),
     "q_feature_binning" -> (qFeatureBinning _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_approx_agg" -> (qApproxAgg _),
@@ -1346,6 +1401,7 @@ object Relational {
     "q_salted_agg" -> qSaltedAggSql,
     "q_approx_agg" -> qApproxAggSql,
     "q_feature_binning" -> qFeatureBinningSql,
+    "q_skew_diag" -> qSkewDiagSql,
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_scalar_regex" -> qScalarRegexSql,
     "q_grouping_sets" -> qGroupingSetsSql,
