@@ -611,7 +611,73 @@ object CorpusOps {
       |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
       |GROUP BY 1""".stripMargin
 
+  /** Mergeable distinct-document sketches: one 256-register
+    * deterministic HLL ([[graft.ops.Hll]]) per source over content
+    * hashes, plus the MERGED all-sources sketch obtained purely by
+    * per-bucket max over the per-source registers — never re-scanning
+    * the corpus. That merge row IS the point: at 100 TB you build one
+    * sketch per shard/day/source as data lands, and every rollup
+    * (daily -> monthly, per-source -> global) is a 256-row max — the
+    * property that makes HLL the distinct-count shape at scale. The
+    * exact integer denominator `s` rides along as the mergeable audit
+    * value.
+    *
+    * Scale: one corpus pass (map-side combined into <= sources x 256
+    * register rows), then everything downstream is register-sized.
+    */
+  def hllMergeBySource(d: DataFrame): DataFrame = {
+    import graft.ops.Hll
+    val regs = d
+      .select(col("source"), Hll.h60(col("text")).as("h"))
+      .select(col("source"), Hll.bucket(col("h")).as("bucket"),
+        Hll.rho(col("h")).as("rho"))
+      .groupBy("source", "bucket").agg(max("rho").as("m"))
+      // two consumers (per-source panel + merged rollup) over a
+      // register-sized table whose PLAN is a corpus scan — materialize
+      // so the corpus is read once
+      .localCheckpoint()
+    def summarize(
+        g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+      .agg(Hll.sUsed, count(lit(1)).as("n_used"))
+      .withColumn("hll_docs", Hll.estimate(col("s_used"), col("n_used")))
+      .withColumn("s", Hll.sTotal(col("s_used"), col("n_used")))
+      .select(col("source"), col("hll_docs"), col("s"))
+    val perSource = summarize(regs.groupBy("source"))
+    val merged = summarize(
+      regs.groupBy("bucket").agg(max("m").as("m"))
+        .withColumn("source", lit("__all__"))
+        .groupBy("source"))
+    perSource.unionByName(merged)
+  }
+
+  val hllMergeBySourceSql: String = {
+    import graft.ops.Hll
+    s"""WITH h AS (
+       |  SELECT source, ${Hll.h60Sql("text")} AS h60 FROM documents),
+       |r AS (
+       |  SELECT source, h60 % 256 AS bucket,
+       |    ${Hll.rhoSql} AS rho
+       |  FROM h),
+       |regs AS (
+       |  SELECT source, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+       |per_source AS (
+       |  SELECT source,
+       |    sum(1::BIGINT << (50 - m)) AS s_used, count(*) AS n_used
+       |  FROM regs GROUP BY 1),
+       |merged AS (
+       |  SELECT '__all__' AS source,
+       |    sum(1::BIGINT << (50 - m)) AS s_used, count(*) AS n_used
+       |  FROM (SELECT bucket, max(m) AS m FROM regs GROUP BY 1)),
+       |unioned AS (
+       |  SELECT * FROM per_source UNION ALL SELECT * FROM merged)
+       |SELECT source,
+       |  ${Hll.estimateSql("s_used", "n_used")} AS hll_docs,
+       |  ${Hll.sTotalSql("s_used", "n_used")} AS s
+       |FROM unioned""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_merge" -> ((s, d) => hllMergeBySource(docs(s, d))),
     "q_text_vocab_coverage" -> ((s, d) => vocabCoverage(docs(s, d))),
     "q_text_freq_terms" -> ((s, d) => freqTerms(docs(s, d))),
     "q_text_bm25" -> ((s, d) => bm25(docs(s, d))),
@@ -623,6 +689,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_hll_merge" -> hllMergeBySourceSql,
     "q_text_vocab_coverage" -> vocabCoverageSql,
     "q_text_freq_terms" -> freqTermsSql,
     "q_text_bm25" -> bm25Sql,

@@ -504,7 +504,53 @@ object EventOps {
       |  cents IS NULL AS filled
       |FROM joined""".stripMargin
 
+  /** Slowly-changing-dimension (SCD2) history build: collapse each
+    * user's event stream into state-validity intervals — one row per
+    * state CHANGE carrying [valid_from, valid_to) and an is_current
+    * flag. This is the warehouse-side table a feature store joins
+    * point-in-time-correctly (see the as-of join family) — training
+    * labels must see the state that was valid AT the example's
+    * timestamp, never the latest one.
+    *
+    * Scale: everything is windows partitioned by user_id over the
+    * event stream — one shuffle, no global order; change rows are a
+    * tiny fraction of events, and the output is change-sized.
+    */
+  def scd2States(e: DataFrame): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = e
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTs))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val byFrom = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(byFrom))
+      .select(col("user_id"), col("event_type").as("state"),
+        fmtTs(col("ts")).as("valid_from"),
+        fmtTs(col("valid_to_ts")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
+  val scd2StatesSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, ts, event_type
+      |  FROM marked WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS state,
+      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(CAST(lead(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+      |    AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM changes""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_scd2" -> ((s, d) => scd2States(events(s, d))),
     "q_events_gapfill" -> ((s, d) => gapFill(events(s, d))),
     "q_events_markov" -> ((s, d) => markovTransitions(events(s, d))),
     "q_events_anomaly" -> ((s, d) => anomalyWindows(events(s, d))),
@@ -526,6 +572,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_scd2" -> scd2StatesSql,
     "q_events_gapfill" -> gapFillSql,
     "q_events_markov" -> markovTransitionsSql,
     "q_events_anomaly" -> anomalyWindowsSql,

@@ -731,44 +731,25 @@ object Relational {
     */
   def qApproxAgg(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    def h60(c: Column): Column =
-      conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
     // hash ONCE per tracked column per row (md5+conv is the per-row
     // cost; deriving bucket and rho from the same h column keeps it to
     // one evaluation instead of one per derived expression — measured
-    // 3.7 s -> ~1.5 s at sf0.1), then explode to register updates
-    def rho(h: Column): Column = {
-      val w = shiftright(h, 8)
-      when(w === 0, lit(50))
-        .otherwise(least(lit(50), lit(53) - length(bin(w))))
-    }
+    // 3.7 s -> ~2.0 s at sf0.1), then explode to register updates
     val ex = li
-      .select(col("l_returnflag"), h60(col("l_partkey")).as("hp"),
-        h60(col("l_orderkey")).as("ho"))
+      .select(col("l_returnflag"), Hll.h60(col("l_partkey")).as("hp"),
+        Hll.h60(col("l_orderkey")).as("ho"))
       .select(col("l_returnflag"),
         explode(array(
           struct(lit("parts").as("which"), col("hp").as("h")),
           struct(lit("orders").as("which"), col("ho").as("h")))).as("e"))
       .select(col("l_returnflag"), col("e.which"),
-        pmod(col("e.h"), lit(256)).as("bucket"), rho(col("e.h")).as("rho"))
+        Hll.bucket(col("e.h")).as("bucket"), Hll.rho(col("e.h")).as("rho"))
     val regs = ex.groupBy("l_returnflag", "which", "bucket")
       .agg(max("rho").as("m"))
     val sums = regs.groupBy("l_returnflag", "which")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - m AS INT))"))
-          .as("s_used"),
-        count(lit(1)).as("n_used"))
-      .withColumn("s",
-        col("s_used") + (lit(256L) - col("n_used")) * lit(Hll2p50))
-      .withColumn("raw", lit(HllNum) / col("s").cast("double"))
-      // linear-counting small-range correction (n < 2.5m with empty
-      // registers): est = m*ln(m/V). ln is the one library-float op;
-      // both engines are within 1 ulp and the round(.,3) makes a
-      // cross-engine boundary flip astronomically unlikely.
-      .withColumn("est", round(
-        when(col("n_used") < 256 && col("raw") < 640.0,
-          lit(256.0) * log(lit(256.0) / (lit(256L) - col("n_used"))))
-          .otherwise(col("raw")), 3))
+      .agg(Hll.sUsed, count(lit(1)).as("n_used"))
+      .withColumn("s", Hll.sTotal(col("s_used"), col("n_used")))
+      .withColumn("est", Hll.estimate(col("s_used"), col("n_used")))
     val hll = sums.groupBy("l_returnflag").agg(
       max(when(col("which") === "parts", col("est"))).as("hll_parts"),
       max(when(col("which") === "parts", col("s"))).as("s_parts"),
@@ -776,7 +757,7 @@ object Relational {
       max(when(col("which") === "orders", col("s"))).as("s_orders"))
     // 25% deterministic sample keyed by the unique row identity
     val rowKey = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
-    val sample = li.filter(pmod(h60(rowKey), lit(4)) === 0)
+    val sample = li.filter(pmod(Hll.h60(rowKey), lit(4)) === 0)
       .select(col("l_returnflag"), col("l_extendedprice"))
     val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     val med = sample
@@ -791,18 +772,7 @@ object Relational {
         "s_parts", "s_orders", "sample_median_price")
   }
 
-  // HLL constants shared by the Spark query and its oracle SQL (the
-  // SQL interpolates the Scala-computed double so neither engine
-  // re-derives alpha with its own intermediate rounding)
-  private val Hll2p50 = 1L << 50
-  private val HllNum: Double =
-    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * (1L << 50).toDouble
-
   val qApproxAggSql: String = {
-    val h60 =
-      """list_reduce(list_transform(range(15), i ->
-        |      CAST(strpos('0123456789abcdef', substr(md5(%s), i + 1, 1)) - 1
-        |        AS BIGINT)), (a, b) -> a * 16 + b)""".stripMargin
     s"""WITH vals AS (
        |  SELECT l_returnflag, 'parts' AS which,
        |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem
@@ -811,12 +781,11 @@ object Relational {
        |  FROM lineitem),
        |h AS (
        |  SELECT l_returnflag, which,
-       |    ${h60.format("v")} AS h60
+       |    ${Hll.h60Sql("v")} AS h60
        |  FROM vals),
        |r AS (
        |  SELECT l_returnflag, which, h60 % 256 AS bucket,
-       |    CASE WHEN h60 // 256 = 0 THEN 50
-       |         ELSE least(50, 53 - length(bin(h60 // 256))) END AS rho
+       |    ${Hll.rhoSql} AS rho
        |  FROM h),
        |regs AS (
        |  SELECT l_returnflag, which, bucket, max(rho) AS m
@@ -827,14 +796,8 @@ object Relational {
        |  FROM regs GROUP BY 1, 2),
        |est AS (
        |  SELECT l_returnflag, which,
-       |    CAST(s_used + (256 - n_used) * ${Hll2p50} AS BIGINT) AS s,
-       |    round(CASE WHEN n_used < 256 AND
-       |        $HllNum /
-       |          CAST(s_used + (256 - n_used) * ${Hll2p50} AS DOUBLE) < 640.0
-       |      THEN 256.0 * ln(256.0 / (256 - n_used))
-       |      ELSE $HllNum /
-       |        CAST(s_used + (256 - n_used) * ${Hll2p50} AS DOUBLE)
-       |      END, 3) AS est
+       |    ${Hll.sTotalSql("s_used", "n_used")} AS s,
+       |    ${Hll.estimateSql("s_used", "n_used")} AS est
        |  FROM sums),
        |hll AS (
        |  SELECT l_returnflag,
@@ -846,7 +809,7 @@ object Relational {
        |sample AS (
        |  SELECT l_returnflag, l_extendedprice FROM (
        |    SELECT l_returnflag, l_extendedprice,
-       |      ${h60.format(
+       |      ${Hll.h60Sql(
              "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")}
        |        AS rh
        |    FROM lineitem)

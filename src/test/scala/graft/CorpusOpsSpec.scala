@@ -269,4 +269,23 @@ class CorpusOpsSpec extends SparkSpec {
     val b = Similarity.jlProject(e).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("hll merge row equals the sketch built over the whole corpus") {
+    import org.apache.spark.sql.functions._
+    // the merge property IS the operator's contract: per-bucket max
+    // over per-source registers must reproduce the single-pass sketch
+    val merged = graft.llm.CorpusOps.hllMergeBySource(docs)
+      .filter(col("source") === "__all__").collect()
+    assert(merged.length === 1)
+    val direct = graft.llm.CorpusOps.hllMergeBySource(
+      docs.withColumn("source", lit("only")))
+      .filter(col("source") === "only").collect()
+    assert(merged.head.getDouble(1) === direct.head.getDouble(1))
+    assert(merged.head.getLong(2) === direct.head.getLong(2))
+    // and the estimate lands within HLL error of the true distinct
+    val exact = docs.select(countDistinct("text")).head().getLong(0)
+    val est = merged.head.getDouble(1)
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"hll $est vs exact $exact")
+  }
 }
