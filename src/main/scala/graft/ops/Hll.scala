@@ -67,6 +67,33 @@ object Hll {
   def sTotal(sUsedCol: Column, nUsedCol: Column): Column =
     sUsedCol + (lit(M.toLong) - nUsedCol) * lit(TwoP50)
 
+  /** Scala-side estimate from a 256-int register array (0 = empty) —
+    * the SAME arithmetic as [[estimate]]/[[sTotal]], used by the
+    * streaming state operator ([[graft.streaming.DocStreams
+    * .hllBySource]]) whose per-key state is the register array itself.
+    * Returns (estimate rounded to 3, exact integer denominator).
+    */
+  def estimateScala(regs: Array[Int]): (Double, Long) = {
+    var sUsed = 0L
+    var nUsed = 0
+    var i = 0
+    while (i < M) {
+      if (regs(i) > 0) { nUsed += 1; sUsed += 1L << (50 - regs(i)) }
+      i += 1
+    }
+    val v = M - nUsed
+    val s = sUsed + v.toLong * TwoP50
+    val raw = Num / s.toDouble
+    val est =
+      if (nUsed < M && raw < 2.5 * M) M.toDouble * math.log(M.toDouble / v)
+      else raw
+    // BigDecimal.valueOf + HALF_UP is what Spark's round(double, 3)
+    // does — the stream==batch equality spec depends on matching it
+    val rounded = java.math.BigDecimal.valueOf(est)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+    (rounded, s)
+  }
+
   // ---- DuckDB oracle fragments (same math, spelled in its SQL) ----
 
   /** 60-bit md5 hash of a VARCHAR expression. */

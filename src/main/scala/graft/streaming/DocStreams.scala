@@ -166,4 +166,42 @@ object DocStreams {
             MGSnapshot(shard, e.getKey, e.getValue, nFinal))
       }
   }
+
+  /** Streaming per-source distinct-document sketch: the incremental
+    * mirror of [[graft.llm.CorpusOps.hllMergeBySource]]'s per-source
+    * rows. Per-key state IS the 256-register array (1 KB per source —
+    * the constant-size-state property is exactly why HLL is the
+    * streaming distinct shape); each micro-batch folds its rows in by
+    * per-bucket max and emits the source's refreshed (estimate, s).
+    * The arithmetic is [[graft.ops.Hll.estimateScala]] — the same
+    * integer-denominator math as the batch operator, so after a full
+    * replay the final emission per source equals the batch sketch row
+    * bit-for-bit (asserted in StatefulStreamingSpec).
+    *
+    * Scale: hash/bucket/rho are map-side; the only shuffle is the
+    * state-store exchange on source, and state size is
+    * |sources| x 1 KB regardless of corpus size.
+    */
+  def hllBySource(docsStream: DataFrame): DataFrame = {
+    import graft.ops.Hll
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docsStream
+      .select(col("source"), Hll.h60(col("text")).as("h"))
+      .select(col("source"), Hll.bucket(col("h")).cast("int").as("bucket"),
+        Hll.rho(col("h")).cast("int").as("rho"))
+      .as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Int], (String, Double, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source, rows, state) =>
+          val regs = state.getOption.getOrElse(new Array[Int](Hll.M))
+          rows.foreach { case (_, b, r) => if (r > regs(b)) regs(b) = r }
+          state.update(regs)
+          val (est, s) = Hll.estimateScala(regs)
+          Iterator((source, est, s))
+      }
+      .toDF("source", "hll_docs", "s")
+  }
 }

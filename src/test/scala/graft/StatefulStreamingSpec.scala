@@ -290,4 +290,27 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(recount === batch)
     q.stop()
   }
+
+  test("streaming hll registers: final per-source sketch == batch sketch") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-docs-hll")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.hllBySource(stream)
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest emission per source (update mode appends each refresh)
+    val got = spark.table("hll_out").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val want = graft.llm.CorpusOps.hllMergeBySource(batchDocs)
+      .filter(col("source") =!= "__all__").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got === want)
+    q.stop()
+  }
 }
