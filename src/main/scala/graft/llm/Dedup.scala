@@ -682,6 +682,10 @@ object Dedup {
   val EmbedDupDotThreshold = 4839L
   private val EmbedDupPlanes = 4
   private val EmbedDupTables = 4
+  // shared with Similarity.simHistogram so the histogram buckets the
+  // SAME candidate set the dedup threshold will be applied to
+  val EmbedDupPlanesPublic: Int = EmbedDupPlanes
+  val EmbedDupTablesPublic: Int = EmbedDupTables
 
   /** [[embeddingPairs]] re-based on the EXACT int8 machinery
     * ([[Similarity.int8CandidatePairs]] — unit-scale quantization,

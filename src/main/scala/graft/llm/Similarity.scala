@@ -1042,7 +1042,40 @@ object Similarity {
        |    SELECT vec_id + $SemPlantOffset AS vec_id, embedding
        |    FROM embeddings WHERE vec_id % $SemPlantMod = 0""".stripMargin
 
+  /** Similarity-threshold selection histogram: bucket the int8 cosine
+    * of every LSH CANDIDATE pair (no similarity filter) into 0.1-wide
+    * cosine bins (1613 ≈ 0.1 x 127^2 on the int8 dot scale). This is
+    * the diagnostic a curator reads BEFORE choosing a dedup threshold:
+    * the histogram's valley between the near-dup mode and the
+    * background mass is where the threshold belongs — picking it blind
+    * is how a corpus loses 10% of its distinct mass. The bin index is
+    * floor(sim/1613) over exact integer dots, so every engine agrees
+    * on every boundary.
+    *
+    * Scale: identical join shape to [[Dedup.embeddingPairsInt8]]
+    * (bucketed candidates, packed int8 rows, no corpus broadcast); the
+    * histogram aggregate is ~30 rows.
+    */
+  def simHistogram(e: DataFrame): DataFrame =
+    int8CandidatePairs(
+        e.select(col("vec_id"), col("embedding")),
+        Dedup.EmbedDupPlanesPublic, Dedup.EmbedDupTablesPublic,
+        (a, b) => a < b)
+      .select(floor(col("sim").cast("double") / 1613.0).as("bin"),
+        col("sim"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("sim").as("min_sim"), max("sim").as("max_sim"))
+
+  def simHistogramSql(nPlanes: Int, nTables: Int, dim: Int = 64): String =
+    s"""${int8PairsSqlCtes(nPlanes, nTables, "<", dim)}
+       |SELECT CAST(floor(CAST(sim AS DOUBLE) / 1613.0) AS BIGINT) AS bin,
+       |  count(*) AS n_pairs, min(sim) AS min_sim, max(sim) AS max_sim
+       |FROM pairs
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_sim_hist" -> ((s, d) => simHistogram(emb(s, d))),
     "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopKInt8(emb(s, d))),
     "q_knn_ivf" -> ((s, d) =>
@@ -1069,6 +1102,8 @@ object Similarity {
     * paths via order-stable IEEE folds.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_embed_sim_hist" ->
+      simHistogramSql(Dedup.EmbedDupPlanesPublic, Dedup.EmbedDupTablesPublic),
     "q_knn_brute" -> bruteForceTopKSql,
     "q_knn_lsh" -> lshTopKInt8Sql(),
     "q_knn_ivf" -> ivfTopKInt8Sql(),
