@@ -676,7 +676,46 @@ object CorpusOps {
        |FROM unioned""".stripMargin
   }
 
+  /** Cross-source duplication matrix: for every ordered source pair,
+    * how many CANONICAL content hashes (sorted distinct token set —
+    * the [[graft.llm.Dedup.canonical]] identity, which catches the
+    * reorderings feeds introduce when they mirror each other) appear
+    * in both — the provenance panel that shows which feeds copy
+    * which (a crawl that re-ingests another feed's content inflates
+    * its apparent contribution and double-counts tokens in the mix
+    * plan).
+    *
+    * Scale: documents collapse map-side to distinct (hash, source)
+    * pairs; the self-join runs per content hash, where the multiset is
+    * bounded by a hash's source multiplicity (<= |sources|, tiny), and
+    * the output aggregate is |sources|^2-sized.
+    */
+  def crossSourceOverlap(d: DataFrame): DataFrame = {
+    val canon = array_join(
+      sort_array(array_distinct(TextOps.wsTokens(col("text")))), " ")
+    val hs = d.select(md5(canon.cast("binary")).as("h"), col("source"))
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val crossSourceOverlapSql: String =
+    """WITH hs AS (
+      |  SELECT DISTINCT
+      |    md5(coalesce(array_to_string(list_sort(list_distinct(
+      |      list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
+      |        t -> t <> ''))), ' '), '')) AS h,
+      |    source
+      |  FROM documents)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  count(*) AS n_shared
+      |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> ((s, d) => crossSourceOverlap(docs(s, d))),
     "q_hll_merge" -> ((s, d) => hllMergeBySource(docs(s, d))),
     "q_text_vocab_coverage" -> ((s, d) => vocabCoverage(docs(s, d))),
     "q_text_freq_terms" -> ((s, d) => freqTerms(docs(s, d))),
@@ -689,6 +728,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_source_overlap" -> crossSourceOverlapSql,
     "q_hll_merge" -> hllMergeBySourceSql,
     "q_text_vocab_coverage" -> vocabCoverageSql,
     "q_text_freq_terms" -> freqTermsSql,

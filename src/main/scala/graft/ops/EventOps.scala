@@ -549,7 +549,65 @@ object EventOps {
       |    ORDER BY ts, event_id) IS NULL AS is_current
       |FROM changes""".stripMargin
 
+  /** Point-in-time-correct feature join: label each purchase with the
+    * state that was valid AT its timestamp according to the SCD2
+    * history ([[scd2States]]) — the end-to-end form of the temporal
+    * correctness contract (a training example must never see a state
+    * from its future; joining "latest state" leaks). The purchase's
+    * own state change is visible at its timestamp (valid_from <= ts),
+    * matching the as-of family's inclusive semantics.
+    *
+    * Scale: equi-join on user_id with the interval condition as a
+    * residual — per-user history is bounded (state CHANGES, not
+    * events), so the per-key multiset stays small; both sides already
+    * hash-partition on user_id. Intervals partition each user's
+    * timeline, so exactly one match per purchase (spec-asserted).
+    */
+  def featuresAtPurchase(e: DataFrame): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val hist = e
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTs))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byTs))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .join(hist,
+        col("p_user") === col("user_id") &&
+          col("p_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("p_ts") < col("valid_to")))
+      .select(col("purchase_id"),
+        fmtTs(col("p_ts")).as("purchase_ts"), col("state"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("value_cents"))
+  }
+
+  val featuresAtPurchaseSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |hist AS (
+      |  SELECT user_id, event_type AS state, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS valid_to
+      |  FROM marked WHERE prev IS NULL OR prev <> event_type)
+      |SELECT p.event_id AS purchase_id,
+      |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+      |    AS purchase_ts,
+      |  h.state,
+      |  CAST(round(p.value * 100, 0) AS BIGINT) AS value_cents
+      |FROM events p JOIN hist h
+      |  ON p.user_id = h.user_id
+      |  AND p.ts >= h.valid_from
+      |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+      |WHERE p.event_type = 'purchase'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_feature_at" -> ((s, d) => featuresAtPurchase(events(s, d))),
     "q_events_scd2" -> ((s, d) => scd2States(events(s, d))),
     "q_events_gapfill" -> ((s, d) => gapFill(events(s, d))),
     "q_events_markov" -> ((s, d) => markovTransitions(events(s, d))),
@@ -572,6 +630,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_feature_at" -> featuresAtPurchaseSql,
     "q_events_scd2" -> scd2StatesSql,
     "q_events_gapfill" -> gapFillSql,
     "q_events_markov" -> markovTransitionsSql,
