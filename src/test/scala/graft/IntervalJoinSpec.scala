@@ -62,4 +62,17 @@ class IntervalJoinSpec extends SparkSpec {
       .collect().map(_.mkString("|")).sorted.toSeq
     assert(run(1) === run(9))
   }
+
+  test("point-in-time feature join matches every purchase exactly once") {
+    // SCD2 intervals partition each user's timeline, so the PIT join
+    // must be a bijection from purchases to rows — a duplicate means
+    // overlapping intervals (leaky history), a miss means a gap
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val out = graft.ops.EventOps.featuresAtPurchase(events)
+    val nPurchases = events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(out.count() === nPurchases)
+    assert(out.select("purchase_id").distinct().count() === nPurchases)
+  }
 }
