@@ -581,7 +581,84 @@ object TextOps {
       |    AS entropy
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): hash every k-token gram, slide a w-window over the
+    * hash sequence, keep the minimum per window — the selected set is
+    * guaranteed to share members between any two docs with a common
+    * run of >= w+k-1 tokens, which is what makes it the
+    * PARTIAL-overlap fingerprint ([[fingerprint]]'s whole-doc rolling
+    * hash only catches identical docs). Selecting the min VALUE per
+    * window (not position) keeps the set deterministic under ties.
+    * Emitted as per-doc set size + an md5 digest of the sorted set so
+    * the result row is scalar; docs shorter than k tokens fingerprint
+    * their whole text.
+    *
+    * Scale: pure higher-order-function expressions — zero exchanges,
+    * zero explodes (PlanSpec-asserted); at 100 TB this runs inside the
+    * scan. Pair detection composes downstream exactly like the other
+    * signature families (band on selected hashes).
+    */
+  /** The (n_grams, selected-set) columns behind [[winnow]] — exposed
+    * for the guarantee spec (docs sharing a >= w+k-1 token run must
+    * share a selected hash).
+    */
+  private[graft] def winnowSets(d: DataFrame, k: Int, w: Int): DataFrame = {
+    val toks = wsTokens(col("text"))
+    def h60(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => h60(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array(h60(concat_ws(" ", toks))))
+    val wins = when(size(grams) >= w,
+      transform(sequence(lit(1), size(grams) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    d.select(col("doc_id"), size(grams).cast("bigint").as("n_grams"),
+      sort_array(array_distinct(wins)).as("selected"))
+  }
+
+  def winnow(d: DataFrame, k: Int = 4, w: Int = 5): DataFrame =
+    winnowSets(d, k, w).select(col("doc_id"), col("n_grams"),
+      size(col("selected")).cast("bigint").as("n_selected"),
+      md5(array_join(transform(col("selected"), _.cast("string")), ",")
+        .cast("binary")).as("fp_digest"))
+
+  val winnowSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 4 THEN
+      |      list_transform(generate_series(1, len(toks) - 3), i ->
+      |        list_reduce(list_transform(range(15), j ->
+      |          CAST(strpos('0123456789abcdef',
+      |            substr(md5(array_to_string(toks[i:i + 3], ' ')), j + 1, 1))
+      |            - 1 AS BIGINT)), (a, b) -> a * 16 + b))
+      |    ELSE [list_reduce(list_transform(range(15), j ->
+      |      CAST(strpos('0123456789abcdef',
+      |        substr(md5(coalesce(array_to_string(toks, ' '), '')),
+      |          j + 1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)]
+      |    END AS grams
+      |  FROM t),
+      |wnd AS (
+      |  SELECT doc_id, grams,
+      |    CASE WHEN len(grams) >= 5 THEN
+      |      list_transform(generate_series(1, len(grams) - 4), j ->
+      |        list_min(grams[j:j + 4]))
+      |    ELSE [list_min(grams)] END AS wins
+      |  FROM g)
+      |SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(wins)) AS BIGINT) AS n_selected,
+      |  md5(array_to_string(list_sort(list_distinct(wins)), ',')) AS fp_digest
+      |FROM wnd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_winnow" -> ((s, d) => winnow(docs(s, d))),
     "q_text_entropy" -> ((s, d) => charEntropy(docs(s, d))),
     "q_text_classifier" -> ((s, d) => classifierScore(docs(s, d))),
     "q_scalar_map" -> ((s, d) => mapOps(docs(s, d))),
@@ -598,6 +675,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_winnow" -> winnowSql,
     "q_text_entropy" -> charEntropySql,
     "q_text_classifier" -> classifierScoreSql,
     "q_scalar_map" -> mapOpsSql,

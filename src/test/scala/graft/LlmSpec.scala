@@ -864,4 +864,26 @@ class LlmSpec extends SparkSpec {
     assert(cleaned.exists(_._2 == 0L) ===
       cleaned.exists(c => c._2 == 0L && c._3 == emptyMd5))
   }
+
+  test("winnowing guarantee: docs sharing a w+k-1 token run share a hash") {
+    val k = 4; val w = 5
+    // doc 1 = X ++ SHARED, doc 2 = SHARED ++ Z where |SHARED| = w+k-1:
+    // winnowing MUST select at least one common k-gram hash from the
+    // shared run. doc 3 is disjoint — overlap would be a hash accident.
+    val shared = (1 to (w + k - 1)).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, ("x1 x2 x3 x4 x5 x6 " + shared)),
+      (2L, (shared + " z1 z2 z3 z4 z5 z6")),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"))
+      .toDF("doc_id", "text")
+    val sets = graft.llm.TextOps.winnowSets(d, k, w).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("selected").toSet).toMap
+    assert((sets(1L) intersect sets(2L)).nonEmpty, "shared run not detected")
+    assert((sets(1L) intersect sets(3L)).isEmpty, "disjoint docs collide")
+    // and the public digest distinguishes all three
+    val digests = graft.llm.TextOps.winnow(d, k, w).collect()
+      .map(_.getString(3)).toSet
+    assert(digests.size === 3)
+  }
 }
