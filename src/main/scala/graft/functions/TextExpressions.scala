@@ -259,6 +259,47 @@ object TextKernels {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** md5-prefix-60 hash of every k-token gram (tokens joined by 0x20,
+    * the shared shingle convention; a doc with fewer than k tokens
+    * contributes its whole token string as one gram) — the fused
+    * kernel behind [[graft.llm.TextOps.winnowSets]]. Bit-identical to
+    * the composed spelling
+    * `transform(sequence(...), i -> conv(substring(md5(concat_ws(' ',
+    * slice(toks, i, k))), 1, 15), 16, 10))` without materializing
+    * gram strings or hex; one digest per gram.
+    */
+  def winnowGramHashes(s: UTF8String, k: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val (spans, cnt) = tokenSpans(base, off, s.numBytes)
+    var buf = new Array[Byte](64)
+    def gramHash(from: Int, until: Int): Long = {
+      var len = 0
+      var t = from
+      while (t < until) {
+        val tl = spans(2 * t + 1) - spans(2 * t)
+        if (len + tl + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, len + tl + 1))
+        if (t > from) { buf(len) = 0x20; len += 1 }
+        Platform.copyMemory(base, off + spans(2 * t), buf,
+          Platform.BYTE_ARRAY_OFFSET + len, tl.toLong)
+        len += tl
+        t += 1
+      }
+      md5Prefix60(buf, len)
+    }
+    val out =
+      if (cnt >= k) {
+        val n = cnt - k + 1
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = gramHash(i, i + k); i += 1 }
+        a
+      } else Array(gramHash(0, cnt))
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** 60-bit md5-family SimHash fingerprint — the fused kernel behind
     * the DRIVER simhash query ([[graft.llm.Dedup.simhashPairsExact]]).
     * Per whitespace token (every OCCURRENCE, not distinct): h = first
@@ -543,6 +584,26 @@ case class MinHashSignatureMd5(
     copy(child = newChild)
 }
 
+/** winnow_grams_md5(text, k): md5-prefix-60 hash per k-token gram —
+  * see [[TextKernels.winnowGramHashes]].
+  */
+case class WinnowGramHashes(child: Expression, k: Int)
+    extends TextKernelExpression {
+  require(k >= 1, "k must be >= 1")
+  override def prettyName: String = "winnow_grams_md5"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowGramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.winnowGramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** simhash60_md5(text): 60-bit md5-family SimHash — see
   * [[TextKernels.simhash60Md5]].
   */
@@ -616,6 +677,9 @@ object text {
 
   def simhash60_md5(c: Column): Column =
     Bridge.column(SimHash60Md5(Bridge.expression(c)))
+
+  def winnow_grams_md5(c: Column, k: Int): Column =
+    Bridge.column(WinnowGramHashes(Bridge.expression(c), k))
 
   def char_ngrams(c: Column, n: Int): Column =
     Bridge.column(CharNgrams(Bridge.expression(c), n))

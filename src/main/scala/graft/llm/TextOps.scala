@@ -3,6 +3,7 @@ package graft.llm
 import graft.core.Tables
 import graft.mr.GoTokens
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: tokenization,
@@ -601,21 +602,37 @@ object TextOps {
   /** The (n_grams, selected-set) columns behind [[winnow]] — exposed
     * for the guarantee spec (docs sharing a >= w+k-1 token run must
     * share a selected hash).
+    *
+    * Implementation note: the window mins are NOT a nested
+    * `transform(..., j => array_min(slice(grams, j, w)))` over a grams
+    * expression — Catalyst performs no common-subexpression hoisting
+    * into lambda bodies, so that spelling re-evaluates the ENTIRE
+    * per-gram md5 transform once per window element: O(n^2) hash work
+    * per doc (measured 21 s for 500 docs; count() pruned the column,
+    * which is why it profiled as fast). Instead grams are exploded
+    * ONCE (Generate evaluates its generator a single time per row)
+    * and the per-window min is a frame over pos — one doc_id shuffle,
+    * linear work.
     */
   private[graft] def winnowSets(d: DataFrame, k: Int, w: Int): DataFrame = {
-    val toks = wsTokens(col("text"))
-    def h60(c: Column): Column =
-      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-    val grams = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => h60(concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array(h60(concat_ws(" ", toks))))
-    val wins = when(size(grams) >= w,
-      transform(sequence(lit(1), size(grams) - (w - 1)),
-        j => array_min(slice(grams, j, lit(w)))))
-      .otherwise(array(array_min(grams)))
-    d.select(col("doc_id"), size(grams).cast("bigint").as("n_grams"),
-      sort_array(array_distinct(wins)).as("selected"))
+    // one digest per gram, no gram strings/hex (winnow_grams_md5 —
+    // bit-equal to the composed md5/conv spelling, FunctionsSpec)
+    val grams = graft.functions.text.winnow_grams_md5(col("text"), k)
+    val g = d.select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+    val byDoc = Window.partitionBy("doc_id")
+    // min over the w-gram frame starting here; a frame reaching past
+    // the array end is only VALID at pos 0 (the whole-array window of
+    // a doc shorter than w grams)
+    val wmin = min(col("h")).over(
+      byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1))
+    g.withColumn("n_grams", count(lit(1)).over(byDoc))
+      .withColumn("wmin", wmin)
+      .withColumn("valid",
+        col("pos") <= col("n_grams") - w || col("pos") === 0)
+      .groupBy("doc_id")
+      .agg(max("n_grams").cast("bigint").as("n_grams"),
+        sort_array(collect_set(when(col("valid"), col("wmin"))))
+          .as("selected"))
   }
 
   def winnow(d: DataFrame, k: Int = 4, w: Int = 5): DataFrame =
@@ -657,7 +674,93 @@ object TextOps {
       |  md5(array_to_string(list_sort(list_distinct(wins)), ',')) AS fp_digest
       |FROM wnd""".stripMargin
 
+  /** Winnow-overlap pairs (the MOSS detector): corpus-wide doc pairs
+    * whose SELECTED fingerprint sets overlap — catches partial overlap
+    * (a copied section inside otherwise-different docs) that token-set
+    * Jaccard dilutes away and exact-substring needs long runs for.
+    * Same join discipline as the jaccard family: explode the selected
+    * sets, join per shared hash, emit each pair ONCE at its smallest
+    * common hash (the `sorted_first_common` kernel — selected sets are
+    * sorted arrays, exactly its input shape), score with
+    * `sorted_jaccard` inside the join condition so the O(n+m) merge
+    * runs once per pair.
+    *
+    * Scale: sub-quadratic via hash buckets; a hash selected by many
+    * docs is genuinely-duplicated content and concentrates pairs in
+    * its bucket — the same skew class the prefix-rank join salts
+    * (adaptive salting composes here the same way if a corpus needs
+    * it). Selected sets are ~|doc|/w hashes, so the exploded side is
+    * a fraction of the token table.
+    */
+  def winnowPairs(
+      d: DataFrame, threshold: Double = 0.2, k: Int = 4,
+      w: Int = 5): DataFrame = {
+    import graft.functions.vector.{sorted_first_common, sorted_jaccard}
+    // winnowSets ends in an aggregation, so the selected arrays reach
+    // the join MATERIALIZED (never inlined into the join condition);
+    // the checkpoint just keeps the two join sides from re-running the
+    // fingerprint aggregation twice. Answer-sized: one row of ~|doc|/w
+    // longs per doc.
+    val sets = winnowSets(d, k, w).select(col("doc_id"), col("selected"))
+      .localCheckpoint()
+    val ex = sets.select(col("doc_id"), col("selected"),
+      explode(col("selected")).as("h"))
+    // hint("merge"): same rationale as the prefix-rank join — the
+    // exploded inputs look broadcast-small while the true cost is the
+    // key-equal multiset; pin sort-merge so hot hashes don't walk
+    // broadcast hash chains
+    ex.as("a").join(ex.as("b").hint("merge"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.h") === sorted_first_common(
+            col("a.selected"), col("b.selected")) &&
+          sorted_jaccard(col("a.selected"), col("b.selected")) >=
+            lit(threshold))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(sorted_jaccard(col("a.selected"), col("b.selected")), 6)
+          .as("w_jaccard"))
+  }
+
+  val winnowPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 4 THEN
+      |      list_transform(generate_series(1, len(toks) - 3), i ->
+      |        list_reduce(list_transform(range(15), j ->
+      |          CAST(strpos('0123456789abcdef',
+      |            substr(md5(array_to_string(toks[i:i + 3], ' ')), j + 1, 1))
+      |            - 1 AS BIGINT)), (a, b) -> a * 16 + b))
+      |    ELSE [list_reduce(list_transform(range(15), j ->
+      |      CAST(strpos('0123456789abcdef',
+      |        substr(md5(coalesce(array_to_string(toks, ' '), '')),
+      |          j + 1, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)]
+      |    END AS grams
+      |  FROM t),
+      |sel AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(
+      |      CASE WHEN len(grams) >= 5 THEN
+      |        list_transform(generate_series(1, len(grams) - 4), j ->
+      |          list_min(grams[j:j + 4]))
+      |      ELSE [list_min(grams)] END)) AS sel
+      |  FROM g)
+      |SELECT doc_a, doc_b, round(raw, 6) AS w_jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.sel, b.sel)) AS DOUBLE) /
+      |      (len(a.sel) + len(b.sel) - len(list_intersect(a.sel, b.sel)))
+      |      AS raw
+      |  FROM sel a JOIN sel b
+      |    ON a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.sel, b.sel)) > 0)
+      |WHERE raw >= 0.2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_winnow" -> ((s, d) => winnowPairs(docs(s, d))),
     "q_text_winnow" -> ((s, d) => winnow(docs(s, d))),
     "q_text_entropy" -> ((s, d) => charEntropy(docs(s, d))),
     "q_text_classifier" -> ((s, d) => classifierScore(docs(s, d))),
@@ -675,6 +778,7 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_winnow" -> winnowPairsSql,
     "q_text_winnow" -> winnowSql,
     "q_text_entropy" -> charEntropySql,
     "q_text_classifier" -> classifierScoreSql,

@@ -100,6 +100,21 @@ class FunctionsSpec extends SparkSpec {
     assert(sh.nonEmpty)
     sh.foreach(r => assert(r.getLong(1) === r.getLong(2),
       s"simhash md5 kernel mismatch doc ${r.getLong(0)}"))
+    // winnow gram hashes: fused kernel == composed md5/conv spelling
+    val toks = graft.llm.TextOps.wsTokens(col("text"))
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val composed = when(size(toks) >= 4,
+      transform(sequence(lit(1), size(toks) - 3),
+        i => h60(concat_ws(" ", slice(toks, i, lit(4))))))
+      .otherwise(array(h60(concat_ws(" ", toks))))
+    val wg = d.select(col("doc_id"),
+        graft.functions.text.winnow_grams_md5(col("text"), 4).as("ks"),
+        composed.as("es"))
+      .collect()
+    assert(wg.nonEmpty)
+    wg.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+      s"winnow gram kernel mismatch doc ${r.getLong(0)}"))
   }
 
   test("sorted_intersect_count agrees with array_intersect semantics") {
