@@ -680,12 +680,12 @@ object Dedup {
     * constant, shared by the Spark filter and the generated oracle.
     */
   val EmbedDupDotThreshold = 4839L
-  private val EmbedDupPlanes = 4
-  private val EmbedDupTables = 4
-  // shared with Similarity.simHistogram so the histogram buckets the
-  // SAME candidate set the dedup threshold will be applied to
-  val EmbedDupPlanesPublic: Int = EmbedDupPlanes
-  val EmbedDupTablesPublic: Int = EmbedDupTables
+  // hosted in Similarity (next to the candidate machinery) so that the
+  // Dedup -> Similarity init dependency stays one-directional — a
+  // Similarity -> Dedup reference in a val initializer would create a
+  // JVM class-init cycle (deadlock under concurrent first touch)
+  private def EmbedDupPlanes = Similarity.EmbedDupPlanes
+  private def EmbedDupTables = Similarity.EmbedDupTables
 
   /** [[embeddingPairs]] re-based on the EXACT int8 machinery
     * ([[Similarity.int8CandidatePairs]] — unit-scale quantization,

@@ -322,7 +322,8 @@ object Sampling {
     * repartitions.
     *
     * Scale: the only shuffle is the (shard, phase)-partitioned
-    * position window — 32 shards x 3 phases of bounded size; there is
+    * position window — nShards x 3 phases (default
+    * Layout.DefaultShards = 8) of bounded size; there is
     * deliberately NO global ordinal (a global row_number would
     * single-reduce 100 TB; the (phase, pos, shard) sort key gives the
     * same total order for free at read time).

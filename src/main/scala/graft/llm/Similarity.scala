@@ -1042,6 +1042,14 @@ object Similarity {
        |    SELECT vec_id + $SemPlantOffset AS vec_id, embedding
        |    FROM embeddings WHERE vec_id % $SemPlantMod = 0""".stripMargin
 
+  /** LSH geometry shared by [[Dedup.embeddingPairsInt8]] and
+    * [[simHistogram]] — the histogram must bucket the SAME candidate
+    * set the dedup threshold will be applied to. Hosted here (not in
+    * Dedup) so object initialization stays one-directional.
+    */
+  val EmbedDupPlanes = 4
+  val EmbedDupTables = 4
+
   /** Similarity-threshold selection histogram: bucket the int8 cosine
     * of every LSH CANDIDATE pair (no similarity filter) into 0.1-wide
     * cosine bins (1613 ≈ 0.1 x 127^2 on the int8 dot scale). This is
@@ -1059,7 +1067,7 @@ object Similarity {
   def simHistogram(e: DataFrame): DataFrame =
     int8CandidatePairs(
         e.select(col("vec_id"), col("embedding")),
-        Dedup.EmbedDupPlanesPublic, Dedup.EmbedDupTablesPublic,
+        EmbedDupPlanes, EmbedDupTables,
         (a, b) => a < b)
       .select(floor(col("sim").cast("double") / 1613.0).as("bin"),
         col("sim"))
@@ -1103,7 +1111,7 @@ object Similarity {
     */
   val oracleSql: Map[String, String] = Map(
     "q_embed_sim_hist" ->
-      simHistogramSql(Dedup.EmbedDupPlanesPublic, Dedup.EmbedDupTablesPublic),
+      simHistogramSql(EmbedDupPlanes, EmbedDupTables),
     "q_knn_brute" -> bruteForceTopKSql,
     "q_knn_lsh" -> lshTopKInt8Sql(),
     "q_knn_ivf" -> ivfTopKInt8Sql(),

@@ -594,10 +594,11 @@ object TextOps {
     * the result row is scalar; docs shorter than k tokens fingerprint
     * their whole text.
     *
-    * Scale: pure higher-order-function expressions — zero exchanges,
-    * zero explodes (PlanSpec-asserted); at 100 TB this runs inside the
-    * scan. Pair detection composes downstream exactly like the other
-    * signature families (band on selected hashes).
+    * Scale: one fused digest per gram (map-side), one doc_id-
+    * partitioned shuffle for the window-min frame and the selected-set
+    * aggregation — the same single-exchange shape as the other
+    * per-doc signature ops. Pair detection composes downstream
+    * exactly like the other signature families ([[winnowPairs]]).
     */
   /** The (n_grams, selected-set) columns behind [[winnow]] — exposed
     * for the guarantee spec (docs sharing a >= w+k-1 token run must

@@ -516,38 +516,54 @@ object EventOps {
     * event stream — one shuffle, no global order; change rows are a
     * tiny fraction of events, and the output is change-sized.
     */
-  def scd2States(e: DataFrame): DataFrame = {
+  /** The SCD2 interval table (user_id, state, valid_from raw ts,
+    * valid_to raw ts nullable) — ONE definition of change detection
+    * and interval construction, shared by [[scd2States]] (the
+    * reporting form) and [[featuresAtPurchase]] (the join form) so
+    * the PIT join can never desynchronize from the history table it
+    * is documented to join against.
+    */
+  private def scd2Intervals(e: DataFrame): DataFrame = {
     val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val changes = e
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    e.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("prev", lag(col("event_type"), 1).over(byTs))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-    val byFrom = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    changes
-      .withColumn("valid_to_ts", lead(col("ts"), 1).over(byFrom))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(byTs))
       .select(col("user_id"), col("event_type").as("state"),
-        fmtTs(col("ts")).as("valid_from"),
-        fmtTs(col("valid_to_ts")).as("valid_to"),
-        col("valid_to_ts").isNull.as("is_current"))
+        col("ts").as("valid_from"), col("valid_to_ts").as("valid_to"))
   }
 
-  val scd2StatesSql: String =
+  /** Shared oracle CTEs mirroring [[scd2Intervals]]: yields a `hist`
+    * relation (user_id, state, valid_from, valid_to).
+    */
+  private val scd2IntervalsSqlCtes: String =
     """WITH marked AS (
       |  SELECT user_id, event_id, ts, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id) AS prev
       |  FROM events),
-      |changes AS (
-      |  SELECT user_id, event_id, ts, event_type
-      |  FROM marked WHERE prev IS NULL OR prev <> event_type)
-      |SELECT user_id, event_type AS state,
-      |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS valid_from,
-      |  strftime(CAST(lead(ts) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
-      |    AS valid_to,
-      |  lead(ts) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id) IS NULL AS is_current
-      |FROM changes""".stripMargin
+      |hist AS (
+      |  SELECT user_id, event_type AS state, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS valid_to
+      |  FROM marked WHERE prev IS NULL OR prev <> event_type)""".stripMargin
+
+  def scd2States(e: DataFrame): DataFrame =
+    scd2Intervals(e)
+      .select(col("user_id"), col("state"),
+        fmtTs(col("valid_from")).as("valid_from"),
+        fmtTs(col("valid_to")).as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+
+  val scd2StatesSql: String =
+    s"""$scd2IntervalsSqlCtes
+       |SELECT user_id, state,
+       |  strftime(CAST(valid_from AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+       |    AS valid_from,
+       |  strftime(CAST(valid_to AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+       |    AS valid_to,
+       |  valid_to IS NULL AS is_current
+       |FROM hist""".stripMargin
 
   /** Point-in-time-correct feature join: label each purchase with the
     * state that was valid AT its timestamp according to the SCD2
@@ -564,14 +580,7 @@ object EventOps {
     * timeline, so exactly one match per purchase (spec-asserted).
     */
   def featuresAtPurchase(e: DataFrame): DataFrame = {
-    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val hist = e
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("prev", lag(col("event_type"), 1).over(byTs))
-      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-      .withColumn("valid_to", lead(col("ts"), 1).over(byTs))
-      .select(col("user_id"), col("event_type").as("state"),
-        col("ts").as("valid_from"), col("valid_to"))
+    val hist = scd2Intervals(e)
     e.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"), col("value"))
@@ -585,17 +594,8 @@ object EventOps {
   }
 
   val featuresAtPurchaseSql: String =
-    """WITH marked AS (
-      |  SELECT user_id, event_id, ts, event_type,
-      |    lag(event_type) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS prev
-      |  FROM events),
-      |hist AS (
-      |  SELECT user_id, event_type AS state, ts AS valid_from,
-      |    lead(ts) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS valid_to
-      |  FROM marked WHERE prev IS NULL OR prev <> event_type)
-      |SELECT p.event_id AS purchase_id,
+    s"""$scd2IntervalsSqlCtes
+       |SELECT p.event_id AS purchase_id,
       |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
       |    AS purchase_ts,
       |  h.state,

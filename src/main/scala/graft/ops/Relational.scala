@@ -717,8 +717,10 @@ object Relational {
     *    the INTEGER sum(2^(50-M_j)) so the whole sketch is exact
     *    arithmetic; the single float op is the final alpha*m^2*2^50/S
     *    division (both engines: one IEEE division of exact integers,
-    *    then round(.,3)). Raw HLL estimate, no small-range correction —
-    *    the spec bounds its error vs exact counts.
+    *    then round(.,3)), plus the linear-counting small-range
+    *    correction (m*ln(m/V) when n < 2.5m with empty registers —
+    *    also deterministic). The spec bounds the error vs exact
+    *    counts.
     *  - approximate median by deterministic hash-sampling: rows whose
     *    md5-derived 60-bit row hash ≡ 0 (mod 4) form a 25% Bernoulli
     *    sample; the lower median over the sample is picked exactly

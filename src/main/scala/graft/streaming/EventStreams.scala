@@ -25,9 +25,9 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The parquet on-disk schema of events: ts is TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false) as written by the generator, which Spark
-    * surfaces as TIMESTAMP_NTZ; see [[graft.core.Tables]].
+  /** The parquet on-disk schema of events in the CURRENT generator
+    * format: ts is TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    * Spark surfaces as TIMESTAMP_NTZ; see [[graft.core.Tables]].
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -39,14 +39,33 @@ object EventStreams {
 
   /** File-source stream over a directory of events parquet files,
     * normalized to the same shape batch [[EventOps.events]] sees.
+    *
+    * A streaming source must DECLARE its schema, so the on-disk ts
+    * type is sniffed with a one-time batch footer read and the
+    * matching normalization applied — the same two formats the batch
+    * loader accepts (legacy TIMESTAMP(NANOS) surfacing as a long
+    * under nanosAsLong, and the current NTZ micros), so streaming and
+    * batch never disagree about which files they can ingest.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      // naive-as-UTC reinterpretation, identical to the batch loader
-      // (session timezone is pinned to UTC in Graft.session)
-      .withColumn("ts", col("ts").cast(TimestampType))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val onDiskTs = spark.read.parquet(dir).schema("ts").dataType
+    val declared = StructType(rawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = onDiskTs)
+      case f => f
+    })
+    val raw = spark.readStream.schema(declared).parquet(dir)
+    onDiskTs match {
+      case LongType =>
+        // integer division: see graft.core.Tables (double division
+        // loses sub-microsecond precision at nanosecond magnitudes)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // naive-as-UTC reinterpretation, identical to the batch loader
+        // (session timezone is pinned to UTC in Graft.session)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Watermarked tumbling 1-hour aggregation (append mode compatible). */
   def tumbling(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

@@ -230,9 +230,10 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     exact.foreach { case (flag, (d, m)) =>
       val (ad, am) = approx(flag)
-      // raw HLL (m=256, no small-range correction): std error is
-      // 1.04/sqrt(256) ~ 6.5%, plus upward bias in the n < 2.5m regime
-      // this tiny SF sits in — bound at 25%
+      // HLL (m=256, linear-counting in the n < 2.5m regime this tiny
+      // SF sits in): LC error grows as the occupancy estimate's
+      // variance at a few hundred distincts — bound at 25%; at real
+      // scale the raw-HLL regime applies with ~6.5% std error
       assert(math.abs(ad - d) / d < 0.25,
         s"$flag: hll distinct $ad vs exact $d")
       // 25% hash-sample median: ~sqrt(n) error on a few hundred
