@@ -80,6 +80,17 @@ class PartitionInvarianceSpec extends SparkSpec {
         Tables.load(spark, sfDir, "events"))),
     ("vocab_coverage (top-k boundary ties)",
       () => graft.llm.CorpusOps.vocabCoverage(
+        Tables.load(spark, sfDir, "documents"))),
+    ("gapfill (grid join + forward-fill windows)",
+      () => graft.ops.EventOps.gapFill(
+        Tables.load(spark, sfDir, "events"))),
+    ("scd2 (change detection + interval windows)",
+      () => graft.ops.EventOps.scd2States(
+        Tables.load(spark, sfDir, "events"))),
+    ("feature_binning (ntile tiebreaks)",
+      () => graft.ops.Relational.qFeatureBinning(spark, sfDir)),
+    ("winnow_pairs (frame-min fingerprints + emit-once join)",
+      () => graft.llm.TextOps.winnowPairs(
         Tables.load(spark, sfDir, "documents"))))
 
   cases.foreach { case (name, mk) =>
