@@ -523,7 +523,7 @@ object EventOps {
     * the PIT join can never desynchronize from the history table it
     * is documented to join against.
     */
-  private def scd2Intervals(e: DataFrame): DataFrame = {
+  private[graft] def scd2Intervals(e: DataFrame): DataFrame = {
     val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     e.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("prev", lag(col("event_type"), 1).over(byTs))

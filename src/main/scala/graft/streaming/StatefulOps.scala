@@ -96,4 +96,48 @@ object StatefulOps {
           KeyCount(key, n)
       }
   }
+
+  case class LastState(tsUs: Long, eventId: Long, eventType: String)
+  case class StateChange(user_id: Long, state: String, valid_from_us: Long)
+
+  /** Incremental SCD2 change detection — the streaming face of
+    * [[graft.ops.EventOps.scd2States]]: per-user state carried across
+    * micro-batches (O(1): last ts/id/type), each batch's events sorted
+    * by (ts, event_id) within the group and a change row emitted
+    * whenever the type differs from the carried state. After a full
+    * in-order replay the emitted (user, state, valid_from) set equals
+    * the batch SCD2 intervals exactly (StatefulStreamingSpec).
+    *
+    * Honesty on ordering: a batch's rows are sorted in memory per
+    * (user, batch) — bounded by a user's per-trigger volume, the same
+    * contract as every GroupState op — but LATE events older than the
+    * carried state would be appended out of order; an unbounded
+    * out-of-order ingest should window the stream first (the
+    * watermarked shapes in [[EventStreams]]).
+    */
+  def scd2Changes(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame): Dataset[StateChange] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastState, StateChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[LastState]) =>
+          val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[StateChange]
+          sorted.foreach { case (_, id, tsUs, typ) =>
+            if (st == null || st.eventType != typ)
+              out += StateChange(user, typ, tsUs)
+            st = LastState(tsUs, id, typ)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

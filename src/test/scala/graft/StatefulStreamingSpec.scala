@@ -291,6 +291,30 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming scd2 changes == batch interval starts after replay") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    // point the file source at a dir with ONLY the events file
+    val d = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StatefulOps.scd2Changes(spark,
+        graft.streaming.EventStreams.readEvents(spark, d.toString))
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("scd2_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.ops.EventOps.scd2Intervals(events)
+      .select(col("user_id"), col("state"), unix_micros(col("valid_from")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    q.stop()
+  }
+
   test("streaming hll registers: final per-source sketch == batch sketch") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
