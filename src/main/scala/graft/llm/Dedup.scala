@@ -1106,6 +1106,57 @@ object Dedup {
        |FROM clusters GROUP BY 1""".stripMargin
   }
 
+  /** QUALITY-AWARE survivor selection: keep each near-dup cluster's
+    * BEST member (highest integer alpha-quality, doc_id tiebreak)
+    * instead of [[dedupSurvivors]]' lowest-id member — what a curation
+    * pipeline actually wants, since near-dup copies differ in
+    * boilerplate/truncation and the arbitrary copy is often the worse
+    * one. The shared quality score ([[TextOps.alphaX10000OfText]],
+    * integer-exact) keeps the argmax deterministic in both engines.
+    *
+    * Scale: clustering as in [[dupClusters]]; the pick is a window
+    * partitioned by cluster_id (bounded by the largest cluster — the
+    * same bound the clustering itself already carries), plus one
+    * cluster-sized count window on the same partitioning/exchange.
+    */
+  def dedupSurvivorsBest(
+      d: DataFrame, threshold: Double = 0.9,
+      broadcastLabels: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = coalesce(TextOps.alphaX10000OfText, lit(-1L))
+    val scored = d.select(col("doc_id"), q.as("q_x10000"))
+      .join(dupClusters(d, threshold, broadcastLabels = broadcastLabels),
+        "doc_id")
+    val byCluster = Window.partitionBy("cluster_id")
+    scored
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("q_x10000").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("q_x10000").as("keep_q"),
+        col("n_members").cast("bigint").as("n_members"))
+  }
+
+  /** DuckDB mirror: clustering CTE + the same quality argmax. */
+  val dedupSurvivorsBestSql: String =
+    s"""WITH clusters AS ($dupClustersSql),
+       |scored AS (
+       |  SELECT c.cluster_id, c.doc_id,
+       |    coalesce(CAST(length(regexp_replace(d.text, '[^\\p{L}]', '', 'g'))
+       |        AS BIGINT) * 10000 // nullif(length(d.text), 0), -1)
+       |      AS q_x10000
+       |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT cluster_id, doc_id AS keep_id, q_x10000 AS keep_q,
+       |  n_members
+       |FROM (
+       |  SELECT cluster_id, doc_id, q_x10000,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY q_x10000 DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM scored)
+       |WHERE rn = 1""".stripMargin
+
   /** Benchmark DECONTAMINATION: flag corpus documents that share at
     * least `minHits` distinct n-token shingles with ANY document of a
     * reference (eval/benchmark) set — the training-data hygiene op
@@ -1630,6 +1681,7 @@ object Dedup {
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
     "q_dedup_survivors" -> ((s, d) => dedupSurvivors(docs(s, d))),
+    "q_dedup_survivors_best" -> ((s, d) => dedupSurvivorsBest(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
     "q_dedup_shingle" -> ((s, d) => jaccardShinglePairs(docs(s, d))),
     "q_dedup_prefix" -> ((s, d) => prefixDups(docs(s, d))),
@@ -1660,6 +1712,7 @@ object Dedup {
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" -> dupClustersSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
+    "q_dedup_survivors_best" -> dedupSurvivorsBestSql,
     "q_dedup_edit" -> editVerifiedPairsSql,
     "q_dedup_shingle" -> jaccardShinglePairsSql,
     "q_dedup_prefix" -> prefixDupsSql)
