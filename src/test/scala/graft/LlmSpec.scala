@@ -865,6 +865,21 @@ class LlmSpec extends SparkSpec {
       cleaned.exists(c => c._2 == 0L && c._3 == emptyMd5))
   }
 
+  test("quality-aware survivors agree with min-id survivors on clusters") {
+    import org.apache.spark.sql.functions.col
+    // same clustering underneath: identical cluster ids and member
+    // counts; only the picked representative may differ, and the best
+    // pick's quality must be >= the min-id pick's
+    val base = graft.llm.Dedup.dedupSurvivors(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = graft.llm.Dedup.dedupSurvivorsBest(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(best.map(_._1).toSet === base.keySet)
+    best.foreach { case (cluster, _, n) =>
+      assert(base(cluster) === n, s"member count differs for $cluster")
+    }
+  }
+
   test("winnowing guarantee: docs sharing a w+k-1 token run share a hash") {
     val k = 4; val w = 5
     // doc 1 = X ++ SHARED, doc 2 = SHARED ++ Z where |SHARED| = w+k-1:
