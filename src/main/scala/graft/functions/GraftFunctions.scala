@@ -58,6 +58,19 @@ object GraftFunctions {
               s"char_ngrams n must be an int literal, got $other")
           }
           CharNgrams(exprs(0), n)
+        }),
+      // winnow_grams_md5(text, k) with k a literal int
+      (FunctionIdentifier("winnow_grams_md5"),
+        new ExpressionInfo(classOf[WinnowGramHashes].getName,
+          "winnow_grams_md5"),
+        { exprs =>
+          require(exprs.length == 2, "winnow_grams_md5 expects (text, k)")
+          val k = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"winnow_grams_md5 k must be an int literal, got $other")
+          }
+          WinnowGramHashes(exprs(0), k)
         }))
 
   def register(spark: SparkSession): Unit = {

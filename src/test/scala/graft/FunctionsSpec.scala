@@ -117,6 +117,13 @@ class FunctionsSpec extends SparkSpec {
       s"winnow gram kernel mismatch doc ${r.getLong(0)}"))
   }
 
+  test("winnow_grams_md5 is callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT winnow_grams_md5('a b c d e', 4) AS g").head()
+    assert(r.getSeq[Long](0).length === 2) // 5 tokens, k=4 -> 2 grams
+  }
+
   test("sorted_intersect_count agrees with array_intersect semantics") {
     GraftFunctions.register(spark)
     val r = spark.sql(
