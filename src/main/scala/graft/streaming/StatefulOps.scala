@@ -99,6 +99,7 @@ object StatefulOps {
 
   case class LastState(tsUs: Long, eventId: Long, eventType: String)
   case class StateChange(user_id: Long, state: String, valid_from_us: Long)
+  case class Transition(user_id: Long, prev_type: String, next_type: String)
 
   /** Incremental SCD2 change detection — the streaming face of
     * [[graft.ops.EventOps.scd2States]]: per-user state carried across
@@ -115,6 +116,40 @@ object StatefulOps {
     * out-of-order ingest should window the stream first (the
     * watermarked shapes in [[EventStreams]]).
     */
+  /** Streaming event-transition feed — the incremental input to the
+    * Markov matrix ([[graft.ops.EventOps.markovTransitions]]): one row
+    * per consecutive (prev, next) event pair per user, carried across
+    * micro-batches by the same O(1) last-event state as
+    * [[scd2Changes]]. Downstream, a streaming (or batch) groupBy over
+    * (prev_type, next_type) maintains the live transition counts;
+    * after a full in-order replay the transition MULTISET equals the
+    * batch lag-derived one (StatefulStreamingSpec compares counts).
+    */
+  def transitionFeed(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[LastState]) =>
+          val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[Transition]
+          sorted.foreach { case (_, id, tsUs, typ) =>
+            if (st != null) out += Transition(user, st.eventType, typ)
+            st = LastState(tsUs, id, typ)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   def scd2Changes(
       spark: SparkSession,
       events: org.apache.spark.sql.DataFrame): Dataset[StateChange] = {

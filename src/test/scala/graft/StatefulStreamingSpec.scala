@@ -315,6 +315,30 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming transition feed == batch markov counts after replay") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val d = java.nio.file.Files.createTempDirectory("graft-markov-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StatefulOps.transitionFeed(spark,
+        graft.streaming.EventStreams.readEvents(spark, d.toString))
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("trans_out")
+      .groupBy("prev_type", "next_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.ops.EventOps.markovTransitions(events)
+      .select(col("prev_type"), col("next_type"), col("n_trans")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    q.stop()
+  }
+
   test("streaming hll registers: final per-source sketch == batch sketch") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
