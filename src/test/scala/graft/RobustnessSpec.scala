@@ -196,4 +196,36 @@ class RobustnessSpec extends SparkSpec {
     val h2 = graft.llm.Multimodal.audioHashes(spark, media).collect()
     assert(h2(0).getLong(1) === h(0).getLong(1))
   }
+
+  test("event operators return empty results on an empty stream, not errors") {
+    import org.apache.spark.sql.types._
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    // zero-event day: every derived table must be empty, never a crash
+    assert(graft.ops.EventOps.markovTransitions(emptyEvents).count() === 0)
+    assert(graft.ops.EventOps.gapFill(emptyEvents).count() === 0)
+    assert(graft.ops.EventOps.scd2States(emptyEvents).count() === 0)
+    assert(graft.ops.EventOps.featuresAtPurchase(emptyEvents).count() === 0)
+  }
+
+  test("winnow handles empty and single-token docs") {
+    val d = Seq((1L, ""), (2L, "only"), (3L, "  \t ")).toDF("doc_id", "text")
+    val w = graft.llm.TextOps.winnow(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc fingerprints (whole-text gram), nothing crashes
+    assert(w.keySet === Set(1L, 2L, 3L))
+    w.values.foreach { case (nGrams, nSel) =>
+      assert(nGrams === 1L && nSel === 1L)
+    }
+    // empty and whitespace-only docs hash identically (both md5(""))
+    val digs = graft.llm.TextOps.winnow(d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(digs(1L) === digs(3L))
+    assert(digs(1L) !== digs(2L))
+  }
 }
