@@ -91,6 +91,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.ops.Relational.qFeatureBinning(spark, sfDir)),
     ("winnow_pairs (frame-min fingerprints + emit-once join)",
       () => graft.llm.TextOps.winnowPairs(
+        Tables.load(spark, sfDir, "documents"))),
+    ("winnow digest (collect_set ordering)",
+      () => graft.llm.TextOps.winnow(
+        Tables.load(spark, sfDir, "documents"))),
+    ("survivors_best (cluster argmax windows)",
+      () => graft.llm.Dedup.dedupSurvivorsBest(
         Tables.load(spark, sfDir, "documents"))))
 
   cases.foreach { case (name, mk) =>
