@@ -714,7 +714,40 @@ object CorpusOps {
       |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-language log2-bucketed document-length histogram — the
+    * data-card panel that shows a corpus's length distribution shape
+    * (truncation spikes, boilerplate shortness, a long tail worth
+    * chunking). Bucket = position of the highest set bit of n_chars
+    * (length(bin(n)) — the same integer-exact device as the HLL rho),
+    * so bucket b holds lengths [2^(b-1), 2^b).
+    *
+    * Scale: one map-side pass + a |langs| x ~40-bucket aggregate.
+    */
+  def lengthHistogram(d: DataFrame): DataFrame =
+    d.select(col("lang"),
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(length(bin(length(col("text")).cast("bigint")))
+            .cast("bigint")).as("bucket"),
+        length(col("text")).cast("bigint").as("n"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n").as("min_chars"), max("n").as("max_chars"),
+        sum("n").as("sum_chars"))
+
+  val lengthHistogramSql: String =
+    """SELECT lang,
+      |  CAST(CASE WHEN length(text) = 0 THEN 0
+      |       ELSE length(bin(CAST(length(text) AS BIGINT))) END AS BIGINT)
+      |    AS bucket,
+      |  count(*) AS n_docs,
+      |  CAST(min(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(max(length(text)) AS BIGINT) AS max_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_length_hist" -> ((s, d) => lengthHistogram(docs(s, d))),
     "q_source_overlap" -> ((s, d) => crossSourceOverlap(docs(s, d))),
     "q_hll_merge" -> ((s, d) => hllMergeBySource(docs(s, d))),
     "q_text_vocab_coverage" -> ((s, d) => vocabCoverage(docs(s, d))),
@@ -728,6 +761,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_length_hist" -> lengthHistogramSql,
     "q_source_overlap" -> crossSourceOverlapSql,
     "q_hll_merge" -> hllMergeBySourceSql,
     "q_text_vocab_coverage" -> vocabCoverageSql,
