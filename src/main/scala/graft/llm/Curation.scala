@@ -283,9 +283,12 @@ object Curation {
     * rounds is bounded by localCheckpoint, the same discipline as
     * [[Dedup.dupClusters]]' label iteration.
     *
-    * Iterative (each round's input depends on the last round's merge)
-    * => no ANSI oracle; rows-only driver check + a hand-computed
-    * fixture in CurationSpec.
+    * Oracle: the iteration is fixed-depth (nMerges = 10 as registered)
+    * so [[bpeTrainSql]] unrolls each round as plain CTEs — the
+    * PageRank trick — over a string encoding of the symbol sequence
+    * that makes the greedy rewrite a single replace() (see the oracle
+    * section below). A hand-computed Sennrich fixture in CurationSpec
+    * guards the semantics independently of the oracle.
     */
   def bpeTrain(d: DataFrame, nMerges: Int = 10): DataFrame = {
     val spark = d.sparkSession
@@ -337,7 +340,12 @@ object Curation {
     * Each word starts as characters and repeatedly applies the
     * LOWEST-RANK applicable merge (the standard encode loop, greedy
     * left-to-right within a rank). Reports per doc: word count, char
-    * count, BPE token count, and chars-per-token compression.
+    * count (Unicode CODE POINTS, the same unit the seed symbols use —
+    * NOT UTF-16 units, which would double-count the non-BMP letters
+    * seedSymbols is careful about), BPE token count, and the
+    * chars-per-token compression as an integer permyriad
+    * (`compression_e4` = chars*10000 DIV tokens — integer-exact across
+    * engines, the repo's no-float-ratio convention).
     *
     * Scale: the merge table is rank-bounded (nMerges rows — a real
     * tokenizer ships ~50k) and BROADCAST; encoding is then map-only
@@ -380,14 +388,14 @@ object Curation {
       TextOps.letterTokens(lower(col("text"))).as("toks"))
       .as[(Long, Seq[String])]
       .map { case (id, toks) =>
-        val chars = toks.iterator.map(_.length.toLong).sum
+        val chars = toks.iterator.map(w => w.codePointCount(0, w.length).toLong).sum
         val bpe = toks.iterator.map(encodeLen(_).toLong).sum
         (id, toks.size.toLong, chars, bpe)
       }
       .toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens")
-      .withColumn("compression",
-        round(when(col("n_bpe_tokens") === 0, lit(0.0))
-          .otherwise(col("n_chars").cast("double") / col("n_bpe_tokens")), 4))
+      .withColumn("compression_e4",
+        when(col("n_bpe_tokens") === 0, lit(0L))
+          .otherwise(expr("n_chars * 10000 div n_bpe_tokens")))
   }
 
   // The learned merge table is a deterministic trained artifact of the
@@ -402,6 +410,144 @@ object Curation {
       .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
     if (!s.conf.get("spark.graft.memoize", "true").toBoolean) train()
     else mergeCache.getOrElseUpdate(s, dir)(train())
+  }
+
+  /** Number of merges the registered q_text_bpe trains (bpeTrain's
+    * default) — the unrolled oracles below must agree with it.
+    */
+  private val BpeMerges = 10
+
+  // ----- DuckDB oracles for the BPE pair ---------------------------
+  //
+  // The PageRank trick (GraphOps.pageRankSql): fix the merge count and
+  // unroll each training round as plain CTEs. The move that makes the
+  // iterative rewrite ANSI-expressible is the SYMBOL-SEQUENCE STRING
+  // ENCODING: a word's symbol list is carried as
+  //   '<' sym1 '>' '<' sym2 '>' ...
+  // ('<'/'>' can never occur inside a symbol — symbols are \p{L} runs).
+  // Merging the pair (l, r) is then EXACTLY
+  //   replace(enc, '<l><r>', '<lr>')
+  // because SQL replace scans left to right, never overlaps matches,
+  // and never rescans replacement text — the same non-overlapping
+  // greedy pass as BpeMerge.applyMerge ([a,a,a,a] + (a,a) -> [aa,aa],
+  // [a,a,a] -> [aa,a]) — and the '<'/'>' anchors force WHOLE-symbol
+  // equality (a match needs '<l>' exactly, so a symbol merely ending
+  // in l cannot fire; the naive single-separator encoding fails both
+  // properties). Pair counting recovers the symbol list with
+  // regexp_extract_all(enc, '<([^>]*)>', 1).
+
+  /** Exploded (doc_id, word) occurrences — the shared tokenization of
+    * both oracles, the established DuckDB mirror of
+    * `letterTokens(lower(text))`. Non-interpolated so the regex
+    * backslashes read literally.
+    */
+  private val bpeDocWordsFrom: String =
+    """(SELECT doc_id, unnest(list_filter(
+      |      regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')) AS w
+      |    FROM documents)""".stripMargin
+
+  /** Seed a word into the '<c1><c2>...' encoding; '.' matches one code
+    * point in RE2, the same seeding unit as [[BpeMerge.seedSymbols]].
+    */
+  private val bpeSeedExpr: String =
+    """regexp_replace(w, '(.)', '<\1>', 'g')"""
+
+  /** One unrolled training round: pair counts from the previous
+    * vocabulary, the deterministic argmax (count desc, then (l, r)
+    * lexicographic — binary collation equals Spark's ordering on this
+    * ASCII corpus), and the greedy rewrite.
+    */
+  private def bpeRoundCtes(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s""",
+       |p$k AS (
+       |  SELECT syms[i] AS l, syms[i + 1] AS r, sum(f) AS cnt
+       |  FROM (SELECT regexp_extract_all(enc, '<([^>]*)>', 1) AS syms, f
+       |        FROM $prev),
+       |    LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
+       |  GROUP BY 1, 2),
+       |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+       |w$k AS (
+       |  SELECT replace(enc, '<' || l || '><' || r || '>',
+       |                 '<' || l || r || '>') AS enc, f
+       |  FROM $prev, m$k)""".stripMargin
+  }
+
+  private def bpeTrainingCtes: String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT $bpeSeedExpr AS enc, count(*) AS f
+         |  FROM $bpeDocWordsFrom
+         |  GROUP BY 1)""".stripMargin
+    w0 + (1 to BpeMerges).map(bpeRoundCtes).mkString
+  }
+
+  /** Full-oracle mirror of [[bpeTrain]] at the registered nMerges: the
+    * merge table row per round, types pinned BIGINT (DuckDB sum() is
+    * HUGEINT). If the corpus exhausts before round k, m_k is empty, the
+    * cross join empties w_k, and every later round contributes no row —
+    * the same early stop as the Spark loop.
+    */
+  val bpeTrainSql: String = {
+    val sel = (1 to BpeMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+         |  CAST(cnt AS BIGINT) AS pair_count FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $bpeTrainingCtes\n$sel"
+  }
+
+  /** Full-oracle mirror of [[bpeEncode]] over [[trainedMerges]]: the
+    * training unroll feeds a (rank, pattern, replacement) merge table,
+    * and a recursive CTE replays the encode loop per DISTINCT word —
+    * each step applies the lowest-rank merge whose pattern occurs in
+    * the current encoding (the same argmin the Scala loop takes; a
+    * rank can fire again after later merges recreate its pair, which
+    * is why this is a recursion and not a second unroll). A word's
+    * final state is the row where no pattern applies; its token count
+    * is its '<' count. Per-doc totals then ride the (doc, word)
+    * occurrence table, and empty docs survive via the left join.
+    */
+  val bpeEncodeSql: String = {
+    val mergesSel = (1 to BpeMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, '<' || l || '><' || r || '>' AS pat,
+         |  '<' || l || r || '>' AS rep FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $bpeTrainingCtes,
+       |merges AS (
+       |$mergesSel),
+       |docw AS (
+       |  SELECT doc_id, w, count(*) AS occ
+       |  FROM $bpeDocWordsFrom
+       |  GROUP BY 1, 2),
+       |words AS (SELECT DISTINCT w FROM docw),
+       |walk AS (
+       |  SELECT w, $bpeSeedExpr AS enc FROM words
+       |  UNION ALL
+       |  SELECT w, replace(enc, b['pat'], b['rep']) AS enc FROM (
+       |    SELECT w, enc, (
+       |      SELECT {'pat': pat, 'rep': rep} FROM merges
+       |      WHERE contains(enc, pat) ORDER BY rank LIMIT 1) AS b
+       |    FROM walk) s
+       |  WHERE b IS NOT NULL),
+       |encw AS (
+       |  SELECT w, len(enc) - len(replace(enc, '<', '')) AS n_toks
+       |  FROM walk
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges WHERE contains(enc, pat))),
+       |agg AS (
+       |  SELECT d.doc_id,
+       |    sum(d.occ) AS n_words,
+       |    sum(d.occ * len(d.w)) AS n_chars,
+       |    sum(d.occ * e.n_toks) AS n_bpe_tokens
+       |  FROM docw d JOIN encw e USING (w)
+       |  GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(CASE WHEN coalesce(n_bpe_tokens, 0) = 0 THEN 0
+       |       ELSE (n_chars * 10000) // n_bpe_tokens END AS BIGINT)
+       |    AS compression_e4
+       |FROM (SELECT doc_id FROM documents) LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
   /** Deterministic MLM-style token masking — the denoising-objective
@@ -472,6 +618,8 @@ object Curation {
     "q_text_repetition" -> ((s, d) => repetition(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_bpe" -> bpeTrainSql,
+    "q_text_bpe_encode" -> bpeEncodeSql,
     "q_text_mlm_mask" -> mlmMaskSql,
     "q_text_chunk" -> chunkSql,
     "q_pack_sequences" -> packSequencesSql,

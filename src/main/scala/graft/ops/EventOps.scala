@@ -522,6 +522,18 @@ object EventOps {
     * reporting form) and [[featuresAtPurchase]] (the join form) so
     * the PIT join can never desynchronize from the history table it
     * is documented to join against.
+    *
+    * Equal-timestamp ties: change DETECTION orders by (ts, event_id),
+    * but the intervals carry only the raw ts — so two state changes at
+    * an identical (user_id, ts) produce a zero-width interval for the
+    * earlier event_id (unreachable by any PIT lookup) and a purchase
+    * sharing that exact ts reads the LATER state, regardless of how
+    * its own event_id compares. This is a deliberate tie rule (state
+    * validity is a function of TIME, and sub-timestamp ordering is not
+    * time), implemented identically in the oracle CTEs below; callers
+    * needing strict event-sequence semantics should pre-disambiguate
+    * ts (e.g. micros + event_id as a synthetic clock) before building
+    * the history.
     */
   private[graft] def scd2Intervals(e: DataFrame): DataFrame = {
     val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

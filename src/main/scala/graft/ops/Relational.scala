@@ -769,7 +769,12 @@ object Relational {
       .filter(col("rn") === ceil(col("n").cast("double") / 2.0))
       .select(col("l_returnflag"),
         col("l_extendedprice").as("sample_median_price"))
-    hll.join(med, Seq("l_returnflag"))
+    // LEFT join: a return-flag group whose 25% deterministic sample is
+    // empty keeps its sketch row with a NULL sample_median_price
+    // instead of silently vanishing (the oracle mirrors the same
+    // outer join) — matters for small groups, where an empty sample
+    // is likely
+    hll.join(med, Seq("l_returnflag"), "left")
       .select("l_returnflag", "hll_parts", "hll_orders",
         "s_parts", "s_orders", "sample_median_price")
   }
@@ -826,7 +831,7 @@ object Relational {
        |  WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT))
        |SELECT hll.l_returnflag, hll_parts, hll_orders, s_parts, s_orders,
        |  sample_median_price
-       |FROM hll JOIN med ON hll.l_returnflag = med.l_returnflag""".stripMargin
+       |FROM hll LEFT JOIN med ON hll.l_returnflag = med.l_returnflag""".stripMargin
   }
 
   /** Skew-safe two-phase aggregation ([[Skew.saltedSumCount]]); the

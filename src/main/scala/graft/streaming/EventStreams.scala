@@ -46,9 +46,20 @@ object EventStreams {
     * loader accepts (legacy TIMESTAMP(NANOS) surfacing as a long
     * under nanosAsLong, and the current NTZ micros), so streaming and
     * batch never disagree about which files they can ingest.
+    *
+    * When the directory is empty or does not exist yet (a stream
+    * normally starts before its producer), the sniff cannot read a
+    * footer and the source falls back to the CURRENT generator format
+    * ([[rawSchema]]'s NTZ micros). The format is then locked for the
+    * stream's lifetime — a dir that later receives files in the OTHER
+    * ts format needs a restart (restart recovery is spec'd); mixing
+    * both formats in one dir was never readable, batch or stream.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val onDiskTs = spark.read.parquet(dir).schema("ts").dataType
+    val onDiskTs =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        rawSchema("ts").dataType }
     val declared = StructType(rawSchema.map {
       case f if f.name == "ts" => f.copy(dataType = onDiskTs)
       case f => f

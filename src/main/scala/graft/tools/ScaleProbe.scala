@@ -144,6 +144,72 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("winnow")) {
+      // winnowPairs skew probe (round 11): a genuinely-duplicated
+      // SECTION is this operator's target, and every doc carrying it
+      // selects the section's fingerprint hashes -> all those docs
+      // land in one (hash) bucket and the unsalted join grinds the
+      // bucket's n^2/2 pairs in ONE task. Plant a 60-token shared
+      // section into 1-in-50 docs of a unique-filler corpus (the
+      // sharing set GROWS with the corpus: 4x docs = 4x members =
+      // 16x the bucket's pair count), measure wall + peak task with
+      // salting off/on, and assert the pair set is identical.
+      final class TaskPeak extends org.apache.spark.scheduler.SparkListener {
+        val maxRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            maxRunMs.getAndAccumulate(t.taskMetrics.executorRunTime, math.max)
+      }
+      val shared = (1 to 60).map(i => s"shared$i").mkString(" ")
+      def corpus(nDocs: Long) = {
+        def filler(lo: Long, hi: Long) = array_join(
+          transform(sequence(lit(lo), lit(hi)),
+            i => concat(lit("u"), (col("id") * 1000L + i).cast("string"))),
+          " ")
+        spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          when(pmod(col("id"), lit(50)) === 0,
+            concat_ws(" ", filler(1, 30), lit(shared), filler(31, 60)))
+            .otherwise(concat_ws(" ", filler(1, 60))).as("text"))
+          .localCheckpoint() // probe the join, not the generation
+      }
+      // 16x included because winnow's hot work spreads over the
+      // section's ~15 shared hashes (unlike hamming's 4 band buckets),
+      // so per-bucket n^2 needs two octaves to outgrow that natural
+      // parallelism and dominate the job
+      Seq("1x (30k docs, 600 sharing)" -> 30000L,
+        "4x (120k docs, 2400 sharing)" -> 120000L,
+        "16x (480k docs, 9600 sharing)" -> 480000L).foreach {
+        case (label, n) =>
+          val docs = corpus(n)
+          var sums = Map.empty[String, (Long, Long)]
+          Seq("unsalted" -> -1, "salt1024" -> 1024, "salt256" -> 256)
+            .foreach { case (sl, st) =>
+              def pairs = graft.llm.TextOps
+                .winnowPairs(docs, saltTarget = st)
+              pairs.count() // warm codegen/JIT
+              val l = new TaskPeak
+              spark.sparkContext.addSparkListener(l)
+              val t0 = System.nanoTime()
+              val rows = pairs.count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              Thread.sleep(2000) // listener bus drains async
+              spark.sparkContext.removeSparkListener(l)
+              val ck = pairs
+                .agg(bit_xor(xxhash64(col("doc_a"), col("doc_b"))).as("ck"))
+                .head().getLong(0)
+              sums += sl -> ((rows, ck))
+              println(f"[winnow-probe] $label%-28s $sl%-9s $rows%10d pairs" +
+                f"  $dt%7.2f s  peak task ${l.maxRunMs.get / 1e3}%6.2f s")
+            }
+          require(sums.values.toSet.size == 1,
+            s"salting changed the result: $sums")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("ann")) {
       // int8-ANN candidate-join probe: same bucket structure both
       // sides (nPlanes=14 -> 16k buckets, 2 tables, hamming-1

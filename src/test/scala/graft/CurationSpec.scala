@@ -113,9 +113,9 @@ class CurationSpec extends SparkSpec {
     val d = Seq((1L, "abcabd"), (2L, "xyz")).toDF("doc_id", "text")
     val got = Curation.bpeEncode(d, Seq(("a", "b"), ("ab", "c"))).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
-    assert(got(1L) === ((1L, 6L, 3L, 2.0)))
-    assert(got(2L) === ((1L, 3L, 3L, 1.0))) // no merge applies
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((1L, 6L, 3L, 20000L)))
+    assert(got(2L) === ((1L, 3L, 3L, 10000L))) // no merge applies
     // on the real corpus with trained merges: word <= bpe <= chars
     val real = Curation.bpeEncode(docs,
       Curation.bpeTrain(docs).collect()
