@@ -548,12 +548,12 @@ object EventOps {
   /** Shared oracle CTEs mirroring [[scd2Intervals]]: yields a `hist`
     * relation (user_id, state, valid_from, valid_to).
     */
-  private val scd2IntervalsSqlCtes: String =
-    """WITH marked AS (
+  private def scd2IntervalsSqlCtes(source: String = "events"): String =
+    s"""WITH marked AS (
       |  SELECT user_id, event_id, ts, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id) AS prev
-      |  FROM events),
+      |  FROM $source),
       |hist AS (
       |  SELECT user_id, event_type AS state, ts AS valid_from,
       |    lead(ts) OVER (PARTITION BY user_id
@@ -568,7 +568,7 @@ object EventOps {
         col("valid_to").isNull.as("is_current"))
 
   val scd2StatesSql: String =
-    s"""$scd2IntervalsSqlCtes
+    s"""${scd2IntervalsSqlCtes()}
        |SELECT user_id, state,
        |  strftime(CAST(valid_from AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
        |    AS valid_from,
@@ -592,27 +592,35 @@ object EventOps {
     * timeline, so exactly one match per purchase (spec-asserted).
     */
   def featuresAtPurchase(e: DataFrame): DataFrame = {
-    val hist = scd2Intervals(e)
+    // history from NON-label events only: a feature store's state
+    // table must not contain the label event itself, or every label
+    // trivially reads its own state change (state was degenerately
+    // 'purchase' for every row before round 11). LEFT join: a
+    // purchase before the user's first state event keeps its row with
+    // a NULL state — label completeness beats inner-join tidiness.
+    val hist = scd2Intervals(e.filter(col("event_type") =!= "purchase"))
     e.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"), col("value"))
       .join(hist,
         col("p_user") === col("user_id") &&
           col("p_ts") >= col("valid_from") &&
-          (col("valid_to").isNull || col("p_ts") < col("valid_to")))
+          (col("valid_to").isNull || col("p_ts") < col("valid_to")),
+        "left")
       .select(col("purchase_id"),
         fmtTs(col("p_ts")).as("purchase_ts"), col("state"),
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("value_cents"))
   }
 
   val featuresAtPurchaseSql: String =
-    s"""$scd2IntervalsSqlCtes
+    s"""${scd2IntervalsSqlCtes(
+          "(SELECT * FROM events WHERE event_type <> 'purchase')")}
        |SELECT p.event_id AS purchase_id,
       |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
       |    AS purchase_ts,
       |  h.state,
       |  CAST(round(p.value * 100, 0) AS BIGINT) AS value_cents
-      |FROM events p JOIN hist h
+      |FROM events p LEFT JOIN hist h
       |  ON p.user_id = h.user_id
       |  AND p.ts >= h.valid_from
       |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)

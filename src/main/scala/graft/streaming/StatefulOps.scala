@@ -150,6 +150,64 @@ object StatefulOps {
       }
   }
 
+  case class FeatureAt(
+      purchase_id: Long, user_id: Long, ts_us: Long,
+      state: Option[String], value_cents: Long)
+
+  /** Streaming point-in-time feature serving — the online face of
+    * [[graft.ops.EventOps.featuresAtPurchase]]: the same event stream
+    * carries state events and purchase labels; per user the carried
+    * O(1) state is the last NON-purchase event (the label must never
+    * define its own feature), and each purchase row emits the state
+    * that was valid AT its timestamp. This is the online-feature-store
+    * loop closed: the batch SCD2 interval join answers training-time
+    * lookups, this feed answers the serving-time ones, and after a
+    * full in-order replay the two agree row-for-row
+    * (StatefulStreamingSpec).
+    *
+    * Tie rule mirrors the batch interval semantics exactly: at an
+    * identical ts, state events apply BEFORE purchases (a purchase at
+    * a change's exact ts reads the NEW state — `p_ts >= valid_from`),
+    * and among same-ts state events the highest event_id wins (the
+    * earlier ones' intervals are zero-width). Purchases before any
+    * state event emit a None state, the streaming face of the batch
+    * left join. value_cents reproduces the batch round(value*100)
+    * HALF_UP exactly via BigDecimal.
+    *
+    * Scale: state is one (ts, id, type) per user — the same bounded
+    * footprint as [[scd2Changes]]; output is purchase-sized.
+    */
+  def featureFeed(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame): Dataset[FeatureAt] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastState, FeatureAt](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[LastState]) =>
+          // (ts, isPurchase, event_id): state events first at equal ts
+          val sorted = rows.toVector
+            .sortBy(r => (r._3, r._4 == "purchase", r._2))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[FeatureAt]
+          sorted.foreach { case (_, id, tsUs, typ, v) =>
+            if (typ == "purchase")
+              out += FeatureAt(id, user, tsUs,
+                Option(st).map(_.eventType),
+                java.math.BigDecimal.valueOf(v * 100)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+            else st = LastState(tsUs, id, typ)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   def scd2Changes(
       spark: SparkSession,
       events: org.apache.spark.sql.DataFrame): Dataset[StateChange] = {

@@ -315,6 +315,36 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming PIT feature feed == batch featuresAtPurchase after replay") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val d = java.nio.file.Files.createTempDirectory("graft-feature-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StatefulOps.featureFeed(spark,
+        graft.streaming.EventStreams.readEvents(spark, d.toString))
+      .writeStream.format("memory").queryName("feature_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // row-for-row: purchase_id -> (state-or-null, value_cents); the
+    // batch left join's NULL-state purchases must appear as None here
+    val got = spark.table("feature_out").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(3)), r.getLong(4)))).toMap
+    val want = graft.ops.EventOps.featuresAtPurchase(events)
+      .select(col("purchase_id"), col("state"), col("value_cents"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.values.exists(_._1.isEmpty),
+      "corpus should exercise the before-first-state None path")
+    assert(got.values.count(_._1.nonEmpty) > got.size / 2)
+    q.stop()
+  }
+
   test("streaming transition feed == batch markov counts after replay") {
     import org.apache.spark.sql.functions.col
     val events = graft.core.Tables.load(spark, sfDir, "events")
