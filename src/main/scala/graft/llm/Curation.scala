@@ -230,6 +230,97 @@ object Curation {
       |  min(doc_id) AS keep_id, count(*) AS n_dupes
       |FROM u GROUP BY 1""".stripMargin
 
+  /** The Gopher document-quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A) as an integer-exact
+    * per-document panel: word count in [50, 100k], mean word length in
+    * [3, 10] chars, symbol-to-word ratio (# and ...) < 0.1, >= 80% of
+    * words containing a letter, and >= 2 distinct hits on the 8-word
+    * Gopher stop list — plus the per-rule pass flags and the composite
+    * keep decision. Ratios are scaled-integer DIVs (x100 / x10000), so
+    * both engines compare exact longs; an empty document yields NULL
+    * ratios and keep_doc = 0, the same empty-text contract as
+    * [[TextOps.quality]]. The published line-level rules (bullet
+    * starts, ellipsis ends) are omitted: the corpus has no newlines,
+    * so they would be constant columns with no oracle discrimination.
+    *
+    * Scale: map-only — one projection per document, no explode, no
+    * shuffle; whole-stage codegen spans the panel.
+    */
+  def gopherRules(d: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = TextOps.wsTokens(col("text"))
+    val base = d.select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_words"),
+      aggregate(transform(toks, t => length(t).cast("bigint")),
+        lit(0L), (acc, x) => acc + x).as("word_chars"),
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+        .cast("bigint").as("n_symbols"),
+      size(filter(toks, t => t.rlike("\\p{L}"))).cast("bigint")
+        .as("alpha_words"),
+      size(filter(
+        lit(stops.toArray),
+        s => array_contains(transform(toks, lower _), s)))
+        .cast("bigint").as("stop_hits"))
+    base.select(
+      col("doc_id"), col("n_words"),
+      expr("word_chars * 100 DIV nullif(n_words, 0)").as("mwl_x100"),
+      expr("n_symbols * 10000 DIV nullif(n_words, 0)").as("symbol_x10000"),
+      expr("alpha_words * 10000 DIV nullif(n_words, 0)").as("alpha_x10000"),
+      col("stop_hits"),
+      expr("CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)").as("f_words"),
+      expr("CAST(coalesce(word_chars * 100 DIV nullif(n_words, 0)" +
+        " BETWEEN 300 AND 1000, false) AS BIGINT)").as("f_mwl"),
+      expr("CAST(coalesce(n_symbols * 10000 DIV nullif(n_words, 0)" +
+        " < 1000, false) AS BIGINT)").as("f_symbol"),
+      expr("CAST(coalesce(alpha_words * 10000 DIV nullif(n_words, 0)" +
+        " >= 8000, false) AS BIGINT)").as("f_alpha"),
+      expr("CAST(stop_hits >= 2 AS BIGINT)").as("f_stop"))
+      .withColumn("keep_doc",
+        expr("f_words * f_mwl * f_symbol * f_alpha * f_stop"))
+  }
+
+  val gopherRulesSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+      |      AS BIGINT) AS word_chars,
+      |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+      |      AS n_symbols,
+      |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[\p{L}]')))
+      |      AS BIGINT) AS alpha_words,
+      |    CAST(len(list_filter(
+      |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+      |      s -> list_contains(list_transform(toks, t -> lower(t)), s)))
+      |      AS BIGINT) AS stop_hits
+      |  FROM (SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')
+      |      AS toks
+      |  FROM documents))
+      |SELECT doc_id, n_words,
+      |  word_chars * 100 // nullif(n_words, 0) AS mwl_x100,
+      |  n_symbols * 10000 // nullif(n_words, 0) AS symbol_x10000,
+      |  alpha_words * 10000 // nullif(n_words, 0) AS alpha_x10000,
+      |  stop_hits,
+      |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS f_words,
+      |  CAST(coalesce(word_chars * 100 // nullif(n_words, 0)
+      |    BETWEEN 300 AND 1000, false) AS BIGINT) AS f_mwl,
+      |  CAST(coalesce(n_symbols * 10000 // nullif(n_words, 0)
+      |    < 1000, false) AS BIGINT) AS f_symbol,
+      |  CAST(coalesce(alpha_words * 10000 // nullif(n_words, 0)
+      |    >= 8000, false) AS BIGINT) AS f_alpha,
+      |  CAST(stop_hits >= 2 AS BIGINT) AS f_stop,
+      |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)
+      |    * CAST(coalesce(word_chars * 100 // nullif(n_words, 0)
+      |        BETWEEN 300 AND 1000, false) AS BIGINT)
+      |    * CAST(coalesce(n_symbols * 10000 // nullif(n_words, 0)
+      |        < 1000, false) AS BIGINT)
+      |    * CAST(coalesce(alpha_words * 10000 // nullif(n_words, 0)
+      |        >= 8000, false) AS BIGINT)
+      |    * CAST(stop_hits >= 2 AS BIGINT) AS keep_doc
+      |FROM base""".stripMargin
+
   /** Repetition / boilerplate detection: per-document distinct-token
     * ratio and top-token share (integer basis points — exact). High
     * top-share or low distinct-ratio marks degenerate/templated text.
@@ -615,6 +706,7 @@ object Curation {
     "q_pack_sequences" -> ((s, d) => packSequences(docs(s, d))),
     "q_text_pii" -> ((s, d) => piiRedact(docs(s, d))),
     "q_dedup_url" -> ((s, d) => urlDedup(docs(s, d))),
+    "q_text_gopher" -> ((s, d) => gopherRules(docs(s, d))),
     "q_text_repetition" -> ((s, d) => repetition(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
@@ -625,5 +717,6 @@ object Curation {
     "q_pack_sequences" -> packSequencesSql,
     "q_text_pii" -> piiRedactSql,
     "q_dedup_url" -> urlDedupSql,
+    "q_text_gopher" -> gopherRulesSql,
     "q_text_repetition" -> repetitionSql)
 }

@@ -887,6 +887,254 @@ object Similarity {
       |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
       |          FROM embeddings)))""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Product quantization (PQ — Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search"). The 100 TB MEMORY path the int8
+  // family doesn't cover: the corpus side of an ANN index stores one
+  // `m`-code word per vector (4 bits x 8 subspaces = 8 B, vs 64 B for
+  // int8, 256 B for float32), and asymmetric-distance (ADC) scoring
+  // reads only the codes plus a driver-sized codebook. Everything is
+  // exact long arithmetic over the unit-int8 vectors, so the DuckDB
+  // oracle replays the FULL pipeline including per-subspace codebook
+  // training.
+  // --------------------------------------------------------------------
+
+  private val PqM = 8        // subspaces
+  private val PqSubDim = 8   // dims per subspace (8 x 8 = 64)
+  private val PqK = 16       // centroids per subspace -> 4-bit codes
+  private val PqIters = 2    // Lloyd rounds, same budget as the IVF book
+  private val PqSampleMod = 4
+
+  /** Per-subspace codebooks via the SAME exact integer Lloyd as
+    * [[ivfCentroidsInt8]], trained on the unit-int8 slices: seeds are
+    * the k lowest-vec_id sample vectors sliced per subspace; each round
+    * assigns with the |m|^2 - 2 x·m long metric (ties by cell) and
+    * re-centers on HALF_UP rounded means. All `m` subspaces train in
+    * ONE pass per round — the per-sub assignment is m codegen kernel
+    * calls in a single projection, the mean aggregation keys on
+    * (sub, cell, pos) — so the training cost does not grow with m.
+    * Only the m x k x subDim codebook (1024 longs) reaches the driver.
+    */
+  private[graft] def pqCodebooks(
+      e: DataFrame, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
+      iters: Int = PqIters, sampleMod: Int = PqSampleMod)
+      : Array[Array[Array[Long]]] = {
+    val sample = withUnitQuantized(e)
+      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    def longs(r: org.apache.spark.sql.Row): Array[Long] =
+      r.getAs[scala.collection.Seq[Long]]("qn").toArray
+    val seedRows = sample.orderBy("vec_id").limit(k).collect().map(longs)
+    var books: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(s => seedRows.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    for (_ <- 0 until iters) {
+      val parts = array((0 until m).map { s =>
+        struct(
+          lit(s).as("sub"),
+          element_at(vector.ivf_probes_int8(
+            slice(col("qn"), s * subDim + 1, subDim),
+            books(s).map(_.toSeq).toSeq, 1), 1).as("cell"),
+          slice(col("qn"), s * subDim + 1, subDim).as("sv"))
+      }: _*)
+      val means = sample.select(explode(parts).as("p"))
+        .select(col("p.sub").as("sub"), col("p.cell").as("cell"),
+          posexplode(col("p.sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "cell", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map { r =>
+            // the IVF book's IEEE-then-HALF_UP rounding sequence,
+            // replayed as CAST(round(s / n, 0) AS BIGINT) in DuckDB
+            java.math.BigDecimal.valueOf(r.getLong(3).toDouble / r.getLong(4))
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          }
+        }
+      books = Array.tabulate(m)(s => Array.tabulate(k)(c =>
+        means.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /** (vec_id, qn, c0..c{m-1}) — every vector's per-subspace nearest
+    * cell (0-based), one [[graft.functions.IvfProbesInt8]] kernel call
+    * per subspace. Map-only.
+    */
+  private[llm] def pqCodes(
+      e: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    withUnitQuantized(graft.core.Layout.spread(e, "vec_id")).select(
+      col("vec_id") +: col("qn") +: (0 until m).map { s =>
+        element_at(vector.ivf_probes_int8(
+          slice(col("qn"), s * subDim + 1, subDim),
+          books(s).map(_.toSeq).toSeq, 1), 1).as(s"c$s")
+      }: _*)
+  }
+
+  /** Codebook-reconstruction of the coded vector: concat over
+    * subspaces of the selected centroid (the vector ADC scores
+    * against). Pure literal-array lookup — no shuffle, no kernel.
+    */
+  private def pqRecon(books: Array[Array[Array[Long]]]): Column =
+    concat(books.indices.map { s =>
+      val bookLit = array(books(s).map(c => array(c.map(lit): _*)): _*)
+      element_at(bookLit, col(s"c$s") + 1)
+    }: _*)
+
+  /** PQ encode: one 32-bit codeword (4 bits per subspace) plus the
+    * exact integer reconstruction error per vector — the artifact a
+    * 100 TB index SHIPS (8 B/vector) and the diagnostic that says
+    * whether m/k suffice for the corpus. recon_err decomposes as
+    * sum over subspaces of |sv|^2 - 2 sv·m + |m|^2 — exact longs,
+    * identically computable from the zip_with spelling.
+    */
+  def pqEncode(
+      e: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
+    val m = books.length
+    pqCodes(e, books).select(
+      col("vec_id"),
+      (0 until m).map(s => col(s"c$s").cast("bigint") * lit(1L << (4 * s)))
+        .reduce(_ + _).as("codeword"),
+      aggregate(
+        zip_with(col("qn"), pqRecon(books), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("recon_err"))
+  }
+
+  /** ADC top-k: score every (query, corpus) pair as the exact long dot
+    * of the query's unit-int8 vector with the corpus vector's PQ
+    * RECONSTRUCTION — the corpus side carries only codes, rebuilt on
+    * the fly from the broadcast codebook and packed to binary for the
+    * codegen [[graft.functions.ByteDotProduct]] kernel. Self-pairs
+    * excluded, ranking ties broken by vec_id, same conventions as the
+    * int8 ANN family. Scale: the scored side reads 8 B/vector off
+    * storage; scoring stays a linear scan (pair PQ with the IVF cells
+    * for the sub-linear variant — the candidate-join machinery is
+    * [[ivfSearchInt8Indexed]]'s, unchanged).
+    */
+  def pqTopK(
+      e: DataFrame, books: Array[Array[Array[Long]]],
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = pqCodes(e, books)
+      .select(col("vec_id"), vector.pack_int8(pqRecon(books)).as("rb"))
+    val queriesSide = withUnitQuantized(e)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), vector.pack_int8(col("qn")).as("qb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queriesSide))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        vector.byte_dot_product(col("qb"), col("rb")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "sim")
+  }
+
+  /** CTE chain replaying [[pqCodebooks]] + [[pqCodes]] in DuckDB:
+    * `qsrc` (unit-quantized corpus), `qtrain` (sample slice), `subs`
+    * (0..m-1), `tsub` (per-subspace training slices), `p0` (sliced
+    * seeds), then per round `pa{r}` (assign) / `p{r}` (rounded means,
+    * empty cells keep the previous centroid), ending in `csub` =
+    * (vec_id, sub, sv, cell) over the corpus and `recon` =
+    * (vec_id, recon).
+    */
+  private def pqCtes(
+      srcSql: String, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
+      iters: Int = PqIters, sampleMod: Int = PqSampleMod): String = {
+    def sliced(alias: String) =
+      s"$alias.qn[(s.sub * $subDim + 1):((s.sub + 1) * $subDim)]"
+    def assign(from: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT sub, vec_id, sv, cell FROM (
+         |    SELECT t.sub, t.vec_id, t.sv, c.cell,
+         |      row_number() OVER (PARTITION BY t.sub, t.vec_id ORDER BY
+         |        CAST(list_dot_product(c.m, c.m) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(t.sv, c.m) AS BIGINT), c.cell)
+         |        AS rn
+         |    FROM $from t JOIN $cents c ON t.sub = c.sub)
+         |  WHERE rn = 1)""".stripMargin
+    def means(prev: String, from: String, out: String): String =
+      s"""$out AS (
+         |  SELECT s.sub, s.cell, COALESCE(n.m, s.m) AS m
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT sub, cell, list(mv ORDER BY pos) AS m
+         |    FROM (SELECT sub, cell, pos,
+         |            CAST(round(CAST(sum(q) AS DOUBLE) / count(*), 0) AS BIGINT)
+         |              AS mv
+         |          FROM (SELECT sub, cell, unnest(sv) AS q,
+         |                  generate_subscripts(sv, 1) AS pos FROM $from)
+         |          GROUP BY sub, cell, pos)
+         |    GROUP BY sub, cell) n
+         |  ON s.sub = n.sub AND s.cell = n.cell)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "p0" else s"p${r - 1}"
+      s"${assign("tsub", prev, s"pa$r")},\n${means(prev, s"pa$r", s"p$r")}"
+    }.mkString(",\n")
+    s"""WITH qsrc AS (
+       |  ${unitQuantSelect(srcSql)}),
+       |qtrain AS (
+       |  ${unitQuantSelect(
+             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % $sampleMod = 0")}),
+       |subs AS (SELECT CAST(unnest(range($m)) AS INT) AS sub),
+       |tsub AS (
+       |  SELECT t.vec_id, s.sub, ${sliced("t")} AS sv
+       |  FROM qtrain t CROSS JOIN subs s),
+       |p0 AS (
+       |  SELECT s.sub,
+       |    CAST(row_number() OVER (PARTITION BY s.sub ORDER BY v.vec_id) - 1
+       |      AS INT) AS cell,
+       |    ${sliced("v")} AS m
+       |  FROM (SELECT vec_id, qn FROM qtrain ORDER BY vec_id LIMIT $k) v
+       |  CROSS JOIN subs s),
+       |$rounds,
+       |qsub AS (
+       |  SELECT t.vec_id, s.sub, ${sliced("t")} AS sv
+       |  FROM qsrc t CROSS JOIN subs s),
+       |${assign("qsub", s"p$iters", "csub")},
+       |recon AS (
+       |  SELECT c.vec_id, flatten(list(b.m ORDER BY c.sub)) AS recon
+       |  FROM csub c JOIN p$iters b ON c.sub = b.sub AND c.cell = b.cell
+       |  GROUP BY c.vec_id)""".stripMargin
+  }
+
+  /** Oracle replay of [[pqEncode]] — training included. */
+  def pqEncodeSql(m: Int = PqM, iters: Int = PqIters): String = {
+    val caseConst = (0 until m)
+      .map(s => s"WHEN $s THEN ${1L << (4 * s)}")
+      .mkString(" ")
+    s"""${pqCtes("SELECT vec_id, embedding FROM embeddings")}
+       |SELECT c.vec_id,
+       |  CAST(sum(CAST(c.cell AS BIGINT) * CASE c.sub $caseConst END)
+       |    AS BIGINT) AS codeword,
+       |  CAST(sum(CAST(list_dot_product(c.sv, c.sv) AS BIGINT)
+       |    - 2 * CAST(list_dot_product(c.sv, b.m) AS BIGINT)
+       |    + CAST(list_dot_product(b.m, b.m) AS BIGINT)) AS BIGINT)
+       |    AS recon_err
+       |FROM csub c JOIN p$iters b ON c.sub = b.sub AND c.cell = b.cell
+       |GROUP BY c.vec_id""".stripMargin
+  }
+
+  /** Oracle replay of [[pqTopK]]. */
+  def pqTopKSql(nQueries: Int = 5, k: Int = 10): String =
+    s"""${pqCtes("SELECT vec_id, embedding FROM embeddings")}
+       |SELECT query_id, vec_id, rank, sim FROM (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS vec_id,
+       |    CAST(list_dot_product(q.qn, r.recon) AS BIGINT) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      CAST(list_dot_product(q.qn, r.recon) AS BIGINT) DESC, r.vec_id)
+       |      AS BIGINT) AS rank
+       |  FROM (SELECT vec_id, qn FROM qsrc WHERE vec_id < $nQueries) q
+       |  JOIN recon r ON q.vec_id <> r.vec_id)
+       |WHERE rank <= $k""".stripMargin
+
+  private val pqBookCache =
+    new graft.core.SessionCache[String, Array[Array[Array[Long]]]]
+
+  private[llm] def cachedPqBooks(
+      s: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    pqBookCache.getOrElseUpdate(s, dir)(pqCodebooks(emb(s, dir)))
+
   /** Base offset for the JL sign stream — disjoint from [[PlaneBase]]'s
     * LSH range so the two [[mix64]] streams never alias.
     */
@@ -1101,6 +1349,8 @@ object Similarity {
         codebook = Some(cachedCentroidsInt8(s, d)))
     }),
     "q_embed_quantize" -> ((s, d) => quantizeInt8(emb(s, d))),
+    "q_embed_pq" -> ((s, d) => pqEncode(emb(s, d), cachedPqBooks(s, d))),
+    "q_knn_pq" -> ((s, d) => pqTopK(emb(s, d), cachedPqBooks(s, d))),
     "q_embed_project" -> ((s, d) => jlProjectFlat(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
 
@@ -1118,6 +1368,8 @@ object Similarity {
     "q_knn_search" -> ivfSearchInt8Sql(),
     "q_dedup_semantic" -> semDedupInt8Sql(semPlantSql),
     "q_embed_quantize" -> quantizeInt8Sql,
+    "q_embed_pq" -> pqEncodeSql(),
+    "q_knn_pq" -> pqTopKSql(),
     "q_embed_project" -> jlProjectFlatSql,
     "q_label_centroid" -> labelCentroidNormSql)
 }

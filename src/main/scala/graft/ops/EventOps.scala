@@ -626,7 +626,110 @@ object EventOps {
       |  AND (h.valid_to IS NULL OR p.ts < h.valid_to)
       |WHERE p.event_type = 'purchase'""".stripMargin
 
+  /** Multi-touch attribution over the event stream: each purchase is a
+    * conversion; its touch set is every non-purchase event by the same
+    * user since that user's previous purchase (the journey), ordered by
+    * (ts, event_id) — the table's total order, so equal-timestamp ties
+    * are deterministic. Three models are credited at once, in exact
+    * integer cents:
+    *   - first-touch / last-touch: the full conversion value to the
+    *     journey's first / last channel;
+    *   - linear: value DIV n touches, the remainder cents to the
+    *     earliest touches (sum-preserving by construction).
+    * A touchless purchase credits the synthetic channel 'direct';
+    * touches after a user's last purchase never convert and are
+    * dropped, the standard attribution-window rule.
+    *
+    * Scale: both windows and the (user_id, journey) join partition by
+    * user — no global window anywhere; the final aggregation is
+    * algebraic over |channels| groups. At 100 TB this is one shuffle
+    * of the event table by user_id (reused by window AND join under
+    * AQE) plus an answer-sized rollup.
+    */
+  def attribution(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = e.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("journey",
+        coalesce(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L)
+    val purch = seq.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"), col("cents").as("p_cents"))
+    val touch = seq.filter(col("event_type") =!= "purchase")
+    val tw = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    val ranked = touch
+      .withColumn("rnk", row_number().over(tw).cast("bigint"))
+      .withColumn("n_t",
+        count(lit(1)).over(Window.partitionBy("user_id", "journey"))
+          .cast("bigint"))
+      .select(col("user_id"), col("journey"), col("event_type").as("channel"),
+        col("rnk"), col("n_t"))
+    val credits = ranked.join(purch, Seq("user_id", "journey"))
+      .select(col("channel"), col("rnk"), col("n_t"), col("p_cents"))
+      .unionByName(
+        purch.join(ranked.select("user_id", "journey").distinct(),
+            Seq("user_id", "journey"), "left_anti")
+          .select(lit("direct").as("channel"), lit(1L).as("rnk"),
+            lit(1L).as("n_t"), col("p_cents")))
+    credits
+      .withColumn("lin_cents",
+        expr("p_cents DIV n_t + CAST(rnk <= p_cents % n_t AS BIGINT)"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(when(col("rnk") === 1L, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rnk") === col("n_t"), 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("rnk") === 1L, col("p_cents")).otherwise(0L))
+          .as("first_cents"),
+        sum(when(col("rnk") === col("n_t"), col("p_cents")).otherwise(0L))
+          .as("last_cents"),
+        sum(col("lin_cents")).as("linear_cents"))
+  }
+
+  val attributionSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+      |      AS journey
+      |  FROM events),
+      |purch AS (
+      |  SELECT user_id, journey, cents AS p_cents FROM seq
+      |  WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, journey, event_type AS channel,
+      |    CAST(row_number() OVER (PARTITION BY user_id, journey
+      |      ORDER BY ts, event_id) AS BIGINT) AS rnk,
+      |    CAST(count(*) OVER (PARTITION BY user_id, journey) AS BIGINT)
+      |      AS n_t
+      |  FROM seq WHERE event_type <> 'purchase'),
+      |credits AS (
+      |  SELECT t.channel, t.rnk, t.n_t, p.p_cents
+      |  FROM touch t JOIN purch p USING (user_id, journey)
+      |  UNION ALL
+      |  SELECT 'direct', CAST(1 AS BIGINT), CAST(1 AS BIGINT), p.p_cents
+      |  FROM purch p
+      |  WHERE NOT EXISTS (SELECT 1 FROM touch t
+      |    WHERE t.user_id = p.user_id AND t.journey = p.journey))
+      |SELECT channel,
+      |  count(*) AS n_touches,
+      |  CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |  CAST(sum(CASE WHEN rnk = n_t THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+      |  CAST(sum(CASE WHEN rnk = 1 THEN p_cents ELSE 0 END) AS BIGINT)
+      |    AS first_cents,
+      |  CAST(sum(CASE WHEN rnk = n_t THEN p_cents ELSE 0 END) AS BIGINT)
+      |    AS last_cents,
+      |  CAST(sum(p_cents // n_t
+      |    + CAST(rnk <= p_cents % n_t AS BIGINT)) AS BIGINT) AS linear_cents
+      |FROM credits GROUP BY channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_attribution" -> ((s, d) => attribution(events(s, d))),
     "q_events_feature_at" -> ((s, d) => featuresAtPurchase(events(s, d))),
     "q_events_scd2" -> ((s, d) => scd2States(events(s, d))),
     "q_events_gapfill" -> ((s, d) => gapFill(events(s, d))),
@@ -650,6 +753,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_attribution" -> attributionSql,
     "q_events_feature_at" -> featuresAtPurchaseSql,
     "q_events_scd2" -> scd2StatesSql,
     "q_events_gapfill" -> gapFillSql,

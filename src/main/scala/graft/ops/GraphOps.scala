@@ -228,7 +228,100 @@ object GraphOps {
     s"$head$rounds\nSELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r$iters"
   }
 
+  /** Undirected co-occurrence edges over lineitem: two parts are
+    * linked when they ship in the same order, kept at weight >= `minW`
+    * (the market-basket graph). Pair expansion is per-order — bounded
+    * by order size squared, and orders are small; a pathological
+    * giant order is the same hot-key salting case as any self-join.
+    */
+  def coOccurrenceEdges(lineitem: DataFrame, minW: Int = 2): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
+      .select("u", "v")
+  }
+
+  /** Distributed triangle counting (node clustering structure — the
+    * corpus-graph diagnostic next to PageRank's centrality): per-node
+    * triangle participation plus degree, over an undirected edge list
+    * (columns u < v, one row per edge).
+    *
+    * Uses the degree-ordered orientation (Suri & Vassilvitskii 2011,
+    * "Counting Triangles and the Curse of the Last Reducer"): orient
+    * every edge from its (degree, id)-smaller endpoint to the larger,
+    * so each triangle {x,y,z} materializes exactly once as the wedge
+    * x->y->z closed by x->z, and — the scale property — every node's
+    * OUT-degree is O(sqrt(|E|)), so the wedge join's fan-out is
+    * bounded even when a hub node has millions of neighbors. All three
+    * joins hash-partition on node keys; nothing is collected.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val orient = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+    val tri = orient.as("e1")
+      .join(orient.as("e2"), col("e1.t") === col("e2.s"))
+      .join(orient.as("e3"),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .join(deg, "node")
+      .select(col("node").as("part_key"), col("deg").as("degree"),
+        col("n_tri"))
+  }
+
+  val triangleCountsSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY 1),
+      |orient AS (
+      |  SELECT
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |      THEN e.u ELSE e.v END AS s,
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |      THEN e.v ELSE e.u END AS t
+      |  FROM edges e
+      |  JOIN deg du ON e.u = du.node
+      |  JOIN deg dv ON e.v = dv.node),
+      |tri AS (
+      |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |  FROM orient e1
+      |  JOIN orient e2 ON e1.t = e2.s
+      |  JOIN orient e3 ON e3.s = e1.s AND e3.t = e2.t)
+      |SELECT p.node AS part_key, CAST(d.deg AS BIGINT) AS degree,
+      |  p.n_tri
+      |FROM (
+      |  SELECT node, count(*) AS n_tri FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1) p
+      |JOIN deg d ON p.node = d.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_triangles" -> ((s, d) =>
+      triangleCounts(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
     "q_graph_pagerank" -> ((s, d) =>
       pageRankScaled(eventTransitions(Tables.load(s, d, "events")))))
 
@@ -237,5 +330,6 @@ object GraphOps {
     * production default) keeps its GraphSpec ground truth.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_graph_triangles" -> triangleCountsSql,
     "q_graph_pagerank" -> pageRankScaledSql())
 }

@@ -204,4 +204,42 @@ object DocStreams {
       }
       .toDF("source", "hll_docs", "s")
   }
+
+  /** Streaming exact dedup-on-arrival: the continuous-ingestion mirror
+    * of [[graft.llm.Dedup.exact]]'s keep-one-survivor rule. Keyed by
+    * the 16-byte content hash; per-key state is one boolean, so a
+    * duplicate arriving in ANY later micro-batch is suppressed without
+    * re-reading the corpus — the shape an ingest pipeline wants
+    * (dedup at the door, not in a nightly batch). Within a single
+    * micro-batch the min doc_id wins, so replaying the whole corpus in
+    * one AvailableNow batch emits exactly the batch operator's
+    * keep set — the spec's equality.
+    *
+    * State contract, stated honestly (same as [[decontaminate]]):
+    * one boolean per DISTINCT content ever seen — bounded by corpus
+    * distinct count, not stream length, but still unbounded over an
+    * infinite stream. The production knob is a state TTL
+    * (ProcessingTimeTimeout) at the dedup horizon the pipeline
+    * guarantees, or per-epoch state resets; the first-wins rule is
+    * unchanged by either.
+    */
+  def dedupOnArrival(docsStream: DataFrame): DataFrame = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docsStream
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator((h, rows.map(_._1).min))
+          }
+      }
+      .toDF("text_hash", "keep_id")
+  }
 }

@@ -901,4 +901,87 @@ class LlmSpec extends SparkSpec {
       .map(_.getString(3)).toSet
     assert(digests.size === 3)
   }
+
+  // --- product quantization ----------------------------------------- //
+
+  /** Unit-int8 quantization of every embedding, the spec-side replay. */
+  private def unitQn: Map[Long, Array[Long]] =
+    emb.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      r.getLong(0) -> v.map(x => java.math.BigDecimal.valueOf(x / nrm * 127.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    }.toMap
+
+  /** Brute-force per-subspace assignment with the kernel's exact
+    * metric (|m|^2 - 2 x·m, ties by cell id).
+    */
+  private def pqCode(
+      books: Array[Array[Array[Long]]], x: Array[Long], s: Int): Int =
+    books(s).zipWithIndex.map { case (m, c) =>
+      val mm = m.map(v => v * v).sum
+      val xm = x.slice(s * 8, (s + 1) * 8).zip(m).map { case (a, b) => a * b }.sum
+      (mm - 2 * xm, c)
+    }.min._2
+
+  test("pq encode: codeword and recon_err equal the brute-force replay") {
+    val books = Similarity.pqCodebooks(emb)
+    assert(books.length === 8)
+    assert(books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === 8)))
+    // deterministic training: a re-run reproduces the codebook bit-for-bit
+    val again = Similarity.pqCodebooks(emb)
+    assert(books.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
+    // centroids stay int8-range (pack_int8 in the ADC path requires it)
+    assert(books.flatten.flatten.forall(v => v >= -127L && v <= 127L))
+    val vecs = unitQn
+    val enc = Similarity.pqEncode(emb, books).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc.size === vecs.size)
+    vecs.foreach { case (id, x) =>
+      val codes = (0 until 8).map(s => pqCode(books, x, s))
+      val cw = (0 until 8).map(s => codes(s).toLong << (4 * s)).sum
+      val err = (0 until 8).map { s =>
+        val m = books(s)(codes(s))
+        x.slice(s * 8, (s + 1) * 8).zip(m)
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(enc(id) === ((cw, err)), s"vec $id: got ${enc(id)}")
+    }
+  }
+
+  test("pq adc top-k: exact ADC replay; recall vs exact int8 nonzero") {
+    val books = Similarity.pqCodebooks(emb)
+    val vecs = unitQn
+    def recon(x: Array[Long]): Array[Long] =
+      (0 until 8).flatMap(s => books(s)(pqCode(books, x, s))).toArray
+    val reconOf = vecs.map { case (id, x) => id -> recon(x) }
+    val expect = (0L until 5L).flatMap { qid =>
+      val q = vecs(qid)
+      vecs.keys.filter(_ != qid).map { nid =>
+        (nid, q.zip(reconOf(nid)).map { case (a, b) => a * b }.sum)
+      }.toSeq.sortBy { case (nid, sim) => (-sim, nid) }.take(10)
+        .zipWithIndex.map { case ((nid, sim), i) => (qid, nid, i + 1L, sim) }
+    }.toSet
+    val got = Similarity.pqTopK(emb, books).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+    // PQ at 16 cells x 8 subspaces is coarse — recall must still beat
+    // the degenerate floor against exact unit-int8 top-10
+    val exact = (0L until 5L).map { qid =>
+      val q = vecs(qid)
+      qid -> vecs.keys.filter(_ != qid).map { nid =>
+        (nid, q.zip(vecs(nid)).map { case (a, b) => a * b }.sum)
+      }.toSeq.sortBy { case (nid, sim) => (-sim, nid) }.take(10)
+        .map(_._1).toSet
+    }.toMap
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val hits = exact.map { case (q, truth) =>
+      gotByQ.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    info(f"pq adc recall@10: $recall%.3f")
+    assert(recall > 0.05, s"pq recall degenerate: $recall")
+  }
 }

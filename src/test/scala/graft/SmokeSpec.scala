@@ -16,12 +16,12 @@ class SmokeSpec extends SparkSpec {
   }
 
   test("rows-only queries are exactly the documented non-ANSI ops") {
-    // seeded-hash / float-iterative / merge-iterative ops — each
-    // asserted against ground truth in ScalaTest instead
+    // binary-codec perceptual ops — ground truth requires BMP/WAV/Y4M
+    // decode, which DuckDB cannot do; each is asserted against
+    // brute-force ScalaTest oracles instead (LlmSpec)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
-      "q_text_bpe",
-      "q_text_bpe_encode", "q_multimodal_phash",
+      "q_multimodal_phash",
       "q_multimodal_audio_dup", "q_multimodal_video_dup"),
       s"every other query must carry a DuckDB oracle, got: $rowsOnly")
   }

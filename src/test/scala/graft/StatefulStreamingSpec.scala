@@ -391,4 +391,36 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got === want)
     q.stop()
   }
+
+  test("streaming dedup-on-arrival: replay == batch; later dups suppressed") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-docs-dedup")
+    val ck = Files.createTempDirectory("graft-dedup-ck")
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.dedupOnArrival(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ck.toString)
+      .start()
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    q.processAllAvailable()
+    val afterFirst = spark.table("dedup_out").count()
+    // second wave: the same texts under fresh ids — every one a
+    // duplicate of standing state, so NOTHING new may be emitted
+    batchDocs.withColumn("doc_id", col("doc_id") + 1000000L)
+      .coalesce(1).write.mode("append").parquet(d.toString)
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length.toLong === afterFirst,
+      "second-wave duplicates leaked through standing state")
+    val want = graft.llm.Dedup.exact(batchDocs)
+      .select("text_hash", "keep_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.toSet === want)
+    q.stop()
+  }
 }
