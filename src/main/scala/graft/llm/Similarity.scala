@@ -918,9 +918,17 @@ object Similarity {
   private[graft] def pqCodebooks(
       e: DataFrame, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
       iters: Int = PqIters, sampleMod: Int = PqSampleMod)
+      : Array[Array[Array[Long]]] =
+    pqCodebooksQ(withUnitQuantized(e), m, subDim, k, iters, sampleMod)
+
+  /** [[pqCodebooks]] over a pre-quantized `(vec_id, qn)` frame — the
+    * entry point the IVF-PQ residual path trains through.
+    */
+  private[graft] def pqCodebooksQ(
+      q: DataFrame, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
+      iters: Int = PqIters, sampleMod: Int = PqSampleMod)
       : Array[Array[Array[Long]]] = {
-    val sample = withUnitQuantized(e)
-      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    val sample = q.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
     def longs(r: org.apache.spark.sql.Row): Array[Long] =
       r.getAs[scala.collection.Seq[Long]]("qn").toArray
     val seedRows = sample.orderBy("vec_id").limit(k).collect().map(longs)
@@ -961,15 +969,22 @@ object Similarity {
     * per subspace. Map-only.
     */
   private[llm] def pqCodes(
-      e: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
+      e: DataFrame, books: Array[Array[Array[Long]]]): DataFrame =
+    pqCodesQ(withUnitQuantized(graft.core.Layout.spread(e, "vec_id")), books)
+
+  /** [[pqCodes]] over a pre-quantized frame carrying `qn` (any other
+    * columns ride along untouched).
+    */
+  private[llm] def pqCodesQ(
+      q: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
     val m = books.length
     val subDim = books(0)(0).length
-    withUnitQuantized(graft.core.Layout.spread(e, "vec_id")).select(
-      col("vec_id") +: col("qn") +: (0 until m).map { s =>
+    q.select(
+      (q.columns.map(col).toSeq ++ (0 until m).map { s =>
         element_at(vector.ivf_probes_int8(
           slice(col("qn"), s * subDim + 1, subDim),
           books(s).map(_.toSeq).toSeq, 1), 1).as(s"c$s")
-      }: _*)
+      }): _*)
   }
 
   /** Codebook-reconstruction of the coded vector: concat over
@@ -1041,7 +1056,21 @@ object Similarity {
     */
   private def pqCtes(
       srcSql: String, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
-      iters: Int = PqIters, sampleMod: Int = PqSampleMod): String = {
+      iters: Int = PqIters, sampleMod: Int = PqSampleMod): String =
+    s"""WITH qsrc AS (
+       |  ${unitQuantSelect(srcSql)}),
+       |qtrain AS (
+       |  ${unitQuantSelect(
+             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % $sampleMod = 0")}),
+       |${pqCoreCtes("qsrc", "qtrain", m, subDim, k, iters)}""".stripMargin
+
+  /** The training + assignment CTE chain over NAMED `(vec_id, qn)`
+    * corpus / training CTEs — shared by the plain-PQ oracle (unit-int8
+    * vectors) and the IVF-PQ oracle (coarse-cell residuals).
+    */
+  private def pqCoreCtes(
+      corpusQn: String, trainQn: String, m: Int, subDim: Int, k: Int,
+      iters: Int): String = {
     def sliced(alias: String) =
       s"$alias.qn[(s.sub * $subDim + 1):((s.sub + 1) * $subDim)]"
     def assign(from: String, cents: String, out: String): String =
@@ -1071,26 +1100,21 @@ object Similarity {
       val prev = if (r == 1) "p0" else s"p${r - 1}"
       s"${assign("tsub", prev, s"pa$r")},\n${means(prev, s"pa$r", s"p$r")}"
     }.mkString(",\n")
-    s"""WITH qsrc AS (
-       |  ${unitQuantSelect(srcSql)}),
-       |qtrain AS (
-       |  ${unitQuantSelect(
-             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % $sampleMod = 0")}),
-       |subs AS (SELECT CAST(unnest(range($m)) AS INT) AS sub),
+    s"""subs AS (SELECT CAST(unnest(range($m)) AS INT) AS sub),
        |tsub AS (
        |  SELECT t.vec_id, s.sub, ${sliced("t")} AS sv
-       |  FROM qtrain t CROSS JOIN subs s),
+       |  FROM $trainQn t CROSS JOIN subs s),
        |p0 AS (
        |  SELECT s.sub,
        |    CAST(row_number() OVER (PARTITION BY s.sub ORDER BY v.vec_id) - 1
        |      AS INT) AS cell,
        |    ${sliced("v")} AS m
-       |  FROM (SELECT vec_id, qn FROM qtrain ORDER BY vec_id LIMIT $k) v
+       |  FROM (SELECT vec_id, qn FROM $trainQn ORDER BY vec_id LIMIT $k) v
        |  CROSS JOIN subs s),
        |$rounds,
        |qsub AS (
        |  SELECT t.vec_id, s.sub, ${sliced("t")} AS sv
-       |  FROM qsrc t CROSS JOIN subs s),
+       |  FROM $corpusQn t CROSS JOIN subs s),
        |${assign("qsub", s"p$iters", "csub")},
        |recon AS (
        |  SELECT c.vec_id, flatten(list(b.m ORDER BY c.sub)) AS recon
@@ -1127,6 +1151,114 @@ object Similarity {
        |  FROM (SELECT vec_id, qn FROM qsrc WHERE vec_id < $nQueries) q
        |  JOIN recon r ON q.vec_id <> r.vec_id)
        |WHERE rank <= $k""".stripMargin
+
+  // --------------------------------------------------------------------
+  // IVF-PQ (the composed index — Jégou et al. 2011 §IV): coarse IVF
+  // cells prune the scan to nProbe cells per query, PQ codes over the
+  // CELL RESIDUALS compress what remains to 8 B/vector. Residuals are
+  // what make the composition work at scale: vectors in one cell share
+  // its centroid, so their residual cloud is tighter than the raw
+  // corpus and the same 4-bit codebook quantizes it with far less
+  // error. Still exact long arithmetic end to end — residuals are
+  // differences of longs — so the oracle replays BOTH trainings.
+  // --------------------------------------------------------------------
+
+  private def centArrLit(cents: Array[Array[Long]]): Column =
+    array(cents.map(c => array(c.map(lit): _*)): _*)
+
+  /** (vec_id, cell, qn = unit-int8 vector minus its coarse centroid).
+    * Map-only over the assignment: one kernel call + one zip_with.
+    */
+  private[graft] def ivfResiduals(
+      e: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    assignCellsInt8(graft.core.Layout.spread(e, "vec_id"), cents)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qn"), element_at(centArrLit(cents), col("cell") + 1),
+          (a, b) => a - b).as("qn"))
+
+  /** ADC top-k over the IVF-PQ index: queries probe their `nProbe`
+    * nearest coarse cells; candidates are scored as the exact long dot
+    * of the query vector with (centroid + residual reconstruction).
+    * The corpus side of this plan carries cell id + codes only — the
+    * 100 TB shape: per-query work is probe-cell occupancy (the
+    * `ScaleProbe serve` property), per-candidate memory is 8 B + the
+    * driver-sized codebooks.
+    */
+  def ivfPqTopK(
+      e: DataFrame, cents: Array[Array[Long]],
+      books: Array[Array[Array[Long]]], nQueries: Int = 5, k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val full = pqCodesQ(ivfResiduals(e, cents), books)
+      .select(col("vec_id"), col("cell"),
+        zip_with(element_at(centArrLit(cents), col("cell") + 1),
+          pqRecon(books), (a, b) => a + b).as("recon"))
+    val probes = withUnitQuantized(e)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qn"),
+        explode(probeCellsInt8(cents, nProbe)).as("probe"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(full,
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        vector.long_dot_product(col("qn"), col("recon")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "sim")
+  }
+
+  /** Oracle replay of [[ivfPqTopK]] — coarse-cell training (IVF CTEs),
+    * residuals, per-subspace residual codebook training, and the probed
+    * ADC scan, all in one CTE chain.
+    */
+  def ivfPqTopKSql(
+      nQueries: Int = 5, k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
+      m: Int = PqM, subDim: Int = PqSubDim, pk: Int = PqK,
+      iters: Int = PqIters, sampleMod: Int = PqSampleMod): String =
+    s"""${int8IvfCtes("SELECT vec_id, embedding FROM embeddings", nCells)},
+       |resid AS (
+       |  SELECT c.vec_id, c.cell,
+       |    [c.qn[i] - b.m[i] FOR i IN range(1, len(c.qn) + 1)] AS qn
+       |  FROM cells c JOIN $int8IvfFinalCte b ON c.cell = b.cell),
+       |residtrain AS (
+       |  SELECT vec_id, qn FROM resid WHERE vec_id % $sampleMod = 0),
+       |${pqCoreCtes("resid", "residtrain", m, subDim, pk, iters)},
+       |full_recon AS (
+       |  SELECT r.vec_id, c.cell,
+       |    [b.m[i] + r.recon[i] FOR i IN range(1, len(r.recon) + 1)]
+       |      AS recon
+       |  FROM recon r
+       |  JOIN cells c ON r.vec_id = c.vec_id
+       |  JOIN $int8IvfFinalCte b ON c.cell = b.cell),
+       |qprobes AS (
+       |  SELECT vec_id, qn, cell AS probe FROM (
+       |    SELECT t.vec_id, t.qn, c.cell,
+       |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |        CAST(list_dot_product(c.m, c.m) AS BIGINT)
+       |          - 2 * CAST(list_dot_product(t.qn, c.m) AS BIGINT), c.cell)
+       |        AS rn
+       |    FROM (SELECT vec_id, qn FROM qsrc WHERE vec_id < $nQueries) t
+       |    CROSS JOIN $int8IvfFinalCte c)
+       |  WHERE rn <= $nProbe)
+       |SELECT query_id, vec_id, rank, sim FROM (
+       |  SELECT q.vec_id AS query_id, f.vec_id AS vec_id,
+       |    CAST(list_dot_product(q.qn, f.recon) AS BIGINT) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      CAST(list_dot_product(q.qn, f.recon) AS BIGINT) DESC, f.vec_id)
+       |      AS BIGINT) AS rank
+       |  FROM qprobes q JOIN full_recon f
+       |    ON q.probe = f.cell AND q.vec_id <> f.vec_id)
+       |WHERE rank <= $k""".stripMargin
+
+  private val ivfPqBookCache =
+    new graft.core.SessionCache[String, Array[Array[Array[Long]]]]
+
+  private[llm] def cachedIvfPqBooks(
+      s: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    ivfPqBookCache.getOrElseUpdate(s, dir)(
+      pqCodebooksQ(
+        ivfResiduals(emb(s, dir), cachedCentroidsInt8(s, dir))
+          .select("vec_id", "qn")))
 
   private val pqBookCache =
     new graft.core.SessionCache[String, Array[Array[Array[Long]]]]
@@ -1351,6 +1483,9 @@ object Similarity {
     "q_embed_quantize" -> ((s, d) => quantizeInt8(emb(s, d))),
     "q_embed_pq" -> ((s, d) => pqEncode(emb(s, d), cachedPqBooks(s, d))),
     "q_knn_pq" -> ((s, d) => pqTopK(emb(s, d), cachedPqBooks(s, d))),
+    "q_knn_ivfpq" -> ((s, d) =>
+      ivfPqTopK(emb(s, d), cachedCentroidsInt8(s, d),
+        cachedIvfPqBooks(s, d))),
     "q_embed_project" -> ((s, d) => jlProjectFlat(emb(s, d))),
     "q_label_centroid" -> ((s, d) => labelCentroidNorm(emb(s, d))))
 
@@ -1370,6 +1505,7 @@ object Similarity {
     "q_embed_quantize" -> quantizeInt8Sql,
     "q_embed_pq" -> pqEncodeSql(),
     "q_knn_pq" -> pqTopKSql(),
+    "q_knn_ivfpq" -> ivfPqTopKSql(),
     "q_embed_project" -> jlProjectFlatSql,
     "q_label_centroid" -> labelCentroidNormSql)
 }

@@ -984,4 +984,50 @@ class LlmSpec extends SparkSpec {
     info(f"pq adc recall@10: $recall%.3f")
     assert(recall > 0.05, s"pq recall degenerate: $recall")
   }
+
+  test("ivf-pq: full-probe equals the brute replay; residuals tighten recon") {
+    val cents = Similarity.ivfCentroidsInt8(emb)
+    val books = Similarity.pqCodebooksQ(
+      Similarity.ivfResiduals(emb, cents).select("vec_id", "qn"))
+    val vecs = unitQn
+    def cellOf(x: Array[Long]): Int =
+      cents.zipWithIndex.map { case (mArr, c) =>
+        (mArr.map(v => v * v).sum
+          - 2 * x.zip(mArr).map { case (a, b) => a * b }.sum, c)
+      }.min._2
+    def fullRecon(x: Array[Long]): Array[Long] = {
+      val c = cellOf(x)
+      val r = x.zip(cents(c)).map { case (a, b) => a - b }
+      val rec = (0 until 8).flatMap(s => books(s)(pqCode(books, r, s)))
+      cents(c).zip(rec).map { case (a, b) => a + b }
+    }
+    val reconOf = vecs.map { case (id, x) => id -> fullRecon(x) }
+    // probing ALL cells makes the candidate set the whole corpus, so
+    // the index path must equal the exact ADC scan
+    val expect = (0L until 5L).flatMap { qid =>
+      val q = vecs(qid)
+      vecs.keys.filter(_ != qid).map { nid =>
+        (nid, q.zip(reconOf(nid)).map { case (a, b) => a * b }.sum)
+      }.toSeq.sortBy { case (nid, sim) => (-sim, nid) }.take(10)
+        .zipWithIndex.map { case ((nid, sim), i) => (qid, nid, i + 1L, sim) }
+    }.toSet
+    val got = Similarity.ivfPqTopK(emb, cents, books, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+    // the reason residual PQ exists: quantizing the (tighter) residual
+    // cloud reconstructs closer than quantizing raw vectors with the
+    // same 8x16 budget
+    val plainBooks = Similarity.pqCodebooks(emb)
+    def sqErr(x: Array[Long], r: Array[Long]): Long =
+      x.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum
+    val residErr = vecs.map { case (id, x) => sqErr(x, reconOf(id)) }.sum
+    val plainErr = vecs.map { case (_, x) =>
+      sqErr(x, (0 until 8).flatMap(s =>
+        plainBooks(s)(pqCode(plainBooks, x, s))).toArray)
+    }.sum
+    info(s"total squared recon error: ivf-pq $residErr vs plain pq $plainErr")
+    assert(residErr < plainErr,
+      s"residual PQ should reconstruct tighter: $residErr vs $plainErr")
+  }
 }
