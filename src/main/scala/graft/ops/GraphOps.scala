@@ -261,17 +261,25 @@ object GraphOps {
     * joins hash-partition on node keys; nothing is collected.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("node"))
-      .union(edges.select(col("v")))
+    // materialize ONCE: the raw edge list feeds deg + orientation, the
+    // oriented list is referenced three times by the wedge join, and
+    // deg twice — without the checkpoints every reference re-executes
+    // the full upstream edge derivation (the co-occurrence self-join),
+    // a 69-exchange plan at any scale (same lineage discipline as
+    // pageRank / dupClusters; both lists are |E|-sized)
+    val e = edges.localCheckpoint()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val orient = edges
+    val orient = e
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint()
     val tri = orient.as("e1")
       .join(orient.as("e2"), col("e1.t") === col("e2.s"))
       .join(orient.as("e3"),
