@@ -559,6 +559,68 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("pq")) {
+      // PQ probe: the number PQ exists for is INDEX FOOTPRINT — the
+      // corpus side of an ANN scan at 100 TB lives in (executor)
+      // memory or gets re-read per query batch, so bytes/vector is the
+      // scale story. Materialize the same synthetic corpus three ways
+      // (float32 arrays, packed int8, 8-byte PQ codewords) and report
+      // parquet bytes/vector; then time a top-k scan in the float
+      // spelling vs the ADC spelling over the code-sized corpus.
+      import graft.llm.Similarity
+      def corpus(n: Long) = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(hash(col("id"), i), lit(2001)) - lit(1000)) / lit(1000.0))
+            .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val c = corpus(1000000L)
+      val books = Similarity.pqCodebooks(c)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pq-probe")
+      def sizeOf(name: String, df: DataFrame): Double = {
+        val p = tmp.resolve(name)
+        df.write.mode("overwrite").parquet(p.toString)
+        val bytes = java.nio.file.Files.walk(p).filter(f =>
+          f.toString.endsWith(".parquet")).mapToLong(f =>
+          java.nio.file.Files.size(f)).sum()
+        bytes / 1e6
+      }
+      val fMb = sizeOf("float", c)
+      val iMb = sizeOf("int8", c.select(col("vec_id"),
+        graft.functions.vector.pack_int8(
+          transform(col("embedding"), v =>
+            round(v.cast("double") * 127.0, 0).cast("bigint"))).as("qb")))
+      val pMb = sizeOf("pq", Similarity.pqEncode(c, books)
+        .select("vec_id", "codeword"))
+      println(f"[pq-probe] index footprint, 1M x 64-dim: " +
+        f"float32 $fMb%7.1f MB | packed int8 $iMb%7.1f MB | " +
+        f"pq codes $pMb%7.1f MB (+ 8 KB codebook)")
+      // scan cost at equal semantics (top-10 of 50 queries vs corpus):
+      // the float brute scan carries 256 B/vector through the scan;
+      // the ADC scan reads 8 B/vector and reconstructs from the
+      // broadcast codebook
+      val c4 = corpus(400000L)
+      val books4 = Similarity.pqCodebooks(c4)
+      // the deployment shape: the code table is the STORED index
+      // (built once), queries arrive as fresh batches
+      val index4 = Similarity.pqEncode(c4, books4)
+        .select("vec_id", "codeword").localCheckpoint()
+      def timed(label: String)(mk: => DataFrame): Unit = {
+        mk.count() // warm
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[pq-probe] $label%-34s $dt%7.2f s  ($n rows)")
+      }
+      timed("float brute top-10, 50q x 400k")(
+        Similarity.bruteForceTopK(c4, nQueries = 50, k = 10))
+      timed("pq adc from codes, 50q x 400k")(
+        Similarity.pqTopKFromCodes(index4, books4,
+          c4.filter(col("vec_id") < 50), k = 10))
+      spark.stop()
+      return
+    }
+
     def timeWarm(name: String)(mk: => DataFrame): Double = {
       mk.count() // warm: codegen + JIT
       val t0 = System.nanoTime()
