@@ -97,7 +97,28 @@ class PartitionInvarianceSpec extends SparkSpec {
         Tables.load(spark, sfDir, "documents"))),
     ("survivors_best (cluster argmax windows)",
       () => graft.llm.Dedup.dedupSurvivorsBest(
-        Tables.load(spark, sfDir, "documents"))))
+        Tables.load(spark, sfDir, "documents"))),
+    ("attribution (journey windows + remainder credits)",
+      () => graft.ops.EventOps.attribution(
+        Tables.load(spark, sfDir, "events"))),
+    ("triangles (degree-ordered wedge join)",
+      () => graft.ops.GraphOps.triangleCounts(
+        graft.ops.GraphOps.coOccurrenceEdges(
+          Tables.load(spark, sfDir, "lineitem")))),
+    ("pq encode (sampled Lloyd codebooks + kernel assignment)",
+      () => {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        graft.llm.Similarity.pqEncode(e, graft.llm.Similarity.pqCodebooks(e))
+      }),
+    ("ivf-pq (residual codebooks + probed ADC)",
+      () => {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val cents = graft.llm.Similarity.ivfCentroidsInt8(e)
+        graft.llm.Similarity.ivfPqTopK(e, cents,
+          graft.llm.Similarity.pqCodebooksQ(
+            graft.llm.Similarity.ivfResiduals(e, cents)
+              .select("vec_id", "qn")))
+      }))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {

@@ -211,6 +211,63 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.ops.EventOps.gapFill(emptyEvents).count() === 0)
     assert(graft.ops.EventOps.scd2States(emptyEvents).count() === 0)
     assert(graft.ops.EventOps.featuresAtPurchase(emptyEvents).count() === 0)
+    assert(graft.ops.EventOps.attribution(emptyEvents).count() === 0)
+  }
+
+  test("attribution: touchless and trailing-touch journeys route exactly") {
+    import java.time.LocalDateTime
+    def t(m: Int) = LocalDateTime.of(2026, 1, 1, 0, m)
+    val ev = Seq(
+      // user 1: view -> purchase(300) -> click -> (no further purchase)
+      (1L, t(1), 1L, "view", 0.0),
+      (2L, t(2), 1L, "purchase", 3.0),
+      (3L, t(3), 1L, "click", 0.0),
+      // user 2: purchase(500) with no touches at all -> 'direct'
+      (4L, t(1), 2L, "purchase", 5.0),
+      // user 3: three touches then purchase(1000); linear = 334/333/333
+      (5L, t(1), 3L, "view", 0.0),
+      (6L, t(2), 3L, "click", 0.0),
+      (7L, t(3), 3L, "view", 0.0),
+      (8L, t(4), 3L, "purchase", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.attribution(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // user 1's trailing click never converts and is dropped entirely
+    // channel -> (n_touches, n_first, n_last, first, last, linear)
+    assert(got("direct") === ((1L, 1L, 1L, 500L, 500L, 500L)))
+    // views: u1's single touch (300 all three ways) + u3's rank-1
+    // (first: 1000, linear 334) and rank-3 (last: 1000, linear 333)
+    assert(got("view") === ((3L, 2L, 2L, 1300L, 1300L, 967L)))
+    // u3's middle click: no first/last credit, linear 333
+    assert(got("click") === ((1L, 0L, 0L, 0L, 0L, 333L)))
+    val total = got.values.map(_._6).sum
+    assert(total === 1800L, "linear credits must sum to total conversions")
+  }
+
+  test("pq survives duplicate and degenerate vectors") {
+    // 20 identical vectors + 20 distinct: seeds collapse to few
+    // distinct centroids, most cells go empty and must keep their
+    // previous centroid instead of dividing by zero
+    val e = spark.range(40).select(
+      col("id").as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(0),
+          org.apache.spark.sql.functions.lit(63)),
+        i => org.apache.spark.sql.functions.when(
+          col("id") < 20, org.apache.spark.sql.functions.lit(1.0f))
+          .otherwise((i + col("id")).cast("float") / 64.0f))
+        .as("embedding"))
+    val books = graft.llm.Similarity.pqCodebooks(e, sampleMod = 1)
+    val enc = graft.llm.Similarity.pqEncode(e, books).collect()
+    assert(enc.length === 40)
+    // identical vectors must encode to the identical codeword
+    val dupWords = enc.filter(_.getLong(0) < 20).map(_.getLong(1)).distinct
+    assert(dupWords.length === 1)
   }
 
   test("winnow handles empty and single-token docs") {
