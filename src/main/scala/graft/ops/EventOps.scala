@@ -728,7 +728,60 @@ object EventOps {
       |    + CAST(rnk <= p_cents % n_t AS BIGINT)) AS BIGINT) AS linear_cents
       |FROM credits GROUP BY channel""".stripMargin
 
+  /** Cohort lifetime-value curves: users cohorted by first-seen day,
+    * purchase revenue aggregated by cohort age (days since first
+    * event) with the running cumulative — the revenue-retention panel
+    * next to [[retention]]'s activity panel. Exact integer cents.
+    *
+    * Scale: the cohort table is user-sized and joins purchases
+    * co-partitioned on user_id; the (cohort, age) aggregate is
+    * answer-sized (days x days), so the cumulative window over it is
+    * free. No global window, nothing collected.
+    */
+  def cohortLtv(e: DataFrame): DataFrame = {
+    val firsts = e.groupBy("user_id").agg(to_date(min("ts")).as("cohort"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("pday"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val byAge = purchases.join(firsts, "user_id")
+      .select(col("cohort"),
+        datediff(col("pday"), col("cohort")).cast("bigint").as("age_days"),
+        col("user_id"), col("cents"))
+      .groupBy("cohort", "age_days")
+      .agg(countDistinct("user_id").as("n_active"),
+        sum("cents").as("revenue_cents"))
+    val cw = Window.partitionBy("cohort").orderBy("age_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge
+      .withColumn("cum_revenue_cents", sum("revenue_cents").over(cw))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("age_days"), col("n_active"), col("revenue_cents"),
+        col("cum_revenue_cents"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS pday,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |byage AS (
+      |  SELECT f.cohort,
+      |    CAST(date_diff('day', f.cohort, p.pday) AS BIGINT) AS age_days,
+      |    CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active,
+      |    CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+      |  FROM p JOIN firsts f USING (user_id) GROUP BY 1, 2)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, age_days, n_active,
+      |  revenue_cents,
+      |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age_days
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_revenue_cents
+      |FROM byage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ltv" -> ((s, d) => cohortLtv(events(s, d))),
     "q_events_attribution" -> ((s, d) => attribution(events(s, d))),
     "q_events_feature_at" -> ((s, d) => featuresAtPurchase(events(s, d))),
     "q_events_scd2" -> ((s, d) => scd2States(events(s, d))),
@@ -753,6 +806,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_ltv" -> cohortLtvSql,
     "q_events_attribution" -> attributionSql,
     "q_events_feature_at" -> featuresAtPurchaseSql,
     "q_events_scd2" -> scd2StatesSql,

@@ -54,4 +54,40 @@ class StreamingRestartSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(outDir).count() === all.count())
   }
+
+  test("dedup-on-arrival state survives a restart: dups stay suppressed") {
+    val work = Files.createTempDirectory("graft-dedup-restart")
+    val inDir = work.resolve("in"); Files.createDirectory(inDir)
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(s"$inDir/*")
+      val q = graft.streaming.DocStreams.dedupOnArrival(stream)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b1").toString)
+    runOnce()
+    val keepSet = spark.read.parquet(outDir).count()
+    assert(keepSet === graft.llm.Dedup.exact(docs).count())
+
+    // RESTARTED query, second wave of re-keyed duplicates: the
+    // recovered flatMapGroupsWithState store must still know every
+    // content hash, so nothing new is emitted
+    docs.withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 2000000L)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b2").toString)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === keepSet,
+      "restarted state leaked second-wave duplicates")
+  }
 }
