@@ -679,7 +679,18 @@ object ScaleProbe {
       Probe("exact dedup (md5 groupBy)",
         () => exactDedup(docs), () => exactDedup(docs10)),
       Probe("window top-3 per key", () => winRank(ord), () => winRank(ord10)),
-      Probe("native as-of join", () => asofN(ev), () => asofN(ev10)))
+      Probe("native as-of join", () => asofN(ev), () => asofN(ev10)),
+      // 10x orders with the same parts-per-order => ~10x edge
+      // instances; the degree-ordered wedge join must track the edge
+      // count, not the degree blow-up
+      Probe("triangles (degree-ordered)",
+        () => graft.ops.GraphOps.triangleCounts(
+          graft.ops.GraphOps.coOccurrenceEdges(li)),
+        () => graft.ops.GraphOps.triangleCounts(
+          graft.ops.GraphOps.coOccurrenceEdges(li10))),
+      Probe("attribution (journey windows)",
+        () => graft.ops.EventOps.attribution(ev),
+        () => graft.ops.EventOps.attribution(ev10)))
 
     println(f"${"operator"}%-28s ${"1x"}%8s ${"10x"}%9s  ratio")
     probes.foreach { p =>
