@@ -697,7 +697,40 @@ object Curation {
       |  CAST(coalesce(list_sum(positions), 0) AS BIGINT) AS pos_checksum
       |FROM m""".stripMargin
 
+  /** Tokenizer fertility panel: BPE tokens per word, by language —
+    * THE fairness metric of a tokenizer across languages (a language
+    * whose fertility runs 2x pays 2x the context window and 2x the
+    * inference cost for the same text; cf. the SentencePiece /
+    * multilingual-tokenizer literature). Composes the trained encoder:
+    * per-doc counts from [[bpeEncode]], rolled up per language in
+    * scaled-integer DIVs. On the shared-vocabulary synthetic corpus
+    * the languages score close together — the contract (trained-table
+    * encode + exact per-lang rollup) is what is exercised, as with
+    * [[TextOps.langId]].
+    */
+  def bpeFertility(
+      d: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeEncode(d, merges)
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_bpe_tokens").as("bpe_tokens"), sum("n_words").as("words"))
+      .select(col("lang"), col("bpe_tokens"), col("words"),
+        expr("bpe_tokens * 10000 DIV nullif(words, 0)")
+          .as("fertility_x10000"))
+
+  val bpeFertilitySql: String =
+    s"""SELECT d.lang,
+       |  CAST(sum(e.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(e.n_words) AS BIGINT) AS words,
+       |  CAST(sum(e.n_bpe_tokens) * 10000 // nullif(sum(e.n_words), 0)
+       |    AS BIGINT) AS fertility_x10000
+       |FROM ($bpeEncodeSql) e
+       |JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_fertility" -> ((s, d) =>
+      bpeFertility(docs(s, d), trainedMerges(s, d))),
     "q_text_mlm_mask" -> ((s, d) => mlmMask(docs(s, d))),
     "q_text_bpe" -> ((s, d) => bpeTrain(docs(s, d))),
     "q_text_bpe_encode" -> ((s, d) =>
@@ -710,6 +743,7 @@ object Curation {
     "q_text_repetition" -> ((s, d) => repetition(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_fertility" -> bpeFertilitySql,
     "q_text_bpe" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,
     "q_text_mlm_mask" -> mlmMaskSql,

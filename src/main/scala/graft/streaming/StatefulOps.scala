@@ -208,6 +208,65 @@ object StatefulOps {
       }
   }
 
+  case class Credit(
+      user_id: Long, channel: String, rnk: Long, n_t: Long,
+      p_cents: Long, lin_cents: Long)
+
+  /** Streaming multi-touch attribution — the online face of
+    * [[graft.ops.EventOps.attribution]]: per user the carried state is
+    * the ordered list of touches since the last purchase; each arriving
+    * purchase emits one credit row per touch (rank, journey size,
+    * conversion cents, and the sum-preserving linear share) or a single
+    * 'direct' row when the journey is touchless, then resets. Rows
+    * sort by (ts, event_id) within each (user, batch) — the batch
+    * operator's total order — so a full in-order replay aggregates to
+    * the batch attribution table exactly (StatefulStreamingSpec).
+    * Touches after a user's last purchase stay in state, unemitted —
+    * the batch operator's attribution-window rule.
+    *
+    * Scale: state is one journey's channel list per user — bounded by
+    * journey length, not stream length; an abandoned journey that
+    * should stop holding state is the ProcessingTimeTimeout case, the
+    * same knob as [[firstSeenExpiring]].
+    */
+  def attributionFeed(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame): Dataset[Credit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[String], Credit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[Seq[String]]) =>
+          val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+          var touches = state.getOption.getOrElse(Seq.empty).toVector
+          val out = Vector.newBuilder[Credit]
+          sorted.foreach { case (_, _, _, typ, v) =>
+            if (typ == "purchase") {
+              val cents = java.math.BigDecimal.valueOf(v * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+              if (touches.isEmpty)
+                out += Credit(user, "direct", 1L, 1L, cents, cents)
+              else {
+                val n = touches.length.toLong
+                touches.iterator.zipWithIndex.foreach { case (ch, i) =>
+                  val rnk = i + 1L
+                  val lin = cents / n + (if (rnk <= cents % n) 1L else 0L)
+                  out += Credit(user, ch, rnk, n, cents, lin)
+                }
+              }
+              touches = Vector.empty
+            } else touches = touches :+ typ
+          }
+          state.update(touches)
+          out.result().iterator
+      }
+  }
+
   def scd2Changes(
       spark: SparkSession,
       events: org.apache.spark.sql.DataFrame): Dataset[StateChange] = {

@@ -345,6 +345,41 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming attribution feed == batch attribution after replay") {
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val d = java.nio.file.Files.createTempDirectory("graft-attr-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StatefulOps.attributionFeed(spark,
+        graft.streaming.EventStreams.readEvents(spark, d.toString))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("attr_out")
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(when(col("rnk") === 1L, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rnk") === col("n_t"), 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("rnk") === 1L, col("p_cents")).otherwise(0L))
+          .as("first_cents"),
+        sum(when(col("rnk") === col("n_t"), col("p_cents")).otherwise(0L))
+          .as("last_cents"),
+        sum(col("lin_cents")).as("linear_cents"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val want = graft.ops.EventOps.attribution(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got === want)
+    assert(got.contains("direct") && got.size >= 4)
+    q.stop()
+  }
+
   test("streaming transition feed == batch markov counts after replay") {
     import org.apache.spark.sql.functions.col
     val events = graft.core.Tables.load(spark, sfDir, "events")
