@@ -746,7 +746,207 @@ object CorpusOps {
       |FROM documents
       |GROUP BY 1, 2""".stripMargin
 
+  /** Held-out trigram perplexity with Stupid Backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * web-scale LM scoring recipe: no normalization, a fixed 0.4
+    * back-off factor, counts all the way down). The model trains on
+    * doc_id % 11 != 0 and scores the held-out % 11 == 0 slice — the
+    * split is what makes back-off OBSERVABLE (scoring the training
+    * corpus always finds its own trigrams; the unigram_lp/bigram_lp
+    * panels are that in-corpus form). Per held-out doc:
+    *   p(w3|w1 w2) = c3/c2            if the trigram was seen,
+    *     else 0.4 * b2/b1             if the (w2, w3) bigram was seen,
+    *     else 0.4^2 * (u1+1)/(N+V)    (add-one unigram floor, so OOV
+    *                                   words score finitely)
+    * emitting the back-off mix (n_tri/n_bi/n_uni — exact integers) and
+    * the avg negative log score (one round(.,4) float, identically
+    * parenthesized in the oracle).
+    *
+    * Scale: model tables are vocabulary-sized and stay DISTRIBUTED —
+    * scoring joins co-partition on the n-gram keys; only the 1-row
+    * (N, V) totals broadcast. Same shape as [[bigramLogProb]].
+    */
+  def trigramBackoff(d: DataFrame): DataFrame = {
+    val base = d.select(
+      col("doc_id"), TextOps.letterTokens(col("text")).as("toks"))
+    def grams(src: DataFrame, n: Int): DataFrame = {
+      val fields = (1 to n).map(j => s"w$j")
+      src.select(
+        col("doc_id"),
+        explode(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+              i => struct(fields.zipWithIndex.map { case (f, j) =>
+                element_at(col("toks"), i + j).as(f)
+              }: _*)))
+            .otherwise(array().cast(
+              s"array<struct<${fields.map(f => s"$f:string").mkString(",")}>>")))
+          .as("g"))
+        .select(col("doc_id") +: fields.map(f => col(s"g.$f").as(f)): _*)
+    }
+    val train = base.filter(col("doc_id") % 11 =!= 0)
+    val held = base.filter(col("doc_id") % 11 === 0)
+    val t3 = grams(train, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val t2 = grams(train, 3).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val b2 = grams(train, 2).groupBy("w1", "w2").agg(count(lit(1)).as("bc2"))
+      .select(col("w1").as("v2"), col("w2").as("v3"), col("bc2"))
+    val b1 = grams(train, 2).groupBy("w1").agg(count(lit(1)).as("bc1"))
+      .select(col("w1").as("v2b"), col("bc1"))
+    val uni = train.select(explode(col("toks")).as("w"))
+    val u1 = uni.groupBy("w").agg(count(lit(1)).as("u1"))
+      .select(col("w").as("v3u"), col("u1"))
+    val totals = uni.agg(
+      count(lit(1)).as("nn"), countDistinct("w").as("vv"))
+    val p = col("p")
+    val scored = grams(held, 3)
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(t2, Seq("w1", "w2"), "left")
+      .join(b2, col("w2") === col("v2") && col("w3") === col("v3"), "left")
+      .join(b1, col("w2") === col("v2b"), "left")
+      .join(u1, col("w3") === col("v3u"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lvl",
+        when(col("c3").isNotNull, lit(3))
+          .when(col("bc2").isNotNull, lit(2)).otherwise(lit(1)))
+      .withColumn("p",
+        when(col("lvl") === 3, col("c3").cast("double") / col("c2"))
+          .when(col("lvl") === 2,
+            lit(0.4) * col("bc2").cast("double") / col("bc1"))
+          .otherwise(lit(0.16) *
+            (coalesce(col("u1"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("nn").cast("double") + col("vv"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        round(avg(-log(p)), 4).as("avg_neg_lp"))
+    held.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("avg_neg_lp"), lit(0.0)).as("avg_neg_lp"))
+  }
+
+  val trigramBackoffSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |train AS (SELECT * FROM base WHERE doc_id % 11 <> 0),
+      |held AS (SELECT * FROM base WHERE doc_id % 11 = 0),
+      |tr3 AS (
+      |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+      |    SELECT doc_id,
+      |      unnest([{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+      |              FOR i IN range(1, len(toks) - 1)]) AS g
+      |    FROM train)),
+      |tr2 AS (
+      |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+      |    SELECT doc_id,
+      |      unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+      |              FOR i IN range(1, len(toks))]) AS g
+      |    FROM train)),
+      |h3 AS (
+      |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+      |    SELECT doc_id,
+      |      unnest([{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}
+      |              FOR i IN range(1, len(toks) - 1)]) AS g
+      |    FROM held)),
+      |t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr3 GROUP BY 1, 2, 3),
+      |t2 AS (SELECT w1, w2, count(*) AS c2 FROM tr3 GROUP BY 1, 2),
+      |b2 AS (SELECT w1 AS v2, w2 AS v3, count(*) AS bc2
+      |       FROM tr2 GROUP BY 1, 2),
+      |b1 AS (SELECT w1 AS v2b, count(*) AS bc1 FROM tr2 GROUP BY 1),
+      |uni AS (SELECT unnest(toks) AS w FROM train),
+      |u1 AS (SELECT w AS v3u, count(*) AS u1 FROM uni GROUP BY 1),
+      |totals AS (SELECT count(*) AS nn, count(DISTINCT w) AS vv FROM uni),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |    count(*) AS n_trigrams,
+      |    CAST(sum(CASE WHEN t3.c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_tri,
+      |    CAST(sum(CASE WHEN t3.c3 IS NULL AND b2.bc2 IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+      |    CAST(sum(CASE WHEN t3.c3 IS NULL AND b2.bc2 IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+      |    round(avg(-ln(
+      |      CASE
+      |        WHEN t3.c3 IS NOT NULL THEN t3.c3::DOUBLE / t2.c2
+      |        WHEN b2.bc2 IS NOT NULL THEN 0.4 * (bc2::DOUBLE) / b1.bc1
+      |        ELSE 0.16 * (coalesce(u1.u1, 0)::DOUBLE + 1.0)
+      |          / (totals.nn::DOUBLE + totals.vv)
+      |      END)), 4) AS avg_neg_lp
+      |  FROM h3 h
+      |  LEFT JOIN t3 ON h.w1 = t3.w1 AND h.w2 = t3.w2 AND h.w3 = t3.w3
+      |  LEFT JOIN t2 ON h.w1 = t2.w1 AND h.w2 = t2.w2
+      |  LEFT JOIN b2 ON h.w2 = b2.v2 AND h.w3 = b2.v3
+      |  LEFT JOIN b1 ON h.w2 = b1.v2b
+      |  LEFT JOIN u1 ON h.w3 = u1.v3u
+      |  CROSS JOIN totals
+      |  GROUP BY h.doc_id)
+      |SELECT b.doc_id,
+      |  CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+      |  coalesce(s.n_tri, 0) AS n_tri,
+      |  coalesce(s.n_bi, 0) AS n_bi,
+      |  coalesce(s.n_uni, 0) AS n_uni,
+      |  coalesce(s.avg_neg_lp, 0.0) AS avg_neg_lp
+      |FROM held b LEFT JOIN scored s USING (doc_id)""".stripMargin
+
+  /** Zipf rank-frequency panel: term counts bucketed by
+    * floor(log2(rank)) with rank assigned count-desc, word-asc (the
+    * deterministic boundary the vocab-coverage panel uses). The bucket
+    * index is length(bin(rank)) - 1 — integer bit-length, so no float
+    * log at exact powers of two can disagree between engines. The data
+    * card's "does this corpus look natural-language" panel.
+    *
+    * Scale: the window ranks the VOCABULARY table (bounded by distinct
+    * terms, not corpus size) — the same single-sort bound
+    * vocabCoverage accepts and documents; everything before it is a
+    * map-side-combined count.
+    */
+  def zipfPanel(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = d
+      .select(explode(TextOps.letterTokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("w"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .withColumn("bucket", (length(bin(col("rank"))) - 1).cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("cnt").as("total_cnt"),
+        max("cnt").as("max_cnt"), min("cnt").as("min_cnt"))
+  }
+
+  val zipfPanelSql: String =
+    """WITH counts AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |      t -> t <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT cnt,
+      |    CAST(length(bin(CAST(row_number() OVER (ORDER BY cnt DESC, w)
+      |      AS BIGINT))) - 1 AS BIGINT) AS bucket
+      |  FROM counts)
+      |SELECT bucket, count(*) AS n_terms,
+      |  CAST(sum(cnt) AS BIGINT) AS total_cnt,
+      |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |  CAST(min(cnt) AS BIGINT) AS min_cnt
+      |FROM ranked GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_trigram_lp" -> ((s, d) => trigramBackoff(docs(s, d))),
+    "q_text_zipf" -> ((s, d) => zipfPanel(docs(s, d))),
     "q_text_length_hist" -> ((s, d) => lengthHistogram(docs(s, d))),
     "q_source_overlap" -> ((s, d) => crossSourceOverlap(docs(s, d))),
     "q_hll_merge" -> ((s, d) => hllMergeBySource(docs(s, d))),
@@ -761,6 +961,8 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_trigram_lp" -> trigramBackoffSql,
+    "q_text_zipf" -> zipfPanelSql,
     "q_text_length_hist" -> lengthHistogramSql,
     "q_source_overlap" -> crossSourceOverlapSql,
     "q_hll_merge" -> hllMergeBySourceSql,
