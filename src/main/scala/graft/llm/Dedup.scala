@@ -345,6 +345,57 @@ object Dedup {
       |    ON a.doc_id < b.doc_id)
       |WHERE raw >= 0.2""".stripMargin
 
+  /** LSH configuration quality panel: precision/recall of the MinHash
+    * banded candidate set against EXACT shingle-Jaccard ground truth
+    * at the same 0.5 threshold — the diagnostic a curator reads before
+    * trusting an LSH config on a new corpus (band/row geometry that
+    * worked on web text can silently lose recall on code or template-
+    * heavy data). Both sides filter on the ROUNDED score columns so
+    * the two engines agree at the threshold boundary. One answer row:
+    * candidate / truth / hit counts + scaled-integer precision and
+    * recall.
+    *
+    * Scale: composes two already-bucketed pair generators (banded
+    * minhash join, prefix-rank shingle join) plus a co-partitioned
+    * pair-key join and three 1-row aggregates — nothing new shuffles
+    * beyond what the two generators already pay.
+    */
+  def lshQuality(d: DataFrame): DataFrame = {
+    val cand = minhashPairsExact(d).select("doc_a", "doc_b")
+    val truth = jaccardShinglePairs(d)
+      .filter(col("sh_jaccard") >= 0.5).select("doc_a", "doc_b")
+    val hit = cand.join(truth, Seq("doc_a", "doc_b"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+        expr("n_hit * 10000 DIV nullif(n_candidates, 0)")
+          .as("precision_x10000"),
+        expr("n_hit * 10000 DIV nullif(n_truth, 0)").as("recall_x10000"))
+  }
+
+  // lazy: composes minhashPairsExactSql, declared later in this object
+  lazy val lshQualitySql: String =
+    s"""WITH cand AS (
+       |  SELECT doc_a, doc_b FROM ($minhashPairsExactSql)),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM ($jaccardShinglePairsSql)
+       |  WHERE sh_jaccard >= 0.5),
+       |hit AS (
+       |  SELECT c.doc_a FROM cand c
+       |  JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+       |nc AS (SELECT count(*) AS n_candidates FROM cand),
+       |nt AS (SELECT count(*) AS n_truth FROM truth),
+       |nh AS (SELECT count(*) AS n_hit FROM hit)
+       |SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_hit * 10000 // nullif(n_candidates, 0) AS BIGINT)
+       |    AS precision_x10000,
+       |  CAST(n_hit * 10000 // nullif(n_truth, 0) AS BIGINT)
+       |    AS recall_x10000
+       |FROM nc, nt, nh""".stripMargin
+
   /** Containment (truncation) duplicates: document A is a strict PREFIX
     * of document B — the scraped-data case where one copy was cut off.
     *
@@ -1688,6 +1739,7 @@ object Dedup {
     "q_dedup_embedding" -> ((s, d) =>
       embeddingPairsInt8(graft.core.Tables.load(s, d, "embeddings"))),
     "q_dedup_minhash" -> ((s, d) => minhashPairsExact(docs(s, d))),
+    "q_dedup_lsh_quality" -> ((s, d) => lshQuality(docs(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashPairsExact(docs(s, d))))
 
   /** minhash and simhash are oracle-checked via their md5 hash
@@ -1697,6 +1749,7 @@ object Dedup {
     */
   val oracleSql: Map[String, String] = Map(
     "q_dedup_embedding" -> embeddingPairsInt8Sql,
+    "q_dedup_lsh_quality" -> lshQualitySql,
     "q_dedup_minhash" -> minhashPairsExactSql,
     "q_dedup_simhash" -> simhashPairsExactSql,
     "q_dedup_substring" -> duplicateSpansSql,
