@@ -906,19 +906,26 @@ object CorpusOps {
     * log at exact powers of two can disagree between engines. The data
     * card's "does this corpus look natural-language" panel.
     *
-    * Scale: the window ranks the VOCABULARY table (bounded by distinct
-    * terms, not corpus size) — the same single-sort bound
-    * vocabCoverage accepts and documents; everything before it is a
-    * map-side-combined count.
+    * Scale: the global rank is range-partition + in-partition sort +
+    * zipWithIndex — the prefixRankJoin spelling, NOT a global window
+    * (PlanSpec forbids single-reducer windows even over the
+    * vocabulary-sized table); everything before it is a
+    * map-side-combined count, everything after is answer-sized.
     */
   def zipfPanel(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = d.sparkSession
+    import spark.implicits._
     val counts = d
       .select(explode(TextOps.letterTokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("w"))
-    counts
-      .withColumn("rank", row_number().over(w).cast("bigint"))
+    val ranked = counts
+      .repartitionByRange(col("cnt").desc, col("w"))
+      .sortWithinPartitions(col("cnt").desc, col("w"))
+      .select(col("cnt")).rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i + 1L) }
+      .toDF("cnt", "rank")
+    ranked
       .withColumn("bucket", (length(bin(col("rank"))) - 1).cast("bigint"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_terms"),
