@@ -270,6 +270,29 @@ class RobustnessSpec extends SparkSpec {
     assert(dupWords.length === 1)
   }
 
+  test("gopher/trigram/zipf/fertility survive empty and degenerate docs") {
+    val d = Seq(
+      (0L, "", "en", "s0"), (11L, "   ", "en", "s0"),
+      (22L, "one", "de", "s1"), (3L, "a b c a b c", "en", "s0"),
+      (4L, "x y z w v u t s", "fr", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    // gopher: empty docs yield NULL ratios and keep_doc 0, never a crash
+    val g = graft.llm.Curation.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("keep_doc"))).toMap
+    assert(g.keySet === Set(0L, 11L, 22L, 3L, 4L))
+    assert(g(0L) === 0L && g(11L) === 0L)
+    // trigram backoff: held-out docs (0, 11, 22) are empty or sub-3
+    // tokens -> zero trigrams, zero score, present in the output
+    val t = graft.llm.CorpusOps.trigramBackoff(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t.keySet === Set(0L, 11L, 22L))
+    assert(t.values.forall(_ === 0L))
+    // zipf: tiny vocabulary still buckets, ranks dense from 1
+    val z = graft.llm.CorpusOps.zipfPanel(d).collect()
+    assert(z.nonEmpty)
+    assert(z.map(_.getLong(1)).sum === 12L) // 12 distinct terms
+  }
+
   test("winnow handles empty and single-token docs") {
     val d = Seq((1L, ""), (2L, "only"), (3L, "  \t ")).toDF("doc_id", "text")
     val w = graft.llm.TextOps.winnow(d).collect()
