@@ -1502,7 +1502,87 @@ object Similarity {
        |FROM pairs
        |GROUP BY 1""".stripMargin
 
+  /** ANN recall panel: recall@k of the int8 LSH index against EXACT
+    * int8 top-k ground truth on a 1-in-[[SearchQueryMod]] query sample
+    * — [[Dedup.lshQuality]]'s sibling for the vector side, and the
+    * panel that says whether nPlanes/nTables fit a corpus BEFORE a
+    * recall regression ships. One answer row: query count, hit count,
+    * scaled-integer average recall, and the worst single query's hit
+    * count (the tail a mean hides).
+    *
+    * Scale: the exact side is the asymmetric serving shape (sampled
+    * queries broadcast, one corpus scan — never corpus x corpus); the
+    * LSH side is the bucketed candidate join the index already pays;
+    * the compare is an answer-sized pair join.
+    */
+  def annQuality(e: DataFrame, k: Int = 5): DataFrame = {
+    val uq = withUnitQuantized(e)
+    val sample = uq.filter(pmod(col("vec_id"), lit(SearchQueryMod)) === 0)
+      .select(col("vec_id").as("q_id"), vector.pack_int8(col("qn")).as("qb"))
+    val corpus = uq
+      .select(col("vec_id").as("c_id"), vector.pack_int8(col("qn")).as("cb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    val exact = corpus.crossJoin(broadcast(sample))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        vector.byte_dot_product(col("qb"), col("cb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id")
+    val lsh = lshTopKInt8(e, k = k)
+      .filter(pmod(col("vec_id"), lit(SearchQueryMod)) === 0)
+      .select(col("vec_id").as("q_id"), col("neighbor_id").as("c_id"))
+    val perQ = exact.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(exact.join(lsh, Seq("q_id", "c_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit")),
+        Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    perQ.agg(
+      count(lit(1)).as("n_queries"),
+      sum("n_truth").as("n_truth"),
+      sum("n_hit").as("n_hits"),
+      min("n_hit").as("worst_hits"))
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 10000 DIV nullif(n_truth, 0)").as("recall_x10000"),
+        col("worst_hits"))
+  }
+
+  def annQualitySql(k: Int = 5): String =
+    s"""WITH uq AS (
+       |  ${unitQuantSelect("SELECT vec_id, embedding FROM embeddings")}),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(list_dot_product(q.qn, c.qn) AS BIGINT) DESC, c.vec_id)
+       |        AS BIGINT) AS rank
+       |    FROM uq q JOIN uq c
+       |      ON q.vec_id % $SearchQueryMod = 0 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= $k),
+       |lshres AS (
+       |  SELECT vec_id AS q_id, neighbor_id AS c_id
+       |  FROM (${lshTopKInt8Sql(k = k)})
+       |  WHERE vec_id % $SearchQueryMod = 0),
+       |perq AS (
+       |  SELECT t.q_id,
+       |    CAST(count(*) AS BIGINT) AS n_truth,
+       |    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+       |  FROM exact t LEFT JOIN (
+       |    SELECT e.q_id, count(*) AS n_hit
+       |    FROM exact e JOIN lshres l ON e.q_id = l.q_id AND e.c_id = l.c_id
+       |    GROUP BY e.q_id) h ON t.q_id = h.q_id
+       |  GROUP BY t.q_id, h.n_hit)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(n_truth) AS BIGINT) AS n_truth,
+       |  CAST(sum(n_hit) AS BIGINT) AS n_hits,
+       |  CAST(sum(n_hit) * 10000 // nullif(sum(n_truth), 0) AS BIGINT)
+       |    AS recall_x10000,
+       |  CAST(min(n_hit) AS BIGINT) AS worst_hits
+       |FROM perq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_quality" -> ((s, d) => annQuality(emb(s, d))),
     "q_embed_sim_hist" -> ((s, d) => simHistogram(emb(s, d))),
     "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),
     "q_knn_lsh" -> ((s, d) => lshTopKInt8(emb(s, d))),
@@ -1535,6 +1615,7 @@ object Similarity {
     * paths via order-stable IEEE folds.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_knn_quality" -> annQualitySql(),
     "q_embed_sim_hist" ->
       simHistogramSql(EmbedDupPlanes, EmbedDupTables),
     "q_knn_brute" -> bruteForceTopKSql,
