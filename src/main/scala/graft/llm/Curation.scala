@@ -496,6 +496,13 @@ object Curation {
   private val mergeCache =
     new graft.core.SessionCache[String, Seq[(String, String)]]
 
+  /** Public face of [[trainedMerges]] for composing tools (the data
+    * card's fertility panel).
+    */
+  def trainedMergesFor(
+      s: SparkSession, dir: String): Seq[(String, String)] =
+    trainedMerges(s, dir)
+
   private def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
     def train(): Seq[(String, String)] = bpeTrain(docs(s, dir)).collect()
       .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq

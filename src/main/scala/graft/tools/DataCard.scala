@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.core.{Graft, Tables}
+import graft.llm.{CorpusOps, Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+/** One-shot corpus DATA CARD: the report a dataset ships with
+  * (Gebru et al. 2021, "Datasheets for Datasets"), assembled from the
+  * engine's own oracle-checked panels — per-stratum composition,
+  * Zipf shape, Gopher quality pass rates, duplication levels, and the
+  * per-language tokenizer fertility. Markdown to stdout; every number
+  * comes from the same operators the driver gates, so the card is as
+  * trustworthy as the query suite.
+  *
+  * Usage: runMain graft.tools.DataCard <sfDir>
+  */
+object DataCard {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = Graft.session("graft-datacard")
+    try {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val out = new StringBuilder
+      out ++= s"# Data card — $sfDir/documents.parquet\n\n"
+
+      val summary = CorpusOps.corpusSummary(docs).collect()
+      out ++= "## Composition (source x lang)\n\n"
+      out ++= "| source | lang | docs | tokens | mean chars | exact dups |\n"
+      out ++= "| --- | --- | --- | --- | --- | --- |\n"
+      summary.sortBy(r => (r.getString(0), r.getString(1))).take(12)
+        .foreach { r =>
+          out ++= s"| ${r.getString(0)} | ${r.getString(1)} | ${r.get(2)} " +
+            s"| ${r.get(3)} | ${r.get(4)} | ${r.get(5)} |\n"
+        }
+      if (summary.length > 12)
+        out ++= s"| … (${summary.length - 12} more strata) |\n"
+
+      out ++= "\n## Vocabulary shape (Zipf buckets)\n\n"
+      out ++= "| log2-rank bucket | terms | occurrences | max cnt | min cnt |\n"
+      out ++= "| --- | --- | --- | --- | --- |\n"
+      CorpusOps.zipfPanel(docs).collect().sortBy(_.getLong(0)).foreach { r =>
+        out ++= s"| ${r.getLong(0)} | ${r.getLong(1)} | ${r.getLong(2)} " +
+          s"| ${r.getLong(3)} | ${r.getLong(4)} |\n"
+      }
+
+      val gopher = Curation.gopherRules(docs)
+        .agg(count(lit(1)).as("n"),
+          sum("keep_doc").as("keep"),
+          sum("f_words").as("f_words"), sum("f_mwl").as("f_mwl"),
+          sum("f_symbol").as("f_symbol"), sum("f_alpha").as("f_alpha"),
+          sum("f_stop").as("f_stop"))
+        .collect()(0)
+      val n = gopher.getLong(0).max(1L)
+      def pct(i: Int): String = f"${gopher.getLong(i) * 100.0 / n}%.1f%%"
+      out ++= "\n## Gopher quality rules\n\n"
+      out ++= s"- documents: ${gopher.getLong(0)}, keep: ${pct(1)}\n"
+      out ++= s"- pass rates: word-count ${pct(2)}, mean-word-len ${pct(3)}, " +
+        s"symbol-ratio ${pct(4)}, alpha-words ${pct(5)}, stop-words ${pct(6)}\n"
+
+      val exact = Dedup.exact(docs)
+        .agg(count(lit(1)).as("distinct"), sum("n_copies").as("total"))
+        .collect()(0)
+      out ++= "\n## Duplication\n\n"
+      out ++= s"- exact: ${exact.getLong(1)} docs -> ${exact.getLong(0)} " +
+        f"distinct texts (${(exact.getLong(1) - exact.getLong(0)) * 100.0 /
+          exact.getLong(1).max(1L)}%.1f%% duplicate mass)\n"
+
+      out ++= "\n## Tokenizer fertility (trained BPE, tokens per word)\n\n"
+      out ++= "| lang | bpe tokens | words | fertility |\n"
+      out ++= "| --- | --- | --- | --- |\n"
+      Curation.bpeFertility(docs,
+          Curation.trainedMergesFor(spark, sfDir)).collect()
+        .sortBy(_.getString(0)).foreach { r =>
+          out ++= f"| ${r.getString(0)} | ${r.getLong(1)} | ${r.getLong(2)} " +
+            f"| ${r.getLong(3) / 10000.0}%.4f |\n"
+        }
+      println(out.result())
+    } finally spark.stop()
+  }
+}
