@@ -366,7 +366,103 @@ object Sampling {
       |    FROM documents))""".stripMargin
       .replace("__SHARD__", graft.core.Layout.contentShardSql("text"))
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every source document by how target-like
+    * its hashed-bigram distribution is. Features are bigrams hashed to
+    * `nBuckets` (the paper's hashed n-gram trick — the vocabulary
+    * never materializes, the stats table is bucket-sized); bucket
+    * probabilities are add-one smoothed over the 1-in-97 target slice
+    * (the decontam convention) vs the remaining source corpus; a doc's
+    * importance weight is the mean log probability ratio of its bigram
+    * buckets (round(.,4), identically parenthesized in the oracle —
+    * positive = target-like, the resampling key).
+    *
+    * Scale: doc bigrams map-side hash to buckets; the bucket stats
+    * table (nBuckets rows) and the two totals broadcast; per-doc
+    * scoring is one co-partitioned aggregate. The target slice is
+    * eval-sized — the same asymmetry contract as decontamination.
+    */
+  def dsirWeights(d: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    val toks = TextOps.wsTokens(col("text"))
+    val bigrams = d.select(
+      col("doc_id"),
+      explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat(element_at(toks, i), lit(" "),
+              element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("bg").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)).as("bucket"))
+    val isTarget = col("doc_id") % 97 === 0
+    val tgt = bigrams.filter(isTarget)
+    val src = bigrams.filter(!isTarget)
+    val tCnt = tgt.groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    val sCnt = src.groupBy("bucket").agg(count(lit(1)).as("s_cnt"))
+    val totals = tgt.agg(count(lit(1)).as("tt"))
+      .crossJoin(broadcast(src.agg(count(lit(1)).as("ss"))))
+    val stats = tCnt.join(sCnt, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("t_cnt"), lit(0L)).as("t_cnt"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+    val scored = src.join(broadcast(stats), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((coalesce(col("t_cnt"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("tt").cast("double") + nBuckets)) -
+          log((coalesce(col("s_cnt"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("ss").cast("double") + nBuckets))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lr")), 4).as("dsir_weight"))
+    d.filter(!isTarget).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+  }
+
+  def dsirWeightsSql(nBuckets: Int = 4096): String =
+    s"""WITH bg AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(range(8), i ->
+       |      CAST(strpos('0123456789abcdef', substr(md5(g), i + 1, 1)) - 1
+       |        AS BIGINT)), (a, b) -> a * 16 + b) % $nBuckets AS bucket
+       |  FROM (
+       |    SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1]
+       |                           FOR i IN range(1, len(toks))]) AS g
+       |    FROM (SELECT doc_id,
+       |            list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'),
+       |              t -> t <> '') AS toks
+       |          FROM documents))),
+       |tgt AS (SELECT * FROM bg WHERE doc_id % 97 = 0),
+       |src AS (SELECT * FROM bg WHERE doc_id % 97 <> 0),
+       |tc AS (SELECT bucket, count(*) AS t_cnt FROM tgt GROUP BY 1),
+       |sc AS (SELECT bucket, count(*) AS s_cnt FROM src GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM tgt) AS tt,
+       |               (SELECT count(*) FROM src) AS ss),
+       |scored AS (
+       |  SELECT src.doc_id, count(*) AS n_bigrams,
+       |    round(avg(
+       |      ln((coalesce(tc.t_cnt, 0)::DOUBLE + 1.0)
+       |         / (tot.tt::DOUBLE + $nBuckets))
+       |      - ln((coalesce(sc.s_cnt, 0)::DOUBLE + 1.0)
+       |           / (tot.ss::DOUBLE + $nBuckets))), 4) AS dsir_weight
+       |  FROM src
+       |  LEFT JOIN tc ON src.bucket = tc.bucket
+       |  LEFT JOIN sc ON src.bucket = sc.bucket
+       |  CROSS JOIN tot
+       |  GROUP BY src.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  coalesce(s.dsir_weight, 0.0) AS dsir_weight
+       |FROM documents d LEFT JOIN scored s USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_dsir" -> ((s, d) =>
+      dsirWeights(Tables.load(s, d, "documents"))),
     "q_sample_curriculum" -> ((s, d) =>
       curriculumSchedule(Tables.load(s, d, "documents"))),
     "q_sample_per_group" -> ((s, d) =>
@@ -383,6 +479,7 @@ object Sampling {
       epochUpsample(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_dsir" -> dsirWeightsSql(),
     "q_sample_curriculum" -> curriculumScheduleSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_train_test_split" -> trainTestSplitSql,
