@@ -951,7 +951,53 @@ object CorpusOps {
       |  CAST(min(cnt) AS BIGINT) AS min_cnt
       |FROM ranked GROUP BY 1""".stripMargin
 
+  /** N-gram diversity panel: total vs distinct n-gram counts for
+    * n = 1..4 — the memorization/diversity diagnostic (a corpus whose
+    * distinct-4-gram ratio is low is template- or duplicate-heavy and
+    * trains a model that parrots; cf. the self-repetition analyses in
+    * the memorization literature). Exact integers only.
+    *
+    * Scale: one explode + hash-partitioned distinct-count per n; the
+    * four aggregates are a single union of answer-sized rows.
+    */
+  def diversityPanel(d: DataFrame): DataFrame = {
+    val toks = TextOps.letterTokens(col("text"))
+    def forN(n: Int): DataFrame =
+      d.select(
+        explode(
+          when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - (n - 1)),
+              i => concat_ws(" ",
+                (0 until n).map(j => element_at(toks, i + j)): _*)))
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct("g").as("distinct_ngrams"))
+        .select(lit(n.toLong).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          expr("distinct_ngrams * 10000 DIV nullif(total_ngrams, 0)")
+            .as("distinct_x10000"))
+    (1 to 4).map(forN).reduce(_ unionByName _)
+  }
+
+  val diversityPanelSql: String = {
+    def forN(n: Int): String = {
+      val gram = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+      s"""SELECT CAST($n AS BIGINT) AS n,
+         |  count(*) AS total_ngrams,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         |  CAST(count(DISTINCT g) * 10000 // nullif(count(*), 0) AS BIGINT)
+         |    AS distinct_x10000
+         |FROM (
+         |  SELECT unnest([$gram FOR i IN range(1, len(toks) - ${n - 2})]) AS g
+         |  FROM (SELECT list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+         |          t -> t <> '') AS toks
+         |        FROM documents))""".stripMargin
+    }
+    (1 to 4).map(forN).mkString("\nUNION ALL\n")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_diversity" -> ((s, d) => diversityPanel(docs(s, d))),
     "q_text_trigram_lp" -> ((s, d) => trigramBackoff(docs(s, d))),
     "q_text_zipf" -> ((s, d) => zipfPanel(docs(s, d))),
     "q_text_length_hist" -> ((s, d) => lengthHistogram(docs(s, d))),
@@ -968,6 +1014,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_diversity" -> diversityPanelSql,
     "q_text_trigram_lp" -> trigramBackoffSql,
     "q_text_zipf" -> zipfPanelSql,
     "q_text_length_hist" -> lengthHistogramSql,
