@@ -951,6 +951,118 @@ object CorpusOps {
       |  CAST(min(cnt) AS BIGINT) AS min_cnt
       |FROM ranked GROUP BY 1""".stripMargin
 
+  /** Batch retrieval join — BM25 search where the QUERIES are a table,
+    * not a literal term list (the RAG-indexing shape: an eval/query
+    * set retrieved against the corpus in one distributed job, versus
+    * [[bm25]]'s single fixed query). Queries are the 1-in-97 doc
+    * slice; each query is represented by its `qTerms` RAREST distinct
+    * terms (corpus df asc, term asc — the rare-first candidate
+    * heuristic that keeps posting lists short at scale), candidates
+    * are corpus docs sharing at least one of them, and candidates are
+    * BM25-scored over exactly those terms with a per-query top-k.
+    *
+    * Scale: term selection is a per-query window over its own distinct
+    * terms; the candidate join is (query-term) x (posting list) —
+    * bounded by the rare-term choice, hash-partitioned on the term;
+    * scoring stats (n_docs, avgdl) broadcast as one row; the top-k
+    * window partitions by query. No corpus broadcast, no all-pairs.
+    */
+  def retrievalJoin(
+      d: DataFrame, qTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isQuery = col("doc_id") % 97 === 0
+    val toks = TextOps.letterTokens(col("text"))
+    val corpus = d.filter(!isQuery)
+    val cTerms = graft.core.Layout.spread(corpus, "doc_id")
+      .select(col("doc_id").as("c_id"), explode(toks).as("term"))
+      .groupBy("c_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = cTerms.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("dfreq"))
+    val dlens = corpus.select(col("doc_id").as("c_id"),
+      size(toks).cast("double").as("dl"))
+    val stats = corpus.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(toks)).as("avgdl"))
+    val qw = Window.partitionBy("q_id").orderBy(col("dfreq"), col("term"))
+    val qTermTable = d.filter(isQuery)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(toks)).as("term"))
+      .join(dfreq, "term") // query terms absent from the corpus retrieve nothing
+      .withColumn("tr", row_number().over(qw))
+      .filter(col("tr") <= qTerms)
+      .select("q_id", "term", "dfreq")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("c_id"))
+    qTermTable
+      .join(cTerms, "term")
+      .join(dlens, "c_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5)))
+      .withColumn("s",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("q_id", "c_id")
+      .agg(round(sum("s"), 4).as("score"),
+        count(lit(1)).as("n_shared_terms"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("c_id"), col("rank"), col("score"),
+        col("n_shared_terms"))
+  }
+
+  def retrievalJoinSql(
+      qTerms: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+       |      t -> t <> '') AS tk
+       |  FROM documents),
+       |cterms AS (
+       |  SELECT doc_id AS c_id, term, count(*)::DOUBLE AS tf FROM (
+       |    SELECT doc_id, unnest(tk) AS term FROM toks
+       |    WHERE doc_id % 97 <> 0)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM cterms
+       |  GROUP BY 1),
+       |dl AS (SELECT doc_id AS c_id, len(tk)::DOUBLE AS dl FROM toks
+       |  WHERE doc_id % 97 <> 0),
+       |st AS (
+       |  SELECT count(*)::DOUBLE AS n_docs, avg(len(tk)) AS avgdl
+       |  FROM toks WHERE doc_id % 97 <> 0),
+       |qterms AS (
+       |  SELECT q_id, term, dfreq FROM (
+       |    SELECT q.q_id, q.term, f.dfreq,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY f.dfreq, q.term) AS tr
+       |    FROM (SELECT doc_id AS q_id, unnest(list_distinct(tk)) AS term
+       |          FROM toks WHERE doc_id % 97 = 0) q
+       |    JOIN dfreq f ON q.term = f.term)
+       |  WHERE tr <= $qTerms),
+       |scored AS (
+       |  SELECT qt.q_id, c.c_id,
+       |    round(sum(
+       |      ln(1.0 + (st.n_docs - qt.dfreq + 0.5) / (qt.dfreq + 0.5))
+       |        * c.tf * ${k1 + 1} /
+       |        (c.tf + $k1 * ((1 - $b) + $b * dl.dl / st.avgdl))), 4)
+       |      AS score,
+       |    count(*) AS n_shared_terms
+       |  FROM qterms qt
+       |  JOIN cterms c ON qt.term = c.term
+       |  JOIN dl ON c.c_id = dl.c_id
+       |  CROSS JOIN st
+       |  GROUP BY 1, 2)
+       |SELECT q_id, c_id, rank, score,
+       |  CAST(n_shared_terms AS BIGINT) AS n_shared_terms
+       |FROM (SELECT q_id, c_id, score, n_shared_terms,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, c_id) AS BIGINT) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+
   /** N-gram diversity panel: total vs distinct n-gram counts for
     * n = 1..4 — the memorization/diversity diagnostic (a corpus whose
     * distinct-4-gram ratio is low is template- or duplicate-heavy and
@@ -997,6 +1109,7 @@ object CorpusOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retrieval_join" -> ((s, d) => retrievalJoin(docs(s, d))),
     "q_text_diversity" -> ((s, d) => diversityPanel(docs(s, d))),
     "q_text_trigram_lp" -> ((s, d) => trigramBackoff(docs(s, d))),
     "q_text_zipf" -> ((s, d) => zipfPanel(docs(s, d))),
@@ -1014,6 +1127,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_retrieval_join" -> retrievalJoinSql(),
     "q_text_diversity" -> diversityPanelSql,
     "q_text_trigram_lp" -> trigramBackoffSql,
     "q_text_zipf" -> zipfPanelSql,
