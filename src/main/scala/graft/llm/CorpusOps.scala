@@ -1108,7 +1108,285 @@ object CorpusOps {
     (1 to 4).map(forN).mkString("\nUNION ALL\n")
   }
 
+  // --------------------------------------------------------------------
+  // Count-Min Sketch: linear, mergeable frequency estimation.
+  // --------------------------------------------------------------------
+
+  /** CMS depth (independent hash rows) and width (buckets per row).
+    * Error bound: overestimate <= e*N/width with probability
+    * 1 - exp(-depth) (Cormode & Muthukrishnan 2005). Sketch size is
+    * depth x width longs — 32 KB here — regardless of corpus size.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Row-j CMS bucket of a token column: md5-family 60-bit hash of
+    * "cms<j>:<token>" mod width — the per-row salt makes the rows
+    * independent hash functions, and the md5 family keeps the value
+    * bit-replayable in the DuckDB oracle.
+    */
+  private def cmsBucket(j: Int, t: Column): Column =
+    pmod(graft.ops.Hll.h60(concat(lit(s"cms$j:"), t)), lit(CmsWidth))
+
+  /** The CMS cell table for a token stream: (j, bucket) -> count,
+    * at most depth x width rows. Exposed for the mergeability spec
+    * (per-source cell tables SUM to the one-pass global table —
+    * CMS is linear, which is what makes per-shard / per-day sketches
+    * combine by addition without re-scanning anything).
+    */
+  private[graft] def cmsCells(toks: DataFrame): DataFrame = {
+    val perTok = array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"), cmsBucket(j, col("t")).as("bucket"))): _*)
+    toks.select(explode(perTok).as("cell"))
+      .groupBy(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Count-Min Sketch frequency panel: estimate the counts of the
+    * exact top-k terms from a depth x width CMS and report the
+    * one-sided error (estimate >= truth always, for every query —
+    * the property the spec asserts row-by-row).
+    *
+    * This is the VERIFICATION panel for the sketch: the exact top-k
+    * (a vocabulary-sized count, fine at test scale) is the ground
+    * truth the estimates are judged against, the same convention as
+    * q_ann_recall paying brute force. The production path at 100 TB
+    * pairs the sketch with [[freqTerms]]'s Misra-Gries candidates:
+    * MG names the heavy hitters, CMS prices any ad-hoc term later
+    * WITHOUT re-scanning — the sketch's shuffle is map-side-combined
+    * to <= depth x width cells per partition (32 KB) where an exact
+    * vocabulary count shuffles every distinct token (billions of
+    * keys: URLs, typos, hashes).
+    *
+    * Scale: one corpus scan for the cells (4 digests/token, fused
+    * map-side), one for the ground truth; the probe join is k x depth
+    * rows against a 4096-row cell table — answer-sized both sides.
+    */
+  def cmsFreqPanel(d: DataFrame, k: Int = 20): DataFrame = {
+    val toks = d.select(explode(TextOps.wsTokens(col("text"))).as("t"))
+    val cells = cmsCells(toks)
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("t")).limit(k)
+    val perTerm = array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"), cmsBucket(j, col("t")).as("bucket"))): _*)
+    val probes = exact
+      .select(col("t"), col("n_exact"), explode(perTerm).as("p"))
+      .select(col("t"), col("n_exact"),
+        col("p.j").as("j"), col("p.bucket").as("bucket"))
+    broadcast(probes).join(cells, Seq("j", "bucket"))
+      .groupBy("t", "n_exact").agg(min("c").as("n_cms"))
+      .select(col("t"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overest"))
+  }
+
+  val cmsFreqPanelSql: String = {
+    import graft.ops.Hll
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'),
+       |    t -> t <> '')) AS t
+       |  FROM documents),
+       |occ AS (
+       |  SELECT t, r.j,
+       |    ${Hll.h60Sql("'cms' || CAST(r.j AS VARCHAR) || ':' || t")}
+       |      % $CmsWidth AS bucket
+       |  FROM toks CROSS JOIN range($CmsDepth) AS r(j)),
+       |cells AS (
+       |  SELECT j, bucket, count(*) AS c FROM occ GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT t, count(*) AS n_exact FROM toks GROUP BY 1
+       |  ORDER BY n_exact DESC, t LIMIT 20),
+       |probes AS (
+       |  SELECT e.t, e.n_exact, r.j,
+       |    ${Hll.h60Sql("'cms' || CAST(r.j AS VARCHAR) || ':' || e.t")}
+       |      % $CmsWidth AS bucket
+       |  FROM exact e CROSS JOIN range($CmsDepth) AS r(j))
+       |SELECT p.t, p.n_exact, min(c.c) AS n_cms,
+       |  min(c.c) - p.n_exact AS overest
+       |FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Topic clustering: KMeans over hashed term-frequency vectors.
+  // --------------------------------------------------------------------
+
+  val TopicDims = 32
+  val TopicK = 8
+  val TopicIters = 2
+
+  /** Hashing-trick bucket of a token (same md5-hex-char device as the
+    * fastText-shaped classifier in [[TextOps.classifierScore]]).
+    */
+  private def topicBucket(t: Column): Column = {
+    val h = md5(t.cast("binary"))
+    pmod(ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
+      lit(TopicDims)).cast("bigint")
+  }
+
+  /** (doc_id, v) — a dense TopicDims-long integer vector per doc with
+    * at least one letter token: v[b] = permyriad of the doc's tokens
+    * hashing to bucket b (length-normalized so short and long docs
+    * cluster by CONTENT SHAPE, not size; integer floor keeps both
+    * engines bit-identical — numerators stay far below 2^53, so
+    * Spark's floor(double division) equals DuckDB's integer `//`).
+    *
+    * Spelled explode -> (doc, bucket) count -> dense array via map
+    * lookup, NOT a filter-per-bucket HOF over the token array (which
+    * would re-evaluate the md5 TopicDims times per token — the
+    * winnowing O(n^2) lesson).
+    */
+  private[graft] def topicFeatures(d: DataFrame): DataFrame = {
+    val toks = TextOps.letterTokens(lower(col("text")))
+    val bucketed = d.select(col("doc_id"), explode(toks).as("t"))
+      .select(col("doc_id"), topicBucket(col("t")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    bucketed.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"), sum("c").as("nt"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(TopicDims - 1L)), i =>
+          floor(coalesce(element_at(col("m"), i), lit(0L)) * lit(10000L) /
+            col("nt")).cast("long")).as("v"))
+  }
+
+  /** EXACT integer Lloyd over the topic vectors — seeds are the TopicK
+    * lowest doc_ids, TopicIters rounds of assign + per-dim rounded
+    * mean (the [[Similarity]] codebook discipline: the collect is the
+    * CODEBOOK, k x dims longs, never the data). Assignment reuses the
+    * [[graft.functions.IvfProbesInt8]] kernel — argmin of
+    * |m|^2 - 2 x.m is argmin of squared distance, ties by cell id.
+    */
+  private[graft] def topicCentroids(feats: DataFrame): Array[Array[Long]] = {
+    def longs(r: org.apache.spark.sql.Row): Array[Long] =
+      r.getAs[scala.collection.Seq[Long]]("v").toArray
+    var cents: Array[Array[Long]] =
+      feats.orderBy("doc_id").limit(TopicK).collect().map(longs)
+    for (_ <- 0 until TopicIters) {
+      val means = feats
+        .withColumn("cell", element_at(
+          graft.functions.vector.ivf_probes_int8(
+            col("v"), cents.map(_.toSeq).toSeq, 1), 1))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map { r =>
+            java.math.BigDecimal.valueOf(r.getLong(2).toDouble / r.getLong(3))
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          }
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Topic clustering panel: every document assigned to one of TopicK
+    * KMeans clusters over its hashed term-frequency shape, with the
+    * exact squared distance to its centroid — the unsupervised "what
+    * kinds of text are in this corpus" data-card panel (and the
+    * de-facto diversity sampler: cap per-cluster doc counts to rebalance
+    * a scrape dominated by one template). Docs with no letter tokens
+    * get cluster -1.
+    *
+    * Scale: feature build is one explode + two doc-keyed aggregates;
+    * training touches only per-(cell, dim) sums (a TopicK x TopicDims
+    * collect per round — the codebook, not the corpus); final assign is
+    * map-only via the codegen kernel. Nothing pair- or vocab-sized.
+    * The DuckDB oracle replays the ENTIRE training in CTEs, so the
+    * check covers the quantizer, not just the assignment.
+    */
+  def topicClusters(d: DataFrame): DataFrame = {
+    // two consumers (training + final assign) over a plan that scans
+    // the corpus — materialize the doc-sized feature table once
+    val feats = topicFeatures(d).localCheckpoint()
+    val cents = topicCentroids(feats)
+    val centLit = array(cents.map(c =>
+      array(c.map(x => lit(x)): _*)): _*)
+    val assigned = feats
+      .withColumn("cluster", element_at(
+        graft.functions.vector.ivf_probes_int8(
+          col("v"), cents.map(_.toSeq).toSeq, 1), 1).cast("bigint"))
+      .withColumn("cm", element_at(centLit, (col("cluster") + 1).cast("int")))
+      .select(col("doc_id"), col("cluster"),
+        aggregate(zip_with(col("v"), col("cm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("sq_dist"))
+    d.select(col("doc_id"))
+      .join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        coalesce(col("sq_dist"), lit(0L)).as("sq_dist"))
+  }
+
+  val topicClustersSql: String = {
+    def assign(from: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT doc_id, v, cell FROM (
+         |    SELECT t.doc_id, t.v, c.cell,
+         |      row_number() OVER (PARTITION BY t.doc_id ORDER BY
+         |        CAST(list_dot_product(c.m, c.m) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(t.v, c.m) AS BIGINT), c.cell)
+         |        AS rn
+         |    FROM $from t CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    def means(prev: String, from: String, out: String): String =
+      s"""$out AS (
+         |  SELECT s.cell, COALESCE(n.m, s.m) AS m
+         |  FROM $prev s LEFT JOIN (
+         |    SELECT cell, list(mv ORDER BY pos) AS m
+         |    FROM (SELECT cell, pos,
+         |            CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 0) AS BIGINT)
+         |              AS mv
+         |          FROM (SELECT cell, unnest(v) AS x,
+         |                  generate_subscripts(v, 1) AS pos FROM $from)
+         |          GROUP BY cell, pos)
+         |    GROUP BY cell) n ON s.cell = n.cell)""".stripMargin
+    val rounds = (1 to TopicIters).map { r =>
+      val prev = if (r == 1) "seed" else s"m${r - 1}"
+      s"${assign("feats", prev, s"a$r")},\n${means(prev, s"a$r", s"m$r")}"
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text),
+       |      '[^\\p{L}]+'), t -> t <> '')) AS t
+       |  FROM documents),
+       |bc AS (
+       |  SELECT doc_id,
+       |    (ascii(substr(md5(t), 1, 1)) * 131 +
+       |     ascii(substr(md5(t), 2, 1))) % $TopicDims AS b,
+       |    count(*) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT n.doc_id, n.nt, r.i
+       |  FROM (SELECT doc_id, sum(c) AS nt FROM bc GROUP BY 1) n
+       |  CROSS JOIN range($TopicDims) AS r(i)),
+       |feats AS (
+       |  SELECT g.doc_id, list(coalesce(10000 * b.c // g.nt, 0) ORDER BY g.i)
+       |    AS v
+       |  FROM grid g LEFT JOIN bc b ON b.doc_id = g.doc_id AND b.b = g.i
+       |  GROUP BY 1),
+       |seed AS (
+       |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cell, v AS m
+       |  FROM (SELECT doc_id, v FROM feats ORDER BY doc_id LIMIT $TopicK)),
+       |$rounds,
+       |${assign("feats", s"m$TopicIters", "cells")}
+       |SELECT d.doc_id,
+       |  CAST(coalesce(k.cell, -1) AS BIGINT) AS cluster,
+       |  CAST(coalesce(
+       |    CAST(list_dot_product(k.v, k.v) AS BIGINT)
+       |      + CAST(list_dot_product(k.m, k.m) AS BIGINT)
+       |      - 2 * CAST(list_dot_product(k.v, k.m) AS BIGINT), 0) AS BIGINT)
+       |    AS sq_dist
+       |FROM documents d LEFT JOIN (
+       |  SELECT a.doc_id, a.cell, a.v, c.m
+       |  FROM cells a JOIN m$TopicIters c ON a.cell = c.cell) k
+       |  USING (doc_id)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
+    "q_sketch_cms" -> ((s, d) => cmsFreqPanel(docs(s, d))),
     "q_retrieval_join" -> ((s, d) => retrievalJoin(docs(s, d))),
     "q_text_diversity" -> ((s, d) => diversityPanel(docs(s, d))),
     "q_text_trigram_lp" -> ((s, d) => trigramBackoff(docs(s, d))),
@@ -1127,6 +1405,8 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_topics" -> topicClustersSql,
+    "q_sketch_cms" -> cmsFreqPanelSql,
     "q_retrieval_join" -> retrievalJoinSql(),
     "q_text_diversity" -> diversityPanelSql,
     "q_text_trigram_lp" -> trigramBackoffSql,

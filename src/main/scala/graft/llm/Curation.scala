@@ -735,7 +735,58 @@ object Curation {
        |JOIN documents d USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** k-anonymity panel over release quasi-identifiers: treat
+    * (lang, source, log2 length bucket) as the attribute combination an
+    * attacker could join against an external dataset, and report — per
+    * (lang, source) stratum — how many equivalence classes fall below
+    * k=5 members and how many documents sit in them. A document alone
+    * in its class is re-identifiable from the metadata alone; the
+    * panel is the pre-release governance check next to [[piiRedact]]'s
+    * content-level scrub (Sweeney 2002's k-anonymity, applied as a
+    * diagnostic rather than a suppression pass).
+    *
+    * The length bucket uses the highest-set-bit device
+    * (length(bin(n)), as in the HLL rho and the length histogram) so
+    * the class boundaries are integer-exact in both engines.
+    *
+    * Scale: one map-side pass to class keys, one answer-sized
+    * aggregate (classes <= |langs| x |sources| x ~40 buckets), then a
+    * stratum rollup of that answer. Nothing corpus-sized shuffles.
+    */
+  def kAnonymity(d: DataFrame, k: Int = 5): DataFrame = {
+    val bucket = when(col("n_chars") === 0, lit(0L))
+      .otherwise(length(bin(col("n_chars"))).cast("bigint"))
+    val classes = d
+      .groupBy(col("lang"), col("source"), bucket.as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    classes.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n_docs") < k, 1L).otherwise(0L)).as("n_small_classes"),
+      sum("n_docs").as("total_docs"),
+      sum(when(col("n_docs") < k, col("n_docs")).otherwise(0L))
+        .as("n_docs_at_risk"),
+      min("n_docs").as("min_class_size"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH classes AS (
+      |  SELECT lang, source,
+      |    CAST(CASE WHEN n_chars = 0 THEN 0
+      |         ELSE length(bin(n_chars)) END AS BIGINT) AS len_bucket,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT lang, source,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN n_docs < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_small_classes,
+      |  CAST(sum(n_docs) AS BIGINT) AS total_docs,
+      |  CAST(sum(CASE WHEN n_docs < 5 THEN n_docs ELSE 0 END) AS BIGINT)
+      |    AS n_docs_at_risk,
+      |  min(n_docs) AS min_class_size
+      |FROM classes GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_kanon" -> ((s, d) => kAnonymity(docs(s, d))),
     "q_text_fertility" -> ((s, d) =>
       bpeFertility(docs(s, d), trainedMerges(s, d))),
     "q_text_mlm_mask" -> ((s, d) => mlmMask(docs(s, d))),
@@ -750,6 +801,7 @@ object Curation {
     "q_text_repetition" -> ((s, d) => repetition(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_privacy_kanon" -> kAnonymitySql,
     "q_text_fertility" -> bpeFertilitySql,
     "q_text_bpe" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,

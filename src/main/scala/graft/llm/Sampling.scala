@@ -460,7 +460,86 @@ object Sampling {
        |FROM documents d LEFT JOIN scored s USING (doc_id)
        |WHERE d.doc_id % 97 <> 0""".stripMargin
 
+  /** Split-leakage panel: for each duplicate-identity level, how many
+    * duplicate classes span more than one train/val/test split — the
+    * hygiene check run AFTER splitting and BEFORE training, because a
+    * near-duplicate of a test document inside the training set silently
+    * inflates every eval number.
+    *
+    * Two identity levels in one pass:
+    *  - `exact` (md5 of the raw text). [[trainTestSplit]] assigns the
+    *    split from a hash OF THE TEXT, so identical texts land in the
+    *    same split by construction and this row proves it (0 cross-split
+    *    classes) — the reason content-hash splits beat doc-id splits.
+    *  - `canonical` (sorted distinct token set, the
+    *    [[Dedup]] canonical identity): token reorderings hash to
+    *    different raw texts, land in independent splits, and DO leak —
+    *    this row counts the classes and docs at risk.
+    *
+    * Scale: one corpus scan exploded to 2 (level, hash) rows per doc,
+    * one hash-partitioned aggregate (the exact-dedup shuffle shape),
+    * then a 2-row rollup. Nothing vocabulary- or pair-sized.
+    */
+  def splitLeakage(d: DataFrame): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    val split = when(
+      pmod(ascii(substring(h, 1, 1)) + ascii(substring(h, 2, 1)), lit(10)) <= 7,
+      "train")
+      .when(pmod(ascii(substring(h, 1, 1)) + ascii(substring(h, 2, 1)),
+        lit(10)) === 8, "val")
+      .otherwise("test")
+    val canon = md5(array_join(
+      sort_array(array_distinct(TextOps.wsTokens(col("text")))), " ")
+      .cast("binary"))
+    val lv = array(
+      struct(lit("exact").as("level"), h.as("h")),
+      struct(lit("canonical").as("level"), canon.as("h")))
+    val classes = d.select(split.as("split"), explode(lv).as("x"))
+      .groupBy(col("x.level").as("level"), col("x.h").as("h"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct("split").as("n_splits"))
+    classes.groupBy("level").agg(
+      sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_classes"),
+      sum(when(col("n_splits") >= 2, 1L).otherwise(0L))
+        .as("n_cross_split_classes"),
+      sum(when(col("n_splits") >= 2, col("n_docs")).otherwise(0L))
+        .as("n_docs_at_risk"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH base AS (
+      |  SELECT
+      |    CASE
+      |      WHEN (ascii(substr(md5(text), 1, 1)) +
+      |            ascii(substr(md5(text), 2, 1))) % 10 <= 7 THEN 'train'
+      |      WHEN (ascii(substr(md5(text), 1, 1)) +
+      |            ascii(substr(md5(text), 2, 1))) % 10 = 8 THEN 'val'
+      |      ELSE 'test'
+      |    END AS split,
+      |    md5(text) AS h_exact,
+      |    md5(coalesce(array_to_string(list_sort(list_distinct(
+      |      list_filter(regexp_split_to_array(text, '[ \t-\r]+'),
+      |        t -> t <> ''))), ' '), '')) AS h_canon
+      |  FROM documents),
+      |lv AS (
+      |  SELECT split, 'exact' AS level, h_exact AS h FROM base
+      |  UNION ALL
+      |  SELECT split, 'canonical' AS level, h_canon AS h FROM base),
+      |classes AS (
+      |  SELECT level, h, count(*) AS n_docs,
+      |    count(DISTINCT split) AS n_splits
+      |  FROM lv GROUP BY 1, 2)
+      |SELECT level,
+      |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_classes,
+      |  CAST(sum(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cross_split_classes,
+      |  CAST(sum(CASE WHEN n_splits >= 2 THEN n_docs ELSE 0 END) AS BIGINT)
+      |    AS n_docs_at_risk
+      |FROM classes GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> ((s, d) =>
+      splitLeakage(Tables.load(s, d, "documents"))),
     "q_sample_dsir" -> ((s, d) =>
       dsirWeights(Tables.load(s, d, "documents"))),
     "q_sample_curriculum" -> ((s, d) =>
@@ -479,6 +558,7 @@ object Sampling {
       epochUpsample(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_split_leakage" -> splitLeakageSql,
     "q_sample_dsir" -> dsirWeightsSql(),
     "q_sample_curriculum" -> curriculumScheduleSql,
     "q_sample_per_group" -> samplePerGroupSql,

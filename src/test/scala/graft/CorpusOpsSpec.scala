@@ -288,4 +288,66 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.25,
       s"hll $est vs exact $exact")
   }
+
+  // --------------------------------------------------------------- CMS
+
+  test("CMS cell tables are linear: per-source sketches SUM to global") {
+    // linearity is what makes per-shard / per-day sketches combine by
+    // addition without re-scanning — the counterpart of HLL's max-merge
+    val toks = docs.select(col("source"),
+      explode(TextOps.wsTokens(col("text"))).as("t"))
+    def cellMap(df: DataFrame): Map[(Int, Long), Long] =
+      CorpusOps.cmsCells(df.select("t")).collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val global = cellMap(toks)
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0))
+    assert(sources.length >= 2, "fixture should have multiple sources")
+    val summed = sources
+      .map(s => cellMap(toks.filter(col("source") === s)))
+      .flatMap(_.toSeq).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(summed === global)
+  }
+
+  test("CMS panel error is one-sided: estimate >= exact on every probe") {
+    val rows = CorpusOps.cmsFreqPanel(docs).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L,
+        s"${r.getString(0)}: cms ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+  }
+
+  // ------------------------------------------------------------ topics
+
+  test("topicClusters: one row per doc, cluster is the exact argmin") {
+    val feats = CorpusOps.topicFeatures(docs).localCheckpoint()
+    val cents = CorpusOps.topicCentroids(feats)
+    val fmap = feats.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("v").toArray).toMap
+    val out = CorpusOps.topicClusters(docs).collect()
+    assert(out.length.toLong === docs.count())
+    out.foreach { r =>
+      val (id, cl, sd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      fmap.get(id) match {
+        case None => assert(cl === -1L && sd === 0L, s"tokenless doc $id")
+        case Some(v) =>
+          // independent replay: squared distance to EVERY centroid,
+          // argmin with ties to the lower cell id
+          val ds = cents.map(c =>
+            v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+          val (bestD, bestI) = ds.zipWithIndex.min
+          assert(cl === bestI.toLong, s"doc $id assigned $cl, argmin $bestI")
+          assert(sd === bestD, s"doc $id sq_dist")
+      }
+    }
+  }
+
+  test("CMS estimate is exact on a collision-free fixture") {
+    val d = mkDocs(Seq((1L, "alpha alpha alpha beta", "en", "s0")))
+    val rows = CorpusOps.cmsFreqPanel(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(("alpha", 3L, 3L), ("beta", 1L, 1L)))
+  }
 }

@@ -165,4 +165,24 @@ class CurationSpec extends SparkSpec {
     assert(enc.length === 1 && enc(0).getAs[Long]("n_bpe_tokens") === 2L,
       s"two hwair+a words -> 2 tokens, got ${enc.toSeq}")
   }
+
+  test("kAnonymity matches a closed-form fixture and covers all docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (en, s0): 6 docs in length bucket 3 (n_chars 4..7) — safe class;
+    // 2 docs in bucket 4 (8, 9) — small class. (de, s1): a singleton.
+    val d = ((0 until 6).map(i => (i.toLong, "en", "s0", 4L + i % 4)) ++
+      Seq((6L, "en", "s0", 8L), (7L, "en", "s0", 9L),
+        (8L, "de", "s1", 5L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = Curation.kAnonymity(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got(("en", "s0")) === ((2L, 1L, 8L, 2L, 2L)))
+    assert(got(("de", "s1")) === ((1L, 1L, 1L, 1L, 1L)))
+    // every document lands in exactly one stratum row
+    val out = Curation.kAnonymity(docs)
+    assert(out.agg(sum("total_docs")).head().getLong(0) === docs.count())
+  }
 }

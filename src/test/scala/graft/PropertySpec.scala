@@ -394,4 +394,40 @@ class PropertySpec extends SparkSpec {
     assert(out.exceptAll(alt).count() === 0L &&
       alt.exceptAll(out).count() === 0L)
   }
+
+  test("splitLeakage: exact leakage is 0 by construction, canonical leaks") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 canonical-dup pairs ("wA wB" vs "wB wA" — same sorted distinct
+    // token set, different raw text) plus 3 copies of one exact dup.
+    // The split is a hash OF THE TEXT, so the exact-dup class can never
+    // cross splits; each reordered pair draws two independent splits.
+    val words = (0 until 80).map(i => s"w${i}x")
+    val pairs = (0 until 40).flatMap { i =>
+      val (a, b) = (words(2 * i), words(2 * i + 1))
+      Seq((2L * i, s"$a $b", "en", "s0"), (2L * i + 1, s"$b $a", "en", "s0"))
+    }
+    val exactDups = (100 until 103).map(i =>
+      (i.toLong, "same same text", "en", "s0"))
+    val d = (pairs ++ exactDups).toDF("doc_id", "text", "lang", "source")
+    val got = graft.llm.Sampling.splitLeakage(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // exact level: one dup class (the 3 copies), zero cross-split
+    assert(got("exact") === ((1L, 0L, 0L)))
+    // canonical level: 40 reordered pairs + the exact-dup class; at
+    // least one pair must land in different splits (the fixture is
+    // deterministic — this pins the leak the panel exists to catch),
+    // and every cross-split class puts BOTH its docs at risk
+    val (canonClasses, canonCross, canonAtRisk) = got("canonical")
+    assert(canonClasses === 41L)
+    assert(canonCross >= 1L && canonCross <= 40L)
+    assert(canonAtRisk === 2L * canonCross)
+    // partition invariance: pure function of content
+    val alt = graft.llm.Sampling.splitLeakage(d.repartition(7)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(alt === got)
+  }
 }
