@@ -1128,6 +1128,19 @@ object CorpusOps {
   private def cmsBucket(j: Int, t: Column): Column =
     pmod(graft.ops.Hll.h60(concat(lit(s"cms$j:"), t)), lit(CmsWidth))
 
+  /** JVM-side mirror of [[cmsBucket]] — byte-identical arithmetic
+    * (md5 of "cms<j>:<token>" UTF-8, first 15 hex chars as a 60-bit
+    * long, mod width), used by the streaming state operator
+    * ([[graft.streaming.DocStreams.cmsWatch]]) whose per-key state is
+    * the cell array itself, and by its spec to place watch terms.
+    */
+  private[graft] def cmsBucketScala(j: Int, t: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"cms$j:$t".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % CmsWidth).toInt
+  }
+
   /** The CMS cell table for a token stream: (j, bucket) -> count,
     * at most depth x width rows. Exposed for the mergeability spec
     * (per-source cell tables SUM to the one-pass global table —

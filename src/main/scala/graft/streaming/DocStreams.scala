@@ -205,6 +205,57 @@ object DocStreams {
       .toDF("source", "hll_docs", "s")
   }
 
+  /** Streaming Count-Min Sketch with a term watchlist: the online face
+    * of [[graft.llm.CorpusOps.cmsFreqPanel]]. Per-source state is the
+    * flat depth x width cell array (32 KB — constant in corpus size,
+    * the same bounded-state story as [[hllBySource]]'s 1 KB register
+    * array); every micro-batch folds its tokens in by simple addition
+    * (CMS is linear, so arrival order and batching cannot change the
+    * final state) and re-prices the watchlist: one
+    * (source, term, n_cms) row per watch term per refresh.
+    *
+    * This is the "price any ad-hoc term without re-scanning" serving
+    * shape: the ingest pipeline keeps the sketch warm at the door, and
+    * a dashboard reads current frequency estimates for its watch terms
+    * from the latest emission — no corpus scan, no vocabulary state.
+    * Estimates carry the CMS one-sided error (never undercount).
+    */
+  def cmsWatch(docsStream: DataFrame, watch: Seq[String]): DataFrame = {
+    import graft.llm.{CorpusOps, TextOps}
+    import CorpusOps.{CmsDepth, CmsWidth}
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // (term -> bucket per row) for the driver-sized watchlist, computed
+    // once with the byte-identical JVM mirror of the cell hash
+    val probes: Map[String, Array[Int]] = watch.map(t =>
+      t -> Array.tabulate(CmsDepth)(j => CorpusOps.cmsBucketScala(j, t))).toMap
+    val perTok = array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"),
+        pmod(graft.ops.Hll.h60(concat(lit(s"cms$j:"), col("t"))),
+          lit(CmsWidth)).cast("int").as("bucket"))): _*)
+    docsStream
+      .select(col("source"), explode(TextOps.wsTokens(col("text"))).as("t"))
+      .select(col("source"), explode(perTok).as("cell"))
+      .select(col("source"), col("cell.j"), col("cell.bucket"))
+      .as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source, rows, state) =>
+          val cells = state.getOption
+            .getOrElse(new Array[Long](CmsDepth * CmsWidth))
+          rows.foreach { case (_, j, b) => cells(j * CmsWidth + b) += 1L }
+          state.update(cells)
+          watch.iterator.map { t =>
+            val est = probes(t).zipWithIndex
+              .map { case (b, j) => cells(j * CmsWidth + b) }.min
+            (source, t, est)
+          }
+      }
+      .toDF("source", "t", "n_cms")
+  }
+
   /** Streaming exact dedup-on-arrival: the continuous-ingestion mirror
     * of [[graft.llm.Dedup.exact]]'s keep-one-survivor rule. Keyed by
     * the 16-byte content hash; per-key state is one boolean, so a

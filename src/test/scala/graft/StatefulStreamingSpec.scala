@@ -427,6 +427,48 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming CMS watchlist: final estimates == batch cell minima") {
+    import org.apache.spark.sql.functions.{col, desc, explode}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.llm.{CorpusOps, TextOps}
+    val d = Files.createTempDirectory("graft-docs-cms")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val toks = batchDocs.select(col("source"),
+      explode(TextOps.wsTokens(col("text"))).as("t"))
+    // watch the two most frequent corpus terms plus one absent term
+    val watch = toks.groupBy("t").count()
+      .orderBy(desc("count"), col("t")).limit(2)
+      .collect().map(_.getString(0)).toSeq :+ "zzz-not-in-the-corpus"
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.cmsWatch(stream, watch)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cms_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch replay: per-source cell table, watch estimates = min over rows
+    val sources = batchDocs.select("source").distinct()
+      .collect().map(_.getString(0))
+    val want = sources.flatMap { src =>
+      val cells = CorpusOps.cmsCells(
+        toks.filter(col("source") === src).select("t")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      watch.map { t =>
+        (src, t) -> (0 until CorpusOps.CmsDepth).map(j =>
+          cells.getOrElse((j, CorpusOps.cmsBucketScala(j, t).toLong), 0L)).min
+      }
+    }.toMap
+    assert(got === want)
+    // the heavy watch terms must register somewhere; estimates are
+    // one-sided so a present term can never price at zero everywhere
+    assert(watch.take(2).exists(t =>
+      sources.exists(s => got((s, t)) > 0L)))
+    q.stop()
+  }
+
   test("streaming dedup-on-arrival: replay == batch; later dups suppressed") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
