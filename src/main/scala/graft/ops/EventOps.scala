@@ -780,7 +780,96 @@ object EventOps {
       |    AS cum_revenue_cents
       |FROM byage""".stripMargin
 
+  /** Integer EWMA spike monitor: per user, exponentially-weighted
+    * moving average of DAILY purchase cents (alpha = 1/8 spelled as
+    * s' = (7*s + x) div 8 — pure integer recurrence, so both engines
+    * replay it bit-for-bit; all terms are non-negative so floor and
+    * truncation coincide) over the dense day grid (quiet days count
+    * as 0 — a burst after silence must raise the alarm), counting
+    * days where the day's spend exceeds 4x the running average — the
+    * classic smoothed-baseline spike rule, the per-entity sibling of
+    * [[anomalyWindows]]'s population z-score.
+    *
+    * Scale: daily rollup + grid are the [[gapFill]] shape (one user_id
+    * shuffle); the recurrence is inherently sequential PER USER, so it
+    * runs as a fold over each user's packed day series — bounded by
+    * the TIME SPAN (days), not by event volume, which is exactly the
+    * state a streaming monitor would carry. No window over anything
+    * larger than one user's days; nothing global.
+    *
+    * The DuckDB oracle replays the recurrence as a recursive CTE
+    * joining step i to i+1 — depth = the longest user's day span.
+    */
+  def ewmaDaily(e: DataFrame): DataFrame = {
+    val daily = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("d"))
+    val series = grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"), coalesce(col("cents"), lit(0L)).as("x"))
+    // sort_array orders the (d, x) structs by day; the fold carries
+    // (s = running average, spikes). s = -1 marks "before first day"
+    // (spend cents are never negative, so the sentinel is unambiguous)
+    series.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
+      .select(col("user_id"),
+        size(col("xs")).cast("bigint").as("n_days"),
+        aggregate(col("xs"),
+          struct(lit(-1L).as("s"), lit(0L).as("spikes")),
+          (acc, el) => {
+            val x = el.getField("x")
+            val sPrev = acc.getField("s")
+            val first = sPrev === lit(-1L)
+            val spike = when(!first && x > sPrev * 4, lit(1L))
+              .otherwise(lit(0L))
+            val sNew = when(first, x)
+              // integer div on non-negative longs: floor(double) is
+              // exact (numerators < 2^53) and equals DuckDB's `//`
+              .otherwise(floor((sPrev * 7 + x).cast("double") / 8)
+                .cast("long"))
+            struct(sNew.as("s"),
+              (acc.getField("spikes") + spike).as("spikes"))
+          }).as("st"))
+      .select(col("user_id"), col("n_days"),
+        col("st.s").as("ewma_cents"), col("st.spikes").as("n_spikes"))
+  }
+
+  val ewmaDailySql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d,
+      |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      |  FROM (SELECT user_id, min(d) AS d0, max(d) AS d1
+      |        FROM daily GROUP BY 1)),
+      |series AS (
+      |  SELECT g.user_id, coalesce(dd.cents, 0) AS x,
+      |    row_number() OVER (PARTITION BY g.user_id ORDER BY g.d) AS i
+      |  FROM grid g LEFT JOIN daily dd
+      |    ON g.user_id = dd.user_id AND g.d = dd.d),
+      |r AS (
+      |  SELECT user_id, i, x AS s, CAST(0 AS BIGINT) AS spikes
+      |  FROM series WHERE i = 1
+      |  UNION ALL
+      |  SELECT s2.user_id, s2.i, (r.s * 7 + s2.x) // 8 AS s,
+      |    r.spikes + CASE WHEN s2.x > 4 * r.s THEN 1 ELSE 0 END AS spikes
+      |  FROM r JOIN series s2
+      |    ON s2.user_id = r.user_id AND s2.i = r.i + 1)
+      |SELECT user_id, CAST(n_days AS BIGINT) AS n_days, s AS ewma_cents,
+      |  CAST(spikes AS BIGINT) AS n_spikes
+      |FROM (SELECT user_id, i AS n_days, s, spikes,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY i DESC) AS rn
+      |      FROM r)
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ewma" -> ((s, d) => ewmaDaily(events(s, d))),
     "q_events_ltv" -> ((s, d) => cohortLtv(events(s, d))),
     "q_events_attribution" -> ((s, d) => attribution(events(s, d))),
     "q_events_feature_at" -> ((s, d) => featuresAtPurchase(events(s, d))),
@@ -806,6 +895,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_ewma" -> ewmaDailySql,
     "q_events_ltv" -> cohortLtvSql,
     "q_events_attribution" -> attributionSql,
     "q_events_feature_at" -> featuresAtPurchaseSql,

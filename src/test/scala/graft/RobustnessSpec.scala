@@ -248,6 +248,34 @@ class RobustnessSpec extends SparkSpec {
     assert(total === 1800L, "linear credits must sum to total conversions")
   }
 
+  test("ewmaDaily matches a hand-computed integer recurrence") {
+    import java.time.LocalDateTime
+    def day(d: Int, h: Int = 12) = LocalDateTime.of(2026, 1, d, h, 0)
+    val ev = Seq(
+      // user 1: day1 = 800c, day2 quiet (0), day3 = 100c + 60c,
+      // day4 = 6000c (spike: 6000 > 4 * s3)
+      (1L, day(1), 1L, "purchase", 8.0),
+      (2L, day(3), 1L, "purchase", 1.0),
+      (3L, day(3, 18), 1L, "purchase", 0.6),
+      (4L, day(4), 1L, "purchase", 60.0),
+      // noise the filter must drop
+      (5L, day(2), 1L, "click", 99.0),
+      // user 2: a single purchase day — no spikes possible
+      (6L, day(5), 2L, "purchase", 2.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.ewmaDaily(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // user 1 by hand: s1 = 800; s2 = (7*800+0)/8 = 700;
+    // s3 = (7*700+160)/8 = floor(5060/8) = 632;
+    // day4: 6000 > 4*632 = 2528 -> spike;
+    // s4 = (7*632+6000)/8 = 10424/8 = 1303
+    assert(got(1L) === ((4L, 1303L, 1L)))
+    assert(got(2L) === ((1L, 250L, 0L)))
+  }
+
   test("pq survives duplicate and degenerate vectors") {
     // 20 identical vectors + 20 distinct: seeds collapse to few
     // distinct centroids, most cells go empty and must keep their
