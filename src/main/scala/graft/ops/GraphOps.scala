@@ -234,7 +234,13 @@ object GraphOps {
     * by order size squared, and orders are small; a pathological
     * giant order is the same hot-key salting case as any self-join.
     */
-  def coOccurrenceEdges(lineitem: DataFrame, minW: Int = 2): DataFrame = {
+  def coOccurrenceEdges(lineitem: DataFrame, minW: Int = 2): DataFrame =
+    coOccurrenceWeighted(lineitem, minW).select("u", "v")
+
+  /** [[coOccurrenceEdges]] keeping the co-occurrence count as the edge
+    * weight — the form community detection votes with.
+    */
+  def coOccurrenceWeighted(lineitem: DataFrame, minW: Int = 2): DataFrame = {
     val li = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -243,7 +249,93 @@ object GraphOps {
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minW)
-      .select("u", "v")
+      .select("u", "v", "w")
+  }
+
+  /** Weighted label propagation (Raghavan et al. 2007) over an
+    * undirected weighted edge list: every node starts as its own
+    * label; each synchronous round it adopts the label with the
+    * highest incident weight among its neighbors (ties to the lowest
+    * label id — the determinism LPA's usual random tie-break gives
+    * up, and what makes the op oracle-checkable). Fixed `iters`
+    * rounds, like the scaled PageRank: a convergence stop would be
+    * data-dependent; a fixed horizon unrolls into plain CTEs.
+    *
+    * Where [[graft.llm.Dedup.dupClusters]]' min-label propagation
+    * finds CONNECTED COMPONENTS (any path merges), weighted majority
+    * finds DENSE groups — two weakly-bridged cliques keep separate
+    * labels here but are one component there.
+    *
+    * Scale: per round, one co-partitioned join of the symmetric edge
+    * list against the node-sized label table (both hash-partitioned
+    * on node keys) and one (node, label)-keyed vote aggregate bounded
+    * by 2|E| rows; the winner pick is a node-partitioned window. The
+    * label table is localCheckpoint-ed per round (pageRank's lineage
+    * discipline). Nothing global, nothing collected.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.localCheckpoint()
+    val sym = e.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    // only label tables the loop itself checkpointed may be freed —
+    // the round-0 table's PLAN references sym's checkpoint blocks, so
+    // freeing it would tear sym out from under every later round
+    var freeable: Option[DataFrame] = None
+    for (_ <- 0 until iters) {
+      val votes = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum("w").as("wv"))
+      val win = Window.partitionBy("node")
+        .orderBy(col("wv").desc, col("label").asc)
+      labels = votes.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1).select("node", "label")
+        .localCheckpoint() // eager — safe to drop the previous round
+      freeable.foreach(freeCheckpoint)
+      freeable = Some(labels)
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label")
+      .select(col("node").as("part_key"), col("label").as("community"),
+        col("n_members"))
+  }
+
+  val labelPropagationSql: String = {
+    val iters = 3
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""v$r AS (
+         |  SELECT s.dst AS node, l.label, sum(s.w) AS wv
+         |  FROM sym s JOIN $prev l ON s.src = l.node
+         |  GROUP BY 1, 2),
+         |l$r AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (PARTITION BY node
+         |      ORDER BY wv DESC, label) AS rn
+         |    FROM v$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edges AS (
+       |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (
+       |  SELECT u AS src, v AS dst, w FROM edges
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst, w FROM edges),
+       |l0 AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM sym),
+       |$rounds
+       |SELECT l.node AS part_key, CAST(l.label AS BIGINT) AS community,
+       |  c.n_members
+       |FROM l$iters l JOIN (
+       |  SELECT label, count(*) AS n_members FROM l$iters GROUP BY 1) c
+       |  ON l.label = c.label""".stripMargin
   }
 
   /** Distributed triangle counting (node clustering structure — the
@@ -328,6 +420,8 @@ object GraphOps {
       |JOIN deg d ON p.node = d.node""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_communities" -> ((s, d) =>
+      labelPropagation(coOccurrenceWeighted(Tables.load(s, d, "lineitem")))),
     "q_graph_triangles" -> ((s, d) =>
       triangleCounts(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
     "q_graph_pagerank" -> ((s, d) =>
@@ -338,6 +432,7 @@ object GraphOps {
     * production default) keeps its GraphSpec ground truth.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_graph_communities" -> labelPropagationSql,
     "q_graph_triangles" -> triangleCountsSql,
     "q_graph_pagerank" -> pageRankScaledSql())
 }

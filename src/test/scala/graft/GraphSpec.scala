@@ -108,4 +108,27 @@ class GraphSpec extends SparkSpec {
     assert(totalW === nEvents - nUsers,
       "every user contributes (events-1) transitions")
   }
+
+  test("labelPropagation separates two cliques a weak bridge connects") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two 5-cliques (heavy internal weight) joined by ONE weight-1
+    // bridge: connected components would merge them into one label;
+    // weighted majority must keep two communities of 5
+    def clique(ids: Seq[Long], w: Long) =
+      for (i <- ids; j <- ids if i < j) yield (i, j, w)
+    val edges = (clique(1L to 5L, 10L) ++ clique(11L to 15L, 10L) ++
+      Seq((5L, 11L, 1L))).toDF("u", "v", "w")
+    val got = GraphOps.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val commA = (1L to 5L).map(got).toSet
+    val commB = (11L to 15L).map(got).toSet
+    assert(commA.size === 1, s"clique A split: $commA")
+    assert(commB.size === 1, s"clique B split: $commB")
+    assert(commA != commB, "weak bridge merged the cliques")
+    // partition invariance: deterministic tie-break, pure of layout
+    val alt = GraphOps.labelPropagation(edges.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt === got)
+  }
 }
