@@ -1220,6 +1220,106 @@ object CorpusOps {
   }
 
   // --------------------------------------------------------------------
+  // Histogram quantile sketch: mergeable medians.
+  // --------------------------------------------------------------------
+
+  /** Mergeable quantile sketch panel: per-source medians of document
+    * length from a log2-bucket HISTOGRAM (the sketch — ~40 counters
+    * per source, mergeable by ADDITION like the CMS, so per-shard /
+    * per-day histograms roll up without re-reading anything), next to
+    * the exact median as ground truth. The `__all__` row is derived
+    * purely by summing the per-source histograms — never re-scanning —
+    * the same mergeability demonstration as [[hllMergeBySource]].
+    *
+    * The sketch's answer is the BUCKET holding the median (lower
+    * median, rank (n+1) div 2): [bucket_lo, bucket_hi] brackets the
+    * true value with relative error <= 2x by construction — the spec
+    * asserts exact_p50 lands inside on every row. An exact distributed
+    * median needs a per-group sort (fine at panel scale, the ground
+    * truth here; [[graft.ops.Relational]]'s exact-quantile op is that
+    * path) — at 100 TB the histogram is the shape that survives: one
+    * map-side pass, answer-sized state, closed under merge.
+    */
+  def quantileSketch(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = d.select(col("source"),
+      when(col("n_chars") === 0, lit(0L))
+        .otherwise(length(bin(col("n_chars"))).cast("bigint")).as("b"),
+      col("n_chars"))
+    val hist = bucketed.groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the per-source panel AND the merge
+    val all = hist.groupBy("b").agg(sum("c").as("c"))
+      .select(lit("__all__").as("source"), col("b"), col("c"))
+    val wc = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("source")
+    val cum = hist.unionByName(all)
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("n_docs", sum("c").over(wn))
+    val picked = cum.filter(col("cum") >= expr("(n_docs + 1) DIV 2"))
+      .groupBy("source", "n_docs").agg(min("b").as("p50_bucket"))
+    val vals = d.select(col("source"), col("n_chars"))
+      .unionByName(d.select(lit("__all__").as("source"), col("n_chars")))
+    val wv = Window.partitionBy("source").orderBy("n_chars")
+    val exact = vals
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("source"), col("n_chars").as("exact_p50"))
+    picked.join(exact, Seq("source"))
+      .select(col("source"), col("n_docs"), col("p50_bucket"),
+        when(col("p50_bucket") === 0, lit(0L))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(p50_bucket - 1 AS INT))"))
+          .as("bucket_lo"),
+        when(col("p50_bucket") === 0, lit(0L))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(p50_bucket AS INT))") - 1)
+          .as("bucket_hi"),
+        col("exact_p50"))
+  }
+
+  val quantileSketchSql: String =
+    """WITH bucketed AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN n_chars = 0 THEN 0
+      |         ELSE length(bin(n_chars)) END AS BIGINT) AS b,
+      |    n_chars
+      |  FROM documents),
+      |hist AS (
+      |  SELECT source, b, count(*) AS c FROM bucketed GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT '__all__' AS source, b, count(*) AS c FROM bucketed
+      |  GROUP BY 2),
+      |cum AS (
+      |  SELECT source, b, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n_docs
+      |  FROM hist),
+      |picked AS (
+      |  SELECT source, n_docs, min(b) AS p50_bucket
+      |  FROM cum WHERE cum >= (n_docs + 1) // 2 GROUP BY 1, 2),
+      |vals AS (
+      |  SELECT source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT '__all__' AS source, n_chars FROM documents),
+      |ex AS (
+      |  SELECT source, n_chars AS exact_p50 FROM (
+      |    SELECT source, n_chars,
+      |      row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |      count(*) OVER (PARTITION BY source) AS n
+      |    FROM vals)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs, p.p50_bucket,
+      |  CAST(CASE WHEN p.p50_bucket = 0 THEN 0
+      |       ELSE 1::BIGINT << (p.p50_bucket - 1) END AS BIGINT) AS bucket_lo,
+      |  CAST(CASE WHEN p.p50_bucket = 0 THEN 0
+      |       ELSE (1::BIGINT << p.p50_bucket) - 1 END AS BIGINT) AS bucket_hi,
+      |  ex.exact_p50
+      |FROM picked p JOIN ex ON p.source = ex.source""".stripMargin
+
+  // --------------------------------------------------------------------
   // Topic clustering: KMeans over hashed term-frequency vectors.
   // --------------------------------------------------------------------
 
@@ -1398,6 +1498,7 @@ object CorpusOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
     "q_sketch_cms" -> ((s, d) => cmsFreqPanel(docs(s, d))),
     "q_retrieval_join" -> ((s, d) => retrievalJoin(docs(s, d))),
@@ -1418,6 +1519,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,
     "q_sketch_cms" -> cmsFreqPanelSql,
     "q_retrieval_join" -> retrievalJoinSql(),

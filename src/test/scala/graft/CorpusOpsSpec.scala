@@ -319,6 +319,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileSketch bucket brackets the exact median on every row") {
+    val rows = CorpusOps.quantileSketch(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, p50) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p50 >= lo && p50 <= hi,
+        s"${r.getString(0)}: exact $p50 outside sketch bucket [$lo, $hi]")
+    }
+    // the merged row covers the whole corpus without a re-scan
+    val all = rows.find(_.getString(0) == "__all__").get
+    assert(all.getLong(1) === docs.count())
+  }
+
   // ------------------------------------------------------------ topics
 
   test("topicClusters: one row per doc, cluster is the exact argmin") {
