@@ -1063,6 +1063,114 @@ object CorpusOps {
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
 
+  /** Reciprocal-rank-fusion hybrid retrieval (Cormack et al. 2009):
+    * fuse two rankers' top-k lists per query into one result by
+    * summing 1e6 div (60 + rank) per appearance — scaled-integer RRF,
+    * so the fusion is bit-exact in both engines. Ranker A is the BM25
+    * batch search ([[retrievalJoin]]); ranker B re-ranks the SAME
+    * rare-term candidate set by coarse shared-term count with a
+    * shorter-document preference — the precision-leaning counterpart
+    * to BM25's tf/length calibration. A candidate found by both
+    * rankers compounds; rank ties break by c_id everywhere.
+    *
+    * Both rankers keep the posting-list join bounded by the 5
+    * RAREST query terms (corpus-df-ranked — the discipline that keeps
+    * a stop word from exploding the candidate join at 100 TB); the
+    * fusion itself is answer-sized (<= 2k rows per query).
+    */
+  def retrievalRrf(
+      d: DataFrame, qTerms: Int = 5, topK: Int = 5,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isQuery = col("doc_id") % 97 === 0
+    val toks = TextOps.letterTokens(col("text"))
+    val bm25 = retrievalJoin(d, qTerms = qTerms, topK = topK)
+      .select(col("q_id"), col("c_id"), col("rank"))
+    val corpus = d.filter(!isQuery)
+    val cTerms = corpus
+      .select(col("doc_id").as("c_id"), explode(array_distinct(toks))
+        .as("term"))
+    val dfreq = cTerms.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val qw = Window.partitionBy("q_id").orderBy(col("dfreq"), col("term"))
+    val qRare = d.filter(isQuery)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(toks)).as("term"))
+      .join(dfreq, "term")
+      .withColumn("tr", row_number().over(qw))
+      .filter(col("tr") <= qTerms)
+      .select("q_id", "term")
+    val dlens = corpus.select(col("doc_id").as("c_id"),
+      size(toks).cast("bigint").as("dl"))
+    val wOv = Window.partitionBy("q_id")
+      .orderBy(col("ov").desc, col("dl").asc, col("c_id"))
+    val overlap = qRare.join(cTerms, "term")
+      .groupBy("q_id", "c_id").agg(count(lit(1)).as("ov"))
+      .join(dlens, "c_id")
+      .withColumn("rank", row_number().over(wOv).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select("q_id", "c_id", "rank")
+    val wR = Window.partitionBy("q_id")
+      .orderBy(col("rrf_x1e6").desc, col("c_id"))
+    bm25.unionByName(overlap)
+      .select(col("q_id"), col("c_id"),
+        expr(s"CAST(1000000 DIV ($rrfK + rank) AS BIGINT)").as("pts"))
+      .groupBy("q_id", "c_id")
+      .agg(sum("pts").as("rrf_x1e6"), count(lit(1)).as("n_rankers"))
+      .withColumn("rank", row_number().over(wR).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select("q_id", "c_id", "rank", "rrf_x1e6", "n_rankers")
+  }
+
+  def retrievalRrfSql(
+      qTerms: Int = 5, topK: Int = 5, rrfK: Int = 60): String =
+    s"""WITH bm25 AS (
+       |${retrievalJoinSql(qTerms = qTerms, topK = topK)}
+       |),
+       |toks2 AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+       |      t -> t <> '') AS tk
+       |  FROM documents),
+       |cterms2 AS (
+       |  SELECT DISTINCT doc_id AS c_id, unnest(tk) AS term FROM toks2
+       |  WHERE doc_id % 97 <> 0),
+       |dfreq2 AS (SELECT term, count(*) AS dfreq FROM cterms2 GROUP BY 1),
+       |dl2 AS (SELECT doc_id AS c_id, CAST(len(tk) AS BIGINT) AS dl
+       |  FROM toks2 WHERE doc_id % 97 <> 0),
+       |qrare AS (
+       |  SELECT q_id, term FROM (
+       |    SELECT q.q_id, q.term,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY f.dfreq, q.term) AS tr
+       |    FROM (SELECT doc_id AS q_id, unnest(list_distinct(tk)) AS term
+       |          FROM toks2 WHERE doc_id % 97 = 0) q
+       |    JOIN dfreq2 f ON q.term = f.term)
+       |  WHERE tr <= $qTerms),
+       |ovr AS (
+       |  SELECT q_id, c_id, rank FROM (
+       |    SELECT o.q_id, o.c_id,
+       |      CAST(row_number() OVER (PARTITION BY o.q_id
+       |        ORDER BY o.ov DESC, d.dl, o.c_id) AS BIGINT) AS rank
+       |    FROM (SELECT qr.q_id, c.c_id, count(*) AS ov
+       |          FROM qrare qr JOIN cterms2 c ON qr.term = c.term
+       |          GROUP BY 1, 2) o
+       |    JOIN dl2 d ON o.c_id = d.c_id)
+       |  WHERE rank <= $topK),
+       |contrib AS (
+       |  SELECT q_id, c_id, 1000000 // ($rrfK + rank) AS pts FROM bm25
+       |  UNION ALL
+       |  SELECT q_id, c_id, 1000000 // ($rrfK + rank) AS pts FROM ovr),
+       |fused AS (
+       |  SELECT q_id, c_id, CAST(sum(pts) AS BIGINT) AS rrf_x1e6,
+       |    count(*) AS n_rankers
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT q_id, c_id, rank, rrf_x1e6, n_rankers
+       |FROM (SELECT q_id, c_id, rrf_x1e6, n_rankers,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY rrf_x1e6 DESC, c_id) AS BIGINT) AS rank
+       |      FROM fused)
+       |WHERE rank <= $topK""".stripMargin
+
   /** N-gram diversity panel: total vs distinct n-gram counts for
     * n = 1..4 — the memorization/diversity diagnostic (a corpus whose
     * distinct-4-gram ratio is low is template- or duplicate-heavy and
@@ -1498,6 +1606,7 @@ object CorpusOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retrieval_rrf" -> ((s, d) => retrievalRrf(docs(s, d))),
     "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
     "q_sketch_cms" -> ((s, d) => cmsFreqPanel(docs(s, d))),
@@ -1519,6 +1628,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_retrieval_rrf" -> retrievalRrfSql(),
     "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,
     "q_sketch_cms" -> cmsFreqPanelSql,

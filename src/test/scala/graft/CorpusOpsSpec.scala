@@ -332,6 +332,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(all.getLong(1) === docs.count())
   }
 
+  test("retrievalRrf: consecutive ranks, monotone scores, bounded points") {
+    val rows = CorpusOps.retrievalRrf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val lo = 1000000L / 65 // worst single-ranker appearance (rank 5)
+    val hi = 2 * (1000000L / 61) // both rankers at rank 1
+    rows.foreach { case (_, _, _, rrf, nr) =>
+      assert(nr === 1L || nr === 2L)
+      assert(rrf >= lo && rrf <= hi, s"rrf $rrf outside [$lo, $hi]")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3) === (1L to byRank.length).toSeq,
+        s"query $q ranks not consecutive")
+      val scores = byRank.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q fusion score not monotone in rank")
+    }
+  }
+
   // ------------------------------------------------------------ topics
 
   test("topicClusters: one row per doc, cluster is the exact argmin") {
