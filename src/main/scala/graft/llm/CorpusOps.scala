@@ -1540,6 +1540,31 @@ object CorpusOps {
         coalesce(col("sq_dist"), lit(0L)).as("sq_dist"))
   }
 
+  /** The hashed-TF feature CTEs (toks/bc/grid/feats), shared by the
+    * topic-clustering and k-center oracles.
+    */
+  private val topicFeatsCtesSql: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text),
+       |      '[^\\p{L}]+'), t -> t <> '')) AS t
+       |  FROM documents),
+       |bc AS (
+       |  SELECT doc_id,
+       |    (ascii(substr(md5(t), 1, 1)) * 131 +
+       |     ascii(substr(md5(t), 2, 1))) % $TopicDims AS b,
+       |    count(*) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT n.doc_id, n.nt, r.i
+       |  FROM (SELECT doc_id, sum(c) AS nt FROM bc GROUP BY 1) n
+       |  CROSS JOIN range($TopicDims) AS r(i)),
+       |feats AS (
+       |  SELECT g.doc_id, list(coalesce(10000 * b.c // g.nt, 0) ORDER BY g.i)
+       |    AS v
+       |  FROM grid g LEFT JOIN bc b ON b.doc_id = g.doc_id AND b.b = g.i
+       |  GROUP BY 1)""".stripMargin
+
   val topicClustersSql: String = {
     def assign(from: String, cents: String, out: String): String =
       s"""$out AS (
@@ -1567,26 +1592,7 @@ object CorpusOps {
       val prev = if (r == 1) "seed" else s"m${r - 1}"
       s"${assign("feats", prev, s"a$r")},\n${means(prev, s"a$r", s"m$r")}"
     }.mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    unnest(list_filter(regexp_split_to_array(lower(text),
-       |      '[^\\p{L}]+'), t -> t <> '')) AS t
-       |  FROM documents),
-       |bc AS (
-       |  SELECT doc_id,
-       |    (ascii(substr(md5(t), 1, 1)) * 131 +
-       |     ascii(substr(md5(t), 2, 1))) % $TopicDims AS b,
-       |    count(*) AS c
-       |  FROM toks GROUP BY 1, 2),
-       |grid AS (
-       |  SELECT n.doc_id, n.nt, r.i
-       |  FROM (SELECT doc_id, sum(c) AS nt FROM bc GROUP BY 1) n
-       |  CROSS JOIN range($TopicDims) AS r(i)),
-       |feats AS (
-       |  SELECT g.doc_id, list(coalesce(10000 * b.c // g.nt, 0) ORDER BY g.i)
-       |    AS v
-       |  FROM grid g LEFT JOIN bc b ON b.doc_id = g.doc_id AND b.b = g.i
-       |  GROUP BY 1),
+    s"""WITH $topicFeatsCtesSql,
        |seed AS (
        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cell, v AS m
        |  FROM (SELECT doc_id, v FROM feats ORDER BY doc_id LIMIT $TopicK)),
@@ -1605,7 +1611,78 @@ object CorpusOps {
        |  USING (doc_id)""".stripMargin
   }
 
+  /** Greedy k-center diversity sampling (Gonzalez 1985 farthest-point
+    * traversal — the coreset-selection recipe): pick `k` documents
+    * that maximize the minimum pairwise topic distance, by repeatedly
+    * taking the doc FARTHEST from everything chosen so far (exact
+    * integer squared distance over the [[topicFeatures]] vectors,
+    * ties to the lower doc_id; seed = lowest doc_id). The selection a
+    * curation pipeline uses to build a small maximally-diverse eval
+    * or annotation set from a corpus one template dominates —
+    * the greedy picks are a 2-approximation of the optimal k-center
+    * cover.
+    *
+    * Scale: k-1 rounds, each ONE map-only pass over the doc-sized
+    * feature table (min-distance to a k-sized literal center list)
+    * plus a top-1 TakeOrdered — no shuffle larger than one row;
+    * driver state is the k x dims center list (codebook discipline).
+    * The oracle unrolls the identical rounds as CTEs.
+    */
+  def kCenterSample(d: DataFrame, k: Int = 5): DataFrame = {
+    val spark = d.sparkSession
+    val feats = topicFeatures(d).localCheckpoint()
+    def distTo(c: Array[Long]): Column = {
+      val cl = array(c.map(x => lit(x)): _*)
+      aggregate(zip_with(col("v"), cl, (a, b) => (a - b) * (a - b)),
+        lit(0L), (s, x) => s + x)
+    }
+    val seed = feats.orderBy("doc_id").limit(1).collect()(0)
+    var cents = List(seed.getAs[scala.collection.Seq[Long]]("v").toArray)
+    var chosen = List((1L, seed.getLong(0), 0L))
+    for (r <- 2 to k) {
+      val dmin = cents.map(distTo).reduce(least(_, _))
+      val picked = feats
+        .filter(!col("doc_id").isin(chosen.map(_._2): _*))
+        .select(col("doc_id"), col("v"), dmin.as("dm"))
+        .orderBy(col("dm").desc, col("doc_id")).limit(1).collect()(0)
+      cents :+= picked.getAs[scala.collection.Seq[Long]]("v").toArray
+      chosen :+= ((r.toLong, picked.getLong(0), picked.getLong(2)))
+    }
+    import spark.implicits._
+    chosen.toDF("sel", "doc_id", "gain")
+  }
+
+  def kCenterSampleSql(k: Int = 5): String = {
+    val dist = "CAST(list_dot_product(f.v, f.v) AS BIGINT)" +
+      " + CAST(list_dot_product(c.v, c.v) AS BIGINT)" +
+      " - 2 * CAST(list_dot_product(f.v, c.v) AS BIGINT)"
+    val rounds = (2 to k).map { r =>
+      val prev = if (r == 2) "SELECT doc_id, v FROM c1"
+      else (1 until r).map(i => s"SELECT doc_id, v FROM c$i")
+        .mkString(" UNION ALL ")
+      s"""ch$r AS ($prev),
+         |d$r AS (
+         |  SELECT f.doc_id, min($dist) AS dm
+         |  FROM feats f CROSS JOIN ch$r c
+         |  WHERE f.doc_id NOT IN (SELECT doc_id FROM ch$r)
+         |  GROUP BY 1),
+         |c$r AS (
+         |  SELECT d.doc_id, f.v, d.dm
+         |  FROM d$r d JOIN feats f ON d.doc_id = f.doc_id
+         |  ORDER BY d.dm DESC, d.doc_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (s"SELECT CAST(1 AS BIGINT) AS sel, doc_id," +
+      " CAST(0 AS BIGINT) AS gain FROM c1") +:
+      (2 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS sel, doc_id, dm AS gain FROM c$r")
+    s"""WITH $topicFeatsCtesSql,
+       |c1 AS (SELECT doc_id, v FROM feats ORDER BY doc_id LIMIT 1),
+       |$rounds
+       |${out.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_kcenter" -> ((s, d) => kCenterSample(docs(s, d))),
     "q_retrieval_rrf" -> ((s, d) => retrievalRrf(docs(s, d))),
     "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
@@ -1628,6 +1705,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_sample_kcenter" -> kCenterSampleSql(),
     "q_retrieval_rrf" -> retrievalRrfSql(),
     "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,

@@ -353,6 +353,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("kCenterSample: greedy replay matches, gains non-increasing") {
+    val feats = CorpusOps.topicFeatures(docs).localCheckpoint()
+    val fmap = feats.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("v").toArray).toMap
+    val got = CorpusOps.kCenterSample(docs).collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 5)
+    assert(got.map(_._2).distinct.length === got.length, "repeat pick")
+    val gains = got.drop(1).map(_._3)
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"greedy gains must be non-increasing: ${gains.toSeq}")
+    // independent in-memory replay of the farthest-point traversal
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(got(0)._2 === fmap.keys.min, "seed must be the lowest doc_id")
+    var cents = List(fmap(got(0)._2))
+    var chosenIds = Set(got(0)._2)
+    got.drop(1).foreach { case (sel, id, gain) =>
+      val (bestId, bestD) = fmap.toSeq
+        .filterNot { case (i, _) => chosenIds(i) }
+        .map { case (i, v) => (i, cents.map(c => d2(v, c)).min) }
+        .sortBy { case (i, dm) => (-dm, i) }.head
+      assert((bestId, bestD) === ((id, gain)), s"round $sel")
+      cents :+= fmap(id)
+      chosenIds += id
+    }
+  }
+
   // ------------------------------------------------------------ topics
 
   test("topicClusters: one row per doc, cluster is the exact argmin") {
