@@ -65,6 +65,43 @@ object DataCard {
         f"distinct texts (${(exact.getLong(1) - exact.getLong(0)) * 100.0 /
           exact.getLong(1).max(1L)}%.1f%% duplicate mass)\n"
 
+      out ++= "\n## Topic clusters (hashed-TF KMeans)\n\n"
+      out ++= "| cluster | docs | mean sq dist |\n| --- | --- | --- |\n"
+      CorpusOps.topicClusters(docs)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), avg("sq_dist").as("msd"))
+        .collect().sortBy(_.getLong(0)).foreach { r =>
+          out ++= f"| ${r.getLong(0)} | ${r.getLong(1)} " +
+            f"| ${r.getDouble(2)}%.0f |\n"
+        }
+
+      out ++= "\n## Median length by source (histogram sketch vs exact)\n\n"
+      out ++= "| source | docs | sketch bucket | exact p50 |\n"
+      out ++= "| --- | --- | --- | --- |\n"
+      CorpusOps.quantileSketch(docs).collect()
+        .sortBy(_.getString(0)).take(8).foreach { r =>
+          out ++= s"| ${r.getString(0)} | ${r.getLong(1)} " +
+            s"| [${r.getLong(3)}, ${r.getLong(4)}] | ${r.getLong(5)} |\n"
+        }
+
+      val leak = graft.llm.Sampling.splitLeakage(docs).collect()
+        .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+      out ++= "\n## Split hygiene\n\n"
+      out ++= s"- exact dup classes crossing splits: ${leak("exact")._1} " +
+        "(0 by construction of the content-hash split)\n"
+      out ++= s"- canonical dup classes crossing splits: " +
+        s"${leak("canonical")._1} (${leak("canonical")._2} docs at risk)\n"
+
+      val kanon = Curation.kAnonymity(docs)
+        .agg(sum("n_classes").as("c"), sum("n_small_classes").as("sc"),
+          sum("total_docs").as("t"), sum("n_docs_at_risk").as("ar"))
+        .collect()(0)
+      out ++= "\n## Re-identification risk (k = 5 over lang x source x " +
+        "length bucket)\n\n"
+      out ++= s"- equivalence classes: ${kanon.getLong(0)}, below k: " +
+        s"${kanon.getLong(1)}; docs at risk: ${kanon.getLong(3)} of " +
+        s"${kanon.getLong(2)}\n"
+
       out ++= "\n## Tokenizer fertility (trained BPE, tokens per word)\n\n"
       out ++= "| lang | bpe tokens | words | fertility |\n"
       out ++= "| --- | --- | --- | --- |\n"
