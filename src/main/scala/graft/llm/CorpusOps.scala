@@ -1171,6 +1171,135 @@ object CorpusOps {
        |      FROM fused)
        |WHERE rank <= $topK""".stripMargin
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    * the diversity-aware last stage of the retrieval stack
+    * ([[retrievalJoin]] candidates -> [[retrievalRrf]] fusion -> MMR
+    * selection): from each query's BM25 top-`poolK` pool, greedily
+    * select `selK` results maximizing
+    * `7*relevance - 3*max_similarity_to_selected` (lambda = 0.7,
+    * scaled-integer so both engines agree bit-for-bit). Relevance is
+    * rank-linear ((poolK+1-rank) x 1000); inter-candidate similarity
+    * is integer Jaccard over distinct letter-token sets (x10000). The
+    * op that stops a RAG context window from being five copies of the
+    * same passage.
+    *
+    * Scale: after candidate generation (which inherits the rare-term
+    * bound), EVERYTHING is answer-sized — the pool is poolK rows per
+    * query, pairwise sims are <= poolK^2 per query partitioned by
+    * q_id, and each of the selK greedy rounds is one join + one
+    * per-query window over those rows. No stage's cost depends on
+    * corpus cardinality. The selection loop is unrolled as DataFrame
+    * rounds (no driver-side collect — per-query state can never be a
+    * driver literal), localCheckpointed per round to keep lineage flat.
+    */
+  def retrievalMmr(
+      d: DataFrame, qTerms: Int = 5, poolK: Int = 10,
+      selK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = retrievalJoin(d, qTerms = qTerms, topK = poolK)
+      .select(col("q_id"), col("c_id"),
+        ((lit(poolK + 1L) - col("rank")) * 1000L).cast("bigint")
+          .as("rel_x1e4"))
+    val csets = d.select(col("doc_id").as("c_id"),
+      array_distinct(TextOps.letterTokens(col("text"))).as("tk"))
+    val cd = cands.join(csets, "c_id")
+      .select("q_id", "c_id", "rel_x1e4", "tk").localCheckpoint()
+    val inter = size(array_intersect(col("t1"), col("t2")))
+    val psim = cd.select(col("q_id"), col("c_id").as("c1"), col("tk").as("t1"))
+      .join(cd.select(col("q_id"), col("c_id").as("c2"), col("tk").as("t2")),
+        Seq("q_id"))
+      .filter(col("c1") =!= col("c2"))
+      .select(col("q_id"), col("c1"), col("c2"), inter.as("i"),
+        (size(col("t1")) + size(col("t2"))).as("su"))
+      .select(col("q_id"), col("c1"), col("c2"),
+        expr("CAST(i * 10000 DIV greatest(su - i, 1) AS BIGINT)").as("sim"))
+      .localCheckpoint()
+    def pick(scored: DataFrame, r: Int): DataFrame = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("mmr_score").desc, col("c_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), lit(r.toLong).as("sel"),
+          col("rel_x1e4"), col("maxsim_x1e4"), col("mmr_score"))
+    }
+    var result = pick(cd.select(col("q_id"), col("c_id"), col("rel_x1e4"),
+      lit(0L).as("maxsim_x1e4"),
+      (col("rel_x1e4") * 7).as("mmr_score")), 1)
+    for (r <- 2 to selK) {
+      val selSet = result.select(col("q_id"), col("c_id"))
+      val simToSel = psim
+        .join(selSet.withColumnRenamed("c_id", "c2"), Seq("q_id", "c2"))
+        .groupBy(col("q_id"), col("c1").as("c_id"))
+        .agg(max("sim").as("ms"))
+      val scored = cd.join(selSet, Seq("q_id", "c_id"), "left_anti")
+        .join(simToSel, Seq("q_id", "c_id"), "left")
+        .withColumn("maxsim_x1e4", coalesce(col("ms"), lit(0L)))
+        .withColumn("mmr_score",
+          col("rel_x1e4") * 7 - col("maxsim_x1e4") * 3)
+      result = result.unionByName(pick(scored, r)).localCheckpoint()
+    }
+    result
+  }
+
+  def retrievalMmrSql(
+      qTerms: Int = 5, poolK: Int = 10, selK: Int = 5): String = {
+    val rounds = (2 to selK).map { r =>
+      val selected = (1 until r).map(i => s"SELECT q_id, c_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$r AS ($selected),
+         |m$r AS (
+         |  SELECT c.q_id, c.c_id, c.rel, coalesce(max(p.sim), 0) AS maxsim
+         |  FROM cd c LEFT JOIN (
+         |    SELECT ps.q_id, ps.c1, ps.sim
+         |    FROM psim ps JOIN sel$r s ON ps.q_id = s.q_id AND ps.c2 = s.c_id
+         |  ) p ON p.q_id = c.q_id AND p.c1 = c.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$r s
+         |    WHERE s.q_id = c.q_id AND s.c_id = c.c_id)
+         |  GROUP BY 1, 2, 3),
+         |s$r AS (
+         |  SELECT q_id, c_id, CAST($r AS BIGINT) AS sel, rel, maxsim,
+         |    rel * 7 - maxsim * 3 AS score
+         |  FROM (SELECT q_id, c_id, rel, maxsim,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY rel * 7 - maxsim * 3 DESC, c_id) AS rn
+         |        FROM m$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to selK).map(i =>
+      s"SELECT q_id, c_id, sel, rel, maxsim, score FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH bm AS (
+       |${retrievalJoinSql(qTerms = qTerms, topK = poolK)}
+       |),
+       |cset AS (
+       |  SELECT doc_id AS c_id,
+       |    list_distinct(list_filter(regexp_split_to_array(text,
+       |      '[^\\p{L}]+'), t -> t <> '')) AS tk
+       |  FROM documents),
+       |cd AS (
+       |  SELECT b.q_id, b.c_id,
+       |    CAST(($poolK + 1 - b.rank) * 1000 AS BIGINT) AS rel, s.tk
+       |  FROM bm b JOIN cset s USING (c_id)),
+       |psim AS (
+       |  SELECT a.q_id, a.c_id AS c1, b.c_id AS c2,
+       |    CAST(len(list_intersect(a.tk, b.tk)) * 10000 //
+       |      greatest(len(a.tk) + len(b.tk)
+       |        - len(list_intersect(a.tk, b.tk)), 1) AS BIGINT) AS sim
+       |  FROM cd a JOIN cd b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+       |s1 AS (
+       |  SELECT q_id, c_id, CAST(1 AS BIGINT) AS sel, rel,
+       |    CAST(0 AS BIGINT) AS maxsim, rel * 7 AS score
+       |  FROM (SELECT q_id, c_id, rel,
+       |          row_number() OVER (PARTITION BY q_id
+       |            ORDER BY rel * 7 DESC, c_id) AS rn
+       |        FROM cd)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT q_id, c_id, sel, rel AS rel_x1e4, maxsim AS maxsim_x1e4,
+       |  score AS mmr_score
+       |FROM ($out)""".stripMargin
+  }
+
   /** N-gram diversity panel: total vs distinct n-gram counts for
     * n = 1..4 — the memorization/diversity diagnostic (a corpus whose
     * distinct-4-gram ratio is low is template- or duplicate-heavy and
@@ -1683,6 +1812,7 @@ object CorpusOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_kcenter" -> ((s, d) => kCenterSample(docs(s, d))),
+    "q_retrieval_mmr" -> ((s, d) => retrievalMmr(docs(s, d))),
     "q_retrieval_rrf" -> ((s, d) => retrievalRrf(docs(s, d))),
     "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
@@ -1706,6 +1836,7 @@ object CorpusOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_sample_kcenter" -> kCenterSampleSql(),
+    "q_retrieval_mmr" -> retrievalMmrSql(),
     "q_retrieval_rrf" -> retrievalRrfSql(),
     "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,

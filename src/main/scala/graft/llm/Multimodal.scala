@@ -510,6 +510,64 @@ object Multimodal {
       |  CAST(x.motion AS BIGINT) AS motion
       |FROM dims d JOIN deltas x USING (doc_id)""".stripMargin
 
+  /** Scene-cut detection over decoded video: one row per consecutive
+    * frame PAIR with the total |luma delta| and a cut flag where the
+    * delta clears 64 x pixels (mean per-pixel change >= 64 — a
+    * hard-cut threshold, integer-exact). The shot-boundary step of a
+    * video curation pipeline: sampling one frame per SHOT beats one
+    * per N frames when clips alternate static and action, and the
+    * per-transition deltas are what the sampler consumes. Single-frame
+    * clips emit no rows.
+    *
+    * Scale: decode and the per-transition fold are map-only inside the
+    * scan (the [[videoStats]] shape) — blobs never shuffle, only
+    * (doc_id, f, delta, flag) rows leave the stage. The oracle replays
+    * the fixture's closed-form luma per (f, x, y), so agreement proves
+    * frame alignment and stride handling FRAME BY FRAME — strictly
+    * finer than [[videoStats]]'s whole-clip motion sum.
+    */
+  def sceneCuts(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    y4mFixtures(d).select("doc_id", "media").as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        val v = decodeY4mTagged(id, blob)
+        val npx = v.width.toLong * v.height
+        (1 until v.lumaFrames.length).map { f =>
+          val a = v.lumaFrames(f - 1); val b = v.lumaFrames(f)
+          var delta = 0L
+          var i = 0
+          while (i < a.length) {
+            delta += math.abs((b(i) & 0xff) - (a(i) & 0xff)); i += 1
+          }
+          (id, f.toLong, delta, if (delta >= 64L * npx) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "f", "luma_delta", "is_cut")
+  }
+
+  val sceneCutsSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, (doc_id % 3 + 2) * 2 AS w, (doc_id % 2 + 1) * 2 AS h,
+      |    doc_id % 5 + 1 AS nf
+      |  FROM documents),
+      |tr AS (
+      |  SELECT d.doc_id, d.w, d.h, gf.f, gx.x, gy.y,
+      |    abs((d.doc_id + gf.f * 37 + gx.x * 5 + gy.y * 11) % 256
+      |      - (d.doc_id + (gf.f - 1) * 37 + gx.x * 5 + gy.y * 11) % 256)
+      |      AS dv
+      |  FROM dims d,
+      |    LATERAL (SELECT unnest(generate_series(1, d.nf - 1)) AS f) gf,
+      |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx,
+      |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy),
+      |agg AS (
+      |  SELECT doc_id, f, CAST(sum(dv) AS BIGINT) AS luma_delta,
+      |    max(w * h) AS npx
+      |  FROM tr GROUP BY 1, 2)
+      |SELECT doc_id, CAST(f AS BIGINT) AS f, luma_delta,
+      |  CAST(CASE WHEN luma_delta >= 64 * npx THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_cut
+      |FROM agg""".stripMargin
+
   /** Decode with QUARANTINE ROUTING — the operator face of the codec
     * contract: every malformed blob becomes a `quarantined` row
     * instead of failing the job or emitting silent garbage. One row
@@ -768,6 +826,7 @@ object Multimodal {
     }),
     "q_multimodal_quarantine" -> ((s, d) => quarantineStats(s, docs(s, d))),
     "q_multimodal_video" -> ((s, d) => videoStats(s, docs(s, d))),
+    "q_multimodal_scenes" -> ((s, d) => sceneCuts(s, docs(s, d))),
     "q_multimodal_audio" -> ((s, d) => audioStats(s, docs(s, d))),
     "q_multimodal_batches" -> ((s, d) => inferenceBatches(docs(s, d))),
     "q_multimodal_meta" -> ((s, d) => mediaMeta(docs(s, d))),
@@ -778,6 +837,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_quarantine" -> quarantineStatsSql,
     "q_multimodal_video" -> videoStatsSql,
+    "q_multimodal_scenes" -> sceneCutsSql,
     "q_multimodal_audio" -> audioStatsSql,
     "q_multimodal_batches" -> inferenceBatchesSql,
     "q_multimodal_meta" -> mediaMetaSql,

@@ -868,7 +868,118 @@ object EventOps {
       |      FROM r)
       |WHERE rn = 1""".stripMargin
 
+  /** A/B experiment readout: deterministic salted-hash assignment of
+    * every user to variant A or B (md5-family 60-bit hash of
+    * "ab:<user_id>" mod 2 — the splitter real experiment frameworks
+    * use, so a user's variant is stable across reruns, days, and
+    * engines, with no assignment table to store or join), then the
+    * standard panel per variant — users, converters (>=1 purchase),
+    * conversion permille, purchases, revenue, revenue per user — plus
+    * the GUARDRAIL metric (error-event permille) that catches a
+    * variant winning conversion while breaking the product. A final
+    * `B-A` row carries the per-metric difference (computed on the
+    * derived ratios, not ratios of differences), which is the number
+    * an experiment review actually reads.
+    *
+    * All metrics are integers (cents / permille via integer div), so
+    * the oracle is bit-exact.
+    *
+    * Scale: assignment is a map-side expression (no join against an
+    * assignment table — at 100 TB of events that join IS the job, and
+    * the hash deletes it); the per-user rollup is one hash shuffle on
+    * user_id; the variant panel and diff row aggregate 2 rows. Nothing
+    * else moves.
+    */
+  def abExperiment(e: DataFrame): DataFrame = {
+    val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val perUser = e
+      .withColumn("variant",
+        when(pmod(graft.ops.Hll.h60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)) === 0,
+          lit("A")).otherwise(lit("B")))
+      .groupBy("variant", "user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)))
+          .as("n_pur"),
+        sum(when(col("event_type") === "purchase", cents).otherwise(lit(0L)))
+          .as("cents"),
+        sum(when(col("event_type") === "error", lit(1L)).otherwise(lit(0L)))
+          .as("n_err"))
+    val panel = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_pur") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_converters"),
+        sum("n_pur").as("n_purchases"),
+        sum("cents").as("revenue_cents"),
+        sum("n_ev").as("n_events"),
+        sum("n_err").as("n_errors"))
+      .select(col("variant"), col("n_users"), col("n_converters"),
+        expr("n_converters * 1000 DIV n_users").as("conv_permille"),
+        col("n_purchases"), col("revenue_cents"),
+        expr("revenue_cents DIV n_users").as("rpu_cents"),
+        expr("n_errors * 1000 DIV n_events").as("err_permille"))
+    def bMinusA(c: String): Column =
+      sum(when(col("variant") === "B", col(c)).otherwise(-col(c))).as(c)
+    val diff = panel.agg(bMinusA("n_users"), bMinusA("n_converters"),
+      bMinusA("conv_permille"), bMinusA("n_purchases"),
+      bMinusA("revenue_cents"), bMinusA("rpu_cents"),
+      bMinusA("err_permille"))
+      .select(lit("B-A").as("variant"), col("n_users"), col("n_converters"),
+        col("conv_permille"), col("n_purchases"), col("revenue_cents"),
+        col("rpu_cents"), col("err_permille"))
+    panel.unionByName(diff)
+  }
+
+  val abExperimentSql: String = {
+    val h = graft.ops.Hll.h60Sql("'ab:' || CAST(user_id AS VARCHAR)")
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN ($h) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+       |    user_id, count(*) AS n_ev,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pur,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS cents,
+       |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+       |  FROM events GROUP BY 1, 2),
+       |panel AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(CASE WHEN n_pur > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_converters,
+       |    CAST(sum(n_pur) AS BIGINT) AS n_purchases,
+       |    CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       |    CAST(sum(n_ev) AS BIGINT) AS n_events,
+       |    CAST(sum(n_err) AS BIGINT) AS n_errors
+       |  FROM pu GROUP BY 1),
+       |derived AS (
+       |  SELECT variant, n_users, n_converters,
+       |    n_converters * 1000 // n_users AS conv_permille,
+       |    n_purchases, revenue_cents,
+       |    revenue_cents // n_users AS rpu_cents,
+       |    n_errors * 1000 // n_events AS err_permille
+       |  FROM panel)
+       |SELECT variant, n_users, n_converters, conv_permille, n_purchases,
+       |  revenue_cents, rpu_cents, err_permille
+       |FROM derived
+       |UNION ALL
+       |SELECT 'B-A' AS variant,
+       |  CAST(sum(CASE WHEN variant = 'B' THEN n_users ELSE -n_users END)
+       |    AS BIGINT),
+       |  CAST(sum(CASE WHEN variant = 'B' THEN n_converters
+       |      ELSE -n_converters END) AS BIGINT),
+       |  CAST(sum(CASE WHEN variant = 'B' THEN conv_permille
+       |      ELSE -conv_permille END) AS BIGINT),
+       |  CAST(sum(CASE WHEN variant = 'B' THEN n_purchases
+       |      ELSE -n_purchases END) AS BIGINT),
+       |  CAST(sum(CASE WHEN variant = 'B' THEN revenue_cents
+       |      ELSE -revenue_cents END) AS BIGINT),
+       |  CAST(sum(CASE WHEN variant = 'B' THEN rpu_cents
+       |      ELSE -rpu_cents END) AS BIGINT),
+       |  CAST(sum(CASE WHEN variant = 'B' THEN err_permille
+       |      ELSE -err_permille END) AS BIGINT)
+       |FROM derived""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ab" -> ((s, d) => abExperiment(events(s, d))),
     "q_events_ewma" -> ((s, d) => ewmaDaily(events(s, d))),
     "q_events_ltv" -> ((s, d) => cohortLtv(events(s, d))),
     "q_events_attribution" -> ((s, d) => attribution(events(s, d))),
@@ -895,6 +1006,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_ab" -> abExperimentSql,
     "q_events_ewma" -> ewmaDailySql,
     "q_events_ltv" -> cohortLtvSql,
     "q_events_attribution" -> attributionSql,

@@ -353,6 +353,43 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("retrievalMmr: independent greedy replay matches every round") {
+    val pool = CorpusOps.retrievalJoin(docs, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tk = docs.select(col("doc_id"),
+      array_distinct(TextOps.letterTokens(col("text"))).as("tk")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[String]]("tk").toSet).toMap
+    def sim(a: Long, b: Long): Long = {
+      val (x, y) = (tk(a), tk(b))
+      val i = (x & y).size.toLong
+      i * 10000 / math.max(x.size + y.size - i, 1)
+    }
+    val got = CorpusOps.retrievalMmr(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val cand = pool.filter(_._1 == q)
+        .map { case (_, c, rank) => c -> (11 - rank) * 1000L }.toMap
+      var selected = List.empty[Long]
+      rows.sortBy(_._3).foreach { case (_, c, selR, rel, maxs, score) =>
+        val remaining = cand.keySet -- selected
+        // the greedy invariant: the pick maximizes 7*rel - 3*maxsim
+        // over everything not yet selected, ties to the lower c_id
+        val best = remaining.toSeq.map { cc =>
+          val ms =
+            if (selected.isEmpty) 0L else selected.map(s => sim(cc, s)).max
+          (cc, ms, cand(cc) * 7 - ms * 3)
+        }.sortBy { case (cc, _, sc) => (-sc, cc) }.head
+        assert((best._1, best._2, best._3) === ((c, maxs, score)),
+          s"q=$q round $selR")
+        assert(rel === cand(c), s"q=$q round $selR relevance")
+        selected :+= c
+      }
+    }
+  }
+
   test("kCenterSample: greedy replay matches, gains non-increasing") {
     val feats = CorpusOps.topicFeatures(docs).localCheckpoint()
     val fmap = feats.collect().map(r =>

@@ -756,6 +756,27 @@ class LlmSpec extends SparkSpec {
       Seq("doc_id", "width", "height", "pixel_sum", "pos_sum", "top_left"))
   }
 
+  test("sceneCuts: per-transition deltas match the closed form exactly") {
+    val sample = docs.limit(50)
+    val got = Multimodal.sceneCuts(spark, sample).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val ids = sample.select("doc_id").collect().map(_.getLong(0))
+    var n = 0
+    ids.foreach { id =>
+      val w = (id % 3 + 2) * 2; val h = (id % 2 + 1) * 2; val nf = id % 5 + 1
+      for (f <- 1L until nf) {
+        val delta = (for { x <- 0L until w; y <- 0L until h } yield
+          math.abs((id + f * 37 + x * 5 + y * 11) % 256 -
+            (id + (f - 1) * 37 + x * 5 + y * 11) % 256)).sum
+        val cut = if (delta >= 64 * w * h) 1L else 0L
+        assert(got((id, f)) === ((delta, cut)), s"doc $id frame $f")
+        n += 1
+      }
+    }
+    assert(got.size === n, "exactly one row per consecutive-frame pair")
+  }
+
   test("duplicateSpans merges windows into maximal spans (closed form)") {
     // k=3 fixture with every case hand-derivable:
     //  - docs 1/2 share "a b c d" -> windows abc,bcd dup; one 4-token span

@@ -276,6 +276,55 @@ class RobustnessSpec extends SparkSpec {
     assert(got(2L) === ((1L, 250L, 0L)))
   }
 
+  test("abExperiment: stable hash split, panel arithmetic, B-A row") {
+    import java.time.LocalDateTime
+    // independent replay of the salted-hash splitter (md5 of
+    // "ab:<user_id>", first 15 hex chars as a 60-bit long, mod 2)
+    def variant(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab:$u".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) "A"
+      else "B"
+    }
+    def t(i: Int) = LocalDateTime.of(2026, 2, 1, i, 0)
+    // 6 users: everyone views; 1 and 2 purchase; 3 errors twice
+    val rows = Seq(
+      (1L, t(1), 1L, "view", 0.0), (2L, t(2), 1L, "purchase", 10.0),
+      (3L, t(1), 2L, "view", 0.0), (4L, t(2), 2L, "purchase", 2.5),
+      (5L, t(3), 2L, "purchase", 2.5),
+      (6L, t(1), 3L, "view", 0.0), (7L, t(2), 3L, "error", 0.0),
+      (8L, t(3), 3L, "error", 0.0),
+      (9L, t(1), 4L, "view", 0.0), (10L, t(1), 5L, "view", 0.0),
+      (11L, t(1), 6L, "view", 0.0))
+    val ev = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // expected panel replayed on plain collections
+    val byVar = rows.groupBy { case (_, _, u, _, _) => variant(u) }
+    def panel(v: String): (Long, Long, Long, Long, Long, Long, Long) = {
+      val evs = byVar.getOrElse(v, Seq.empty)
+      val users = evs.map(_._3).distinct
+      val nU = users.size.toLong
+      val pur = evs.filter(_._4 == "purchase")
+      val conv = pur.map(_._3).distinct.size.toLong
+      val cents = pur.map(e => math.round(e._5 * 100)).sum
+      val nErr = evs.count(_._4 == "error").toLong
+      (nU, conv, conv * 1000 / nU, pur.size.toLong, cents, cents / nU,
+        nErr * 1000 / evs.size)
+    }
+    val got = graft.ops.EventOps.abExperiment(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got("A") === panel("A"))
+    assert(got("B") === panel("B"))
+    val (a, b, d) = (got("A"), got("B"), got("B-A"))
+    assert(d === ((b._1 - a._1, b._2 - a._2, b._3 - a._3, b._4 - a._4,
+      b._5 - a._5, b._6 - a._6, b._7 - a._7)),
+      "B-A row must be the per-metric difference of the derived panels")
+  }
+
   test("pq survives duplicate and degenerate vectors") {
     // 20 identical vectors + 20 distinct: seeds collapse to few
     // distinct centroids, most cells go empty and must keep their
