@@ -131,4 +131,43 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(alt === got)
   }
+
+  test("linkPrediction matches a brute-force replay; hub cap drops wedges") {
+    val spark2 = spark
+    import spark2.implicits._
+    // path 1-2-3-4-5 plus 1-6, 3-6: candidate pairs and scores all
+    // hand-derivable; hub 100 connects to everything so a low maxDeg
+    // must remove every wedge through it
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L), (3L, 6L))
+    val edges = base.toDF("u", "v")
+    def replay(es: Seq[(Long, Long)], maxDeg: Long): Map[(Long, Long), (Long, Long, Long)] = {
+      val nbrs = (es.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val deg = nbrs.map { case (k, vs) => k -> vs.size.toLong }
+      val eset = es.toSet
+      val pairs = for {
+        z <- nbrs.keys.toSeq if deg(z) <= maxDeg
+        u <- nbrs(z); v <- nbrs(z) if u < v
+      } yield ((u, v), z)
+      pairs.groupBy(_._1).collect {
+        case ((u, v), ws) if ws.size >= 2 && !eset((u, v)) =>
+          (u, v) -> (ws.size.toLong, deg(u) * deg(v),
+            ws.map { case (_, z) => 1000000L / deg(z) }.sum)
+      }.toMap
+    }
+    val got = GraphOps.linkPrediction(edges, minCn = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === replay(base, 64L))
+    assert(got.nonEmpty)
+    // hub cap: connect node 100 to every node; with maxDeg below its
+    // degree no NEW candidate may appear via wedges through the hub
+    val withHub = base ++ (1L to 6L).map(i => (i, 100L))
+    val capped = GraphOps.linkPrediction(withHub.toDF("u", "v"),
+      minCn = 2, maxDeg = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(capped === replay(withHub, 4L))
+    assert(!capped.keys.exists { case (u, v) => u == 100L || v == 100L })
+  }
 }
