@@ -1557,6 +1557,183 @@ object CorpusOps {
       |FROM picked p JOIN ex ON p.source = ex.source""".stripMargin
 
   // --------------------------------------------------------------------
+  // KMV sketch: mergeable distinct counts WITH set operations.
+  // --------------------------------------------------------------------
+
+  /** KMV sketch size and hash universe. k = 64 keeps the sketch at
+    * 512 bytes per source; the universe is the top 40 bits of the
+    * md5-family 60-bit hash (2^40 — wide enough that collisions over
+    * corpus-scale shingle sets are negligible, narrow enough that
+    * (k-1) * UNIVERSE stays far from bigint overflow in BOTH engines,
+    * which 2^60 would not).
+    */
+  val KmvK = 64
+  val KmvM = 1099511627776L // 2^40
+
+  /** KMV (k-minimum-values / theta-sketch) cross-source overlap panel:
+    * per source, the 64 smallest hashed distinct 3-gram shingles; per
+    * source PAIR, the union / intersection / Jaccard ESTIMATES those
+    * two sketches yield under the shared threshold
+    * theta = min(theta_a, theta_b), next to the exact intersection as
+    * ground truth. Every estimator is integer-exact (Beyer et al.
+    * 2007: distinct ~= (k-1) * U DIV kth-min; below-theta sketch
+    * elements are a uniform sample of the union, so
+    * jaccard ~= |both| DIV |either|).
+    *
+    * This is the capability [[hllMergeBySource]] cannot provide: HLL
+    * registers merge to a UNION estimate only, while KMV sketches
+    * support intersections — "how much does source A's content overlap
+    * B's" answered from 512 bytes per source, no re-scan. A source
+    * whose shingle set is smaller than k is carried exactly
+    * (theta = U, estimate = count).
+    *
+    * Scale: one corpus scan builds all sketches (hash-partitioned
+    * min-k per source); everything downstream — the pair grid, the
+    * sect/union joins, the estimates — touches only k x sources rows.
+    * The EXACT intersection column is the panel's ground truth and the
+    * cost the sketch deletes at 100 TB: it joins the full per-source
+    * shingle sets (fine at panel scale, linear-shuffle in the corpus
+    * otherwise); a production pipeline keeps the sketches and drops
+    * that column.
+    */
+  def kmvOverlap(d: DataFrame, k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.wsTokens(col("text"))
+    val grams = d.select(col("source"), explode(
+        when(size(toks) >= 3, transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("source"),
+        shiftright(graft.ops.Hll.h60(col("g")), 20).as("h"))
+      .distinct()
+      .localCheckpoint() // feeds sketches, exact counts, and exact inter
+    val w = Window.partitionBy("source").orderBy("h")
+    val sk = grams.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn").localCheckpoint()
+    val stats = sk.groupBy("source")
+      .agg(count(lit(1)).as("n_sk"), max("h").as("mx"))
+      .join(grams.groupBy("source").agg(count(lit(1)).as("n_exact")),
+        "source")
+      .select(col("source"), col("n_exact"),
+        when(col("n_sk") < k, lit(KmvM)).otherwise(col("mx")).as("th"))
+    val pairs = stats.as("a").crossJoin(broadcast(stats.as("b")))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n_exact").as("n_a"), col("b.n_exact").as("n_b"),
+        least(col("a.th"), col("b.th")).as("theta"))
+    val skA = sk.select(col("source").as("source_a"), col("h"))
+    val skB = sk.select(col("source").as("source_b"), col("h"))
+    val sect = pairs.join(skA, "source_a").join(skB, Seq("source_b", "h"))
+      .filter(col("h") < col("theta"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_sect"))
+    val uni = pairs.select("source_a", "source_b", "theta")
+      .join(skA, "source_a")
+      .unionByName(pairs.select("source_a", "source_b", "theta")
+        .join(skB, "source_b").select("source_a", "source_b", "theta", "h"))
+      .filter(col("h") < col("theta"))
+      .select("source_a", "source_b", "h").distinct()
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_uni"))
+    val exact = grams.as("x").join(grams.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    pairs
+      .join(uni, Seq("source_a", "source_b"), "left")
+      .join(sect, Seq("source_a", "source_b"), "left")
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("n_sect"), lit(0L)).as("n_sect"),
+        col("theta"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter_exact"),
+        when(col("theta") === KmvM, col("n_uni"))
+          .otherwise(expr(s"(n_uni - 1) * ${KmvM}L DIV theta"))
+          .as("est_union"),
+        expr("n_sect * 10000 DIV greatest(n_uni, 1)").as("est_jacc_x10000"))
+      .withColumn("est_inter",
+        when(col("est_jacc_x10000") === 0, lit(0L))
+          .otherwise(expr("est_union * est_jacc_x10000 DIV 10000")))
+  }
+
+  val kmvOverlapSql: String = {
+    import graft.ops.Hll
+    s"""WITH t AS (
+       |  SELECT source, list_filter(regexp_split_to_array(text,
+       |    '[ \\t-\\r]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source,
+       |    ${Hll.h60Sql("array_to_string(gr, ' ')")} // 1048576 AS h
+       |  FROM (
+       |    SELECT source, toks[i:i + 2] AS gr
+       |    FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |      len(toks) - 2)) AS i)
+       |    WHERE len(toks) >= 3)),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM g)
+       |  WHERE rn <= $KmvK),
+       |stats AS (
+       |  SELECT s.source, e.n_exact,
+       |    CASE WHEN s.n_sk < $KmvK THEN $KmvM ELSE s.mx END AS th
+       |  FROM (SELECT source, count(*) AS n_sk, max(h) AS mx FROM sk
+       |        GROUP BY 1) s
+       |  JOIN (SELECT source, count(*) AS n_exact FROM g GROUP BY 1) e
+       |    USING (source)),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    a.n_exact AS n_a, b.n_exact AS n_b,
+       |    least(a.th, b.th) AS theta
+       |  FROM stats a JOIN stats b ON a.source < b.source),
+       |sect AS (
+       |  SELECT p.source_a, p.source_b, count(*) AS n_sect
+       |  FROM pairs p
+       |  JOIN sk x ON x.source = p.source_a
+       |  JOIN sk y ON y.source = p.source_b AND y.h = x.h
+       |  WHERE x.h < p.theta
+       |  GROUP BY 1, 2),
+       |uni AS (
+       |  SELECT source_a, source_b, count(*) AS n_uni FROM (
+       |    SELECT DISTINCT p.source_a, p.source_b, s.h
+       |    FROM pairs p JOIN sk s
+       |      ON s.source = p.source_a OR s.source = p.source_b
+       |    WHERE s.h < p.theta)
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |    count(*) AS n_inter_exact
+       |  FROM g x JOIN g y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |base AS (
+       |  SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       |    coalesce(e.n_inter_exact, 0) AS n_inter_exact,
+       |    coalesce(u.n_uni, 0) AS n_uni,
+       |    coalesce(s.n_sect, 0) AS n_sect, p.theta
+       |  FROM pairs p
+       |  LEFT JOIN uni u USING (source_a, source_b)
+       |  LEFT JOIN sect s USING (source_a, source_b)
+       |  LEFT JOIN exact e USING (source_a, source_b))
+       |SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(n_inter_exact AS BIGINT) AS n_inter_exact,
+       |  CAST(CASE WHEN theta = $KmvM THEN n_uni
+       |       ELSE (n_uni - 1) * $KmvM // theta END AS BIGINT) AS est_union,
+       |  CAST(n_sect * 10000 // greatest(n_uni, 1) AS BIGINT)
+       |    AS est_jacc_x10000,
+       |  CAST(CASE WHEN n_sect * 10000 // greatest(n_uni, 1) = 0 THEN 0
+       |       ELSE (CASE WHEN theta = $KmvM THEN n_uni
+       |             ELSE (n_uni - 1) * $KmvM // theta END)
+       |         * (n_sect * 10000 // greatest(n_uni, 1)) // 10000
+       |       END AS BIGINT) AS est_inter
+       |FROM base""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // Topic clustering: KMeans over hashed term-frequency vectors.
   // --------------------------------------------------------------------
 
@@ -1813,6 +1990,7 @@ object CorpusOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_kcenter" -> ((s, d) => kCenterSample(docs(s, d))),
     "q_retrieval_mmr" -> ((s, d) => retrievalMmr(docs(s, d))),
+    "q_sketch_kmv" -> ((s, d) => kmvOverlap(docs(s, d))),
     "q_retrieval_rrf" -> ((s, d) => retrievalRrf(docs(s, d))),
     "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
@@ -1837,6 +2015,7 @@ object CorpusOps {
   def oracleSql: Map[String, String] = Map(
     "q_sample_kcenter" -> kCenterSampleSql(),
     "q_retrieval_mmr" -> retrievalMmrSql(),
+    "q_sketch_kmv" -> kmvOverlapSql,
     "q_retrieval_rrf" -> retrievalRrfSql(),
     "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,

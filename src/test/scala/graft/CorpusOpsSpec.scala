@@ -353,6 +353,49 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmvOverlap: full in-memory replay; small-source sketches exact") {
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def h40(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) >> 20
+    }
+    val bySrc: Map[String, Set[Long]] = rows.groupBy(_._1)
+      .map { case (s, ds) =>
+        s -> ds.flatMap { case (_, t) =>
+          val tk = t.split("\\s+").filter(_.nonEmpty)
+          if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSeq
+          else Seq.empty
+        }.map(h40).toSet
+      }
+    val K = CorpusOps.KmvK
+    val M = CorpusOps.KmvM
+    val sk = bySrc.map { case (s, hs) => s -> hs.toSeq.sorted.take(K) }
+    def theta(s: String): Long = if (sk(s).size < K) M else sk(s).max
+    val got = CorpusOps.kmvOverlap(docs).collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.nonEmpty)
+    val srcs = bySrc.filter(_._2.nonEmpty).keys.toSeq.sorted
+    val expected = (for { a <- srcs; b <- srcs if a < b } yield {
+      val th = math.min(theta(a), theta(b))
+      val nUni = (sk(a) ++ sk(b)).distinct.count(_ < th).toLong
+      val nSect = sk(a).toSet.intersect(sk(b).toSet).count(_ < th).toLong
+      val estU = if (th == M) nUni else (nUni - 1) * M / th
+      val jac = nSect * 10000 / math.max(nUni, 1)
+      val estI = if (jac == 0) 0L else estU * jac / 10000
+      (a, b) -> ((bySrc(a).size.toLong, bySrc(b).size.toLong,
+        bySrc(a).intersect(bySrc(b)).size.toLong, estU, jac, estI))
+    }).toMap
+    assert(got === expected)
+    // a sketch over fewer than k values IS the set: theta = U and the
+    // union estimate equals the true union below theta
+    srcs.filter(s => bySrc(s).size < K).take(1).foreach { s =>
+      assert(theta(s) === M)
+    }
+  }
+
   test("retrievalMmr: independent greedy replay matches every round") {
     val pool = CorpusOps.retrievalJoin(docs, topK = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
