@@ -267,6 +267,69 @@ object StatefulOps {
       }
   }
 
+  case class AbDelta(
+      variant: String, d_users: Long, d_converters: Long, d_purchases: Long,
+      d_cents: Long, d_events: Long, d_errors: Long)
+  case class AbSeen(converted: Boolean)
+
+  /** JVM replay of the batch A/B splitter
+    * ([[graft.ops.EventOps.abExperiment]]): md5 of "ab:<user_id>",
+    * first 15 hex chars as a 60-bit long, mod 2.
+    */
+  private[graft] def abVariant(user: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"ab:$user".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) "A"
+    else "B"
+  }
+
+  /** Streaming A/B experiment feed — the online face of
+    * [[graft.ops.EventOps.abExperiment]]: per user (the state key), a
+    * DELTA row per micro-batch carrying the increments the live panel
+    * needs — first-exposure (new user), first-conversion (the
+    * once-per-user transition an absolute counter cannot express),
+    * purchases, cents, events, errors. A downstream `groupBy(variant)`
+    * sum over the feed IS the running experiment readout; after a full
+    * replay it equals the batch panel's raw counts exactly
+    * (StatefulStreamingSpec), and permille metrics derive the same
+    * way. This is how a live dashboard reads an experiment
+    * mid-flight instead of re-scanning the event log per refresh.
+    *
+    * Scale: state is ONE boolean per user (has this user converted) —
+    * the minimal memory that makes `n_converters` incrementalizable;
+    * every other metric is a pure per-batch sum. Output is one row per
+    * (user, batch) with activity, aggregating to variant-sized.
+    */
+  def abFeed(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame): Dataset[AbDelta] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AbSeen, AbDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[AbSeen]) =>
+          val rs = rows.toVector
+          val pur = rs.filter(_._2 == "purchase")
+          val cents = pur.map(r =>
+            java.math.BigDecimal.valueOf(r._3 * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue).sum
+          val first = !state.exists
+          val wasConv = state.getOption.exists(_.converted)
+          val nowConv = wasConv || pur.nonEmpty
+          state.update(AbSeen(nowConv))
+          Iterator.single(AbDelta(abVariant(user),
+            if (first) 1L else 0L,
+            if (!wasConv && nowConv) 1L else 0L,
+            pur.size.toLong, cents, rs.size.toLong,
+            rs.count(_._2 == "error").toLong))
+      }
+  }
+
   def scd2Changes(
       spark: SparkSession,
       events: org.apache.spark.sql.DataFrame): Dataset[StateChange] = {

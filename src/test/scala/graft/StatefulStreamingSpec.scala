@@ -345,6 +345,58 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("abFeed deltas sum to the batch A/B panel; once-per-user increments") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val q = StatefulOps.abFeed(spark,
+        input.toDS().toDF("user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ab_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: u1 views, u2 converts, u3 errors
+    input.addData((1L, "view", 0.0), (2L, "purchase", 10.0),
+      (3L, "error", 0.0))
+    q.processAllAvailable()
+    // batch 2: u1 converts NOW, u2 buys again (already a converter),
+    // u4 is new
+    input.addData((1L, "purchase", 2.5), (2L, "purchase", 1.0),
+      (4L, "view", 0.0))
+    q.processAllAvailable()
+    val deltas = spark.table("ab_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // once-per-user: 4 distinct users, and exactly 2 conversion events
+    // (u1 and u2 each convert once across the whole stream)
+    assert(deltas.map(_._2).sum === 4L, "d_users must count each user once")
+    assert(deltas.map(_._3).sum === 2L,
+      "d_converters must fire once per converting user")
+    // replay the same rows through the batch panel and compare raw sums
+    val allRows = Seq(
+      (1L, "view", 0.0), (2L, "purchase", 10.0), (3L, "error", 0.0),
+      (1L, "purchase", 2.5), (2L, "purchase", 1.0), (4L, "view", 0.0))
+    val ev = allRows.zipWithIndex.map { case ((u, ty, v), i) =>
+      (i.toLong, java.time.LocalDateTime.of(2026, 3, 1, 0, i), u, ty, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val want = graft.ops.EventOps.abExperiment(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val got = deltas.groupBy(_._1).map { case (v, ds) =>
+      val users = ds.map(_._2).sum
+      val conv = ds.map(_._3).sum
+      val purch = ds.map(_._4).sum
+      val cents = ds.map(_._5).sum
+      val nEv = ds.map(_._6).sum
+      val nErr = ds.map(_._7).sum
+      v -> (users, conv, conv * 1000 / users, purch, cents, cents / users,
+        nErr * 1000 / nEv)
+    }
+    got.foreach { case (v, p) =>
+      assert(want(v) === p, s"variant $v: streamed deltas != batch panel")
+    }
+    assert(got.keySet === want.keySet - "B-A")
+    q.stop()
+  }
+
   test("streaming attribution feed == batch attribution after replay") {
     import org.apache.spark.sql.functions._
     val events = graft.core.Tables.load(spark, sfDir, "events")
