@@ -537,7 +537,102 @@ object Sampling {
       |    AS n_docs_at_risk
       |FROM classes GROUP BY 1""".stripMargin
 
+  /** Temperature-scaled language resampling (the XLM-R / mT5 mixture
+    * reshape at alpha = 0.5): each language's token budget is
+    * proportional to sqrt(its token count) — rare languages are
+    * upsampled RELATIVE to head languages, the standard fix for a
+    * corpus one language dominates — and the engine keeps, per
+    * language, the hash-ordered doc prefix that fills the budget
+    * (total budget = half the corpus). Integer-exact: isqrt via
+    * floor(sqrt(double)) is identical in both engines (IEEE sqrt is
+    * correctly rounded, the operand is far below 2^52), and the
+    * budget split is integer division. Unlike [[CorpusOps.mixDomains]]
+    * (reweights toward an EXTERNAL target mix), the target here is
+    * derived from the data itself — no configuration to drift.
+    *
+    * Scale: the selection is the [[tokenBudget]] two-pass — the
+    * selection hash's top 8 bits quantize each language into 256
+    * buckets, bucket-level token sums take the per-lang cumulative
+    * window (lang x 256 rows, nothing doc-sized in one task), full
+    * buckets are kept by semi-join, and only the ONE boundary bucket
+    * per language pays a doc-level window. The naive per-lang doc
+    * window — whose peak task the ScaleProbe budget probe measured
+    * blowing up 5.8x at 4x data — is exactly what the oracle spells,
+    * so the correctness gate IS the two-pass == naive equivalence.
+    * Products stay under 2^63 for corpora below ~10^12 tokens per
+    * sum_w unit; beyond that, scale the weights down first.
+    */
+  def temperatureSample(d: DataFrame): DataFrame = {
+    val base = d.select(col("lang"), col("doc_id"),
+        size(TextOps.wsTokens(col("text"))).cast("bigint").as("n_toks"))
+      .withColumn("hsel", graft.ops.Hll.h60(
+        concat(lit("ts:"), col("doc_id").cast("string"))))
+      .withColumn("bkt", shiftright(col("hsel"), 52))
+      .localCheckpoint()
+    val perLang = base.groupBy("lang").agg(sum("n_toks").as("lang_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("lang_tokens").cast("double"))).cast("bigint"))
+    val tot = perLang.agg(sum("lang_tokens").as("total_tokens"),
+      sum("w").as("sum_w"))
+    val tgt = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        expr("(total_tokens DIV 2) * w DIV sum_w").as("target_tokens"))
+      .localCheckpoint()
+    val bclass = base.groupBy("lang", "bkt").agg(sum("n_toks").as("b_tokens"))
+    val wPrev = Window.partitionBy("lang").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ann = bclass.join(tgt, "lang")
+      .withColumn("cum_before", coalesce(sum("b_tokens").over(wPrev), lit(0L)))
+    val full = ann.filter(
+      col("cum_before") + col("b_tokens") <= col("target_tokens"))
+    val boundary = ann.filter(col("cum_before") <= col("target_tokens") &&
+      col("cum_before") + col("b_tokens") > col("target_tokens"))
+    val keptFull = base
+      .join(full.select("lang", "bkt"), Seq("lang", "bkt"), "left_semi")
+    val wDoc = Window.partitionBy("lang", "bkt").orderBy("hsel", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = base
+      .join(boundary.select("lang", "bkt", "cum_before", "target_tokens"),
+        Seq("lang", "bkt"))
+      .withColumn("cum", col("cum_before") + sum("n_toks").over(wDoc))
+      .filter(col("cum") <= col("target_tokens"))
+      .select(base.columns.map(col): _*)
+    keptFull.unionByName(keptBoundary)
+      .join(tgt, "lang")
+      .select(col("lang"), col("doc_id"), col("n_toks"), col("target_tokens"))
+  }
+
+  val temperatureSampleSql: String = {
+    val h = graft.ops.Hll.h60Sql("'ts:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'),
+       |      t -> t <> '')) AS BIGINT) AS n_toks,
+       |    $h AS hsel
+       |  FROM documents),
+       |pl AS (SELECT lang, sum(n_toks) AS lang_tokens FROM base GROUP BY 1),
+       |plw AS (
+       |  SELECT lang, lang_tokens,
+       |    CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE))) AS BIGINT) AS w
+       |  FROM pl),
+       |tot AS (SELECT sum(lang_tokens) AS total_tokens, sum(w) AS sum_w
+       |  FROM plw),
+       |tgt AS (
+       |  SELECT lang,
+       |    CAST((total_tokens // 2) * w // sum_w AS BIGINT) AS target_tokens
+       |  FROM plw CROSS JOIN tot),
+       |sel AS (
+       |  SELECT b.lang, b.doc_id, b.n_toks, t.target_tokens,
+       |    sum(b.n_toks) OVER (PARTITION BY b.lang
+       |      ORDER BY b.hsel, b.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM base b JOIN tgt t USING (lang))
+       |SELECT lang, doc_id, n_toks, target_tokens
+       |FROM sel WHERE cum <= target_tokens""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_temperature" -> ((s, d) =>
+      temperatureSample(Tables.load(s, d, "documents"))),
     "q_split_leakage" -> ((s, d) =>
       splitLeakage(Tables.load(s, d, "documents"))),
     "q_sample_dsir" -> ((s, d) =>
@@ -558,6 +653,7 @@ object Sampling {
       epochUpsample(Tables.load(s, d, "documents"))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_temperature" -> temperatureSampleSql,
     "q_split_leakage" -> splitLeakageSql,
     "q_sample_dsir" -> dsirWeightsSql(),
     "q_sample_curriculum" -> curriculumScheduleSql,

@@ -362,6 +362,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample two-pass == naive window; sqrt reshapes the mix") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 500).map { i =>
+      val lang = if (i % 10 < 7) "big" else if (i % 10 < 9) "mid" else "rare"
+      val text = Seq.fill(1 + rnd.nextInt(10))("w" + rnd.nextInt(20))
+        .mkString(" ")
+      (lang, i.toLong, text)
+    }.toDF("lang", "doc_id", "text")
+    docs.createOrReplaceTempView("docs_temp")
+    val got = graft.llm.Sampling.temperatureSample(docs)
+    val naive = spark.sql(
+      """WITH base AS (
+        |  SELECT lang, doc_id,
+        |    CAST(size(filter(split(text, '\\s+'), t -> t <> ''))
+        |      AS BIGINT) AS n_toks,
+        |    CAST(conv(substring(md5(CAST(concat('ts:',
+        |      CAST(doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10)
+        |      AS BIGINT) AS hsel
+        |  FROM docs_temp),
+        |pl AS (SELECT lang, sum(n_toks) AS lang_tokens FROM base
+        |  GROUP BY lang),
+        |plw AS (
+        |  SELECT lang, lang_tokens,
+        |    CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE))) AS BIGINT) AS w
+        |  FROM pl),
+        |tot AS (SELECT sum(lang_tokens) AS total_tokens, sum(w) AS sum_w
+        |  FROM plw),
+        |tgt AS (
+        |  SELECT lang, (total_tokens DIV 2) * w DIV sum_w AS target_tokens
+        |  FROM plw CROSS JOIN tot)
+        |SELECT lang, doc_id, n_toks, target_tokens FROM (
+        |  SELECT b.lang, b.doc_id, b.n_toks, t.target_tokens,
+        |    sum(b.n_toks) OVER (PARTITION BY b.lang
+        |      ORDER BY b.hsel, b.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS cum
+        |  FROM base b JOIN tgt t ON b.lang = t.lang)
+        |WHERE cum <= target_tokens""".stripMargin)
+    assert(got.exceptAll(naive).count() === 0L &&
+      naive.exceptAll(got).count() === 0L,
+      "two-pass selection must equal the naive per-lang window")
+    // partition invariance
+    val alt = graft.llm.Sampling.temperatureSample(docs.repartition(13))
+    assert(alt.exceptAll(got).count() === 0L &&
+      got.exceptAll(alt).count() === 0L)
+    // the sqrt temperature: the rare lang's budget share must exceed
+    // its input share, the dominant lang's must shrink
+    import org.apache.spark.sql.functions.{col, size, sum}
+    val inTok = docs.select(col("lang"),
+      size(graft.llm.TextOps.wsTokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tg = got.select("lang", "target_tokens").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tg("rare").toDouble / tg("big") >
+      inTok("rare").toDouble / inTok("big"),
+      s"sqrt must flatten the mix: targets $tg vs inputs $inTok")
+  }
+
   test("epochUpsample copies are floor/ceil of the permille weight and stable") {
     import org.apache.spark.sql.functions._
     val d = graft.core.Tables.load(spark, sfDir, "documents")
