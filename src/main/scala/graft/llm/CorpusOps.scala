@@ -1598,14 +1598,19 @@ object CorpusOps {
     */
   def kmvOverlap(d: DataFrame, k: Int = KmvK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextOps.wsTokens(col("text"))
-    val grams = d.select(col("source"), explode(
-        when(size(toks) >= 3, transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+    // gram digests via the fused kernel (one tokenize + one md5 per
+    // gram, straight from token byte spans) — the composed
+    // string-building spelling re-ran the whitespace split inside the
+    // per-gram lambda, O(doc^2) per doc: 11 s warm at sf0.1 vs ~1 s
+    // with the kernel, the same lesson as the winnowing HOF fix. The
+    // kernel hashes a short doc (< 3 tokens) as one whole-text gram,
+    // so those docs are filtered first to keep "no 3-grams" semantics.
+    val grams = d
+      .filter(size(TextOps.wsTokens(col("text"))) >= 3)
       .select(col("source"),
-        shiftright(graft.ops.Hll.h60(col("g")), 20).as("h"))
+        explode(graft.functions.text.winnow_grams_md5(col("text"), 3))
+          .as("h60"))
+      .select(col("source"), shiftright(col("h60"), 20).as("h"))
       .distinct()
       .localCheckpoint() // feeds sketches, exact counts, and exact inter
     val w = Window.partitionBy("source").orderBy("h")
