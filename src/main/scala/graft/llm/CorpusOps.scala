@@ -1310,22 +1310,38 @@ object CorpusOps {
     * four aggregates are a single union of answer-sized rows.
     */
   def diversityPanel(d: DataFrame): DataFrame = {
-    val toks = TextOps.letterTokens(col("text"))
-    def forN(n: Int): DataFrame =
-      d.select(
-        explode(
-          when(size(toks) >= n,
-            transform(sequence(lit(1), size(toks) - (n - 1)),
-              i => concat_ws(" ",
-                (0 until n).map(j => element_at(toks, i + j)): _*)))
-            .otherwise(array().cast("array<string>"))).as("g"))
-        .agg(count(lit(1)).as("total_ngrams"),
-          countDistinct("g").as("distinct_ngrams"))
-        .select(lit(n.toLong).as("n"), col("total_ngrams"),
-          col("distinct_ngrams"),
-          expr("distinct_ngrams * 10000 DIV nullif(total_ngrams, 0)")
-            .as("distinct_x10000"))
-    (1 to 4).map(forN).reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    // grams via posexplode + per-doc lead window, NOT a transform
+    // lambda indexing back into the token-array expression — that
+    // spelling re-ran the tokenizer per element access (O(doc^2);
+    // 12 s warm at sf0.1, ~1 s this way — the winnowing HOF lesson
+    // again). One window pass yields every n's gram column; the four
+    // (count, distinct) pairs ride ONE multi-distinct aggregate.
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val grams = d
+      .select(col("doc_id"),
+        posexplode(TextOps.letterTokens(col("text"))).as(Seq("p", "t")))
+      .select(col("t").as("g1"),
+        lead(col("t"), 1).over(w).as("n1"),
+        lead(col("t"), 2).over(w).as("n2"),
+        lead(col("t"), 3).over(w).as("n3"))
+      .select(col("g1"),
+        when(col("n1").isNotNull,
+          concat_ws(" ", col("g1"), col("n1"))).as("g2"),
+        when(col("n2").isNotNull,
+          concat_ws(" ", col("g1"), col("n1"), col("n2"))).as("g3"),
+        when(col("n3").isNotNull,
+          concat_ws(" ", col("g1"), col("n1"), col("n2"), col("n3")))
+          .as("g4"))
+    grams.agg(
+        count(col("g1")).as("t1"), countDistinct(col("g1")).as("d1"),
+        count(col("g2")).as("t2"), countDistinct(col("g2")).as("d2"),
+        count(col("g3")).as("t3"), countDistinct(col("g3")).as("d3"),
+        count(col("g4")).as("t4"), countDistinct(col("g4")).as("d4"))
+      .select(expr("stack(4, 1L, t1, d1, 2L, t2, d2, 3L, t3, d3," +
+        " 4L, t4, d4) AS (n, total_ngrams, distinct_ngrams)"))
+      .withColumn("distinct_x10000",
+        expr("distinct_ngrams * 10000 DIV nullif(total_ngrams, 0)"))
   }
 
   val diversityPanelSql: String = {
