@@ -396,6 +396,53 @@ object Multimodal {
         "peak_abs", "rms_r", "silence_ratio_r")
   }
 
+  /** Frame-energy voice-activity detection over decoded audio: the
+    * waveform split into fixed 10-sample frames (last frame partial),
+    * one row per frame with its total squared energy and a speech
+    * flag where the energy clears the threshold — the segmentation
+    * step an audio curation pipeline runs before transcription
+    * (transcribe speech frames, drop silence), and the audio sibling
+    * of [[sceneCuts]]' per-transition video rows. Integer-exact:
+    * energy is a sum of v^2 longs, the flag one comparison.
+    *
+    * Scale: decode + the frame fold are map-only inside the scan
+    * (the [[audioStats]] shape) — blobs never shuffle; output is
+    * frames-sized. The oracle replays the fixture waveform closed-form
+    * per (frame, sample), so agreement proves chunk-walk and sample
+    * alignment frame by frame.
+    */
+  def audioVad(
+      spark: SparkSession, d: DataFrame, frameLen: Int = 10,
+      thresh: Long = 3000000L): DataFrame = {
+    import spark.implicits._
+    decodeAudio(spark, wavFixtures(d)).flatMap { a =>
+      a.samples.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+        var e = 0L
+        fr.foreach(v => e += v.toLong * v)
+        (a.doc_id, fi.toLong, fr.length.toLong, e,
+          if (e >= thresh) 1L else 0L)
+      }
+    }.toDF("doc_id", "frame", "frame_len", "energy", "is_speech")
+  }
+
+  val audioVadSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
+      |s AS (
+      |  SELECT b.doc_id, g.i // 10 AS f,
+      |    (b.doc_id * 31 + g.i * 17) % 2003 - 1001 AS v
+      |  FROM base b,
+      |    LATERAL (SELECT unnest(generate_series(0, b.n - 1)) AS i) g),
+      |agg AS (
+      |  SELECT doc_id, f, count(*) AS frame_len, sum(v * v) AS energy
+      |  FROM s GROUP BY 1, 2)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame,
+      |  CAST(frame_len AS BIGINT) AS frame_len,
+      |  CAST(energy AS BIGINT) AS energy,
+      |  CAST(CASE WHEN energy >= 3000000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_speech
+      |FROM agg""".stripMargin
+
   /** Closed-form oracle: recomputes the fixture waveform arithmetic
     * directly, never parsing a WAV — agreement proves the encode ->
     * chunk-walk -> sample decode round trip bit-exact.
@@ -827,6 +874,7 @@ object Multimodal {
     "q_multimodal_quarantine" -> ((s, d) => quarantineStats(s, docs(s, d))),
     "q_multimodal_video" -> ((s, d) => videoStats(s, docs(s, d))),
     "q_multimodal_scenes" -> ((s, d) => sceneCuts(s, docs(s, d))),
+    "q_multimodal_vad" -> ((s, d) => audioVad(s, docs(s, d))),
     "q_multimodal_audio" -> ((s, d) => audioStats(s, docs(s, d))),
     "q_multimodal_batches" -> ((s, d) => inferenceBatches(docs(s, d))),
     "q_multimodal_meta" -> ((s, d) => mediaMeta(docs(s, d))),
@@ -838,6 +886,7 @@ object Multimodal {
     "q_multimodal_quarantine" -> quarantineStatsSql,
     "q_multimodal_video" -> videoStatsSql,
     "q_multimodal_scenes" -> sceneCutsSql,
+    "q_multimodal_vad" -> audioVadSql,
     "q_multimodal_audio" -> audioStatsSql,
     "q_multimodal_batches" -> inferenceBatchesSql,
     "q_multimodal_meta" -> mediaMetaSql,

@@ -777,6 +777,32 @@ class LlmSpec extends SparkSpec {
     assert(got.size === n, "exactly one row per consecutive-frame pair")
   }
 
+  test("audioVad: frame energies match the closed-form waveform") {
+    val sample = docs.limit(50)
+    val got = Multimodal.audioVad(spark, sample).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ids = sample.select("doc_id").collect().map(_.getLong(0))
+    var n = 0
+    ids.foreach { id =>
+      val ns = (id % 50 + 20).toInt
+      (0 until ns).grouped(10).zipWithIndex.foreach { case (idxs, fi) =>
+        val e = idxs.map { i =>
+          val v = (id * 31 + i * 17) % 2003 - 1001
+          v * v
+        }.sum
+        val speech = if (e >= 3000000L) 1L else 0L
+        assert(got((id, fi.toLong)) === ((idxs.size.toLong, e, speech)),
+          s"doc $id frame $fi")
+        n += 1
+      }
+    }
+    assert(got.size === n, "one row per frame, last frame partial")
+    // the threshold must actually segment (both classes present)
+    val flags = got.values.map(_._3).toSet
+    assert(flags === Set(0L, 1L), s"threshold degenerate: $flags")
+  }
+
   test("duplicateSpans merges windows into maximal spans (closed form)") {
     // k=3 fixture with every case hand-derivable:
     //  - docs 1/2 share "a b c d" -> windows abc,bcd dup; one 4-token span
