@@ -868,6 +868,72 @@ object EventOps {
       |      FROM r)
       |WHERE rn = 1""".stripMargin
 
+  /** Ordered 3-step funnel report (view -> click -> purchase, each
+    * step at-or-after the previous): per step, how many users reached
+    * it and the drop-off vs the previous step (x10000, integer). The
+    * classic product-analytics funnel — [[funnel]] is the 2-step
+    * per-user detail; this is the ORDERED multi-step rollup a review
+    * reads (a click before any view does not count, which a naive
+    * per-type count gets wrong).
+    *
+    * Scale: each step is one user-keyed aggregate co-partitioned with
+    * the previous step's min-timestamp table (three hash joins on
+    * user_id, no window); the panel is three 1-row broadcasts. Depth
+    * generalizes linearly — an N-step funnel is N such joins.
+    */
+  def funnelSteps(ev: DataFrame): DataFrame = {
+    val t = unix_micros(col("ts"))
+    val e = ev.select(col("user_id"), col("event_type"), t.as("tu"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tu").as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("tu") >= col("t1"))
+      .groupBy("user_id").agg(min("tu").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("tu") >= col("t2"))
+      .groupBy("user_id").agg(min("tu").as("t3"))
+    s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("n3"))))
+      .select(expr(
+        "stack(3," +
+          " CAST(1 AS BIGINT), 'view', n1, CAST(10000 AS BIGINT)," +
+          " CAST(2 AS BIGINT), 'click_after_view', n2," +
+          " n2 * 10000 DIV nullif(n1, CAST(0 AS BIGINT))," +
+          " CAST(3 AS BIGINT), 'purchase_after_click', n3," +
+          " n3 * 10000 DIV nullif(n2, CAST(0 AS BIGINT)))" +
+          " AS (step, step_name, n_users, pct_x10000_of_prev)"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+      |  FROM events),
+      |s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.tu) AS t2
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.tu >= s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.tu) AS t3
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tu >= s2.t2 GROUP BY 1),
+      |ns AS (
+      |  SELECT (SELECT count(*) FROM s1) AS n1,
+      |    (SELECT count(*) FROM s2) AS n2,
+      |    (SELECT count(*) FROM s3) AS n3)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |  CAST(n1 AS BIGINT) AS n_users,
+      |  CAST(10000 AS BIGINT) AS pct_x10000_of_prev FROM ns
+      |UNION ALL
+      |SELECT 2, 'click_after_view', CAST(n2 AS BIGINT),
+      |  CAST(n2 * 10000 // nullif(n1, 0) AS BIGINT) FROM ns
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', CAST(n3 AS BIGINT),
+      |  CAST(n3 * 10000 // nullif(n2, 0) AS BIGINT) FROM ns""".stripMargin
+
   /** A/B experiment readout: deterministic salted-hash assignment of
     * every user to variant A or B (md5-family 60-bit hash of
     * "ab:<user_id>" mod 2 — the splitter real experiment frameworks
@@ -980,6 +1046,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_ab" -> ((s, d) => abExperiment(events(s, d))),
+    "q_events_funnel_steps" -> ((s, d) => funnelSteps(events(s, d))),
     "q_events_ewma" -> ((s, d) => ewmaDaily(events(s, d))),
     "q_events_ltv" -> ((s, d) => cohortLtv(events(s, d))),
     "q_events_attribution" -> ((s, d) => attribution(events(s, d))),
@@ -1007,6 +1074,7 @@ object EventOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_events_ab" -> abExperimentSql,
+    "q_events_funnel_steps" -> funnelStepsSql,
     "q_events_ewma" -> ewmaDailySql,
     "q_events_ltv" -> cohortLtvSql,
     "q_events_attribution" -> attributionSql,

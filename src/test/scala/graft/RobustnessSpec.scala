@@ -276,6 +276,33 @@ class RobustnessSpec extends SparkSpec {
     assert(got(2L) === ((1L, 250L, 0L)))
   }
 
+  test("funnelSteps enforces step ordering (pre-view clicks don't count)") {
+    import java.time.LocalDateTime
+    def t(i: Int) = LocalDateTime.of(2026, 4, 1, 0, i)
+    val ev = Seq(
+      // u1 walks the whole funnel in order
+      (1L, t(1), 1L, "view", 0.0), (2L, t(2), 1L, "click", 0.0),
+      (3L, t(3), 1L, "purchase", 5.0),
+      // u2: click BEFORE the first view, purchase after — the click
+      // must not count, so the purchase has no qualifying click either
+      (4L, t(1), 2L, "click", 0.0), (5L, t(2), 2L, "view", 0.0),
+      (6L, t(3), 2L, "purchase", 5.0),
+      // u3: view then click, never buys
+      (7L, t(1), 3L, "view", 0.0), (8L, t(2), 3L, "click", 0.0),
+      // u4: purchase only — reaches no step
+      (9L, t(1), 4L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.funnelSteps(ev).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === (("view", 3L, 10000L)))             // u1 u2 u3
+    assert(got(2L) === (("click_after_view", 2L, 6666L)))  // u1 u3 only
+    assert(got(3L) === (("purchase_after_click", 1L, 5000L))) // u1 only
+  }
+
   test("abExperiment: stable hash split, panel arithmetic, B-A row") {
     import java.time.LocalDateTime
     // independent replay of the salted-hash splitter (md5 of
