@@ -1044,7 +1044,234 @@ object EventOps {
        |FROM derived""".stripMargin
   }
 
+  /** RFM segmentation (recency / frequency / monetary), the classic
+    * customer-value panel: per purchasing user, days since last
+    * purchase (vs the corpus's last purchase day — a fixed anchor, so
+    * the result is deterministic and replayable), purchase count, and
+    * lifetime cents; each metric scored 1-5 against its own quintile
+    * boundaries, and the (r, f, m) cells rolled up into named
+    * segments.
+    *
+    * Quintile boundaries are VALUE-based, not rank-based: boundary i
+    * is the smallest metric value whose cumulative user count reaches
+    * ceil(i*n/5) — spelled `(i*n + 4) DIV 5` so both engines compute
+    * the rank in pure integers (0.2 is not a binary-exact double; a
+    * float ceil could disagree at exact multiples). Users tied on a
+    * boundary value tie on score, which is what makes the scoring
+    * deterministic and partition-invariant.
+    *
+    * Scale: the per-user rollup is ONE hash shuffle on user_id.
+    * Boundaries come from per-metric VALUE HISTOGRAMS — recency is
+    * bounded by the time span in days, frequency by purchases per
+    * user, and monetary is quantized to whole dollars for scoring
+    * (the panel still reports exact cents) — so the cumulative window
+    * runs per-metric over histogram rows, never over users; a global
+    * rank over users would single-reduce 100 TB. The 12 boundary
+    * values ride back as a 1-row broadcast, and the final aggregate
+    * has at most 125 (r, f, m) cells.
+    */
+  def rfmSegments(e: DataFrame): DataFrame = {
+    val perUser = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("pday"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("user_id")
+      .agg(max("pday").as("last_day"), count(lit(1)).as("freq"),
+        sum("cents").as("monetary_cents"))
+    val anchor = perUser.agg(max("last_day").as("anchor"))
+    val rfm = perUser.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("anchor"), col("last_day")).cast("bigint")
+          .as("recency_days"),
+        col("freq"), col("monetary_cents"),
+        expr("monetary_cents DIV 100").as("monetary_dollars"))
+    val metrics = rfm.select(lit("r").as("metric"),
+        col("recency_days").as("value"))
+      .unionByName(rfm.select(lit("f").as("metric"), col("freq").as("value")))
+      .unionByName(rfm.select(lit("m").as("metric"),
+        col("monetary_dollars").as("value")))
+    val wc = Window.partitionBy("metric").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("metric")
+    val cum = metrics.groupBy("metric", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wn))
+    def bnd(i: Int): Column =
+      min(when(col("cum") >= expr(s"($i * n + 4) DIV 5"), col("value")))
+        .as(s"b$i")
+    val bounds = cum.groupBy("metric").agg(bnd(1), bnd(2), bnd(3), bnd(4))
+    def pick(m: String, i: Int): Column =
+      max(when(col("metric") === m, col(s"b$i"))).as(s"${m}b$i")
+    val oneRow = bounds.groupBy().agg(
+      pick("r", 1), (2 to 4).map(pick("r", _)) ++
+        (1 to 4).map(pick("f", _)) ++ (1 to 4).map(pick("m", _)): _*)
+    def hi(v: String, m: String): Column =
+      (1 to 4).map(i => when(col(v) > col(s"${m}b$i"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+    def lo(v: String, m: String): Column =
+      (1 to 4).map(i => when(col(v) < col(s"${m}b$i"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+    rfm.crossJoin(broadcast(oneRow))
+      .withColumn("r_score", lo("recency_days", "r"))
+      .withColumn("f_score", hi("freq", "f"))
+      .withColumn("m_score", hi("monetary_dollars", "m"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum("monetary_cents").as("revenue_cents"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .select("r_score", "f_score", "m_score", "segment", "n_users",
+        "revenue_cents")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |anchor AS (SELECT max(last_day) AS anchor FROM per_user),
+      |rfm AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', last_day, anchor) AS BIGINT)
+      |      AS recency_days,
+      |    freq, monetary_cents,
+      |    monetary_cents // 100 AS monetary_dollars
+      |  FROM per_user CROSS JOIN anchor),
+      |metrics AS (
+      |  SELECT 'r' AS metric, recency_days AS value FROM rfm
+      |  UNION ALL SELECT 'f', freq FROM rfm
+      |  UNION ALL SELECT 'm', monetary_dollars FROM rfm),
+      |cum AS (
+      |  SELECT metric, value, cnt,
+      |    sum(cnt) OVER (PARTITION BY metric ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY metric) AS n
+      |  FROM (SELECT metric, value, count(*) AS cnt
+      |        FROM metrics GROUP BY 1, 2)),
+      |bounds AS (
+      |  SELECT metric,
+      |    min(CASE WHEN cum >= (1 * n + 4) // 5 THEN value END) AS b1,
+      |    min(CASE WHEN cum >= (2 * n + 4) // 5 THEN value END) AS b2,
+      |    min(CASE WHEN cum >= (3 * n + 4) // 5 THEN value END) AS b3,
+      |    min(CASE WHEN cum >= (4 * n + 4) // 5 THEN value END) AS b4
+      |  FROM cum GROUP BY 1),
+      |one AS (
+      |  SELECT
+      |    max(CASE WHEN metric = 'r' THEN b1 END) AS rb1,
+      |    max(CASE WHEN metric = 'r' THEN b2 END) AS rb2,
+      |    max(CASE WHEN metric = 'r' THEN b3 END) AS rb3,
+      |    max(CASE WHEN metric = 'r' THEN b4 END) AS rb4,
+      |    max(CASE WHEN metric = 'f' THEN b1 END) AS fb1,
+      |    max(CASE WHEN metric = 'f' THEN b2 END) AS fb2,
+      |    max(CASE WHEN metric = 'f' THEN b3 END) AS fb3,
+      |    max(CASE WHEN metric = 'f' THEN b4 END) AS fb4,
+      |    max(CASE WHEN metric = 'm' THEN b1 END) AS mb1,
+      |    max(CASE WHEN metric = 'm' THEN b2 END) AS mb2,
+      |    max(CASE WHEN metric = 'm' THEN b3 END) AS mb3,
+      |    max(CASE WHEN metric = 'm' THEN b4 END) AS mb4
+      |  FROM bounds),
+      |scored AS (
+      |  SELECT monetary_cents,
+      |    1 + (CASE WHEN recency_days < rb1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN recency_days < rb2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN recency_days < rb3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN recency_days < rb4 THEN 1 ELSE 0 END) AS r_score,
+      |    1 + (CASE WHEN freq > fb1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > fb2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > fb3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN freq > fb4 THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN monetary_dollars > mb1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_dollars > mb2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_dollars > mb3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN monetary_dollars > mb4 THEN 1 ELSE 0 END) AS m_score
+      |  FROM rfm CROSS JOIN one),
+      |labeled AS (
+      |  SELECT CAST(r_score AS BIGINT) AS r_score,
+      |    CAST(f_score AS BIGINT) AS f_score,
+      |    CAST(m_score AS BIGINT) AS m_score,
+      |    CASE
+      |      WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+      |        THEN 'champion'
+      |      WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+      |      WHEN r_score >= 4 THEN 'recent'
+      |      WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |      WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |      ELSE 'regular' END AS segment,
+      |    monetary_cents
+      |  FROM scored)
+      |SELECT r_score, f_score, m_score, segment,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS revenue_cents
+      |FROM labeled GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Rolling active users: per calendar day, DAU (distinct users that
+    * day), trailing-7-day distinct actives (WAU7 — each user counted
+    * ONCE however many days they appeared), and the DAU/WAU7
+    * stickiness ratio in permille — the growth panel every
+    * product/ingest dashboard leads with.
+    *
+    * The rolling distinct is NOT a windowed sum of daily counts (that
+    * double-counts returning users); each (day, user) row is exploded
+    * onto the 7 window-end days it participates in and the window
+    * aggregates distinct users — a bounded map-side 7x fan-out
+    * followed by one hash shuffle, not a range self-join. Window-end
+    * days past the corpus's last day are clipped against a 1-row max
+    * broadcast; days with a window but no same-day activity report
+    * DAU 0.
+    *
+    * Scale: |distinct (day, user)| x 7 shuffle rows — linear, and the
+    * per-day distinct is the exact form; at extreme scale the same
+    * panel runs on mergeable per-day HLL registers
+    * ([[graft.llm.CorpusOps]]' q_hll_merge machinery) at 1 KB/day of
+    * state, trading exactness for a constant-size shuffle. The exact
+    * form here is what makes the oracle bit-checkable.
+    */
+  def rollingActives(ev: DataFrame): DataFrame = {
+    val du = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val maxDay = du.agg(max("day").as("max_day"))
+    val w7 = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("wday"),
+        col("user_id"))
+      .groupBy("wday")
+      .agg(countDistinct("user_id").as("wau7"))
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    w7.join(broadcast(maxDay), col("wday") <= col("max_day"))
+      .join(dau, col("wday") === col("day"), "left")
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau7"),
+        expr("1000 * coalesce(dau, CAST(0 AS BIGINT)) DIV wau7")
+          .as("stickiness_permille"))
+  }
+
+  val rollingActivesSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |mx AS (SELECT max(day) AS max_day FROM du),
+      |w7 AS (
+      |  SELECT day + k AS wday, count(DISTINCT user_id) AS wau7
+      |  FROM du CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS k)
+      |  GROUP BY 1),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+      |SELECT strftime(w7.wday, '%Y-%m-%d') AS day,
+      |  CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+      |  CAST(w7.wau7 AS BIGINT) AS wau7,
+      |  CAST(1000 * coalesce(dau.dau, 0) // w7.wau7 AS BIGINT)
+      |    AS stickiness_permille
+      |FROM w7 CROSS JOIN mx LEFT JOIN dau ON w7.wday = dau.day
+      |WHERE w7.wday <= mx.max_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_rfm" -> ((s, d) => rfmSegments(events(s, d))),
+    "q_events_active_rolling" -> ((s, d) => rollingActives(events(s, d))),
     "q_events_ab" -> ((s, d) => abExperiment(events(s, d))),
     "q_events_funnel_steps" -> ((s, d) => funnelSteps(events(s, d))),
     "q_events_ewma" -> ((s, d) => ewmaDaily(events(s, d))),
@@ -1073,6 +1300,8 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_rfm" -> rfmSegmentsSql,
+    "q_events_active_rolling" -> rollingActivesSql,
     "q_events_ab" -> abExperimentSql,
     "q_events_funnel_steps" -> funnelStepsSql,
     "q_events_ewma" -> ewmaDailySql,

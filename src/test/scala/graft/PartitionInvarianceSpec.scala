@@ -105,6 +105,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.ops.GraphOps.triangleCounts(
         graft.ops.GraphOps.coOccurrenceEdges(
           Tables.load(spark, sfDir, "lineitem")))),
+    ("rfm_segments (value-histogram quintile boundaries)",
+      () => graft.ops.EventOps.rfmSegments(
+        graft.ops.EventOps.events(spark, sfDir))),
+    ("rolling_actives (7-day distinct fan-out)",
+      () => graft.ops.EventOps.rollingActives(
+        graft.ops.EventOps.events(spark, sfDir))),
     ("pq encode (sampled Lloyd codebooks + kernel assignment)",
       () => {
         val e = Tables.load(spark, sfDir, "embeddings")
