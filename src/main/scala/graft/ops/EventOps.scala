@@ -1269,7 +1269,138 @@ object EventOps {
       |FROM w7 CROSS JOIN mx LEFT JOIN dau ON w7.wday = dau.day
       |WHERE w7.wday <= mx.max_day""".stripMargin
 
+  /** Conversion-lag distribution: for every purchase with a prior view
+    * by the same user, the view→purchase latency in whole seconds,
+    * summarized per day-of-week as count / min / exact p25 / p50 / p75
+    * / max — the "how long does intent take to convert" panel, and the
+    * empirical basis for choosing the as-of/interval join windows used
+    * elsewhere (a 30-minute attribution window is a claim THIS table
+    * checks).
+    *
+    * The prior view is a per-user running `last(view ts)` over one
+    * user_id-partitioned window (the as-of shape without a second
+    * table); quantiles are EXACT type-1 (value at rank ceil(q*n)) via
+    * a row_number over each dow group — 7 answer-sized groups, so the
+    * per-group sort is bounded; no global window anywhere. Day-of-week
+    * is integer day-index arithmetic from a fixed epoch Monday
+    * (2024-01-01), NOT the engines' dayofweek() (Spark counts from
+    * Sunday=1, DuckDB from Sunday=0 — a bug that type systems don't
+    * catch and hash compares do).
+    *
+    * Scale: one user_id shuffle for the lag, one 7-group aggregate;
+    * the dow window sorts only purchase rows. At 100 TB the lag rows
+    * are purchase-bounded (not event-bounded) before the quantile.
+    */
+  def conversionLag(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lags = ev.filter(col("event_type").isin("view", "purchase"))
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_view_us").isNotNull)
+      .select(
+        expr("pmod(datediff(to_date(ts), DATE '2024-01-01'), 7)")
+          .cast("bigint").as("dow"),
+        expr("(unix_micros(ts) - last_view_us) DIV 1000000").as("lag_sec"))
+    val wd = Window.partitionBy("dow").orderBy("lag_sec")
+    val wn = Window.partitionBy("dow")
+    lags
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("mn", min("lag_sec").over(wn))
+      .withColumn("mx", max("lag_sec").over(wn))
+      .filter(col("rn") === expr("(1 * n + 3) DIV 4") ||
+        col("rn") === expr("(2 * n + 3) DIV 4") ||
+        col("rn") === expr("(3 * n + 3) DIV 4"))
+      .groupBy("dow")
+      .agg(max("n").as("n_conversions"), max("mn").as("min_sec"),
+        max(when(col("rn") === expr("(1 * n + 3) DIV 4"), col("lag_sec")))
+          .as("p25_sec"),
+        max(when(col("rn") === expr("(2 * n + 3) DIV 4"), col("lag_sec")))
+          .as("p50_sec"),
+        max(when(col("rn") === expr("(3 * n + 3) DIV 4"), col("lag_sec")))
+          .as("p75_sec"),
+        max("mx").as("max_sec"))
+  }
+
+  val conversionLagSql: String =
+    """WITH vp AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |runs AS (
+      |  SELECT event_type, ts,
+      |    last_value(CASE WHEN event_type = 'view'
+      |        THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_view_us
+      |  FROM vp),
+      |lags AS (
+      |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+      |      AS dow,
+      |    (epoch_us(ts) - last_view_us) // 1000000 AS lag_sec
+      |  FROM runs
+      |  WHERE event_type = 'purchase' AND last_view_us IS NOT NULL),
+      |ranked AS (
+      |  SELECT dow, lag_sec,
+      |    row_number() OVER (PARTITION BY dow ORDER BY lag_sec) AS rn,
+      |    count(*) OVER (PARTITION BY dow) AS n,
+      |    min(lag_sec) OVER (PARTITION BY dow) AS mn,
+      |    max(lag_sec) OVER (PARTITION BY dow) AS mx
+      |  FROM lags)
+      |SELECT CAST(dow AS BIGINT) AS dow,
+      |  CAST(max(n) AS BIGINT) AS n_conversions,
+      |  CAST(max(mn) AS BIGINT) AS min_sec,
+      |  CAST(max(CASE WHEN rn = (1 * n + 3) // 4 THEN lag_sec END)
+      |    AS BIGINT) AS p25_sec,
+      |  CAST(max(CASE WHEN rn = (2 * n + 3) // 4 THEN lag_sec END)
+      |    AS BIGINT) AS p50_sec,
+      |  CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN lag_sec END)
+      |    AS BIGINT) AS p75_sec,
+      |  CAST(max(mx) AS BIGINT) AS max_sec
+      |FROM ranked
+      |WHERE rn = (1 * n + 3) // 4 OR rn = (2 * n + 3) // 4
+      |  OR rn = (3 * n + 3) // 4
+      |GROUP BY 1""".stripMargin
+
+  /** Hour-of-week seasonality profile: event counts per (day-of-week,
+    * hour) cell with a permille load index vs the uniform-traffic
+    * expectation (1000 = average cell; 2000 = double) — the panel
+    * capacity planning and anomaly thresholds read before trusting a
+    * spike. Day-of-week by the same epoch-Monday integer arithmetic as
+    * [[conversionLag]]; the index is exact integer permille
+    * (1000 * n * 168 DIV total). One answer-sized (≤168-cell)
+    * aggregate + a 1-row total broadcast. Scales by construction.
+    */
+  def seasonality(ev: DataFrame): DataFrame = {
+    val cells = ev.groupBy(
+        expr("pmod(datediff(to_date(ts), DATE '2024-01-01'), 7)")
+          .cast("bigint").as("dow"),
+        hour(col("ts")).cast("bigint").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val total = cells.agg(sum("n_events").as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hod"), col("n_events"),
+        expr("1000 * n_events * 168 DIV total").as("load_permille"))
+  }
+
+  val seasonalitySql: String =
+    """WITH cells AS (
+      |  SELECT date_diff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) % 7 AS dow,
+      |    hour(CAST(ts AS TIMESTAMP)) AS hod,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT sum(n_events) AS total FROM cells)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(1000 * n_events * 168 // total AS BIGINT) AS load_permille
+      |FROM cells CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_conversion_lag" -> ((s, d) => conversionLag(events(s, d))),
+    "q_events_seasonality" -> ((s, d) => seasonality(events(s, d))),
     "q_events_rfm" -> ((s, d) => rfmSegments(events(s, d))),
     "q_events_active_rolling" -> ((s, d) => rollingActives(events(s, d))),
     "q_events_ab" -> ((s, d) => abExperiment(events(s, d))),
@@ -1300,6 +1431,8 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_conversion_lag" -> conversionLagSql,
+    "q_events_seasonality" -> seasonalitySql,
     "q_events_rfm" -> rfmSegmentsSql,
     "q_events_active_rolling" -> rollingActivesSql,
     "q_events_ab" -> abExperimentSql,

@@ -496,7 +496,135 @@ object GraphOps {
       |JOIN deg du ON ne.u = du.z
       |JOIN deg dv ON ne.v = dv.z""".stripMargin
 
+  /** k-core decomposition by fixed-round peeling (Seidman 1983; the
+    * "dense backbone" extractor — spam rings, core communities, the
+    * subgraph worth running expensive analytics on): each round drops
+    * every node whose CURRENT degree is below k, then drops edges that
+    * lost an endpoint; surviving nodes after `iters` rounds are
+    * reported with their residual degree. A convergence-stopped peel
+    * yields the exact k-core; the FIXED horizon (like the scaled
+    * PageRank and LPA) is what unrolls into plain oracle CTEs — each
+    * extra round only removes nodes, so the output is a monotone
+    * over-approximation that is exact once a round removes nothing
+    * (the spec asserts sf0.001 converges inside the horizon).
+    *
+    * Scale: per round, one degree aggregate over the live edge list
+    * and two node-keyed semi-joins (edge list vs the node-sized
+    * survivor set) — all hash-partitioned on node keys, nothing
+    * collected, nothing broadcast beyond what AQE elects. The live
+    * edge list shrinks monotonically, so round cost falls; lineage is
+    * localCheckpoint-bounded with the LPA discipline (previous round's
+    * blocks freed only after the next is materialized).
+    */
+  def kCore(edges: DataFrame, k: Int = 3, iters: Int = 4): DataFrame = {
+    val e = edges.select("u", "v").localCheckpoint()
+    var cur = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var freeable: Option[DataFrame] = Some(cur)
+    for (_ <- 0 until iters) {
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = cur.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint() // eager — safe to drop the previous round
+      freeable.foreach(freeCheckpoint)
+      freeable = Some(next)
+      cur = next
+    }
+    cur.groupBy(col("src").as("part_key"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
+  def kCoreSql(k: Int = 3, iters: Int = 4): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"e${r - 1}"
+      s"""k$r AS (
+         |  SELECT src FROM $prev GROUP BY 1 HAVING count(*) >= $k),
+         |e$r AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  JOIN k$r a ON e.src = a.src
+         |  JOIN k$r b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edges AS (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS (
+       |  SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM edges),
+       |$rounds
+       |SELECT src AS part_key, count(*) AS core_deg
+       |FROM e$iters GROUP BY 1""".stripMargin
+  }
+
+  /** BFS hop distance from a deterministic seed over the co-occurrence
+    * graph, driven through the RECURSIVE CTE surface (`WITH RECURSIVE`
+    * / Catalyst `UnionLoop`, new in Spark 4) — the SQL-parity face of
+    * graph traversal next to the DataFrame-loop operators above. The
+    * recursive step expands the PREVIOUS frontier one hop with a
+    * per-level DISTINCT, so frontier rows are bounded by |V| per level
+    * (path-count explosion collapses at each level); a node reached at
+    * several depths keeps its minimum via the outer min(hop). Depth is
+    * capped at `maxHops`, making the result deterministic and
+    * DuckDB-replayable with the identical recursive query.
+    *
+    * Seed: the lowest part key participating in any edge — data-derived
+    * (no literal in the query), stable across partitionings.
+    *
+    * Scale: each level is one co-partitioned frontier-edge join plus a
+    * level-local distinct — the textbook iterative-BFS shuffle shape;
+    * state per level is node-bounded. Spark's UnionLoop executes
+    * exactly this loop; at 100 TB the same query runs unchanged, with
+    * the co-occurrence edge CTE feeding both the seed and the
+    * traversal off one scan.
+    */
+  def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4): DataFrame = {
+    coOccurrenceEdges(Tables.load(s, dir, "lineitem"))
+      .createOrReplaceTempView("graft_bfs_edges")
+    s.sql(
+      s"""WITH RECURSIVE sym AS (
+         |  SELECT u AS src, v AS dst FROM graft_bfs_edges
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM graft_bfs_edges),
+         |reach AS (
+         |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS hop FROM sym
+         |  UNION ALL
+         |  SELECT DISTINCT s.dst AS node, r.hop + CAST(1 AS BIGINT) AS hop
+         |  FROM reach r JOIN sym s ON s.src = r.node
+         |  WHERE r.hop < $maxHops)
+         |SELECT node AS part_key, min(hop) AS hops
+         |FROM reach GROUP BY node""".stripMargin)
+  }
+
+  def bfsHopsSql(maxHops: Int = 4): String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edges AS (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (
+       |  SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM edges),
+       |reach AS (
+       |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS hop FROM sym
+       |  UNION ALL
+       |  SELECT DISTINCT s.dst AS node, r.hop + 1 AS hop
+       |  FROM reach r JOIN sym s ON s.src = r.node
+       |  WHERE r.hop < $maxHops)
+       |SELECT node AS part_key, CAST(min(hop) AS BIGINT) AS hops
+       |FROM reach GROUP BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_kcore" -> ((s, d) =>
+      kCore(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
+    "q_graph_bfs" -> ((s, d) => bfsHops(s, d)),
     "q_graph_linkpred" -> ((s, d) =>
       linkPrediction(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
     "q_graph_communities" -> ((s, d) =>
@@ -511,6 +639,8 @@ object GraphOps {
     * production default) keeps its GraphSpec ground truth.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_graph_kcore" -> kCoreSql(),
+    "q_graph_bfs" -> bfsHopsSql(),
     "q_graph_linkpred" -> linkPredictionSql,
     "q_graph_communities" -> labelPropagationSql,
     "q_graph_triangles" -> triangleCountsSql,

@@ -656,6 +656,43 @@ object Relational {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
+  /** LATERAL correlated join through the SQL surface: each automobile-
+    * segment customer joined to its two most expensive orders — the
+    * per-row-parameterized-subquery shape (top-N lookup per driving
+    * row) that plain joins can't spell without a post-join window.
+    * Catalyst DECORRELATES the lateral subquery into exactly that
+    * window-over-join plan (DomainJoin rewrite), so the 100 TB cost is
+    * one c_custkey-partitioned rank over the co-partitioned join — the
+    * convenience surface compiles to the scalable plan rather than a
+    * per-row re-execution. Deterministic: total order on (price desc,
+    * orderkey) before the LIMIT.
+    */
+  def qLateralTopOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        |FROM customer_lat c
+        |JOIN LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders_lat o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_mktsegment = 'AUTOMOBILE'""".stripMargin)
+  }
+
+  val qLateralTopOrdersSql: String =
+    """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+      |FROM customer c
+      |JOIN LATERAL (
+      |  SELECT o.o_orderkey, o.o_totalprice
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |  LIMIT 2) t ON true
+      |WHERE c.c_mktsegment = 'AUTOMOBILE'""".stripMargin
+
   /** Analytic window functions: ntile bucketing + frame first/last
     * values over a totally-ordered per-customer window.
     */
@@ -1328,6 +1365,7 @@ object Relational {
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_scalar_regex" -> (qScalarRegex _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_lateral_topk" -> (qLateralTopOrders _),
     "q_unpivot" -> (qUnpivot _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
@@ -1376,6 +1414,7 @@ object Relational {
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_scalar_regex" -> qScalarRegexSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_lateral_topk" -> qLateralTopOrdersSql,
     "q_unpivot" -> qUnpivotSql,
     "q1_pricing" -> q1PricingSql,
     "q3_shipping" -> q3ShippingSql,

@@ -170,4 +170,53 @@ class GraphSpec extends SparkSpec {
     assert(capped === replay(withHub, 4L))
     assert(!capped.keys.exists { case (u, v) => u == 100L || v == 100L })
   }
+
+  test("kCore converges within the horizon and matches an exact peel") {
+    val edges = GraphOps.coOccurrenceEdges(Tables.load(spark, sfDir, "lineitem"))
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // replay: peel to the TRUE fixed point in memory
+    def peel(k: Int): Map[Long, Long] = {
+      var live = es
+      var changed = true
+      while (changed) {
+        val deg = (live.map(_._1) ++ live.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = live.filter { case (u, v) => keep(u) && keep(v) }
+        changed = next.length != live.length
+        live = next
+      }
+      (live.map(_._1) ++ live.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val got = GraphOps.kCore(edges, k = 3, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the fixed horizon reached the fixed point on this corpus (the
+    // over-approximation caveat in the scaladoc is vacuous here)
+    assert(got === peel(3))
+    assert(got.nonEmpty)
+    // and the defining property independently: every member has >= k
+    // surviving neighbors
+    got.foreach { case (_, d) => assert(d >= 3L) }
+  }
+
+  test("bfsHops: seed at 0, every hop-h node adjacent to some hop-(h-1) node") {
+    val got = GraphOps.bfsHops(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = GraphOps.coOccurrenceEdges(Tables.load(spark, sfDir, "lineitem"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seed = edges.flatMap(e => Seq(e._1, e._2)).min
+    assert(got(seed) === 0L)
+    // exact BFS replay (bounded at the op's horizon)
+    var frontier = Set(seed)
+    var seen = Map(seed -> 0L)
+    for (h <- 1L to 4L) {
+      frontier = frontier.flatMap(nbrs.getOrElse(_, Set.empty[Long]))
+        .filterNot(seen.contains)
+      seen = seen ++ frontier.map(_ -> h)
+    }
+    assert(got === seen)
+  }
 }

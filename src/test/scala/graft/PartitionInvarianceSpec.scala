@@ -105,6 +105,13 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.ops.GraphOps.triangleCounts(
         graft.ops.GraphOps.coOccurrenceEdges(
           Tables.load(spark, sfDir, "lineitem")))),
+    ("conversion_lag (running last-view + rank quantiles)",
+      () => graft.ops.EventOps.conversionLag(
+        graft.ops.EventOps.events(spark, sfDir))),
+    ("kcore (iterative peel rounds)",
+      () => graft.ops.GraphOps.kCore(
+        graft.ops.GraphOps.coOccurrenceEdges(
+          Tables.load(spark, sfDir, "lineitem")))),
     ("rfm_segments (value-histogram quintile boundaries)",
       () => graft.ops.EventOps.rfmSegments(
         graft.ops.EventOps.events(spark, sfDir))),

@@ -397,6 +397,52 @@ class RobustnessSpec extends SparkSpec {
     assert(z.map(_.getLong(1)).sum === 12L) // 12 distinct terms
   }
 
+  test("conversionLag: hand-computed fixture (prior-view semantics)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: view 10:00, purchase 10:05 (lag 300), purchase 10:06
+    //   (lag 360 — the SAME view converts again; last-view semantics),
+    //   view 11:00 with no purchase after (never emitted)
+    // user 2: purchase with NO prior view -> dropped
+    // 2024-01-01 is dow 0 by the epoch arithmetic
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "purchase", 5.0, "{}"),
+      (3L, ts("2024-01-01 10:06:00"), 1L, "purchase", 5.0, "{}"),
+      (4L, ts("2024-01-01 11:00:00"), 1L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 12:00:00"), 2L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.conversionLag(ev).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(r.fieldIndex("dow")) === 0L)
+    assert(r.getLong(r.fieldIndex("n_conversions")) === 2L)
+    assert(r.getLong(r.fieldIndex("min_sec")) === 300L)
+    // type-1 quantiles over {300, 360}: ranks ceil(q*2) = 1, 1, 2
+    assert(r.getLong(r.fieldIndex("p25_sec")) === 300L)
+    assert(r.getLong(r.fieldIndex("p50_sec")) === 300L)
+    assert(r.getLong(r.fieldIndex("p75_sec")) === 360L)
+    assert(r.getLong(r.fieldIndex("max_sec")) === 360L)
+  }
+
+  test("lateral top-k: at most 2 rows per customer, and they are the top 2") {
+    val got = graft.ops.Relational.qLateralTopOrders(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val orders = graft.core.Tables.load(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val auto = graft.core.Tables.load(spark, sfDir, "customer")
+      .filter($"c_mktsegment" === "AUTOMOBILE")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val want = auto.toSeq.flatMap { c =>
+      orders.getOrElse(c, Array.empty[(Long, Long, Double)])
+        .sortBy(t => (-t._3, t._2)).take(2).map(t => (c, t._2, t._3))
+    }.toSet
+    assert(got.toSet === want)
+    assert(got.nonEmpty)
+  }
+
   test("winnow handles empty and single-token docs") {
     val d = Seq((1L, ""), (2L, "only"), (3L, "  \t ")).toDF("doc_id", "text")
     val w = graft.llm.TextOps.winnow(d).collect()
