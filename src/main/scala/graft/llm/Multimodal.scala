@@ -467,6 +467,134 @@ object Multimodal {
       |    / min(n), 4) AS silence_ratio_r
       |FROM s GROUP BY doc_id""".stripMargin
 
+  /** Per-image luma quality panel — the brightness/contrast filter an
+    * image-caption curation pipeline runs right after decode (drop
+    * near-black thumbnails, blown-out scans, flat solid-color fills
+    * before paying for embedding/captioning). Integer BT.601 luma
+    * `(299r + 587g + 114b) DIV 1000` per pixel; per image the mean
+    * (floor), min, max, and the exact variance NUMERATOR
+    * `n*Σl² − (Σl)²` (variance = that over n², kept integral so the
+    * oracle is bit-exact), plus the three filter flags
+    * (mean < 64 dark, mean > 192 bright, max−min < 32 flat).
+    *
+    * Scale: decode + fold are map-only inside the scan ([[audioStats]]
+    * shape); blobs never shuffle; output is one row per image. The
+    * closed-form oracle recomputes fixture pixels, so agreement proves
+    * the luma math AND pixel placement survive decode.
+    */
+  def lumaStats(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeImages(spark, bmpFixtures(d)).map { img =>
+      val n = (img.width * img.height).toLong
+      var sum = 0L
+      var sum2 = 0L
+      var mn = 255L
+      var mx = 0L
+      var i = 0
+      while (i < n) {
+        val r = (img.pixels(i * 3) & 0xff).toLong
+        val g = (img.pixels(i * 3 + 1) & 0xff).toLong
+        val b = (img.pixels(i * 3 + 2) & 0xff).toLong
+        val l = (299 * r + 587 * g + 114 * b) / 1000
+        sum += l
+        sum2 += l * l
+        if (l < mn) mn = l
+        if (l > mx) mx = l
+        i += 1
+      }
+      val mean = sum / n
+      (img.doc_id, n, mean, mn, mx, n * sum2 - sum * sum,
+        if (mean < 64) 1L else 0L, if (mean > 192) 1L else 0L,
+        if (mx - mn < 32) 1L else 0L)
+    }.toDF("doc_id", "n_px", "mean_luma", "min_luma", "max_luma",
+      "var_num", "too_dark", "too_bright", "low_contrast")
+  }
+
+  val lumaStatsSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id % 13 + 5 AS w, doc_id % 7 + 3 AS h
+      |  FROM documents),
+      |lum AS (
+      |  SELECT d.doc_id, d.w * d.h AS n,
+      |    (299 * ((gx.x * 3 + gy.y * 7 + 0 + d.doc_id) % 256)
+      |     + 587 * ((gx.x * 3 + gy.y * 7 + 11 + d.doc_id) % 256)
+      |     + 114 * ((gx.x * 3 + gy.y * 7 + 22 + d.doc_id) % 256)) // 1000
+      |      AS l
+      |  FROM dims d,
+      |    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) gx,
+      |    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) gy),
+      |agg AS (
+      |  SELECT doc_id, min(n) AS n, sum(l) AS s, sum(l * l) AS s2,
+      |    min(l) AS mn, max(l) AS mx
+      |  FROM lum GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_px,
+      |  CAST(s // n AS BIGINT) AS mean_luma,
+      |  CAST(mn AS BIGINT) AS min_luma, CAST(mx AS BIGINT) AS max_luma,
+      |  CAST(n * s2 - s * s AS BIGINT) AS var_num,
+      |  CAST(CASE WHEN s // n < 64 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS too_dark,
+      |  CAST(CASE WHEN s // n > 192 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS too_bright,
+      |  CAST(CASE WHEN mx - mn < 32 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS low_contrast
+      |FROM agg""".stripMargin
+
+  /** 2:1 box-filter audio downsample — the sample-rate normalization
+    * step before a speech model with a fixed input rate. Each output
+    * sample is the UNDIVIDED pair sum v[2i] + v[2i+1] (odd tail keeps
+    * its lone sample): division-free on purpose, because Spark's DIV
+    * truncates toward zero while DuckDB's // floors, and audio samples
+    * go negative — the one engine-semantics mismatch a bit-exact panel
+    * must not contain. Reported per doc: halved rate, output length,
+    * pair-sum extrema, and a position-weighted checksum that catches
+    * any off-by-one in the pairing.
+    *
+    * Scale: map-only inside the scan, blobs never shuffle; the full
+    * resampled signal exists only transiently per row.
+    */
+  def audioDownsample(spark: SparkSession, d: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeAudio(spark, wavFixtures(d)).map { a =>
+      val n = a.samples.length
+      val nOut = (n + 1) / 2
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var chk = 0L
+      var i = 0
+      while (i < nOut) {
+        val v = a.samples(2 * i).toLong +
+          (if (2 * i + 1 < n) a.samples(2 * i + 1).toLong else 0L)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        chk += (i + 13L) * v
+        i += 1
+      }
+      (a.doc_id, a.sample_rate.toLong / 2, nOut.toLong, mn, mx, chk)
+    }.toDF("doc_id", "out_rate", "n_out", "min_pair", "max_pair",
+      "checksum")
+  }
+
+  val audioDownsampleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 50 + 20 AS n,
+      |    8000 + (doc_id % 4) * 4000 AS rate
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT b.doc_id, b.rate, g.i,
+      |    ((b.doc_id * 31 + (2 * g.i) * 17) % 2003 - 1001)
+      |    + (CASE WHEN 2 * g.i + 1 < b.n
+      |        THEN (b.doc_id * 31 + (2 * g.i + 1) * 17) % 2003 - 1001
+      |        ELSE 0 END) AS v
+      |  FROM base b,
+      |    LATERAL (SELECT unnest(generate_series(0, (b.n + 1) // 2 - 1))
+      |      AS i) g)
+      |SELECT doc_id, CAST(min(rate) // 2 AS BIGINT) AS out_rate,
+      |  CAST(count(*) AS BIGINT) AS n_out,
+      |  CAST(min(v) AS BIGINT) AS min_pair,
+      |  CAST(max(v) AS BIGINT) AS max_pair,
+      |  CAST(sum((i + 13) * v) AS BIGINT) AS checksum
+      |FROM pairs GROUP BY doc_id""".stripMargin
+
   /** Synthesized Y4M fixture blobs: one real YUV4MPEG2 clip per
     * document — w in {4,6,8}, h in {2,4}, frames = doc_id%5+1,
     * luma(f, x, y) = (doc_id + f*37 + x*5 + y*11) % 256 — so the
@@ -871,6 +999,8 @@ object Multimodal {
         media.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
     }),
+    "q_multimodal_luma" -> ((s, d) => lumaStats(s, docs(s, d))),
+    "q_multimodal_downsample" -> ((s, d) => audioDownsample(s, docs(s, d))),
     "q_multimodal_quarantine" -> ((s, d) => quarantineStats(s, docs(s, d))),
     "q_multimodal_video" -> ((s, d) => videoStats(s, docs(s, d))),
     "q_multimodal_scenes" -> ((s, d) => sceneCuts(s, docs(s, d))),
@@ -883,6 +1013,8 @@ object Multimodal {
     "q_multimodal_resize" -> ((s, d) => resizedStats(s, docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_luma" -> lumaStatsSql,
+    "q_multimodal_downsample" -> audioDownsampleSql,
     "q_multimodal_quarantine" -> quarantineStatsSql,
     "q_multimodal_video" -> videoStatsSql,
     "q_multimodal_scenes" -> sceneCutsSql,

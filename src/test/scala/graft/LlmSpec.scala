@@ -803,6 +803,47 @@ class LlmSpec extends SparkSpec {
     assert(flags === Set(0L, 1L), s"threshold degenerate: $flags")
   }
 
+  test("lumaStats: per-image luma panel matches the closed-form pixels") {
+    val sample = docs.limit(50)
+    val got = Multimodal.lumaStats(spark, sample).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val ids = sample.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val w = (id % 13 + 5).toInt; val h = (id % 7 + 3).toInt
+      val ls = for { y <- 0 until h; x <- 0 until w } yield {
+        def v(c: Int) = (x * 3 + y * 7 + c * 11 + id) % 256
+        (299 * v(0) + 587 * v(1) + 114 * v(2)) / 1000
+      }
+      val n = w.toLong * h
+      val (s1, s2) = (ls.sum, ls.map(l => l * l).sum)
+      assert(got(id) === ((n, s1 / n, ls.min, ls.max, n * s2 - s1 * s1)),
+        s"doc $id")
+    }
+    // variance numerator is non-negative by Cauchy-Schwarz; zero only
+    // for a flat image (the fixture is never flat)
+    got.values.foreach { case (_, _, _, _, vn) => assert(vn > 0L) }
+  }
+
+  test("audioDownsample: pair sums and checksum match the closed form") {
+    val sample = docs.limit(50)
+    val got = Multimodal.audioDownsample(spark, sample).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val ids = sample.select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val n = (id % 50 + 20).toInt
+      def s(i: Int) = (id * 31 + i * 17) % 2003 - 1001
+      val out = (0 until (n + 1) / 2).map { i =>
+        s(2 * i) + (if (2 * i + 1 < n) s(2 * i + 1) else 0L)
+      }
+      val chk = out.zipWithIndex.map { case (v, i) => (i + 13L) * v }.sum
+      val rate = 8000L + (id % 4) * 4000L
+      assert(got(id) ===
+        ((rate / 2, out.length.toLong, out.min, out.max, chk)), s"doc $id")
+    }
+  }
+
   test("duplicateSpans merges windows into maximal spans (closed form)") {
     // k=3 fixture with every case hand-derivable:
     //  - docs 1/2 share "a b c d" -> windows abc,bcd dup; one 4-token span
