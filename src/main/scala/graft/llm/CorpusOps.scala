@@ -401,6 +401,83 @@ object CorpusOps {
       |  coalesce(s.avg_neg_lp, 0.0) AS avg_neg_lp
       |FROM base b LEFT JOIN scored s USING (doc_id)""".stripMargin
 
+  /** Collocation extraction: top-k adjacent bigrams by scaled-integer
+    * PMI lift — `1000 · P(xy) / (P(x)·P(y))`, spelled exactly as
+    * `1000·c2·N1² DIV (N2·cx·cy)` in both engines (one truncating
+    * division, identical parenthesization) — with a minimum pair
+    * support. The "merge these into one token / these are phrases"
+    * signal a tokenizer-training or query-segmentation pass reads;
+    * where [[bigramLogProb]] scores DOCS under transition
+    * probabilities, this ranks the PAIRS by joint-vs-independent lift.
+    *
+    * Scale: pair candidates are support-filtered BEFORE the two
+    * vocabulary-sized unigram joins (both co-partitioned hash joins —
+    * the vocabulary is never broadcast), totals ride 1-row broadcasts,
+    * and the top-k is a TakeOrdered under a total order (lift desc,
+    * w1, w2) — no global sort materializes. The integer lift needs
+    * `1000·c2·N1²` inside int64: fine to ~10⁸ tokens per corpus slice;
+    * a 100 TB corpus reports per-shard panels or switches this one
+    * reporting column to double log-PMI (the candidate/join shape is
+    * unchanged).
+    */
+  def pmiCollocations(
+      d: DataFrame, minSupport: Long = 5L, k: Int = 40): DataFrame = {
+    val base = d.select(TextOps.letterTokens(col("text")).as("toks"))
+    val toks = base.select(explode(col("toks")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = base.select(
+        explode(
+          when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => struct(
+                element_at(col("toks"), i).as("w1"),
+                element_at(col("toks"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tot1 = uni.agg(sum("c1").as("n1"))
+    val tot2 = bi.agg(count(lit(1)).as("n2"))
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+      .join(uni.select(col("w").as("w1"), col("c1").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("n_w2")), "w2")
+      .crossJoin(broadcast(tot1))
+      .crossJoin(broadcast(tot2))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        expr("1000 * n_pair * n1 * n1 DIV (n2 * n_w1 * n_w2)").as("lift_e3"))
+      .orderBy(col("lift_e3").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH base AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS c1 FROM (
+      |    SELECT unnest(toks) AS w FROM base) GROUP BY 1),
+      |bi AS (
+      |  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+      |    SELECT unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+      |                   FOR i IN range(1, len(toks))]) AS b
+      |    FROM base)),
+      |tot1 AS (SELECT sum(c1) AS n1 FROM uni),
+      |tot2 AS (SELECT count(*) AS n2 FROM bi),
+      |pairs AS (
+      |  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
+      |  HAVING count(*) >= 5)
+      |SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+      |  CAST(u1.c1 AS BIGINT) AS n_w1, CAST(u2.c1 AS BIGINT) AS n_w2,
+      |  CAST(1000 * p.n_pair * n1 * n1 // (n2 * u1.c1 * u2.c1) AS BIGINT)
+      |    AS lift_e3
+      |FROM pairs p
+      |JOIN uni u1 ON p.w1 = u1.w
+      |JOIN uni u2 ON p.w2 = u2.w
+      |CROSS JOIN tot1 CROSS JOIN tot2
+      |ORDER BY lift_e3 DESC, p.w1, p.w2
+      |LIMIT 40""".stripMargin
+
   /** CCNet-style quality bucketing: split each language's documents
     * into head/middle/tail terciles of the unigram LM score (bucket 1 =
     * most typical text) and report per-bucket stats — the aggregate
@@ -2029,6 +2106,7 @@ object CorpusOps {
     "q_text_boilerplate" -> ((s, d) => boilerplate(docs(s, d))),
     "q_text_unigram_lp" -> ((s, d) => unigramLogProb(docs(s, d))),
     "q_text_bigram_lp" -> ((s, d) => bigramLogProb(docs(s, d))),
+    "q_text_pmi" -> ((s, d) => pmiCollocations(docs(s, d))),
     "q_text_ccnet_buckets" -> ((s, d) => ccnetBuckets(docs(s, d))),
     "q_mix_domains" -> ((s, d) => mixDomains(docs(s, d))),
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
@@ -2054,6 +2132,7 @@ object CorpusOps {
     "q_text_boilerplate" -> boilerplateSql,
     "q_text_unigram_lp" -> unigramLogProbSql,
     "q_text_bigram_lp" -> bigramLogProbSql,
+    "q_text_pmi" -> pmiCollocationsSql,
     "q_text_ccnet_buckets" -> ccnetBucketsSql,
     "q_mix_domains" -> mixDomainsSql,
     "q_corpus_summary" -> corpusSummarySql)

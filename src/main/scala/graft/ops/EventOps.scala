@@ -1398,7 +1398,86 @@ object EventOps {
       |  CAST(1000 * n_events * 168 // total AS BIGINT) AS load_permille
       |FROM cells CROSS JOIN tot""".stripMargin
 
+  /** Top clickstream paths: sessions cut at a 10-minute inactivity gap
+    * (the lag-based session id — the batch spelling of what
+    * session_window states up in streaming), each session reduced to
+    * its first up-to-3 event types in arrival order, counted per path
+    * with a permille share — the "how do users actually enter" panel
+    * next to the funnel's prescribed order.
+    *
+    * Determinism: session membership and the first-3 picks ride one
+    * per-user (ts, event_id) total order; the path string is built
+    * from rank-conditional maxes, never collect_list (whose order is
+    * partition-dependent).
+    *
+    * Scale: two user_id-partitioned windows on the same partitioning
+    * (one exchange), then a path-keyed aggregate bounded by
+    * |event_types|³ rows and a 1-row total broadcast. No global
+    * window, no collect.
+    */
+  def sessionPaths(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 600L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(w))
+    val ws = Window.partitionBy("user_id", "sid")
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sess
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id", "sid")
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("e1"),
+        max(when(col("rn") === 2, col("event_type"))).as("e2"),
+        max(when(col("rn") === 3, col("event_type"))).as("e3"))
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val total = paths.agg(sum("n_sessions").as("total"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n_sessions"),
+        expr("1000 * n_sessions DIV total").as("share_permille"))
+  }
+
+  val sessionPathsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    CASE WHEN lag(us, 1) OVER w IS NULL
+      |      OR us - lag(us, 1) OVER w > 600 * 1000000 THEN 1 ELSE 0 END
+      |      AS new_s
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sid AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM sess),
+      |ranked AS (
+      |  SELECT user_id, sid, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sid
+      |      ORDER BY us, event_id) AS rn
+      |  FROM sid),
+      |paths AS (
+      |  SELECT concat_ws('>',
+      |      max(CASE WHEN rn = 1 THEN event_type END),
+      |      max(CASE WHEN rn = 2 THEN event_type END),
+      |      max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |  FROM ranked WHERE rn <= 3 GROUP BY user_id, sid),
+      |agg AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1),
+      |tot AS (SELECT sum(n_sessions) AS total FROM agg)
+      |SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+      |  CAST(1000 * n_sessions // total AS BIGINT) AS share_permille
+      |FROM agg CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_paths" -> ((s, d) => sessionPaths(events(s, d))),
     "q_events_conversion_lag" -> ((s, d) => conversionLag(events(s, d))),
     "q_events_seasonality" -> ((s, d) => seasonality(events(s, d))),
     "q_events_rfm" -> ((s, d) => rfmSegments(events(s, d))),
@@ -1431,6 +1510,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_paths" -> sessionPathsSql,
     "q_events_conversion_lag" -> conversionLagSql,
     "q_events_seasonality" -> seasonalitySql,
     "q_events_rfm" -> rfmSegmentsSql,

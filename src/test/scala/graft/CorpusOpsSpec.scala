@@ -161,6 +161,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L) === ((3L, 2L, r4(math.log(3) - 2 * math.log(2) / 3))))
   }
 
+  test("pmiCollocations matches a hand-computed lift") {
+    // "x y" x5 alternating: c(x,y)=5, c(y,x)=4, c1(x)=c1(y)=5,
+    // N1=10, N2=9; minSupport 5 keeps only (x,y):
+    // lift_e3 = 1000*5*10*10 DIV (9*5*5) = 500000 DIV 225 = 2222
+    val d = mkDocs(Seq((1L, "x y x y x y x y x y", "en", "s")))
+    val got = CorpusOps.pmiCollocations(d, minSupport = 5L).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) === (("x", "y")))
+    assert(r.getLong(2) === 5L && r.getLong(3) === 5L && r.getLong(4) === 5L)
+    assert(r.getLong(5) === 2222L)
+    // an independent pair scores ~1000; a collocation far above it
+    assert(r.getLong(5) > 1000L)
+  }
+
   test("bigramLogProb matches hand-computed transition scores") {
     val d = mkDocs(Seq(
       (1L, "aa bb aa cc", "en", "s0"),

@@ -105,6 +105,12 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.ops.GraphOps.triangleCounts(
         graft.ops.GraphOps.coOccurrenceEdges(
           Tables.load(spark, sfDir, "lineitem")))),
+    ("session_paths (gap-cut windows + rank-conditional path build)",
+      () => graft.ops.EventOps.sessionPaths(
+        graft.ops.EventOps.events(spark, sfDir))),
+    ("pmi (top-k boundary under the lift total order)",
+      () => graft.llm.CorpusOps.pmiCollocations(
+        Tables.load(spark, sfDir, "documents"))),
     ("conversion_lag (running last-view + rank quantiles)",
       () => graft.ops.EventOps.conversionLag(
         graft.ops.EventOps.events(spark, sfDir))),

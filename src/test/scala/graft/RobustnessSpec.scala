@@ -425,6 +425,28 @@ class RobustnessSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("max_sec")) === 360L)
   }
 
+  test("sessionPaths: gap cut and first-3 ordering on a fixture") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: view,click @+1m,purchase @+2m,error @+3m (one session,
+    //   path stops at 3) | 20-min gap | click (second session)
+    // user 2: single view session
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "error", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:23:30"), 1L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.sessionPaths(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      "view>click>purchase" -> ((1L, 333L)),
+      "click" -> ((1L, 333L)),
+      "view" -> ((1L, 333L))))
+  }
+
   test("lateral top-k: at most 2 rows per customer, and they are the top 2") {
     val got = graft.ops.Relational.qLateralTopOrders(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
