@@ -330,6 +330,56 @@ object StatefulOps {
       }
   }
 
+  case class ConvLag(purchase_id: Long, user_id: Long, dow: Long,
+      lag_sec: Long)
+
+  /** Streaming conversion-lag feed — the online face of
+    * [[graft.ops.EventOps.conversionLag]]: per user the carried O(1)
+    * state is the microsecond timestamp of the last view; each
+    * arriving purchase with a known prior view emits one
+    * (dow, lag_sec) row (view-less purchases emit nothing — the batch
+    * null filter). Rows sort by (ts, event_id) within each
+    * (user, batch) — the batch window's total order, so a view and a
+    * purchase sharing a timestamp resolve identically — and a full
+    * in-order replay's rows aggregate to the batch panel exactly
+    * (StatefulStreamingSpec). Day-of-week uses the same epoch-Monday
+    * integer arithmetic (floorDiv on epoch days, anchored at
+    * 2024-01-01 = day 19723).
+    *
+    * This is the lag HISTOGRAM feed: a live dashboard folds these rows
+    * into its own quantile sketch per refresh; the exact type-1
+    * quantiles stay a batch-side statement over the same rows.
+    */
+  def conversionLagFeed(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame): Dataset[ConvLag] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seen, ConvLag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[Seen]) =>
+          val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+          var lastView = state.getOption.map(_.firstTs).getOrElse(-1L)
+          val out = Vector.newBuilder[ConvLag]
+          sorted.foreach { case (_, id, tsUs, typ) =>
+            if (typ == "view") lastView = tsUs
+            else if (lastView >= 0L) {
+              val day = Math.floorDiv(tsUs, 86400L * 1000000L)
+              val dow = Math.floorMod(day - 19723L, 7L)
+              out += ConvLag(id, user, dow, (tsUs - lastView) / 1000000L)
+            }
+          }
+          if (lastView >= 0L) state.update(Seen(lastView))
+          out.result().iterator
+      }
+  }
+
   def scd2Changes(
       spark: SparkSession,
       events: org.apache.spark.sql.DataFrame): Dataset[StateChange] = {

@@ -345,6 +345,36 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming conversion-lag feed folds to the batch quantile panel") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val d = java.nio.file.Files.createTempDirectory("graft-convlag-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StatefulOps.conversionLagFeed(spark,
+        graft.streaming.EventStreams.readEvents(spark, d.toString))
+      .writeStream.format("memory").queryName("convlag_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("convlag_out").collect()
+      .map(r => (r.getLong(2), r.getLong(3))) // (dow, lag_sec)
+    assert(rows.nonEmpty)
+    // fold the emitted rows into the exact type-1 quantile panel and
+    // compare against the batch statement
+    val want = graft.ops.EventOps.conversionLag(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val got = rows.groupBy(_._1).map { case (dow, ls) =>
+      val s = ls.map(_._2).sorted
+      val n = s.length
+      def q1(i: Int) = s((i * n + 3) / 4 - 1)
+      dow -> ((n.toLong, s.head, q1(1), q1(2), q1(3), s.last))
+    }
+    assert(got === want)
+  }
+
   test("abFeed deltas sum to the batch A/B panel; once-per-user increments") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
