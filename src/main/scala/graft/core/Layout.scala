@@ -119,4 +119,36 @@ object Layout {
       else keyed.repartitionByRange(col("_z"))
     ranged.sortWithinPartitions("_z").drop("_z")
   }
+
+  /** Small-file compaction (the OPTIMIZE-style table-maintenance pass):
+    * rewrite a parquet directory into ceil(totalBytes / targetBytes)
+    * files. Streaming sinks and fine-grained incremental writes leave
+    * thousands of KB-sized files; at 100 TB that's metadata pressure on
+    * the driver (one FileStatus + footer per file at planning time) and
+    * a scan whose task count is file-bound, not data-bound. Sizing from
+    * the ACTUAL on-disk byte total (not a row-count guess) keeps output
+    * files near the target regardless of row width or compression.
+    *
+    * `round_robin` (repartition(n) without keys) spreads rows evenly
+    * across output files with NO meaningful shuffle key — correct for
+    * pure compaction, where layout (partitioning/order) is re-imposed
+    * by [[zorder]]/[[writeShards]] afterwards if wanted.
+    *
+    * Returns (filesBefore, filesAfter, totalBytes).
+    */
+  def compactDir(
+      spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(dir: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val in = parquetFiles(inDir)
+    val totalBytes = in.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    (in.length, parquetFiles(outDir).length, totalBytes)
+  }
 }

@@ -129,6 +129,48 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("compactDir: many small files -> size-targeted few, lossless") {
+    val src = Files.createTempDirectory("graft-compact-in").toString
+    val dst = Files.createTempDirectory("graft-compact-out").toString
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // simulate a fine-grained incremental writer: 64 tiny files
+    li.repartition(64).write.mode("overwrite").parquet(src)
+    val target = 64L << 10
+    val (before, after, total) =
+      graft.core.Layout.compactDir(spark, src, dst, target)
+    assert(before === 64)
+    assert(after === ((total + target - 1) / target).toInt)
+    assert(after < before, s"compaction must reduce files ($total bytes)")
+    // lossless: exact multiset of rows survives
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(_.mkString("|")).sorted.toSeq
+    assert(rows(dst) === rows(src))
+  }
+
+  test("schema evolution: mergeSchema unions writer generations") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    import spark.implicits._
+    // generation 1: (id, v); generation 2 adds a quality column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9L)).toDF("id", "v", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "quality", "v"))
+    val got = merged.collect().map(r =>
+      (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("v")),
+        if (r.isNullAt(r.fieldIndex("quality"))) -1L
+        else r.getLong(r.fieldIndex("quality")))).sortBy(_._1).toSeq
+    // old-generation rows surface NULL for the new column
+    assert(got === Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 9L)))
+    // and a projection that only needs gen-1 columns still prunes to
+    // them (ReadSchema must not drag the merged superset along)
+    val p = plan(merged.select("id"))
+    assert(p.contains("ReadSchema") && !p.contains("quality,"),
+      s"projection should prune the evolved column:\n$p")
+  }
+
   test("writeShards: one sorted file per shard, lossless, shard-pure") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = Files.createTempDirectory("graft-shards").toString
