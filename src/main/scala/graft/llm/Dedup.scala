@@ -1157,6 +1157,34 @@ object Dedup {
        |FROM clusters GROUP BY 1""".stripMargin
   }
 
+  /** Cluster-size histogram — the "how duplicated is this corpus"
+    * summary read before choosing a dedup threshold: for each cluster
+    * size, how many clusters and how many docs sit at it (size 1 =
+    * unique docs; the tail is the mass dedup will delete). Derived
+    * from [[dupClusters]] with two answer-sized aggregates — at 100 TB
+    * a real pipeline computes clusters once and this panel is
+    * marginal-cost; Bench times it unmemoized like the rest of the
+    * trio (the documented convention).
+    */
+  def dedupClusterHist(
+      d: DataFrame, threshold: Double = 0.9,
+      broadcastLabels: Boolean = true): DataFrame =
+    dupClusters(d, threshold, broadcastLabels = broadcastLabels)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  val dedupClusterHistSql: String =
+    s"""WITH clusters AS ($dupClustersSql),
+       |sizes AS (
+       |  SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  count(*) AS n_clusters,
+       |  CAST(sz * count(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY sz""".stripMargin
+
   /** QUALITY-AWARE survivor selection: keep each near-dup cluster's
     * BEST member (highest integer alpha-quality, doc_id tiebreak)
     * instead of [[dedupSurvivors]]' lowest-id member — what a curation
@@ -1731,6 +1759,7 @@ object Dedup {
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
+    "q_dedup_cluster_hist" -> ((s, d) => dedupClusterHist(docs(s, d))),
     "q_dedup_survivors" -> ((s, d) => dedupSurvivors(docs(s, d))),
     "q_dedup_survivors_best" -> ((s, d) => dedupSurvivorsBest(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
@@ -1764,6 +1793,7 @@ object Dedup {
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" -> dupClustersSql,
+    "q_dedup_cluster_hist" -> dedupClusterHistSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql,
     "q_dedup_edit" -> editVerifiedPairsSql,

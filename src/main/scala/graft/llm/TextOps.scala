@@ -220,6 +220,31 @@ object TextOps {
        |  FROM documents)""".stripMargin
   }
 
+  /** Language confusion matrix — declared label vs [[langId]]'s
+    * prediction, with a row-normalized permille share: the panel that
+    * tells a multilingual-curation pass whether the corpus's language
+    * column can be trusted (and, in a real deployment with real
+    * profiles, where the classifier bleeds). Composes the langId
+    * kernel (map-only) into one answer-sized (≤|langs|²) aggregate;
+    * the permille rides a window over those few rows, never over docs.
+    */
+  def langConfusion(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(d).groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total",
+        sum("n_docs").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("1000 * n_docs DIV row_total").as("row_permille"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH li AS ($langIdSql)
+       |SELECT lang, pred_lang, count(*) AS n_docs,
+       |  CAST(1000 * count(*) // sum(count(*)) OVER (PARTITION BY lang)
+       |    AS BIGINT) AS row_permille
+       |FROM li GROUP BY lang, pred_lang""".stripMargin
+
   /** Rolling polynomial hash fingerprint over the token stream
     * (order-sensitive, Rabin–Karp style):
     * h = fold(tokens, 0, (h, t) -> (h*31 + v(t)) mod 1e9+7) with
@@ -815,6 +840,7 @@ object TextOps {
     "q_text_quality" -> ((s, d) => quality(docs(s, d))),
     "q_text_token_count" -> ((s, d) => tokenCount(docs(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(docs(s, d))),
+    "q_text_lang_confusion" -> ((s, d) => langConfusion(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
@@ -833,5 +859,6 @@ object TextOps {
     "q_text_quality" -> qualitySql,
     "q_text_token_count" -> tokenCountSql,
     "q_text_lang_id" -> langIdSql,
+    "q_text_lang_confusion" -> langConfusionSql,
     "q_text_fingerprint" -> fingerprintSql)
 }

@@ -584,13 +584,19 @@ object GraphOps {
     * traversal off one scan.
     */
   def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4): DataFrame = {
-    coOccurrenceEdges(Tables.load(s, dir, "lineitem"))
-      .createOrReplaceTempView("graft_bfs_edges")
+    // materialize the SYMMETRIC edge list BEFORE entering the
+    // recursion: a CTE is a plan alias, not a result, so UnionLoop
+    // would re-run the co-occurrence self-join + aggregate on every
+    // level (measured 15.9 s at sf0.1; 2.0 s checkpointed — the loop
+    // itself is cheap, recomputing its input per level was the cost)
+    val e = coOccurrenceEdges(Tables.load(s, dir, "lineitem"))
+    e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_bfs_sym")
     s.sql(
       s"""WITH RECURSIVE sym AS (
-         |  SELECT u AS src, v AS dst FROM graft_bfs_edges
-         |  UNION ALL
-         |  SELECT v AS src, u AS dst FROM graft_bfs_edges),
+         |  SELECT src, dst FROM graft_bfs_sym),
          |reach AS (
          |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS hop FROM sym
          |  UNION ALL
