@@ -506,6 +506,47 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("kcore")) {
+      // k-core probe: a dense planted core (each core node wired to 8
+      // distinct peers) over a SPARSE random periphery (avg degree ~2)
+      // most of which peels away in the first rounds. Claims: per-round
+      // cost is one degree aggregate + two node-keyed semi-joins over
+      // the LIVE edge list, which shrinks monotonically — so later
+      // rounds are nearly free and total scales ~linearly in |E|.
+      def graph(nEdges: Long, nNodes: Long) = {
+        val core = math.max(nNodes / 100, 16L)
+        val periphery = spark.range(nEdges).select(
+          pmod(col("id") * 1597334677L + 99991L, lit(nNodes)).as("u"),
+          pmod(col("id") * 2654435761L + 11L, lit(nNodes)).as("v"))
+        // id DIV core (integer) — col/long is DOUBLE division and
+        // would silently make the core ids fractional (degree-1 ghost
+        // nodes that peel instantly)
+        val corePart = spark.range(core * 4).select(
+          pmod(col("id"), lit(core)).as("u"),
+          pmod(pmod(col("id"), lit(core)) +
+            expr(s"(id DIV $core) * 2 + 1"), lit(core)).as("v"))
+        periphery.unionByName(corePart)
+          .filter(col("u") =!= col("v"))
+          .localCheckpoint()
+      }
+      Seq("1x (1M edges, 1M nodes)" -> ((1000000L, 1000000L)),
+        "4x (4M edges, 4M nodes)" -> ((4000000L, 4000000L)))
+        .foreach { case (label, (e, nn)) =>
+          val g = graph(e, nn)
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val rows = graft.ops.GraphOps.kCore(g, k = 3, iters = 4).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[kcore-probe] $label%-26s $rows%9d core nodes  " +
+            f"$dt%7.2f s  shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("freq")) {
       // Heavy-hitters probe: the testdata corpus's ~31-token vocabulary
       // can't show what Misra-Gries buys, because the direct groupBy's
