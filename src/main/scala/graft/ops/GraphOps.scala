@@ -496,6 +496,61 @@ object GraphOps {
       |JOIN deg du ON ne.u = du.z
       |JOIN deg dv ON ne.v = dv.z""".stripMargin
 
+  /** Market-basket association rules over order baskets (Agrawal &
+    * Srikant's Apriori output at itemset size 2 — the "customers who
+    * bought X also bought Y" panel): for every part pair co-occurring
+    * in >= minSupport baskets, the support count, both directional
+    * confidences, and the lift, all in exact integer permille
+    * (1000·n_xy DIV n_x; lift = 1000·n_xy·N DIV (n_x·n_y)). Where
+    * [[graft.llm.CorpusOps.pmiCollocations]] ranks ADJACENT text
+    * bigrams, this scores UNORDERED co-membership — the retail/
+    * recommendation shape.
+    *
+    * Scale: the pair-generation self-join is the co-occurrence kernel
+    * (support-filtered before anything joins it); per-item basket
+    * counts join co-partitioned on the item key (item vocabulary never
+    * broadcast); the basket total rides a 1-row broadcast. Integer
+    * range: 1000·n_xy·N needs int64 — fine to ~10¹² basket-pairs;
+    * beyond that the lift column switches to log-space doubles with
+    * the same candidate shape.
+    */
+  def basketRules(lineitem: DataFrame, minSupport: Long = 5L): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val items = li.groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val total = li.agg(countDistinct("ok").as("n_baskets"))
+    coOccurrenceWeighted(lineitem, minW = minSupport.toInt)
+      .join(items.select(col("pk").as("u"), col("n_item").as("n_u")), "u")
+      .join(items.select(col("pk").as("v"), col("n_item").as("n_v")), "v")
+      .crossJoin(broadcast(total))
+      .select(col("u"), col("v"), col("w").as("n_pairs"),
+        col("n_u"), col("n_v"),
+        expr("1000 * w DIV n_u").as("conf_uv_permille"),
+        expr("1000 * w DIV n_v").as("conf_vu_permille"),
+        expr("1000 * w * n_baskets DIV (n_u * n_v)").as("lift_e3"))
+  }
+
+  val basketRulesSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |items AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+      |total AS (SELECT count(DISTINCT ok) AS n_baskets FROM li),
+      |pairs AS (
+      |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT p.u, p.v, CAST(p.w AS BIGINT) AS n_pairs,
+      |  CAST(iu.n_item AS BIGINT) AS n_u, CAST(iv.n_item AS BIGINT) AS n_v,
+      |  CAST(1000 * p.w // iu.n_item AS BIGINT) AS conf_uv_permille,
+      |  CAST(1000 * p.w // iv.n_item AS BIGINT) AS conf_vu_permille,
+      |  CAST(1000 * p.w * n_baskets // (iu.n_item * iv.n_item) AS BIGINT)
+      |    AS lift_e3
+      |FROM pairs p
+      |JOIN items iu ON p.u = iu.pk
+      |JOIN items iv ON p.v = iv.pk
+      |CROSS JOIN total""".stripMargin
+
   /** k-core decomposition by fixed-round peeling (Seidman 1983; the
     * "dense backbone" extractor — spam rings, core communities, the
     * subgraph worth running expensive analytics on): each round drops
@@ -628,6 +683,8 @@ object GraphOps {
        |FROM reach GROUP BY node""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_rules" -> ((s, d) =>
+      basketRules(Tables.load(s, d, "lineitem"))),
     "q_graph_kcore" -> ((s, d) =>
       kCore(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
     "q_graph_bfs" -> ((s, d) => bfsHops(s, d)),
@@ -645,6 +702,7 @@ object GraphOps {
     * production default) keeps its GraphSpec ground truth.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_basket_rules" -> basketRulesSql,
     "q_graph_kcore" -> kCoreSql(),
     "q_graph_bfs" -> bfsHopsSql(),
     "q_graph_linkpred" -> linkPredictionSql,

@@ -171,6 +171,22 @@ class GraphSpec extends SparkSpec {
     assert(!capped.keys.exists { case (u, v) => u == 100L || v == 100L })
   }
 
+  test("basketRules: hand-computed support/confidence/lift") {
+    // baskets: {1,2} x3, {1,3} x1, {2,3} x1, {1} x1  (N = 6 baskets)
+    // n_1 = 5, n_2 = 4, n_3 = 2; pair (1,2): w = 3
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L), (14L, 2L), (14L, 3L), (15L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.ops.GraphOps.basketRules(rows, minSupport = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // only (1,2) clears support 3: conf(1->2) = 3000/5 = 600,
+    // conf(2->1) = 3000/4 = 750, lift = 1000*3*6/(5*4) = 900
+    assert(got === Map((1L, 2L) -> ((3L, 5L, 4L, 600L, 750L, 900L))))
+  }
+
   test("kCore converges within the horizon and matches an exact peel") {
     val edges = GraphOps.coOccurrenceEdges(Tables.load(spark, sfDir, "lineitem"))
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
