@@ -86,6 +86,86 @@ object Relational {
       |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6-style forecast-revenue-change: the pure scan-filter-agg
+    * query — no joins, one pass, one row out. Its whole value at
+    * 100 TB is PUSHDOWN: the three predicates and the two needed
+    * columns must reach the parquet reader (PlanSpec asserts
+    * PushedFilters + a 4-column ReadSchema), so the scan reads a
+    * fraction of the table and the aggregate is map-side-total.
+    * Revenue in exact integer micros (cents x discount basis points).
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select(
+        (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+          round(col("l_discount") * 100, 0).cast("bigint"))
+          .as("rev_micros"))
+      .agg(sum("rev_micros").as("revenue_micros"),
+        count(lit(1)).as("n_rows"))
+
+  val q6ForecastSql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |    * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS revenue_micros,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10-style returned-item report: which customers returned
+    * the most revenue in a quarter — fact-fact join on the order key,
+    * two dimension joins (customer broadcastable at any scale that
+    * fits one executor; nation always broadcast), exact-cents revenue,
+    * deterministic top-20 via TakeOrderedAndProject (never a global
+    * sort).
+    */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("bigint")))
+          .as("rev"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev").as("revenue_micros"), count(lit(1)).as("n_items"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_micros"), col("n_items"))
+      .orderBy(col("revenue_micros").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |    AS BIGINT) AS revenue_micros,
+      |  count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue_micros DESC, c.c_custkey
+      |LIMIT 20""".stripMargin
+
   /** TPC-H Q3-style: dim filter -> broadcast join -> fact-fact join ->
     * agg -> deterministic top-10.
     */
@@ -1368,6 +1448,8 @@ object Relational {
     "q_lateral_topk" -> (qLateralTopOrders _),
     "q_unpivot" -> (qUnpivot _),
     "q1_pricing" -> (q1Pricing _),
+    "q6_forecast" -> (q6Forecast _),
+    "q10_returns" -> (q10Returns _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q_filter_project" -> (qFilterProject _),
@@ -1417,6 +1499,8 @@ object Relational {
     "q_lateral_topk" -> qLateralTopOrdersSql,
     "q_unpivot" -> qUnpivotSql,
     "q1_pricing" -> q1PricingSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q10_returns" -> q10ReturnsSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "q_filter_project" -> qFilterProjectSql,

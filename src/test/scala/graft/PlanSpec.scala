@@ -23,6 +23,25 @@ class PlanSpec extends SparkSpec {
       s"predicate not pushed:\n$p")
   }
 
+  test("q6: all three predicates pushed; scan pruned to 4 columns") {
+    val p = plan(Relational.q6Forecast(spark, sfDir))
+    assert(p.contains("PushedFilters:"), p)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains(c)),
+        s"$c not pushed:\n$p")
+    }
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"), s"unpruned scan: $readSchema")
+  }
+
+  test("q10: top-20 is TakeOrdered, nation join broadcast") {
+    val p = plan(Relational.q10Returns(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q1: column pruning — scan reads only the 6 needed columns") {
     val p = plan(Relational.q1Pricing(spark, sfDir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
