@@ -1476,7 +1476,89 @@ object EventOps {
       |  CAST(1000 * n_sessions // total AS BIGINT) AS share_permille
       |FROM agg CROSS JOIN tot""".stripMargin
 
+  /** Seasonal-naive forecast backtest: daily purchase revenue per
+    * event-value band forecast by "same weekday last week" (the
+    * baseline every real forecasting system must beat), scored by
+    * integer MAE over the final 7 days, plus the next-day forecast
+    * itself. The panel a pipeline-health monitor uses to set alert
+    * thresholds: if yesterday missed the seasonal-naive by 3x the
+    * backtest MAE, page someone.
+    *
+    * The daily series is DENSE (calendar grid from the corpus's own
+    * min/max day, zero-filled) so lag(7) is truly "a week earlier",
+    * not "7 purchase-days earlier" — the gap-fill discipline of
+    * [[gapFill]] at corpus grain. Everything is exact integer cents;
+    * MAE is a truncating DIV.
+    *
+    * Scale: the grid is days x event_types (answer-sized); one
+    * aggregate over purchases reaches it, the lag rides a per-type
+    * window over grid rows. The 1-row min/max broadcast seeds the
+    * grid. Nothing is user- or event-sized after the first aggregate.
+    */
+  def forecastBacktest(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"),
+        (col("user_id") % 3).cast("bigint").as("band"))
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val span = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val grid = span
+      .select(explode(expr("sequence(d0, d1)")).as("day"), col("d1"))
+      .select(col("day"), col("d1"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("band"))
+    val w = Window.partitionBy("band").orderBy("day")
+    val series = grid.join(daily, Seq("day", "band"), "left")
+      .select(col("day"), col("d1"), col("band"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("pred", lag("cents", 7).over(w))
+    val back = series
+      .filter(col("pred").isNotNull &&
+        col("day") > date_sub(col("d1"), 7))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_backtest"),
+        expr("CAST(sum(abs(cents - pred)) DIV count(*) AS BIGINT)")
+          .as("mae_cents"))
+    val next = series.filter(col("day") === date_sub(col("d1"), 6))
+      .select(col("band"), col("cents").as("next_forecast_cents"))
+    back.join(next, "band")
+      .select("band", "n_backtest", "mae_cents", "next_forecast_cents")
+  }
+
+  val forecastBacktestSql: String =
+    """WITH p AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id % 3 AS band,
+      |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |span AS (
+      |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      |  FROM events),
+      |grid AS (
+      |  SELECT g.day, s.d1, b.band
+      |  FROM span s,
+      |    LATERAL (SELECT unnest(generate_series(s.d0, s.d1,
+      |      INTERVAL 1 DAY)) AS day) g,
+      |    (SELECT unnest([0, 1, 2]) AS band) b),
+      |series AS (
+      |  SELECT g.day, g.d1, g.band,
+      |    coalesce(p.cents, 0) AS cents,
+      |    lag(coalesce(p.cents, 0), 7)
+      |      OVER (PARTITION BY g.band ORDER BY g.day) AS pred
+      |  FROM grid g LEFT JOIN p ON g.day = p.day AND g.band = p.band),
+      |back AS (
+      |  SELECT band, count(*) AS n_backtest,
+      |    CAST(sum(abs(cents - pred)) // count(*) AS BIGINT) AS mae_cents
+      |  FROM series
+      |  WHERE pred IS NOT NULL AND day > d1 - INTERVAL 7 DAY
+      |  GROUP BY 1),
+      |nxt AS (
+      |  SELECT band, cents AS next_forecast_cents FROM series
+      |  WHERE day = d1 - INTERVAL 6 DAY)
+      |SELECT CAST(b.band AS BIGINT) AS band,
+      |  CAST(b.n_backtest AS BIGINT) AS n_backtest, b.mae_cents,
+      |  CAST(n.next_forecast_cents AS BIGINT) AS next_forecast_cents
+      |FROM back b JOIN nxt n ON b.band = n.band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_forecast" -> ((s, d) => forecastBacktest(events(s, d))),
     "q_events_paths" -> ((s, d) => sessionPaths(events(s, d))),
     "q_events_conversion_lag" -> ((s, d) => conversionLag(events(s, d))),
     "q_events_seasonality" -> ((s, d) => seasonality(events(s, d))),
@@ -1510,6 +1592,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_forecast" -> forecastBacktestSql,
     "q_events_paths" -> sessionPathsSql,
     "q_events_conversion_lag" -> conversionLagSql,
     "q_events_seasonality" -> seasonalitySql,

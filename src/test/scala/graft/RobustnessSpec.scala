@@ -425,6 +425,25 @@ class RobustnessSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("max_sec")) === 360L)
   }
 
+  test("forecastBacktest: seasonal-naive MAE on a linear series") {
+    import java.sql.Timestamp
+    // user 1 (band 1): purchase of i dollars on day i, i = 1..15.
+    // pred(day i) = cents(i-7), so each of the 7 backtest days
+    // (9..15) misses by exactly 700 cents; next-day forecast =
+    // cents(day 9) = 900. Bands 0/2 are all-zero series: MAE 0.
+    val ev = (1 to 15).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"), 1L,
+        "purchase", i.toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.forecastBacktest(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((7L, 0L, 0L)),
+      1L -> ((7L, 700L, 900L)),
+      2L -> ((7L, 0L, 0L))))
+  }
+
   test("sessionPaths: gap cut and first-3 ordering on a fixture") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
