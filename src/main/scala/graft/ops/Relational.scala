@@ -86,6 +86,105 @@ object Relational {
       |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Data-quality audit — the contract-check pass (dbt-test shape) a
+    * pipeline runs before promoting a snapshot: referential integrity
+    * per foreign key (orphan counts via anti-joins), primary-key
+    * uniqueness (dup-key counts), null-key counts, and domain checks,
+    * one row per named check with its violation count and pass flag.
+    * The synthetic tables are CLEAN, so every row reads 0/pass — the
+    * operator's value is that it turns "we assume the keys are fine"
+    * into a continuously evaluated table, and a real deployment points
+    * it at data that isn't.
+    *
+    * Scale: each FK check is one co-partitioned left_anti join (never
+    * a broadcast of the parent when the parent is fact-sized); PK and
+    * domain checks are single-pass aggregates; the union is
+    * answer-sized (one row per check).
+    */
+  def qDataAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val p = t(s, dir, "part")
+    val ev = Tables.load(s, dir, "events")
+    def check(name: String, cnt: DataFrame): DataFrame =
+      cnt.select(lit(name).as("check_name"), col("n").cast("bigint")
+        .as("n_violations"))
+    val checks = Seq(
+      check("lineitem_orphan_order",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))),
+      check("lineitem_orphan_part",
+        li.join(p, col("l_partkey") === col("p_partkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))),
+      check("order_orphan_customer",
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))),
+      check("customer_orphan_nation",
+        c.join(n, col("c_nationkey") === col("n_nationkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))),
+      check("order_pk_dup",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(count(lit(1)).as("n"))),
+      check("customer_pk_dup",
+        c.groupBy("c_custkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(count(lit(1)).as("n"))),
+      check("lineitem_null_keys",
+        li.filter(col("l_orderkey").isNull || col("l_partkey").isNull)
+          .agg(count(lit(1)).as("n"))),
+      check("part_nonpositive_price",
+        p.filter(col("p_retailprice") <= 0).agg(count(lit(1)).as("n"))),
+      check("order_date_out_of_range",
+        o.filter(col("o_orderdate") < lit("1990-01-01") ||
+          col("o_orderdate") > lit("2030-01-01")).agg(count(lit(1)).as("n"))),
+      check("event_negative_value",
+        ev.filter(col("value") < 0).agg(count(lit(1)).as("n"))))
+    checks.reduce(_ unionByName _)
+      .select(col("check_name"), col("n_violations"),
+        when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
+  }
+
+  val qDataAuditSql: String =
+    """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS pass
+      |FROM (
+      |  SELECT 'lineitem_orphan_order' AS check_name, count(*) AS n_violations
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_part', count(*)
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |  UNION ALL
+      |  SELECT 'order_orphan_customer', count(*)
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'customer_orphan_nation', count(*)
+      |  FROM customer c WHERE NOT EXISTS
+      |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+      |  UNION ALL
+      |  SELECT 'order_pk_dup', count(*) FROM (
+      |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'customer_pk_dup', count(*) FROM (
+      |    SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'lineitem_null_keys', count(*) FROM lineitem
+      |  WHERE l_orderkey IS NULL OR l_partkey IS NULL
+      |  UNION ALL
+      |  SELECT 'part_nonpositive_price', count(*) FROM part
+      |  WHERE p_retailprice <= 0
+      |  UNION ALL
+      |  SELECT 'order_date_out_of_range', count(*) FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1990-01-01'
+      |     OR o_orderdate > TIMESTAMP '2030-01-01'
+      |  UNION ALL
+      |  SELECT 'event_negative_value', count(*) FROM events
+      |  WHERE value < 0)""".stripMargin
+
   /** TPC-H Q6-style forecast-revenue-change: the pure scan-filter-agg
     * query — no joins, one pass, one row out. Its whole value at
     * 100 TB is PUSHDOWN: the three predicates and the two needed
@@ -1449,6 +1548,7 @@ object Relational {
     "q_unpivot" -> (qUnpivot _),
     "q1_pricing" -> (q1Pricing _),
     "q6_forecast" -> (q6Forecast _),
+    "q_data_audit" -> (qDataAudit _),
     "q10_returns" -> (q10Returns _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -1500,6 +1600,7 @@ object Relational {
     "q_unpivot" -> qUnpivotSql,
     "q1_pricing" -> q1PricingSql,
     "q6_forecast" -> q6ForecastSql,
+    "q_data_audit" -> qDataAuditSql,
     "q10_returns" -> q10ReturnsSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,

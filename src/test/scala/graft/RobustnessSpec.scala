@@ -425,6 +425,46 @@ class RobustnessSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("max_sec")) === 360L)
   }
 
+  test("qDataAudit: every check fires on a planted-violation snapshot") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    def w(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    w("nation", Seq((0, "ALPHA")).toDF("n_nationkey", "n_name"))
+    w("customer", Seq((1L, 0), (2L, 99)) // 2 -> orphan nation
+      .toDF("c_custkey", "c_nationkey"))
+    w("orders", Seq(
+      (10L, 1L, ts), (11L, 77L, ts), // 11 -> orphan customer
+      (12L, 1L, ts), (12L, 1L, ts),  // dup pk
+      (13L, 1L, Timestamp.valueOf("1970-01-01 00:00:00"))) // date range
+      .toDF("o_orderkey", "o_custkey", "o_orderdate"))
+    w("part", Seq((5L, 10.0), (6L, -1.0)) // 6 -> nonpositive price
+      .toDF("p_partkey", "p_retailprice"))
+    w("lineitem", Seq(
+      (Some(10L), Some(5L)),  // clean
+      (Some(99L), Some(5L)),  // orphan order
+      (Some(10L), Some(44L)), // orphan part
+      (None, Some(5L)))       // null key (also an orphan-order row:
+                              // a NULL FK can never match its parent)
+      .toDF("l_orderkey", "l_partkey"))
+    w("events", Seq((1L, ts, 1L, "view", -5.0), (2L, ts, 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val got = graft.ops.Relational.qDataAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "lineitem_orphan_order" -> ((2L, 0L)),
+      "lineitem_orphan_part" -> ((1L, 0L)),
+      "order_orphan_customer" -> ((1L, 0L)),
+      "customer_orphan_nation" -> ((1L, 0L)),
+      "order_pk_dup" -> ((1L, 0L)),
+      "customer_pk_dup" -> ((0L, 1L)),
+      "lineitem_null_keys" -> ((1L, 0L)),
+      "part_nonpositive_price" -> ((1L, 0L)),
+      "order_date_out_of_range" -> ((1L, 0L)),
+      "event_negative_value" -> ((1L, 0L))))
+  }
+
   test("forecastBacktest: seasonal-naive MAE on a linear series") {
     import java.sql.Timestamp
     // user 1 (band 1): purchase of i dollars on day i, i = 1..15.
