@@ -1581,7 +1581,80 @@ object Similarity {
        |  CAST(min(n_hit) AS BIGINT) AS worst_hits
        |FROM perq""".stripMargin
 
+  /** Label-centroid similarity matrix — corpus redundancy at GROUP
+    * grain: the unit-int8 centroid of each label class, every pair
+    * scored by the exact integer dot and a SIGNED SQUARED cosine in
+    * ppm (`sign(dot) · 10⁶·dot² DIV (|a|²·|b|²)` — the sqrt-free
+    * spelling that keeps the panel bit-exact where a float cosine
+    * would hash-diverge). Two near-parallel class centroids (~10⁶ ppm)
+    * mean the classes are redundant for contrastive sampling; near-0
+    * means orthogonal.
+    *
+    * Scale: one posexplode aggregate to (label, pos) sums, rounded
+    * means via the shared IEEE-then-HALF_UP spelling, then an
+    * answer-sized (|labels|·dim) self-join on pos. Magnitudes ≤
+    * 64·127² keep 10⁶·dot² inside int64 at any corpus size.
+    */
+  def labelCentroidSim(e: DataFrame): DataFrame = {
+    val q = withUnitQuantized(e)
+      .join(e.select(col("vec_id"), col("label").cast("bigint").as("label")),
+        "vec_id")
+    val sums = q.select(col("label"), posexplode(col("qn")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        expr("CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT)").as("m"))
+    val norms = sums.groupBy("label")
+      .agg(sum(col("m") * col("m")).as("m2"), max("n").as("n_vecs"))
+    val dots = sums.as("a").join(sums.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.m") * col("b.m")).as("dot"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("m2").as("m2_a"),
+        col("n_vecs").as("n_a")), "label_a")
+      .join(norms.select(col("label").as("label_b"), col("m2").as("m2_b"),
+        col("n_vecs").as("n_b")), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"),
+        expr("""CASE WHEN dot >= 0 THEN 1 ELSE -1 END *
+          (1000000 * dot * dot DIV (m2_a * m2_b))""").as("cos2_signed_ppm"))
+  }
+
+  val labelCentroidSimSql: String =
+    s"""WITH $unitQuantizedSql,
+       |lab AS (
+       |  SELECT b.vec_id, b.qn, CAST(e.label AS BIGINT) AS label
+       |  FROM base b JOIN embeddings e ON b.vec_id = e.vec_id),
+       |sums AS (
+       |  SELECT label, pos, count(*) AS n,
+       |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*), 0) AS BIGINT) AS m
+       |  FROM (
+       |    SELECT label, u.i - 1 AS pos, qn[u.i] AS v
+       |    FROM lab, LATERAL (
+       |      SELECT unnest(generate_series(1, len(qn))) AS i) u)
+       |  GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT label, sum(m * m) AS m2, max(n) AS n_vecs
+       |  FROM sums GROUP BY 1),
+       |dots AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    sum(a.m * b.m) AS dot
+       |  FROM sums a JOIN sums b
+       |    ON a.pos = b.pos AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT d.label_a, d.label_b,
+       |  CAST(na.n_vecs AS BIGINT) AS n_a, CAST(nb.n_vecs AS BIGINT) AS n_b,
+       |  CAST(d.dot AS BIGINT) AS dot,
+       |  CAST((CASE WHEN d.dot >= 0 THEN 1 ELSE -1 END) *
+       |    (1000000 * d.dot * d.dot // (na.m2 * nb.m2)) AS BIGINT)
+       |    AS cos2_signed_ppm
+       |FROM dots d
+       |JOIN norms na ON d.label_a = na.label
+       |JOIN norms nb ON d.label_b = nb.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_label_sim" -> ((s, d) => labelCentroidSim(emb(s, d))),
     "q_knn_quality" -> ((s, d) => annQuality(emb(s, d))),
     "q_embed_sim_hist" -> ((s, d) => simHistogram(emb(s, d))),
     "q_knn_brute" -> ((s, d) => bruteForceTopK(emb(s, d))),
@@ -1615,6 +1688,7 @@ object Similarity {
     * paths via order-stable IEEE folds.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_embed_label_sim" -> labelCentroidSimSql,
     "q_knn_quality" -> annQualitySql(),
     "q_embed_sim_hist" ->
       simHistogramSql(EmbedDupPlanes, EmbedDupTables),
