@@ -86,6 +86,45 @@ object Relational {
       |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Incremental aggregate maintenance — the materialized-rollup
+    * refresh shape: yesterday's partition pre-aggregates once, today's
+    * delta aggregates alone, and the published rollup is the MERGE of
+    * the two partial-state tables (sums add, counts add, mins/maxes
+    * combine) — never a re-scan of the base. This is the relational
+    * face of what [[graft.ops.Hll]] register-max gives sketches: at
+    * 100 TB the daily refresh touches |delta| + |groups| rows, not the
+    * table. The driver oracle is the FULL single-pass aggregate, so
+    * the hash compare IS the proof that merged partial states equal a
+    * from-scratch computation.
+    */
+  def qIncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"),
+        pmod(col("o_orderkey"), lit(10)).as("slice"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("status").agg(
+        count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val base = partial(o.filter(col("slice") =!= 0))
+    val delta = partial(o.filter(col("slice") === 0))
+    base.unionByName(delta)
+      .groupBy("status")
+      .agg(sum("n_orders").as("n_orders"), sum("sum_cents").as("sum_cents"),
+        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+  }
+
+  /** Oracle: the from-scratch aggregate the merge must equal. */
+  val qIncrementalRollupSql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS min_cents,
+      |  CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS max_cents
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Data-quality audit — the contract-check pass (dbt-test shape) a
     * pipeline runs before promoting a snapshot: referential integrity
     * per foreign key (orphan counts via anti-joins), primary-key
@@ -1549,6 +1588,7 @@ object Relational {
     "q1_pricing" -> (q1Pricing _),
     "q6_forecast" -> (q6Forecast _),
     "q_data_audit" -> (qDataAudit _),
+    "q_incremental_rollup" -> (qIncrementalRollup _),
     "q10_returns" -> (q10Returns _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -1601,6 +1641,7 @@ object Relational {
     "q1_pricing" -> q1PricingSql,
     "q6_forecast" -> q6ForecastSql,
     "q_data_audit" -> qDataAuditSql,
+    "q_incremental_rollup" -> qIncrementalRollupSql,
     "q10_returns" -> q10ReturnsSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
