@@ -86,6 +86,64 @@ object Relational {
       |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q8-style market share: revenue of STANDARD-type parts per
+    * (order year, supplier nation) with each nation's permille share
+    * within its year — the deep multi-join shape (fact-fact on the
+    * order key, three dimension joins) that exercises Catalyst's join
+    * reorder + broadcast election across 5 tables. Dimension filters
+    * (p_type prefix) land BEFORE the fact join via pushdown; revenue
+    * in exact cents-x-basis-points micros; the share window runs over
+    * the answer-sized (year, nation) aggregate only.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("bigint")))
+        .as("rev"))
+    val p = t(s, dir, "part").filter(col("p_type").startsWith("STANDARD"))
+      .select("p_partkey")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint")
+        .as("o_year"))
+    val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val agg = li
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("o_year", "n_name")
+      .agg(sum("rev").as("revenue_micros"), count(lit(1)).as("n_items"))
+    val w = Window.partitionBy("o_year")
+    agg.withColumn("year_total", sum("revenue_micros").over(w))
+      .select(col("o_year"), col("n_name"), col("revenue_micros"),
+        col("n_items"),
+        expr("1000 * revenue_micros DIV year_total").as("share_permille"))
+  }
+
+  val q8MarketShareSql: String =
+    """WITH agg AS (
+      |  SELECT year(o.o_orderdate) AS o_year, n.n_name,
+      |    sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |      AS revenue_micros,
+      |    count(*) AS n_items
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE p.p_type LIKE 'STANDARD%'
+      |  GROUP BY 1, 2)
+      |SELECT CAST(o_year AS BIGINT) AS o_year, n_name,
+      |  CAST(revenue_micros AS BIGINT) AS revenue_micros,
+      |  CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(1000 * revenue_micros //
+      |    sum(revenue_micros) OVER (PARTITION BY o_year) AS BIGINT)
+      |    AS share_permille
+      |FROM agg""".stripMargin
+
   /** Incremental aggregate maintenance — the materialized-rollup
     * refresh shape: yesterday's partition pre-aggregates once, today's
     * delta aggregates alone, and the published rollup is the MERGE of
@@ -1589,6 +1647,7 @@ object Relational {
     "q6_forecast" -> (q6Forecast _),
     "q_data_audit" -> (qDataAudit _),
     "q_incremental_rollup" -> (qIncrementalRollup _),
+    "q8_market_share" -> (q8MarketShare _),
     "q10_returns" -> (q10Returns _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -1642,6 +1701,7 @@ object Relational {
     "q6_forecast" -> q6ForecastSql,
     "q_data_audit" -> qDataAuditSql,
     "q_incremental_rollup" -> qIncrementalRollupSql,
+    "q8_market_share" -> q8MarketShareSql,
     "q10_returns" -> q10ReturnsSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
