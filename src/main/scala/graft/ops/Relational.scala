@@ -86,6 +86,40 @@ object Relational {
       |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q4-style order-priority check through the correlated-EXISTS
+    * SQL surface: orders counted per priority when at least one of
+    * their lines shipped more than 100 days after the order date.
+    * Catalyst rewrites the EXISTS into a left-semi join on the order
+    * key (RewritePredicateSubquery) — the convenience spelling
+    * compiles to the one-shuffle semi-join plan, never a per-row
+    * subquery execution.
+    */
+  def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q4")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders_q4 o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem_q4 l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAYS)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** TPC-H Q8-style market share: revenue of STANDARD-type parts per
     * (order year, supplier nation) with each nation's permille share
     * within its year — the deep multi-join shape (fact-fact on the
@@ -1648,6 +1682,7 @@ object Relational {
     "q_data_audit" -> (qDataAudit _),
     "q_incremental_rollup" -> (qIncrementalRollup _),
     "q8_market_share" -> (q8MarketShare _),
+    "q4_priority" -> (q4Priority _),
     "q10_returns" -> (q10Returns _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -1702,6 +1737,7 @@ object Relational {
     "q_data_audit" -> qDataAuditSql,
     "q_incremental_rollup" -> qIncrementalRollupSql,
     "q8_market_share" -> q8MarketShareSql,
+    "q4_priority" -> q4PrioritySql,
     "q10_returns" -> q10ReturnsSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
