@@ -220,6 +220,97 @@ object TextOps {
        |  FROM documents)""".stripMargin
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs (length 1..maxLen), each
+    * word scored by degree/frequency over the candidate set
+    * (`1000·deg DIV freq`, integer permille — deg sums the lengths of
+    * phrases containing the word, rewarding words that live in long
+    * collocations), and each distinct phrase scored as the sum of its
+    * member word scores; top-k under (score desc, phrase). The
+    * unsupervised keyword panel next to [[tfidf]]'s per-doc terms and
+    * [[graft.llm.CorpusOps.pmiCollocations]]'s bigram lifts — RAKE is
+    * the one that yields multi-word phrases of arbitrary length
+    * without n-gram enumeration.
+    *
+    * Scale: phrase building is two doc-partitioned windows (stopword
+    * cumsum + ordered collect) on ONE partitioning; word stats and
+    * phrase scores are vocabulary-/phrase-keyed co-partitioned
+    * aggregates; the top-k is TakeOrdered. No step is corpus-global.
+    */
+  def rakeKeyphrases(
+      d: DataFrame, maxLen: Int = 4, k: Int = 30): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val marked = toks
+      .withColumn("is_stop", col("w").isin(stopwords: _*))
+      .withColumn("grp",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+    val phrases = marked.groupBy("doc_id", "grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ps"))
+      .select(transform(col("ps"), p => p("w")).as("ws"))
+      .filter(size(col("ws")) <= maxLen)
+      .select(array_join(col("ws"), " ").as("phrase"),
+        size(col("ws")).cast("bigint").as("plen"))
+    val wordStats = phrases
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy("w")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"), expr("1000 * deg DIV freq").as("wscore_e3"))
+    phrases.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats, "w")
+      .groupBy("phrase", "n_occurrences")
+      .agg(sum("wscore_e3").as("score_e3"))
+      .orderBy(col("score_e3").desc, col("phrase"))
+      .limit(k)
+  }
+
+  val rakeKeyphrasesSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS w
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower(text), '[ \\t-\\r]+'),
+       |        x -> x <> '') AS t
+       |    FROM documents),
+       |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u),
+       |marked AS (
+       |  SELECT doc_id, pos, w, w IN ($stops) AS is_stop,
+       |    sum(CASE WHEN w IN ($stops) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM toks),
+       |phrases AS (
+       |  SELECT array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+       |    CAST(count(*) AS BIGINT) AS plen
+       |  FROM marked WHERE NOT is_stop
+       |  GROUP BY doc_id, grp
+       |  HAVING count(*) <= 4),
+       |wordstats AS (
+       |  SELECT w, CAST(1000 * sum(plen) // count(*) AS BIGINT)
+       |      AS wscore_e3
+       |  FROM (
+       |    SELECT p.plen, u.w
+       |    FROM phrases p,
+       |      LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS w) u)
+       |  GROUP BY 1),
+       |dp AS (
+       |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+       |  FROM phrases GROUP BY 1)
+       |SELECT dp.phrase, dp.n_occurrences,
+       |  CAST(sum(ws.wscore_e3) AS BIGINT) AS score_e3
+       |FROM dp,
+       |  LATERAL (SELECT unnest(string_split(dp.phrase, ' ')) AS w) u
+       |JOIN wordstats ws ON u.w = ws.w
+       |GROUP BY dp.phrase, dp.n_occurrences
+       |ORDER BY score_e3 DESC, dp.phrase
+       |LIMIT 30""".stripMargin
+  }
+
   /** Language confusion matrix — declared label vs [[langId]]'s
     * prediction, with a row-normalized permille share: the panel that
     * tells a multilingual-curation pass whether the corpus's language
@@ -841,6 +932,7 @@ object TextOps {
     "q_text_token_count" -> ((s, d) => tokenCount(docs(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(docs(s, d))),
     "q_text_lang_confusion" -> ((s, d) => langConfusion(docs(s, d))),
+    "q_text_rake" -> ((s, d) => rakeKeyphrases(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
@@ -860,5 +952,6 @@ object TextOps {
     "q_text_token_count" -> tokenCountSql,
     "q_text_lang_id" -> langIdSql,
     "q_text_lang_confusion" -> langConfusionSql,
+    "q_text_rake" -> rakeKeyphrasesSql,
     "q_text_fingerprint" -> fingerprintSql)
 }

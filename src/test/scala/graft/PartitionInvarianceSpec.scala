@@ -105,6 +105,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.ops.GraphOps.triangleCounts(
         graft.ops.GraphOps.coOccurrenceEdges(
           Tables.load(spark, sfDir, "lineitem")))),
+    ("rake (ordered phrase collect + top-k boundary)",
+      () => graft.llm.TextOps.rakeKeyphrases(
+        Tables.load(spark, sfDir, "documents"))),
     ("session_paths (gap-cut windows + rank-conditional path build)",
       () => graft.ops.EventOps.sessionPaths(
         graft.ops.EventOps.events(spark, sfDir))),
