@@ -5,6 +5,7 @@ import graft.llm.{Dedup, Similarity}
 import graft.ops.Relational
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Plan-audit tier: the properties that decide whether a query survives
   * a 100x scale-up are visible in the physical plan — assert them
@@ -21,6 +22,44 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.q1Pricing(spark, sfDir))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"predicate not pushed:\n$p")
+  }
+
+  test("runtime bloom filter injected on the fact side of a selective join") {
+    // InjectRuntimeFilter: a selective dim-side predicate becomes a
+    // bloom filter applied to the fact scan BEFORE the shuffle — at
+    // 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~1% that can possibly join. Thresholds
+    // are sized for real tables; drop them so the sf test data
+    // qualifies, and disable broadcast (bloom only arms shuffle joins).
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // creationSideThreshold is an UPPER bound (only a small side is
+      // worth building a bloom from) — leave it at the 10 MB default;
+      // the application-side threshold is a LOWER bound (only a big
+      // scan is worth filtering), which the sf test scan is under
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val p = plan(j)
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter in plan:\n$p")
+      // and it still computes the right thing
+      assert(j.count() > 0)
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("q6: all three predicates pushed; scan pruned to 4 columns") {
