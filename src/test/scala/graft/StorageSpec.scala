@@ -171,6 +171,38 @@ class StorageSpec extends SparkSpec {
       s"projection should prune the evolved column:\n$p")
   }
 
+  test("csv malformed rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (default): bad row surfaces with nulls + raw line
+    val perm = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .csv(dir).cache() // corrupt-record queries need the full row
+    assert(perm.count() === 3)
+    val bad = perm.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length === 1 && bad.head.getString(2) === "2,notanumber")
+    // DROPMALFORMED: bad row silently gone, good rows intact
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped === Set((1L, 10L), (3L, 30L)))
+    // FAILFAST: the load is refused loudly
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.dropRight(1)))
+        .option("header", "true").option("mode", "FAILFAST")
+        .csv(dir).collect()
+    }
+    assert(ex.getMessage.contains("FAILFAST") ||
+      ex.getCause != null, ex.getMessage)
+    perm.unpersist()
+  }
+
   test("writeShards: one sorted file per shard, lossless, shard-pure") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = Files.createTempDirectory("graft-shards").toString
