@@ -1599,11 +1599,16 @@ object Similarity {
     val q = withUnitQuantized(e)
       .join(e.select(col("vec_id"), col("label").cast("bigint").as("label")),
         "vec_id")
+    // localCheckpoint: `sums` is answer-sized (|labels| x dim rows) but
+    // feeds three consumers (norms + both sides of the dot self-join) —
+    // uncheckpointed, each consumer re-pays the full corpus
+    // quantization scan (PlanAudit: 11 exchanges for a panel)
     val sums = q.select(col("label"), posexplode(col("qn")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(sum("v").as("s"), count(lit(1)).as("n"))
       .select(col("label"), col("pos"), col("n"),
         expr("CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT)").as("m"))
+      .localCheckpoint()
     val norms = sums.groupBy("label")
       .agg(sum(col("m") * col("m")).as("m2"), max("n").as("n_vecs"))
     val dots = sums.as("a").join(sums.as("b"),
