@@ -330,6 +330,62 @@ object StatefulOps {
       }
   }
 
+  case class SessionAgg(lastTsUs: Long, e1: String, e2: String, e3: String)
+  case class SessionPath(user_id: Long, path: String, closed_at_us: Long)
+
+  /** Streaming session-path feed — the online face of
+    * [[graft.ops.EventOps.sessionPaths]]: per user the carried O(1)
+    * state is the open session's last-event time plus its first up-to-3
+    * event types; an arriving event more than the gap after the last
+    * one CLOSES the open session (emitting its path row) and starts a
+    * new one. Emits closed sessions only — the one honest difference
+    * from the batch panel, which also counts each user's still-open
+    * final session; the spec replays the stream and asserts
+    * closed-paths == batch minus exactly those finals. Rows sort by
+    * (ts, event_id) within each (user, batch) — the batch total order.
+    *
+    * An idle user's open session closing by TIMEOUT rather than by a
+    * successor event is the ProcessingTimeTimeout knob
+    * ([[firstSeenExpiring]]); kept event-driven here so replay is
+    * deterministic.
+    */
+  def sessionPathFeed(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame,
+      gapUs: Long = 600L * 1000000L): Dataset[SessionPath] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, SessionPath](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[SessionAgg]) =>
+          val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[SessionPath]
+          def path(s: SessionAgg): String =
+            Seq(s.e1, s.e2, s.e3).filter(_ != null).mkString(">")
+          sorted.foreach { case (_, _, tsUs, typ) =>
+            if (st == null) st = SessionAgg(tsUs, typ, null, null)
+            else if (tsUs - st.lastTsUs > gapUs) {
+              out += SessionPath(user, path(st), st.lastTsUs)
+              st = SessionAgg(tsUs, typ, null, null)
+            } else {
+              val filled =
+                if (st.e2 == null) st.copy(e2 = typ)
+                else if (st.e3 == null) st.copy(e3 = typ)
+                else st
+              st = filled.copy(lastTsUs = tsUs)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class ConvLag(purchase_id: Long, user_id: Long, dow: Long,
       lag_sec: Long)
 

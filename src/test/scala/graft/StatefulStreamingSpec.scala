@@ -345,6 +345,58 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("session-path feed == batch panel minus each user's open final session") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val d = java.nio.file.Files.createTempDirectory("graft-paths-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StatefulOps.sessionPathFeed(spark,
+        graft.streaming.EventStreams.readEvents(spark, d.toString))
+      .writeStream.format("memory").queryName("paths_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("paths_out").collect()
+      .map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    // in-memory replay: closed sessions + the final open one per user
+    val evs = events
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    var closed = List.empty[String]
+    var finals = List.empty[String]
+    evs.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      var cur = List.empty[String]
+      var last = Long.MinValue
+      sorted.foreach { case (_, _, us, typ) =>
+        if (cur.nonEmpty && us - last > 600L * 1000000L) {
+          closed ::= cur.reverse.take(3).mkString(">")
+          cur = Nil
+        }
+        cur ::= typ
+        last = us
+      }
+      if (cur.nonEmpty) finals ::= cur.reverse.take(3).mkString(">")
+    }
+    val wantClosed = closed.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    assert(streamed === wantClosed)
+    assert(streamed.nonEmpty)
+    // and closed + finals together reproduce the BATCH panel exactly
+    val batch = graft.ops.EventOps.sessionPaths(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val together = (closed ++ finals).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(together === batch)
+    q.stop()
+  }
+
   test("streaming conversion-lag feed folds to the batch quantile panel") {
     import org.apache.spark.sql.functions.col
     val events = graft.core.Tables.load(spark, sfDir, "events")
