@@ -1157,6 +1157,96 @@ object Dedup {
        |FROM clusters GROUP BY 1""".stripMargin
   }
 
+  /** Contrastive training-pair mining — the dataset-construction step
+    * for embedding-model training (SimCSE/E5 shape): every doc with at
+    * least one near-dup becomes an ANCHOR; its POSITIVE is the
+    * highest-jaccard partner (deterministic (jaccard desc, id)
+    * argmax), and its HARD NEGATIVE is the most-confusable non-pair —
+    * same language, same log2-length bucket, minimal |length
+    * difference|, excluding everything the anchor actually pairs with
+    * (a negative that is secretly a positive poisons the loss).
+    *
+    * Scale: the pair list is answer-sized and localCheckpoint-shared
+    * by the positive argmax and the negative anti-join; negative
+    * candidates join co-partitioned on (lang, bucket) so the fan-out
+    * is bucket-bounded, and the per-anchor pick is a window over those
+    * candidates. A pathologically hot (lang, bucket) cell is the same
+    * hot-key case the prefix-rank salting handles; buckets are
+    * log-scaled precisely so cells stay balanced.
+    */
+  def contrastivePairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = jaccardPairs(d, threshold)
+    val sym = pairs
+      .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("anchor"),
+        col("doc_a").as("partner"), col("jaccard")))
+      .localCheckpoint()
+    val wPos = Window.partitionBy("anchor")
+      .orderBy(col("jaccard").desc, col("partner"))
+    val pos = sym.withColumn("rn", row_number().over(wPos))
+      .filter(col("rn") === 1)
+      .select(col("anchor"), col("partner").as("pos_id"),
+        col("jaccard").as("pos_jaccard"))
+    val meta = d.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("bigint").as("len"))
+      .withColumn("bucket", expr("length(bin(greatest(len, 1)))"))
+    val anchors = pos.join(
+      meta.select(col("doc_id").as("anchor"), col("lang"), col("bucket"),
+        col("len").as("a_len")), "anchor")
+    val cands = anchors.join(
+        meta.select(col("doc_id").as("cand"), col("lang"), col("bucket"),
+          col("len").as("cand_len")), Seq("lang", "bucket"))
+      .filter(col("cand") =!= col("anchor"))
+      .join(sym.select(col("anchor"), col("partner").as("cand")),
+        Seq("anchor", "cand"), "left_anti")
+    val wNeg = Window.partitionBy("anchor")
+      .orderBy(abs(col("cand_len") - col("a_len")), col("cand"))
+    cands.withColumn("rn", row_number().over(wNeg))
+      .filter(col("rn") === 1)
+      .select(col("anchor").as("anchor_id"), col("pos_id"),
+        col("pos_jaccard"), col("cand").as("neg_id"),
+        abs(col("cand_len") - col("a_len")).as("neg_len_diff"))
+  }
+
+  val contrastivePairsSql: String =
+    s"""WITH pairs AS ($jaccardPairsSql),
+       |sym AS (
+       |  SELECT doc_a AS anchor, doc_b AS partner, jaccard FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, jaccard FROM pairs),
+       |pos AS (
+       |  SELECT anchor, partner AS pos_id, jaccard AS pos_jaccard FROM (
+       |    SELECT anchor, partner, jaccard,
+       |      row_number() OVER (PARTITION BY anchor
+       |        ORDER BY jaccard DESC, partner) AS rn
+       |    FROM sym)
+       |  WHERE rn = 1),
+       |meta AS (
+       |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
+       |    length(bin(greatest(length(text), 1))) AS bucket
+       |  FROM documents),
+       |cands AS (
+       |  SELECT p.anchor, p.pos_id, p.pos_jaccard, a.a_len,
+       |    c.doc_id AS cand, c.len AS cand_len
+       |  FROM pos p
+       |  JOIN (SELECT doc_id AS anchor, lang, bucket, len AS a_len
+       |        FROM meta) a ON p.anchor = a.anchor
+       |  JOIN meta c ON c.lang = a.lang AND c.bucket = a.bucket
+       |    AND c.doc_id <> p.anchor
+       |  WHERE NOT EXISTS (SELECT 1 FROM sym s
+       |    WHERE s.anchor = p.anchor AND s.partner = c.doc_id))
+       |SELECT anchor AS anchor_id, pos_id, pos_jaccard,
+       |  cand AS neg_id, CAST(abs(cand_len - a_len) AS BIGINT)
+       |    AS neg_len_diff
+       |FROM (
+       |  SELECT anchor, pos_id, pos_jaccard, a_len, cand, cand_len,
+       |    row_number() OVER (PARTITION BY anchor
+       |      ORDER BY abs(cand_len - a_len), cand) AS rn
+       |  FROM cands)
+       |WHERE rn = 1""".stripMargin
+
   /** Cluster-size histogram — the "how duplicated is this corpus"
     * summary read before choosing a dedup threshold: for each cluster
     * size, how many clusters and how many docs sit at it (size 1 =
@@ -1760,6 +1850,7 @@ object Dedup {
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
     "q_dedup_cluster_hist" -> ((s, d) => dedupClusterHist(docs(s, d))),
+    "q_pairs_contrastive" -> ((s, d) => contrastivePairs(docs(s, d))),
     "q_dedup_survivors" -> ((s, d) => dedupSurvivors(docs(s, d))),
     "q_dedup_survivors_best" -> ((s, d) => dedupSurvivorsBest(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
@@ -1794,6 +1885,7 @@ object Dedup {
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" -> dupClustersSql,
     "q_dedup_cluster_hist" -> dedupClusterHistSql,
+    "q_pairs_contrastive" -> contrastivePairsSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql,
     "q_dedup_edit" -> editVerifiedPairsSql,

@@ -105,6 +105,8 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.ops.GraphOps.triangleCounts(
         graft.ops.GraphOps.coOccurrenceEdges(
           Tables.load(spark, sfDir, "lineitem")))),
+    ("contrastive_pairs (argmax windows + bucket anti-join)",
+      () => Dedup.contrastivePairs(Tables.load(spark, sfDir, "documents"))),
     ("rake (ordered phrase collect + top-k boundary)",
       () => graft.llm.TextOps.rakeKeyphrases(
         Tables.load(spark, sfDir, "documents"))),
