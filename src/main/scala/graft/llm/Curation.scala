@@ -680,6 +680,68 @@ object Curation {
           .as("pos_checksum"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020) — the seq2seq
+    * denoising objective next to [[mlmMask]]'s BERT-style one: fixed
+    * 2-token spans (start where pos % 10 == 3, deterministic — the
+    * no-rand() discipline) are cut from the input and replaced by
+    * numbered sentinels `<Xk>`; the TARGET sequence is each sentinel
+    * followed by the tokens it swallowed. Emits counts plus md5
+    * content identities of both sequences (the [[mlmMask]] compare
+    * convention: full strings are heavy to sort-compare; digests pin
+    * every byte).
+    *
+    * Scale: two HOF transforms over the token array — map-only, zero
+    * exchanges.
+    */
+  def spanCorrupt(d: DataFrame): DataFrame = {
+    val toks = TextOps.wsTokens(col("text"))
+    def sid(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(i.cast("double") / 10.0).cast("long").cast("string")
+    d.select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        filter(transform(col("toks"), (_, i) => i),
+          i => pmod(i, lit(10)) === 3).as("starts"),
+        filter(transform(col("toks"), (t, i) =>
+          when(pmod(i, lit(10)) === 3,
+            concat(lit("<X"), sid(i), lit(">")))
+            .when(pmod(i, lit(10)) === 4, lit(null))
+            .otherwise(t)), x => x.isNotNull).as("inp"),
+        filter(transform(col("toks"), (t, i) =>
+          when(pmod(i, lit(10)) === 3,
+            concat(lit("<X"), sid(i), lit("> "), t))
+            .when(pmod(i, lit(10)) === 4, t)
+            .otherwise(lit(null))), x => x.isNotNull).as("tgt"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("starts")).cast("bigint").as("n_spans"),
+        md5(concat_ws(" ", col("inp")).cast("binary")).as("input_md5"),
+        md5(concat_ws(" ", col("tgt")).cast("binary")).as("target_md5"))
+  }
+
+  val spanCorruptSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')
+      |      AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len([i FOR i IN range(1, len(toks) + 1)
+      |    IF (i - 1) % 10 = 3]) AS BIGINT) AS n_spans,
+      |  md5(array_to_string(
+      |    [CASE WHEN (i - 1) % 10 = 3
+      |       THEN '<X' || CAST((i - 1) // 10 AS VARCHAR) || '>'
+      |       ELSE toks[i] END
+      |     FOR i IN range(1, len(toks) + 1) IF (i - 1) % 10 <> 4],
+      |    ' ')) AS input_md5,
+      |  md5(array_to_string(
+      |    [CASE WHEN (i - 1) % 10 = 3
+      |       THEN '<X' || CAST((i - 1) // 10 AS VARCHAR) || '> ' || toks[i]
+      |       ELSE toks[i] END
+      |     FOR i IN range(1, len(toks) + 1) IF (i - 1) % 10 IN (3, 4)],
+      |    ' ')) AS target_md5
+      |FROM base""".stripMargin
+
   val mlmMaskSql: String =
     """WITH base AS (
       |  SELECT doc_id,
@@ -790,6 +852,7 @@ object Curation {
     "q_text_fertility" -> ((s, d) =>
       bpeFertility(docs(s, d), trainedMerges(s, d))),
     "q_text_mlm_mask" -> ((s, d) => mlmMask(docs(s, d))),
+    "q_text_span_corrupt" -> ((s, d) => spanCorrupt(docs(s, d))),
     "q_text_bpe" -> ((s, d) => bpeTrain(docs(s, d))),
     "q_text_bpe_encode" -> ((s, d) =>
       bpeEncode(docs(s, d), trainedMerges(s, d))),
@@ -806,6 +869,7 @@ object Curation {
     "q_text_bpe" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,
     "q_text_mlm_mask" -> mlmMaskSql,
+    "q_text_span_corrupt" -> spanCorruptSql,
     "q_text_chunk" -> chunkSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_pii" -> piiRedactSql,

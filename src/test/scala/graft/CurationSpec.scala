@@ -11,6 +11,30 @@ class CurationSpec extends SparkSpec {
 
   private lazy val docs = Tables.load(spark, sfDir, "documents")
 
+  test("spanCorrupt: sentinel placement matches the hand-built sequences") {
+    import spark.implicits._
+    // 13 tokens -> one span at pos 3 covering (t3, t4); doc 2 is too
+    // short for any span (4 tokens, positions 0..3: span at 3 has a
+    // 1-token tail... pos 3 IS a start, span covers just t3)
+    val d = Seq(
+      (1L, (0 to 12).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Curation.spanCorrupt(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))).toMap
+    def m(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val in1 = "t0 t1 t2 <X0> t5 t6 t7 t8 t9 t10 t11 t12"
+    val tg1 = "<X0> t3 t4"
+    assert(got(1L) === ((13L, 1L, m(in1), m(tg1))))
+    // the 1-token-tail span: input keeps the sentinel, target has
+    // only the swallowed token
+    assert(got(2L) === ((4L, 1L, m("a b c <X0>"), m("<X0> d"))))
+  }
+
   test("chunking covers every token with the configured stride/overlap") {
     val perDoc = Curation.chunk(docs)
       .groupBy("doc_id")
