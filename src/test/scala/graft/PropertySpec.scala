@@ -490,4 +490,62 @@ class PropertySpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(alt === got)
   }
+
+  test("kCore(k=1) keeps exactly the non-isolated nodes (random graphs)") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L)))
+    samples(edgeGen, 8).foreach { es0 =>
+      val es = es0.filter { case (u, v) => u != v }.distinct
+        .map { case (u, v) => if (u < v) (u, v) else (v, u) }.distinct
+      if (es.nonEmpty) {
+        val got = graft.ops.GraphOps.kCore(es.toDF("u", "v"), k = 1, iters = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = (es.map(_._1) ++ es.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(got === want, s"edges: $es")
+      }
+    }
+  }
+
+  test("basketRules invariants: confidences <= 1000, support bounds (random)") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 9L)))
+    samples(rowGen, 6).foreach { rows =>
+      val df = rows.toDF("l_orderkey", "l_partkey")
+      val rules = graft.ops.GraphOps.basketRules(df, minSupport = 2L).collect()
+      rules.foreach { r =>
+        val (w, nu, nv) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        val (cuv, cvu) = (r.getLong(5), r.getLong(6))
+        assert(w >= 2L && w <= math.min(nu, nv))
+        assert(cuv >= 0L && cuv <= 1000L)
+        assert(cvu >= 0L && cvu <= 1000L)
+        // conf = 1000*w/n with w <= n: floor keeps it in [0, 1000]
+        assert(cuv === 1000L * w / nu && cvu === 1000L * w / nv)
+      }
+    }
+  }
+
+  test("rfm scores stay in 1..5 and users partition across cells (random)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val evGen = Gen.listOfN(200, Gen.zip(
+      Gen.chooseNum(1L, 40L), Gen.chooseNum(0L, 60L),
+      Gen.chooseNum(1, 9999)))
+    samples(evGen, 5).foreach { rows =>
+      val ev = rows.zipWithIndex.map { case ((user, day, cents), i) =>
+        (i.toLong, new Timestamp(1704067200000L + day * 86400000L),
+          user, "purchase", cents / 100.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val cells = graft.ops.EventOps.rfmSegments(ev).collect()
+      val nUsers = rows.map(_._1).distinct.size.toLong
+      cells.foreach { r =>
+        (0 to 2).foreach(i =>
+          assert(r.getLong(i) >= 1L && r.getLong(i) <= 5L, r))
+      }
+      assert(cells.map(_.getLong(4)).sum === nUsers,
+        "every purchasing user lands in exactly one (r, f, m) cell")
+    }
+  }
 }
