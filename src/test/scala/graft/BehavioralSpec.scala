@@ -214,4 +214,24 @@ class BehavioralSpec extends SparkSpec {
       .map(kv => s"${kv.key} ${kv.value}").sorted
     assert(written === expected)
   }
+
+  test("observe: inline data-quality counters ride the job for free") {
+    // Observation metrics evaluate inside the running job — at 100 TB
+    // the alternative is a SECOND full pass just to count violations;
+    // observe() folds the audit into whatever job was running anyway
+    import org.apache.spark.sql.functions._
+    val obs = new org.apache.spark.sql.Observation("dq")
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"),
+        max("l_extendedprice").as("max_price"))
+    // the downstream "real" work — an aggregate that consumes the scan
+    val total = li.groupBy("l_returnflag").count().collect()
+      .map(_.getLong(1)).sum
+    val m = obs.get
+    assert(m("rows_seen") === total, "observed rows == rows the job read")
+    assert(m("bad_qty") === 0L)
+    assert(m("max_price").asInstanceOf[Double] > 0.0)
+  }
 }
