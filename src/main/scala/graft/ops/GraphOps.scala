@@ -228,6 +228,106 @@ object GraphOps {
     s"$head$rounds\nSELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r$iters"
   }
 
+  /** Personalized PageRank (seed-teleport): the random walk restarts
+    * at the SEED instead of uniformly, so rank mass measures proximity
+    * TO THE SEED — the "customers who bought this also orbit these"
+    * recommender score, where [[pageRankScaled]] measures global
+    * centrality. Seed is data-derived (the lowest node id in the
+    * graph, as a 1-row broadcast — no literal in the query); init and
+    * teleport mass live entirely on the seed; everything else is the
+    * same exact-integer fixed-horizon iteration, so the oracle unrolls
+    * identically. Nodes the walk never reaches keep rank 0 and are
+    * dropped (answer stays reachable-set-sized).
+    *
+    * Scale: identical per-round shape to [[pageRankScaled]] — two
+    * co-partitioned joins + one algebraic aggregate per round,
+    * localCheckpoint-bounded lineage; the seed flag rides a 1-row
+    * broadcast join.
+    */
+  def personalizedPageRankScaled(
+      edges: DataFrame, iters: Int = 8, dampingPermille: Int = 850,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e0 = edges.localCheckpoint()
+    val sym = e0.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(e0.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    val outW = sym.groupBy(col("src")).agg(sum("w").as("out_w"))
+      .localCheckpoint()
+    val seed = nodes.agg(min("node").as("seed"))
+    val base = ((1000L - dampingPermille) * scale) / 1000L
+    var ranks = nodes.crossJoin(broadcast(seed))
+      .select(col("node"), col("seed"),
+        when(col("node") === col("seed"), lit(scale)).otherwise(lit(0L))
+          .as("rank_scaled"))
+    var i = 0
+    while (i < iters) {
+      val contribs = ranks
+        .join(sym, col("node") === col("src"))
+        .join(outW, "src")
+        .select(col("dst").as("node"),
+          expr("rank_scaled * w DIV out_w").as("c"))
+        .groupBy("node").agg(sum("c").as("in_rank"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(seed))
+        .select(col("node"), col("seed"),
+          (when(col("node") === col("seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampingPermille * coalesce(in_rank, CAST(0 AS BIGINT)))" +
+              " DIV 1000")).as("rank_scaled"))
+        .localCheckpoint()
+      if (i > 0) freeCheckpoint(ranks)
+      ranks = next
+      i += 1
+    }
+    freeCheckpoint(e0); freeCheckpoint(sym); freeCheckpoint(outW)
+    if (iters > 0) freeCheckpoint(nodes)
+    ranks.filter(col("rank_scaled") > 0)
+      .select(col("node").as("part_key"), col("rank_scaled"))
+  }
+
+  def personalizedPageRankSql(
+      iters: Int = 8, dampingPermille: Int = 850,
+      scale: Long = 1000000000000L): String = {
+    val base = ((1000L - dampingPermille) * scale) / 1000L
+    val head =
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |edges AS (
+         |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS (
+         |  SELECT u AS src, v AS dst, w FROM edges
+         |  UNION ALL SELECT v, u, w FROM edges),
+         |outw AS (SELECT src, sum(w) AS out_w FROM sym GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |sd AS (SELECT min(node) AS seed FROM nodes),
+         |r0 AS (
+         |  SELECT node, CASE WHEN node = (SELECT seed FROM sd)
+         |    THEN $scale ELSE 0 END AS rank_scaled
+         |  FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT nodes.node,
+         |    (CASE WHEN nodes.node = (SELECT seed FROM sd)
+         |       THEN $base ELSE 0 END)
+         |      + ($dampingPermille * coalesce(c.in_rank, 0)) // 1000
+         |      AS rank_scaled
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum((p.rank_scaled * e.w) // o.out_w) AS in_rank
+         |    FROM r${i - 1} p
+         |    JOIN sym e ON p.node = e.src
+         |    JOIN outw o ON e.src = o.src
+         |    GROUP BY e.dst) c ON nodes.node = c.node)""".stripMargin
+    }.mkString
+    s"""$head$rounds
+       |SELECT node AS part_key, CAST(rank_scaled AS BIGINT) AS rank_scaled
+       |FROM r$iters WHERE rank_scaled > 0""".stripMargin
+  }
+
   /** Undirected co-occurrence edges over lineitem: two parts are
     * linked when they ship in the same order, kept at weight >= `minW`
     * (the market-basket graph). Pair expansion is per-order — bounded
@@ -685,6 +785,9 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_basket_rules" -> ((s, d) =>
       basketRules(Tables.load(s, d, "lineitem"))),
+    "q_graph_ppr" -> ((s, d) =>
+      personalizedPageRankScaled(
+        coOccurrenceWeighted(Tables.load(s, d, "lineitem")))),
     "q_graph_kcore" -> ((s, d) =>
       kCore(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
     "q_graph_bfs" -> ((s, d) => bfsHops(s, d)),
@@ -703,6 +806,7 @@ object GraphOps {
     */
   val oracleSql: Map[String, String] = Map(
     "q_basket_rules" -> basketRulesSql,
+    "q_graph_ppr" -> personalizedPageRankSql(),
     "q_graph_kcore" -> kCoreSql(),
     "q_graph_bfs" -> bfsHopsSql(),
     "q_graph_linkpred" -> linkPredictionSql,
