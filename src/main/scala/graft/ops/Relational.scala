@@ -86,6 +86,114 @@ object Relational {
       |      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Revenue-concentration panel: what share of total order revenue
+    * the top 1% / 5% / 10% of customers hold — the whale-risk /
+    * Pareto diagnostic. The top-p% cut is VALUE-based via a revenue
+    * HISTOGRAM (dollar-quantized, cumulative from the richest): the
+    * boundary is the highest dollar value where the cumulative user
+    * count reaches ceil(p·n/100), and every customer tied at the
+    * boundary is included ("at least k users" semantics — tie
+    * membership by row identity would be partition-dependent).
+    * Reported revenue stays exact cents.
+    *
+    * Scale: the RFM-histogram discipline — one customer-level
+    * aggregate, then cumulation over DISTINCT dollar values, never
+    * over customers (a global rank over customers single-reduces the
+    * table at 100 TB); and the dollar-value cumsum itself is
+    * two-level (octave-partitioned windows + a triangular join over
+    * <= 40 octave totals) so not even the histogram pays a global
+    * window; totals ride a 1-row broadcast; output is 3 rows.
+    */
+  def qRevenueConcentration(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("bigint"))
+        .as("cents"))
+      .select(col("o_custkey"), col("cents"),
+        expr("cents DIV 100").as("dollars"))
+    // two-level cumulative: a single Window.orderBy(desc) over the
+    // histogram would be a GLOBAL window (the banned single-reducer
+    // shape) — instead cum = suffix-sum over HIGHER log2-octaves
+    // (triangular join over <= 40 octave totals, the skew_diag
+    // device) + an octave-PARTITIONED intra window
+    val hist = perCust.groupBy("dollars")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("sum_cents"))
+      .withColumn("bkt", expr("length(bin(greatest(dollars, 1)))"))
+    val wIn = Window.partitionBy("bkt").orderBy(col("dollars").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = hist
+      .withColumn("cu_in", sum("n_users").over(wIn))
+      .withColumn("cc_in", sum("sum_cents").over(wIn))
+    val bktTot = hist.groupBy("bkt")
+      .agg(sum("n_users").as("bu"), sum("sum_cents").as("bc"))
+    val above = bktTot.as("a")
+      .join(bktTot.as("b"), col("b.bkt") > col("a.bkt"))
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(sum(col("b.bu")).as("au"), sum(col("b.bc")).as("ac"))
+    val cum = intra.join(above, Seq("bkt"), "left")
+      .select(col("dollars"),
+        (coalesce(col("au"), lit(0L)) + col("cu_in")).as("cum_users"),
+        (coalesce(col("ac"), lit(0L)) + col("cc_in")).as("cum_cents"))
+    val totals = perCust.agg(count(lit(1)).as("n"),
+      sum("cents").as("total_cents"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("dollars"), col("cum_users"), col("cum_cents"),
+        col("n"), col("total_cents"),
+        explode(array(lit(1L), lit(5L), lit(10L))).as("p_pct"))
+      .filter(col("cum_users") >= expr("(p_pct * n + 99) DIV 100"))
+      .groupBy("p_pct")
+      .agg(max(struct(col("dollars"), col("cum_users"), col("cum_cents"),
+        col("total_cents"))).as("top"))
+      .select(col("p_pct"),
+        col("top.dollars").as("boundary_dollars"),
+        col("top.cum_users").as("n_top"),
+        col("top.cum_cents").as("top_cents"),
+        expr("1000 * top.cum_cents DIV top.total_cents")
+          .as("share_permille"))
+  }
+
+  val qRevenueConcentrationSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1),
+      |hist AS (
+      |  SELECT cents // 100 AS dollars, count(*) AS n_users,
+      |    sum(cents) AS sum_cents,
+      |    length(bin(greatest(cents // 100, 1))) AS bkt
+      |  FROM pc GROUP BY 1),
+      |intra AS (
+      |  SELECT dollars, bkt,
+      |    sum(n_users) OVER (PARTITION BY bkt ORDER BY dollars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu_in,
+      |    sum(sum_cents) OVER (PARTITION BY bkt ORDER BY dollars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc_in
+      |  FROM hist),
+      |bt AS (
+      |  SELECT bkt, sum(n_users) AS bu, sum(sum_cents) AS bc
+      |  FROM hist GROUP BY 1),
+      |abv AS (
+      |  SELECT a.bkt, sum(b.bu) AS au, sum(b.bc) AS ac
+      |  FROM bt a JOIN bt b ON b.bkt > a.bkt GROUP BY 1),
+      |cum AS (
+      |  SELECT i.dollars,
+      |    coalesce(v.au, 0) + i.cu_in AS cum_users,
+      |    coalesce(v.ac, 0) + i.cc_in AS cum_cents
+      |  FROM intra i LEFT JOIN abv v ON i.bkt = v.bkt),
+      |tot AS (SELECT count(*) AS n, sum(cents) AS total_cents FROM pc),
+      |hit AS (
+      |  SELECT p.p_pct, c.dollars, c.cum_users, c.cum_cents, t.total_cents
+      |  FROM cum c CROSS JOIN tot t,
+      |    (SELECT unnest([1, 5, 10]) AS p_pct) p
+      |  WHERE c.cum_users >= (p.p_pct * t.n + 99) // 100)
+      |SELECT CAST(p_pct AS BIGINT) AS p_pct,
+      |  CAST(max(dollars) AS BIGINT) AS boundary_dollars,
+      |  CAST(max_by(cum_users, dollars) AS BIGINT) AS n_top,
+      |  CAST(max_by(cum_cents, dollars) AS BIGINT) AS top_cents,
+      |  CAST(1000 * max_by(cum_cents, dollars) // max(total_cents)
+      |    AS BIGINT) AS share_permille
+      |FROM hit GROUP BY 1""".stripMargin
+
   /** TPC-H Q4-style order-priority check through the correlated-EXISTS
     * SQL surface: orders counted per priority when at least one of
     * their lines shipped more than 100 days after the order date.
@@ -1683,6 +1791,7 @@ object Relational {
     "q_incremental_rollup" -> (qIncrementalRollup _),
     "q8_market_share" -> (q8MarketShare _),
     "q4_priority" -> (q4Priority _),
+    "q_revenue_concentration" -> (qRevenueConcentration _),
     "q10_returns" -> (q10Returns _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -1738,6 +1847,7 @@ object Relational {
     "q_incremental_rollup" -> qIncrementalRollupSql,
     "q8_market_share" -> q8MarketShareSql,
     "q4_priority" -> q4PrioritySql,
+    "q_revenue_concentration" -> qRevenueConcentrationSql,
     "q10_returns" -> q10ReturnsSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
