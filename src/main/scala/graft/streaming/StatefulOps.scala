@@ -330,6 +330,61 @@ object StatefulOps {
       }
   }
 
+  case class DayRing(curDay: Long, curCents: Long, ring: List[Long])
+  case class DayResidual(band: Long, day: Long, cents: Long,
+      pred_cents: Long, abs_err: Long)
+
+  /** Streaming seasonal-naive residual monitor — the online face of
+    * [[graft.ops.EventOps.forecastBacktest]]: per revenue band the
+    * carried state is the open day's running cents plus a ring of the
+    * last 7 CLOSED daily totals; an event landing on a later day
+    * closes every day up to it (zero-filling skipped days — the batch
+    * panel's dense-grid discipline), and each closed day with a full
+    * ring emits (actual, same-weekday-last-week prediction, absolute
+    * error) — the row a live dashboard compares against the backtest
+    * MAE to decide "is today anomalous". The final open day never
+    * closes (no later event arrives in a replay); the batch statement
+    * owns corpus-end reporting.
+    *
+    * Scale: state is 8 longs per band — constant; output is
+    * days x bands.
+    */
+  def forecastResidualFeed(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame): Dataset[DayResidual] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    events
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 3).as("band"), col("event_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DayRing, DayResidual](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (band, rows, state: GroupState[DayRing]) =>
+          val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[DayResidual]
+          def close(s: DayRing): DayRing = {
+            if (s.ring.length >= 7) {
+              val pred = s.ring(6)
+              out += DayResidual(band, s.curDay, s.curCents, pred,
+                math.abs(s.curCents - pred))
+            }
+            DayRing(s.curDay + 1, 0L, (s.curCents :: s.ring).take(7))
+          }
+          sorted.foreach { case (_, _, day, cents) =>
+            if (st == null) st = DayRing(day, 0L, Nil)
+            while (st.curDay < day) st = close(st)
+            st = st.copy(curCents = st.curCents + cents)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class SessionAgg(lastTsUs: Long, e1: String, e2: String, e3: String)
   case class SessionPath(user_id: Long, path: String, closed_at_us: Long)
 

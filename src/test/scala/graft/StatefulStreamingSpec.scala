@@ -345,6 +345,47 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("forecast-residual feed == in-memory ring replay over real events") {
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val d = java.nio.file.Files.createTempDirectory("graft-resid-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StatefulOps.forecastResidualFeed(spark,
+        graft.streaming.EventStreams.readEvents(spark, d.toString))
+      .writeStream.format("memory").queryName("resid_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("resid_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    // independent replay: per band, dense day series from the band's
+    // first purchase day, pred = value 7 days earlier, closed days only
+    val rows = events.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 3).as("band"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).flatMap { case (band, rs) =>
+      val byDay = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val d0 = byDay.keys.min
+      val dLast = byDay.keys.max
+      // closed days = all but the band's final day
+      (d0 until dLast).flatMap { day =>
+        if (day - 7 >= d0) {
+          val actual = byDay.getOrElse(day, 0L)
+          val pred = byDay.getOrElse(day - 7, 0L)
+          Some((band, day) -> ((actual, pred, math.abs(actual - pred))))
+        } else None
+      }
+    }.toMap
+    assert(got === want)
+    q.stop()
+  }
+
   test("session-path feed == batch panel minus each user's open final session") {
     import org.apache.spark.sql.functions.col
     val events = graft.core.Tables.load(spark, sfDir, "events")
