@@ -1561,7 +1561,74 @@ object EventOps {
       |  CAST(n.next_forecast_cents AS BIGINT) AS next_forecast_cents
       |FROM back b JOIN nxt n ON b.band = n.band""".stripMargin
 
+  /** Churn training-set builder: one row per user active BEFORE the
+    * cutoff (corpus end minus 14 days), with behavioral features
+    * computed STRICTLY from pre-cutoff events and the churn label
+    * (no activity after the cutoff) from post-cutoff events — label
+    * leakage is impossible by construction because the two windows
+    * partition the timeline, the same point-in-time discipline
+    * [[featuresAtPurchase]] applies per-event. The panel an ML
+    * pipeline materializes before handing anything to a trainer.
+    *
+    * Scale: two disjoint per-user aggregates sharing one user_id
+    * partitioning + a 1-row cutoff broadcast. No windows.
+    */
+  def churnFeatures(ev: DataFrame): DataFrame = {
+    val withDay = ev.select(col("user_id"), col("event_type"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+      to_date(col("ts")).as("day"))
+    val cutoff = withDay.agg(date_sub(max("day"), 14).as("cutoff"))
+    val tagged = withDay.crossJoin(broadcast(cutoff))
+    val feats = tagged.filter(col("day") <= col("cutoff"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("revenue_cents"),
+        countDistinct("day").as("days_active"),
+        datediff(max("cutoff"), max("day")).cast("bigint")
+          .as("recency_days"))
+    val future = tagged.filter(col("day") > col("cutoff"))
+      .select("user_id").distinct()
+    feats.join(future.withColumn("active_after", lit(1L)),
+        Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("revenue_cents"), col("days_active"), col("recency_days"),
+        when(col("active_after").isNull, 1L).otherwise(0L)
+          .as("churn_label"))
+  }
+
+  val churnFeaturesSql: String =
+    """WITH wd AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |    CAST(ts AS DATE) AS day
+      |  FROM events),
+      |co AS (SELECT max(day) - INTERVAL 14 DAY AS cutoff FROM wd),
+      |feats AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS n_purchases,
+      |    sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+      |      AS revenue_cents,
+      |    count(DISTINCT day) AS days_active,
+      |    date_diff('day', max(day), max(CAST(cutoff AS DATE)))
+      |      AS recency_days
+      |  FROM wd CROSS JOIN co WHERE day <= cutoff GROUP BY 1),
+      |fut AS (
+      |  SELECT DISTINCT user_id FROM wd CROSS JOIN co WHERE day > cutoff)
+      |SELECT f.user_id, CAST(f.n_events AS BIGINT) AS n_events,
+      |  CAST(f.n_purchases AS BIGINT) AS n_purchases,
+      |  CAST(f.revenue_cents AS BIGINT) AS revenue_cents,
+      |  CAST(f.days_active AS BIGINT) AS days_active,
+      |  CAST(f.recency_days AS BIGINT) AS recency_days,
+      |  CAST(CASE WHEN fut.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS churn_label
+      |FROM feats f LEFT JOIN fut ON f.user_id = fut.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_churn" -> ((s, d) => churnFeatures(events(s, d))),
     "q_events_forecast" -> ((s, d) => forecastBacktest(events(s, d))),
     "q_events_paths" -> ((s, d) => sessionPaths(events(s, d))),
     "q_events_conversion_lag" -> ((s, d) => conversionLag(events(s, d))),
@@ -1596,6 +1663,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_churn" -> churnFeaturesSql,
     "q_events_forecast" -> forecastBacktestSql,
     "q_events_paths" -> sessionPathsSql,
     "q_events_conversion_lag" -> conversionLagSql,
