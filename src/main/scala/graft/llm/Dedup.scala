@@ -1157,6 +1157,62 @@ object Dedup {
        |FROM clusters GROUP BY 1""".stripMargin
   }
 
+  /** Detector-agreement (Venn) panel over the three EXACT near-dup
+    * pair detectors — token-set jaccard, 3-gram shingle jaccard, and
+    * winnow fingerprint overlap: how many pairs each subset of
+    * detectors finds. The diagnostic that tells a curation pipeline
+    * whether a cheaper detector subsumes a dearer one ON THIS CORPUS
+    * (shingle ⊂ token-set nearly always; winnow-only pairs are the
+    * copied-section cases both jaccards dilute) — measured, not
+    * assumed.
+    *
+    * Scale: the three pair generators run at their own documented
+    * scale shapes; everything after is answer-sized (pair lists union
+    * into one flag aggregate). Bench pays all three generators in one
+    * query — the dedup-trio convention, recorded where the numbers
+    * are read.
+    */
+  def detectorVenn(d: DataFrame): DataFrame = {
+    def flag(df: DataFrame, f: String): DataFrame =
+      df.select(col("doc_a"), col("doc_b"),
+        lit(if (f == "j") 1L else 0L).as("j"),
+        lit(if (f == "s") 1L else 0L).as("s"),
+        lit(if (f == "w") 1L else 0L).as("w"))
+    flag(jaccardPairs(d), "j")
+      .unionByName(flag(jaccardShinglePairs(d), "s"))
+      .unionByName(flag(TextOps.winnowPairs(d), "w"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("j").as("j"), max("s").as("s"), max("w").as("w"))
+      .groupBy("j", "s", "w")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(
+        concat_ws("+",
+          when(col("j") === 1, lit("jaccard")),
+          when(col("s") === 1, lit("shingle")),
+          when(col("w") === 1, lit("winnow"))).as("detectors"),
+        col("n_pairs"))
+  }
+
+  val detectorVennSql: String =
+    s"""WITH jp AS ($jaccardPairsSql),
+       |sp AS ($jaccardShinglePairsSql),
+       |wp AS (${TextOps.winnowPairsSql}),
+       |all_flags AS (
+       |  SELECT doc_a, doc_b, 1 AS j, 0 AS s, 0 AS w FROM jp
+       |  UNION ALL
+       |  SELECT doc_a, doc_b, 0, 1, 0 FROM sp
+       |  UNION ALL
+       |  SELECT doc_a, doc_b, 0, 0, 1 FROM wp),
+       |per_pair AS (
+       |  SELECT doc_a, doc_b, max(j) AS j, max(s) AS s, max(w) AS w
+       |  FROM all_flags GROUP BY 1, 2)
+       |SELECT concat_ws('+',
+       |    CASE WHEN j = 1 THEN 'jaccard' END,
+       |    CASE WHEN s = 1 THEN 'shingle' END,
+       |    CASE WHEN w = 1 THEN 'winnow' END) AS detectors,
+       |  count(*) AS n_pairs
+       |FROM per_pair GROUP BY j, s, w""".stripMargin
+
   /** Contrastive training-pair mining — the dataset-construction step
     * for embedding-model training (SimCSE/E5 shape): every doc with at
     * least one near-dup becomes an ANCHOR; its POSITIVE is the
@@ -1851,6 +1907,7 @@ object Dedup {
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
     "q_dedup_cluster_hist" -> ((s, d) => dedupClusterHist(docs(s, d))),
     "q_pairs_contrastive" -> ((s, d) => contrastivePairs(docs(s, d))),
+    "q_dedup_venn" -> ((s, d) => detectorVenn(docs(s, d))),
     "q_dedup_survivors" -> ((s, d) => dedupSurvivors(docs(s, d))),
     "q_dedup_survivors_best" -> ((s, d) => dedupSurvivorsBest(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
@@ -1886,6 +1943,7 @@ object Dedup {
     "q_dedup_clusters" -> dupClustersSql,
     "q_dedup_cluster_hist" -> dedupClusterHistSql,
     "q_pairs_contrastive" -> contrastivePairsSql,
+    "q_dedup_venn" -> detectorVennSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql,
     "q_dedup_edit" -> editVerifiedPairsSql,
