@@ -1222,13 +1222,16 @@ object Dedup {
     * difference|, excluding everything the anchor actually pairs with
     * (a negative that is secretly a positive poisons the loss).
     *
-    * Scale: the pair list is answer-sized and localCheckpoint-shared
-    * by the positive argmax and the negative anti-join; negative
-    * candidates join co-partitioned on (lang, bucket) so the fan-out
-    * is bucket-bounded, and the per-anchor pick is a window over those
-    * candidates. A pathologically hot (lang, bucket) cell is the same
-    * hot-key case the prefix-rank salting handles; buckets are
-    * log-scaled precisely so cells stay balanced.
+    * Scale: the pair list is localCheckpoint-shared by the positive
+    * argmax and the negative anti-join, and the op's cost is
+    * PAIR-LIST-BOUNDED — the synthetic corpus is vocabulary-saturated
+    * (~9M pairs at sf0.1 even at threshold 0.8), so its bench row
+    * reads as "argmax+anti-join over a quadratic pair list", the same
+    * convention as q_dedup_jaccard itself; on a real corpus at
+    * production thresholds the pair list is near-linear and this op
+    * is marginal over it. Negative candidates are at most [[NegProbe]]
+    * hash-ring neighbors per anchor (linear by construction — the
+    * whole-cell spelling was quadratic per length octave).
     */
   def contrastivePairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1245,15 +1248,37 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("anchor"), col("partner").as("pos_id"),
         col("jaccard").as("pos_jaccard"))
+    // negative candidates: at most `NegProbe` deterministic HASH-RING
+    // neighbors inside the anchor's (lang, log2-length-octave) cell —
+    // NOT the whole cell. The whole-cell spelling was quadratic per
+    // cell (most docs share 2-3 octaves: 13.3 s at sf0.1, the
+    // suite's worst outlier) for no gain: octave membership already
+    // enforces the "confusable length" property, and within it a
+    // content-hash-ordered neighbor is an unbiased deterministic
+    // sample. Candidate rows are |anchors| x NegProbe — linear.
     val meta = d.select(col("doc_id"), col("lang"),
-      length(col("text")).cast("bigint").as("len"))
+      length(col("text")).cast("bigint").as("len"),
+      md5(col("text").cast("binary")).as("h"))
       .withColumn("bucket", expr("length(bin(greatest(len, 1)))"))
+    val wCell = Window.partitionBy("lang", "bucket")
+      .orderBy(col("h"), col("doc_id"))
+    val wCellAll = Window.partitionBy("lang", "bucket")
+    val ranked = meta
+      .withColumn("r", row_number().over(wCell) - 1)
+      .withColumn("m", count(lit(1)).over(wCellAll))
+      .localCheckpoint()
     val anchors = pos.join(
-      meta.select(col("doc_id").as("anchor"), col("lang"), col("bucket"),
-        col("len").as("a_len")), "anchor")
-    val cands = anchors.join(
-        meta.select(col("doc_id").as("cand"), col("lang"), col("bucket"),
-          col("len").as("cand_len")), Seq("lang", "bucket"))
+      ranked.select(col("doc_id").as("anchor"), col("lang"), col("bucket"),
+        col("len").as("a_len"), col("r"), col("m")), "anchor")
+    val cands = anchors
+      .select(col("anchor"), col("pos_id"), col("pos_jaccard"),
+        col("lang"), col("bucket"), col("a_len"), col("m"),
+        explode(expr(s"transform(sequence(1, $NegProbe), o" +
+          s" -> (r + o) % m)")).as("cr"))
+      .filter(col("m") > 1)
+      .join(ranked.select(col("lang"), col("bucket"),
+        col("r").as("cr"), col("doc_id").as("cand"),
+        col("len").as("cand_len")), Seq("lang", "bucket", "cr"))
       .filter(col("cand") =!= col("anchor"))
       .join(sym.select(col("anchor"), col("partner").as("cand")),
         Seq("anchor", "cand"), "left_anti")
@@ -1265,6 +1290,8 @@ object Dedup {
         col("pos_jaccard"), col("cand").as("neg_id"),
         abs(col("cand_len") - col("a_len")).as("neg_len_diff"))
   }
+
+  private val NegProbe = 8
 
   val contrastivePairsSql: String =
     s"""WITH pairs AS ($jaccardPairsSql),
@@ -1281,18 +1308,28 @@ object Dedup {
        |  WHERE rn = 1),
        |meta AS (
        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
-       |    length(bin(greatest(length(text), 1))) AS bucket
+       |    length(bin(greatest(length(text), 1))) AS bucket,
+       |    md5(text) AS h
        |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, lang, bucket, len,
+       |    row_number() OVER (PARTITION BY lang, bucket
+       |      ORDER BY h, doc_id) - 1 AS r,
+       |    count(*) OVER (PARTITION BY lang, bucket) AS m
+       |  FROM meta),
        |cands AS (
        |  SELECT p.anchor, p.pos_id, p.pos_jaccard, a.a_len,
        |    c.doc_id AS cand, c.len AS cand_len
        |  FROM pos p
-       |  JOIN (SELECT doc_id AS anchor, lang, bucket, len AS a_len
-       |        FROM meta) a ON p.anchor = a.anchor
-       |  JOIN meta c ON c.lang = a.lang AND c.bucket = a.bucket
+       |  JOIN (SELECT doc_id AS anchor, lang, bucket, len AS a_len,
+       |          r, m FROM ranked) a ON p.anchor = a.anchor,
+       |  LATERAL (SELECT unnest(generate_series(1, 8)) AS o) os
+       |  JOIN ranked c ON c.lang = a.lang AND c.bucket = a.bucket
+       |    AND c.r = (a.r + os.o) % a.m
        |    AND c.doc_id <> p.anchor
-       |  WHERE NOT EXISTS (SELECT 1 FROM sym s
-       |    WHERE s.anchor = p.anchor AND s.partner = c.doc_id))
+       |  WHERE a.m > 1
+       |    AND NOT EXISTS (SELECT 1 FROM sym s
+       |      WHERE s.anchor = p.anchor AND s.partner = c.doc_id))
        |SELECT anchor AS anchor_id, pos_id, pos_jaccard,
        |  cand AS neg_id, CAST(abs(cand_len - a_len) AS BIGINT)
        |    AS neg_len_diff
