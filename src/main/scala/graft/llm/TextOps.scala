@@ -220,6 +220,62 @@ object TextOps {
        |  FROM documents)""".stripMargin
   }
 
+  /** Phrase search over positional postings — the inverted-index query
+    * shape ([[invertedIndex]] stores doc sets; phrase queries need
+    * POSITIONS): the probe phrase is the first 3 tokens of the lowest
+    * doc_id document (data-derived, 1-row broadcast — no literal), and
+    * matches are found by intersecting the three terms' posting lists
+    * with the +1/+2 position-adjacency condition — never by re-scanning
+    * text. Emits (doc_id, n_occurrences) for docs containing the
+    * phrase at least once.
+    *
+    * Scale: this is the sub-scan ad-hoc-query story — each term's
+    * postings are fetched by the (word-partitioned) posting join, so
+    * query cost is posting-list-sized, not corpus-sized; the adjacency
+    * joins are co-partitioned on (doc, pos). The oracle recounts
+    * adjacent triples per document directly, so agreement proves the
+    * postings path finds exactly the scan-truth occurrences.
+    */
+  def phraseSearch(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val probe = toks.orderBy("doc_id").limit(1)
+      .select(element_at(col("toks"), 1).as("p1"),
+        element_at(col("toks"), 2).as("p2"),
+        element_at(col("toks"), 3).as("p3"))
+    val post = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+    val withProbe = post.crossJoin(broadcast(probe))
+    val m1 = withProbe.filter(col("w") === col("p1"))
+      .select(col("doc_id"), col("pos"), col("p2"), col("p3"))
+    val m2 = post.select(col("doc_id"), (col("pos") - 1).as("pos"),
+      col("w").as("w2"))
+    val m3 = post.select(col("doc_id"), (col("pos") - 2).as("pos"),
+      col("w").as("w3"))
+    m1.join(m2, Seq("doc_id", "pos"))
+      .filter(col("w2") === col("p2"))
+      .join(m3, Seq("doc_id", "pos"))
+      .filter(col("w3") === col("p3"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |probe AS (
+      |  SELECT toks[1] AS p1, toks[2] AS p2, toks[3] AS p3
+      |  FROM t ORDER BY doc_id LIMIT 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM (
+      |  SELECT t.doc_id
+      |  FROM t CROSS JOIN probe,
+      |    LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+      |  WHERE toks[g.i] = p1 AND toks[g.i + 1] = p2 AND toks[g.i + 2] = p3)
+      |GROUP BY doc_id""".stripMargin
+
   /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
     * are maximal stopword-free token runs (length 1..maxLen), each
     * word scored by degree/frequency over the candidate set
@@ -933,6 +989,7 @@ object TextOps {
     "q_text_lang_id" -> ((s, d) => langId(docs(s, d))),
     "q_text_lang_confusion" -> ((s, d) => langConfusion(docs(s, d))),
     "q_text_rake" -> ((s, d) => rakeKeyphrases(docs(s, d))),
+    "q_text_phrase_search" -> ((s, d) => phraseSearch(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
@@ -953,5 +1010,6 @@ object TextOps {
     "q_text_lang_id" -> langIdSql,
     "q_text_lang_confusion" -> langConfusionSql,
     "q_text_rake" -> rakeKeyphrasesSql,
+    "q_text_phrase_search" -> phraseSearchSql,
     "q_text_fingerprint" -> fingerprintSql)
 }
