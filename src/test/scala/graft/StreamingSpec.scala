@@ -37,6 +37,45 @@ class StreamingSpec extends SparkSpec {
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
+  test("watermark drops a too-late row; an in-grace late row still lands") {
+    // The state-bound contract in one test: after the watermark passes
+    // a window's end, a row for that window is DISCARDED (its state is
+    // gone — this is what makes streaming aggregation state finite);
+    // a late row still inside the grace interval is ACCEPTED.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(sum("v").as("s"))
+      .select(col("w.start").cast("long").as("ws"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    input.addData((ts(5), 1L))     // window [0, 10)
+    q.processAllAvailable()
+    input.addData((ts(12), 10L))   // watermark -> 12 - 10 = 2; [0,10) open
+    q.processAllAvailable()
+    input.addData((ts(7), 100L))   // LATE but within grace: accepted
+    q.processAllAvailable()
+    input.addData((ts(35), 1000L)) // watermark -> 25; [0,10) finalized
+    q.processAllAvailable()
+    input.addData((ts(8), 7777L))  // TOO LATE: window state gone, dropped
+    q.processAllAvailable()
+    input.addData((ts(60), 1L))    // push watermark so [10,20)+[30,40) emit
+    q.processAllAvailable()
+    val got = spark.table("late_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w0 = ts(0).getTime / 1000
+    // the in-grace late row (100) is in; the too-late row (7777) is NOT
+    assert(got(w0) === 101L, s"window [0,10) must hold 1+100 only: $got")
+    assert(!got.values.exists(_ >= 7777L), s"too-late row leaked: $got")
+    q.stop()
+  }
+
   test("streaming tumbling windows == batch mirror") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val got = rows(runComplete(EventStreams.tumbling(stream), "t_tumbling"))
