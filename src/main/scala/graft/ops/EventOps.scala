@@ -1627,7 +1627,76 @@ object EventOps {
       |    AS churn_label
       |FROM feats f LEFT JOIN fut ON f.user_id = fut.user_id""".stripMargin
 
+  /** Feature-drift panel: the purchase-value distribution of the
+    * corpus's first half of days (the "training window") vs its
+    * second half (the "serving window"), per log2-cents bucket, with
+    * each side's share in permille and the absolute share difference —
+    * the drift monitor an ML-ops pipeline reads before trusting a
+    * model trained on last month (total variation distance = half the
+    * sum of abs_diff_permille, derivable by the reader). Integer
+    * permille on both sides; log2 buckets via the highest-set-bit
+    * device; the midpoint split is data-derived (1-row broadcast).
+    *
+    * Scale: one purchase pass into a ≤64-bucket x 2-side aggregate;
+    * side totals ride the same answer-sized table. Nothing global.
+    */
+  def valueDrift(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val mid = p.agg(expr(
+      "date_add(min(day), CAST(datediff(max(day), min(day)) DIV 2 AS INT))")
+      .as("mid"))
+    val sided = p.crossJoin(broadcast(mid))
+      .select(
+        when(col("day") <= col("mid"), lit("ref")).otherwise(lit("cur"))
+          .as("side"),
+        expr("length(bin(greatest(cents, 1)))").cast("bigint").as("bucket"))
+    val cells = sided.groupBy("bucket")
+      .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val totals = sided.groupBy()
+      .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("t_ref"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("t_cur"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr("1000 * n_ref DIV t_ref").as("ref_permille"),
+        expr("1000 * n_cur DIV t_cur").as("cur_permille"),
+        expr("abs(1000 * n_ref DIV t_ref - 1000 * n_cur DIV t_cur)")
+          .as("abs_diff_permille"))
+  }
+
+  val valueDriftSql: String =
+    """WITH p AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT min(day) + CAST(date_diff('day', min(day), max(day)) // 2
+      |    AS INTEGER) AS mid FROM p),
+      |sided AS (
+      |  SELECT CASE WHEN day <= mid THEN 'ref' ELSE 'cur' END AS side,
+      |    length(bin(greatest(cents, 1))) AS bucket
+      |  FROM p CROSS JOIN m),
+      |cells AS (
+      |  SELECT bucket,
+      |    sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+      |    sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      |  FROM sided GROUP BY 1),
+      |tot AS (
+      |  SELECT sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS t_ref,
+      |    sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS t_cur
+      |  FROM sided)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(1000 * n_ref // t_ref AS BIGINT) AS ref_permille,
+      |  CAST(1000 * n_cur // t_cur AS BIGINT) AS cur_permille,
+      |  CAST(abs(1000 * n_ref // t_ref - 1000 * n_cur // t_cur) AS BIGINT)
+      |    AS abs_diff_permille
+      |FROM cells CROSS JOIN tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_drift" -> ((s, d) => valueDrift(events(s, d))),
     "q_events_churn" -> ((s, d) => churnFeatures(events(s, d))),
     "q_events_forecast" -> ((s, d) => forecastBacktest(events(s, d))),
     "q_events_paths" -> ((s, d) => sessionPaths(events(s, d))),
@@ -1663,6 +1732,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_drift" -> valueDriftSql,
     "q_events_churn" -> churnFeaturesSql,
     "q_events_forecast" -> forecastBacktestSql,
     "q_events_paths" -> sessionPathsSql,
