@@ -1658,7 +1658,72 @@ object Similarity {
        |JOIN norms na ON d.label_a = na.label
        |JOIN norms nb ON d.label_b = nb.label""".stripMargin
 
+  /** kNN-classifier evaluation — the "are these embeddings any good
+    * for classification" panel: every query-slice vector classified by
+    * the majority label of its k nearest neighbors (self excluded —
+    * scoring a point by its own label is the classic leakage), scored
+    * against its true label, accuracy per class in permille. Composes
+    * the deployed ANN path ([[ivfSearchInt8]]), so the panel measures
+    * the classifier users would actually serve, probes and all.
+    * Deterministic majority: (votes desc, label asc).
+    *
+    * Scale: the search at its documented per-cell cost; everything
+    * after is (queries x k) rows into answer-sized aggregates.
+    */
+  def knnClassify(
+      e: DataFrame,
+      codebook: Option[Array[Array[Long]]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = e.filter(pmod(col("vec_id"), lit(SearchQueryMod)) === 0)
+    val res = ivfSearchInt8(e, queries, k = 6, codebook = codebook)
+    val labels = e.select(col("vec_id"), col("label").cast("bigint")
+      .as("lbl"))
+    val votes = res.filter(col("neighbor_id") =!= col("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("lbl").as("nlabel")), "neighbor_id")
+      .groupBy("query_id", "nlabel").agg(count(lit(1)).as("v"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("v").desc, col("nlabel"))
+    val pred = votes.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nlabel").as("pred"))
+    pred.join(labels.select(col("vec_id").as("query_id"),
+        col("lbl").as("true_label")), "query_id")
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_correct"),
+        expr("1000 * n_correct DIV n_queries").as("acc_permille"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH res AS (${ivfSearchInt8Sql(k = 6)}),
+       |lab AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+       |votes AS (
+       |  SELECT r.query_id, nl.lbl AS nlabel, count(*) AS v
+       |  FROM res r JOIN lab nl ON r.neighbor_id = nl.vec_id
+       |  WHERE r.neighbor_id <> r.query_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT query_id, nlabel AS pred FROM (
+       |    SELECT query_id, nlabel,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY v DESC, nlabel) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1)
+       |SELECT q.lbl AS true_label, count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN p.pred = q.lbl THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(1000 * sum(CASE WHEN p.pred = q.lbl THEN 1 ELSE 0 END)
+       |    // count(*) AS BIGINT) AS acc_permille
+       |FROM pred p JOIN lab q ON p.query_id = q.vec_id
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify" -> ((s, d) =>
+      knnClassify(emb(s, d), codebook = Some(cachedCentroidsInt8(s, d)))),
     "q_embed_label_sim" -> ((s, d) => labelCentroidSim(emb(s, d))),
     "q_knn_quality" -> ((s, d) => annQuality(emb(s, d))),
     "q_embed_sim_hist" -> ((s, d) => simHistogram(emb(s, d))),
@@ -1693,6 +1758,7 @@ object Similarity {
     * paths via order-stable IEEE folds.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_knn_classify" -> knnClassifySql,
     "q_embed_label_sim" -> labelCentroidSimSql,
     "q_knn_quality" -> annQualitySql(),
     "q_embed_sim_hist" ->
