@@ -228,6 +228,94 @@ object GraphOps {
     s"$head$rounds\nSELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r$iters"
   }
 
+  /** Holdout evaluation of mined association rules — the train/test
+    * discipline applied to [[basketRules]]' model exactly as
+    * q_text_trigram_lp applies it to the language model: DIRECTED
+    * rules u→v mined from the training baskets (order keys % 7 != 0,
+    * the decontamination split convention) with their train
+    * confidence, then scored on the HELD-OUT baskets: of test baskets
+    * containing u, how many also contain v (hit-rate permille) — the
+    * number that tells a recommender whether train confidence
+    * transfers or the rules memorized noise. Rules never applied to
+    * their own training data; rules with zero test applications keep
+    * a row (NULL hit-rate) rather than vanishing.
+    *
+    * Scale: rule mining at [[basketRules]]' documented shape over the
+    * train slice; application is a rules-vs-test join co-partitioned
+    * on the item key, hits an answer-sized (basket, item) left join;
+    * output is rule-sized.
+    */
+  def basketRulesEval(
+      lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint()
+    val train = li.filter(pmod(col("ok"), lit(7)) =!= 0)
+    val test = li.filter(pmod(col("ok"), lit(7)) === 0)
+    val pairs = train.as("a").join(train.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+    val items = train.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val rules = pairs
+      .select(col("u"), col("v"), col("w"))
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
+        col("w")))
+      .join(items.select(col("pk").as("u"), col("n_item").as("n_u")), "u")
+      .select(col("u"), col("v"), col("w").as("n_train"),
+        expr("1000 * w DIV n_u").as("conf_train_permille"))
+    val app = rules
+      .join(test.select(col("ok"), col("pk").as("u")), "u")
+      .join(test.select(col("ok"), col("pk").as("v"))
+        .withColumn("hit", lit(1L)), Seq("ok", "v"), "left")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_applicable"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    rules.join(app, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), col("n_train"),
+        col("conf_train_permille"),
+        coalesce(col("n_applicable"), lit(0L)).as("n_applicable"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("1000 * coalesce(n_hits, CAST(0 AS BIGINT)) DIV " +
+          "nullif(coalesce(n_applicable, CAST(0 AS BIGINT)), 0)")
+          .as("hitrate_permille"))
+  }
+
+  val basketRulesEvalSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |train AS (SELECT * FROM li WHERE ok % 7 <> 0),
+      |test AS (SELECT * FROM li WHERE ok % 7 = 0),
+      |pairs AS (
+      |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+      |  FROM train a JOIN train b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |items AS (SELECT pk, count(*) AS n_item FROM train GROUP BY 1),
+      |rules AS (
+      |  SELECT d.u, d.v, d.w AS n_train,
+      |    1000 * d.w // i.n_item AS conf_train_permille
+      |  FROM (
+      |    SELECT u, v, w FROM pairs
+      |    UNION ALL SELECT v, u, w FROM pairs) d
+      |  JOIN items i ON d.u = i.pk),
+      |app AS (
+      |  SELECT r.u, r.v, count(*) AS n_applicable,
+      |    sum(CASE WHEN h.pk IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      |  FROM rules r
+      |  JOIN test t ON r.u = t.pk
+      |  LEFT JOIN test h ON h.ok = t.ok AND h.pk = r.v
+      |  GROUP BY 1, 2)
+      |SELECT r.u, r.v, CAST(r.n_train AS BIGINT) AS n_train,
+      |  CAST(r.conf_train_permille AS BIGINT) AS conf_train_permille,
+      |  CAST(coalesce(a.n_applicable, 0) AS BIGINT) AS n_applicable,
+      |  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(1000 * coalesce(a.n_hits, 0)
+      |    // nullif(coalesce(a.n_applicable, 0), 0) AS BIGINT)
+      |    AS hitrate_permille
+      |FROM rules r LEFT JOIN app a ON r.u = a.u AND r.v = a.v""".stripMargin
+
   /** Personalized PageRank (seed-teleport): the random walk restarts
     * at the SEED instead of uniformly, so rank mass measures proximity
     * TO THE SEED — the "customers who bought this also orbit these"
@@ -785,6 +873,8 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_basket_rules" -> ((s, d) =>
       basketRules(Tables.load(s, d, "lineitem"))),
+    "q_basket_eval" -> ((s, d) =>
+      basketRulesEval(Tables.load(s, d, "lineitem"))),
     "q_graph_ppr" -> ((s, d) =>
       personalizedPageRankScaled(
         coOccurrenceWeighted(Tables.load(s, d, "lineitem")))),
@@ -806,6 +896,7 @@ object GraphOps {
     */
   val oracleSql: Map[String, String] = Map(
     "q_basket_rules" -> basketRulesSql,
+    "q_basket_eval" -> basketRulesEvalSql,
     "q_graph_ppr" -> personalizedPageRankSql(),
     "q_graph_kcore" -> kCoreSql(),
     "q_graph_bfs" -> bfsHopsSql(),
