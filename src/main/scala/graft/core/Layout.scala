@@ -120,6 +120,59 @@ object Layout {
     ranged.sortWithinPartitions("_z").drop("_z")
   }
 
+  /** Write-audit-publish: stage a snapshot, run the caller's audit
+    * over the STAGED files, and only then expose it to readers by
+    * atomically updating a `current` pointer file — the governance
+    * pattern (Iceberg WAP without a table format) that makes "a bad
+    * snapshot was never visible" a property of the layout instead of
+    * a hope. On violations the staging dir is removed and the
+    * previous `current` is untouched; readers resolving through
+    * [[readCurrent]] never see a partial or failed snapshot. Each
+    * publish gets a fresh version directory, so a reader holding the
+    * old version keeps a consistent view (no in-place overwrite).
+    *
+    * Returns Right(publishedPath) or Left(violations).
+    */
+  def writeAuditPublish(
+      df: DataFrame, root: String, version: String,
+      audit: DataFrame => Seq[String]): Either[Seq[String], String] = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val staging = s"$root/_staging_$version"
+    val finalDir = s"$root/v_$version"
+    df.write.mode("overwrite").parquet(staging)
+    val violations = audit(spark.read.parquet(staging))
+    if (violations.nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      Left(violations)
+    } else {
+      fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(finalDir))
+      // pointer update: write-temp + rename, the atomic publish
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_current_tmp")
+      val out = fs.create(tmp, true)
+      out.write(s"v_$version".getBytes("UTF-8"))
+      out.close()
+      val cur = new org.apache.hadoop.fs.Path(s"$root/current")
+      fs.delete(cur, false)
+      fs.rename(tmp, cur)
+      Right(finalDir)
+    }
+  }
+
+  /** Resolve the `current` pointer written by [[writeAuditPublish]]. */
+  def readCurrent(
+      spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/current"))
+    val v = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+    in.close()
+    spark.read.parquet(s"$root/$v")
+  }
+
   /** Small-file compaction (the OPTIMIZE-style table-maintenance pass):
     * rewrite a parquet directory into ceil(totalBytes / targetBytes)
     * files. Streaming sinks and fine-grained incremental writes leave

@@ -171,6 +171,37 @@ class StorageSpec extends SparkSpec {
       s"projection should prune the evolved column:\n$p")
   }
 
+  test("write-audit-publish: bad snapshots never become visible") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wap").toString
+    def audit(df: DataFrame): Seq[String] =
+      (if (df.filter(col("id").isNull).count() > 0) Seq("null_id") else Nil) ++
+        (if (df.count() == 0) Seq("empty") else Nil)
+    // v1: clean — publishes
+    val r1 = graft.core.Layout.writeAuditPublish(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "1", audit)
+    assert(r1.isRight, r1)
+    assert(graft.core.Layout.readCurrent(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // v2: planted violation — refused, current still serves v1
+    val bad = Seq((Some(3L), "c"), (None, "d"))
+      .toDF("id", "v")
+    val r2 = graft.core.Layout.writeAuditPublish(bad, root, "2", audit)
+    assert(r2 === Left(Seq("null_id")))
+    assert(graft.core.Layout.readCurrent(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "a refused snapshot must not replace current")
+    // staging must not linger
+    assert(!new java.io.File(s"$root/_staging_2").exists)
+    // v3: clean again — publishes over v1; v1 dir remains for readers
+    val r3 = graft.core.Layout.writeAuditPublish(
+      Seq((9L, "z")).toDF("id", "v"), root, "3", audit)
+    assert(r3.isRight)
+    assert(graft.core.Layout.readCurrent(spark, root)
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
+    assert(new java.io.File(s"$root/v_1").exists, "old version stays readable")
+  }
+
   test("csv malformed rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-csv").toString
