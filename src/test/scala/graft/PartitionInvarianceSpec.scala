@@ -105,6 +105,9 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.ops.GraphOps.triangleCounts(
         graft.ops.GraphOps.coOccurrenceEdges(
           Tables.load(spark, sfDir, "lineitem")))),
+    ("knn_classify (majority-vote window tie-break)",
+      () => graft.llm.Similarity.knnClassify(
+        Tables.load(spark, sfDir, "embeddings"))),
     ("contrastive_pairs (argmax windows + bucket anti-join)",
       () => Dedup.contrastivePairs(Tables.load(spark, sfDir, "documents"))),
     ("rake (ordered phrase collect + top-k boundary)",
