@@ -378,7 +378,11 @@ object Relational {
         o.filter(col("o_orderdate") < lit("1990-01-01") ||
           col("o_orderdate") > lit("2030-01-01")).agg(count(lit(1)).as("n"))),
       check("event_negative_value",
-        ev.filter(col("value") < 0).agg(count(lit(1)).as("n"))))
+        ev.filter(col("value") < 0).agg(count(lit(1)).as("n"))),
+      // sequence continuity: ingestion dropped rows show up as id gaps
+      check("event_id_gaps",
+        ev.agg((max("event_id") - min("event_id") + 1 -
+          countDistinct("event_id")).as("n"))))
     checks.reduce(_ unionByName _)
       .select(col("check_name"), col("n_violations"),
         when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
@@ -422,7 +426,11 @@ object Relational {
       |     OR o_orderdate > TIMESTAMP '2030-01-01'
       |  UNION ALL
       |  SELECT 'event_negative_value', count(*) FROM events
-      |  WHERE value < 0)""".stripMargin
+      |  WHERE value < 0
+      |  UNION ALL
+      |  SELECT 'event_id_gaps',
+      |    max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+      |  FROM events)""".stripMargin
 
   /** TPC-H Q6-style forecast-revenue-change: the pure scan-filter-agg
     * query — no joins, one pass, one row out. Its whole value at

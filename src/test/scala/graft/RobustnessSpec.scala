@@ -462,7 +462,8 @@ class RobustnessSpec extends SparkSpec {
       "lineitem_null_keys" -> ((1L, 0L)),
       "part_nonpositive_price" -> ((1L, 0L)),
       "order_date_out_of_range" -> ((1L, 0L)),
-      "event_negative_value" -> ((1L, 0L))))
+      "event_negative_value" -> ((1L, 0L)),
+      "event_id_gaps" -> ((0L, 1L))))
   }
 
   test("forecastBacktest: seasonal-naive MAE on a linear series") {
