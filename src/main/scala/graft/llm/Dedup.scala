@@ -1235,19 +1235,32 @@ object Dedup {
     */
   def contrastivePairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = jaccardPairs(d, threshold)
+    // checkpoint the DIRECTED pair list once (its four consumers —
+    // both argmax halves and both faces of the membership anti-join —
+    // would otherwise re-run the prefix-rank join each); the SYMMETRIC
+    // form stays LAZY over those blocks (materializing 18M sym rows
+    // doubled storage pressure for nothing)
+    val pairs = jaccardPairs(d, threshold).localCheckpoint()
     val sym = pairs
       .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
         col("jaccard"))
       .unionByName(pairs.select(col("doc_b").as("anchor"),
         col("doc_a").as("partner"), col("jaccard")))
-      .localCheckpoint()
-    val wPos = Window.partitionBy("anchor")
-      .orderBy(col("jaccard").desc, col("partner"))
-    val pos = sym.withColumn("rn", row_number().over(wPos))
-      .filter(col("rn") === 1)
-      .select(col("anchor"), col("partner").as("pos_id"),
-        col("jaccard").as("pos_jaccard"))
+    // positive argmax as ALGEBRAIC max-of-struct aggregates (map-side
+    // combinable) instead of a window over the symmetric list — the
+    // window's per-anchor sort over ~18M rows was the op's dominant
+    // cost; (jaccard, -partner) struct order = (jaccard desc, partner
+    // asc) tie-break, partner ids being non-negative
+    def posHalf(a: String, b: String) =
+      pairs.groupBy(col(a).as("anchor"))
+        .agg(max(struct(col("jaccard"),
+          (lit(0L) - col(b)).as("negp"))).as("m"))
+        .select(col("anchor"), col("m"))
+    val pos = posHalf("doc_a", "doc_b")
+      .unionByName(posHalf("doc_b", "doc_a"))
+      .groupBy("anchor").agg(max(col("m")).as("m"))
+      .select(col("anchor"), (lit(0L) - col("m.negp")).as("pos_id"),
+        col("m.jaccard").as("pos_jaccard"))
     // negative candidates: at most `NegProbe` deterministic HASH-RING
     // neighbors inside the anchor's (lang, log2-length-octave) cell —
     // NOT the whole cell. The whole-cell spelling was quadratic per
