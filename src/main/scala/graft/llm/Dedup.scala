@@ -1157,6 +1157,128 @@ object Dedup {
        |FROM clusters GROUP BY 1""".stripMargin
   }
 
+  /** MinHash estimator-calibration panel: for every banded-candidate
+    * pair, the signature ESTIMATE (matching components / K) against
+    * the EXACT shingle-set jaccard it estimates, bucketed by signed
+    * error permille — the sketch-trust panel that says whether K=16
+    * components suffice at the chosen threshold or the bands are
+    * promoting junk (the HLL register panel's question, asked of the
+    * similarity sketch). Integer-exact: est = 1000·agree DIV 16,
+    * exact = 1000·|∩| DIV |∪| over the distinct hashed-shingle sets,
+    * error bands shifted non-negative before the DIV (Spark DIV
+    * truncates toward zero, DuckDB // floors — negative operands are
+    * the one place they disagree).
+    *
+    * Scale: candidates from the banded join (its documented shape);
+    * signatures and shingle-hash sets join back per-pair
+    * co-partitioned on doc id; everything after is answer-sized.
+    */
+  def minhashCalibration(d: DataFrame): DataFrame = {
+    val sigs = minhashSignaturesExact(d)
+      .select(col("doc_id"), col("sig"))
+    val tk = TextOps.wsTokens(col("text"))
+    val shingles = when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", slice(tk, i, lit(3)))))
+      .otherwise(array(concat_ws(" ", tk)))
+    val sets = graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"),
+        array_distinct(transform(shingles, s =>
+          pmod(conv(substring(md5(s.cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(Prime)))).as("hh"))
+    val cand = minhashPairsExact(d).select("doc_a", "doc_b")
+    val scored = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+        "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("hh").as("ha")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hh").as("hb")),
+        "doc_b")
+      .select(
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
+          .as("agree"),
+        size(array_intersect(col("ha"), col("hb"))).cast("bigint")
+          .as("inter"),
+        (size(col("ha")) + size(col("hb"))).cast("bigint").as("szsum"))
+      .select(
+        expr(s"1000 * agree DIV $MinhashK").as("est_permille"),
+        expr("1000 * inter DIV (szsum - inter)").as("exact_permille"))
+    scored
+      .select(col("est_permille"), col("exact_permille"),
+        expr("(est_permille - exact_permille + 1000) DIV 100")
+          .as("err_band"))
+      .groupBy("err_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(expr("est_permille - exact_permille")).as("min_err"),
+        max(expr("est_permille - exact_permille")).as("max_err"))
+  }
+
+  val minhashCalibrationSql: String = {
+    val sigEntries = perms.map { case (a, b) =>
+      s"list_min(list_transform(hh, h -> (h * $a + $b) % $Prime))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    val nBands = MinhashK / BandSize
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'), t -> t <> '')
+       |      AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3
+       |      THEN list_transform(range(len(tk) - 2),
+       |             i -> array_to_string(tk[i + 1:i + 3], ' '))
+       |      ELSE [array_to_string(tk, ' ')] END AS shingles
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles, s ->
+       |      list_reduce(list_transform(range(8), i ->
+       |        CAST(strpos('0123456789abcdef', substr(md5(s), i + 1, 1)) - 1
+       |          AS BIGINT)),
+       |        (a, b) -> a * 16 + b) % $Prime) AS hh
+       |  FROM sh),
+       |sets AS (SELECT doc_id, list_distinct(hh) AS hh FROM hs),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigEntries AS sig
+       |  FROM hs),
+       |banded AS (
+       |  SELECT doc_id, sig, b.band AS band,
+       |    array_to_string(sig[b.band * $BandSize + 1:b.band * $BandSize + $BandSize], ',')
+       |      AS bucket
+       |  FROM sig, (SELECT unnest(range($nBands)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(range($MinhashK),
+       |      i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE) / $MinhashK
+       |      >= 0.5),
+       |scored AS (
+       |  SELECT
+       |    1000 * len(list_filter(range($MinhashK),
+       |      i -> qa.sig[i + 1] = qb.sig[i + 1])) // $MinhashK
+       |      AS est_permille,
+       |    1000 * len(list_intersect(ha.hh, hb.hh))
+       |      // (len(ha.hh) + len(hb.hh) - len(list_intersect(ha.hh, hb.hh)))
+       |      AS exact_permille
+       |  FROM cand c
+       |  JOIN sig qa ON c.doc_a = qa.doc_id
+       |  JOIN sig qb ON c.doc_b = qb.doc_id
+       |  JOIN sets ha ON c.doc_a = ha.doc_id
+       |  JOIN sets hb ON c.doc_b = hb.doc_id)
+       |SELECT CAST((est_permille - exact_permille + 1000) // 100 AS BIGINT)
+       |    AS err_band,
+       |  count(*) AS n_pairs,
+       |  CAST(min(est_permille - exact_permille) AS BIGINT) AS min_err,
+       |  CAST(max(est_permille - exact_permille) AS BIGINT) AS max_err
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
   /** Detector-agreement (Venn) panel over the three EXACT near-dup
     * pair detectors — token-set jaccard, 3-gram shingle jaccard, and
     * winnow fingerprint overlap: how many pairs each subset of
@@ -1958,6 +2080,7 @@ object Dedup {
     "q_dedup_cluster_hist" -> ((s, d) => dedupClusterHist(docs(s, d))),
     "q_pairs_contrastive" -> ((s, d) => contrastivePairs(docs(s, d))),
     "q_dedup_venn" -> ((s, d) => detectorVenn(docs(s, d))),
+    "q_sketch_minhash_calib" -> ((s, d) => minhashCalibration(docs(s, d))),
     "q_dedup_survivors" -> ((s, d) => dedupSurvivors(docs(s, d))),
     "q_dedup_survivors_best" -> ((s, d) => dedupSurvivorsBest(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
@@ -1994,6 +2117,7 @@ object Dedup {
     "q_dedup_cluster_hist" -> dedupClusterHistSql,
     "q_pairs_contrastive" -> contrastivePairsSql,
     "q_dedup_venn" -> detectorVennSql,
+    "q_sketch_minhash_calib" -> minhashCalibrationSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql,
     "q_dedup_edit" -> editVerifiedPairsSql,
