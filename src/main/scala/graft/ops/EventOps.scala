@@ -1695,7 +1695,51 @@ object EventOps {
       |    AS abs_diff_permille
       |FROM cells CROSS JOIN tot""".stripMargin
 
+  /** Sample-ratio-mismatch guardrail for the A/B split — the
+    * invalidity check every experiment platform runs BEFORE reading
+    * the conversion panel: each variant's exposed-user count against
+    * the 50/50 expectation, deviation in permille of total, plus a
+    * scaled chi-square statistic (1e6·Σ(n−e)²/e as exact integers;
+    * the 3.84 critical value at α=0.05 and df=1 is 3.84e6 on this
+    * scale — a reading above it means the assignment is broken and
+    * the experiment's panel is untrustworthy regardless of its
+    * lift). One user-level aggregate reusing the exact hash split of
+    * [[abExperiment]]; panel is 2 rows + the broadcast total.
+    */
+  def abSrmCheck(e: DataFrame): DataFrame = {
+    val perVariant = e
+      .withColumn("variant",
+        when(pmod(graft.ops.Hll.h60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)) === 0,
+          lit("A")).otherwise(lit("B")))
+      .groupBy("variant")
+      .agg(countDistinct("user_id").as("n_users"))
+    val total = perVariant.agg(sum("n_users").as("t"))
+    perVariant.crossJoin(broadcast(total))
+      .select(col("variant"), col("n_users"),
+        expr("t DIV 2").as("expected"),
+        expr("1000 * abs(2 * n_users - t) DIV t").as("dev_permille"),
+        expr("""1000000 * (2 * n_users - t) * (2 * n_users - t)
+          DIV (2 * t)""").as("chi2_x1e6_term"))
+  }
+
+  val abSrmCheckSql: String = {
+    val h = graft.ops.Hll.h60Sql("'ab:' || CAST(user_id AS VARCHAR)")
+    s"""WITH pv AS (
+       |  SELECT CASE WHEN ($h) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+       |    count(DISTINCT user_id) AS n_users
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT sum(n_users) AS t FROM pv)
+       |SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+       |  CAST(t // 2 AS BIGINT) AS expected,
+       |  CAST(1000 * abs(2 * n_users - t) // t AS BIGINT) AS dev_permille,
+       |  CAST(1000000 * (2 * n_users - t) * (2 * n_users - t)
+       |    // (2 * t) AS BIGINT) AS chi2_x1e6_term
+       |FROM pv CROSS JOIN tot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_ab_srm" -> ((s, d) => abSrmCheck(events(s, d))),
     "q_events_drift" -> ((s, d) => valueDrift(events(s, d))),
     "q_events_churn" -> ((s, d) => churnFeatures(events(s, d))),
     "q_events_forecast" -> ((s, d) => forecastBacktest(events(s, d))),
@@ -1732,6 +1776,7 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_ab_srm" -> abSrmCheckSql,
     "q_events_drift" -> valueDriftSql,
     "q_events_churn" -> churnFeaturesSql,
     "q_events_forecast" -> forecastBacktestSql,
