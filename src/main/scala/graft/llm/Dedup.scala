@@ -1157,6 +1157,56 @@ object Dedup {
        |FROM clusters GROUP BY 1""".stripMargin
   }
 
+  /** SimHash calibration panel — the fingerprint-distance sibling of
+    * [[minhashCalibration]]: for every banded SimHash candidate pair,
+    * what EXACT token-set jaccard each hamming distance corresponds
+    * to on this corpus (count + min/max jaccard permille per
+    * distance) — the empirical mapping that justifies (or refutes)
+    * the chosen maxHamming threshold. Integer-exact throughout.
+    *
+    * Scale: candidates from the banded join; two co-partitioned
+    * token-set joins per pair; answer-sized aggregate.
+    */
+  def simhashCalibration(d: DataFrame): DataFrame = {
+    val pairs = simhashPairsExact(d)
+    val toks = d.select(col("doc_id"),
+      array_distinct(TextOps.wsTokens(col("text"))).as("tk"))
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("tk").as("ta")),
+        "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tk").as("tb")),
+        "doc_b")
+      .select(col("hamming"),
+        expr("""1000 * size(array_intersect(ta, tb)) DIV
+          (size(ta) + size(tb) - size(array_intersect(ta, tb)))""")
+          .as("jac_permille"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jac_permille").as("min_jac_permille"),
+        max("jac_permille").as("max_jac_permille"))
+  }
+
+  val simhashCalibrationSql: String =
+    s"""WITH pairs AS ($simhashPairsExactSql),
+       |tk AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(
+       |      regexp_split_to_array(text, '[ \\t-\\r]+'), t -> t <> ''))
+       |      AS tk
+       |  FROM documents),
+       |scored AS (
+       |  SELECT p.hamming,
+       |    1000 * len(list_intersect(a.tk, b.tk))
+       |      // (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+       |      AS jac_permille
+       |  FROM pairs p
+       |  JOIN tk a ON p.doc_a = a.doc_id
+       |  JOIN tk b ON p.doc_b = b.doc_id)
+       |SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS n_pairs,
+       |  CAST(min(jac_permille) AS BIGINT) AS min_jac_permille,
+       |  CAST(max(jac_permille) AS BIGINT) AS max_jac_permille
+       |FROM scored GROUP BY 1""".stripMargin
+
   /** MinHash estimator-calibration panel: for every banded-candidate
     * pair, the signature ESTIMATE (matching components / K) against
     * the EXACT shingle-set jaccard it estimates, bucketed by signed
@@ -2081,6 +2131,7 @@ object Dedup {
     "q_pairs_contrastive" -> ((s, d) => contrastivePairs(docs(s, d))),
     "q_dedup_venn" -> ((s, d) => detectorVenn(docs(s, d))),
     "q_sketch_minhash_calib" -> ((s, d) => minhashCalibration(docs(s, d))),
+    "q_sketch_simhash_calib" -> ((s, d) => simhashCalibration(docs(s, d))),
     "q_dedup_survivors" -> ((s, d) => dedupSurvivors(docs(s, d))),
     "q_dedup_survivors_best" -> ((s, d) => dedupSurvivorsBest(docs(s, d))),
     "q_dedup_edit" -> ((s, d) => editVerifiedPairs(docs(s, d))),
@@ -2118,6 +2169,7 @@ object Dedup {
     "q_pairs_contrastive" -> contrastivePairsSql,
     "q_dedup_venn" -> detectorVennSql,
     "q_sketch_minhash_calib" -> minhashCalibrationSql,
+    "q_sketch_simhash_calib" -> simhashCalibrationSql,
     "q_dedup_survivors" -> dedupSurvivorsSql,
     "q_dedup_survivors_best" -> dedupSurvivorsBestSql,
     "q_dedup_edit" -> editVerifiedPairsSql,
