@@ -122,14 +122,31 @@ object Layout {
 
   /** Write-audit-publish: stage a snapshot, run the caller's audit
     * over the STAGED files, and only then expose it to readers by
-    * atomically updating a `current` pointer file — the governance
+    * publishing a NEW `current-<seq>` pointer file — the governance
     * pattern (Iceberg WAP without a table format) that makes "a bad
     * snapshot was never visible" a property of the layout instead of
     * a hope. On violations the staging dir is removed and the
-    * previous `current` is untouched; readers resolving through
+    * previous pointer is untouched; readers resolving through
     * [[readCurrent]] never see a partial or failed snapshot. Each
     * publish gets a fresh version directory, so a reader holding the
     * old version keeps a consistent view (no in-place overwrite).
+    *
+    * Pointer-swap atomicity (the crash-window argument): the pointer
+    * is a monotonically-versioned file `current-<seq>` and readers
+    * resolve the max seq. Publishing is create(`_current_tmp_<seq>`)
+    * then rename to the NEW name `current-<seq>` — both steps only
+    * ever ADD a resolvable pointer; there is no delete of the live
+    * pointer anywhere on the publish path, hence no window where a
+    * reader finds the table pointer-less. A crash before the rename
+    * leaves the old pointer set (old view); after it, old + new (new
+    * view). Older pointer files are pruned only AFTER the new one is
+    * visible, and losing that cleanup to a crash is benign (readers
+    * take the max). Both renames' return values are checked; a false
+    * (e.g. a stale `v_<version>` left by a previous crashed publish)
+    * aborts with Left and the previous pointer still serves. Writers
+    * are assumed not to race on the SAME version string (Iceberg-style
+    * single-committer discipline); concurrent distinct versions each
+    * publish a complete pointer and the max wins.
     *
     * Returns Right(publishedPath) or Left(violations).
     */
@@ -146,27 +163,54 @@ object Layout {
     if (violations.nonEmpty) {
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       Left(violations)
+    } else if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(finalDir))) {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      Left(Seq(s"publish_rename_failed: $staging -> $finalDir " +
+        "(stale version dir from a crashed publish?)"))
     } else {
-      fs.rename(new org.apache.hadoop.fs.Path(staging),
-        new org.apache.hadoop.fs.Path(finalDir))
-      // pointer update: write-temp + rename, the atomic publish
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/_current_tmp")
+      val seq = 1L + currentPointers(fs, root).map(_._1).foldLeft(0L)(math.max)
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_current_tmp_$seq")
       val out = fs.create(tmp, true)
       out.write(s"v_$version".getBytes("UTF-8"))
       out.close()
-      val cur = new org.apache.hadoop.fs.Path(s"$root/current")
-      fs.delete(cur, false)
-      fs.rename(tmp, cur)
-      Right(finalDir)
+      val ptr = new org.apache.hadoop.fs.Path(s"$root/current-$seq")
+      if (!fs.rename(tmp, ptr)) {
+        fs.delete(tmp, false)
+        Left(Seq(s"pointer_rename_failed: current-$seq"))
+      } else {
+        // prune superseded pointers only now that the new one resolves
+        currentPointers(fs, root).filter(_._1 < seq)
+          .foreach(p => fs.delete(p._2, false))
+        Right(finalDir)
+      }
     }
   }
 
-  /** Resolve the `current` pointer written by [[writeAuditPublish]]. */
+  /** List (seq, path) for every `current-<seq>` pointer under root. */
+  private def currentPointers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("current-"))
+      .flatMap { s =>
+        val tail = s.getPath.getName.stripPrefix("current-")
+        scala.util.Try(tail.toLong).toOption.map(n => (n, s.getPath))
+      }
+  }
+
+  /** Resolve the newest `current-<seq>` pointer written by
+    * [[writeAuditPublish]] (max seq wins; see the atomicity note there).
+    */
   def readCurrent(
       spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/current"))
+    val ptrs = currentPointers(fs, root)
+    require(ptrs.nonEmpty, s"no current-<seq> pointer under $root")
+    val in = fs.open(ptrs.maxBy(_._1)._2)
     val v = new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
     in.close()

@@ -202,6 +202,50 @@ class StorageSpec extends SparkSpec {
     assert(new java.io.File(s"$root/v_1").exists, "old version stays readable")
   }
 
+  test("write-audit-publish: readCurrent never fails or sees a torn view " +
+      "while publishes race past it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wap-race").toString
+    // snapshot k = k rows, every row carrying its version; a torn read
+    // would surface as a mixed-version result or a wrong count.
+    def snap(k: Int) =
+      (1 to k).map(i => (i.toLong, k.toLong)).toDF("id", "snap_version")
+    assert(graft.core.Layout
+      .writeAuditPublish(snap(1), root, "1", _ => Nil).isRight)
+    val publishes = 12
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val rows = graft.core.Layout.readCurrent(spark, root).collect()
+          val versions = rows.map(_.getLong(1)).distinct
+          if (versions.length != 1)
+            failures.add(s"mixed versions: ${versions.mkString(",")}")
+          else if (rows.length != versions.head)
+            failures.add(s"torn snapshot v=${versions.head}: ${rows.length} rows")
+          reads.incrementAndGet()
+        } catch {
+          case e: Throwable => failures.add(s"readCurrent threw: $e")
+        }
+      }
+    })
+    reader.start()
+    (2 to publishes).foreach { k =>
+      assert(graft.core.Layout
+        .writeAuditPublish(snap(k), root, k.toString, _ => Nil).isRight)
+    }
+    stop.set(true)
+    reader.join(30000)
+    assert(failures.isEmpty, s"reader observed: ${failures}")
+    assert(reads.get() > 0, "reader never completed a read")
+    // superseded pointers are pruned; exactly the newest survives
+    val ptrs = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("current-")).toSeq
+    assert(ptrs === Seq(s"current-$publishes"), ptrs)
+  }
+
   test("csv malformed rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-csv").toString
