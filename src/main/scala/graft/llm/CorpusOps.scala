@@ -414,11 +414,15 @@ object CorpusOps {
     * vocabulary-sized unigram joins (both co-partitioned hash joins —
     * the vocabulary is never broadcast), totals ride 1-row broadcasts,
     * and the top-k is a TakeOrdered under a total order (lift desc,
-    * w1, w2) — no global sort materializes. The integer lift needs
-    * `1000·c2·N1²` inside int64: fine to ~10⁸ tokens per corpus slice;
-    * a 100 TB corpus reports per-shard panels or switches this one
-    * reporting column to double log-PMI (the candidate/join shape is
-    * unchanged).
+    * w1, w2) — no global sort materializes. The integer lift
+    * `1000·c2·N1²` is computed in DECIMAL(38,0) (HUGEINT on the
+    * oracle side), not int64 — in int64 it wraps silently past
+    * N1 ≈ 3·10⁷ tokens even at c2 = 1. Decimal keeps the numerator
+    * exact to N1 ≈ 10¹² tokens per corpus slice (4 + digits(c2) +
+    * 2·digits(N1) ≤ 38), and past that Spark's non-ANSI decimal
+    * overflow yields NULL — an explicit switch a guardrail query can
+    * trip on, never a wrong number. The quotient itself is small
+    * (≤ 1000·N1 / minSupport), so the final BIGINT cast is safe.
     */
   def pmiCollocations(
       d: DataFrame, minSupport: Long = 5L, k: Int = 40): DataFrame = {
@@ -444,7 +448,9 @@ object CorpusOps {
       .crossJoin(broadcast(tot1))
       .crossJoin(broadcast(tot2))
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
-        expr("1000 * n_pair * n1 * n1 DIV (n2 * n_w1 * n_w2)").as("lift_e3"))
+        expr("CAST(1000 * CAST(n_pair AS DECIMAL(38,0)) * n1 * n1 DIV " +
+          "(CAST(n2 AS DECIMAL(38,0)) * n_w1 * n_w2) AS BIGINT)")
+          .as("lift_e3"))
       .orderBy(col("lift_e3").desc, col("w1"), col("w2"))
       .limit(k)
   }
@@ -469,7 +475,8 @@ object CorpusOps {
       |  HAVING count(*) >= 5)
       |SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
       |  CAST(u1.c1 AS BIGINT) AS n_w1, CAST(u2.c1 AS BIGINT) AS n_w2,
-      |  CAST(1000 * p.n_pair * n1 * n1 // (n2 * u1.c1 * u2.c1) AS BIGINT)
+      |  CAST(CAST(1000 AS HUGEINT) * p.n_pair * n1 * n1
+      |       // (CAST(n2 AS HUGEINT) * u1.c1 * u2.c1) AS BIGINT)
       |    AS lift_e3
       |FROM pairs p
       |JOIN uni u1 ON p.w1 = u1.w

@@ -698,9 +698,12 @@ object GraphOps {
     * (support-filtered before anything joins it); per-item basket
     * counts join co-partitioned on the item key (item vocabulary never
     * broadcast); the basket total rides a 1-row broadcast. Integer
-    * range: 1000·n_xy·N needs int64 — fine to ~10¹² basket-pairs;
-    * beyond that the lift column switches to log-space doubles with
-    * the same candidate shape.
+    * range: the lift numerator `1000·n_xy·N` wraps int64 silently
+    * past N ≈ 3·10⁹ baskets at n_xy ~ N, so it is computed in
+    * DECIMAL(38,0) (HUGEINT on the oracle side) — exact to ~10¹⁶
+    * baskets, and past that Spark's non-ANSI decimal overflow yields
+    * NULL, an explicit switch rather than a wrong number. The
+    * quotient is ≤ 1000·N / minSupport, safe in the final BIGINT.
     */
   def basketRules(lineitem: DataFrame, minSupport: Long = 5L): DataFrame = {
     val li = lineitem
@@ -716,7 +719,8 @@ object GraphOps {
         col("n_u"), col("n_v"),
         expr("1000 * w DIV n_u").as("conf_uv_permille"),
         expr("1000 * w DIV n_v").as("conf_vu_permille"),
-        expr("1000 * w * n_baskets DIV (n_u * n_v)").as("lift_e3"))
+        expr("CAST(1000 * CAST(w AS DECIMAL(38,0)) * n_baskets DIV " +
+          "(CAST(n_u AS DECIMAL(38,0)) * n_v) AS BIGINT)").as("lift_e3"))
   }
 
   val basketRulesSql: String =
@@ -732,7 +736,8 @@ object GraphOps {
       |  CAST(iu.n_item AS BIGINT) AS n_u, CAST(iv.n_item AS BIGINT) AS n_v,
       |  CAST(1000 * p.w // iu.n_item AS BIGINT) AS conf_uv_permille,
       |  CAST(1000 * p.w // iv.n_item AS BIGINT) AS conf_vu_permille,
-      |  CAST(1000 * p.w * n_baskets // (iu.n_item * iv.n_item) AS BIGINT)
+      |  CAST(CAST(1000 AS HUGEINT) * p.w * n_baskets
+      |       // (CAST(iu.n_item AS HUGEINT) * iv.n_item) AS BIGINT)
       |    AS lift_e3
       |FROM pairs p
       |JOIN items iu ON p.u = iu.pk
@@ -826,20 +831,26 @@ object GraphOps {
     * the co-occurrence edge CTE feeding both the seed and the
     * traversal off one scan.
     */
+  private val bfsViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4): DataFrame = {
     // materialize the SYMMETRIC edge list BEFORE entering the
     // recursion: a CTE is a plan alias, not a result, so UnionLoop
     // would re-run the co-occurrence self-join + aggregate on every
     // level (measured 15.9 s at sf0.1; 2.0 s checkpointed — the loop
     // itself is cheap, recomputing its input per level was the cost)
+    // the view name is per-invocation (session-scoped views are shared
+    // session state — two concurrent bfsHops calls on one SparkSession,
+    // e.g. parallel bench threads, would clobber a fixed name mid-query)
+    val view = s"graft_bfs_sym_${bfsViewSeq.incrementAndGet()}"
     val e = coOccurrenceEdges(Tables.load(s, dir, "lineitem"))
     e.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
-      .createOrReplaceTempView("graft_bfs_sym")
+      .createOrReplaceTempView(view)
     s.sql(
       s"""WITH RECURSIVE sym AS (
-         |  SELECT src, dst FROM graft_bfs_sym),
+         |  SELECT src, dst FROM $view),
          |reach AS (
          |  SELECT min(src) AS node, CAST(0 AS BIGINT) AS hop FROM sym
          |  UNION ALL

@@ -346,6 +346,14 @@ object StatefulOps {
     * closes (no later event arrives in a replay); the batch statement
     * owns corpus-end reporting.
     *
+    * Late arrivals: an event whose day predates the open day (possible
+    * only ACROSS micro-batches — within one batch the rows are sorted)
+    * belongs to a day already closed and emitted; crediting it to the
+    * open day would corrupt both that day's actual and a prediction a
+    * week later, so it is DROPPED, the watermark-discard contract of
+    * the batch panel's dense grid. In-order replay (the spec's mode)
+    * never hits this path.
+    *
     * Scale: state is 8 longs per band — constant; output is
     * days x bands.
     */
@@ -377,8 +385,10 @@ object StatefulOps {
           }
           sorted.foreach { case (_, _, day, cents) =>
             if (st == null) st = DayRing(day, 0L, Nil)
-            while (st.curDay < day) st = close(st)
-            st = st.copy(curCents = st.curCents + cents)
+            if (day >= st.curDay) { // late-for-a-closed-day rows drop
+              while (st.curDay < day) st = close(st)
+              st = st.copy(curCents = st.curCents + cents)
+            }
           }
           if (st != null) state.update(st)
           out.result().iterator
