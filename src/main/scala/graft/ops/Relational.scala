@@ -124,8 +124,13 @@ object Relational {
     val intra = hist
       .withColumn("cu_in", sum("n_users").over(wIn))
       .withColumn("cc_in", sum("sum_cents").over(wIn))
+    // bkt = length(bin(dollars)) has ≤ 64 values for an int64 by
+    // construction; the limit never binds but makes the bound
+    // STRUCTURAL so the plan audit can prove the triangular
+    // non-equi self-join's broadcast side tiny
     val bktTot = hist.groupBy("bkt")
       .agg(sum("n_users").as("bu"), sum("sum_cents").as("bc"))
+      .orderBy("bkt").limit(64)
     val above = bktTot.as("a")
       .join(bktTot.as("b"), col("b.bkt") > col("a.bkt"))
       .groupBy(col("a.bkt").as("bkt"))
