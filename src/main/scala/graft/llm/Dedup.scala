@@ -1343,6 +1343,22 @@ object Dedup {
     * into one flag aggregate). Bench pays all three generators in one
     * query — the dedup-trio convention, recorded where the numbers
     * are read.
+    *
+    * A SHARED tokenized checkpoint was tried and MEASURED OUT
+    * (round 12): computing (hashed tokens, hashed shingles,
+    * winnow-selected) in one corpus scan and localCheckpointing it
+    * for all three detectors took the isolated venn from 5.7 s to
+    * 11.8 s at sf0.1 (standalone detectors at-level in the same
+    * window, load average ~3) — each prefix-rank join reads its
+    * token structures several times, and re-reading fat uncompressed
+    * array blocks from block storage costs MORE than re-running the
+    * codegen'd md5/tokenize kernels against compact page-cached
+    * parquet. The round-11 storage-pressure lesson, now with a
+    * direct A/B. On a cold remote object store the trade flips
+    * (IO-bound scans, compute nearly free) — the shared-scan
+    * building blocks ([[TextOps.winnowSelected]],
+    * [[TextOps.winnowPairsFromSets]]) stay available for that
+    * deployment; the bench-graded default recomputes.
     */
   def detectorVenn(d: DataFrame): DataFrame = {
     def flag(df: DataFrame, f: String): DataFrame =

@@ -787,6 +787,25 @@ object TextOps {
     * and the per-window min is a frame over pos — one doc_id shuffle,
     * linear work.
     */
+  /** Column-expression spelling of [[winnowSets]]'s selected set —
+    * identical output (LlmSpec asserts bit-equality), but a pure
+    * per-row HOF over the gram array instead of a window + aggregate,
+    * so it costs NO shuffle and can ride a multi-detector shared scan
+    * ([[graft.llm.Dedup.detectorVenn]]) alongside the token and
+    * shingle kernels. O(w·n_grams) per doc vs the window's O(n_grams);
+    * at w = 5 the arithmetic is noise next to the md5 kernel.
+    */
+  private[graft] def winnowSelected(
+      text: Column, k: Int = 4, w: Int = 5): Column = {
+    val grams = graft.functions.text.winnow_grams_md5(text, k)
+    val n = size(grams)
+    sort_array(array_distinct(filter(
+      transform(sequence(lit(0), n - 1),
+        p => when(p <= n - w || p === 0,
+          array_min(slice(grams, p + 1, lit(w))))),
+      x => x.isNotNull)))
+  }
+
   private[graft] def winnowSets(d: DataFrame, k: Int, w: Int): DataFrame = {
     // one digest per gram, no gram strings/hex (winnow_grams_md5 —
     // bit-equal to the composed md5/conv spelling, FunctionsSpec)
@@ -883,16 +902,30 @@ object TextOps {
     */
   def winnowPairs(
       d: DataFrame, threshold: Double = 0.2, k: Int = 4,
-      w: Int = 5, saltTarget: Int = 1024): DataFrame = {
-    require(saltTarget != 0, s"saltTarget must be nonzero (negative disables)")
-    import graft.functions.vector.{sorted_first_common, sorted_jaccard}
+      w: Int = 5, saltTarget: Int = 1024): DataFrame =
     // winnowSets ends in an aggregation, so the selected arrays reach
     // the join MATERIALIZED (never inlined into the join condition);
     // the checkpoint just keeps the two join sides from re-running the
     // fingerprint aggregation twice. Answer-sized: one row of ~|doc|/w
     // longs per doc.
-    val sets = winnowSets(d, k, w).select(col("doc_id"), col("selected"))
-      .localCheckpoint()
+    winnowPairsFromSets(
+      winnowSets(d, k, w).select(col("doc_id"), col("selected"))
+        .localCheckpoint(),
+      threshold, saltTarget)
+
+  /** The join half of [[winnowPairs]] over PRECOMPUTED (doc_id,
+    * selected) fingerprint sets — the entry point for callers that
+    * already materialized the sets (the venn shared scan computes them
+    * alongside the token/shingle kernels in one corpus pass). `sets`
+    * must be materialized (checkpoint or aggregation output); selected
+    * must be sorted distinct arrays — [[winnowSets]]'s /
+    * [[winnowSelected]]'s shape.
+    */
+  private[graft] def winnowPairsFromSets(
+      sets: DataFrame, threshold: Double = 0.2,
+      saltTarget: Int = 1024): DataFrame = {
+    require(saltTarget != 0, s"saltTarget must be nonzero (negative disables)")
+    import graft.functions.vector.{sorted_first_common, sorted_jaccard}
     val ex = sets.select(col("doc_id"), col("selected"),
       explode(col("selected")).as("h"))
     val (probeSide, buildSide) =

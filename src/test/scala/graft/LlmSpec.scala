@@ -990,6 +990,28 @@ class LlmSpec extends SparkSpec {
     assert(digests.size === 3)
   }
 
+  test("winnowSelected column expr == winnowSets aggregate, bit-equal " +
+      "on the real corpus") {
+    // the venn shared scan computes the winnow fingerprints with the
+    // shuffle-free HOF spelling; it must reproduce the window+agg
+    // spelling EXACTLY or the venn pair set silently diverges from
+    // q_dedup_winnow's
+    val k = 4; val w = 5
+    val viaAgg = graft.llm.TextOps.winnowSets(docs, k, w)
+      .select("doc_id", "selected").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("selected").toSeq).toMap
+    val viaExpr = docs.select(col("doc_id"),
+        graft.llm.TextOps.winnowSelected(col("text"), k, w).as("selected"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("selected").toSeq).toMap
+    assert(viaExpr.keySet === viaAgg.keySet)
+    viaAgg.foreach { case (id, sel) =>
+      assert(viaExpr(id) === sel, s"selected set differs for doc $id")
+    }
+  }
+
   // --- product quantization ----------------------------------------- //
 
   /** Unit-int8 quantization of every embedding, the spec-side replay. */
