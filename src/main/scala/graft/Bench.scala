@@ -37,15 +37,30 @@ import org.apache.spark.sql.SparkSession
   * runs every query once, then pass 2 runs every query once. Same
   * total cost, but a load window lands on *different* queries in each
   * pass and min-of-passes discards it. A final short pass re-measures
-  * the top-`SPARK_GRAFT_BENCH_REMEASURE` (default 5) slowest queries
+  * the top-`SPARK_GRAFT_BENCH_REMEASURE` (default 10) slowest queries
   * once more — the slowest queries dominate the total, so they get a
   * third chance to shed residual load. All raw samples land in
   * bench_full.json so variance stays inspectable.
+  *
+  * Load self-declaration: BenchVariance adjudicates spread AFTER the
+  * fact, but spread cannot distinguish "loaded window" from "real
+  * regression" without an isolated re-run. So the bench carries its own
+  * load index IN the artifact: a fixed CPU-bound calibration kernel (a
+  * range sum — constant work, no IO, no state) runs before each pass,
+  * every `CalibEvery` queries within a pass, and around the re-measure
+  * pass; every calibration time lands in bench_full.json with its
+  * (pass, position). A pass with any calibration sample >2× the run's
+  * best calibration is flagged in `loaded_passes` AT ARTIFACT-WRITE
+  * TIME — the artifact itself says "this window was loaded", instead of
+  * leaving the reader to infer it from spread.
   */
 object Bench {
   // stdout-line byte budget: 2000-char driver tail minus sbt's
   // "[success] Total time ..." trailer (~80 chars) minus safety margin
   private val LineBudget = 1700
+
+  // calibration cadence: one kernel run every N timed queries
+  private val CalibEvery = 40
 
   private def ms3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -142,6 +157,25 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       order.map(k => k -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
     val okMap = scala.collection.mutable.Map(order.map(_ -> true): _*)
+    // Calibration kernel: fixed, CPU-bound, stateless (a partitioned
+    // range sum through codegen — no IO, no shuffle, no cache effects),
+    // so its wall time varies ONLY with ambient load. Sized to ~0.3 s
+    // on an idle 32-thread box: heavy enough to need the whole CPU,
+    // cheap enough to run ~20 times per bench without moving the total.
+    val calibRows = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_CALIB_ROWS", "1500000000").toLong
+    // (pass, position-within-pass, seconds); position -1 = before the
+    // pass's first query, order.size = after its last
+    val calibSamples =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    def calibrate(pass: Int, at: Int): Unit = {
+      val t0 = System.nanoTime()
+      // max over per-row xxhash64: forces one hash per row (pure CPU,
+      // no overflow under ANSI, not constant-foldable)
+      spark.range(0L, calibRows, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id))").collect()
+      calibSamples += ((pass, at, (System.nanoTime() - t0) / 1e9))
+    }
     def timeOne(name: String): Unit = {
       val t0 = System.nanoTime()
       val ok = try { fns(name)(spark, sfDir).count(); true }
@@ -152,9 +186,25 @@ object Bench {
     // Full passes: every query once per pass, alphabetical within a
     // pass, so a sustained load window hits DIFFERENT queries in each
     // pass and min-of-passes discards it.
+    // untimed calibration warm-up: the kernel's own codegen/JIT
+    // otherwise inflates the first sample (~0.57 vs 0.25 s steady)
+    // and falsely flags pass 0 as loaded
+    try {
+      spark.range(0L, calibRows, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id))").collect()
+    } catch { case _: Throwable => }
     var pass = 0
     while (pass < runs) {
-      order.foreach { name => if (okMap(name)) timeOne(name) }
+      calibrate(pass, -1)
+      var i = 0
+      order.foreach { name =>
+        if (okMap(name)) {
+          timeOne(name)
+          i += 1
+          if (i % CalibEvery == 0) calibrate(pass, i)
+        }
+      }
+      calibrate(pass, order.size)
       pass += 1
       // Untimed inter-pass drain: a driver GC triggers the
       // ContextCleaner's reference queue, releasing the previous
@@ -165,11 +215,13 @@ object Bench {
     }
     // Isolated re-measure of the slowest queries (they dominate the
     // total; give them one more chance to shed residual load).
-    val remeasure = sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE", "5").toInt.max(0)
+    val remeasure = sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE", "10").toInt.max(0)
     if (remeasure > 0 && runs > 1) {
+      calibrate(runs, -1)
       val slowest = order.filter(okMap)
         .sortBy(k => -samples(k).min).take(remeasure)
       slowest.foreach { name => if (okMap(name)) timeOne(name) }
+      calibrate(runs, remeasure)
     }
     val results = order.map(k => (k, samples(k).toSeq, okMap(k)))
     // A failed query reports its elapsed time NEGATED (and lands in
@@ -194,8 +246,21 @@ object Bench {
       "\"" + k + "\":" + ss.map(ms3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Load index: best calibration over the whole run is the "idle"
+    // reference; a pass containing any sample >2x it ran loaded.
+    val calibBase =
+      if (calibSamples.isEmpty) 0.0 else calibSamples.map(_._3).min
+    val calibMax =
+      if (calibSamples.isEmpty) 0.0 else calibSamples.map(_._3).max
+    val loadedPasses = calibSamples.groupBy(_._1).collect {
+      case (p, ss) if ss.exists(_._3 > 2.0 * calibBase) => p
+    }.toSeq.sorted
+    val calibJson = calibSamples
+      .map { case (p, at, s) => s"""[$p,$at,${ms3(s)}]""" }
+      .mkString("[", ",", "]")
+    val loadedJson = loadedPasses.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_${runs}_passes","cold_total":${ms3(coldTotal)},"queries":$fullQs,"samples":$fullSamples,"failed":$failedFull,"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_${runs}_passes","cold_total":${ms3(coldTotal)},"queries":$fullQs,"samples":$fullSamples,"failed":$failedFull,"calibration":{"unit":"sec","baseline":${ms3(calibBase)},"max":${ms3(calibMax)},"loaded_passes":$loadedJson,"samples_pass_at_sec":$calibJson},"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -208,8 +273,11 @@ object Bench {
     val failedCapped = failedNames.take(5).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val byCost = chosen.sortBy { case (_, v, _) => -v }
+    val calibTail = ",\"calib_base\":" + ms3(calibBase) +
+      ",\"calib_max\":" + ms3(calibMax) +
+      ",\"loaded_passes\":" + loadedJson
     val tailFixed = "},\"failed\":" + failedCapped +
-      ",\"failed_n\":" + failedNames.size +
+      ",\"failed_n\":" + failedNames.size + calibTail +
       ",\"sf\":\"" + jsonEscape(sfDir) + "\"" +
       ",\"nq\":" + results.size +
       ",\"full\":\"" + jsonEscape(outPath) + "\"}"
@@ -227,6 +295,7 @@ object Bench {
     }
     sb.append("},\"failed\":").append(failedCapped)
       .append(",\"failed_n\":").append(failedNames.size)
+      .append(calibTail)
       .append(",\"sf\":\"").append(jsonEscape(sfDir)).append('"')
       .append(",\"nq\":").append(results.size)
       .append(",\"omitted\":").append(omitted)

@@ -61,6 +61,29 @@ object BenchVariance {
       val sum = stats.map(_._2(p)).sum
       println(f"  pass ${p + 1} total: $sum%.1f s")
     }
+    // Calibration self-declaration (round 12+ artifacts): the bench's
+    // own load index — print it so the one-file adjudication includes
+    // the measured window quality, not just inferred spread.
+    val calibKey = "\"samples_pass_at_sec\":["
+    val ci = text.indexOf(calibKey)
+    if (ci >= 0) {
+      val end = text.indexOf("]]", ci)
+      val triple = """\[(-?\d+),(-?\d+),([0-9.]+)\]""".r
+      val cs = triple.findAllMatchIn(text.substring(ci, end + 2))
+        .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toDouble))
+        .toSeq
+      if (cs.nonEmpty) {
+        val base = cs.map(_._3).min
+        val loaded = cs.groupBy(_._1).collect {
+          case (p, ss) if ss.exists(_._3 > 2.0 * base) => p
+        }.toSeq.sorted
+        println(f"  calibration kernel: baseline ${base}%.3f s, " +
+          f"max ${cs.map(_._3).max}%.3f s over ${cs.size} samples; " +
+          (if (loaded.isEmpty) "no pass flagged loaded"
+           else s"passes flagged loaded: ${loaded.mkString(", ")}"))
+      }
+    } else
+      println("  (no calibration section — pre-round-12 artifact)")
     if (flagged.isEmpty)
       println(f"  no query spread exceeds ${threshold}%.1f x — artifact looks clean")
     else {
