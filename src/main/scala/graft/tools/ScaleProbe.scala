@@ -547,6 +547,129 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("ppr")) {
+      // Personalized-PageRank probe (round-11 addition): same synthetic
+      // hub-skewed graph family as the pagerank probe, fixed 8 unrolled
+      // rounds. Claims: per-round cost is one co-partitioned
+      // contribution join + one algebraic aggregation, ~linear in |E|;
+      // the 1-row seed is the only broadcast; checkpoint blocks are
+      // freed per round. The result checksum (xor of row hashes) makes
+      // re-runs comparable — PPR is scaled-integer deterministic.
+      def graph(nEdges: Long, nNodes: Long) = spark.range(nEdges).select(
+        (col("id") % nNodes).as("u"),
+        (pmod(col("id") * 2654435761L, lit(nNodes)) %
+          (pmod(col("id") * 31, lit(997L)) + 1)).as("v"),
+        lit(1L).as("w"))
+        .filter(col("u") =!= col("v"))
+        .localCheckpoint()
+      Seq("1x (1M edges, 200k nodes)" -> ((1000000L, 200000L)),
+        "4x (4M edges, 800k nodes)" -> ((4000000L, 800000L)))
+        .foreach { case (label, (e, nn)) =>
+          val g = graph(e, nn)
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val res = graft.ops.GraphOps.personalizedPageRankScaled(g)
+            .agg(count(lit(1)).as("n"),
+              expr("bit_xor(xxhash64(part_key, rank_scaled))").as("chk"))
+            .collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[ppr-probe] $label%-26s ${res.getLong(0)}%9d nodes  " +
+            f"$dt%7.2f s  shuffle write ${l.bytes.get / 1e6}%9.1f MB  " +
+            f"chk ${res.getLong(1)}%d")
+        }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("lpa")) {
+      // Label-propagation probe (round-11 addition): planted
+      // communities — nodes partitioned into blocks of 64, intra-block
+      // edges dense, a sparse random inter-block background — so
+      // propagation has real structure to converge on. Claims:
+      // per-round cost is one co-partitioned vote join + a windowed
+      // argmax partitioned by node, ~linear in |E|; label tables are
+      // checkpointed and freed per round.
+      def graph(nEdges: Long, nNodes: Long) = {
+        val intra = spark.range(nEdges * 3 / 4)
+          .select(pmod(col("id") * 48271L, lit(nNodes)).as("u"),
+            col("id").as("id"))
+          .select(col("u"),
+            (expr("u DIV 64") * 64L + pmod(col("id") * 16807L, lit(64L)))
+              .as("v"),
+            lit(2L).as("w"))
+        val inter = spark.range(nEdges / 4).select(
+          pmod(col("id") * 1597334677L, lit(nNodes)).as("u"),
+          pmod(col("id") * 2654435761L, lit(nNodes)).as("v"),
+          lit(1L).as("w"))
+        intra.unionByName(inter)
+          .filter(col("u") =!= col("v")).localCheckpoint()
+      }
+      Seq("1x (2M edges, 500k nodes)" -> ((2000000L, 500000L)),
+        "4x (8M edges, 2M nodes)" -> ((8000000L, 2000000L)))
+        .foreach { case (label, (e, nn)) =>
+          val g = graph(e, nn)
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val res = graft.ops.GraphOps.labelPropagation(g)
+            .agg(count(lit(1)).as("n"),
+              expr("bit_xor(xxhash64(part_key, community))").as("chk"))
+            .collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[lpa-probe] $label%-26s ${res.getLong(0)}%9d nodes  " +
+            f"$dt%7.2f s  shuffle write ${l.bytes.get / 1e6}%9.1f MB  " +
+            f"chk ${res.getLong(1)}%d")
+        }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("retrieval")) {
+      // Retrieval probe (round-11 additions): BM25 top-k join and MMR
+      // diversification over the real documents table replicated 1x/4x
+      // (ids shifted per replica; the 1-in-97 query rule then selects
+      // ~4x queries at 4x corpus — the serving fan-out grows WITH the
+      // corpus here by design). Claims: the BM25 join is term-bucketed
+      // (cost ~ sum of per-term posting x query-term products, never
+      // corpus x corpus), the rank/top-k is window-partitioned per
+      // query, and MMR's greedy rounds are bounded by poolK so its
+      // cost past candidate generation is answer-sized. Expect
+      // ~linear wall and shuffle growth; a super-linear jump would
+      // mean a corpus-bounded stage slipped in.
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = rep(base, Seq("doc_id"), n).localCheckpoint()
+        val l = new ShuffleSum
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val rj = graft.llm.CorpusOps.retrievalJoin(d)
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(q_id, c_id, rank))").as("chk"))
+          .collect()(0)
+        val t1 = System.nanoTime()
+        val mm = graft.llm.CorpusOps.retrievalMmr(d)
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(q_id, c_id))").as("chk"))
+          .collect()(0)
+        val t2 = System.nanoTime()
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[retrieval-probe] $label%-4s docs ${n * 60000}%8d  " +
+          f"bm25join ${(t1 - t0) / 1e9}%6.2f s (${rj.getLong(0)}%7d rows, " +
+          f"chk ${rj.getLong(1)}%d)  mmr ${(t2 - t1) / 1e9}%6.2f s " +
+          f"(${mm.getLong(0)}%6d rows, chk ${mm.getLong(1)}%d)  " +
+          f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("freq")) {
       // Heavy-hitters probe: the testdata corpus's ~31-token vocabulary
       // can't show what Misra-Gries buys, because the direct groupBy's
