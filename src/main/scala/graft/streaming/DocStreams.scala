@@ -256,6 +256,53 @@ object DocStreams {
       .toDF("source", "t", "n_cms")
   }
 
+  /** Streaming per-source Count-Min sketch FEED: where [[cmsWatch]]
+    * re-prices a fixed watchlist, this emits the source's refreshed
+    * sketch itself — every nonzero (j, bucket, n_cms) cell — so a
+    * downstream consumer can price ANY term later, merge sketches
+    * across sources (CMS is linear: cells add), or hand the cell
+    * table to the batch panel's machinery. Stream-flush == batch
+    * closure: after a full replay the final emission per source
+    * equals [[graft.llm.CorpusOps.cmsCells]] over that source's
+    * tokens BIT-FOR-BIT (same h60-based cell hash, same simple
+    * addition; asserted in StatefulStreamingSpec) — the same
+    * sketch-level loop [[hllBySource]] closes for HLL registers.
+    *
+    * Scale: per-source state is the flat depth x width array (32 KB,
+    * constant in corpus size); an emission is at most depth x width
+    * rows — sketch-sized, never vocabulary-sized. The only shuffle is
+    * the state-store exchange on source.
+    */
+  def cmsBySource(docsStream: DataFrame): DataFrame = {
+    import graft.llm.{CorpusOps, TextOps}
+    import CorpusOps.{CmsDepth, CmsWidth}
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val perTok = array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"),
+        pmod(graft.ops.Hll.h60(concat(lit(s"cms$j:"), col("t"))),
+          lit(CmsWidth)).cast("int").as("bucket"))): _*)
+    docsStream
+      .select(col("source"), explode(TextOps.wsTokens(col("text"))).as("t"))
+      .select(col("source"), explode(perTok).as("cell"))
+      .select(col("source"), col("cell.j"), col("cell.bucket"))
+      .as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, Int, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source, rows, state) =>
+          val cells = state.getOption
+            .getOrElse(new Array[Long](CmsDepth * CmsWidth))
+          rows.foreach { case (_, j, b) => cells(j * CmsWidth + b) += 1L }
+          state.update(cells)
+          (0 until CmsDepth * CmsWidth).iterator
+            .filter(i => cells(i) != 0L)
+            .map(i => (source, i / CmsWidth, (i % CmsWidth).toLong, cells(i)))
+      }
+      .toDF("source", "j", "bucket", "n_cms")
+  }
+
   /** Streaming exact dedup-on-arrival: the continuous-ingestion mirror
     * of [[graft.llm.Dedup.exact]]'s keep-one-survivor rule. Keyed by
     * the 16-byte content hash; per-key state is one boolean, so a

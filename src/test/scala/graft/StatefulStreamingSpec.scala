@@ -644,6 +644,39 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming CMS feed: final per-source cell table == batch " +
+      "cmsCells bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.llm.{CorpusOps, TextOps}
+    val d = Files.createTempDirectory("graft-docs-cmsfeed")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.cmsBySource(stream)
+      .writeStream.format("memory").queryName("cmsfeed_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest emission wins per (source, j, bucket): update-mode
+    // refreshes append in order, toMap keeps the last
+    val got = spark.table("cmsfeed_out").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val toks = batchDocs.select(col("source"),
+      explode(TextOps.wsTokens(col("text"))).as("t"))
+    val sources = batchDocs.select("source").distinct()
+      .collect().map(_.getString(0))
+    val want = sources.flatMap { src =>
+      CorpusOps.cmsCells(toks.filter(col("source") === src).select("t"))
+        .collect()
+        .map(r => (src, r.getInt(0), r.getLong(1)) -> r.getLong(2))
+    }.toMap
+    assert(got === want, "streamed sketch cells diverge from batch cmsCells")
+    q.stop()
+  }
+
   test("streaming dedup-on-arrival: replay == batch; later dups suppressed") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
