@@ -422,6 +422,130 @@ object GraphOps {
     * by order size squared, and orders are small; a pathological
     * giant order is the same hot-key salting case as any self-join.
     */
+  /** Bounded-round weighted single-source shortest paths — Bellman-
+    * Ford over the min-plus semiring on the undirected weighted
+    * co-occurrence graph. Edge cost is `1000000 DIV w` (stronger
+    * co-occurrence = cheaper hop — the "how related is this part to
+    * the seed, along its strongest chain" metric); seed is the lowest
+    * node participating in any edge (data-derived, stable across
+    * partitionings); exactly `rounds` relaxations, so the result is
+    * deterministic — the exact min cost over paths of ≤ `rounds`
+    * edges — and DuckDB-replayable by the identical unrolled CTE
+    * chain. Where [[bfsHops]] counts HOPS, this accumulates integer
+    * COSTS: the weighted sibling.
+    *
+    * Scale: each round is one co-partitioned dist-edge join plus a
+    * map-side-combinable min aggregation keyed by node; the frontier
+    * table is node-bounded and checkpointed per round with the
+    * previous round's blocks freed ([[personalizedPageRankScaled]]'s
+    * lifecycle). Cost stays in int64: ≤ rounds · 10⁶.
+    */
+  def ssspScaled(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    val e0 = edges.localCheckpoint()
+    val sym = e0
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(e0.select(col("v").as("src"), col("u").as("dst"),
+        col("w")))
+      .select(col("src"), col("dst"), expr("1000000 DIV w").as("cost"))
+      .localCheckpoint()
+    val seed = sym.agg(min("src").as("seed"))
+    var dist = sym.crossJoin(broadcast(seed))
+      .filter(col("src") === col("seed"))
+      .select(col("src").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val relaxed = dist.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      freeCheckpoint(dist)
+      dist = next
+      i += 1
+    }
+    freeCheckpoint(e0); freeCheckpoint(sym)
+    dist.select(col("node").as("part_key"), col("dist").as("dist_cost"))
+  }
+
+  def ssspSql(rounds: Int = 6): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT s.dst AS node, d.dist + s.cost AS dist
+         |    FROM d${i - 1} d JOIN sym s ON d.node = s.src)
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edges AS (
+       |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (
+       |  SELECT u AS src, v AS dst, 1000000 // w AS cost FROM edges
+       |  UNION ALL
+       |  SELECT v, u, 1000000 // w FROM edges),
+       |sd AS (SELECT min(src) AS seed FROM sym),
+       |d0 AS (
+       |  SELECT (SELECT seed FROM sd) AS node, CAST(0 AS BIGINT) AS dist)
+       |$steps
+       |SELECT node AS part_key, CAST(dist AS BIGINT) AS dist_cost
+       |FROM d$rounds""".stripMargin
+  }
+
+  /** Degree-distribution panel over the undirected co-occurrence
+    * graph: nodes bucketed by log2 degree octave (`length(bin(deg))`,
+    * the [[graft.ops.Relational]] octave device), with node count,
+    * total/max degree, and each octave's permille share of all edge
+    * endpoints — the "is this graph power-law, and how hubby is the
+    * tail" panel read before choosing salting/orientation strategies
+    * (a heavy top octave is exactly when degree-ordered orientation
+    * and hot-key salting pay).
+    *
+    * Scale: one degree aggregation (map-side combinable) + one
+    * octave aggregation (≤64 rows) + a 1-row total broadcast. All
+    * exact integers.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tot = deg.agg(sum("deg").as("tot_deg"))
+    deg.withColumn("octave", expr("length(bin(deg))"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("sum_deg"),
+        max("deg").as("max_deg"))
+      .crossJoin(broadcast(tot))
+      .select(col("octave").cast("bigint").as("octave"), col("n_nodes"),
+        col("sum_deg"), col("max_deg"),
+        expr("1000 * sum_deg DIV tot_deg").as("share_permille"))
+  }
+
+  val degreeDistributionSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY node),
+      |tot AS (SELECT sum(deg) AS tot_deg FROM deg)
+      |SELECT CAST(length(bin(deg)) AS BIGINT) AS octave,
+      |  count(*) AS n_nodes,
+      |  CAST(sum(deg) AS BIGINT) AS sum_deg,
+      |  CAST(max(deg) AS BIGINT) AS max_deg,
+      |  CAST(1000 * sum(deg) // tot_deg AS BIGINT) AS share_permille
+      |FROM deg CROSS JOIN tot
+      |GROUP BY 1, tot_deg""".stripMargin
+
   def coOccurrenceEdges(lineitem: DataFrame, minW: Int = 2): DataFrame =
     coOccurrenceWeighted(lineitem, minW).select("u", "v")
 
@@ -899,7 +1023,11 @@ object GraphOps {
     "q_graph_triangles" -> ((s, d) =>
       triangleCounts(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
     "q_graph_pagerank" -> ((s, d) =>
-      pageRankScaled(eventTransitions(Tables.load(s, d, "events")))))
+      pageRankScaled(eventTransitions(Tables.load(s, d, "events")))),
+    "q_graph_sssp" -> ((s, d) =>
+      ssspScaled(coOccurrenceWeighted(Tables.load(s, d, "lineitem")))),
+    "q_graph_degree_dist" -> ((s, d) =>
+      degreeDistribution(coOccurrenceEdges(Tables.load(s, d, "lineitem")))))
 
   /** The driver query is the scaled-integer fixed-iteration form, so
     * it IS oracle-checkable; the float [[pageRank]] (convergence stop,
@@ -914,5 +1042,7 @@ object GraphOps {
     "q_graph_linkpred" -> linkPredictionSql,
     "q_graph_communities" -> labelPropagationSql,
     "q_graph_triangles" -> triangleCountsSql,
-    "q_graph_pagerank" -> pageRankScaledSql())
+    "q_graph_pagerank" -> pageRankScaledSql(),
+    "q_graph_sssp" -> ssspSql(),
+    "q_graph_degree_dist" -> degreeDistributionSql)
 }

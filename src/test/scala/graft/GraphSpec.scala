@@ -235,4 +235,37 @@ class GraphSpec extends SparkSpec {
     }
     assert(got === seen)
   }
+
+  test("ssspScaled: hand graph + exact Bellman-Ford replay on the corpus") {
+    // hand graph: 1-2 (w=4, cost 250000), 2-3 (w=2, cost 500000),
+    // 1-3 (w=1, cost 1000000): the two-hop path 1-2-3 (750000) beats
+    // the direct edge (1000000); node 4 is disconnected
+    val hand = Seq((1L, 2L, 4L), (2L, 3L, 2L), (1L, 3L, 1L), (4L, 5L, 9L))
+      .toDF("u", "v", "w")
+    val gotHand = GraphOps.ssspScaled(hand).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotHand === Map(1L -> 0L, 2L -> 250000L, 3L -> 750000L))
+    // corpus: exact min-plus replay bounded at the op's horizon
+    val edges = GraphOps
+      .coOccurrenceWeighted(Tables.load(spark, sfDir, "lineitem"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj: Map[Long, Seq[(Long, Long)]] = edges
+      .flatMap { case (u, v, w) => Seq((u, v, 1000000L / w), (v, u, 1000000L / w)) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(t => (t._2, t._3)).toSeq }
+    val seed = edges.flatMap(e => Seq(e._1, e._2)).min
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to 6) {
+      val relaxed = dist.toSeq.flatMap { case (n, c) =>
+        adj.getOrElse(n, Seq.empty[(Long, Long)])
+          .map { case (m, w) => m -> (c + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val got = GraphOps
+      .ssspScaled(GraphOps.coOccurrenceWeighted(
+        Tables.load(spark, sfDir, "lineitem")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+  }
 }
