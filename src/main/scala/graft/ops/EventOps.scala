@@ -1738,7 +1738,221 @@ object EventOps {
        |FROM pv CROSS JOIN tot""".stripMargin
   }
 
+  /** Holt linear-trend exponential smoothing (double exponential) per
+    * revenue band over the dense daily-cents grid — the
+    * level-plus-trend upgrade of [[ewmaDaily]] and the parametric
+    * sibling of [[forecastBacktest]]'s seasonal-naive: with integer
+    * permille smoothing weights,
+    *   level_t = (α·y_t + (1000-α)·(level+trend)) DIV 1000,
+    *   trend_t = (β·(level_t - level) + (1000-β)·trend) DIV 1000,
+    * initialized level_0 = y_0, trend_0 = 0 (the zero-trend init —
+    * deterministic, no lookahead). Emits per band the final state, the
+    * 1-step-ahead forecast (level + trend), and the one-step backtest
+    * MAE accumulated DURING the fold (each day scored against the
+    * previous state's forecast) — the honest in-sample residual a
+    * dashboard compares today's error against.
+    *
+    * Scale: the fold is a per-band `aggregate` HOF over the collected
+    * day series — the series length is the TIME SPAN, not the corpus
+    * (a year is 365 structs per band regardless of event volume), and
+    * the daily rollup feeding it is map-side combinable. Truncating
+    * integer division matches DuckDB `//` for negative trends too
+    * (both truncate toward zero — verified).
+    */
+  def holtForecast(
+      ev: DataFrame, alphaPermille: Int = 300,
+      betaPermille: Int = 100): DataFrame = {
+    val a = alphaPermille; val b = betaPermille
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"),
+        (col("user_id") % 3).cast("bigint").as("band"))
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val span = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val grid = span
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .select(col("day"), explode(array(lit(0L), lit(1L), lit(2L))).as("band"))
+    val series = grid.join(daily, Seq("day", "band"), "left")
+      .select(col("band"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    // newLevel is inlined twice in the trend line — SQL lambdas have
+    // no let-binding; identical arithmetic either way
+    val newLevel =
+      s"($a * y.cents + ${1000 - a} * (acc.level + acc.trend)) DIV 1000"
+    series.groupBy("band")
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("ys"))
+      .select(col("band"), size(col("ys")).cast("bigint").as("n_days"),
+        expr(
+          s"""aggregate(ys,
+             |  struct(CAST(0 AS BIGINT) AS level, CAST(0 AS BIGINT) AS trend,
+             |         CAST(0 AS BIGINT) AS errsum, CAST(0 AS BIGINT) AS n,
+             |         0 AS started),
+             |  (acc, y) -> CASE WHEN acc.started = 0 THEN
+             |      struct(y.cents AS level, CAST(0 AS BIGINT) AS trend,
+             |             CAST(0 AS BIGINT) AS errsum, CAST(0 AS BIGINT) AS n,
+             |             1 AS started)
+             |    ELSE struct(
+             |      $newLevel AS level,
+             |      ($b * (($newLevel) - acc.level) + ${1000 - b} * acc.trend)
+             |        DIV 1000 AS trend,
+             |      acc.errsum + abs(y.cents - (acc.level + acc.trend))
+             |        AS errsum,
+             |      acc.n + CAST(1 AS BIGINT) AS n, 1 AS started) END)
+             |""".stripMargin).as("h"))
+      .select(col("band"), col("n_days"),
+        col("h.level").as("level_cents"), col("h.trend").as("trend_cents"),
+        (col("h.level") + col("h.trend")).as("forecast_next_cents"),
+        expr("h.errsum DIV nullif(h.n, 0)").as("holt_mae_cents"))
+  }
+
+  val holtForecastSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id % 3 AS band,
+       |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |span AS (
+       |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+       |  FROM events),
+       |grid AS (
+       |  -- separate derived tables: DuckDB ZIPS parallel unnests in
+       |  -- one SELECT; the grid needs the cross product
+       |  SELECT d.day, b.band FROM
+       |    (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+       |       AS DATE) AS day FROM span) d
+       |    CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b),
+       |series AS (
+       |  SELECT g.band, g.day, coalesce(d.cents, 0) AS cents
+       |  FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.band = d.band),
+       |-- the fold is a recursive CTE stepping one day per level, NOT
+       |-- a struct-accumulator list_reduce: DuckDB 1.0's list_reduce
+       |-- evaluates later struct fields against ALREADY-UPDATED
+       |-- accumulator fields in multi-step folds (reproduced: errsum
+       |-- read newLevel + newTrend), so the lambda spelling silently
+       |-- diverges from any sequential semantics
+       |numbered AS (
+       |  SELECT band, cents,
+       |    row_number() OVER (PARTITION BY band ORDER BY day) AS i,
+       |    count(*) OVER (PARTITION BY band) AS n_days
+       |  FROM series),
+       |fold AS (
+       |  SELECT band, n_days, i,
+       |    CAST(cents AS BIGINT) AS level, CAST(0 AS BIGINT) AS trend,
+       |    CAST(0 AS BIGINT) AS errsum, CAST(0 AS BIGINT) AS n
+       |  FROM numbered WHERE i = 1
+       |  UNION ALL
+       |  SELECT f.band, f.n_days, s.i,
+       |    (300 * s.cents + 700 * (f.level + f.trend)) // 1000,
+       |    (100 * (((300 * s.cents + 700 * (f.level + f.trend)) // 1000)
+       |      - f.level) + 900 * f.trend) // 1000,
+       |    f.errsum + abs(s.cents - (f.level + f.trend)),
+       |    f.n + 1
+       |  FROM fold f JOIN numbered s ON s.band = f.band AND s.i = f.i + 1)
+       |SELECT CAST(band AS BIGINT) AS band,
+       |  CAST(n_days AS BIGINT) AS n_days,
+       |  CAST(level AS BIGINT) AS level_cents,
+       |  CAST(trend AS BIGINT) AS trend_cents,
+       |  CAST(level + trend AS BIGINT) AS forecast_next_cents,
+       |  CAST(errsum // nullif(n, 0) AS BIGINT) AS holt_mae_cents
+       |FROM fold WHERE i = n_days""".stripMargin
+
+  /** CUPED variance-reduced A/B panel (Deng et al. 2013): the
+    * pre-period covariate X (each user's pre-midpoint purchase cents)
+    * absorbs between-user variance from the post-period metric Y, so
+    * the adjusted per-variant means separate with far fewer users.
+    * θ is the pooled regression slope, scaled-integer:
+    *   θ_e3 = 1000·(n·Sxy − Sx·Sy) DIV (n·Sxx − Sx²),
+    * computed in DECIMAL(38,0) (HUGEINT oracle-side — the sums of
+    * squares are the overflow-prone terms; per-user MEANS stay small
+    * regardless of corpus size, so the adjustment arithmetic below is
+    * plain int64):
+    *   adj_mean_e3 = mean_post_e3 − θ_e3·(mean_pre_e3 −
+    *                 grand_mean_pre_e3) DIV 1000.
+    * Split day and variant hash follow [[valueDrift]] /
+    * [[abExperiment]].
+    *
+    * Scale: one per-user aggregate (map-side combinable), a 1-row
+    * pooled-stats broadcast, a 2-row variant panel. Nothing global.
+    */
+  def abCuped(e: DataFrame): DataFrame = {
+    val withDay = e.select(col("user_id"), col("event_type"),
+      to_date(col("ts")).as("day"),
+      expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val mid = withDay.agg(expr(
+      "date_add(min(day), CAST(datediff(max(day), min(day)) DIV 2 AS INT))")
+      .as("mid"))
+    val perUser = withDay.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("day") <= col("mid"),
+          col("cents")).otherwise(lit(0L))).as("x"),
+        sum(when(col("event_type") === "purchase" && col("day") > col("mid"),
+          col("cents")).otherwise(lit(0L))).as("y"))
+      .withColumn("variant",
+        when(pmod(graft.ops.Hll.h60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)) === 0,
+          lit("A")).otherwise(lit("B")))
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .select(col("n"), col("sx"),
+        expr("CAST(coalesce(" +
+          "CAST(1000 AS DECIMAL(38,0)) * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+          " DIV nullif(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)," +
+          " 0) AS BIGINT)").as("theta_e3"))
+    perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum("x").as("pre_cents"), sum("y").as("post_cents"))
+      .crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"),
+        col("pre_cents"), col("post_cents"), col("theta_e3"),
+        expr("1000 * post_cents DIV n_users").as("mean_post_e3"),
+        expr("1000 * post_cents DIV n_users - theta_e3 * " +
+          "(1000 * pre_cents DIV n_users - 1000 * sx DIV n) DIV 1000")
+          .as("adj_mean_post_e3"))
+  }
+
+  val abCupedSql: String = {
+    val h = graft.ops.Hll.h60Sql("'ab:' || CAST(user_id AS VARCHAR)")
+    s"""WITH wd AS (
+       |  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events),
+       |mid AS (
+       |  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS mid
+       |  FROM wd),
+       |pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase' AND day <= mid
+       |        THEN cents ELSE 0 END) AS x,
+       |    sum(CASE WHEN event_type = 'purchase' AND day > mid
+       |        THEN cents ELSE 0 END) AS y,
+       |    CASE WHEN ($h) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM wd CROSS JOIN mid GROUP BY user_id),
+       |pooled AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(coalesce(
+       |      CAST(1000 AS HUGEINT) * (count(*) * sum(CAST(x AS HUGEINT) * y)
+       |        - CAST(sum(x) AS HUGEINT) * sum(y))
+       |      // nullif(count(*) * sum(CAST(x AS HUGEINT) * x)
+       |        - CAST(sum(x) AS HUGEINT) * sum(x), 0),
+       |      0) AS BIGINT) AS theta_e3
+       |  FROM pu)
+       |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(x) AS BIGINT) AS pre_cents,
+       |  CAST(sum(y) AS BIGINT) AS post_cents,
+       |  theta_e3,
+       |  CAST(1000 * sum(y) // count(*) AS BIGINT) AS mean_post_e3,
+       |  CAST(1000 * sum(y) // count(*) - theta_e3 *
+       |    (1000 * sum(x) // count(*) - 1000 * sx // n) // 1000 AS BIGINT)
+       |    AS adj_mean_post_e3
+       |FROM pu CROSS JOIN pooled
+       |GROUP BY variant, theta_e3, sx, n""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_holt" -> ((s, d) => holtForecast(events(s, d))),
+    "q_events_cuped" -> ((s, d) => abCuped(events(s, d))),
     "q_events_ab_srm" -> ((s, d) => abSrmCheck(events(s, d))),
     "q_events_drift" -> ((s, d) => valueDrift(events(s, d))),
     "q_events_churn" -> ((s, d) => churnFeatures(events(s, d))),
@@ -1786,6 +2000,8 @@ object EventOps {
     "q_events_rfm" -> rfmSegmentsSql,
     "q_events_active_rolling" -> rollingActivesSql,
     "q_events_ab" -> abExperimentSql,
+    "q_events_holt" -> holtForecastSql,
+    "q_events_cuped" -> abCupedSql,
     "q_events_funnel_steps" -> funnelStepsSql,
     "q_events_ewma" -> ewmaDailySql,
     "q_events_ltv" -> cohortLtvSql,

@@ -276,6 +276,37 @@ class RobustnessSpec extends SparkSpec {
     assert(got(2L) === ((1L, 250L, 0L)))
   }
 
+  test("holtForecast matches a hand-computed level/trend recurrence") {
+    import java.time.LocalDateTime
+    def day(d: Int) = LocalDateTime.of(2026, 2, d, 12, 0)
+    // band 0 (user 3): y = [1000, 2000, 0 (gap day), 3000] cents.
+    // By hand (alpha=300, beta=100, DIV truncating):
+    //   init level=1000 trend=0
+    //   y=2000: err=1000; level=(600000+700000)/1000=1300;
+    //           trend=(100*300)/1000=30
+    //   y=0:    f=1330, err=1330; level=931000/1000=931;
+    //           trend=(-36900+27000)/1000=-9   (trunc toward zero)
+    //   y=3000: f=922, err=2078; level=1545400/1000=1545;
+    //           trend=(61400-8100)/1000=53
+    // final: forecast=1598, mae=4408 DIV 3=1469
+    val ev = Seq(
+      (1L, day(1), 3L, "purchase", 10.0),
+      (2L, day(2), 3L, "purchase", 20.0),
+      (3L, day(4), 3L, "purchase", 30.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.holtForecast(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+      .toMap
+    assert(got(0L) === ((4L, 1545L, 53L, 1598L, 1469L)))
+    // empty bands ride the dense grid: all-zero series, zero state
+    assert(got(1L) === ((4L, 0L, 0L, 0L, 0L)))
+    assert(got(2L) === ((4L, 0L, 0L, 0L, 0L)))
+  }
+
   test("funnelSteps enforces step ordering (pre-view clicks don't count)") {
     import java.time.LocalDateTime
     def t(i: Int) = LocalDateTime.of(2026, 4, 1, 0, i)
