@@ -246,6 +246,74 @@ object Curation {
     * Scale: map-only — one projection per document, no explode, no
     * shuffle; whole-stage codegen spans the panel.
     */
+  /** Flesch reading-ease / Flesch-Kincaid grade panel, integer-scaled
+    * (×1000) with the standard vowel-group syllable proxy (maximal
+    * `[aeiouy]+` runs per lowercased word, min 1) and `[.!?]+` runs as
+    * sentence breaks (min 1) — the classic readability pair a curation
+    * pipeline buckets training text by (too-hard and too-trivial tails
+    * both hurt):
+    *   flesch_e3 = 206835 − 1015·wps_e3 DIV 1000 − 84600·spw_e3 DIV 1000,
+    *   fk_grade_e3 = 390·wps_e3 DIV 1000 + 11800·spw_e3 DIV 1000 − 15590,
+    * with wps_e3 / spw_e3 the permille words-per-sentence and
+    * syllables-per-word. Empty docs surface NULL scores (nullif
+    * guards), identically in both engines.
+    *
+    * Scale: map-only — one regex pass for sentences, one HOF pass over
+    * the token array for syllables; no shuffle at any corpus size.
+    */
+  def readabilityPanel(d: DataFrame): DataFrame = {
+    val toks = TextOps.wsTokens(col("text"))
+    d.select(col("doc_id"),
+      greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("bigint")).as("n_sentences"),
+      size(toks).cast("bigint").as("n_words"),
+      aggregate(
+        transform(toks, t => greatest(lit(1L),
+          size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+            .cast("bigint"))),
+        lit(0L), (a, x) => a + x).as("n_syllables"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        expr("1000 * n_words DIV n_sentences").as("wps_e3"),
+        expr("1000 * n_syllables DIV nullif(n_words, 0)").as("spw_e3"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"), col("wps_e3"), col("spw_e3"),
+        expr("206835 - 1015 * wps_e3 DIV 1000 - 84600 * spw_e3 DIV 1000")
+          .as("flesch_e3"),
+        expr("390 * wps_e3 DIV 1000 + 11800 * spw_e3 DIV 1000 - 15590")
+          .as("fk_grade_e3"))
+  }
+
+  val readabilityPanelSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+      |      AS n_sentences,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> '')) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''),
+      |      t -> greatest(1, len(regexp_extract_all(lower(t),
+      |        '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+      |  FROM documents),
+      |scaled AS (
+      |  SELECT doc_id, n_sentences, n_words, n_syllables,
+      |    1000 * n_words // n_sentences AS wps_e3,
+      |    1000 * n_syllables // nullif(n_words, 0) AS spw_e3
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST(n_sentences AS BIGINT) AS n_sentences,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  n_syllables,
+      |  CAST(wps_e3 AS BIGINT) AS wps_e3,
+      |  CAST(spw_e3 AS BIGINT) AS spw_e3,
+      |  CAST(206835 - 1015 * wps_e3 // 1000 - 84600 * spw_e3 // 1000
+      |    AS BIGINT) AS flesch_e3,
+      |  CAST(390 * wps_e3 // 1000 + 11800 * spw_e3 // 1000 - 15590
+      |    AS BIGINT) AS fk_grade_e3
+      |FROM scaled""".stripMargin
+
   def gopherRules(d: DataFrame): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val toks = TextOps.wsTokens(col("text"))
@@ -861,6 +929,7 @@ object Curation {
     "q_text_pii" -> ((s, d) => piiRedact(docs(s, d))),
     "q_dedup_url" -> ((s, d) => urlDedup(docs(s, d))),
     "q_text_gopher" -> ((s, d) => gopherRules(docs(s, d))),
+    "q_text_readability" -> ((s, d) => readabilityPanel(docs(s, d))),
     "q_text_repetition" -> ((s, d) => repetition(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
@@ -875,5 +944,6 @@ object Curation {
     "q_text_pii" -> piiRedactSql,
     "q_dedup_url" -> urlDedupSql,
     "q_text_gopher" -> gopherRulesSql,
+    "q_text_readability" -> readabilityPanelSql,
     "q_text_repetition" -> repetitionSql)
 }

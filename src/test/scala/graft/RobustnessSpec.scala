@@ -428,6 +428,30 @@ class RobustnessSpec extends SparkSpec {
     assert(z.map(_.getLong(1)).sum === 12L) // 12 distinct terms
   }
 
+  test("readabilityPanel: hand-computed Flesch/FK on a known sentence") {
+    val d = Seq(
+      (1L, "The cat sat. The dog ran away!", "en", "s0"),
+      (2L, "", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.llm.Curation.readabilityPanel(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    // sentences: ". " and "!" runs -> 2; words (ws tokens) -> 7;
+    // syllable proxy (vowel-group runs, min 1 per word):
+    // the=1 cat=1 sat.=1 the=1 dog=1 ran=1 away!=2 ("a","ay") -> 8
+    assert(r1.getLong(1) === 2L && r1.getLong(2) === 7L &&
+      r1.getLong(3) === 8L)
+    // wps_e3 = 3500, spw_e3 = 8000 DIV 7 = 1142
+    // flesch_e3 = 206835 - 3552 - 96613 = 106670
+    // fk_e3 = 1365 + 13475 - 15590 = -750
+    assert(r1.getLong(4) === 3500L && r1.getLong(5) === 1142L)
+    assert(r1.getLong(6) === 106670L && r1.getLong(7) === -750L)
+    // empty doc: sentence floor 1, zero words, NULL scaled scores
+    val r2 = got(2L)
+    assert(r2.getLong(1) === 1L && r2.getLong(2) === 0L)
+    assert(r2.isNullAt(5) && r2.isNullAt(6) && r2.isNullAt(7))
+  }
+
   test("conversionLag: hand-computed fixture (prior-view semantics)") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
