@@ -537,6 +537,39 @@ object Sampling {
       |    AS n_docs_at_risk
       |FROM classes GROUP BY 1""".stripMargin
 
+  /** Leakage-SAFE split generator — the FIX for what [[splitLeakage]]
+    * audits: instead of hashing each doc independently (which strands
+    * the members of a near-dup cluster on both sides of the
+    * train/test wall), hash the doc's [[Dedup.dupClusters]] CLUSTER
+    * id, so every near-dup class lands wholly in one split and
+    * cross-split near-dup leakage is structurally impossible at the
+    * clustering's threshold. 80/10/10 by h60(cluster) mod 10 —
+    * singleton docs are their own cluster (cluster_id = doc_id), so
+    * the split stays ~uniform.
+    *
+    * Scale: rides the dup-clustering (banded candidates + min-label
+    * propagation, the documented trio convention); the split
+    * assignment itself is map-only over (doc, cluster).
+    */
+  def clusterSplit(d: DataFrame): DataFrame = {
+    val m = pmod(graft.ops.Hll.h60(
+      concat(lit("split:"), col("cluster_id").cast("string"))), lit(10))
+    Dedup.dupClusters(d)
+      .select(col("doc_id"), col("cluster_id"),
+        when(m <= 7, lit("train")).when(m === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  val clusterSplitSql: String = {
+    val h = graft.ops.Hll.h60Sql("'split:' || CAST(cluster_id AS VARCHAR)")
+    s"""WITH assigned AS (${Dedup.dupClustersSql})
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ($h) % 10 <= 7 THEN 'train'
+       |       WHEN ($h) % 10 = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assigned""".stripMargin
+  }
+
   /** Temperature-scaled language resampling (the XLM-R / mT5 mixture
     * reshape at alpha = 0.5): each language's token budget is
     * proportional to sqrt(its token count) — rare languages are
@@ -635,6 +668,8 @@ object Sampling {
       temperatureSample(Tables.load(s, d, "documents"))),
     "q_split_leakage" -> ((s, d) =>
       splitLeakage(Tables.load(s, d, "documents"))),
+    "q_sample_cluster_split" -> ((s, d) =>
+      clusterSplit(Tables.load(s, d, "documents"))),
     "q_sample_dsir" -> ((s, d) =>
       dsirWeights(Tables.load(s, d, "documents"))),
     "q_sample_curriculum" -> ((s, d) =>
@@ -654,6 +689,7 @@ object Sampling {
 
   val oracleSql: Map[String, String] = Map(
     "q_sample_temperature" -> temperatureSampleSql,
+    "q_sample_cluster_split" -> clusterSplitSql,
     "q_split_leakage" -> splitLeakageSql,
     "q_sample_dsir" -> dsirWeightsSql(),
     "q_sample_curriculum" -> curriculumScheduleSql,

@@ -990,6 +990,22 @@ class LlmSpec extends SparkSpec {
     assert(digests.size === 3)
   }
 
+  test("clusterSplit: no near-dup cluster ever crosses a split boundary") {
+    val res = graft.llm.Sampling.clusterSplit(docs)
+    // the leakage-safety invariant the operator exists for
+    val crossers = res.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(crossers === 0L, "a cluster was assigned to multiple splits")
+    // every doc assigned exactly once, splits roughly 80/10/10
+    assert(res.count() === docs.count())
+    val bySplit = res.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) &&
+      bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
   test("winnowSelected column expr == winnowSets aggregate, bit-equal " +
       "on the real corpus") {
     // the venn shared scan computes the winnow fingerprints with the
