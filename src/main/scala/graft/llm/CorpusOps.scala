@@ -1696,6 +1696,193 @@ object CorpusOps {
     * otherwise); a production pipeline keeps the sketches and drops
     * that column.
     */
+  /** Heaps'-law vocabulary-growth panel: distinct-type count as a
+    * function of corpus prefix (docs bucketed into 10 equal doc-id
+    * ranges), the V(n) ~ K·n^β curve a tokenizer-training or
+    * vocab-sizing pass reads — a flattening tail says more data stops
+    * buying vocabulary; a straight log-log line says the corpus keeps
+    * introducing novelty (or boilerplate churn). Spelled for
+    * distribution: a running per-doc distinct is a sequential scan,
+    * but "which bucket did each type FIRST appear in" is one min
+    * aggregation over the type table, and the cumulative curve is a
+    * ≤10-bucket triangular join — nothing orders the corpus globally.
+    *
+    * Scale: one vocabulary-sized min aggregation (map-side
+    * combinable) + bucket-sized (≤10-row) rollups and a structurally
+    * capped triangular join. No windows, no global sort.
+    */
+  def heapsGrowth(d: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val occ = d.select(col("doc_id"),
+      explode(TextOps.letterTokens(col("text"))).as("tok"))
+    val span = d.agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+    val occB = occ.crossJoin(broadcast(span))
+      .select(expr(s"(doc_id - dmin) * $nBuckets DIV (dmax - dmin + 1)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val docsB = d.crossJoin(broadcast(span))
+      .select(expr(s"(doc_id - dmin) * $nBuckets DIV (dmax - dmin + 1)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val newTypes = occ.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(span))
+      .select(expr(s"(first_doc - dmin) * $nBuckets DIV (dmax - dmin + 1)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    // per-bucket table is ≤ nBuckets rows; the limit never binds but
+    // makes the triangular join's broadcast side provably tiny
+    val per = docsB.join(occB, "bucket").join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .orderBy("bucket").limit(nBuckets + 6)
+    per.as("a").join(per.as("b"), col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(max(col("a.n_docs")).as("n_docs"),
+        max(col("a.n_tokens")).as("n_tokens"),
+        max(col("a.new_types")).as("new_types"),
+        sum(col("b.n_tokens")).as("cum_tokens"),
+        sum(col("b.new_types")).as("cum_types"))
+  }
+
+  def heapsGrowthSql(nBuckets: Int = 10): String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(text, '[^\\p{L}]+'), t -> t <> '')) AS tok
+       |  FROM documents),
+       |span AS (
+       |  SELECT min(doc_id) AS dmin, max(doc_id) AS dmax FROM documents),
+       |occb AS (
+       |  SELECT (doc_id - dmin) * $nBuckets // (dmax - dmin + 1) AS bucket,
+       |    count(*) AS n_tokens
+       |  FROM occ CROSS JOIN span GROUP BY 1),
+       |docsb AS (
+       |  SELECT (doc_id - dmin) * $nBuckets // (dmax - dmin + 1) AS bucket,
+       |    count(*) AS n_docs
+       |  FROM documents CROSS JOIN span GROUP BY 1),
+       |types AS (
+       |  SELECT tok, min(doc_id) AS first_doc FROM occ GROUP BY tok),
+       |newt AS (
+       |  SELECT (first_doc - dmin) * $nBuckets // (dmax - dmin + 1) AS bucket,
+       |    count(*) AS new_types
+       |  FROM types CROSS JOIN span GROUP BY 1),
+       |per AS (
+       |  SELECT d.bucket, d.n_docs, o.n_tokens,
+       |    coalesce(n.new_types, 0) AS new_types
+       |  FROM docsb d JOIN occb o USING (bucket)
+       |  LEFT JOIN newt n USING (bucket))
+       |SELECT CAST(a.bucket AS BIGINT) AS bucket,
+       |  CAST(max(a.n_docs) AS BIGINT) AS n_docs,
+       |  CAST(max(a.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(max(a.new_types) AS BIGINT) AS new_types,
+       |  CAST(sum(b.n_tokens) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(b.new_types) AS BIGINT) AS cum_types
+       |FROM per a JOIN per b ON b.bucket <= a.bucket
+       |GROUP BY a.bucket""".stripMargin
+
+  /** Bloom-filter false-positive calibration panel — the
+    * measured-vs-theory row for the family's remaining sketch: build a
+    * DETERMINISTIC Bloom filter (m = 2¹⁷ bits, k = 4 h60-derived hash
+    * functions — not Spark's built-in, whose seeds an oracle cannot
+    * replay) over the even-doc shingle universe, probe it with the
+    * odd-doc shingles that are TRUE negatives (anti-joined on the real
+    * universe), and report observed vs theoretical FPR side by side —
+    * the panel that says whether m/k fit a reference set BEFORE a
+    * decontamination pass ships with a filter that passes everything.
+    * Theory is the standard fill-rate bound (bits_set/m)^k in exact
+    * integers: fill_e3⁴ DIV 10⁶ ≤ 10⁶.
+    *
+    * Scale: the bit table is ≤ m rows (answer-sized, broadcastable);
+    * universe/probe distincts are vocabulary-sized hash aggregates
+    * (map-side combinable); position generation is map-only. The
+    * one-sided-error contract (a true member can never probe
+    * negative) is what makes the observed count pure FPR.
+    */
+  def bloomCalibration(
+      d: DataFrame, mBits: Int = 131072, k: Int = 4): DataFrame = {
+    import graft.ops.Hll
+    val toks = TextOps.wsTokens(col("text"))
+    val sset = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))))
+      .otherwise(array(coalesce(array_join(toks, " "), lit(""))))
+    val sh = d.select(col("doc_id"), sset.as("sset"))
+    val train = sh.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("sset")).as("g")).distinct().localCheckpoint()
+    val probeNeg = sh.filter(col("doc_id") % 2 =!= 0)
+      .select(explode(col("sset")).as("g")).distinct()
+      .join(train, Seq("g"), "left_anti").localCheckpoint()
+    def posArr = array((0 until k).map(j =>
+      struct(lit(j).as("j"),
+        pmod(Hll.h60(concat(lit(s"bf$j:"), col("g"))), lit(mBits.toLong))
+          .as("pos"))): _*)
+    val bits = train.select(explode(posArr).as("x"))
+      .select(col("x.pos").as("pos")).distinct().localCheckpoint()
+    val fp = probeNeg.select(col("g"), explode(posArr).as("x"))
+      .select(col("g"), col("x.j").as("j"), col("x.pos").as("pos"))
+      .join(bits, "pos")
+      .groupBy("g").agg(countDistinct("j").as("kh"))
+      .filter(col("kh") === k)
+      .agg(count(lit(1)).as("n_fp"))
+    train.agg(count(lit(1)).as("n_train_items"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .crossJoin(broadcast(probeNeg.agg(count(lit(1)).as("n_probe_neg"))))
+      .crossJoin(broadcast(fp))
+      .select(col("n_train_items"), col("n_bits_set"), col("n_probe_neg"),
+        col("n_fp"),
+        expr(s"1000000 * n_fp DIV nullif(n_probe_neg, 0)")
+          .as("fpr_x1e6"),
+        // fill_e3^k DIV 10^(3k-6) == 1e6 * (bits/m)^k, exact integers
+        expr(Seq.fill(k)(s"(1000 * n_bits_set DIV $mBits)")
+          .mkString("(", " * ", ")") +
+          s" DIV ${math.pow(10, 3 * k - 6).toLong}")
+          .as("theory_fpr_x1e6"))
+  }
+
+  def bloomCalibrationSql(mBits: Int = 131072, k: Int = 4): String = {
+    val h = graft.ops.Hll.h60Sql("'bf' || CAST(j AS VARCHAR) || ':' || g")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), x -> x <> '')
+       |      AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |        i -> array_to_string(toks[i:i + 2], ' ')))
+       |    ELSE [coalesce(array_to_string(toks, ' '), '')] END AS sset
+       |  FROM t),
+       |train AS (
+       |  SELECT DISTINCT unnest(sset) AS g FROM sh WHERE doc_id % 2 = 0),
+       |probe_neg AS (
+       |  SELECT g FROM (
+       |    SELECT DISTINCT unnest(sset) AS g FROM sh WHERE doc_id % 2 <> 0)
+       |  WHERE g NOT IN (SELECT g FROM train)),
+       |ks AS (SELECT unnest(range($k)) AS j),
+       |bits AS (
+       |  SELECT DISTINCT ($h) % $mBits AS pos FROM train CROSS JOIN ks),
+       |fp AS (
+       |  SELECT count(*) AS n_fp FROM (
+       |    SELECT p.g FROM probe_neg p CROSS JOIN ks
+       |    JOIN bits b ON ($h) % $mBits = b.pos
+       |    GROUP BY p.g HAVING count(DISTINCT j) = $k)),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM train) AS n_train_items,
+       |    (SELECT count(*) FROM bits) AS n_bits_set,
+       |    (SELECT count(*) FROM probe_neg) AS n_probe_neg,
+       |    (SELECT n_fp FROM fp) AS n_fp)
+       |SELECT CAST(n_train_items AS BIGINT) AS n_train_items,
+       |  CAST(n_bits_set AS BIGINT) AS n_bits_set,
+       |  CAST(n_probe_neg AS BIGINT) AS n_probe_neg,
+       |  CAST(n_fp AS BIGINT) AS n_fp,
+       |  CAST(1000000 * n_fp // nullif(n_probe_neg, 0) AS BIGINT)
+       |    AS fpr_x1e6,
+       |  CAST((1000 * n_bits_set // $mBits) * (1000 * n_bits_set // $mBits)
+       |    * (1000 * n_bits_set // $mBits) * (1000 * n_bits_set // $mBits)
+       |    // 1000000 AS BIGINT) AS theory_fpr_x1e6
+       |FROM stats""".stripMargin
+  }
+
   def kmvOverlap(d: DataFrame, k: Int = KmvK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // gram digests via the fused kernel (one tokenize + one md5 per
@@ -2105,6 +2292,8 @@ object CorpusOps {
     "q_sample_kcenter" -> ((s, d) => kCenterSample(docs(s, d))),
     "q_retrieval_mmr" -> ((s, d) => retrievalMmr(docs(s, d))),
     "q_sketch_kmv" -> ((s, d) => kmvOverlap(docs(s, d))),
+    "q_sketch_bloom_calib" -> ((s, d) => bloomCalibration(docs(s, d))),
+    "q_text_heaps" -> ((s, d) => heapsGrowth(docs(s, d))),
     "q_retrieval_rrf" -> ((s, d) => retrievalRrf(docs(s, d))),
     "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
@@ -2131,6 +2320,8 @@ object CorpusOps {
     "q_sample_kcenter" -> kCenterSampleSql(),
     "q_retrieval_mmr" -> retrievalMmrSql(),
     "q_sketch_kmv" -> kmvOverlapSql,
+    "q_sketch_bloom_calib" -> bloomCalibrationSql(),
+    "q_text_heaps" -> heapsGrowthSql(),
     "q_retrieval_rrf" -> retrievalRrfSql(),
     "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,
