@@ -517,6 +517,249 @@ object Relational {
       |ORDER BY revenue_micros DESC, c.c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q7-style (volume shipping): bidirectional nation-pair
+    * revenue by year — two broadcast nation dims aliased onto the
+    * supplier and customer sides of one fact join, the OR'd pair
+    * condition evaluated post-join. Exact integer micros.
+    */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("year(l_shipdate)").cast("bigint").as("l_year"),
+        (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("bigint")))
+          .as("rev"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("rev").as("revenue_micros"))
+  }
+
+  val q7VolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |    AS BIGINT) AS revenue_micros
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q14-style (promotion effect): promo share of one month's
+    * revenue as integer permille — the conditional-aggregate-over-
+    * ratio shape, float-free.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01") &&
+        col("l_shipdate") < lit("1996-10-01"))
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("bigint")))
+          .as("rev"))
+    li.join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L)))
+          .as("promo_micros"),
+        sum("rev").as("total_micros"))
+      .select(col("promo_micros"), col("total_micros"),
+        expr("1000 * promo_micros DIV nullif(total_micros, 0)")
+          .as("promo_permille"))
+  }
+
+  val q14PromoSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+      |    ELSE 0 END) AS BIGINT) AS promo_micros,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |    AS BIGINT) AS total_micros,
+      |  CAST(1000 * sum(CASE WHEN p.p_type = 'PROMO' THEN
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+      |    ELSE 0 END)
+      |    // nullif(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))), 0)
+      |    AS BIGINT) AS promo_permille
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l.l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** TPC-H Q15-style (top supplier): quarter revenue per supplier,
+    * emit the one(s) equal to the max — the scalar-subquery-on-an-
+    * aggregate shape (the max rides a 1-row broadcast, never a global
+    * sort).
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("bigint") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("bigint")))
+        .as("total_micros"))
+    val mx = rev.agg(max("total_micros").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_micros") === col("mx"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_micros"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+      |      AS BIGINT) AS total_micros
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_micros
+      |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE r.total_micros = (SELECT max(total_micros) FROM rev)""".stripMargin
+
+  /** TPC-H Q18-style (large-volume orders): orders whose total
+    * quantity clears a threshold, via a semi-join against the
+    * HAVING'd per-order aggregate — the classic "aggregate subquery
+    * in the IN list".
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("bigint").as("qty"))
+    val big = li.groupBy("l_orderkey").agg(sum("qty").as("sum_qty"))
+      .filter(col("sum_qty") > 300L)
+    big.join(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("bigint")
+          .as("o_totalprice_cents"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice_cents").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18LargeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |    AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+      |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      |  CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS o_totalprice_cents,
+      |  b.sum_qty
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o_totalprice_cents DESC, o.o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q19-style (discounted revenue, disjunctive predicates):
+    * three OR'd brand/size/quantity windows — the query planners trip
+    * on; the brand/size side prunes into the broadcast dim, the
+    * quantity conjuncts evaluate post-join. One exact-integer row.
+    */
+  def q19Disjuncts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("bigint").as("qty"),
+        (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("bigint")))
+          .as("rev"))
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("qty").between(1, 15)) ||
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+            col("qty").between(10, 25)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 50) &&
+            col("qty").between(20, 35)))
+      .agg(count(lit(1)).as("n_items"), sum("rev").as("revenue_micros"))
+  }
+
+  val q19DisjunctsSql: String =
+    """SELECT count(*) AS n_items,
+      |  CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |    AS BIGINT) AS revenue_micros
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE
+      |  (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+      |    AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 15)
+      |  OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+      |    AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 25)
+      |  OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 50
+      |    AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 35)""".stripMargin
+
+  /** TPC-H Q22-style (dormant big-balance customers): customers above
+    * the positive-balance average (exact integer cents, 1-row
+    * broadcast) with NO order in the trailing window (anti-join),
+    * rolled up by market segment.
+    */
+  def q22Dormant(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("bigint").as("bal_cents"))
+    val avgBal = cust.filter(col("bal_cents") > 0L)
+      .agg(expr("sum(bal_cents) DIV count(*)").as("avg_cents"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("bal_cents") > col("avg_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), sum("bal_cents").as("total_cents"))
+  }
+
+  val q22DormantSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |avg_bal AS (
+      |  SELECT sum(bal_cents) // count(*) AS avg_cents
+      |  FROM cust WHERE bal_cents > 0),
+      |recent AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      |SELECT c.c_mktsegment, count(*) AS n_custs,
+      |  CAST(sum(c.bal_cents) AS BIGINT) AS total_cents
+      |FROM cust c CROSS JOIN avg_bal
+      |WHERE c.bal_cents > avg_cents
+      |  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+      |GROUP BY 1""".stripMargin
+
   /** TPC-H Q3-style: dim filter -> broadcast join -> fact-fact join ->
     * agg -> deterministic top-10.
     */
@@ -1806,6 +2049,12 @@ object Relational {
     "q4_priority" -> (q4Priority _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
     "q10_returns" -> (q10Returns _),
+    "q7_volume" -> (q7Volume _),
+    "q14_promo" -> (q14Promo _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q19_disjuncts" -> (q19Disjuncts _),
+    "q22_dormant" -> (q22Dormant _),
     "q3_shipping" -> (q3Shipping _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q_filter_project" -> (qFilterProject _),
@@ -1862,6 +2111,12 @@ object Relational {
     "q4_priority" -> q4PrioritySql,
     "q_revenue_concentration" -> qRevenueConcentrationSql,
     "q10_returns" -> q10ReturnsSql,
+    "q7_volume" -> q7VolumeSql,
+    "q14_promo" -> q14PromoSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "q19_disjuncts" -> q19DisjunctsSql,
+    "q22_dormant" -> q22DormantSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "q_filter_project" -> qFilterProjectSql,
