@@ -126,6 +126,16 @@ class PartitionInvarianceSpec extends SparkSpec {
       () => graft.ops.GraphOps.kCore(
         graft.ops.GraphOps.coOccurrenceEdges(
           Tables.load(spark, sfDir, "lineitem")))),
+    ("holt (sorted collect_list fold)",
+      () => graft.ops.EventOps.holtForecast(
+        graft.ops.EventOps.events(spark, sfDir))),
+    ("sssp (iterative min-plus relaxation rounds)",
+      () => graft.ops.GraphOps.ssspScaled(
+        graft.ops.GraphOps.coOccurrenceWeighted(
+          Tables.load(spark, sfDir, "lineitem")))),
+    ("cluster_split (split keyed on propagated min-labels)",
+      () => graft.llm.Sampling.clusterSplit(
+        Tables.load(spark, sfDir, "documents"))),
     ("rfm_segments (value-histogram quintile boundaries)",
       () => graft.ops.EventOps.rfmSegments(
         graft.ops.EventOps.events(spark, sfDir))),
