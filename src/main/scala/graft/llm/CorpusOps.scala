@@ -1799,13 +1799,21 @@ object CorpusOps {
   def bloomCalibration(
       d: DataFrame, mBits: Int = 131072, k: Int = 4): DataFrame = {
     import graft.ops.Hll
-    val toks = TextOps.wsTokens(col("text"))
+    // materialize the token arrays BEFORE the per-position shingle
+    // lambda: projection collapse otherwise inlines the whitespace
+    // split into every element_at, re-splitting the doc once per
+    // 3-gram — O(doc²) per doc, the composed-spelling trap the kmv
+    // kernel fix documented (measured here: 31.5 s at sf0.1 collapsed
+    // vs ~3 s materialized)
+    val tk = d.select(col("doc_id"), TextOps.wsTokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val toks = col("toks")
     val sset = when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2)))))
       .otherwise(array(coalesce(array_join(toks, " "), lit(""))))
-    val sh = d.select(col("doc_id"), sset.as("sset"))
+    val sh = tk.select(col("doc_id"), sset.as("sset"))
     val train = sh.filter(col("doc_id") % 2 === 0)
       .select(explode(col("sset")).as("g")).distinct().localCheckpoint()
     val probeNeg = sh.filter(col("doc_id") % 2 =!= 0)

@@ -330,6 +330,89 @@ object StatefulOps {
       }
   }
 
+  case class HoltState(curDay: Long, curCents: Long, level: Long,
+      trend: Long, started: Boolean)
+  case class HoltResidual(band: Long, day: Long, cents: Long,
+      forecast_cents: Long, abs_err: Long)
+
+  /** Streaming Holt linear-trend monitor — the online face of
+    * [[graft.ops.EventOps.holtForecast]]: per revenue band the state
+    * is the open day's running cents plus the (level, trend) pair; a
+    * later-day event CLOSES every day up to it (zero-filling gaps,
+    * the dense-grid discipline), and each closed day AFTER the first
+    * emits (actual, level+trend forecast from before the update,
+    * absolute error), then folds the actual in with the same integer
+    * permille recurrence as the batch fold (alpha=300, beta=100,
+    * truncating DIV). The final open day never closes — the batch
+    * statement owns corpus-end reporting.
+    *
+    * Late arrivals: an event whose day predates the open day (only
+    * possible across micro-batches) is DROPPED, as in
+    * [[forecastResidualFeed]] — its day already closed and emitted.
+    *
+    * The one honest difference from the batch panel: the batch fold
+    * runs over a DENSE grid anchored at the corpus-wide first day, so
+    * a band whose purchases start later initializes level = 0 and
+    * folds the first real day through the recurrence; a live monitor
+    * has no corpus grid, so this feed anchors each band at its own
+    * first PURCHASE day and initializes level = that day's cents.
+    * From that day on the recurrences are identical; the spec asserts
+    * replay == an independent in-memory replay of exactly these
+    * semantics.
+    *
+    * Scale: state is 4 longs + a flag per band — constant; output is
+    * days x bands.
+    */
+  def holtFeed(
+      spark: SparkSession,
+      events: org.apache.spark.sql.DataFrame,
+      alphaPermille: Long = 300L, betaPermille: Long = 100L)
+      : Dataset[HoltResidual] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = alphaPermille; val b = betaPermille
+    def idiv(x: Long, y: Long): Long = {
+      val q = math.abs(x) / math.abs(y)
+      if ((x >= 0) == (y >= 0)) q else -q
+    }
+    events
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 3).as("band"), col("event_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, HoltResidual](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (band, rows, state: GroupState[HoltState]) =>
+          val sorted = rows.toVector.sortBy(r => (r._3, r._2))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[HoltResidual]
+          def close(s: HoltState): HoltState = {
+            val y = s.curCents
+            if (!s.started)
+              HoltState(s.curDay + 1, 0L, y, 0L, started = true)
+            else {
+              val fc = s.level + s.trend
+              out += HoltResidual(band, s.curDay, y, fc, math.abs(y - fc))
+              val nl = idiv(a * y + (1000L - a) * fc, 1000L)
+              val nt = idiv(b * (nl - s.level) + (1000L - b) * s.trend, 1000L)
+              HoltState(s.curDay + 1, 0L, nl, nt, started = true)
+            }
+          }
+          sorted.foreach { case (_, _, day, cents) =>
+            if (st == null)
+              st = HoltState(day, 0L, 0L, 0L, started = false)
+            if (day >= st.curDay) { // late-for-a-closed-day rows drop
+              while (st.curDay < day) st = close(st)
+              st = st.copy(curCents = st.curCents + cents)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class DayRing(curDay: Long, curCents: Long, ring: List[Long])
   case class DayResidual(band: Long, day: Long, cents: Long,
       pred_cents: Long, abs_err: Long)

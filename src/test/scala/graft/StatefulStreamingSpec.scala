@@ -386,6 +386,55 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("holt feed == in-memory level/trend replay over real events") {
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.load(spark, sfDir, "events")
+    val d = java.nio.file.Files.createTempDirectory("graft-holt-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val q = StatefulOps.holtFeed(spark,
+        graft.streaming.EventStreams.readEvents(spark, d.toString))
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("holt_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    // independent replay: per band from the band's first purchase day,
+    // zero-filled days, level/trend recurrence, closed days only
+    def idiv(x: Long, y: Long): Long = {
+      val q0 = math.abs(x) / math.abs(y)
+      if ((x >= 0) == (y >= 0)) q0 else -q0
+    }
+    val rows = events.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 3).as("band"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).flatMap { case (band, rs) =>
+      val byDay = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val d0 = byDay.keys.min
+      val dLast = byDay.keys.max
+      var level = byDay(d0); var trend = 0L
+      // closed days after the init day = d0+1 until dLast (exclusive:
+      // the final day stays open)
+      (d0 + 1 until dLast).map { day =>
+        val y = byDay.getOrElse(day, 0L)
+        val fc = level + trend
+        val row = (band, day) -> ((y, fc, math.abs(y - fc)))
+        val nl = idiv(300L * y + 700L * fc, 1000L)
+        trend = idiv(100L * (nl - level) + 900L * trend, 1000L)
+        level = nl
+        row
+      }
+    }.toMap
+    assert(got === want)
+    q.stop()
+  }
+
   test("session-path feed == batch panel minus each user's open final session") {
     import org.apache.spark.sql.functions.col
     val events = graft.core.Tables.load(spark, sfDir, "events")
