@@ -1855,6 +1855,100 @@ object EventOps {
        |  CAST(errsum // nullif(n, 0) AS BIGINT) AS holt_mae_cents
        |FROM fold WHERE i = n_days""".stripMargin
 
+  /** Per-day Holt residual rows — [[holtForecast]]'s fold with each
+    * step EMITTED instead of only the final state: for every grid day
+    * after the init day, (actual, prior-state forecast, absolute
+    * error). The driver-verifiable batch mirror of the streaming
+    * [[graft.streaming.StatefulOps.holtFeed]] — same recurrence, same
+    * emission shape — closing the batch/stream/oracle triangle the
+    * seasonal-naive family has (forecastBacktest /
+    * forecastResidualFeed). The fold accumulates the row array inside
+    * the aggregate HOF; its length is the TIME SPAN, not the corpus.
+    */
+  def holtDaily(
+      ev: DataFrame, alphaPermille: Int = 300,
+      betaPermille: Int = 100): DataFrame = {
+    val a = alphaPermille; val b = betaPermille
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"),
+        (col("user_id") % 3).cast("bigint").as("band"))
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val span = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val grid = span
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .select(col("day"), explode(array(lit(0L), lit(1L), lit(2L))).as("band"))
+    val series = grid.join(daily, Seq("day", "band"), "left")
+      .select(col("band"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val newLevel =
+      s"($a * y.cents + ${1000 - a} * (acc.level + acc.trend)) DIV 1000"
+    series.groupBy("band")
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("ys"))
+      .select(col("band"),
+        explode(expr(
+          s"""aggregate(ys,
+             |  struct(CAST(0 AS BIGINT) AS level, CAST(0 AS BIGINT) AS trend,
+             |    0 AS started,
+             |    CAST(array() AS
+             |      array<struct<day:date,cents:bigint,forecast:bigint,
+             |                   abs_err:bigint>>) AS rows),
+             |  (acc, y) -> CASE WHEN acc.started = 0 THEN
+             |      struct(y.cents AS level, CAST(0 AS BIGINT) AS trend,
+             |        1 AS started, acc.rows AS rows)
+             |    ELSE struct(
+             |      $newLevel AS level,
+             |      ($b * (($newLevel) - acc.level) + ${1000 - b} * acc.trend)
+             |        DIV 1000 AS trend,
+             |      1 AS started,
+             |      concat(acc.rows, array(struct(
+             |        y.day AS day, y.cents AS cents,
+             |        acc.level + acc.trend AS forecast,
+             |        abs(y.cents - (acc.level + acc.trend)) AS abs_err)))
+             |        AS rows) END).rows
+             |""".stripMargin)).as("r"))
+      .select(col("band"), col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.forecast").as("forecast_cents"),
+        col("r.abs_err").as("abs_err"))
+  }
+
+  val holtDailySql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id % 3 AS band,
+       |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |span AS (
+       |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+       |  FROM events),
+       |grid AS (
+       |  SELECT d.day, b.band FROM
+       |    (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+       |       AS DATE) AS day FROM span) d
+       |    CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b),
+       |series AS (
+       |  SELECT g.band, g.day, coalesce(d.cents, 0) AS cents
+       |  FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.band = d.band),
+       |numbered AS (
+       |  SELECT band, day, cents,
+       |    row_number() OVER (PARTITION BY band ORDER BY day) AS i
+       |  FROM series),
+       |fold AS (
+       |  SELECT band, i, day, CAST(cents AS BIGINT) AS cents,
+       |    CAST(NULL AS BIGINT) AS forecast, CAST(NULL AS BIGINT) AS abs_err,
+       |    CAST(cents AS BIGINT) AS level, CAST(0 AS BIGINT) AS trend
+       |  FROM numbered WHERE i = 1
+       |  UNION ALL
+       |  SELECT f.band, s.i, s.day, CAST(s.cents AS BIGINT),
+       |    f.level + f.trend,
+       |    abs(s.cents - (f.level + f.trend)),
+       |    (300 * s.cents + 700 * (f.level + f.trend)) // 1000,
+       |    (100 * (((300 * s.cents + 700 * (f.level + f.trend)) // 1000)
+       |      - f.level) + 900 * f.trend) // 1000
+       |  FROM fold f JOIN numbered s ON s.band = f.band AND s.i = f.i + 1)
+       |SELECT CAST(band AS BIGINT) AS band, day, cents,
+       |  forecast AS forecast_cents, abs_err
+       |FROM fold WHERE i >= 2""".stripMargin
+
   /** CUPED variance-reduced A/B panel (Deng et al. 2013): the
     * pre-period covariate X (each user's pre-midpoint purchase cents)
     * absorbs between-user variance from the post-period metric Y, so
@@ -1952,6 +2046,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_holt" -> ((s, d) => holtForecast(events(s, d))),
+    "q_events_holt_daily" -> ((s, d) => holtDaily(events(s, d))),
     "q_events_cuped" -> ((s, d) => abCuped(events(s, d))),
     "q_events_ab_srm" -> ((s, d) => abSrmCheck(events(s, d))),
     "q_events_drift" -> ((s, d) => valueDrift(events(s, d))),
@@ -2001,6 +2096,7 @@ object EventOps {
     "q_events_active_rolling" -> rollingActivesSql,
     "q_events_ab" -> abExperimentSql,
     "q_events_holt" -> holtForecastSql,
+    "q_events_holt_daily" -> holtDailySql,
     "q_events_cuped" -> abCupedSql,
     "q_events_funnel_steps" -> funnelStepsSql,
     "q_events_ewma" -> ewmaDailySql,
