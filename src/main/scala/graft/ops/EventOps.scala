@@ -1949,6 +1949,106 @@ object EventOps {
        |  forecast AS forecast_cents, abs_err
        |FROM fold WHERE i >= 2""".stripMargin
 
+  /** Mann-Whitney U panel for the A/B split — the NONPARAMETRIC
+    * effect check (rank-based, outlier-robust) beside [[abExperiment]]
+    * (means), [[abCuped]] (variance-reduced means), and
+    * [[abSrmCheck]] (validity): per-user total purchase cents ranked
+    * across both variants with average-rank tie handling, everything
+    * DOUBLED to stay integer (`r2` = twice the rank sum, `u2` = twice
+    * the U statistic, `2·E[U] = n_a·n_b`). The identity
+    * U_A + U_B = n_a·n_b is emitted as a consistency column.
+    *
+    * Scale: ranks need "how many users are below each value", which is
+    * NOT a global window here — the value histogram cumulates
+    * TWO-LEVEL (log2-octave-partitioned intra windows + a
+    * structurally-capped ≤64-octave triangular join, the
+    * [[graft.ops.Relational.qRevenueConcentration]] device), so no
+    * single reducer ever sees the corpus. Rank-sum products are
+    * accumulated in DECIMAL(38,0) (HUGEINT oracle-side): blockwise
+    * n_b·(2c+n+1) sums reach ~n² and would wrap int64 past ~10⁹
+    * users.
+    */
+  def abMannWhitney(e: DataFrame): DataFrame = {
+    val perUser = e
+      .withColumn("variant",
+        when(pmod(graft.ops.Hll.h60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)) === 0,
+          lit("A")).otherwise(lit("B")))
+      .groupBy("variant", "user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(lit(0L)))
+        .as("cents"))
+    val vals = perUser.groupBy("cents")
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("nb"))
+      .withColumn("oct", expr("length(bin(greatest(cents, 1)))"))
+    val wIn = Window.partitionBy("oct").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = vals.withColumn("c_in",
+      coalesce(sum(col("na") + col("nb")).over(wIn), lit(0L)))
+    val octTot = vals.groupBy("oct")
+      .agg(sum(col("na") + col("nb")).as("oc"))
+      .orderBy("oct").limit(64) // ≤64 octaves for int64 by construction
+    val below = octTot.as("a")
+      .join(octTot.as("b"), col("b.oct") < col("a.oct"))
+      .groupBy(col("a.oct").as("oct")).agg(sum(col("b.oc")).as("c_below"))
+    val blocks = intra.join(below, Seq("oct"), "left")
+      .select(col("cents"), col("na"), col("nb"),
+        (coalesce(col("c_below"), lit(0L)) + col("c_in")).as("c"),
+        (col("na") + col("nb")).as("n"))
+    val sums = blocks.agg(
+      sum("na").as("n_a"), sum("nb").as("n_b"),
+      sum(expr("CAST(na AS DECIMAL(38,0)) * (2 * c + n + 1)")).as("r2a"),
+      sum(expr("CAST(nb AS DECIMAL(38,0)) * (2 * c + n + 1)")).as("r2b"))
+    sums.select(col("n_a"), col("n_b"),
+      expr("CAST(r2b AS BIGINT)").as("r2_b"),
+      expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)")
+        .as("u2_a"),
+      expr("CAST(r2b - CAST(n_b AS DECIMAL(38,0)) * (n_b + 1) AS BIGINT)")
+        .as("u2_b"),
+      expr("n_a * n_b").as("u2_mean"),
+      expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) " +
+        "+ r2b - CAST(n_b AS DECIMAL(38,0)) * (n_b + 1) " +
+        "- 2 * CAST(n_a AS DECIMAL(38,0)) * n_b AS BIGINT)")
+        .as("identity_check"))
+  }
+
+  val abMannWhitneySql: String = {
+    val h = graft.ops.Hll.h60Sql("'ab:' || CAST(user_id AS VARCHAR)")
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN ($h) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+       |    user_id,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+       |      AS cents
+       |  FROM events GROUP BY 1, 2),
+       |vals AS (
+       |  SELECT cents,
+       |    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS na,
+       |    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS nb
+       |  FROM pu GROUP BY 1),
+       |blocks AS (
+       |  SELECT cents, na, nb, na + nb AS n,
+       |    coalesce(sum(na + nb) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+       |  FROM vals),
+       |sums AS (
+       |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+       |    CAST(sum(nb) AS BIGINT) AS n_b,
+       |    sum(CAST(na AS HUGEINT) * (2 * c + n + 1)) AS r2a,
+       |    sum(CAST(nb AS HUGEINT) * (2 * c + n + 1)) AS r2b
+       |  FROM blocks)
+       |SELECT n_a, n_b,
+       |  CAST(r2b AS BIGINT) AS r2_b,
+       |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+       |  CAST(r2b - CAST(n_b AS HUGEINT) * (n_b + 1) AS BIGINT) AS u2_b,
+       |  CAST(n_a * n_b AS BIGINT) AS u2_mean,
+       |  CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+       |    + r2b - CAST(n_b AS HUGEINT) * (n_b + 1)
+       |    - 2 * CAST(n_a AS HUGEINT) * n_b AS BIGINT) AS identity_check
+       |FROM sums""".stripMargin
+  }
+
   /** CUPED variance-reduced A/B panel (Deng et al. 2013): the
     * pre-period covariate X (each user's pre-midpoint purchase cents)
     * absorbs between-user variance from the post-period metric Y, so
@@ -2048,6 +2148,7 @@ object EventOps {
     "q_events_holt" -> ((s, d) => holtForecast(events(s, d))),
     "q_events_holt_daily" -> ((s, d) => holtDaily(events(s, d))),
     "q_events_cuped" -> ((s, d) => abCuped(events(s, d))),
+    "q_events_ab_mwu" -> ((s, d) => abMannWhitney(events(s, d))),
     "q_events_ab_srm" -> ((s, d) => abSrmCheck(events(s, d))),
     "q_events_drift" -> ((s, d) => valueDrift(events(s, d))),
     "q_events_churn" -> ((s, d) => churnFeatures(events(s, d))),
@@ -2098,6 +2199,7 @@ object EventOps {
     "q_events_holt" -> holtForecastSql,
     "q_events_holt_daily" -> holtDailySql,
     "q_events_cuped" -> abCupedSql,
+    "q_events_ab_mwu" -> abMannWhitneySql,
     "q_events_funnel_steps" -> funnelStepsSql,
     "q_events_ewma" -> ewmaDailySql,
     "q_events_ltv" -> cohortLtvSql,

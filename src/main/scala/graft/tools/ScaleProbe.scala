@@ -584,6 +584,40 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("sssp")) {
+      // Bounded-round Bellman-Ford probe: same hub-skewed family as
+      // the ppr probe. Claims: per-round cost is one co-partitioned
+      // dist-edge join + a map-side-combinable min keyed by node,
+      // ~linear in |E|; frontier state is node-bounded.
+      def graph(nEdges: Long, nNodes: Long) = spark.range(nEdges).select(
+        (col("id") % nNodes).as("u"),
+        (pmod(col("id") * 2654435761L, lit(nNodes)) %
+          (pmod(col("id") * 31, lit(997L)) + 1)).as("v"),
+        (pmod(col("id"), lit(9L)) + 1L).as("w"))
+        .filter(col("u") =!= col("v"))
+        .localCheckpoint()
+      Seq("1x (1M edges, 200k nodes)" -> ((1000000L, 200000L)),
+        "4x (4M edges, 800k nodes)" -> ((4000000L, 800000L)))
+        .foreach { case (label, (e, nn)) =>
+          val g = graph(e, nn)
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val res = graft.ops.GraphOps.ssspScaled(g)
+            .agg(count(lit(1)).as("n"),
+              expr("bit_xor(xxhash64(part_key, dist_cost))").as("chk"))
+            .collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[sssp-probe] $label%-26s ${res.getLong(0)}%9d nodes  " +
+            f"$dt%7.2f s  shuffle write ${l.bytes.get / 1e6}%9.1f MB  " +
+            f"chk ${res.getLong(1)}%d")
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("lpa")) {
       // Label-propagation probe (round-11 addition): planted
       // communities — nodes partitioned into blocks of 64, intra-block
