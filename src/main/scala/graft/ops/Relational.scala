@@ -345,6 +345,59 @@ object Relational {
     * domain checks are single-pass aggregates; the union is
     * answer-sized (one row per check).
     */
+  /** Benford first-digit audit over order totals — the classic
+    * financial-forensics panel: the observed first-significant-digit
+    * distribution vs Benford's law (expected permille =
+    * round(log₁₀(1+1/d)·1000), a 9-row literal — no runtime floats),
+    * with the absolute deviation per digit. Fabricated or
+    * threshold-gamed amounts bend this curve long before totals look
+    * wrong. Exact integers end to end.
+    *
+    * Scale: map-side digit extraction into a 9-row aggregate + a
+    * 1-row total broadcast + a 9-row literal join. Nothing global.
+    */
+  def qBenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val expected = Seq(1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L,
+      5L -> 79L, 6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+      .toDF("digit", "expected_permille")
+    val digits = t(s, dir, "orders")
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .filter(col("digit").between(1L, 9L))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("total"))
+    digits.crossJoin(broadcast(total))
+      .join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n"),
+        expr("1000 * n DIV total").as("share_permille"),
+        col("expected_permille"),
+        expr("abs(1000 * n DIV total - expected_permille)")
+          .as("dev_permille"))
+  }
+
+  val qBenfordAuditSql: String =
+    """WITH digits AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit, count(*) AS n
+      |  FROM orders
+      |  WHERE CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) BETWEEN 1 AND 9
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(n) AS total FROM digits),
+      |expected(digit, expected_permille) AS (VALUES
+      |  (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+      |  (6, 67), (7, 58), (8, 51), (9, 46))
+      |SELECT d.digit, CAST(d.n AS BIGINT) AS n,
+      |  CAST(1000 * d.n // total AS BIGINT) AS share_permille,
+      |  CAST(e.expected_permille AS BIGINT) AS expected_permille,
+      |  CAST(abs(1000 * d.n // total - e.expected_permille) AS BIGINT)
+      |    AS dev_permille
+      |FROM digits d CROSS JOIN tot
+      |JOIN expected e ON d.digit = e.digit""".stripMargin
+
   def qDataAudit(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
@@ -2049,6 +2102,7 @@ object Relational {
     "q4_priority" -> (q4Priority _),
     "q_revenue_concentration" -> (qRevenueConcentration _),
     "q10_returns" -> (q10Returns _),
+    "q_audit_benford" -> (qBenfordAudit _),
     "q7_volume" -> (q7Volume _),
     "q14_promo" -> (q14Promo _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -2111,6 +2165,7 @@ object Relational {
     "q4_priority" -> q4PrioritySql,
     "q_revenue_concentration" -> qRevenueConcentrationSql,
     "q10_returns" -> q10ReturnsSql,
+    "q_audit_benford" -> qBenfordAuditSql,
     "q7_volume" -> q7VolumeSql,
     "q14_promo" -> q14PromoSql,
     "q15_top_supplier" -> q15TopSupplierSql,

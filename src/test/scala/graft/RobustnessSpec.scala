@@ -212,6 +212,14 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.ops.EventOps.scd2States(emptyEvents).count() === 0)
     assert(graft.ops.EventOps.featuresAtPurchase(emptyEvents).count() === 0)
     assert(graft.ops.EventOps.attribution(emptyEvents).count() === 0)
+    assert(graft.ops.EventOps.holtForecast(emptyEvents).count() === 0)
+    assert(graft.ops.EventOps.holtDaily(emptyEvents).count() === 0)
+    // a zero-user experiment: the panels surface an all-NULL stat row
+    // or nothing, never a division crash
+    assert(graft.ops.EventOps.abCuped(emptyEvents).count() === 0)
+    val mwu = graft.ops.EventOps.abMannWhitney(emptyEvents).collect()
+    assert(mwu.length <= 1 &&
+      mwu.forall(r => r.isNullAt(0) || r.getLong(0) == 0L))
   }
 
   test("attribution: touchless and trailing-touch journeys route exactly") {
