@@ -597,8 +597,8 @@ object Relational {
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(
-        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
       .groupBy("supp_nation", "cust_nation", "l_year")
       .agg(sum("rev").as("revenue_micros"))
   }
@@ -615,8 +615,8 @@ object Relational {
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
       |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
       |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
       |GROUP BY 1, 2, 3""".stripMargin
