@@ -2082,9 +2082,365 @@ object Relational {
       |  t.total, t.n_keys
       |FROM ranked r CROSS JOIN tot t""".stripMargin
 
+  /** TPC-H Q2-style (min-cost regional supplier): for each part, the
+    * EUROPE-region supplier(s) whose historical line price hits the
+    * part's regional minimum — the correlated-min-subquery shape as a
+    * groupBy-min + join-back on the part key. The synthetic schema has
+    * no `partsupp`, so supply cost is read off lineitem history
+    * (min extended price in cents), which preserves the query shape
+    * (region-filtered dim, per-group min, equality join-back, ordered
+    * top-20) with exact integers.
+    */
+  def q2MinCost(s: SparkSession, dir: String): DataFrame = {
+    val eurNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val eurSup = t(s, dir, "supplier")
+      .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal") * 100, 0).cast("bigint").as("s_bal_cents"))
+    val reg = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("bigint").as("price_cents"))
+      .join(broadcast(eurSup.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .drop("s_suppkey")
+    val minc = reg.groupBy(col("l_partkey").as("mk"))
+      .agg(min("price_cents").as("min_cents"))
+    reg.join(minc,
+        col("l_partkey") === col("mk") &&
+          col("price_cents") === col("min_cents"))
+      .select(col("l_partkey").as("p_partkey"), col("l_suppkey"),
+        col("min_cents"))
+      .distinct()
+      .join(broadcast(eurSup), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "part").select("p_partkey", "p_name"), Seq("p_partkey"))
+      .select(col("s_bal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("min_cents"))
+      .orderBy(col("s_bal_cents").desc, col("s_name"), col("p_partkey"))
+      .limit(20)
+  }
+
+  val q2MinCostSql: String =
+    """WITH eur_sup AS (
+      |  SELECT s_suppkey, s_name, n_name,
+      |    CAST(round(s_acctbal * 100, 0) AS BIGINT) AS s_bal_cents
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |reg AS (
+      |  SELECT l.l_partkey, l.l_suppkey,
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+      |  FROM lineitem l JOIN eur_sup e ON l.l_suppkey = e.s_suppkey),
+      |minc AS (
+      |  SELECT l_partkey, min(price_cents) AS min_cents FROM reg GROUP BY 1),
+      |hit AS (
+      |  SELECT DISTINCT r.l_partkey AS p_partkey, r.l_suppkey, m.min_cents
+      |  FROM reg r JOIN minc m
+      |    ON r.l_partkey = m.l_partkey AND r.price_cents = m.min_cents)
+      |SELECT e.s_bal_cents, e.s_name, e.n_name, h.p_partkey, p.p_name,
+      |  h.min_cents
+      |FROM hit h
+      |JOIN eur_sup e ON h.l_suppkey = e.s_suppkey
+      |JOIN part p ON h.p_partkey = p.p_partkey
+      |ORDER BY e.s_bal_cents DESC, e.s_name, h.p_partkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q9-style (product-type profit): per supplier-nation,
+    * per ship year, profit on widget-family parts. No `partsupp`
+    * here, so supply cost is modeled as 60% of the part's retail
+    * price per unit — amount = rev_micros - qty * retail_cents * 60 —
+    * which keeps Q9's fact-through-three-dims + signed-amount-agg
+    * shape with exact integers.
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val widget = t(s, dir, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("bigint").as("retail_cents"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("year(l_shipdate)").cast("bigint").as("o_year"),
+        col("l_quantity").cast("bigint").as("qty"),
+        (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("bigint")))
+          .as("rev"))
+      .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("rev") - col("qty") * col("retail_cents") * lit(60L))
+        .as("profit_micros"))
+      .select("nation", "o_year", "profit_micros")
+  }
+
+  val q9ProfitSql: String =
+    """SELECT n.n_name AS nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+      |  CAST(sum(
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+      |    - CAST(l.l_quantity AS BIGINT)
+      |      * CAST(round(p.p_retailprice * 100, 0) AS BIGINT) * 60)
+      |    AS BIGINT) AS profit_micros
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE p.p_name LIKE '%widget%'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q11-style (important stock): per supplier-nation, the
+    * parts whose shipped value exceeds 0.2% of the nation's total —
+    * the HAVING-vs-scalar-subquery-per-group shape. Nation totals are
+    * a nation-count-sized aggregate broadcast back onto the per-part
+    * rows; the 0.2% threshold is the exact-integer predicate
+    * `500 * value > total`.
+    */
+  def q11Important(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val perPart = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100, 0).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("bigint")))
+          .as("rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey").as("p_partkey"))
+      .agg(sum("rev").as("value_micros"))
+    val perNation = perPart.groupBy("n_name")
+      .agg(sum("value_micros").as("nation_total_micros"))
+    perPart.join(broadcast(perNation), Seq("n_name"))
+      .filter(col("value_micros") * 500L > col("nation_total_micros"))
+      .select("n_name", "p_partkey", "value_micros", "nation_total_micros")
+  }
+
+  val q11ImportantSql: String =
+    """WITH per_part AS (
+      |  SELECT n.n_name, l.l_partkey AS p_partkey,
+      |    CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+      |      * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+      |      AS BIGINT) AS value_micros
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |per_nation AS (
+      |  SELECT n_name, CAST(sum(value_micros) AS BIGINT)
+      |    AS nation_total_micros
+      |  FROM per_part GROUP BY 1)
+      |SELECT p.n_name, p.p_partkey, p.value_micros, t.nation_total_micros
+      |FROM per_part p JOIN per_nation t ON p.n_name = t.n_name
+      |WHERE p.value_micros * 500 > t.nation_total_micros""".stripMargin
+
+  /** TPC-H Q12-style (late lines by priority): lines shipped more
+    * than 60 days after their order date, split into high-priority
+    * (1-URGENT / 2-HIGH) vs low-priority counts per ship year. The
+    * synthetic schema has no ship mode or commit/receipt dates, so
+    * "late" is ship-lag > 60 days — preserving Q12's fact-fact join
+    * + conditional-count shape on the columns that exist.
+    */
+  def q12LateLines(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("2001-01-01"))
+      .select(col("l_orderkey"),
+        expr("year(l_shipdate)").cast("bigint").as("ship_year"),
+        col("l_shipdate"))
+    val ord = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy("ship_year")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+  }
+
+  val q12LateLinesSql: String =
+    """SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '2001-01-01'
+      |  AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q13-style (customer order-count distribution): LEFT join
+    * customers to their non-'5-LOW' orders (join-condition filter, so
+    * zero-order customers survive with count 0), count per customer,
+    * then the distribution of those counts — the two-level-aggregate
+    * + outer-join-with-predicate-in-the-ON-clause shape.
+    */
+  def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustDistSql: String =
+    """WITH per_cust AS (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '5-LOW'
+      |  GROUP BY 1)
+      |SELECT c_count, count(*) AS custdist
+      |FROM per_cust GROUP BY 1
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q16-style (supplier count by part attributes): distinct
+    * suppliers that shipped each (brand, type, size) combo, excluding
+    * negative-balance suppliers (the customer-complaint analog) via
+    * NOT IN, over a brand/type/size exclusion filter. `partsupp` is
+    * absent, so the part-supplier relation is read off lineitem.
+    */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSup = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16SupplierCntSql: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |  count(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      |  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+      |  AND l.l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q17-style (small-quantity revenue): revenue from Brand#11
+    * lines whose quantity is below 20% of the part's average — the
+    * correlated-average-subquery shape as a per-part aggregate joined
+    * back onto the fact. The 0.2*avg threshold is the exact-integer
+    * cross-multiplication `5 * qty * cnt < sum_qty`.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val brand = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#11").select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("bigint").as("qty"),
+        round(col("l_extendedprice") * 100, 0).cast("bigint").as("price_cents"))
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(col("qty") * col("cnt") * 5L < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum("price_cents").as("small_qty_cents"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH li AS (
+      |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+      |    CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand = 'Brand#11'),
+      |per_part AS (
+      |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM li GROUP BY 1)
+      |SELECT count(*) AS n_small_lines,
+      |  CAST(sum(l.price_cents) AS BIGINT) AS small_qty_cents
+      |FROM li l JOIN per_part p ON l.l_partkey = p.l_partkey
+      |WHERE l.qty * p.cnt * 5 < p.sum_qty""".stripMargin
+
+  /** TPC-H Q20-style (dominant suppliers): suppliers who shipped more
+    * than 25% of a red part's 1996 volume — per-(part,supplier)
+    * aggregate vs per-part total (`4 * supp_qty > total_qty`), then
+    * the distinct suppliers rolled up with how many parts they
+    * dominate. Preserves Q20's agg-vs-half-of-agg semi-join chain
+    * without `partsupp` availqty.
+    */
+  def q20Dominant(s: SparkSession, dir: String): DataFrame = {
+    val red = t(s, dir, "part")
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val perSupp = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum("qty").as("supp_qty"))
+    val perPart = li.groupBy("l_partkey").agg(sum("qty").as("total_qty"))
+    perSupp.join(perPart, Seq("l_partkey"))
+      .filter(col("supp_qty") * 4L > col("total_qty"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("n_parts_dominated"))
+      .orderBy("s_name")
+  }
+
+  val q20DominantSql: String =
+    """WITH li AS (
+      |  SELECT l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS BIGINT) AS qty
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_name LIKE 'red%'
+      |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l.l_shipdate < TIMESTAMP '1997-01-01'),
+      |per_supp AS (
+      |  SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS supp_qty
+      |  FROM li GROUP BY 1, 2),
+      |per_part AS (
+      |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+      |  FROM li GROUP BY 1)
+      |SELECT s.s_name, n.n_name, count(*) AS n_parts_dominated
+      |FROM per_supp ps
+      |JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+      |JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE ps.supp_qty * 4 > pp.total_qty
+      |GROUP BY 1, 2
+      |ORDER BY s.s_name""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost" -> (q2MinCost _),
+    "q9_profit" -> (q9Profit _),
+    "q11_important" -> (q11Important _),
+    "q12_late_lines" -> (q12LateLines _),
+    "q13_custdist" -> (q13CustDist _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q20_dominant" -> (q20Dominant _),
     "q_skew_diag" -> (qSkewDiag _),
     "q_feature_binning" -> (qFeatureBinning _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -2148,6 +2504,14 @@ object Relational {
     "q_union_distinct" -> (qUnionDistinct _))
 
   val oracleSql: Map[String, String] = Map(
+    "q2_min_cost" -> q2MinCostSql,
+    "q9_profit" -> q9ProfitSql,
+    "q11_important" -> q11ImportantSql,
+    "q12_late_lines" -> q12LateLinesSql,
+    "q13_custdist" -> q13CustDistSql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q17_small_qty" -> q17SmallQtySql,
+    "q20_dominant" -> q20DominantSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_approx_agg" -> qApproxAggSql,
     "q_feature_binning" -> qFeatureBinningSql,
