@@ -2430,9 +2430,63 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY s.s_name""".stripMargin
 
+  /** TPC-H Q21-style (suppliers who kept orders waiting): for 'F'
+    * orders with >=2 distinct suppliers where exactly ONE supplier
+    * shipped late (>60 days after the order date), count waits per
+    * that sole-late supplier. The classic EXISTS + NOT-EXISTS pair is
+    * re-expressed as one aggregate per order (distinct-supplier count,
+    * distinct-late-supplier count, min late supplier) — semantically
+    * identical and one orderkey shuffle instead of three self-joins,
+    * which is the plan you want at 100 TB. No commit/receipt dates in
+    * this schema, so "late" is ship-lag > 60 days as in the Q12 analog.
+    */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > 60).as("late"))
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(
+        countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2L && col("n_late") === 1L)
+    perOrder
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSql: String =
+    """WITH li AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    date_diff('day', o.o_orderdate, l.l_shipdate) > 60 AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'),
+      |per_order AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+      |    min(CASE WHEN late THEN l_suppkey END) AS late_supp
+      |  FROM li GROUP BY 1)
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM per_order p JOIN supplier s ON p.late_supp = s.s_suppkey
+      |WHERE p.n_supp >= 2 AND p.n_late = 1
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s.s_name
+      |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_waiting" -> (q21Waiting _),
     "q2_min_cost" -> (q2MinCost _),
     "q9_profit" -> (q9Profit _),
     "q11_important" -> (q11Important _),
@@ -2504,6 +2558,7 @@ object Relational {
     "q_union_distinct" -> (qUnionDistinct _))
 
   val oracleSql: Map[String, String] = Map(
+    "q21_waiting" -> q21WaitingSql,
     "q2_min_cost" -> q2MinCostSql,
     "q9_profit" -> q9ProfitSql,
     "q11_important" -> q11ImportantSql,
