@@ -915,7 +915,84 @@ object Curation {
       |  min(n_docs) AS min_class_size
       |FROM classes GROUP BY 1, 2""".stripMargin
 
+  /** l-diversity audit, the companion to [[kAnonymity]]: within each
+    * quasi-identifier class (source, length bucket), how many DISTINCT
+    * sensitive values (lang) appear — a class can be k-anonymous yet
+    * still leak the sensitive attribute if every member shares it.
+    * Per source: classes below l=3, docs at risk, minimum diversity.
+    * Same two-level-aggregate shape as k-anon: one (source, bucket)
+    * shuffle with a distinct-count, then a source-sized rollup.
+    */
+  def lDiversity(d: DataFrame, l: Int = 3): DataFrame = {
+    val bucket = when(col("n_chars") === 0, lit(0L))
+      .otherwise(length(bin(col("n_chars"))).cast("bigint"))
+    val classes = d
+      .groupBy(col("source"), bucket.as("len_bucket"))
+      .agg(countDistinct("lang").as("n_langs"), count(lit(1)).as("n_docs"))
+    classes.groupBy("source").agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n_langs") < l, 1L).otherwise(0L))
+        .as("n_low_div_classes"),
+      sum(when(col("n_langs") < l, col("n_docs")).otherwise(0L))
+        .as("n_docs_at_risk"),
+      min("n_langs").as("min_diversity"),
+      sum("n_docs").as("total_docs"))
+  }
+
+  val lDiversitySql: String =
+    """WITH classes AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN n_chars = 0 THEN 0
+      |         ELSE length(bin(n_chars)) END AS BIGINT) AS len_bucket,
+      |    count(DISTINCT lang) AS n_langs,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN n_langs < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_div_classes,
+      |  CAST(sum(CASE WHEN n_langs < 3 THEN n_docs ELSE 0 END) AS BIGINT)
+      |    AS n_docs_at_risk,
+      |  min(n_langs) AS min_diversity,
+      |  CAST(sum(n_docs) AS BIGINT) AS total_docs
+      |FROM classes GROUP BY 1""".stripMargin
+
+  /** Blocklist audit: per source, documents matching any of a small
+    * banned-term list, plus per-term hit counts. One pre-compiled
+    * alternation regex with word boundaries evaluated in a single
+    * codegen'd scan — the right shape for a small blocklist (for a
+    * 10^5-term list you would broadcast an Aho-Corasick trie into a
+    * native expression instead; the per-source partial-agg rollup
+    * stays identical). Map-side combinable; no shuffle beyond the
+    * source-sized aggregate.
+    */
+  def blocklistAudit(d: DataFrame): DataFrame = {
+    val terms = Seq("slow", "crash", "skew")
+    val any = "\\b(" + terms.mkString("|") + ")\\b"
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("text").rlike(any), 1L).otherwise(0L)).as("n_flagged")) ++
+      terms.map(tm =>
+        sum(when(col("text").rlike("\\b" + tm + "\\b"), 1L).otherwise(0L))
+          .as(s"n_$tm"))
+    d.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
+
+  val blocklistAuditSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '\b(slow|crash|skew)\b')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '\bslow\b')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '\bcrash\b')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crash,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '\bskew\b')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skew
+      |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_ldiv" -> ((s, d) => lDiversity(docs(s, d))),
+    "q_text_blocklist" -> ((s, d) => blocklistAudit(docs(s, d))),
     "q_privacy_kanon" -> ((s, d) => kAnonymity(docs(s, d))),
     "q_text_fertility" -> ((s, d) =>
       bpeFertility(docs(s, d), trainedMerges(s, d))),
@@ -934,6 +1011,8 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "q_privacy_kanon" -> kAnonymitySql,
+    "q_privacy_ldiv" -> lDiversitySql,
+    "q_text_blocklist" -> blocklistAuditSql,
     "q_text_fertility" -> bpeFertilitySql,
     "q_text_bpe" -> bpeTrainSql,
     "q_text_bpe_encode" -> bpeEncodeSql,
