@@ -1162,6 +1162,69 @@ object CorpusOps {
     * a stop word from exploding the candidate join at 100 TB); the
     * fusion itself is answer-sized (<= 2k rows per query).
     */
+  /** nDCG@k ranking-quality panel for the BM25 batch search: within a
+    * 50-candidate judged pool per query ([[retrievalJoin]] at
+    * topK=50), graded relevance = the shared-rare-term count, system
+    * order = BM25 rank, ideal order = relevance desc. Gains are the
+    * exact integers `2^rel - 1` (shiftleft — rel <= 5 so no overflow);
+    * only the final DCG/IDCG/nDCG sums round (6 dp), the convention
+    * every float-bearing panel here uses so both engines agree.
+    *
+    * Scale: everything after the candidate join is answer-sized — two
+    * row_number windows partitioned by query over <= 50 rows each,
+    * then a per-query aggregate. The candidate join itself inherits
+    * retrievalJoin's rare-term bound.
+    */
+  def retrievalNdcg(
+      d: DataFrame, poolK: Int = 50, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = retrievalJoin(d, topK = poolK)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        expr("shiftleft(1L, cast(n_shared_terms AS INT)) - 1L").as("gain"))
+    val wIdeal = Window.partitionBy("q_id")
+      .orderBy(col("gain").desc, col("c_id"))
+    pool.withColumn("irank", row_number().over(wIdeal).cast("bigint"))
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_judged"),
+        round(sum(when(col("rank") <= k,
+          col("gain").cast("double") / log2(col("rank") + 1))
+          .otherwise(lit(0.0))), 6).as("dcg"),
+        round(sum(when(col("irank") <= k,
+          col("gain").cast("double") / log2(col("irank") + 1))
+          .otherwise(lit(0.0))), 6).as("idcg"),
+        round(
+          sum(when(col("rank") <= k,
+            col("gain").cast("double") / log2(col("rank") + 1))
+            .otherwise(lit(0.0))) /
+            sum(when(col("irank") <= k,
+              col("gain").cast("double") / log2(col("irank") + 1))
+              .otherwise(lit(0.0))), 6).as("ndcg"))
+  }
+
+  def retrievalNdcgSql(poolK: Int = 50, k: Int = 5): String =
+    s"""WITH pool AS (
+       |${retrievalJoinSql(topK = poolK)}),
+       |graded AS (
+       |  SELECT q_id, c_id, rank,
+       |    (1::BIGINT << n_shared_terms::INT) - 1 AS gain
+       |  FROM pool),
+       |ranked AS (
+       |  SELECT q_id, rank, gain,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY gain DESC, c_id) AS BIGINT) AS irank
+       |  FROM graded)
+       |SELECT q_id, count(*) AS n_judged,
+       |  round(sum(CASE WHEN rank <= $k
+       |    THEN gain::DOUBLE / log2(rank + 1) ELSE 0.0 END), 6) AS dcg,
+       |  round(sum(CASE WHEN irank <= $k
+       |    THEN gain::DOUBLE / log2(irank + 1) ELSE 0.0 END), 6) AS idcg,
+       |  round(sum(CASE WHEN rank <= $k
+       |    THEN gain::DOUBLE / log2(rank + 1) ELSE 0.0 END) /
+       |    sum(CASE WHEN irank <= $k
+       |      THEN gain::DOUBLE / log2(irank + 1) ELSE 0.0 END), 6) AS ndcg
+       |FROM ranked GROUP BY 1""".stripMargin
+
   def retrievalRrf(
       d: DataFrame, qTerms: Int = 5, topK: Int = 5,
       rrfK: Int = 60): DataFrame = {
@@ -2303,6 +2366,7 @@ object CorpusOps {
     "q_sketch_bloom_calib" -> ((s, d) => bloomCalibration(docs(s, d))),
     "q_text_heaps" -> ((s, d) => heapsGrowth(docs(s, d))),
     "q_retrieval_rrf" -> ((s, d) => retrievalRrf(docs(s, d))),
+    "q_retrieval_ndcg" -> ((s, d) => retrievalNdcg(docs(s, d))),
     "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
     "q_sketch_cms" -> ((s, d) => cmsFreqPanel(docs(s, d))),
@@ -2331,6 +2395,7 @@ object CorpusOps {
     "q_sketch_bloom_calib" -> bloomCalibrationSql(),
     "q_text_heaps" -> heapsGrowthSql(),
     "q_retrieval_rrf" -> retrievalRrfSql(),
+    "q_retrieval_ndcg" -> retrievalNdcgSql(),
     "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,
     "q_sketch_cms" -> cmsFreqPanelSql,
