@@ -411,6 +411,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("retrievalNdcg: in-memory replay of DCG/IDCG; ndcg in (0, 1]") {
+    val pool = CorpusOps.retrievalJoin(docs, topK = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val want = pool.groupBy(_._1).map { case (q, rs) =>
+      def dcgOf(ranked: Seq[Long]): Double =
+        ranked.take(5).zipWithIndex.map { case (rel, i) =>
+          ((1L << rel.toInt) - 1).toDouble /
+            (math.log(i + 2.0) / math.log(2.0))
+        }.sum
+      val sys = rs.sortBy(_._3).map(_._4).toSeq
+      val ideal = rs.map(_._4).toSeq.sorted.reverse
+      (q, dcgOf(sys), dcgOf(ideal))
+    }
+    val got = CorpusOps.retrievalNdcg(docs).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.nonEmpty)
+    want.foreach { case (q, dcg, idcg) =>
+      val (nJudged, gDcg, gIdcg, gNdcg) = got(q)
+      assert(nJudged > 0L)
+      assert(math.abs(gDcg - dcg) < 1e-5, s"query $q dcg $gDcg != $dcg")
+      assert(math.abs(gIdcg - idcg) < 1e-5, s"query $q idcg $gIdcg != $idcg")
+      assert(math.abs(gNdcg - dcg / idcg) < 1e-5, s"query $q ndcg off")
+      assert(gNdcg > 0.0 && gNdcg <= 1.0 + 1e-9, s"query $q ndcg $gNdcg")
+      assert(gIdcg + 1e-9 >= gDcg, s"query $q idcg < dcg")
+    }
+  }
+
   test("retrievalMmr: independent greedy replay matches every round") {
     val pool = CorpusOps.retrievalJoin(docs, topK = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -209,4 +209,53 @@ class CurationSpec extends SparkSpec {
     val out = Curation.kAnonymity(docs)
     assert(out.agg(sum("total_docs")).head().getLong(0) === docs.count())
   }
+
+  test("lDiversity matches a closed-form fixture and bounds hold") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (s0, bucket 3): 3 langs over 4 docs — diverse; (s0, bucket 4):
+    // 2 docs, 1 lang — low-diversity, both docs at risk. (s1): one
+    // 2-doc 2-lang class, below l=3, both at risk.
+    val d = (Seq((0L, "en", "s0", 4L), (1L, "de", "s0", 5L),
+      (2L, "fr", "s0", 6L), (3L, "en", "s0", 7L),
+      (4L, "en", "s0", 8L), (5L, "en", "s0", 9L),
+      (6L, "en", "s1", 4L), (7L, "de", "s1", 5L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = Curation.lDiversity(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("s0") === ((2L, 1L, 2L, 1L, 6L)))
+    assert(got("s1") === ((1L, 1L, 2L, 2L, 2L)))
+    // corpus-wide: every doc counted once; at-risk <= total; min >= 1
+    val rows = Curation.lDiversity(docs).collect()
+    assert(rows.map(_.getLong(5)).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(5))
+      assert(r.getLong(4) >= 1L)
+    }
+  }
+
+  test("blocklistAudit equals an exact in-memory regex replay") {
+    val rows = Curation.blocklistAudit(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val terms = Seq("slow", "crash", "skew")
+    val pats = terms.map(t => ("\\b" + t + "\\b").r)
+    val anyPat = ("\\b(" + terms.mkString("|") + ")\\b").r
+    val want = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (src, ds) =>
+        val texts = ds.map(_._2)
+        src -> (texts.length.toLong,
+          texts.count(t => anyPat.findFirstIn(t).isDefined).toLong,
+          texts.count(t => pats(0).findFirstIn(t).isDefined).toLong,
+          texts.count(t => pats(1).findFirstIn(t).isDefined).toLong,
+          texts.count(t => pats(2).findFirstIn(t).isDefined).toLong)
+      }
+    assert(rows === want)
+    // at least one source must actually flag something on this corpus
+    assert(rows.values.map(_._2).sum > 0L)
+  }
 }
