@@ -1162,6 +1162,67 @@ object CorpusOps {
     * a stop word from exploding the candidate join at 100 TB); the
     * fusion itself is answer-sized (<= 2k rows per query).
     */
+  /** KL-divergence mixture diagnostic: per source, KL(P_source ||
+    * P_corpus) over unigram distributions — how far each source's
+    * token mix sits from the blend, the number a data-mixture tuner
+    * watches when re-weighting sources (cf. the DSIR sampler, which
+    * importance-weights by the same ratio doc-by-doc). Every source
+    * term exists in the corpus distribution by construction, so no
+    * smoothing is needed and KL is finite. All counts stay exact
+    * integers through the (source, term) x (term) join; the single
+    * float appears in the final per-source sum, rounded at 6 dp (the
+    * panel convention). Scale: one (source, term) shuffle + one
+    * term-partitioned join against the vocabulary — never a corpus
+    * broadcast; the per-source rollup is answer-sized.
+    */
+  def klBySource(d: DataFrame): DataFrame = {
+    val toks = TextOps.letterTokens(col("text"))
+    val st = d.select(col("source"), explode(toks).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val corp = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val nAll = corp.agg(sum("c_t").as("n_all"))
+    st.join(srcTot, "source")
+      .join(corp, "term")
+      .crossJoin(broadcast(nAll))
+      .groupBy("source")
+      .agg(
+        max("n_s").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(sum(
+          (col("c_st").cast("double") / col("n_s")) *
+            log((col("c_st").cast("double") * col("n_all")) /
+              (col("n_s").cast("double") * col("c_t")))), 6)
+          .as("kl_nats"))
+  }
+
+  val klBySourceSql: String =
+    """WITH st AS (
+      |  SELECT source, term, count(*) AS c_st FROM (
+      |    SELECT source,
+      |      unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |        t -> t <> '')) AS term
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |src_tot AS (
+      |  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st
+      |  GROUP BY 1),
+      |corp AS (
+      |  SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |n_all AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_all FROM corp)
+      |SELECT st.source,
+      |  max(s.n_s) AS n_tokens,
+      |  count(*) AS vocab,
+      |  round(sum(
+      |    (st.c_st::DOUBLE / s.n_s) *
+      |      ln((st.c_st::DOUBLE * a.n_all) / (s.n_s::DOUBLE * c.c_t))),
+      |    6) AS kl_nats
+      |FROM st
+      |JOIN src_tot s ON st.source = s.source
+      |JOIN corp c ON st.term = c.term
+      |CROSS JOIN n_all a
+      |GROUP BY 1""".stripMargin
+
   /** nDCG@k ranking-quality panel for the BM25 batch search: within a
     * 50-candidate judged pool per query ([[retrievalJoin]] at
     * topK=50), graded relevance = the shared-rare-term count, system
@@ -2367,6 +2428,7 @@ object CorpusOps {
     "q_text_heaps" -> ((s, d) => heapsGrowth(docs(s, d))),
     "q_retrieval_rrf" -> ((s, d) => retrievalRrf(docs(s, d))),
     "q_retrieval_ndcg" -> ((s, d) => retrievalNdcg(docs(s, d))),
+    "q_text_kl" -> ((s, d) => klBySource(docs(s, d))),
     "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
     "q_sketch_cms" -> ((s, d) => cmsFreqPanel(docs(s, d))),
@@ -2396,6 +2458,7 @@ object CorpusOps {
     "q_text_heaps" -> heapsGrowthSql(),
     "q_retrieval_rrf" -> retrievalRrfSql(),
     "q_retrieval_ndcg" -> retrievalNdcgSql(),
+    "q_text_kl" -> klBySourceSql,
     "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,
     "q_sketch_cms" -> cmsFreqPanelSql,

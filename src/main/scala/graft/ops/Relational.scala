@@ -2430,6 +2430,92 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY s.s_name""".stripMargin
 
+  /** Robust outlier panel (median / MAD): per order status, the exact
+    * median of order totals, the exact median absolute deviation, and
+    * how many orders sit beyond 3 MADs — the outlier rule that, unlike
+    * mean/stddev z-scores (q_events_anomaly), is not itself dragged by
+    * the outliers it hunts. Both medians use the rank-position
+    * discipline of [[qQuantileExact]] (row_number to ceil(n/2), exact
+    * integers end-to-end). Group-partitioned windows: groups here are
+    * the 3 statuses, so at 100 TB you'd pre-aggregate per (status,
+    * cents) first or reach for the mergeable sketch
+    * (q_sketch_quantile); the exact discipline is for bounded groups.
+    */
+  def qOutlierMad(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"),
+      col("o_orderkey"))
+    val w1 = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wAll = Window.partitionBy("o_orderstatus")
+    val med = base
+      .withColumn("rn", row_number().over(w1).cast("bigint"))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy("o_orderstatus")
+      .agg(max(when(col("rn") === expr("CAST(ceil(0.5 * cnt) AS BIGINT)"),
+        col("cents"))).as("med_cents"))
+    val dev = base.join(broadcast(med), Seq("o_orderstatus"))
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    val w2 = Window.partitionBy("o_orderstatus")
+      .orderBy(col("adev"), col("o_orderkey"))
+    val mad = dev
+      .withColumn("rn", row_number().over(w2).cast("bigint"))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(max(when(col("rn") === expr("CAST(ceil(0.5 * cnt) AS BIGINT)"),
+        col("adev"))).as("mad_cents"))
+    dev.join(broadcast(mad), col("o_orderstatus") === col("st"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(col("adev") > lit(3L) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max("adev").as("max_adev_cents"))
+  }
+
+  val qOutlierMadSql: String =
+    """WITH base AS (
+      |  SELECT o_orderstatus,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    o_orderkey
+      |  FROM orders),
+      |med AS (
+      |  SELECT o_orderstatus,
+      |    max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+      |      THEN cents END) AS med_cents
+      |  FROM (SELECT o_orderstatus, cents,
+      |          row_number() OVER (PARTITION BY o_orderstatus
+      |            ORDER BY cents, o_orderkey) AS rn,
+      |          count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      |        FROM base)
+      |  GROUP BY 1),
+      |dev AS (
+      |  SELECT b.o_orderstatus, b.o_orderkey, m.med_cents,
+      |    abs(b.cents - m.med_cents) AS adev
+      |  FROM base b JOIN med m ON b.o_orderstatus = m.o_orderstatus),
+      |mad AS (
+      |  SELECT o_orderstatus,
+      |    max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+      |      THEN adev END) AS mad_cents
+      |  FROM (SELECT o_orderstatus, adev,
+      |          row_number() OVER (PARTITION BY o_orderstatus
+      |            ORDER BY adev, o_orderkey) AS rn,
+      |          count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      |        FROM dev)
+      |  GROUP BY 1)
+      |SELECT d.o_orderstatus,
+      |  count(*) AS n_orders,
+      |  max(d.med_cents) AS med_cents,
+      |  max(a.mad_cents) AS mad_cents,
+      |  CAST(sum(CASE WHEN d.adev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  max(d.adev) AS max_adev_cents
+      |FROM dev d JOIN mad a ON d.o_orderstatus = a.o_orderstatus
+      |GROUP BY 1""".stripMargin
+
   /** TPC-H Q21-style (suppliers who kept orders waiting): for 'F'
     * orders with >=2 distinct suppliers where exactly ONE supplier
     * shipped late (>60 days after the order date), count waits per
@@ -2487,6 +2573,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_waiting" -> (q21Waiting _),
+    "q_outlier_mad" -> (qOutlierMad _),
     "q2_min_cost" -> (q2MinCost _),
     "q9_profit" -> (q9Profit _),
     "q11_important" -> (q11Important _),
@@ -2559,6 +2646,7 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q21_waiting" -> q21WaitingSql,
+    "q_outlier_mad" -> qOutlierMadSql,
     "q2_min_cost" -> q2MinCostSql,
     "q9_profit" -> q9ProfitSql,
     "q11_important" -> q11ImportantSql,

@@ -411,6 +411,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("klBySource: non-negative everywhere; zero iff source == blend") {
+    // two sources with IDENTICAL token distributions -> KL exactly 0
+    val same = mkDocs(Seq(
+      (1L, "a a b c", "en", "s0"), (2L, "a a b c", "en", "s1")))
+    CorpusOps.klBySource(same).collect().foreach { r =>
+      assert(r.getDouble(3) === 0.0, s"${r.getString(0)} KL != 0")
+    }
+    // real corpus: Gibbs' inequality, and token totals cover the corpus
+    val rows = CorpusOps.klBySource(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0,
+      s"${r.getString(0)} negative KL ${r.getDouble(3)}"))
+    val totalToks = docs
+      .select(explode(TextOps.letterTokens(col("text"))).as("t"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum === totalToks)
+  }
+
   test("retrievalNdcg: in-memory replay of DCG/IDCG; ndcg in (0, 1]") {
     val pool = CorpusOps.retrievalJoin(docs, topK = 50).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
