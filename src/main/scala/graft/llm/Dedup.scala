@@ -1569,6 +1569,43 @@ object Dedup {
        |  CAST(sz * count(*) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY sz""".stripMargin
 
+  /** Soft dedup: instead of DROPPING near-duplicates, down-weight
+    * them — every member of an n-doc cluster gets sampling weight 1/n
+    * (integer-exact as `1000000 DIV n`), singletons keep weight 1.
+    * The reweighting alternative to [[dedupSurvivors]]: total expected
+    * exposure per unique content stays 1.0, so no information is lost
+    * while duplicate gradient amplification is removed (the SoftDeDup
+    * recipe). Rides the memoized clustering; the weight assignment is
+    * one cluster-partitioned count window plus a LEFT join back to the
+    * corpus for the singleton rows — both shapes the cluster trio
+    * already pays for.
+    */
+  def softDedupWeights(
+      d: DataFrame, threshold: Double = 0.9,
+      broadcastLabels: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy("cluster_id")
+    val sized = dupClusters(d, threshold, broadcastLabels = broadcastLabels)
+      .withColumn("sz", count(lit(1)).over(byCluster).cast("bigint"))
+    d.select(col("doc_id"))
+      .join(sized, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"),
+        (lit(1000000L) / coalesce(col("sz"), lit(1L))).cast("bigint")
+          .as("weight_e6"))
+  }
+
+  val softDedupWeightsSql: String =
+    s"""WITH clusters AS ($dupClustersSql),
+       |sized AS (
+       |  SELECT doc_id,
+       |    count(*) OVER (PARTITION BY cluster_id) AS sz
+       |  FROM clusters)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+       |  CAST(1000000 // coalesce(s.sz, 1) AS BIGINT) AS weight_e6
+       |FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id""".stripMargin
+
   /** QUALITY-AWARE survivor selection: keep each near-dup cluster's
     * BEST member (highest integer alpha-quality, doc_id tiebreak)
     * instead of [[dedupSurvivors]]' lowest-id member — what a curation
@@ -2144,6 +2181,7 @@ object Dedup {
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
     "q_dedup_cluster_hist" -> ((s, d) => dedupClusterHist(docs(s, d))),
+    "q_dedup_soft_weights" -> ((s, d) => softDedupWeights(docs(s, d))),
     "q_pairs_contrastive" -> ((s, d) => contrastivePairs(docs(s, d))),
     "q_dedup_venn" -> ((s, d) => detectorVenn(docs(s, d))),
     "q_sketch_minhash_calib" -> ((s, d) => minhashCalibration(docs(s, d))),
@@ -2182,6 +2220,7 @@ object Dedup {
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" -> dupClustersSql,
     "q_dedup_cluster_hist" -> dedupClusterHistSql,
+    "q_dedup_soft_weights" -> softDedupWeightsSql,
     "q_pairs_contrastive" -> contrastivePairsSql,
     "q_dedup_venn" -> detectorVennSql,
     "q_sketch_minhash_calib" -> minhashCalibrationSql,

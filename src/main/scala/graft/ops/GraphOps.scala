@@ -526,6 +526,72 @@ object GraphOps {
         expr("1000 * sum_deg DIV tot_deg").as("share_permille"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every (symmetrized) edge — do hubs link to
+    * hubs (r > 0) or to leaves (r < 0)? The one-number companion to
+    * [[degreeDistribution]] when choosing a join strategy: a
+    * disassortative hub-and-spoke graph concentrates whole
+    * neighborhoods on single keys (salting territory) where an
+    * assortative one spreads them.
+    *
+    * All five moment sums are exact integers (degree sums over edges);
+    * only the final Pearson ratio goes through doubles, rounded 6 dp.
+    * By symmetry of the doubled edge list Sy=Sx and Syy=Sxx, so
+    * r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2). Int64 headroom: M*Sxy <=
+    * 2m^2*dmax^2 — fine to m*dmax ~ 3e9 edge-endpoints; past that,
+    * compute the moments per-octave and combine in doubles.
+    *
+    * Scale: one degree aggregation + two node-keyed joins of the edge
+    * list against the node-sized degree table + one algebraic
+    * aggregate. No window, nothing driver-side.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    sym
+      .join(deg.select(col("node").as("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dy")), "v")
+      .agg(
+        count(lit(1)).as("m2"),
+        sum("dx").as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m2"), col("sx"), col("sxx"), col("sxy"),
+        round((col("m2").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sx")) /
+          (col("m2").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")), 6).as("r"))
+  }
+
+  val assortativitySql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY node),
+      |sym AS (
+      |  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+      |moments AS (
+      |  SELECT count(*) AS m2,
+      |    CAST(sum(du.deg) AS BIGINT) AS sx,
+      |    CAST(sum(du.deg * du.deg) AS BIGINT) AS sxx,
+      |    CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy
+      |  FROM sym s
+      |  JOIN deg du ON s.u = du.node
+      |  JOIN deg dv ON s.v = dv.node)
+      |SELECT m2, sx, sxx, sxy,
+      |  round((m2::DOUBLE * sxy - sx::DOUBLE * sx) /
+      |    (m2::DOUBLE * sxx - sx::DOUBLE * sx), 6) AS r
+      |FROM moments""".stripMargin
+
   val degreeDistributionSql: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -1027,7 +1093,9 @@ object GraphOps {
     "q_graph_sssp" -> ((s, d) =>
       ssspScaled(coOccurrenceWeighted(Tables.load(s, d, "lineitem")))),
     "q_graph_degree_dist" -> ((s, d) =>
-      degreeDistribution(coOccurrenceEdges(Tables.load(s, d, "lineitem")))))
+      degreeDistribution(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
+    "q_graph_assortativity" -> ((s, d) =>
+      assortativity(coOccurrenceEdges(Tables.load(s, d, "lineitem")))))
 
   /** The driver query is the scaled-integer fixed-iteration form, so
     * it IS oracle-checkable; the float [[pageRank]] (convergence stop,
@@ -1044,5 +1112,6 @@ object GraphOps {
     "q_graph_triangles" -> triangleCountsSql,
     "q_graph_pagerank" -> pageRankScaledSql(),
     "q_graph_sssp" -> ssspSql(),
-    "q_graph_degree_dist" -> degreeDistributionSql)
+    "q_graph_degree_dist" -> degreeDistributionSql,
+    "q_graph_assortativity" -> assortativitySql)
 }

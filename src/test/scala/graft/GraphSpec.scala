@@ -216,6 +216,25 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (_, d) => assert(d >= 3L) }
   }
 
+  test("assortativity equals an exact in-memory Pearson replay") {
+    val edges = GraphOps.coOccurrenceEdges(Tables.load(spark, sfDir, "lineitem"))
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (es.map(_._1) ++ es.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = es.flatMap { case (u, v) =>
+      Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    val m2 = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val want = (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+    val row = GraphOps.assortativity(edges).head()
+    assert(row.getLong(0) === pairs.length.toLong)
+    assert(math.abs(row.getDouble(4) - want) < 1e-5,
+      s"r ${row.getDouble(4)} != $want")
+    assert(row.getDouble(4) >= -1.0 - 1e-9 && row.getDouble(4) <= 1.0 + 1e-9)
+  }
+
   test("bfsHops: seed at 0, every hop-h node adjacent to some hop-(h-1) node") {
     val got = GraphOps.bfsHops(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

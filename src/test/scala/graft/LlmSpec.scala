@@ -968,6 +968,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("soft-dedup weights: one row per doc, weight = 1e6 div cluster size") {
+    val rows = graft.llm.Dedup.softDedupWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length.toLong === docs.count())
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (id, sz, w) =>
+      assert(sz >= 1L)
+      assert(w === 1000000L / sz, s"doc $id weight $w != 1e6/$sz")
+    }
+    // cluster sizes agree with the clustering this composes on
+    val szByDoc = graft.llm.Dedup.dupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.flatMap(ms => ms.map(m => m._1 -> ms.length.toLong))
+      .toMap
+    rows.foreach { case (id, sz, _) =>
+      assert(sz === szByDoc.getOrElse(id, 1L), s"doc $id size $sz")
+    }
+    // clustered docs exist on this corpus, so some weight < 1
+    assert(rows.exists(_._3 < 1000000L))
+  }
+
   test("winnowing guarantee: docs sharing a w+k-1 token run share a hash") {
     val k = 4; val w = 5
     // doc 1 = X ++ SHARED, doc 2 = SHARED ++ Z where |SHARED| = w+k-1:
