@@ -1162,6 +1162,60 @@ object CorpusOps {
     * a stop word from exploding the candidate join at 100 TB); the
     * fusion itself is answer-sized (<= 2k rows per query).
     */
+  /** Term-burstiness panel (index of dispersion): for the 20 most
+    * frequent terms, the variance-to-mean ratio of per-document
+    * counts — VMR ~ 1 is Poisson background (function words), VMR >> 1
+    * is a bursty content term that clumps in few docs, the classic
+    * keyword signal (Church & Gale's burstiness; what tf-idf's df term
+    * approximates). Integer-exact throughout: with S1 = sum of counts,
+    * S2 = sum of squared counts over NONZERO docs and D = corpus size,
+    * population VMR = (D*S2 - S1^2) / (D*S1), emitted as the exact
+    * integer permille `1000*(D*S2 - S1^2) DIV (D*S1)` — zero-count
+    * docs enter through D without being materialized.
+    *
+    * Scale: one (term, doc) aggregation feeding one term aggregation
+    * (both map-side combinable), a 1-row corpus count broadcast, and
+    * an answer-sized top-20. Headroom: D*S2 <= D * S1 * max_count —
+    * int64-safe to ~1e9 docs x 1e6-token docs.
+    */
+  def burstiness(d: DataFrame, topN: Int = 20): DataFrame = {
+    val toks = TextOps.letterTokens(col("text"))
+    val perDoc = d.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val perTerm = perDoc.groupBy("term").agg(
+      count(lit(1)).as("n_docs_with"),
+      sum("c").as("s1"),
+      sum(col("c") * col("c")).as("s2"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    perTerm.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("n_docs_with"), col("s1"), col("s2"),
+        expr("1000 * (n_docs * s2 - s1 * s1) DIV (n_docs * s1)")
+          .as("vmr_permille"))
+      .orderBy(col("s1").desc, col("term"))
+      .limit(topN)
+  }
+
+  val burstinessSql: String =
+    """WITH per_doc AS (
+      |  SELECT doc_id, term, count(*) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |        t -> t <> '')) AS term
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |per_term AS (
+      |  SELECT term, count(*) AS n_docs_with,
+      |    CAST(sum(c) AS BIGINT) AS s1,
+      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM per_doc GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT term, n_docs_with, s1, s2,
+      |  CAST(1000 * (n_docs * s2 - s1 * s1) // (n_docs * s1) AS BIGINT)
+      |    AS vmr_permille
+      |FROM per_term CROSS JOIN nd
+      |ORDER BY s1 DESC, term
+      |LIMIT 20""".stripMargin
+
   /** KL-divergence mixture diagnostic: per source, KL(P_source ||
     * P_corpus) over unigram distributions — how far each source's
     * token mix sits from the blend, the number a data-mixture tuner
@@ -2429,6 +2483,7 @@ object CorpusOps {
     "q_retrieval_rrf" -> ((s, d) => retrievalRrf(docs(s, d))),
     "q_retrieval_ndcg" -> ((s, d) => retrievalNdcg(docs(s, d))),
     "q_text_kl" -> ((s, d) => klBySource(docs(s, d))),
+    "q_text_burstiness" -> ((s, d) => burstiness(docs(s, d))),
     "q_sketch_quantile" -> ((s, d) => quantileSketch(docs(s, d))),
     "q_text_topics" -> ((s, d) => topicClusters(docs(s, d))),
     "q_sketch_cms" -> ((s, d) => cmsFreqPanel(docs(s, d))),
@@ -2459,6 +2514,7 @@ object CorpusOps {
     "q_retrieval_rrf" -> retrievalRrfSql(),
     "q_retrieval_ndcg" -> retrievalNdcgSql(),
     "q_text_kl" -> klBySourceSql,
+    "q_text_burstiness" -> burstinessSql,
     "q_sketch_quantile" -> quantileSketchSql,
     "q_text_topics" -> topicClustersSql,
     "q_sketch_cms" -> cmsFreqPanelSql,

@@ -566,6 +566,47 @@ object GraphOps {
             col("sx").cast("double") * col("sx")), 6).as("r"))
   }
 
+  /** Edge reciprocity over the directed event-transition graph: of
+    * all distinct directed edges, the permille whose reverse edge also
+    * exists — how two-way the user-journey graph is (a checkout->cart
+    * back-edge is product friction; a one-way funnel reciprocates
+    * nothing). One self-join of the distinct edge list on the swapped
+    * key + one 1-row aggregate; integer-exact.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("1000 * n_reciprocal DIV n_edges").as("reciprocity_permille"))
+  }
+
+  val reciprocitySql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT e1.event_type AS src, e2.event_type AS dst
+      |    FROM (SELECT user_id, ts, event_id, event_type,
+      |            row_number() OVER (PARTITION BY user_id
+      |              ORDER BY ts, event_id) AS rn
+      |          FROM events) e1
+      |    JOIN (SELECT user_id, ts, event_id, event_type,
+      |            row_number() OVER (PARTITION BY user_id
+      |              ORDER BY ts, event_id) AS rn
+      |          FROM events) e2
+      |      ON e1.user_id = e2.user_id AND e2.rn = e1.rn + 1)
+      |  WHERE src <> dst),
+      |r AS (
+      |  SELECT count(*) AS n_reciprocal
+      |  FROM e a SEMI JOIN e b ON a.src = b.dst AND a.dst = b.src),
+      |n AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT n.n_edges, r.n_reciprocal,
+      |  CAST(1000 * r.n_reciprocal // n.n_edges AS BIGINT)
+      |    AS reciprocity_permille
+      |FROM n CROSS JOIN r""".stripMargin
+
   val assortativitySql: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -1095,7 +1136,9 @@ object GraphOps {
     "q_graph_degree_dist" -> ((s, d) =>
       degreeDistribution(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
     "q_graph_assortativity" -> ((s, d) =>
-      assortativity(coOccurrenceEdges(Tables.load(s, d, "lineitem")))))
+      assortativity(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
+    "q_graph_reciprocity" -> ((s, d) =>
+      reciprocity(eventTransitions(Tables.load(s, d, "events")))))
 
   /** The driver query is the scaled-integer fixed-iteration form, so
     * it IS oracle-checkable; the float [[pageRank]] (convergence stop,
@@ -1113,5 +1156,6 @@ object GraphOps {
     "q_graph_pagerank" -> pageRankScaledSql(),
     "q_graph_sssp" -> ssspSql(),
     "q_graph_degree_dist" -> degreeDistributionSql,
-    "q_graph_assortativity" -> assortativitySql)
+    "q_graph_assortativity" -> assortativitySql,
+    "q_graph_reciprocity" -> reciprocitySql)
 }
