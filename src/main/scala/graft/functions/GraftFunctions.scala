@@ -45,6 +45,7 @@ object GraftFunctions {
       binary("byte_dot_product", ByteDotProduct(_, _)),
       unary("pack_int8", PackInt8(_)),
       unary("hashed_sorted_tokens", HashedSortedTokens(_)),
+      unary("nfc_lower", NfcLower(_)),
       unary("simhash64", SimHash64(_)),
       unary("token_counts", TokenCounts(_)),
       // char_ngrams(text, n) with n a literal int

@@ -450,6 +450,40 @@ object TextKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Unicode NFC normalization + ROOT-locale lowercase — the canonical
+    * form for normalization-robust dedup (é as e+combining-acute vs
+    * precomposed é, case variants). ASCII fast path: a pure-ASCII
+    * string (the overwhelming case in a web corpus) lowercases
+    * byte-wise with no Normalizer call and no String round-trip.
+    */
+  def nfcLower(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) {
+      var lower: Array[Byte] = null
+      var j = 0
+      while (j < bytes.length) {
+        val b = bytes(j)
+        if (b >= 'A' && b <= 'Z') {
+          if (lower == null) lower = bytes.clone()
+          lower(j) = (b + 32).toByte
+        }
+        j += 1
+      }
+      if (lower == null) s else UTF8String.fromBytes(lower)
+    } else {
+      UTF8String.fromString(
+        java.text.Normalizer.normalize(s.toString,
+          java.text.Normalizer.Form.NFC)
+          .toLowerCase(java.util.Locale.ROOT))
+    }
+  }
 }
 
 /** Base for the string -> kernel expressions: null-safe, codegen emits
@@ -657,9 +691,30 @@ case class CharNgrams(child: Expression, n: Int) extends TextKernelExpression {
     copy(child = newChild)
 }
 
+/** nfc_lower(text): NFC-normalized, ROOT-lowercased text — see
+  * [[TextKernels.nfcLower]].
+  */
+case class NfcLower(child: Expression) extends TextKernelExpression {
+  override def prettyName: String = "nfc_lower"
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfcLower(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.nfcLower($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object text {
   import org.apache.spark.sql.graftbridge.Bridge
+
+  def nfc_lower(c: Column): Column =
+    Bridge.column(NfcLower(Bridge.expression(c)))
 
   def hashed_sorted_tokens(c: Column): Column =
     Bridge.column(HashedSortedTokens(Bridge.expression(c)))

@@ -66,6 +66,33 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Normalization-robust exact dedup: group on the hash of the
+    * NFC-normalized, case-folded text ([[graft.functions.NfcLower]],
+    * a codegen'd kernel with an ASCII fast path) — catches the
+    * case-variant and combining-character copies that byte-exact
+    * [[exact]] misses. `n_raw_variants` counts how many DISTINCT raw
+    * byte forms collapsed into each group, i.e. the copies only
+    * normalization finds. Same one-shuffle 16-byte-key groupBy shape
+    * as exact dedup. DuckDB mirror: nfc_normalize + lower (exact
+    * equivalence on NFC+simple-case scripts; locale-sensitive case
+    * pairs like dotted-I would need ICU on both sides).
+    */
+  def nfcDedup(d: DataFrame): DataFrame =
+    d.groupBy(md5(graft.functions.text.nfc_lower(col("text"))
+        .cast("binary")).as("norm_hash"))
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text").cast("binary")))
+          .as("n_raw_variants"))
+
+  val nfcDedupSql: String =
+    """SELECT md5(nfc_normalize(lower(text))) AS norm_hash,
+      |  min(doc_id) AS keep_id,
+      |  count(*) AS n_copies,
+      |  count(DISTINCT md5(text)) AS n_raw_variants
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** Canonicalized dedup: hash of the sorted distinct token set —
     * catches reorderings/repetitions of the same vocabulary.
     */
@@ -2177,6 +2204,7 @@ object Dedup {
           when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text"))))),
     "q_dedup_exact" -> ((s, d) => exact(docs(s, d))),
+    "q_dedup_nfc" -> ((s, d) => nfcDedup(docs(s, d))),
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
@@ -2216,6 +2244,7 @@ object Dedup {
     "q_dedup_incremental" -> incrementalNewSql,
     "q_dedup_diff" -> snapshotDiffSql,
     "q_dedup_exact" -> exactSql,
+    "q_dedup_nfc" -> nfcDedupSql,
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
     "q_dedup_clusters" -> dupClustersSql,

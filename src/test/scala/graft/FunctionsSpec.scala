@@ -48,6 +48,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("nfc_lower: ASCII fast path, NFC composition, case fold, null safety") {
+    GraftFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    // e+combining-acute composes to precomposed e-acute; case folds;
+    // pure-ASCII takes the byte path; already-lower ASCII is identity
+    val d = Seq(
+      (1L, "Hello WORLD"),
+      (2L, "cafe\u0301 CAFE\u0301"), // DECOMPOSED e + combining acute
+      (3L, "caf\u00e9 caf\u00e9"), // precomposed, already lower
+      (4L, "plain ascii")).toDF("id", "text")
+    val got = d.select(col("id"),
+      graft.functions.text.nfc_lower(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "hello world")
+    assert(got(2L) === "caf\u00e9 caf\u00e9") // composed AND folded
+    assert(got(2L) === got(3L))
+    assert(got(4L) === "plain ascii")
+    // SQL registration + null propagation
+    d.createOrReplaceTempView("nfc_v")
+    val viaSql = spark.sql(
+      "SELECT nfc_lower(text) FROM nfc_v WHERE id = 2").head().getString(0)
+    assert(viaSql === got(2L))
+    assert(spark.sql("SELECT nfc_lower(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
   test("pack_int8 + byte_dot_product agree with long_dot_product exactly") {
     GraftFunctions.register(spark)
     // randomized int8-range vectors, incl. the extremes
