@@ -966,8 +966,14 @@ object Curation {
     * stays identical). Map-side combinable; no shuffle beyond the
     * source-sized aggregate.
     */
+  /** THE blocklist — one definition shared by the batch audit and the
+    * streaming feed ([[graft.streaming.DocStreams.blocklistBySource]]),
+    * so the two can never silently audit different term sets.
+    */
+  val BlocklistTerms: Seq[String] = Seq("slow", "crash", "skew")
+
   def blocklistAudit(d: DataFrame): DataFrame = {
-    val terms = Seq("slow", "crash", "skew")
+    val terms = BlocklistTerms
     val any = "\\b(" + terms.mkString("|") + ")\\b"
     val aggs = Seq(
       count(lit(1)).as("n_docs"),

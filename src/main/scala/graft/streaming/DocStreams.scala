@@ -303,6 +303,50 @@ object DocStreams {
       .toDF("source", "j", "bucket", "n_cms")
   }
 
+  /** Streaming blocklist audit feed: the continuous-ingestion mirror
+    * of [[graft.llm.Curation.blocklistAudit]]. The regex flags are
+    * computed MAP-SIDE in the codegen'd projection (the stateful
+    * operator only ever sees five small ints per doc); per-source
+    * state is one fixed-size counter array, refreshed and re-emitted
+    * per micro-batch — so a downstream consumer always has the
+    * current per-source audit row, and after a full replay the final
+    * emission per source equals the batch panel bit-for-bit
+    * (asserted in StatefulStreamingSpec).
+    *
+    * Scale: state is 5 longs per source (constant in stream length);
+    * the only shuffle is the state-store exchange on source. Counters
+    * are additive, so sources can also be sharded (source, shard) and
+    * merged downstream, the CMS-cell discipline.
+    */
+  def blocklistBySource(docsStream: DataFrame): DataFrame = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val terms = graft.llm.Curation.BlocklistTerms
+    val any = "\\b(" + terms.mkString("|") + ")\\b"
+    val flag = (p: String) =>
+      when(col("text").rlike(p), 1L).otherwise(0L)
+    docsStream
+      .select(col("source"), flag(any).as("f"),
+        flag("\\b" + terms(0) + "\\b").as("f0"),
+        flag("\\b" + terms(1) + "\\b").as("f1"),
+        flag("\\b" + terms(2) + "\\b").as("f2"))
+      .as[(String, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long],
+        (String, Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source, rows, state) =>
+          val c = state.getOption.getOrElse(new Array[Long](5))
+          rows.foreach { case (_, f, f0, f1, f2) =>
+            c(0) += 1L; c(1) += f; c(2) += f0; c(3) += f1; c(4) += f2
+          }
+          state.update(c)
+          Iterator.single((source, c(0), c(1), c(2), c(3), c(4)))
+      }
+      .toDF("source", "n_docs", "n_flagged", "n_slow", "n_crash", "n_skew")
+  }
+
   /** Streaming exact dedup-on-arrival: the continuous-ingestion mirror
     * of [[graft.llm.Dedup.exact]]'s keep-one-survivor rule. Keyed by
     * the 16-byte content hash; per-key state is one boolean, so a

@@ -726,6 +726,31 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming blocklist feed: final per-source row == batch audit") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-docs-blockfeed")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.blocklistBySource(stream)
+      .writeStream.format("memory").queryName("blockfeed_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest refresh wins per source
+    val got = spark.table("blockfeed_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val want = graft.llm.Curation.blocklistAudit(batchDocs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === want, "streamed blocklist audit diverges from batch")
+    assert(got.values.map(_._1).sum === batchDocs.count())
+    q.stop()
+  }
+
   test("streaming dedup-on-arrival: replay == batch; later dups suppressed") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
