@@ -2144,7 +2144,191 @@ object EventOps {
        |GROUP BY variant, theta_e3, sx, n""".stripMargin
   }
 
+  /** Autocorrelation panel of the daily purchase series — the
+    * "is yesterday predictive, and at what horizon" read a modeler
+    * takes BEFORE choosing between [[ewmaDaily]], [[holtForecast]],
+    * and [[seasonality]]: per revenue band (`user_id % 3`, the
+    * [[holtForecast]] banding) and lag 1..7, the exact Pearson
+    * autocorrelation of daily total cents over the DENSE zero-filled
+    * corpus grid (a sparse series would correlate presence, not
+    * value — the [[gapFill]] discipline). Moment sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) accumulate exactly in DECIMAL(38,0) (HUGEINT
+    * oracle-side); only the final ratio rounds (6 dp), the
+    * [[graft.ops.GraphOps]] assortativity convention. Zero-variance
+    * windows yield NULL (constant series have no correlation), via
+    * nullif on the denominator product.
+    *
+    * Scale: everything after the per-(band, day) aggregate is
+    * GRID-sized — the lag self-join is an equi-join on
+    * (band, day+lag) over span×3 rows, the moment aggregate is
+    * map-side combinable, and the answer is 3 bands × 7 lags. The
+    * corpus is touched once, by the first aggregate.
+    */
+  def acfDaily(e: DataFrame): DataFrame = {
+    val daily = e.filter(col("event_type") === "purchase")
+      .groupBy((col("user_id") % 3).as("band"),
+        to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val span = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    // the band domain is closed by construction (x % 3 ∈ {0,1,2}),
+    // so the grid's band axis is a 3-row literal, not a second pass
+    val bands = e.sparkSession.range(3).select(col("id").as("band"))
+    val grid = span
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+        .as("day"))
+      .crossJoin(bands)
+    val series = grid.join(daily, Seq("band", "day"), "left")
+      .select(col("band"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    val lagged = series
+      .select(col("band"), explode(sequence(lit(1), lit(7))).as("lag"),
+        col("day"), col("x"))
+      .withColumn("day", expr("date_add(day, lag)"))
+      .withColumnRenamed("x", "xl")
+    val pairs = lagged.join(series, Seq("band", "day"))
+    pairs.groupBy(col("band"), col("lag").cast("bigint").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(xl AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(xl AS DECIMAL(38,0)) * x")).as("sxy"),
+        sum(expr("CAST(xl AS DECIMAL(38,0)) * xl")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("syy"))
+      .select(col("band"), col("lag"), col("n_pairs"),
+        round(expr(
+          """CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+            |sqrt(CAST(nullif((n_pairs * sxx - sx * sx) *
+            |  (n_pairs * syy - sy * sy), 0) AS DOUBLE))""".stripMargin), 6)
+          .as("acf"))
+  }
+
+  val acfDailySql: String =
+    """WITH daily AS (
+      |  SELECT user_id % 3 AS band, CAST(ts AS DATE) AS day,
+      |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |span AS (
+      |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      |  FROM events),
+      |grid AS (
+      |  SELECT d.day, b.band FROM
+      |    (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+      |       AS DATE) AS day FROM span) d
+      |    CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b),
+      |series AS (
+      |  SELECT g.band, g.day, coalesce(d.cents, 0) AS x
+      |  FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.band = d.band),
+      |pairs AS (
+      |  SELECT a.band, l.lag, a.x AS xl, b.x AS x
+      |  FROM series a
+      |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag) l
+      |  JOIN series b
+      |    ON b.band = a.band AND b.day = a.day + l.lag)
+      |SELECT CAST(band AS BIGINT) AS band, CAST(lag AS BIGINT) AS lag,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(CAST(count(*) * sum(CAST(xl AS HUGEINT) * x)
+      |      - sum(CAST(xl AS HUGEINT)) * sum(x) AS DOUBLE) /
+      |    sqrt(CAST(nullif(
+      |      (count(*) * sum(CAST(xl AS HUGEINT) * xl)
+      |        - sum(CAST(xl AS HUGEINT)) * sum(xl)) *
+      |      (count(*) * sum(CAST(x AS HUGEINT) * x)
+      |        - sum(CAST(x AS HUGEINT)) * sum(x)), 0) AS DOUBLE)), 6)
+      |    AS acf
+      |FROM pairs GROUP BY 1, 2""".stripMargin
+
+  /** Delete-one-block jackknife standard error for the per-variant
+    * mean purchase cents — the A/B family's UNCERTAINTY row (the
+    * means panel says "B is higher"; this says "by more than the
+    * noise floor or not"): users hash into 32 fixed blocks
+    * (h60-keyed, an oracle can replay), θ_b = the leave-block-out
+    * mean (micros, integer DIV on non-negative sums), and
+    *   se² = (B−1)·(B·Σθ_b² − (Σθ_b)²) / B³
+    * — the grouped-jackknife variance with the Σ(θ−θ̄)² expanded so
+    * every term before the final sqrt is an exact DECIMAL(38,0)
+    * integer (HUGEINT oracle-side; θ² sums reach ~1e29 at corpus
+    * scale, far past int64). Only the final sqrt rounds (3 dp).
+    *
+    * Scale: one per-user aggregate (map-side combinable), then a
+    * ≤64-row (variant × block) table; everything after is
+    * answer-sized. The block count is FIXED at 32, so the jackknife
+    * costs one extra tiny aggregate regardless of corpus size —
+    * the reason block (not leave-one-user-out) jackknife is the
+    * distributed estimator of choice.
+    */
+  def jackknifeSe(e: DataFrame): DataFrame = {
+    val perUser = e
+      .withColumn("variant",
+        when(pmod(graft.ops.Hll.h60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)) === 0,
+          lit("A")).otherwise(lit("B")))
+      .withColumn("block", pmod(graft.ops.Hll.h60(
+        concat(lit("jk:"), col("user_id").cast("string"))), lit(32)))
+      .groupBy("variant", "block", "user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(round(value * 100, 0) AS BIGINT)")).otherwise(lit(0L)))
+        .as("cents"))
+    val blocks = perUser.groupBy("variant", "block")
+      .agg(count(lit(1)).as("nb"), sum("cents").as("sb"))
+    val tot = blocks.groupBy("variant")
+      .agg(sum("nb").as("n"), sum("sb").as("s"))
+    val theta = blocks.join(tot, "variant")
+      .select(col("variant"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * (s - sb)) DIV (n - nb)")
+          .as("theta"))
+    theta.groupBy("variant")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("CAST(theta AS DECIMAL(38,0))")).as("st"),
+        sum(expr("CAST(theta AS DECIMAL(38,0)) * theta")).as("st2"))
+      .join(tot, "variant")
+      .select(col("variant"), col("n").as("n_users"), col("n_blocks"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * s) DIV n").cast("bigint")
+          .as("mean_micros"),
+        round(
+          sqrt(expr(
+            "CAST((n_blocks - 1) * (n_blocks * st2 - st * st) AS DOUBLE)"))
+            / pow(col("n_blocks").cast("double"), 1.5), 3)
+          .as("jk_se_micros"))
+      .orderBy("variant")
+  }
+
+  val jackknifeSeSql: String = {
+    val hv = graft.ops.Hll.h60Sql("'ab:' || CAST(user_id AS VARCHAR)")
+    val hb = graft.ops.Hll.h60Sql("'jk:' || CAST(user_id AS VARCHAR)")
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN ($hv) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+       |    ($hb) % 32 AS block, user_id,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+       |      AS cents
+       |  FROM events GROUP BY 1, 2, 3),
+       |blocks AS (
+       |  SELECT variant, block, count(*) AS nb, sum(cents) AS sb
+       |  FROM pu GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT variant, sum(nb) AS n, sum(sb) AS s FROM blocks GROUP BY 1),
+       |theta AS (
+       |  SELECT b.variant,
+       |    (CAST(1000000 AS HUGEINT) * (t.s - b.sb)) // (t.n - b.nb)
+       |      AS theta
+       |  FROM blocks b JOIN tot t ON b.variant = t.variant),
+       |agg AS (
+       |  SELECT variant, count(*) AS n_blocks,
+       |    sum(CAST(theta AS HUGEINT)) AS st,
+       |    sum(CAST(theta AS HUGEINT) * theta) AS st2
+       |  FROM theta GROUP BY 1)
+       |SELECT a.variant, CAST(t.n AS BIGINT) AS n_users,
+       |  CAST(a.n_blocks AS BIGINT) AS n_blocks,
+       |  CAST((CAST(1000000 AS HUGEINT) * t.s) // t.n AS BIGINT)
+       |    AS mean_micros,
+       |  round(sqrt(CAST((a.n_blocks - 1)
+       |      * (a.n_blocks * a.st2 - a.st * a.st) AS DOUBLE))
+       |    / (CAST(a.n_blocks AS DOUBLE) ^ 1.5), 3) AS jk_se_micros
+       |FROM agg a JOIN tot t ON a.variant = t.variant
+       |ORDER BY a.variant""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_acf" -> ((s, d) => acfDaily(events(s, d))),
+    "q_events_jackknife" -> ((s, d) => jackknifeSe(events(s, d))),
     "q_events_holt" -> ((s, d) => holtForecast(events(s, d))),
     "q_events_holt_daily" -> ((s, d) => holtDaily(events(s, d))),
     "q_events_cuped" -> ((s, d) => abCuped(events(s, d))),
@@ -2186,6 +2370,8 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_events_acf" -> acfDailySql,
+    "q_events_jackknife" -> jackknifeSeSql,
     "q_events_ab_srm" -> abSrmCheckSql,
     "q_events_drift" -> valueDriftSql,
     "q_events_churn" -> churnFeaturesSql,

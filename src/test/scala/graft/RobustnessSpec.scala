@@ -315,6 +315,79 @@ class RobustnessSpec extends SparkSpec {
     assert(got(2L) === ((4L, 0L, 0L, 0L, 0L)))
   }
 
+  test("acfDaily matches an exact in-memory Pearson replay per lag") {
+    import java.time.LocalDateTime
+    def day(d: Int) = LocalDateTime.of(2026, 3, d, 12, 0)
+    // user 1 -> band 1; series over the day-1..5 grid (day 4 is a gap
+    // the dense grid must zero-fill): [100, 200, 300, 0, 500] cents
+    val ev = Seq(
+      (1L, day(1), 1L, "purchase", 1.0),
+      (2L, day(2), 1L, "purchase", 2.0),
+      (3L, day(3), 1L, "purchase", 3.0),
+      (4L, day(5), 1L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val series = Seq(100L, 200L, 300L, 0L, 500L)
+    def replay(lag: Int): Option[Double] = {
+      val pairs = series.dropRight(lag).zip(series.drop(lag))
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      if (den == 0) None
+      else Some(BigDecimal((n * sxy - sx * sy).toDouble /
+        math.sqrt(den.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.ops.EventOps.acfDaily(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // span 5 days -> only lags 1..4 produce pairs; 3 bands x 4 lags
+    assert(got.size === 12)
+    (1 to 4).foreach { lag =>
+      assert(got((1L, lag.toLong)) === (((5 - lag).toLong, replay(lag))),
+        s"lag $lag")
+      // bands 0 and 2 are all-zero series: zero variance -> NULL acf
+      assert(got((0L, lag.toLong)) === (((5 - lag).toLong, None)))
+      assert(got((2L, lag.toLong)) === (((5 - lag).toLong, None)))
+    }
+  }
+
+  test("jackknifeSe: constant metric has zero SE; spread metric > 0") {
+    import java.time.LocalDateTime
+    def t(u: Int) = LocalDateTime.of(2026, 3, 1, 0, u)
+    // 8 users, identical totals: every leave-block-out mean equals the
+    // grand mean, so the jackknife variance is EXACTLY zero whatever
+    // the hash assigns
+    val flat = (1 to 8).map(u => (u.toLong, t(u), u.toLong, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rowsF = graft.ops.EventOps.jackknifeSe(flat).collect()
+    assert(rowsF.map(_.getLong(1)).sum === 8L) // users conserved
+    rowsF.foreach { r =>
+      assert(r.getLong(2) <= 32L) // block count bounded by design
+      assert(r.getLong(3) === 200000000L) // 200 cents in micros
+      if (r.getLong(1) >= 2 && !r.isNullAt(4))
+        assert(r.getDouble(4) === 0.0, s"variant ${r.getString(0)}")
+    }
+    // now spread the totals: any variant with >= 2 users in >= 2
+    // blocks must report strictly positive SE
+    val spread = (1 to 8).map(u =>
+      (u.toLong, t(u), u.toLong, "purchase", u.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rowsS = graft.ops.EventOps.jackknifeSe(spread).collect()
+    assert(rowsS.exists(r =>
+      r.getLong(2) >= 2 && !r.isNullAt(4) && r.getDouble(4) > 0.0))
+  }
+
   test("funnelSteps enforces step ordering (pre-view clicks don't count)") {
     import java.time.LocalDateTime
     def t(i: Int) = LocalDateTime.of(2026, 4, 1, 0, i)
