@@ -2474,7 +2474,86 @@ object CorpusOps {
        |${out.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Per-source Gini coefficient of the term-frequency distribution —
+    * the INEQUALITY read beside [[zipfPanel]] (shape) and
+    * [[klBySource]] (divergence): how concentrated is each source's
+    * token mass in its few head terms? A boilerplate-heavy crawl
+    * source shows Gini near 1 (a handful of terms carry everything);
+    * a diverse encyclopedic source sits lower. Exact, via the sorted
+    * grouped identity G = (2·Σᵢ i·fᵢ − (n+1)·T) / (n·T) with fᵢ the
+    * i-th SMALLEST term count — within a tie block every ordering
+    * gives the same Σ i·fᵢ (the f values are equal), so the grouped
+    * rank-sum m·c + m(m+1)/2 is exact with no tie correction needed.
+    * All sums in DECIMAL(38,0) (HUGEINT oracle-side; rank·count
+    * products reach vocab²·maxcount); one integer-permille answer.
+    *
+    * Scale: ranks come from the value-histogram two-level cumsum
+    * (per-(source, octave) intra windows + a structurally-capped ≤64
+    * octave triangular join per source — the [[graft.ops.EventOps]]
+    * Mann-Whitney device), so no single reducer sees a source's
+    * vocabulary. One corpus pass for counts; everything after is
+    * vocabulary-histogram-sized, the answer one row per source.
+    */
+  def giniTerms(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = d
+      .select(col("source"), explode(TextOps.letterTokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val vals = counts.groupBy("source", "cnt").agg(count(lit(1)).as("m"))
+      .withColumn("oct", expr("length(bin(cnt))")) // cnt >= 1
+    val wIn = Window.partitionBy("source", "oct").orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = vals.withColumn("c_in", coalesce(sum("m").over(wIn), lit(0L)))
+    val octTot = vals.groupBy("source", "oct").agg(sum("m").as("om"))
+    val below = octTot.as("a")
+      .join(octTot.as("b"),
+        col("a.source") === col("b.source") && col("b.oct") < col("a.oct"))
+      .groupBy(col("a.source").as("source"), col("a.oct").as("oct"))
+      .agg(sum(col("b.om")).as("c_below"))
+    val blocks = intra.join(below, Seq("source", "oct"), "left")
+      .select(col("source"), col("cnt"), col("m"),
+        (coalesce(col("c_below"), lit(0L)) + col("c_in")).as("c"))
+    blocks.groupBy("source")
+      .agg(sum("m").as("n_terms"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * m")).as("t"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * " +
+          "(CAST(m AS DECIMAL(38,0)) * c + " +
+          "(CAST(m AS DECIMAL(38,0)) * (m + 1)) DIV 2)")).as("srf"))
+      .select(col("source"),
+        col("n_terms").cast("bigint").as("n_terms"),
+        col("t").cast("bigint").as("total_tokens"),
+        expr("CAST((CAST(1000 AS DECIMAL(38,0)) * " +
+          "(2 * srf - (n_terms + 1) * t)) DIV " +
+          "(CAST(n_terms AS DECIMAL(38,0)) * t) AS BIGINT)")
+          .as("gini_permille"))
+  }
+
+  val giniTermsSql: String =
+    """WITH counts AS (
+      |  SELECT source, w, count(*) AS cnt FROM (
+      |    SELECT source,
+      |      unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+      |        t -> t <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |vals AS (
+      |  SELECT source, cnt, count(*) AS m FROM counts GROUP BY 1, 2),
+      |blocks AS (
+      |  SELECT source, cnt, m,
+      |    coalesce(sum(m) OVER (PARTITION BY source ORDER BY cnt
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      |  FROM vals)
+      |SELECT source, CAST(sum(m) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(cnt AS HUGEINT) * m) AS BIGINT) AS total_tokens,
+      |  CAST((1000 * (2 * sum(CAST(cnt AS HUGEINT) *
+      |      (CAST(m AS HUGEINT) * c + (CAST(m AS HUGEINT) * (m + 1)) // 2))
+      |    - (sum(m) + 1) * sum(CAST(cnt AS HUGEINT) * m)))
+      |    // (CAST(sum(m) AS HUGEINT) * sum(CAST(cnt AS HUGEINT) * m))
+      |    AS BIGINT) AS gini_permille
+      |FROM blocks GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_gini" -> ((s, d) => giniTerms(docs(s, d))),
     "q_sample_kcenter" -> ((s, d) => kCenterSample(docs(s, d))),
     "q_retrieval_mmr" -> ((s, d) => retrievalMmr(docs(s, d))),
     "q_sketch_kmv" -> ((s, d) => kmvOverlap(docs(s, d))),
@@ -2506,6 +2585,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_gini" -> giniTermsSql,
     "q_sample_kcenter" -> kCenterSampleSql(),
     "q_retrieval_mmr" -> retrievalMmrSql(),
     "q_sketch_kmv" -> kmvOverlapSql,

@@ -554,4 +554,22 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows === Set(("alpha", 3L, 3L), ("beta", 1L, 1L)))
   }
+
+  test("giniTerms: uniform counts -> 0; hand-computed skew; tie blocks") {
+    val d = mkDocs(Seq(
+      // s1: four terms, once each -> perfect equality, G = 0
+      (1L, "aa bb cc dd", "en", "s1"),
+      // s2: counts {x:1, y:3} -> G = (2*7 - 3*4)/(2*4) = 0.25
+      (2L, "y x y y", "en", "s2"),
+      // s3: counts {p:2, q:2, r:4} (a tie block + a distinct octave)
+      //   sorted Sum i*f = 1*2+2*2+3*4 = 18 -> G = (36-32)/24 -> 166
+      (3L, "p q r r", "en", "s3"),
+      (4L, "r p q r", "en", "s3")))
+    val got = CorpusOps.giniTerms(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("s1") === ((4L, 4L, 0L)))
+    assert(got("s2") === ((2L, 4L, 250L)))
+    assert(got("s3") === ((3L, 8L, 166L)))
+  }
 }
