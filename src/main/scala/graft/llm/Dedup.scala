@@ -372,6 +372,136 @@ object Dedup {
       |    ON a.doc_id < b.doc_id)
       |WHERE raw >= 0.2""".stripMargin
 
+  /** ASYMMETRIC containment pairs — the near-dup class a symmetric
+    * Jaccard structurally misses: a small document (almost) wholly
+    * INCLUDED in a big one (a quoted post inside a thread, an abstract
+    * inside its paper, a README inside a bundle). For |A| ≪ |B|,
+    * J = |A∩B|/|A∪B| stays tiny however complete the inclusion, so
+    * [[jaccardShinglePairs]]'s symmetric length filter prunes exactly
+    * the interesting pairs; containment C = |A∩B|/|A| is the right
+    * score and needs its OWN join geometry. The set domain is 3-gram
+    * SHINGLES, deliberately: inclusion of a passage preserves word
+    * order, so shingle containment is the faithful signal — and the
+    * shingle domain is near-unique (df mostly 1-2), which keeps the
+    * full posting index this join must build sparse. (The token-set
+    * variant was measured, not assumed, off: on a bag-of-words-
+    * saturated corpus every posting is hot and the candidate multiset
+    * is quadratic — 67k pairs / ~35 s at sf0.01 — while shingles stay
+    * pair-bounded.) Emits the canonical (small, big) pair with both
+    * scores so a curator sees what Jaccard would have said. The
+    * threshold compare is integer-exact (1000·i ≥ t·|A| — no float
+    * boundary), as are both output permilles (DIV).
+    *
+    * Scale: probe side explodes only each doc's rare-first CONTAINMENT
+    * prefix (|A| − ⌈t·|A|⌉ + 1 rarest ranks — if A∩B misses the whole
+    * prefix, the ≤ ⌈t·|A|⌉−1 suffix elements cannot reach the
+    * threshold, so recall is exact); the index side is the full
+    * inverted posting list (corpus-shingle-sized, the honest
+    * containment cost — any B element can be the match point, the
+    * [[graft.llm.TextOps]] inverted-index shape). Per-rank pair volume
+    * is (probe occurrences)×(posting length); rare-first prefixes keep
+    * probe occurrences of common shingles rare, and ranks whose
+    * POSTING exceeds `saltTarget` are salted adaptively — the posting
+    * side picks pmod(xxhash64(doc_id), nsalt), the (small) probe side
+    * replicates across sub-buckets, mirroring [[prefixRankJoin]]'s
+    * device with the roles swapped because here the build side is the
+    * fat one. Verification is one O(|A|+|B|) codegen'd
+    * SortedIntersectCount merge per emitted-once candidate.
+    */
+  def containmentPairs(
+      d: DataFrame, thresholdPermille: Int = 900,
+      saltTarget: Int = 4096): DataFrame = {
+    import graft.functions.text.hashed_sorted_shingles
+    import graft.functions.vector.{sorted_first_common, sorted_intersect_count}
+    val spark = d.sparkSession
+    import spark.implicits._
+    val t = thresholdPermille
+    val base = graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id"),
+        hashed_sorted_shingles(col("text"), 3).as("toks"))
+    val ex = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = dfreq
+      .repartitionByRange(col("df"), col("tok"))
+      .sortWithinPartitions("df", "tok")
+      .select("tok").rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i) }
+      .toDF("tok", "rank")
+    val docs = ex.join(ranked, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("rank"))).as("ranks"))
+      .withColumn("sz", size(col("ranks")).cast("long"))
+      .filter(col("sz") > 0)
+      // ceil(t·sz/1000) spelled integer so both engines agree exactly
+      .withColumn("pref", slice(col("ranks"), lit(1),
+        (col("sz") - expr(s"($t * sz + 999) DIV 1000") + lit(1)).cast("int")))
+    val probe0 = docs.select(col("doc_id"), col("ranks"), col("sz"),
+      col("pref"), explode(col("pref")).as("prank"))
+    val index0 = docs.select(col("doc_id"), col("ranks"), col("sz"),
+      explode(col("ranks")).as("prank"))
+    val hot = index0.groupBy("prank").agg(count(lit(1)).as("pn"))
+      .filter(col("pn") > saltTarget)
+      .select(col("prank"),
+        least(ceil(col("pn").cast("double") / saltTarget), lit(65536))
+          .cast("int").as("nsalt"))
+    val probe = probe0.join(broadcast(hot), Seq("prank"), "left")
+      .withColumn("nsalt", coalesce(col("nsalt"), lit(1)))
+      .withColumn("salt", explode(sequence(lit(0), col("nsalt") - 1)))
+    val index = index0.join(broadcast(hot), Seq("prank"), "left")
+      .withColumn("nsalt", coalesce(col("nsalt"), lit(1)))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int"))
+    probe.as("a")
+      .join(index.as("b").hint("merge"),
+        col("a.prank") === col("b.prank") &&
+          col("a.salt") === col("b.salt") &&
+          // canonical: small strictly before big, doc order on ties
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") &&
+              col("a.doc_id") < col("b.doc_id"))) &&
+          // emit-once: only A's first rank shared with B's FULL set
+          col("a.prank") ===
+            sorted_first_common(col("a.pref"), col("b.ranks")) &&
+          // exact integer threshold — the O(n+m) kernel runs LAST
+          lit(1000) * sorted_intersect_count(col("a.ranks"), col("b.ranks"))
+            >= lit(t.toLong) * col("a.sz"))
+      .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"),
+        col("a.sz").as("sz_small"), col("b.sz").as("sz_big"),
+        sorted_intersect_count(col("a.ranks"), col("b.ranks")).as("i"))
+      .select(col("doc_small"), col("doc_big"), col("sz_small"),
+        col("sz_big"),
+        expr("1000 * i DIV sz_small").as("cont_permille"),
+        expr("1000 * i DIV (sz_small + sz_big - i)").as("jacc_permille"))
+  }
+
+  val containmentPairsSql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '[ \t-\r]+'), t -> t <> '')
+      |      AS w
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |        i -> array_to_string(w[i:i + 2], ' ')))
+      |    ELSE [coalesce(array_to_string(w, ' '), '')] END AS toks
+      |  FROM t0),
+      |p AS (
+      |  SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+      |    len(a.toks) AS sz_small, len(b.toks) AS sz_big,
+      |    len(list_intersect(a.toks, b.toks)) AS i
+      |  FROM t a JOIN t b
+      |    ON (len(a.toks) < len(b.toks) OR
+      |        (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+      |  WHERE len(a.toks) > 0)
+      |SELECT doc_small, doc_big,
+      |  CAST(sz_small AS BIGINT) AS sz_small,
+      |  CAST(sz_big AS BIGINT) AS sz_big,
+      |  CAST(1000 * i // sz_small AS BIGINT) AS cont_permille,
+      |  CAST(1000 * i // (sz_small + sz_big - i) AS BIGINT) AS jacc_permille
+      |FROM p WHERE 1000 * i >= 900 * sz_small""".stripMargin
+
   /** LSH configuration quality panel: precision/recall of the MinHash
     * banded candidate set against EXACT shingle-Jaccard ground truth
     * at the same 0.5 threshold — the diagnostic a curator reads before
@@ -2207,6 +2337,7 @@ object Dedup {
     "q_dedup_nfc" -> ((s, d) => nfcDedup(docs(s, d))),
     "q_dedup_canonical" -> ((s, d) => canonical(docs(s, d))),
     "q_dedup_jaccard" -> ((s, d) => jaccardPairs(docs(s, d))),
+    "q_dedup_containment" -> ((s, d) => containmentPairs(docs(s, d))),
     "q_dedup_clusters" -> ((s, d) => dupClusters(docs(s, d))),
     "q_dedup_cluster_hist" -> ((s, d) => dedupClusterHist(docs(s, d))),
     "q_dedup_soft_weights" -> ((s, d) => softDedupWeights(docs(s, d))),
@@ -2247,6 +2378,7 @@ object Dedup {
     "q_dedup_nfc" -> nfcDedupSql,
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_jaccard" -> jaccardPairsSql,
+    "q_dedup_containment" -> containmentPairsSql,
     "q_dedup_clusters" -> dupClustersSql,
     "q_dedup_cluster_hist" -> dedupClusterHistSql,
     "q_dedup_soft_weights" -> softDedupWeightsSql,

@@ -195,6 +195,82 @@ class LlmSpec extends SparkSpec {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("containment pairs equal brute force on the real corpus") {
+    // mirror of the operator's shingle rule: distinct 3-token shingles,
+    // whole-text fallback under 3 tokens (empty string for empty docs)
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1))).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys
+      (sa, sb) = (sets(a), sets(b))
+      if sa.nonEmpty &&
+        (sa.size < sb.size || (sa.size == sb.size && a < b))
+      i = sa.intersect(sb).size
+      if 1000L * i >= 900L * sa.size
+    } yield (a, b, 1000L * i / sa.size,
+      1000L * i / (sa.size + sb.size - i))).toSet
+    val got = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("containment finds the inclusion pair symmetric jaccard misses") {
+    // a 20-word passage quoted verbatim inside a 100-word document:
+    // full shingle containment, but J = 18/98 ~ 0.184 — below even the
+    // loose 0.2 default of the symmetric shingle join. This asymmetry
+    // is the operator's reason to exist.
+    val big = (0 until 100).map("u" + _).mkString(" ")
+    val small = (0 until 20).map("u" + _).mkString(" ")
+    val d = Seq((1L, small), (2L, big), (3L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(cont.toSeq === Seq((1L, 2L, 1000L)),
+      s"expected exactly the planted inclusion, got ${cont.mkString(",")}")
+    val jac = Dedup.jaccardShinglePairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)),
+      "the planted pair must be invisible to symmetric jaccard at 0.5")
+  }
+
+  test("containment hot-posting salting preserves the exact pair set") {
+    // saltTarget=1 marks every posting with >1 member hot, exercising
+    // the replicate-probe / hash-split-index path everywhere
+    def pairs(st: Int) = Dedup.containmentPairs(docs, saltTarget = st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(pairs(1) === pairs(4096))
+  }
+
+  test("containment join is posting-bounded on a realistic vocabulary (planted inclusions)") {
+    // 20k random-vocabulary docs (shingle df ~1) + 50 planted strict
+    // slices; brute force is 200M pair tests. The rare-first prefix
+    // probe against the posting index must return exactly the planted
+    // inclusions, in bounded time.
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 20000).map { i =>
+      (i.toLong, Array.fill(40)("w" + rnd.nextInt(50000)).mkString(" "))
+    }
+    val planted = (0 until 50).map { i =>
+      (100000L + i, base(i)._2.split(" ").slice(5, 20).mkString(" "))
+    }
+    val d = (base ++ planted).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Dedup.containmentPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20050 docs, 50k vocab: ${got.size} containment pairs in $secs%.1f s")
+    val expected = (0 until 50).map(i => (100000L + i, i.toLong)).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("banded simhash equals corpus-wide brute force at maxHamming < nBands") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
