@@ -210,6 +210,77 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("containment")) {
+      // containmentPairs skew probe: the hot spot is a hot POSTING —
+      // a boilerplate section carried by 1-in-50 docs puts its ~10
+      // shingles' posting lists at carrier count, and short quote docs
+      // that are slices OF that section probe those exact postings (a
+      // 4-shingle doc's rare-first containment prefix is 1 rank — a
+      // hot one). Unsalted, ONE task grinds probes x posting; the
+      // salting (roles swapped vs prefixRankJoin: the fat INDEX side
+      // hash-splits, the small probe side replicates) spreads it.
+      // Output grows ~linearly with carriers by the operator's honest
+      // semantics (a quote IS contained in every carrier), so expect
+      // ~linear wall at 4x; the transferable number is peak task.
+      final class TaskPeak extends org.apache.spark.scheduler.SparkListener {
+        val maxRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            maxRunMs.getAndAccumulate(t.taskMetrics.executorRunTime, math.max)
+      }
+      val section = (1 to 12).map(i => s"shared$i").mkString(" ")
+      // 500 fixed quote docs, each a 6-token window of the section
+      // (7 distinct windows cycled; text repeats are fine — distinct
+      // doc_ids are distinct quote instances, the CMS-page shape)
+      def quotes = spark.range(500L).select(
+        (col("id") + 5000000L).as("doc_id"),
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit("shared"), pmod(col("id"), lit(7L)) + lit(j + 1))): _*)
+          .as("text"))
+      def corpus(nDocs: Long) = {
+        def filler(lo: Long, hi: Long) = array_join(
+          transform(sequence(lit(lo), lit(hi)),
+            i => concat(lit("u"), (col("id") * 1000L + i).cast("string"))),
+          " ")
+        spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          when(pmod(col("id"), lit(50)) === 0,
+            concat_ws(" ", filler(1, 14), lit(section), filler(15, 28)))
+            .otherwise(concat_ws(" ", filler(1, 40))).as("text"))
+          .unionByName(quotes)
+          .localCheckpoint() // probe the join, not the generation
+      }
+      Seq("1x (30k docs, 600 carriers)" -> 30000L,
+        "4x (120k docs, 2400 carriers)" -> 120000L).foreach {
+        case (label, n) =>
+          val docs = corpus(n)
+          var sums = Map.empty[String, (Long, Long)]
+          Seq("unsalted" -> Int.MaxValue, "salt1024" -> 1024, "salt64" -> 64)
+            .foreach { case (sl, st) =>
+              def pairs = graft.llm.Dedup.containmentPairs(docs, saltTarget = st)
+              pairs.count() // warm codegen/JIT
+              val l = new TaskPeak
+              spark.sparkContext.addSparkListener(l)
+              val t0 = System.nanoTime()
+              val rows = pairs.count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              Thread.sleep(2000) // listener bus drains async
+              spark.sparkContext.removeSparkListener(l)
+              val ck = pairs
+                .agg(bit_xor(xxhash64(col("doc_small"), col("doc_big"))).as("ck"))
+                .head().getLong(0)
+              sums += sl -> ((rows, ck))
+              println(f"[containment-probe] $label%-30s $sl%-9s $rows%9d pairs" +
+                f"  $dt%7.2f s  peak task ${l.maxRunMs.get / 1e3}%6.2f s")
+            }
+          require(sums.values.toSet.size == 1,
+            s"salting changed the result: $sums")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("ann")) {
       // int8-ANN candidate-join probe: same bucket structure both
       // sides (nPlanes=14 -> 16k buckets, 2 tables, hamming-1
