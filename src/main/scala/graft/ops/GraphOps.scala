@@ -228,6 +228,117 @@ object GraphOps {
     s"$head$rounds\nSELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r$iters"
   }
 
+  /** HITS hubs & authorities (Kleinberg) over weighted directed edges
+    * (src, dst, w) — the OTHER classic link-centrality: where PageRank
+    * scores a page by being pointed AT, HITS separates "points at good
+    * things" (hub) from "is pointed at by good hubs" (authority). On
+    * the event-transition graph that reads as "event types that feed
+    * the funnel" vs "event types the funnel converges to". Fixed
+    * iteration count, SCALED-INTEGER arithmetic with per-round MAX
+    * normalization (the textbook L2 norm is not integer-replayable;
+    * max-norm keeps the same fixpoint ordering and every operand
+    * exact): a_v = Σ h_u·w then a ← a·scale DIV max(a), dually for h.
+    * Sums in DECIMAL(38,0) (HUGEINT oracle-side), so raw·scale is
+    * exact to ~10³⁸ — no silent wrap at any real degree; quotients are
+    * ≤ scale and land back in BIGINT.
+    *
+    * Scale: identical discipline to [[pageRankScaled]] — per round two
+    * co-partitioned edge joins + two algebraic aggregations, lineage
+    * bounded by localCheckpoint with superseded snapshots freed; the
+    * only driver/broadcast values are the two 1-row per-round maxima
+    * (the PlanAudit-gated 1-row-stats pattern). Hub/authority tables
+    * stay node-sized and distributed.
+    */
+  def hitsScaled(
+      edges: DataFrame, iters: Int = 6,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, "hitsScaled needs at least one iteration")
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint()
+    def normalized(raw: DataFrame, out: String): DataFrame = nodes
+      .join(raw, Seq("node"), "left")
+      .crossJoin(broadcast(raw.agg(max("raw").as("m"))))
+      .select(col("node"),
+        coalesce(expr(s"CAST(raw * $scale DIV m AS BIGINT)"), lit(0L))
+          .as(out))
+      .localCheckpoint()
+    var hubs = nodes.withColumn("h", lit(scale)).localCheckpoint()
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val aRaw = hubs.join(e, col("node") === col("src"))
+        .select(col("dst").as("n2"),
+          expr("CAST(h AS DECIMAL(38,0)) * w").as("c"))
+        .groupBy(col("n2").as("node")).agg(sum("c").as("raw"))
+      val a = normalized(aRaw, "a")
+      val hRaw = a.join(e, col("node") === col("dst"))
+        .select(col("src").as("n2"),
+          expr("CAST(a AS DECIMAL(38,0)) * w").as("c"))
+        .groupBy(col("n2").as("node")).agg(sum("c").as("raw"))
+      val h = normalized(hRaw, "h")
+      freeCheckpoint(hubs)
+      if (auths != null) freeCheckpoint(auths)
+      hubs = h; auths = a
+      i += 1
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub_scaled"),
+        col("a").as("auth_scaled"))
+    freeCheckpoint(e); freeCheckpoint(nodes)
+    out
+  }
+
+  /** DuckDB replay of [[hitsScaled]] over the event-transition graph:
+    * one (authority, hub) CTE pair per round, maxima as NULL-ignoring
+    * unpartitioned window maxima (each CTE referenced once — see the
+    * inline comment), HUGEINT where the Spark side uses DECIMAL(38,0).
+    */
+  def hitsScaledSql(
+      iters: Int = 6, scale: Long = 1000000000L): String = {
+    val head =
+      s"""WITH edges AS (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT event_type AS src,
+         |      lead(event_type) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |    FROM events)
+         |  WHERE dst IS NOT NULL GROUP BY src, dst),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst FROM edges)),
+         |h0 AS (SELECT node, CAST($scale AS BIGINT) AS h FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |ar$i AS (
+         |  SELECT e.dst AS node, sum(CAST(p.h AS HUGEINT) * e.w) AS raw
+         |  FROM h${i - 1} p JOIN edges e ON p.node = e.src
+         |  GROUP BY e.dst),
+         |a$i AS (
+         |  -- max as a window over the joined rows (NULL-ignoring, so it
+         |  -- equals max over ar$i): a scalar subquery would reference
+         |  -- the CTE twice and DuckDB's inlining then grows the plan
+         |  -- EXPONENTIALLY across rounds (observed as fd exhaustion)
+         |  SELECT nodes.node,
+         |    coalesce(CAST(r.raw * $scale // max(r.raw) OVER ()
+         |      AS BIGINT), 0) AS a
+         |  FROM nodes LEFT JOIN ar$i r ON nodes.node = r.node),
+         |hr$i AS (
+         |  SELECT e.src AS node, sum(CAST(p.a AS HUGEINT) * e.w) AS raw
+         |  FROM a$i p JOIN edges e ON p.node = e.dst
+         |  GROUP BY e.src),
+         |h$i AS (
+         |  SELECT nodes.node,
+         |    coalesce(CAST(r.raw * $scale // max(r.raw) OVER ()
+         |      AS BIGINT), 0) AS h
+         |  FROM nodes LEFT JOIN hr$i r ON nodes.node = r.node)""".stripMargin
+    }.mkString
+    s"""$head$rounds
+       |SELECT h.node, h.h AS hub_scaled, a.a AS auth_scaled
+       |FROM h$iters h JOIN a$iters a ON h.node = a.node""".stripMargin
+  }
+
   /** Holdout evaluation of mined association rules — the train/test
     * discipline applied to [[basketRules]]' model exactly as
     * q_text_trigram_lp applies it to the language model: DIRECTED
@@ -1131,6 +1242,8 @@ object GraphOps {
       triangleCounts(coOccurrenceEdges(Tables.load(s, d, "lineitem")))),
     "q_graph_pagerank" -> ((s, d) =>
       pageRankScaled(eventTransitions(Tables.load(s, d, "events")))),
+    "q_graph_hits" -> ((s, d) =>
+      hitsScaled(eventTransitions(Tables.load(s, d, "events")))),
     "q_graph_sssp" -> ((s, d) =>
       ssspScaled(coOccurrenceWeighted(Tables.load(s, d, "lineitem")))),
     "q_graph_degree_dist" -> ((s, d) =>
@@ -1154,6 +1267,7 @@ object GraphOps {
     "q_graph_communities" -> labelPropagationSql,
     "q_graph_triangles" -> triangleCountsSql,
     "q_graph_pagerank" -> pageRankScaledSql(),
+    "q_graph_hits" -> hitsScaledSql(),
     "q_graph_sssp" -> ssspSql(),
     "q_graph_degree_dist" -> degreeDistributionSql,
     "q_graph_assortativity" -> assortativitySql,

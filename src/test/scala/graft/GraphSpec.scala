@@ -78,6 +78,74 @@ class GraphSpec extends SparkSpec {
       "integer and float PageRank must agree on node ordering")
   }
 
+  test("hitsScaled matches an exact integer replay on the event graph") {
+    val edges = GraphOps.eventTransitions(Tables.load(spark, sfDir, "events"))
+    val es = edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    // BigInt mirrors DECIMAL(38,0): products exact, / truncates toward
+    // zero on nonnegative operands exactly like DIV
+    val scale = BigInt(1000000000L)
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[String, BigInt]
+    for (_ <- 0 until 6) {
+      val araw = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => h(s) * w }.sum).toMap
+      val am = araw.values.max
+      a = nodes.map(n =>
+        n -> araw.get(n).map(_ * scale / am).getOrElse(BigInt(0))).toMap
+      val hraw = es.groupBy(_._1).view.mapValues(
+        _.map { case (_, d, w) => a(d) * w }.sum).toMap
+      val hm = hraw.values.max
+      h = nodes.map(n =>
+        n -> hraw.get(n).map(_ * scale / hm).getOrElse(BigInt(0))).toMap
+    }
+    val got = GraphOps.hitsScaled(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === nodes.toSet)
+    nodes.foreach { n =>
+      assert(got(n) === ((h(n).toLong, a(n).toLong)),
+        s"node $n: got ${got(n)}, replay (${h(n)}, ${a(n)})")
+    }
+  }
+
+  test("hitsScaled separates pure hubs from pure authorities (hand graph)") {
+    // h1 -> x,y,z and h2 -> x: h1 dominates the hub side (it feeds
+    // every authority), x the authority side (fed by both hubs), and
+    // the y/z symmetry must be exact; pure hubs score authority 0 and
+    // pure authorities hub 0 — the separation PageRank cannot express
+    val edges = Seq(("h1", "x", 1L), ("h1", "y", 1L), ("h1", "z", 1L),
+      ("h2", "x", 1L)).toDF("src", "dst", "w")
+    val got = GraphOps.hitsScaled(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val s = 1000000000L
+    assert(got("h1")._1 === s && got("h2")._1 > 0 && got("h2")._1 < s,
+      s"hub side: $got")
+    assert(got("x")._2 === s && got("y")._2 === got("z")._2 &&
+      got("y")._2 > 0 && got("y")._2 < s, s"authority side: $got")
+    assert(got("h1")._2 === 0L && got("h2")._2 === 0L &&
+      got("x")._1 === 0L && got("y")._1 === 0L && got("z")._1 === 0L,
+      s"pure roles must not leak: $got")
+  }
+
+  test("hitsScaled frees superseded checkpoint blocks (result pair stays)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("c", "d", 2L), ("d", "a", 1L)).toDF("src", "dst", "w")
+    val result = GraphOps.hitsScaled(edges, iters = 4)
+    assert(result.count() === 4L)
+    val added = sc.getPersistentRDDs.filter { case (id, r) =>
+      !before.contains(id) &&
+        r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+    }
+    // the returned plan joins the final hub AND authority snapshots —
+    // exactly two survivors; edges, nodes, init, and every superseded
+    // round must be gone
+    assert(added.size === 2,
+      s"expected the final hub+auth snapshots persisted, found ${added.keys}")
+  }
+
   test("pageRank frees superseded checkpoint blocks (only the result stays)") {
     // Regression for the no-op-unpersist finding: Dataset.unpersist
     // does nothing for localCheckpointed datasets, so pageRank frees
