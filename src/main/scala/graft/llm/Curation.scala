@@ -957,6 +957,104 @@ object Curation {
       |  CAST(sum(n_docs) AS BIGINT) AS total_docs
       |FROM classes GROUP BY 1""".stripMargin
 
+  /** t-closeness audit, completing the [[kAnonymity]] / [[lDiversity]]
+    * trio (Li et al. 2007): a class can be k-anonymous AND l-diverse
+    * yet still leak — if its sensitive-value DISTRIBUTION skews far
+    * from the corpus-wide one, observing class membership updates an
+    * attacker's posterior. Per quasi-identifier class (source, length
+    * bucket), the VARIATIONAL distance t = ½·Σ|p_lang − q_lang|
+    * between the class's lang distribution p and the global q, in
+    * exact permille; per source: classes with t ≥ 0.2, docs in them,
+    * and the worst class's t.
+    *
+    * Integer exactness without a class×lang cross join: absent langs
+    * contribute q_lang each, and Σ_lang n_lang·n_cl = N·n_cl, so
+    * t_num = Σ_present(|n_cl_lang·N − n_lang·n_cl| − n_lang·n_cl)
+    *       + N·n_cl  and  t_permille = 1000·t_num DIV (2·n_cl·N) —
+    * one aggregate over PRESENT (class, lang) rows plus class-level
+    * constants. Products in DECIMAL(38,0) (HUGEINT oracle-side):
+    * n_cl_lang·N caps at N², which wraps int64 past ~3e9 docs but is
+    * exact to ~10¹⁹ docs in decimal.
+    *
+    * Scale: the (source, bucket, lang) table is answer-sized, the
+    * lang marginal and N are 1-row/lang-row broadcasts, everything
+    * after the first map-side-combined count is answer-sized.
+    */
+  def tCloseness(d: DataFrame, tPermille: Int = 200): DataFrame = {
+    val bucket = when(col("n_chars") === 0, lit(0L))
+      .otherwise(length(bin(col("n_chars"))).cast("bigint"))
+    val base = d.select(col("source"), bucket.as("len_bucket"), col("lang"))
+    val cl = base.groupBy("source", "len_bucket", "lang")
+      .agg(count(lit(1)).as("n_cl_lang"))
+    val glob = base.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    val sizes = cl.groupBy("source", "len_bucket")
+      .agg(sum("n_cl_lang").as("n_cl"))
+    val classes = cl
+      .join(broadcast(glob), "lang")
+      .join(sizes, Seq("source", "len_bucket"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source", "len_bucket")
+      .agg(max("n_cl").as("n_cl"), max("n_total").as("nt"),
+        sum(expr("abs(CAST(n_cl_lang AS DECIMAL(38,0)) * n_total - " +
+          "CAST(n_lang AS DECIMAL(38,0)) * n_cl) - " +
+          "CAST(n_lang AS DECIMAL(38,0)) * n_cl")).as("part"))
+      .select(col("source"), col("n_cl"),
+        expr("CAST(1000 * (part + CAST(n_cl AS DECIMAL(38,0)) * nt) DIV " +
+          "(2 * CAST(n_cl AS DECIMAL(38,0)) * nt) AS BIGINT)")
+          .as("t_permille"))
+    classes.groupBy("source").agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("t_permille") >= tPermille, 1L).otherwise(0L))
+        .as("n_far_classes"),
+      sum(when(col("t_permille") >= tPermille, col("n_cl")).otherwise(0L))
+        .as("n_docs_at_risk"),
+      max("t_permille").as("max_t_permille"),
+      sum("n_cl").as("total_docs"))
+  }
+
+  val tClosenessSql: String =
+    """WITH base AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN n_chars = 0 THEN 0
+      |         ELSE length(bin(n_chars)) END AS BIGINT) AS len_bucket,
+      |    lang
+      |  FROM documents),
+      |cl AS (
+      |  SELECT source, len_bucket, lang, count(*) AS n_cl_lang
+      |  FROM base GROUP BY 1, 2, 3),
+      |lang_marginal AS (SELECT lang, count(*) AS n_lang FROM base GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_total FROM base),
+      |sizes AS (
+      |  SELECT source, len_bucket, sum(n_cl_lang) AS n_cl
+      |  FROM cl GROUP BY 1, 2),
+      |classes AS (
+      |  SELECT cl.source, cl.len_bucket,
+      |    max(s.n_cl) AS n_cl, max(t.n_total) AS nt,
+      |    sum(abs(CAST(cl.n_cl_lang AS HUGEINT) * t.n_total
+      |          - CAST(g.n_lang AS HUGEINT) * s.n_cl)
+      |        - CAST(g.n_lang AS HUGEINT) * s.n_cl) AS part
+      |  FROM cl
+      |  JOIN lang_marginal g USING (lang)
+      |  JOIN sizes s ON cl.source = s.source
+      |    AND cl.len_bucket = s.len_bucket
+      |  CROSS JOIN tot t
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT source, n_cl,
+      |    CAST(1000 * (part + CAST(n_cl AS HUGEINT) * nt)
+      |      // (2 * CAST(n_cl AS HUGEINT) * nt) AS BIGINT) AS t_permille
+      |  FROM classes)
+      |SELECT source,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN t_permille >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_far_classes,
+      |  CAST(sum(CASE WHEN t_permille >= 200 THEN n_cl ELSE 0 END)
+      |    AS BIGINT) AS n_docs_at_risk,
+      |  max(t_permille) AS max_t_permille,
+      |  CAST(sum(n_cl) AS BIGINT) AS total_docs
+      |FROM scored GROUP BY 1""".stripMargin
+
   /** Blocklist audit: per source, documents matching any of a small
     * banned-term list, plus per-term hit counts. One pre-compiled
     * alternation regex with word boundaries evaluated in a single
@@ -998,6 +1096,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_privacy_ldiv" -> ((s, d) => lDiversity(docs(s, d))),
+    "q_privacy_tclose" -> ((s, d) => tCloseness(docs(s, d))),
     "q_text_blocklist" -> ((s, d) => blocklistAudit(docs(s, d))),
     "q_privacy_kanon" -> ((s, d) => kAnonymity(docs(s, d))),
     "q_text_fertility" -> ((s, d) =>
@@ -1018,6 +1117,7 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "q_privacy_kanon" -> kAnonymitySql,
     "q_privacy_ldiv" -> lDiversitySql,
+    "q_privacy_tclose" -> tClosenessSql,
     "q_text_blocklist" -> blocklistAuditSql,
     "q_text_fertility" -> bpeFertilitySql,
     "q_text_bpe" -> bpeTrainSql,

@@ -236,6 +236,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tCloseness matches a closed-form fixture and bounds hold") {
+    val spark2 = spark
+    import spark2.implicits._
+    // global lang marginal en:10 de:10 (q = ½/½). (s0, bucket 3):
+    // 5 en + 5 de — matches q exactly, t = 0. (s1, bucket 3): 5 en —
+    // point mass, t = ½(|1-½|+|0-½|) = 500 permille; (s1, bucket 4):
+    // 5 de — dually 500. Both s1 classes are k-anonymous at k=5 and
+    // the source is 2-lang diverse, yet t-closeness flags them —
+    // the leak the other two audits cannot see.
+    val d = ((0 until 5).map(i => (i.toLong, "en", "s0", 4L)) ++
+      (5 until 10).map(i => (i.toLong, "de", "s0", 4L)) ++
+      (10 until 15).map(i => (i.toLong, "en", "s1", 4L)) ++
+      (15 until 20).map(i => (i.toLong, "de", "s1", 8L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = Curation.tCloseness(d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("s0") === ((1L, 0L, 0L, 0L, 10L)))
+    assert(got("s1") === ((2L, 2L, 10L, 500L, 10L)))
+    // corpus-wide: every doc counted once; t in [0, 1000]
+    val rows = Curation.tCloseness(docs).collect()
+    assert(rows.map(_.getLong(5)).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+      assert(r.getLong(3) <= r.getLong(5))
+    }
+  }
+
   test("blocklistAudit equals an exact in-memory regex replay") {
     val rows = Curation.blocklistAudit(docs).collect()
       .map(r => r.getString(0) ->
