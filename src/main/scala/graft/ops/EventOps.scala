@@ -1949,6 +1949,145 @@ object EventOps {
        |  forecast AS forecast_cents, abs_err
        |FROM fold WHERE i >= 2""".stripMargin
 
+  /** Two-sided CUSUM changepoint monitor over the daily revenue
+    * series — the sequential-detection classic (Page 1954) that fills
+    * the gap between [[anomalyWindows]] (point outliers vs a rolling
+    * band) and [[holtForecast]] (trend): a SMALL persistent shift that
+    * never trips a per-day z-test accumulates in the CUSUM until it
+    * crosses the decision threshold. Per band: reference mean μ =
+    * first-7-day average (integer DIV), slack k = μ DIV 20 (shifts
+    * under 5% of a day's revenue are noise by declaration), threshold
+    * h = μ (one average day of accumulated excess). Recurrences
+    *   pos' = max(0, pos + x − μ − k), neg' = max(0, neg + μ − k − x),
+    * alarm when either exceeds h, both reset on alarm (restart
+    * detection, the textbook discipline). Emits one row per post-
+    * warmup day with both pre-reset statistics and the alarm flag —
+    * all arithmetic integer cents, so the DuckDB replay is bit-exact.
+    *
+    * Scale: identical shape to [[holtDaily]] — the per-band fold runs
+    * over a TIME-SPAN-sized array (days, not events) assembled by one
+    * map-side-combined daily aggregate; bands are independent
+    * partitions. The fold is sequential by nature (each day's state
+    * needs the prior day's), so the array HOF is the honest spelling,
+    * not a shortcut.
+    */
+  def cusumDaily(ev: DataFrame, warmDays: Int = 7): DataFrame = {
+    val w = warmDays
+    val daily = ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"),
+        (col("user_id") % 3).cast("bigint").as("band"))
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val span = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val grid = span
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .select(col("day"), explode(array(lit(0L), lit(1L), lit(2L))).as("band"))
+    val series = grid.join(daily, Seq("day", "band"), "left")
+      .select(col("band"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    // pre-reset statistics, inlined wherever read (SQL lambdas have no
+    // let-binding; identical arithmetic at every site)
+    val posRaw = "greatest(CAST(0 AS BIGINT), acc.pos + y.cents - acc.mu - acc.k)"
+    val negRaw = "greatest(CAST(0 AS BIGINT), acc.neg + acc.mu - acc.k - y.cents)"
+    val alarm = s"IF($posRaw > acc.h OR $negRaw > acc.h, " +
+      "CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
+    series.groupBy("band")
+      .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+        .as("ys"))
+      .select(col("band"),
+        explode(expr(
+          s"""aggregate(ys,
+             |  struct(CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS warm,
+             |    CAST(0 AS BIGINT) AS mu, CAST(0 AS BIGINT) AS k,
+             |    CAST(0 AS BIGINT) AS h,
+             |    CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS neg,
+             |    CAST(array() AS
+             |      array<struct<day:date,cents:bigint,cusum_pos:bigint,
+             |                   cusum_neg:bigint,alarm:bigint>>) AS rows),
+             |  (acc, y) -> CASE
+             |    WHEN acc.i < ${w - 1} THEN
+             |      struct(acc.i + 1 AS i, acc.warm + y.cents AS warm,
+             |        acc.mu AS mu, acc.k AS k, acc.h AS h,
+             |        acc.pos AS pos, acc.neg AS neg, acc.rows AS rows)
+             |    WHEN acc.i = ${w - 1} THEN
+             |      struct(acc.i + 1 AS i, acc.warm + y.cents AS warm,
+             |        (acc.warm + y.cents) DIV $w AS mu,
+             |        ((acc.warm + y.cents) DIV $w) DIV 20 AS k,
+             |        (acc.warm + y.cents) DIV $w AS h,
+             |        CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS neg,
+             |        acc.rows AS rows)
+             |    ELSE
+             |      struct(acc.i + 1 AS i, acc.warm AS warm,
+             |        acc.mu AS mu, acc.k AS k, acc.h AS h,
+             |        IF($alarm = 1, CAST(0 AS BIGINT), $posRaw) AS pos,
+             |        IF($alarm = 1, CAST(0 AS BIGINT), $negRaw) AS neg,
+             |        concat(acc.rows, array(struct(
+             |          y.day AS day, y.cents AS cents,
+             |          $posRaw AS cusum_pos, $negRaw AS cusum_neg,
+             |          $alarm AS alarm))) AS rows) END).rows
+             |""".stripMargin)).as("r"))
+      .select(col("band"), col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.cusum_pos").as("cusum_pos"),
+        col("r.cusum_neg").as("cusum_neg"), col("r.alarm").as("alarm"))
+  }
+
+  /** DuckDB replay of [[cusumDaily]]: the warmup mean per band as one
+    * filtered aggregate, the fold as a recursive CTE stepping one day
+    * per level (the [[holtDailySql]] device — DuckDB's list_reduce
+    * mis-sequences multi-field struct folds), carrying post-reset
+    * state and emitting pre-reset statistics.
+    */
+  val cusumDailySql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, user_id % 3 AS band,
+       |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |span AS (
+       |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+       |  FROM events),
+       |grid AS (
+       |  SELECT d.day, b.band FROM
+       |    (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+       |       AS DATE) AS day FROM span) d
+       |    CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b),
+       |series AS (
+       |  SELECT g.band, g.day, coalesce(d.cents, 0) AS cents
+       |  FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.band = d.band),
+       |numbered AS (
+       |  SELECT band, day, cents,
+       |    row_number() OVER (PARTITION BY band ORDER BY day) AS i
+       |  FROM series),
+       |ref AS (
+       |  SELECT band,
+       |    CAST(sum(cents) FILTER (WHERE i <= 7) AS BIGINT) // 7 AS mu
+       |  FROM numbered GROUP BY band),
+       |fold AS (
+       |  SELECT n.band, n.i, n.day, CAST(n.cents AS BIGINT) AS cents,
+       |    r.mu, r.mu // 20 AS k, r.mu AS h,
+       |    CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS neg,
+       |    CAST(0 AS BIGINT) AS cusum_pos, CAST(0 AS BIGINT) AS cusum_neg,
+       |    CAST(0 AS BIGINT) AS alarm
+       |  FROM numbered n JOIN ref r ON n.band = r.band WHERE n.i = 7
+       |  UNION ALL
+       |  SELECT f.band, s.i, s.day, CAST(s.cents AS BIGINT),
+       |    f.mu, f.k, f.h,
+       |    CASE WHEN greatest(0, f.pos + s.cents - f.mu - f.k) > f.h
+       |           OR greatest(0, f.neg + f.mu - f.k - s.cents) > f.h
+       |      THEN 0 ELSE greatest(0, f.pos + s.cents - f.mu - f.k) END,
+       |    CASE WHEN greatest(0, f.pos + s.cents - f.mu - f.k) > f.h
+       |           OR greatest(0, f.neg + f.mu - f.k - s.cents) > f.h
+       |      THEN 0 ELSE greatest(0, f.neg + f.mu - f.k - s.cents) END,
+       |    greatest(0, f.pos + s.cents - f.mu - f.k),
+       |    greatest(0, f.neg + f.mu - f.k - s.cents),
+       |    CASE WHEN greatest(0, f.pos + s.cents - f.mu - f.k) > f.h
+       |           OR greatest(0, f.neg + f.mu - f.k - s.cents) > f.h
+       |      THEN 1 ELSE 0 END
+       |  FROM fold f JOIN numbered s ON s.band = f.band AND s.i = f.i + 1)
+       |SELECT CAST(band AS BIGINT) AS band, day, cents,
+       |  CAST(cusum_pos AS BIGINT) AS cusum_pos,
+       |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
+       |  CAST(alarm AS BIGINT) AS alarm
+       |FROM fold WHERE i >= 8""".stripMargin
+
   /** Mann-Whitney U panel for the A/B split — the NONPARAMETRIC
     * effect check (rank-based, outlier-robust) beside [[abExperiment]]
     * (means), [[abCuped]] (variance-reduced means), and
@@ -2331,6 +2470,7 @@ object EventOps {
     "q_events_jackknife" -> ((s, d) => jackknifeSe(events(s, d))),
     "q_events_holt" -> ((s, d) => holtForecast(events(s, d))),
     "q_events_holt_daily" -> ((s, d) => holtDaily(events(s, d))),
+    "q_events_cusum" -> ((s, d) => cusumDaily(events(s, d))),
     "q_events_cuped" -> ((s, d) => abCuped(events(s, d))),
     "q_events_ab_mwu" -> ((s, d) => abMannWhitney(events(s, d))),
     "q_events_ab_srm" -> ((s, d) => abSrmCheck(events(s, d))),
@@ -2384,6 +2524,7 @@ object EventOps {
     "q_events_ab" -> abExperimentSql,
     "q_events_holt" -> holtForecastSql,
     "q_events_holt_daily" -> holtDailySql,
+    "q_events_cusum" -> cusumDailySql,
     "q_events_cuped" -> abCupedSql,
     "q_events_ab_mwu" -> abMannWhitneySql,
     "q_events_funnel_steps" -> funnelStepsSql,

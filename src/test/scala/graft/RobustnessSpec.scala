@@ -315,6 +315,38 @@ class RobustnessSpec extends SparkSpec {
     assert(got(2L) === ((4L, 0L, 0L, 0L, 0L)))
   }
 
+  test("cusumDaily alarms on a planted persistent shift and stays quiet on flat") {
+    import java.time.LocalDateTime
+    def day(d: Int) = LocalDateTime.of(2026, 2, d, 12, 0)
+    // band 0 (user 3): 7 warmup days at 1000 cents -> mu=1000, k=50,
+    // h=1000; then a +50% persistent shift (1500/day) that NO single
+    // day would flag. pos accumulates 450/day: 450, 900, alarm at
+    // 1350 on day 10, reset, and again on day 13 — the sequential-
+    // detection behavior the panel exists for. band 1 (user 4): flat
+    // 1000 throughout -> both statistics pinned at 0, zero alarms.
+    // band 2: empty -> all-zero series, mu=0, zero alarms.
+    val ev = ((1 to 14).map(d =>
+      (d.toLong, day(d), 3L, "purchase", if (d <= 7) 10.0 else 15.0)) ++
+      (1 to 14).map(d => (100L + d, day(d), 4L, "purchase", 10.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.cusumDaily(ev).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.getDayOfMonth) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet.map(_._2) === (8 to 14).toSet)
+    val band0 = (8 to 14).map(d => got((0L, d)))
+    assert(band0.map(_._1) === Seq(450L, 900L, 1350L, 450L, 900L, 1350L, 450L),
+      s"pos path: $band0")
+    assert(band0.map(_._3) === Seq(0L, 0L, 1L, 0L, 0L, 1L, 0L),
+      s"alarm path: $band0")
+    assert(band0.forall(_._2 === 0L), s"neg must stay 0 on an up-shift: $band0")
+    (8 to 14).foreach { d =>
+      assert(got((1L, d)) === ((0L, 0L, 0L)), s"flat band day $d")
+      assert(got((2L, d)) === ((0L, 0L, 0L)), s"empty band day $d")
+    }
+  }
+
   test("acfDaily matches an exact in-memory Pearson replay per lag") {
     import java.time.LocalDateTime
     def day(d: Int) = LocalDateTime.of(2026, 3, d, 12, 0)
