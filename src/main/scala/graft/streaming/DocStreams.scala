@@ -303,6 +303,59 @@ object DocStreams {
       .toDF("source", "j", "bucket", "n_cms")
   }
 
+  /** Streaming per-source running-median FEED: the continuous-
+    * ingestion mirror of [[graft.llm.CorpusOps.quantileSketch]]'s
+    * sketch half. Per-source state is the log2-bucket length
+    * histogram (≤64 counters — constant in stream length, additive
+    * across sources/shards like CMS cells); each micro-batch re-emits
+    * the source's refreshed (n_docs, median bucket, bracket), so a
+    * dashboard always has the current length median without any
+    * re-scan. Stream-flush == batch closure: after a full replay the
+    * final emission per source equals the batch panel's sketch
+    * columns exactly (asserted in StatefulStreamingSpec) — an exact
+    * streaming median would need the full value multiset as state;
+    * the 2x bracket is precisely what the histogram can promise, and
+    * it is the SAME promise the batch panel makes.
+    *
+    * Scale: state 64 longs per source; emission one row per source
+    * per micro-batch; the only shuffle is the state-store exchange.
+    */
+  def quantileBySource(docsStream: DataFrame): DataFrame = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docsStream
+      .select(col("source"),
+        when(col("n_chars") === 0, lit(0L))
+          .otherwise(length(bin(col("n_chars"))).cast("bigint")).as("b"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long],
+        (String, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source, rows, state) =>
+          val h = state.getOption.getOrElse(new Array[Long](64))
+          rows.foreach { case (_, b) => h(b.toInt) += 1L }
+          state.update(h)
+          val n = h.sum
+          // lower median, rank (n+1) DIV 2 — the batch panel's rule
+          val target = (n + 1) / 2
+          var cum = 0L
+          var p50 = 0
+          var found = false
+          var i = 0
+          while (i < h.length && !found) {
+            cum += h(i)
+            if (cum >= target) { p50 = i; found = true }
+            i += 1
+          }
+          val lo = if (p50 == 0) 0L else 1L << (p50 - 1)
+          val hi = if (p50 == 0) 0L else (1L << p50) - 1
+          Iterator.single((source, n, p50.toLong, lo, hi))
+      }
+      .toDF("source", "n_docs", "p50_bucket", "bucket_lo", "bucket_hi")
+  }
+
   /** Streaming blocklist audit feed: the continuous-ingestion mirror
     * of [[graft.llm.Curation.blocklistAudit]]. The regex flags are
     * computed MAP-SIDE in the codegen'd projection (the stateful

@@ -726,6 +726,39 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming quantile feed: final per-source row == batch sketch columns") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-docs-qfeed")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.quantileBySource(stream)
+      .writeStream.format("memory").queryName("qfeed_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest refresh wins per source
+    val got = spark.table("qfeed_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val want = graft.llm.CorpusOps.quantileSketch(batchDocs).collect()
+      .filter(_.getString(0) != "__all__")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got === want, "streamed quantile sketch diverges from batch")
+    // the exact median must land inside every streamed bracket — the
+    // 2x promise the feed inherits from the histogram
+    val exact = graft.llm.CorpusOps.quantileSketch(batchDocs).collect()
+      .filter(_.getString(0) != "__all__")
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    got.foreach { case (s, (_, _, lo, hi)) =>
+      assert(exact(s) >= lo && exact(s) <= hi, s"bracket miss for $s")
+    }
+    q.stop()
+  }
+
   test("streaming blocklist feed: final per-source row == batch audit") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
