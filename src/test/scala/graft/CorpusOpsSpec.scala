@@ -458,6 +458,38 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("retrievalRm3 bridges the vocabulary mismatch plain BM25 cannot") {
+    val spark2 = spark
+    import spark2.implicits._
+    // query 0 says "car"; doc 2 says only "automobile". Plain BM25
+    // can never retrieve 2 for 0 (zero shared terms). RM3's feedback
+    // doc 1 says BOTH, so "automobile" (tf 3, the heaviest non-query
+    // term) is mined as an expansion term and the second pass finds 2.
+    val d = Seq(
+      (0L, "car alpha beta gamma delta"), // query (doc_id % 97 == 0)
+      (1L, "car alpha beta gamma delta automobile automobile automobile"),
+      (2L, "automobile motor engine wheels"),
+      (3L, "completely unrelated filler text")).toDF("doc_id", "text")
+    val plain = CorpusOps.retrievalJoin(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.contains((0L, 1L)) && !plain.contains((0L, 2L)),
+      s"plain BM25 must hit the bridge doc only: $plain")
+    val rm3 = CorpusOps.retrievalRm3(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(rm3.contains((0L, 2L)),
+      s"expansion must retrieve the automobile-only doc: $rm3")
+    assert(rm3((0L, 2L)) >= 1L,
+      "the mismatch doc's hit must be credited to expansion terms")
+    assert(rm3((0L, 1L)) >= 0L && rm3.contains((0L, 1L)),
+      "the strong original match must survive expansion")
+    // original-query-term hits are never counted as expansion hits:
+    // n_exp_terms <= n_shared_terms everywhere on the real corpus
+    val rows = CorpusOps.retrievalRm3(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(5) <= r.getLong(4),
+      s"q ${r.getLong(0)} c ${r.getLong(1)}: exp > shared"))
+  }
+
   test("retrievalMmr: independent greedy replay matches every round") {
     val pool = CorpusOps.retrievalJoin(docs, topK = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
