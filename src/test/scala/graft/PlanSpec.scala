@@ -295,6 +295,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 0, s"projection should not shuffle:\n$p")
   }
 
+  test("PLANS.md covers exactly the registered query set (no drift)") {
+    // The BNL gate in PlanAudit only protects queries it has seen: a
+    // query registered in SparkEntry.queries but absent from PLANS.md
+    // has never been through the ≤1024-row BroadcastNestedLoop proof.
+    // This drifted twice (r11, r12) — make it impossible to merge.
+    val plansFile = new java.io.File("PLANS.md")
+    assert(plansFile.exists, "PLANS.md missing — run graft.tools.PlanAudit")
+    val src = scala.io.Source.fromFile(plansFile, "UTF-8")
+    val audited =
+      try src.getLines()
+        .filter(_.startsWith("| q"))
+        .map(_.split("\\|")(1).trim)
+        .filter(_ != "query") // table header row
+        .toSet
+      finally src.close()
+    val registered = SparkEntry.queries.keySet
+    val unaudited = registered -- audited
+    val stale = audited -- registered
+    assert(unaudited.isEmpty,
+      s"queries registered but never plan-audited (run PlanAudit and commit " +
+        s"PLANS.md): ${unaudited.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"PLANS.md rows for queries that no longer exist: " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("classifierScore is map-only: zero exchanges, no explode") {
     val p = plan(graft.llm.TextOps.classifierScore(
       Tables.load(spark, sfDir, "documents")))
