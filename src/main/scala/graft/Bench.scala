@@ -40,7 +40,18 @@ import org.apache.spark.sql.SparkSession
   * the top-`SPARK_GRAFT_BENCH_REMEASURE` (default 10) slowest queries
   * once more — the slowest queries dominate the total, so they get a
   * third chance to shed residual load. All raw samples land in
-  * bench_full.json so variance stays inspectable.
+  * bench_full.json (with their pass index, `sample_passes`) so
+  * variance stays inspectable.
+  *
+  * Flagged-pass auto-retry (round 13): self-declaration alone still
+  * left the r12 headline needing a judge re-measure (pass 0 flagged
+  * 7.7x, value overstated ~1.4-2x). Now, if after the scheduled passes
+  * fewer than `runs` passes are calibration-clean, up to
+  * `SPARK_GRAFT_BENCH_RETRIES` (default 1) additional full passes run,
+  * and the headline statistic is min over samples from CLEAN passes
+  * only (falling back to min-of-all for a query measured exclusively
+  * under load — still declared via `loaded_passes`). Both the original
+  * and retry samples are recorded in bench_full.json.
   *
   * Load self-declaration: BenchVariance adjudicates spread AFTER the
   * fact, but spread cannot distinguish "loaded window" from "real
@@ -72,6 +83,37 @@ object Bench {
       case c if c < 0x20 => String.format("\\u%04x", Int.box(c.toInt))
       case c => c.toString
     }
+
+  /** Passes flagged loaded: any calibration sample in the pass exceeds
+    * 2x the run's best sample (the "idle" reference). Pure — unit
+    * tested in BenchLogicSpec; `calib` rows are (pass, position, sec).
+    */
+  def loadedPasses(calib: Seq[(Int, Int, Double)]): Set[Int] =
+    if (calib.isEmpty) Set.empty
+    else {
+      val base = calib.map(_._3).min
+      calib.groupBy(_._1).collect {
+        case (p, ss) if ss.exists(_._3 > 2.0 * base) => p
+      }.toSet
+    }
+
+  /** Headline statistic for one query: min over samples taken in
+    * calibration-clean passes; a query whose every sample landed in a
+    * flagged window falls back to min-of-all (the artifact still
+    * declares the windows via `loaded_passes`). `ss` = (pass, sec).
+    */
+  def headlineMin(ss: Seq[(Int, Double)], flagged: Set[Int]): Double = {
+    val clean = ss.collect { case (p, v) if !flagged(p) => v }
+    if (clean.nonEmpty) clean.min else ss.map(_._2).min
+  }
+
+  /** Retry policy: run another full pass while fewer than `runs`
+    * passes are calibration-clean and the retry budget remains.
+    */
+  def needRetry(passesRun: Int, runs: Int, flagged: Set[Int],
+                retried: Int, maxRetries: Int): Boolean =
+    retried < maxRetries &&
+      (0 until passesRun).count(p => !flagged(p)) < runs
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,18 +186,59 @@ object Bench {
         System.err.println(
           s"WARNING: SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val selected = only match {
+    // SPARK_GRAFT_BENCH_CHANGED_SINCE=<git rev>: select only the
+    // queries whose providing module file changed since <rev> — for
+    // mid-session iteration as the suite grows (261 queries x 2 passes
+    // ~8 min cold even in a quiet window). Granularity is the module
+    // file: a change to a shared kernel (functions/, core/, streaming/,
+    // mr/) conservatively selects EVERYTHING, because any query may
+    // compose it. Harness-only files (Bench/Verify/SparkEntry, tools/)
+    // select nothing. The driver never sets this, so official round
+    // artifacts always cover the full suite; SPARK_GRAFT_BENCH_ONLY
+    // takes precedence when both are set.
+    val moduleQueryFiles: Map[String, Set[String]] = Map(
+      "src/main/scala/graft/ops/Relational.scala" -> graft.ops.Relational.queries.keySet,
+      "src/main/scala/graft/ops/EventOps.scala" -> graft.ops.EventOps.queries.keySet,
+      "src/main/scala/graft/ops/GraphOps.scala" -> graft.ops.GraphOps.queries.keySet,
+      "src/main/scala/graft/llm/TextOps.scala" -> graft.llm.TextOps.queries.keySet,
+      "src/main/scala/graft/llm/Dedup.scala" -> graft.llm.Dedup.queries.keySet,
+      "src/main/scala/graft/llm/Similarity.scala" -> graft.llm.Similarity.queries.keySet,
+      "src/main/scala/graft/llm/Multimodal.scala" -> graft.llm.Multimodal.queries.keySet,
+      "src/main/scala/graft/llm/Pipeline.scala" -> graft.llm.Pipeline.queries.keySet,
+      "src/main/scala/graft/llm/Sampling.scala" -> graft.llm.Sampling.queries.keySet,
+      "src/main/scala/graft/llm/Curation.scala" -> graft.llm.Curation.queries.keySet,
+      "src/main/scala/graft/llm/CorpusOps.scala" -> graft.llm.CorpusOps.queries.keySet)
+    val harnessOnly = Set(
+      "src/main/scala/graft/Bench.scala",
+      "src/main/scala/graft/Verify.scala",
+      "src/main/scala/graft/SparkEntry.scala")
+    val changedSel: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_CHANGED_SINCE").map { rev =>
+        val out = scala.sys.process.Process(
+          Seq("git", "diff", "--name-only", rev, "--", "src/main")).!!
+        val files = out.split('\n').map(_.trim).filter(_.nonEmpty).toSet
+        val shared = (files -- moduleQueryFiles.keySet -- harnessOnly)
+          .filterNot(_.startsWith("src/main/scala/graft/tools/"))
+        if (shared.nonEmpty) {
+          System.err.println(
+            s"changed-since: shared kernel files changed (${shared.toSeq.sorted.mkString(", ")}) — selecting the FULL suite")
+          SparkEntry.queries.keySet
+        } else
+          files.flatMap(f => moduleQueryFiles.getOrElse(f, Set.empty[String]))
+      }
+    val selected = only.orElse(changedSel) match {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
     val order = selected.keys.toSeq.sorted
     val fns = selected
-    // samples(name) accumulates one wall time per pass, in pass order;
-    // a query that fails in any pass is marked failed and skipped in
-    // later passes (a deterministic failure would just fail slowly
-    // again) — flakiness is a failure, not a fast run.
+    // samples(name) accumulates (pass, wall time) per pass, in pass
+    // order; a query that fails in any pass is marked failed and
+    // skipped in later passes (a deterministic failure would just fail
+    // slowly again) — flakiness is a failure, not a fast run.
     val samples = scala.collection.mutable.LinkedHashMap(
-      order.map(k => k -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+      order.map(k =>
+        k -> scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]): _*)
     val okMap = scala.collection.mutable.Map(order.map(_ -> true): _*)
     // Calibration kernel: fixed, CPU-bound, stateless (a partitioned
     // range sum through codegen — no IO, no shuffle, no cache effects),
@@ -176,13 +259,32 @@ object Bench {
         .selectExpr("max(xxhash64(id))").collect()
       calibSamples += ((pass, at, (System.nanoTime() - t0) / 1e9))
     }
-    def timeOne(name: String): Unit = {
+    def timeOne(name: String, pass: Int): Unit = {
       val t0 = System.nanoTime()
       val ok = try { fns(name)(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
-      samples(name) += (System.nanoTime() - t0) / 1e9
+      samples(name) += ((pass, (System.nanoTime() - t0) / 1e9))
       if (!ok) okMap(name) = false
     }
+    def runPass(pass: Int): Unit = {
+      calibrate(pass, -1)
+      var i = 0
+      order.foreach { name =>
+        if (okMap(name)) {
+          timeOne(name, pass)
+          i += 1
+          if (i % CalibEvery == 0) calibrate(pass, i)
+        }
+      }
+      calibrate(pass, order.size)
+      // Untimed inter-pass drain: a driver GC triggers the
+      // ContextCleaner's reference queue, releasing the previous
+      // pass's broadcast/shuffle/checkpoint blocks so the next pass
+      // measures queries, not accumulated state.
+      System.gc()
+      Thread.sleep(2000)
+    }
+    def flaggedSet(): Set[Int] = loadedPasses(calibSamples.toSeq)
     // Full passes: every query once per pass, alphabetical within a
     // pass, so a sustained load window hits DIFFERENT queries in each
     // pass and min-of-passes discards it.
@@ -194,47 +296,45 @@ object Bench {
         .selectExpr("max(xxhash64(id))").collect()
     } catch { case _: Throwable => }
     var pass = 0
-    while (pass < runs) {
-      calibrate(pass, -1)
-      var i = 0
-      order.foreach { name =>
-        if (okMap(name)) {
-          timeOne(name)
-          i += 1
-          if (i % CalibEvery == 0) calibrate(pass, i)
-        }
-      }
-      calibrate(pass, order.size)
-      pass += 1
-      // Untimed inter-pass drain: a driver GC triggers the
-      // ContextCleaner's reference queue, releasing the previous
-      // pass's broadcast/shuffle/checkpoint blocks so the next pass
-      // measures queries, not accumulated state.
-      System.gc()
-      Thread.sleep(2000)
+    while (pass < runs) { runPass(pass); pass += 1 }
+    // Auto-retry flagged passes (bounded): a calibration-flagged pass
+    // measured ambient load, not queries, so its samples should not be
+    // the only ones a query has. Re-run full passes until `runs` passes
+    // are calibration-clean or the retry budget is exhausted — r12's
+    // official artifact self-declared pass 0 loaded at 7.7x baseline
+    // and still needed a judge re-measure to adjudicate; with retries
+    // the artifact's headline comes from clean windows by construction.
+    val maxRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "1").toInt.max(0)
+    var retried = 0
+    while (needRetry(pass, runs, flaggedSet(), retried, maxRetries)) {
+      runPass(pass); pass += 1; retried += 1
     }
     // Isolated re-measure of the slowest queries (they dominate the
     // total; give them one more chance to shed residual load).
     val remeasure = sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE", "10").toInt.max(0)
     if (remeasure > 0 && runs > 1) {
-      calibrate(runs, -1)
+      calibrate(pass, -1)
       val slowest = order.filter(okMap)
-        .sortBy(k => -samples(k).min).take(remeasure)
-      slowest.foreach { name => if (okMap(name)) timeOne(name) }
-      calibrate(runs, remeasure)
+        .sortBy(k => -samples(k).map(_._2).min).take(remeasure)
+      slowest.foreach { name => if (okMap(name)) timeOne(name, pass) }
+      calibrate(pass, remeasure)
     }
+    val flagged = flaggedSet()
     val results = order.map(k => (k, samples(k).toSeq, okMap(k)))
     // A failed query reports its elapsed time NEGATED (and lands in
     // "failed") so a fast failure can't masquerade as a fast query.
     val failedNames = results.collect { case (k, _, false) => k }
     val failedFull = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val chosen = results.map { case (k, ss, ok) => (k, ss.min, ok) }
+    val chosen = results.map { case (k, ss, ok) =>
+      (k, headlineMin(ss, flagged), ok)
+    }
     val total = chosen.collect { case (_, v, true) => v }.sum
     // First-sample sum: the cost a FRESH cluster pays (codegen compile,
-    // AQE first plan, page-cache misses). min-of-2 is the regression-
-    // tracking statistic; cold_total keeps the first-run story honest
-    // (r7 spread: q_dedup_edit 17.5 s cold vs 2.25 s warm).
-    val coldTotal = results.collect { case (_, ss, true) => ss.head }.sum
+    // AQE first plan, page-cache misses). min-of-clean is the
+    // regression-tracking statistic; cold_total keeps the first-run
+    // story honest (r7 spread: q_dedup_edit 17.5 s cold vs 2.25 s warm).
+    val coldTotal = results.collect { case (_, ss, true) => ss.head._2 }.sum
 
     // Complete map, full precision, alphabetical, plus every raw
     // sample — written to a file the driver commits with the round, so
@@ -243,7 +343,14 @@ object Bench {
       "\"" + k + "\":" + ms3(if (ok) v else -v)
     }.mkString("{", ",", "}")
     val fullSamples = results.map { case (k, ss, _) =>
-      "\"" + k + "\":" + ss.map(ms3).mkString("[", ",", "]")
+      "\"" + k + "\":" + ss.map(s => ms3(s._2)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Parallel to `samples`: the pass index each sample was taken in,
+    // so a reader can drop flagged-pass samples exactly as the headline
+    // statistic did (BenchVariance stays compatible with the flat
+    // samples arrays).
+    val fullSamplePasses = results.map { case (k, ss, _) =>
+      "\"" + k + "\":" + ss.map(_._1.toString).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     // Load index: best calibration over the whole run is the "idle"
@@ -252,15 +359,13 @@ object Bench {
       if (calibSamples.isEmpty) 0.0 else calibSamples.map(_._3).min
     val calibMax =
       if (calibSamples.isEmpty) 0.0 else calibSamples.map(_._3).max
-    val loadedPasses = calibSamples.groupBy(_._1).collect {
-      case (p, ss) if ss.exists(_._3 > 2.0 * calibBase) => p
-    }.toSeq.sorted
+    val loadedSorted = flagged.toSeq.sorted
     val calibJson = calibSamples
       .map { case (p, at, s) => s"""[$p,$at,${ms3(s)}]""" }
       .mkString("[", ",", "]")
-    val loadedJson = loadedPasses.mkString("[", ",", "]")
+    val loadedJson = loadedSorted.mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_${runs}_passes","cold_total":${ms3(coldTotal)},"queries":$fullQs,"samples":$fullSamples,"failed":$failedFull,"calibration":{"unit":"sec","baseline":${ms3(calibBase)},"max":${ms3(calibMax)},"loaded_passes":$loadedJson,"samples_pass_at_sec":$calibJson},"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_clean_passes","passes":$pass,"retried_passes":$retried,"cold_total":${ms3(coldTotal)},"queries":$fullQs,"samples":$fullSamples,"sample_passes":$fullSamplePasses,"failed":$failedFull,"calibration":{"unit":"sec","baseline":${ms3(calibBase)},"max":${ms3(calibMax)},"loaded_passes":$loadedJson,"samples_pass_at_sec":$calibJson},"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -275,13 +380,14 @@ object Bench {
     val byCost = chosen.sortBy { case (_, v, _) => -v }
     val calibTail = ",\"calib_base\":" + ms3(calibBase) +
       ",\"calib_max\":" + ms3(calibMax) +
-      ",\"loaded_passes\":" + loadedJson
+      ",\"loaded_passes\":" + loadedJson +
+      ",\"passes\":" + pass + ",\"retried_passes\":" + retried
     val tailFixed = "},\"failed\":" + failedCapped +
       ",\"failed_n\":" + failedNames.size + calibTail +
       ",\"sf\":\"" + jsonEscape(sfDir) + "\"" +
       ",\"nq\":" + results.size +
       ",\"full\":\"" + jsonEscape(outPath) + "\"}"
-    val head = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_${runs}_passes","cold_total":${ms3(coldTotal)},"queries":{"""
+    val head = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_clean_passes","cold_total":${ms3(coldTotal)},"queries":{"""
     val sb = new StringBuilder(head)
     var first = true
     var omitted = 0
