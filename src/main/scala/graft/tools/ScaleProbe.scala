@@ -734,6 +734,78 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("hits")) {
+      // HITS probe (round-12 addition, heaviest new op of that round):
+      // same hub-skewed synthetic family as the pagerank/ppr probes,
+      // fixed 6 rounds. Claims: per round TWO co-partitioned edge
+      // joins + two algebraic aggregations (authority from hubs, hubs
+      // from authorities) -> expect ~2x the ppr per-round cost and
+      // ~linear wall/shuffle in |E|; the only broadcasts are the two
+      // 1-row per-round maxima (max-norm). Scaled-integer arithmetic
+      // makes re-runs checksum-comparable.
+      def graph(nEdges: Long, nNodes: Long) = spark.range(nEdges).select(
+        (col("id") % nNodes).as("src"),
+        (pmod(col("id") * 2654435761L, lit(nNodes)) %
+          (pmod(col("id") * 31, lit(997L)) + 1)).as("dst"),
+        (pmod(col("id"), lit(5L)) + 1L).as("w"))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint()
+      Seq("1x (1M edges, 200k nodes)" -> ((1000000L, 200000L)),
+        "4x (4M edges, 800k nodes)" -> ((4000000L, 800000L)))
+        .foreach { case (label, (e, nn)) =>
+          val g = graph(e, nn)
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val res = graft.ops.GraphOps.hitsScaled(g)
+            .agg(count(lit(1)).as("n"),
+              expr("bit_xor(xxhash64(node, hub_scaled, auth_scaled))")
+                .as("chk"))
+            .collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          println(f"[hits-probe] $label%-26s ${res.getLong(0)}%9d nodes  " +
+            f"$dt%7.2f s  shuffle write ${l.bytes.get / 1e6}%9.1f MB  " +
+            f"chk ${res.getLong(1)}%d")
+        }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("rm3")) {
+      // RM3 probe (round-12 addition): the expansion pays the BM25
+      // generator twice (feedback pass + expanded pass) and mines
+      // expansion terms from an answer-sized feedback list. Same
+      // corpus-replication scheme as the retrieval probe (1-in-97
+      // queries, so the query batch grows WITH the corpus). Claim:
+      // both passes are term-bucketed and candidate-bounded — expect
+      // the retrieval probe's ~linear envelope at ~2x its constant,
+      // never corpus x corpus. Result rows should be exactly 4x at 4x
+      // (4x queries x top-5).
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = rep(base, Seq("doc_id"), n).localCheckpoint()
+        val l = new ShuffleSum
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val res = graft.llm.CorpusOps.retrievalRm3(d)
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(q_id, c_id, rank))").as("chk"))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[rm3-probe] $label%-4s docs ${n * 60000}%8d  " +
+          f"rm3 $dt%6.2f s  (${res.getLong(0)}%6d rows, " +
+          f"chk ${res.getLong(1)}%d)  " +
+          f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("retrieval")) {
       // Retrieval probe (round-11 additions): BM25 top-k join and MMR
       // diversification over the real documents table replicated 1x/4x
