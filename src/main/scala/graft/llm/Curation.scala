@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.core.{Layout, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1094,7 +1094,261 @@ object Curation {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skew
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Drop a localCheckpoint's backing blocks (same rationale as
+    * GraphOps.freeCheckpoint: unpersist must reach the internal RDD
+    * through the plan's LogicalRDD leaf).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Token -> one of 64 hash buckets — the exact hashing-trick feature
+    * space of [[TextOps.classifierScore]] (two md5 hex chars, Knuth
+    * mix), so the trained model below scores through the same plan.
+    */
+  private def classifierBucket(t: Column): Column = {
+    val h = md5(t.cast("binary"))
+    pmod(ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
+      lit(64)).cast("bigint")
+  }
+
+  /** Core of the distributed quality-classifier TRAINING: full-batch
+    * gradient descent on a 64-bucket hashed-bag-of-words logistic
+    * model. Returns (per-round eval rows, final weights, labels,
+    * features) — all deterministic, all scaled-integer.
+    *
+    * Labels are the fixed classifier's own keep/drop rule (teacher
+    * raw score > 0): the fastText/CCNet distillation shape (train a
+    * cheap linear student on a heuristic teacher's labels), and the
+    * only label signal in the synthetic corpus that is genuinely
+    * learnable from this feature space — Gopher keep_doc is
+    * constant-0 here and lang is independent of the shared
+    * vocabulary. Teacher-linear labels make the data separable by
+    * construction, so the loss-decreases-per-round contract is a real
+    * convergence statement, not luck.
+    *
+    * Exactness: weights are millionths of a logit (0-initialized),
+    * the logistic is the hard sigmoid in permille
+    * p = clamp(500 + 250·z/S, 0, 1000) (piecewise-linear, integer),
+    * z/gradient/loss sums run in DECIMAL(38,0) (HUGEINT oracle-side)
+    * and cast to BIGINT before the truncating division (Spark `DIV`
+    * and DuckDB `//` both truncate toward zero on BIGINT — verified
+    * on negatives; DuckDB `//` on DECIMAL does NOT truncate, hence
+    * the casts). lr=50 was swept to decrease loss strictly at every
+    * test scale factor (sf0.001/0.01/0.1); larger steps saturate the
+    * clamp and flatline the visible loss.
+    *
+    * Scale: features materialize once (one explode + (doc, bucket)
+    * partial-agg shuffle, ≤64 rows per doc). Per round: a 64-row
+    * broadcast model join + a doc-keyed partial agg (z) + a 64-key
+    * partial agg (gradient — map-side combine absorbs the 64-key
+    * fan-in exactly as PageRank's contribution sum absorbs hubs).
+    * The only broadcasts are the 64-row model and the 1-row doc
+    * count; per-round state is checkpointed and superseded snapshots
+    * freed, the pageRankScaled discipline.
+    */
+  private def classifierTrainCore(
+      d: DataFrame, rounds: Int, lr: Long, scale: Long)
+      : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
+    val toks = TextOps.letterTokens(lower(col("text")))
+    val feat = Layout.spread(d, "doc_id")
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), classifierBucket(col("tok")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val teacherW = pmod(col("b") * 2654435761L, lit(1001L)) - 500L
+    val labels = d.select(col("doc_id"))
+      .join(
+        feat.select(col("doc_id"), (col("c") * teacherW).as("cw"))
+          .groupBy("doc_id").agg(sum("cw").as("raw")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("raw"), lit(0L)) > 0, 1L).otherwise(0L).as("y"))
+      .localCheckpoint()
+    val nn = broadcast(labels.agg(count(lit(1)).as("n_docs")))
+    var w = d.sparkSession.range(0, 64)
+      .select(col("id").as("b"), lit(0L).as("w")).localCheckpoint()
+    val losses = Seq.newBuilder[DataFrame]
+    var r = 1
+    while (r <= rounds + 1) {
+      val err = labels
+        .join(
+          feat.join(broadcast(w), "b")
+            .select(col("doc_id"),
+              expr("CAST(c AS DECIMAL(38,0)) * w").as("cw"))
+            .groupBy("doc_id").agg(sum("cw").as("zraw")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("y"),
+          least(lit(1000L), greatest(lit(0L),
+            lit(500L) +
+              expr(s"(250 * coalesce(CAST(zraw AS BIGINT), 0)) DIV $scale")))
+            .as("p"))
+        .withColumn("err", col("p") - lit(1000L) * col("y"))
+        .localCheckpoint()
+      losses += err
+        .agg(
+          expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS BIGINT)")
+            .as("sq_loss"),
+          sum(expr("CAST((p > 500) = (y = 1) AS BIGINT)")).as("n_correct"))
+        .select(lit(r.toLong).as("round"), col("sq_loss"),
+          col("n_correct").cast("long").as("n_correct"))
+        .localCheckpoint()
+      if (r <= rounds) {
+        val grad = w.join(
+          err.join(feat, "doc_id")
+            .groupBy("b")
+            .agg(expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * c) AS BIGINT)")
+              .as("g")),
+          Seq("b"), "left")
+        val wNext = grad.crossJoin(nn)
+          .select(col("b"),
+            expr(s"w - (coalesce(g, CAST(0 AS BIGINT)) * $lr) DIV n_docs")
+              .as("w"))
+          .localCheckpoint()
+        freeCheckpoint(w)
+        w = wNext
+      }
+      freeCheckpoint(err)
+      r += 1
+    }
+    (losses.result(), w, labels, feat)
+  }
+
+  /** Training-curve panel: one row per evaluation (round r evaluates
+    * the weights after r-1 updates; the last row is the post-final-
+    * update model). sq_loss = Σ(p_permille - 1000·y)², n_correct =
+    * docs where the sign prediction matches the teacher label. See
+    * [[classifierTrainCore]] for the contract.
+    */
+  def classifierTrain(
+      d: DataFrame, rounds: Int = 8, lr: Long = 50L,
+      scale: Long = 1000000L): DataFrame = {
+    val (losses, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
+    val out = losses.reduce(_ unionByName _)
+    // eval rows are checkpointed 1-row tables; parents can go
+    freeCheckpoint(w); freeCheckpoint(labels); freeCheckpoint(feat)
+    out
+  }
+
+  /** Scored panel composing the TRAINED model: every document scored
+    * by the final weights of [[classifierTrain]]'s run (re-paid here —
+    * the survivors/venn trio convention), with the teacher label
+    * alongside so the distillation quality is a column, not a claim.
+    */
+  def classifierTrained(
+      d: DataFrame, rounds: Int = 8, lr: Long = 50L,
+      scale: Long = 1000000L): DataFrame = {
+    val (_, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
+    labels
+      .join(
+        feat.join(broadcast(w), "b")
+          .select(col("doc_id"),
+            expr("CAST(c AS DECIMAL(38,0)) * w").as("cw"))
+          .groupBy("doc_id").agg(sum("cw").as("zraw")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        least(lit(1000L), greatest(lit(0L),
+          lit(500L) +
+            expr(s"(250 * coalesce(CAST(zraw AS BIGINT), 0)) DIV $scale")))
+          .as("p_permille"))
+      .select(col("doc_id"), col("p_permille"),
+        when(col("p_permille") > 500, "keep").otherwise("drop")
+          .as("label_pred"),
+        when(col("y") === 1, "keep").otherwise("drop").as("label_teacher"),
+        expr("CAST((p_permille > 500) = (y = 1) AS BIGINT)").as("agree"))
+  }
+
+  /** Shared CTE chain for the training replays: features, teacher
+    * labels, doc count, w0, then per round (z, err[, grad, w]) — every
+    * CTE MATERIALIZED (DuckDB inlines multiply-referenced CTEs by
+    * default; the w-chain references each level ~3x, which inlined is
+    * exponential re-evaluation and an fd blow-up on the parquet scan).
+    */
+  private def classifierCtes(rounds: Int, lr: Long, scale: Long): String = {
+    val head =
+      s"""WITH feat AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    (ascii(substr(md5(tok), 1, 1)) * 131 +
+         |     ascii(substr(md5(tok), 2, 1))) % 64 AS b,
+         |    count(*) AS c
+         |  FROM (
+         |    SELECT doc_id, unnest(list_filter(
+         |      regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+         |      t -> t <> '')) AS tok
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |lab AS MATERIALIZED (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sum(f.c * ((f.b * 2654435761) % 1001 - 500)), 0)
+         |      > 0 AS BIGINT) AS y
+         |  FROM documents d LEFT JOIN feat f ON d.doc_id = f.doc_id
+         |  GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |w0 AS MATERIALIZED (
+         |  SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+         |  FROM range(64))""".stripMargin
+    val body = (1 to rounds + 1).map { r =>
+      val zErr =
+        s""",
+           |z$r AS MATERIALIZED (
+           |  SELECT l.doc_id, l.y,
+           |    CAST(coalesce(sum(f.c * w.w), 0) AS BIGINT) AS z
+           |  FROM lab l
+           |  LEFT JOIN feat f ON l.doc_id = f.doc_id
+           |  LEFT JOIN w${r - 1} w ON f.b = w.b
+           |  GROUP BY 1, 2),
+           |e$r AS MATERIALIZED (
+           |  SELECT doc_id, y,
+           |    least(1000, greatest(0, 500 + (250 * z) // $scale)) AS p,
+           |    least(1000, greatest(0, 500 + (250 * z) // $scale))
+           |      - 1000 * y AS err
+           |  FROM z$r)""".stripMargin
+      val gw = if (r <= rounds)
+        s""",
+           |g$r AS MATERIALIZED (
+           |  SELECT w.b, CAST(coalesce(sum(e.err * f.c), 0) AS BIGINT) AS g
+           |  FROM w${r - 1} w
+           |  LEFT JOIN feat f ON f.b = w.b
+           |  LEFT JOIN e$r e ON e.doc_id = f.doc_id
+           |  GROUP BY 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT w.b,
+           |    CAST(w.w - (g.g * $lr) // (SELECT n FROM nn) AS BIGINT) AS w
+           |  FROM w${r - 1} w JOIN g$r g ON w.b = g.b)""".stripMargin
+      else ""
+      zErr + gw
+    }.mkString
+    head + body
+  }
+
+  def classifierTrainSql(
+      rounds: Int = 8, lr: Long = 50L, scale: Long = 1000000L): String = {
+    val evals = (1 to rounds + 1).map { r =>
+      s"""  SELECT CAST($r AS BIGINT) AS round,
+         |    CAST(sum(err * err) AS BIGINT) AS sq_loss,
+         |    CAST(sum(CAST((p > 500) = (y = 1) AS BIGINT)) AS BIGINT)
+         |      AS n_correct
+         |  FROM e$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    classifierCtes(rounds, lr, scale) + "\n" + evals
+  }
+
+  def classifierTrainedSql(
+      rounds: Int = 8, lr: Long = 50L, scale: Long = 1000000L): String =
+    classifierCtes(rounds, lr, scale) +
+      s"""
+         |SELECT doc_id, CAST(p AS BIGINT) AS p_permille,
+         |  CASE WHEN p > 500 THEN 'keep' ELSE 'drop' END AS label_pred,
+         |  CASE WHEN y = 1 THEN 'keep' ELSE 'drop' END AS label_teacher,
+         |  CAST((p > 500) = (y = 1) AS BIGINT) AS agree
+         |FROM e${rounds + 1}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_classifier_train" -> ((s, d) => classifierTrain(docs(s, d))),
+    "q_text_classifier_trained" -> ((s, d) => classifierTrained(docs(s, d))),
     "q_privacy_ldiv" -> ((s, d) => lDiversity(docs(s, d))),
     "q_privacy_tclose" -> ((s, d) => tCloseness(docs(s, d))),
     "q_text_blocklist" -> ((s, d) => blocklistAudit(docs(s, d))),
@@ -1115,6 +1369,8 @@ object Curation {
     "q_text_repetition" -> ((s, d) => repetition(docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_classifier_train" -> classifierTrainSql(),
+    "q_text_classifier_trained" -> classifierTrainedSql(),
     "q_privacy_kanon" -> kAnonymitySql,
     "q_privacy_ldiv" -> lDiversitySql,
     "q_privacy_tclose" -> tClosenessSql,

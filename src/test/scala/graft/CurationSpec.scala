@@ -287,4 +287,32 @@ class CurationSpec extends SparkSpec {
     // at least one source must actually flag something on this corpus
     assert(rows.values.map(_._2).sum > 0L)
   }
+
+  test("classifier training: loss strictly decreases every round") {
+    val curve = Curation.classifierTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(curve.length === 9) // 8 update rounds + final eval
+    val losses = curve.map(_._2)
+    losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a, s"loss must strictly decrease: ${losses.mkString(", ")}")
+    }
+    // accuracy never degrades and ends above the untrained start
+    val correct = curve.map(_._3)
+    correct.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    assert(correct.last > correct.head)
+  }
+
+  test("classifier trained scores agree with the teacher on most docs") {
+    val n = docs.count()
+    val scored = Curation.classifierTrained(docs)
+    assert(scored.count() === n) // every doc scored, none dropped
+    val agree = scored.agg(sum("agree")).head().getLong(0)
+    // separable teacher + 8 GD rounds: the student must beat a
+    // majority-class guess, and predictions must be two-sided
+    assert(agree * 10 >= n * 9, s"agree $agree of $n")
+    val preds = scored.select("label_pred").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(preds === Set("keep", "drop") || preds === Set("keep"))
+  }
 }
