@@ -2702,7 +2702,187 @@ object CorpusOps {
       |    AS BIGINT) AS gini_permille
       |FROM blocks GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // KLL-lite: deterministic level-sampling quantile sketch.
+  // --------------------------------------------------------------------
+
+  /** Sample level for a group of `n` items targeting ~`k` survivors:
+    * floor(log2(n/k)) (0 when n < k). Monotone in n — the property the
+    * merge path below leans on. Integer-exact via length(bin(...)),
+    * the [[quantileSketch]] discipline.
+    */
+  private def kllLevelSql(n: String, k: Int, div: String): String =
+    s"CASE WHEN $n >= $k THEN CAST(length(bin($n $div $k)) - 1 AS BIGINT) " +
+      s"ELSE CAST(0 AS BIGINT) END"
+
+  /** Scala twin of [[kllLevelSql]] for the streaming state operator. */
+  private[graft] def kllLevel(n: Long, k: Int): Long =
+    if (n >= k) 63L - java.lang.Long.numberOfLeadingZeros(n / k) else 0L
+
+  /** (source, doc_id, v, tz): doc length plus the trailing-zero count
+    * of the doc's 60-bit md5 hash — the sketch's deterministic "coin
+    * flips". An item belongs to the level-h sample iff tz >= h, i.e.
+    * iff its hash is divisible by 2^h: a 2^-h hash-uniform sample that
+    * any shard can compute locally with no coordination and no RNG.
+    */
+  private[graft] def kllBase(d: DataFrame): DataFrame =
+    d.select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("v"))
+      .withColumn("h", graft.ops.Hll.h60(col("doc_id")))
+      .withColumn("tz",
+        least(lit(60L), expr("CAST(bit_count((h & -h) - 1) AS BIGINT)")))
+      .drop("h")
+
+  /** KLL-lite mergeable quantile sketch panel (per source + `__all__`):
+    * the sketch family's missing member next to HLL/CMS/KMV/MG/Bloom —
+    * a quantile sketch whose "compaction" is a deterministic hash
+    * predicate instead of KLL's coin flip, so (a) a CTE oracle replays
+    * it exactly and (b) merging is EXACT, not just error-composing.
+    *
+    * Sketch: a group of n items keeps {x : tz(h60(x)) >= H} with
+    * H = floor(log2(n/k)) — expected size in [k, 2k), each survivor
+    * standing for weight w = 2^H items. Estimate: the smallest kept
+    * value whose weighted rank w·i reaches the lower-median target
+    * (n+1) div 2, falling back to the sample max. Rank error: the
+    * sampled count below rank r is Binomial(r, 2^-H), so the rank
+    * estimate's 3-sigma band is 3·sqrt(target·w), plus w for the
+    * sketch's rank resolution — the `err_bound` column; `rank_err` is
+    * the measured distance of the target from the returned value's
+    * true rank interval (the Bloom-calibration measured-vs-theory
+    * convention; the spec asserts measured <= bound on every row).
+    *
+    * Merge is exact BY CONSTRUCTION: the level predicate is per-item
+    * and H is monotone in n, so re-filtering the union of per-source
+    * samples at the global level recovers exactly the single-pass
+    * global sample — `__all__` here is built ONLY from the per-source
+    * samples (never re-scanning), while the DuckDB oracle computes it
+    * single-pass from the raw table; the driver's hash compare IS the
+    * merged == single-pass proof. [[graft.streaming.DocStreams
+    * .kllBySource]] is the continuous-ingestion mirror (same state,
+    * same estimator — batch == stream bit-for-bit).
+    *
+    * At 100 TB: the sketch half is one map-side filter (the per-group
+    * count join is group-keyed, answer-sized per key) producing ~2k
+    * rows per group; every aggregate after it is sample-sized. The
+    * exact-median and true-rank columns are the ground-truth half and
+    * pay one per-group sort each — the documented panel convention
+    * (the sketch is what ships; the truth column is why you trust it).
+    */
+  def kllSketch(d: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = kllBase(d)
+    val cnt = base.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("lvl", expr(kllLevelSql("n", k, "DIV")))
+      .localCheckpoint() // group-keyed stats; feeds samples AND __all__
+    val allCnt = cnt.agg(sum("n").as("n"))
+      .select(col("n"), expr(kllLevelSql("n", k, "DIV")).as("lvl"))
+    val sampSrc = base.join(cnt, "source")
+      .filter(col("tz") >= col("lvl"))
+      .select(col("source"), col("doc_id"), col("v"), col("tz"),
+        col("n"), col("lvl"))
+      .localCheckpoint() // ~2k rows per source; feeds panel AND merge
+    val sampAll = sampSrc
+      .crossJoin(broadcast(allCnt // 1-row global stat — audited idiom
+        .select(col("n").as("n_all"), col("lvl").as("lvl_all"))))
+      .filter(col("tz") >= col("lvl_all"))
+      .select(lit("__all__").as("source"), col("doc_id"), col("v"),
+        col("tz"), col("n_all").as("n"), col("lvl_all").as("lvl"))
+    val samples = sampSrc.unionByName(sampAll)
+    val wOrd = Window.partitionBy("source").orderBy("v", "doc_id")
+    val est = samples
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("wt",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))"))
+      .groupBy("source", "n", "lvl", "wt")
+      .agg(count(lit(1)).as("sketch_size"),
+        min(when(col("rn") * col("wt") >= expr("(n + 1) DIV 2"), col("v")))
+          .as("picked"),
+        max("v").as("vmax"))
+      .withColumn("est_p50", coalesce(col("picked"), col("vmax")))
+      .drop("picked", "vmax")
+    val vals = d.select(col("source"), col("n_chars").cast("long").as("v"))
+    val grp = vals.unionByName(
+      vals.select(lit("__all__").as("source"), col("v")))
+    val wv = Window.partitionBy("source").orderBy("v")
+    val wn = Window.partitionBy("source")
+    val exact = grp.withColumn("rn", row_number().over(wv))
+      .withColumn("nn", count(lit(1)).over(wn))
+      .filter(col("rn") === expr("(nn + 1) DIV 2"))
+      .select(col("source"), col("v").as("exact_p50"))
+    val ranks = grp
+      .join(broadcast(est.select(col("source"), col("est_p50"))), "source")
+      .groupBy("source")
+      .agg(sum(when(col("v") < col("est_p50"), 1L).otherwise(0L))
+          .as("cnt_lt"),
+        sum(when(col("v") <= col("est_p50"), 1L).otherwise(0L))
+          .as("cnt_le"))
+    est.join(exact, "source").join(ranks, "source")
+      .select(col("source"), col("n").as("n_docs"),
+        col("lvl").as("level_h"), col("wt").as("weight"),
+        col("sketch_size"), col("est_p50"), col("exact_p50"),
+        greatest(lit(0L), col("cnt_lt") + 1L - expr("(n + 1) DIV 2"),
+          expr("(n + 1) DIV 2") - col("cnt_le")).as("rank_err"),
+        (expr("CAST(ceil(3.0 * sqrt(CAST((n + 1) DIV 2 AS DOUBLE) * wt))" +
+          " AS BIGINT)") + col("wt")).as("err_bound"))
+  }
+
+  def kllSketchSql(k: Int = 64): String = {
+    import graft.ops.Hll
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT source, doc_id, n_chars AS v,
+       |    CAST(least(60, bit_count((h60 & -h60) - 1)) AS BIGINT) AS tz
+       |  FROM (SELECT source, doc_id, n_chars,
+       |          ${Hll.h60Sql("CAST(doc_id AS VARCHAR)")} AS h60
+       |        FROM documents)),
+       |grp AS MATERIALIZED (
+       |  SELECT source, doc_id, v, tz FROM base
+       |  UNION ALL
+       |  SELECT '__all__' AS source, doc_id, v, tz FROM base),
+       |cnt AS (
+       |  SELECT source, count(*) AS n,
+       |    ${kllLevelSql("count(*)", k, "//")} AS lvl
+       |  FROM grp GROUP BY 1),
+       |samp AS (
+       |  SELECT g.source, g.doc_id, g.v, c.n, c.lvl,
+       |    (CAST(1 AS BIGINT) << c.lvl) AS wt
+       |  FROM grp g JOIN cnt c USING (source)
+       |  WHERE g.tz >= c.lvl),
+       |est AS (
+       |  SELECT source, n, lvl, wt, count(*) AS sketch_size,
+       |    coalesce(min(CASE WHEN rn * wt >= (n + 1) // 2 THEN v END),
+       |      max(v)) AS est_p50
+       |  FROM (SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |          ORDER BY v, doc_id) AS BIGINT) AS rn
+       |        FROM samp)
+       |  GROUP BY 1, 2, 3, 4),
+       |ex AS (
+       |  SELECT source, v AS exact_p50 FROM (
+       |    SELECT source, v,
+       |      row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+       |      count(*) OVER (PARTITION BY source) AS nn
+       |    FROM grp)
+       |  WHERE rn = (nn + 1) // 2),
+       |rk AS (
+       |  SELECT g.source,
+       |    CAST(sum(CASE WHEN g.v < e.est_p50 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cnt_lt,
+       |    CAST(sum(CASE WHEN g.v <= e.est_p50 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cnt_le
+       |  FROM grp g JOIN est e USING (source) GROUP BY 1)
+       |SELECT e.source, e.n AS n_docs, e.lvl AS level_h, e.wt AS weight,
+       |  CAST(e.sketch_size AS BIGINT) AS sketch_size, e.est_p50,
+       |  ex.exact_p50,
+       |  greatest(CAST(0 AS BIGINT), rk.cnt_lt + 1 - (e.n + 1) // 2,
+       |    (e.n + 1) // 2 - rk.cnt_le) AS rank_err,
+       |  CAST(ceil(3.0 * sqrt(CAST((e.n + 1) // 2 AS DOUBLE) * e.wt))
+       |    AS BIGINT) + e.wt AS err_bound
+       |FROM est e
+       |JOIN ex ON e.source = ex.source
+       |JOIN rk ON e.source = rk.source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_kll" -> ((s, d) => kllSketch(docs(s, d))),
     "q_text_gini" -> ((s, d) => giniTerms(docs(s, d))),
     "q_sample_kcenter" -> ((s, d) => kCenterSample(docs(s, d))),
     "q_retrieval_mmr" -> ((s, d) => retrievalMmr(docs(s, d))),
@@ -2736,6 +2916,7 @@ object CorpusOps {
     "q_corpus_summary" -> ((s, d) => corpusSummary(docs(s, d))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_sketch_kll" -> kllSketchSql(),
     "q_text_gini" -> giniTermsSql,
     "q_sample_kcenter" -> kCenterSampleSql(),
     "q_retrieval_mmr" -> retrievalMmrSql(),

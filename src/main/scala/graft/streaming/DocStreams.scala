@@ -356,6 +356,80 @@ object DocStreams {
       .toDF("source", "n_docs", "p50_bucket", "bucket_lo", "bucket_hi")
   }
 
+  /** Streaming KLL-lite quantile FEED: the continuous-ingestion mirror
+    * of [[graft.llm.CorpusOps.kllSketch]]'s sketch half. Per-source
+    * state is the level sample itself — (value, tz) pairs with
+    * tz >= the source's current level H = floor(log2(n/k)) — plus the
+    * running count. Because the level predicate is a deterministic
+    * per-item hash property and H only GROWS with n, arrivals below
+    * the current level can be dropped at the door and the end-of-batch
+    * re-filter keeps the state identical to what a batch pass over
+    * everything-seen-so-far would keep: after a full replay the final
+    * emission per source equals the batch panel's sketch columns
+    * bit-for-bit (asserted in StatefulStreamingSpec). This is the
+    * sketch-family closure the HLL/CMS/quantile-histogram feeds
+    * already have — and unlike the log2-histogram feed, the promise
+    * here is a rank ERROR BOUND, not a 2x value bracket.
+    *
+    * Scale: expected state 2k (value, tz) pairs + 1 counter per
+    * source — constant in stream length; the only shuffle is the
+    * state-store exchange on source. The estimator sort is over the
+    * ~2k-item sample, per source per micro-batch.
+    */
+  def kllBySource(docsStream: DataFrame, k: Int = 64): DataFrame = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docsStream
+      .select(col("source"), col("n_chars").cast("long").as("v"),
+        graft.ops.Hll.h60(col("doc_id")).as("h"))
+      .withColumn("tz",
+        least(lit(60L), expr("CAST(bit_count((h & -h) - 1) AS BIGINT)")))
+      .select(col("source"), col("v"), col("tz"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long],
+        (String, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source, rows, state) =>
+          // state: [n, v1, tz1, v2, tz2, ...] — the sample at level
+          // kllLevel(n): a flat Long array, the histogram-feed idiom
+          val prev = state.getOption.getOrElse(Array(0L))
+          var n = prev(0)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var i = 1
+          while (i < prev.length) { buf += ((prev(i), prev(i + 1))); i += 2 }
+          var lvl = graft.llm.CorpusOps.kllLevel(n, k)
+          rows.foreach { case (_, v, tz) =>
+            n += 1
+            // insert-time filter at the CURRENT level is safe: the
+            // level is monotone in n, so an item failing it now would
+            // also fail every later re-filter
+            if (tz >= lvl) buf += ((v, tz))
+            lvl = graft.llm.CorpusOps.kllLevel(n, k)
+          }
+          val kept = buf.filter(_._2 >= lvl)
+          state.update(
+            (Array(n) ++ kept.iterator.flatMap(t => Iterator(t._1, t._2)))
+              .toArray)
+          if (kept.isEmpty) Iterator.empty
+          else {
+            // the batch panel's estimator: smallest sample value whose
+            // weighted rank reaches the lower-median target, else max
+            val wt = 1L << lvl
+            val sorted = kept.map(_._1).sorted
+            val target = (n + 1) / 2
+            var est = sorted.last
+            var idx = sorted.length - 1
+            while (idx >= 0 && (idx + 1).toLong * wt >= target) {
+              est = sorted(idx); idx -= 1
+            }
+            Iterator.single((source, n, lvl, kept.length.toLong, est))
+          }
+      }
+      .toDF("source", "n_docs", "level_h", "sketch_size", "est_p50")
+  }
+
   /** Streaming blocklist audit feed: the continuous-ingestion mirror
     * of [[graft.llm.Curation.blocklistAudit]]. The regex flags are
     * computed MAP-SIDE in the codegen'd projection (the stateful

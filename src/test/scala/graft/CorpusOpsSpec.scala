@@ -604,4 +604,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("s2") === ((2L, 4L, 250L)))
     assert(got("s3") === ((3L, 8L, 166L)))
   }
+
+  // --------------------------------------------------------------- KLL
+
+  test("kll: merging per-source samples == single-pass global sample") {
+    val k = 64
+    val base = CorpusOps.kllBase(docs)
+    val n = base.count()
+    val lvlAll = CorpusOps.kllLevel(n, k)
+    // merge path: per-source samples (each at its own level), unioned,
+    // re-filtered at the global level — what kllSketch's __all__ does
+    val cnt = base.groupBy("source").agg(count(lit(1)).as("ns"))
+    val merged = base.join(cnt, "source")
+      .filter(col("tz") >= expr(
+        s"CASE WHEN ns >= $k THEN CAST(length(bin(ns DIV $k)) - 1" +
+          s" AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .filter(col("tz") >= lvlAll)
+      .select("doc_id", "v", "tz").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // single-pass path: one filter over everything
+    val direct = base.filter(col("tz") >= lvlAll)
+      .select("doc_id", "v", "tz").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === direct, "merge must be EXACT, not just bounded")
+    assert(direct.nonEmpty && direct.size < n,
+      "sample must be a strict non-empty subset at this corpus size")
+  }
+
+  test("kll: measured rank error within the 3-sigma theory bound") {
+    val rows = CorpusOps.kllSketch(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, lvl, wt) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (size, err, bound) = (r.getLong(4), r.getLong(7), r.getLong(8))
+      assert(wt === (1L << lvl))
+      // expected sample size n/2^H lands in [k, 2k) when H > 0; allow
+      // 3-sigma binomial wobble around it
+      val expSize = nDocs.toDouble / wt
+      assert(math.abs(size - expSize) <= 3.0 * math.sqrt(expSize) + 1.0,
+        s"$src sample size $size vs expected $expSize")
+      assert(err <= bound, s"$src rank_err $err > bound $bound")
+    }
+    // the __all__ row exists and aggregates every per-source count
+    val all = rows.find(_.getString(0) == "__all__").get
+    assert(all.getLong(1) ===
+      rows.filter(_.getString(0) != "__all__").map(_.getLong(1)).sum)
+  }
 }

@@ -759,6 +759,31 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming KLL feed: final per-source row == batch sketch columns") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-docs-kllfeed")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.kllBySource(stream)
+      .writeStream.format("memory").queryName("kllfeed_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest refresh wins per source
+    val got = spark.table("kllfeed_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // batch panel columns (n_docs, level_h, sketch_size, est_p50)
+    val want = graft.llm.CorpusOps.kllSketch(batchDocs).collect()
+      .filter(_.getString(0) != "__all__")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got === want, "streamed KLL sketch diverges from batch")
+    q.stop()
+  }
+
   test("streaming blocklist feed: final per-source row == batch audit") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
