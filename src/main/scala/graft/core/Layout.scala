@@ -139,20 +139,30 @@ object Layout {
     * pointer anywhere on the publish path, hence no window where a
     * reader finds the table pointer-less. A crash before the rename
     * leaves the old pointer set (old view); after it, old + new (new
-    * view). Older pointer files are pruned only AFTER the new one is
-    * visible, and losing that cleanup to a crash is benign (readers
-    * take the max). Both renames' return values are checked; a false
+    * view). Both renames' return values are checked; a false
     * (e.g. a stale `v_<version>` left by a previous crashed publish)
     * aborts with Left and the previous pointer still serves. Writers
     * are assumed not to race on the SAME version string (Iceberg-style
     * single-committer discipline); concurrent distinct versions each
     * publish a complete pointer and the max wins.
     *
+    * Superseded pointers are RETAINED by default — they are the
+    * snapshot log that [[readAt]]/[[snapshots]] time-travel through
+    * (one tiny file per publish; Iceberg keeps its metadata history
+    * the same way). Passing `retainSnapshots = n` expires history on
+    * the way out: after the new pointer is visible, all but the
+    * newest n pointers AND their version directories are deleted
+    * (newest-first, so the live pointer is never in the prune set;
+    * losing the cleanup to a crash is benign — readers take the max,
+    * and the next retained publish re-prunes). Expiry only narrows
+    * the time-travel window; it never touches the current view.
+    *
     * Returns Right(publishedPath) or Left(violations).
     */
   def writeAuditPublish(
       df: DataFrame, root: String, version: String,
-      audit: DataFrame => Seq[String]): Either[Seq[String], String] = {
+      audit: DataFrame => Seq[String],
+      retainSnapshots: Int = Int.MaxValue): Either[Seq[String], String] = {
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
@@ -179,9 +189,21 @@ object Layout {
         fs.delete(tmp, false)
         Left(Seq(s"pointer_rename_failed: current-$seq"))
       } else {
-        // prune superseded pointers only now that the new one resolves
-        currentPointers(fs, root).filter(_._1 < seq)
-          .foreach(p => fs.delete(p._2, false))
+        // expire history only now that the new pointer resolves, and
+        // only when the caller opted into a bounded snapshot window
+        if (retainSnapshots != Int.MaxValue) {
+          val expired = currentPointers(fs, root).sortBy(-_._1)
+            .drop(math.max(1, retainSnapshots))
+          expired.foreach { case (_, ptr) =>
+            val in = fs.open(ptr)
+            val v = new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              "UTF-8").trim
+            in.close()
+            fs.delete(ptr, false)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$root/$v"), true)
+          }
+        }
         Right(finalDir)
       }
     }
@@ -201,20 +223,50 @@ object Layout {
       }
   }
 
+  /** The snapshot log: (seq, version-dir name) for every retained
+    * pointer under root, ascending — the table's queryable history.
+    * Each entry is readable via [[readAt]] until expired by a
+    * `retainSnapshots` publish.
+    */
+  def snapshots(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[(Long, String)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    currentPointers(fs, root).sortBy(_._1).map { case (seq, ptr) =>
+      val in = fs.open(ptr)
+      val v = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      in.close()
+      (seq, v)
+    }
+  }
+
+  /** TIME-TRAVEL read: resolve pointer seq exactly — the view a reader
+    * at publish `seq` saw, unchanged by any number of later publishes
+    * (later publishes only ADD pointers; version dirs are immutable).
+    * Fails if `seq` was never published or has been expired by a
+    * `retainSnapshots` publish.
+    */
+  def readAt(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      seq: Long): DataFrame = {
+    val snaps = snapshots(spark, root)
+    val v = snaps.collectFirst { case (s, ver) if s == seq => ver }
+    require(v.nonEmpty,
+      s"snapshot seq=$seq not found under $root " +
+        s"(retained: ${snaps.map(_._1).mkString(",")})")
+    spark.read.parquet(s"$root/${v.get}")
+  }
+
   /** Resolve the newest `current-<seq>` pointer written by
     * [[writeAuditPublish]] (max seq wins; see the atomicity note there).
     */
   def readCurrent(
       spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val ptrs = currentPointers(fs, root)
-    require(ptrs.nonEmpty, s"no current-<seq> pointer under $root")
-    val in = fs.open(ptrs.maxBy(_._1)._2)
-    val v = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
-    in.close()
-    spark.read.parquet(s"$root/$v")
+    val snaps = snapshots(spark, root)
+    require(snaps.nonEmpty, s"no current-<seq> pointer under $root")
+    spark.read.parquet(s"$root/${snaps.last._2}")
   }
 
   /** Small-file compaction (the OPTIMIZE-style table-maintenance pass):

@@ -1981,6 +1981,76 @@ object Dedup {
       |FROM oldv o FULL OUTER JOIN newv n USING (doc_id)
       |GROUP BY 1""".stripMargin
 
+  /** TIME-TRAVEL diff: the [[snapshotDiff]] panel computed over two
+    * PINNED storage snapshots instead of two in-memory frames — the
+    * full write-audit-publish -> pointer-log -> readAt loop as one
+    * query. Both corpus versions (the q_dedup_diff derivations) are
+    * published through [[graft.core.Layout.writeAuditPublish]] into a
+    * fresh root, so the table's pointer log holds seq 1 and seq 2;
+    * the diff then reads BOTH through [[graft.core.Layout.readAt]] —
+    * seq 1 resolved AFTER seq 2 published, which is exactly the
+    * guarantee time travel adds over readCurrent. The audit step
+    * gates each publish on non-empty doc_ids (a real WAP audit, not a
+    * pass-through). The DuckDB oracle computes the same diff straight
+    * from the documents table: hash-equality proves the
+    * publish/pin/read round-trip is lossless.
+    *
+    * Scale: two snapshot materializations (corpus-sized parquet
+    * writes — the operator IS storage) + snapshotDiff's map-side
+    * (doc_id, hash) full-outer join. Pointer resolution is O(#snapshots)
+    * driver-side file listings, independent of data size.
+    */
+  def timeTravelDiff(d: DataFrame): DataFrame = {
+    import graft.core.Layout
+    val spark = d.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft-timetravel")
+      .toString
+    val audit = (s: DataFrame) =>
+      if (s.filter(col("doc_id").isNotNull).limit(1).count() == 0)
+        Seq("empty_snapshot") else Nil
+    val v1 = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val v2 = d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"), col("source"))
+    require(Layout.writeAuditPublish(v1, root, "1", audit).isRight)
+    require(Layout.writeAuditPublish(v2, root, "2", audit).isRight)
+    val seqs = Layout.snapshots(spark, root).map(_._1)
+    val out = snapshotDiff(
+      Layout.readAt(spark, root, seqs.head),
+      Layout.readAt(spark, root, seqs.last))
+      .select(lit(seqs.head).as("old_seq"), lit(seqs.last).as("new_seq"),
+        col("status"), col("n_docs"))
+    // materialize before the temp root is reclaimed by the OS; the
+    // result is answer-sized (<= 4 rows)
+    val rows = out.localCheckpoint(eager = true)
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    rows
+  }
+
+  val timeTravelDiffSql: String =
+    """WITH oldv AS (
+      |  SELECT doc_id, md5(text) AS old_h FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |newv AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+      |      AS new_h
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT CAST(1 AS BIGINT) AS old_seq, CAST(2 AS BIGINT) AS new_seq,
+      |  CASE
+      |    WHEN o.old_h IS NULL THEN 'added'
+      |    WHEN n.new_h IS NULL THEN 'removed'
+      |    WHEN o.old_h <> n.new_h THEN 'changed'
+      |    ELSE 'unchanged' END AS status,
+      |  count(*) AS n_docs
+      |FROM oldv o FULL OUTER JOIN newv n USING (doc_id)
+      |GROUP BY 3""".stripMargin
+
   /** DuckDB mirror of [[decontaminate]] with the documents table split
     * by doc_id % 97 (≈1% reference sample): string shingles stand in
     * for the kernel's xxhash64'd shingles — distinct-count identical
@@ -2327,6 +2397,7 @@ object Dedup {
     "q_dedup_incremental" -> ((s, d) => incrementalNew(
       docs(s, d).filter(col("source") === "src0"),
       docs(s, d).filter(col("source") =!= "src0"))),
+    "q_storage_timetravel" -> ((s, d) => timeTravelDiff(docs(s, d))),
     "q_dedup_diff" -> ((s, d) => snapshotDiff(
       docs(s, d).filter(col("doc_id") % 10 =!= 0),
       docs(s, d).filter(col("doc_id") % 7 =!= 0)
@@ -2373,6 +2444,7 @@ object Dedup {
     // bloom prefilter is result-transparent: same oracle as decontam
     "q_dedup_decontam_bloom" -> decontaminateSql,
     "q_dedup_incremental" -> incrementalNewSql,
+    "q_storage_timetravel" -> timeTravelDiffSql,
     "q_dedup_diff" -> snapshotDiffSql,
     "q_dedup_exact" -> exactSql,
     "q_dedup_nfc" -> nfcDedupSql,

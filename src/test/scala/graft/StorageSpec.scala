@@ -240,10 +240,76 @@ class StorageSpec extends SparkSpec {
     reader.join(30000)
     assert(failures.isEmpty, s"reader observed: ${failures}")
     assert(reads.get() > 0, "reader never completed a read")
-    // superseded pointers are pruned; exactly the newest survives
+    // every pointer is retained (the snapshot log time travel reads
+    // through); the newest one is what readCurrent resolves
     val ptrs = new java.io.File(root).listFiles()
-      .map(_.getName).filter(_.startsWith("current-")).toSeq
-    assert(ptrs === Seq(s"current-$publishes"), ptrs)
+      .map(_.getName).filter(_.startsWith("current-")).toSet
+    assert(ptrs === (1 to publishes).map(k => s"current-$k").toSet, ptrs)
+  }
+
+  test("time travel: readAt(seq) serves the pinned view after later publishes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wap-tt").toString
+    def snap(k: Int) =
+      (1 to k).map(i => (i.toLong, k.toLong)).toDF("id", "snap_version")
+    (1 to 3).foreach { k =>
+      assert(graft.core.Layout
+        .writeAuditPublish(snap(k), root, k.toString, _ => Nil).isRight)
+    }
+    // the log lists every publish, ascending, seq -> version dir
+    assert(graft.core.Layout.snapshots(spark, root) ===
+      Seq((1L, "v_1"), (2L, "v_2"), (3L, "v_3")))
+    // seq 1 read AFTER seq 2 and 3 published — the pinned old view
+    val at1 = graft.core.Layout.readAt(spark, root, 1L).collect()
+    assert(at1.map(_.getLong(1)).toSeq === Seq(1L), "must be snapshot 1")
+    assert(graft.core.Layout.readAt(spark, root, 2L).collect().length === 2)
+    // current still resolves the newest
+    assert(graft.core.Layout.readCurrent(spark, root)
+      .collect().map(_.getLong(1)).distinct.toSeq === Seq(3L))
+    // a never-published seq fails loudly, naming what IS retained
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Layout.readAt(spark, root, 99L)
+    }
+    assert(e.getMessage.contains("retained: 1,2,3"))
+  }
+
+  test("time travel: retainSnapshots expires old pointers AND their data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-wap-retain").toString
+    def snap(k: Int) =
+      (1 to k).map(i => (i.toLong, k.toLong)).toDF("id", "snap_version")
+    (1 to 4).foreach { k =>
+      assert(graft.core.Layout.writeAuditPublish(
+        snap(k), root, k.toString, _ => Nil, retainSnapshots = 2).isRight)
+    }
+    // only the newest 2 snapshots survive; expired ones lose pointer
+    // and version dir both
+    assert(graft.core.Layout.snapshots(spark, root) ===
+      Seq((3L, "v_3"), (4L, "v_4")))
+    assert(!new java.io.File(s"$root/v_1").exists)
+    assert(!new java.io.File(s"$root/v_2").exists)
+    intercept[IllegalArgumentException] {
+      graft.core.Layout.readAt(spark, root, 1L)
+    }
+    // the time-travel window narrowed; the current view is untouched
+    assert(graft.core.Layout.readAt(spark, root, 3L).collect().length === 3)
+    assert(graft.core.Layout.readCurrent(spark, root)
+      .collect().map(_.getLong(1)).distinct.toSeq === Seq(4L))
+  }
+
+  test("time-travel diff query: all four statuses, counts close over the corpus") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val got = graft.llm.Dedup.timeTravelDiff(docs).collect()
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(got.keySet === Set("added", "removed", "changed", "unchanged"))
+    // full-outer closure: statuses partition the union of both key sets
+    val nOld = docs.filter(col("doc_id") % 10 =!= 0).count()
+    val nNew = docs.filter(col("doc_id") % 7 =!= 0).count()
+    val nBoth = docs.filter(col("doc_id") % 10 =!= 0)
+      .filter(col("doc_id") % 7 =!= 0).count()
+    assert(got.values.sum === nOld + nNew - nBoth)
+    assert(got("added") === nNew - nBoth)
+    assert(got("removed") === nOld - nBoth)
   }
 
   test("csv malformed rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
