@@ -1741,7 +1741,166 @@ object Similarity {
        |FROM pred p JOIN lab q ON p.query_id = q.vec_id
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ PCA (power method)
+
+  /** Drop a localCheckpoint's backing blocks (the GraphOps/Curation
+    * discipline for iterative per-round state).
+    */
+  private def freeCk(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Dominant principal component of the embedding corpus by
+    * DETERMINISTIC power iteration — the whitening/decorrelation
+    * primitive a SemDeDup-style pipeline runs before cosine
+    * thresholds, reduced to Spark-shaped work: one corpus pass builds
+    * the 64x64 integer scatter matrix, then everything else is
+    * model-sized.
+    *
+    * Exactness: vectors go through the shared [[withUnitQuantized]]
+    * int8 kernel (the one float fold both engines replay identically),
+    * so the scatter matrix n*Sigma(x_i x_j) - S_i S_j is EXACT integer
+    * (DECIMAL(38,0) here, HUGEINT oracle-side — the documented
+    * pairing; entries bound 16129*n^2, past int64 at ~7.5e5 vectors).
+    * Power iteration runs 8 fixed rounds from a deterministic
+    * Knuth-hash start vector (a constant start would sit exactly
+    * orthogonal to zero-sum directions and never escape — see the
+    * inline note); each round divides by md = max(1, max|u| DIV 1e6)
+    * — Spark DIV and DuckDB HUGEINT // both truncate toward zero
+    * (verified on negatives), so the rounds match bit-for-bit. Sign
+    * is fixed by making the first nonzero component positive (the
+    * eigenvector's inherent sign ambiguity, resolved the same way in
+    * both engines via min_by). lambda = Rayleigh quotient v'Cv / v'v;
+    * var_explained_permille = 1000*lambda/trace(C), exact integer DIV.
+    *
+    * Scale: the corpus pass explodes each row into 64^2 = 4096
+    * (i,j,x*y) terms MAP-SIDE and partial-aggregates them to <= 4096
+    * keys per partition before the shuffle (the CMS-cell discipline:
+    * shuffle bounded by the sketch size, not the corpus) — the
+    * classic X'X outer-product accumulation. Every later step joins
+    * 4096-row / 64-row / 1-row frames; the only broadcasts are
+    * model-sized. 8 rounds, checkpointed and freed per round, the
+    * pageRankScaled lifecycle.
+    */
+  def pcaPower(e: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = e.sparkSession
+    val q = withUnitQuantized(e)
+    val prods = q.select(explode(expr(
+        "flatten(transform(qn, (x, i) -> transform(qn, (y, j) -> " +
+          "named_struct('i', i, 'j', j, 'xy', x * y))))")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(expr("sum(CAST(p.xy AS DECIMAL(38,0)))").as("p"))
+    val sums = q.select(posexplode(col("qn")).as(Seq("i", "x")))
+      .groupBy("i").agg(expr("sum(CAST(x AS DECIMAL(38,0)))").as("s"))
+    val nn = q.agg(count(lit(1)).as("n"))
+    val cov = prods
+      .join(sums.select(col("i"), col("s").as("si")), "i")
+      .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
+      .crossJoin(broadcast(nn)) // 1-row corpus count — audited idiom
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        expr("CAST(n AS DECIMAL(38,0)) * p - si * sj").as("c"))
+      .localCheckpoint() // 4096 rows; feeds every round + the trace
+    def matvec(v: DataFrame): DataFrame =
+      cov.join(v, "j").groupBy("i")
+        .agg(expr("sum(c * CAST(v AS DECIMAL(38,0)))").as("u"))
+    // deterministic Knuth-hash init, NOT all-ones: a constant vector
+    // is exactly orthogonal to any zero-sum direction (alternating
+    // signs, contrasts), and power iteration never escapes the
+    // orthogonal complement of its start — the hash start is generic
+    var v = spark.range(0, 64)
+      .select(col("id").as("j"),
+        expr("pmod(id * 2654435761, 2000001) - 1000000").as("v"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val u = matvec(v)
+      val md = u.agg(expr(
+        "greatest(CAST(1 AS DECIMAL(38,0)), max(abs(u)) DIV 1000000)")
+        .as("md"))
+      val vNext = u.crossJoin(broadcast(md)) // 1-row max — audited idiom
+        .select(col("i").as("j"), expr("CAST(u DIV md AS BIGINT)").as("v"))
+        .localCheckpoint()
+      freeCk(v)
+      v = vNext
+      r += 1
+    }
+    val u9 = matvec(v)
+    val st = u9.join(v.select(col("j").as("i"), col("v")), "i")
+      .agg(expr("sum(u * CAST(v AS DECIMAL(38,0)))").as("num"),
+        expr("sum(CAST(v AS DECIMAL(38,0)) * v)").as("den"))
+    val tr = cov.filter(col("i") === col("j")).agg(sum("c").as("tr"))
+    val ve = st.crossJoin(broadcast(tr)) // 1-row trace — audited idiom
+      .select(expr("CAST((1000 * num) DIV (den * tr) AS BIGINT)")
+        .as("var_explained_permille"))
+    val sg = v.filter(col("v") =!= 0)
+      .agg(coalesce(
+        expr("min_by(CASE WHEN v < 0 THEN -1 ELSE 1 END, j)"), lit(1))
+        .as("s"))
+    v.crossJoin(broadcast(sg)) // 1-row sign — audited idiom
+      .crossJoin(broadcast(ve)) // 1-row panel stat — audited idiom
+      .select(col("j").as("dim"), (col("v") * col("s")).as("eig_micro"),
+        col("var_explained_permille"))
+  }
+
+  def pcaPowerSql(rounds: Int = 8): String = {
+    val head =
+      s"""WITH $unitQuantizedSql,
+         |prods AS MATERIALIZED (
+         |  SELECT r1.range AS i, r2.range AS j,
+         |    CAST(sum(CAST(qn[r1.range + 1] AS HUGEINT)
+         |      * qn[r2.range + 1]) AS HUGEINT) AS p
+         |  FROM base CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
+         |  GROUP BY 1, 2),
+         |sums AS MATERIALIZED (
+         |  SELECT r.range AS i,
+         |    CAST(sum(CAST(qn[r.range + 1] AS HUGEINT)) AS HUGEINT) AS s
+         |  FROM base CROSS JOIN range(64) r GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM base),
+         |cov AS MATERIALIZED (
+         |  SELECT p.i, p.j, nn.n * p.p - s1.s * s2.s AS c
+         |  FROM prods p
+         |  JOIN sums s1 ON s1.i = p.i
+         |  JOIN sums s2 ON s2.i = p.j
+         |  CROSS JOIN nn),
+         |tr AS (SELECT CAST(sum(c) AS HUGEINT) AS tr FROM cov
+         |       WHERE i = j),
+         |v0 AS (SELECT CAST(range AS BIGINT) AS j,
+         |         CAST((range * 2654435761) % 2000001 - 1000000 AS BIGINT)
+         |           AS v FROM range(64))"""
+        .stripMargin
+    val body = (1 to rounds).map { r =>
+      s""",
+         |u$r AS (SELECT c.i AS j, CAST(sum(c.c * v.v) AS HUGEINT) AS u
+         |  FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY 1),
+         |m$r AS (SELECT greatest(CAST(1 AS HUGEINT),
+         |    CAST(max(abs(u)) AS HUGEINT) // 1000000) AS md FROM u$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT j, CAST(u // md AS BIGINT) AS v FROM u$r, m$r)"""
+        .stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |u_fin AS (SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS u
+         |  FROM cov c JOIN v$rounds v ON c.j = v.j GROUP BY 1),
+         |st AS (SELECT CAST(sum(u_fin.u * v.v) AS HUGEINT) AS num,
+         |    CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS HUGEINT) AS den
+         |  FROM u_fin JOIN v$rounds v ON u_fin.i = v.j),
+         |ve AS (SELECT CAST((1000 * st.num) // (st.den * tr.tr) AS BIGINT)
+         |    AS var_explained_permille FROM st, tr),
+         |sg AS (SELECT CAST(coalesce(
+         |    min_by(CASE WHEN v < 0 THEN -1 ELSE 1 END, j), 1) AS BIGINT)
+         |  AS s FROM v$rounds WHERE v <> 0)
+         |SELECT v.j AS dim, CAST(v.v * sg.s AS BIGINT) AS eig_micro,
+         |  ve.var_explained_permille
+         |FROM v$rounds v, sg, ve""".stripMargin
+    head + body + tail
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_pca" -> ((s, d) => pcaPower(emb(s, d))),
     "q_knn_classify" -> ((s, d) =>
       knnClassify(emb(s, d), codebook = Some(cachedCentroidsInt8(s, d)))),
     "q_embed_label_sim" -> ((s, d) => labelCentroidSim(emb(s, d))),
@@ -1778,6 +1937,7 @@ object Similarity {
     * paths via order-stable IEEE folds.
     */
   val oracleSql: Map[String, String] = Map(
+    "q_embed_pca" -> pcaPowerSql(),
     "q_knn_classify" -> knnClassifySql,
     "q_embed_label_sim" -> labelCentroidSimSql,
     "q_knn_quality" -> annQualitySql(),

@@ -806,6 +806,72 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("classifier")) {
+      // Classifier-training probe (round-13 addition): 8 GD rounds on
+      // the 64-bucket hashed logistic model. Claim: one corpus-sized
+      // feature materialization, then per round a 64-row broadcast
+      // model join + doc-keyed z agg + 64-key gradient agg (map-side
+      // combined) — every per-round shuffle is bounded by docs (z) or
+      // the model (gradient), so wall and shuffle should grow ~linear
+      // in the corpus, with the fixed per-round cost amortizing like
+      // PageRank's. A super-linear jump would mean a round re-pays
+      // something corpus x corpus.
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = rep(base, Seq("doc_id"), n).localCheckpoint()
+        val l = new ShuffleSum
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val res = graft.llm.Curation.classifierTrain(d)
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(round, sq_loss, n_correct))").as("chk"))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[classifier-probe] $label%-4s docs ${n * 60000}%8d  " +
+          f"train $dt%6.2f s  (${res.getLong(0)}%3d eval rows, " +
+          f"chk ${res.getLong(1)}%d)  " +
+          f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("pca")) {
+      // PCA probe (round-13 addition): the scatter-matrix pass
+      // explodes 4096 (i,j) terms per vector MAP-SIDE and partial-
+      // aggregates to <= 4096 keys per partition before the shuffle.
+      // Claim: shuffle is sketch-sized (constant in the corpus), wall
+      // ~linear in vectors; the 8 power rounds are model-sized and
+      // should not move between scales. Synthetic replication of the
+      // embeddings table (ids shifted per replica).
+      val base = Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+      Seq("1x" -> 1, "16x" -> 16).foreach { case (label, n) =>
+        val d = rep(base, Seq("vec_id"), n).localCheckpoint()
+        val cnt = d.count()
+        val l = new ShuffleSum
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val res = graft.llm.Similarity.pcaPower(d)
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(dim, eig_micro, var_explained_permille))")
+              .as("chk"))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[pca-probe] $label%-4s vecs $cnt%8d  " +
+          f"pca $dt%6.2f s  (${res.getLong(0)}%3d rows, " +
+          f"chk ${res.getLong(1)}%d)  " +
+          f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("retrieval")) {
       // Retrieval probe (round-11 additions): BM25 top-k join and MMR
       // diversification over the real documents table replicated 1x/4x

@@ -1253,4 +1253,54 @@ class LlmSpec extends SparkSpec {
     assert(residErr < plainErr,
       s"residual PQ should reconstruct tighter: $residErr vs $plainErr")
   }
+
+  // ---------------------------------------------------------- PCA
+
+  test("pca: recovers a planted dominant direction") {
+    // 40 vectors along a fixed direction (both signs, varying length)
+    // + 6 low-energy vectors on an orthogonal axis: the dominant
+    // component must align with the planted direction
+    val dir = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else 1.0f)
+    val rows =
+      (1 to 40).map { k =>
+        val s = (if (k % 2 == 0) 1 else -1) * (1.0f + k / 10.0f)
+        (k.toLong, dir.map(_ * s).toSeq, 0)
+      } ++ (41 to 46).map { k =>
+        (k.toLong, ortho.map(_ * 0.3f).toSeq, 1)
+      }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.pcaPower(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.length === 64)
+    val v = got.map(_._2.toDouble)
+    val cos = {
+      val num = v.zip(dir.map(_.toDouble)).map { case (a, b) => a * b }.sum
+      val d1 = math.sqrt(v.map(x => x * x).sum)
+      val d2 = math.sqrt(dir.map(x => x.toDouble * x).sum)
+      math.abs(num) / (d1 * d2)
+    }
+    assert(cos > 0.99, s"eigvec should align with the plant, cos=$cos")
+    // the planted direction carries most of the variance: the scatter
+    // matrix is 471040*dd' + 61440*J here, so lambda1/trace =
+    // 471040/(471040+61440) = 0.8846 -> 884 permille analytically
+    assert(got.head._3 === 884L, s"var explained ${got.head._3}")
+    // sign convention: first nonzero component positive
+    assert(v.find(_ != 0.0).get > 0)
+  }
+
+  test("pca: corpus panel is well-formed and deterministic") {
+    val a = Similarity.pcaPower(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.length === 64)
+    val ve = a.head._3
+    assert(ve > 0 && ve <= 1000, s"var_explained_permille $ve")
+    assert(a.forall(_._3 == ve), "panel stat must be constant")
+    assert(a.forall(t => math.abs(t._2) <= 2000000L),
+      "components stay in the scaled unit box")
+    val b = Similarity.pcaPower(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "re-run must be bit-identical")
+  }
 }
