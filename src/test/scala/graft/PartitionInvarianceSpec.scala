@@ -155,7 +155,16 @@ class PartitionInvarianceSpec extends SparkSpec {
           graft.llm.Similarity.pqCodebooksQ(
             graft.llm.Similarity.ivfResiduals(e, cents)
               .select("vec_id", "qn")))
-      }))
+      }),
+    ("classifier_train (per-round gradient aggregations)",
+      () => graft.llm.Curation.classifierTrain(
+        Tables.load(spark, sfDir, "documents"))),
+    ("kll_sketch (level samples + weighted-rank pick)",
+      () => graft.llm.CorpusOps.kllSketch(
+        Tables.load(spark, sfDir, "documents"))),
+    ("pca_power (scatter partial-aggs + matvec rounds)",
+      () => graft.llm.Similarity.pcaPower(
+        Tables.load(spark, sfDir, "embeddings"))))
 
   cases.foreach { case (name, mk) =>
     test(s"$name is invariant under shuffle.partitions in {1, 4, 17}") {
