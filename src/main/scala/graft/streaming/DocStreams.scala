@@ -356,6 +356,54 @@ object DocStreams {
       .toDF("source", "n_docs", "p50_bucket", "bucket_lo", "bucket_hi")
   }
 
+  /** Streaming deterministic-reservoir FEED: the continuous-ingestion
+    * mirror of [[graft.llm.Sampling.samplePerGroup]]. Per-group state
+    * is the current sample itself — the k (md5(text), doc_id) pairs
+    * with the smallest hash order — which is a BOTTOM-K structure:
+    * order-independent, mergeable, and closed under insertion, so the
+    * final per-group emission after a full replay equals the batch
+    * operator's keep set exactly (asserted in StatefulStreamingSpec).
+    * This is the streaming form a training-data pipeline wants for
+    * "keep a representative per-language probe set as data arrives":
+    * the sample never depends on arrival order, and a re-ingested
+    * duplicate lands on the same decision.
+    *
+    * Scale: state is k short strings per group (constant in stream
+    * length); the only shuffle is the state-store exchange on the
+    * group key. Each refresh re-emits the group's current k rows.
+    */
+  def samplePerGroupFeed(
+      docsStream: DataFrame, groupCol: String = "lang",
+      k: Int = 5): DataFrame = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docsStream
+      .select(col(groupCol).as("g"),
+        md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[String], (String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g, rows, state) =>
+          // state: "hash|doc_id" strings, kept sorted ascending — the
+          // batch window's (md5(text), doc_id) total order verbatim
+          var keep = state.getOption.getOrElse(Array.empty[String])
+            .map { s =>
+              val cut = s.lastIndexOf('|')
+              (s.substring(0, cut), s.substring(cut + 1).toLong)
+            }.toVector
+          rows.foreach { case (_, h, id) =>
+            keep = (keep :+ ((h, id))).distinct.sorted.take(k)
+          }
+          state.update(keep.map { case (h, id) => s"$h|$id" }.toArray)
+          keep.iterator.zipWithIndex.map { case ((_, id), i) =>
+            (g, id, (i + 1).toLong)
+          }
+      }
+      .toDF(groupCol, "doc_id", "rn")
+  }
+
   /** Streaming KLL-lite quantile FEED: the continuous-ingestion mirror
     * of [[graft.llm.CorpusOps.kllSketch]]'s sketch half. Per-source
     * state is the level sample itself — (value, tz) pairs with

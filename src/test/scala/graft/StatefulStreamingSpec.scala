@@ -759,6 +759,27 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming reservoir feed: final per-group sample == batch samplePerGroup") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-docs-resfeed")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.samplePerGroupFeed(stream)
+      .writeStream.format("memory").queryName("resfeed_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest refresh wins per (group, rn) slot
+    val got = spark.table("resfeed_out").collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val want = graft.llm.Sampling.samplePerGroup(batchDocs, "lang").collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(got === want, "streamed reservoir diverges from batch")
+    q.stop()
+  }
+
   test("streaming KLL feed: final per-source row == batch sketch columns") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val d = Files.createTempDirectory("graft-docs-kllfeed")
