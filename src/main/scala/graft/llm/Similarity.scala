@@ -1743,16 +1743,6 @@ object Similarity {
 
   // ------------------------------------------------ PCA (power method)
 
-  /** Drop a localCheckpoint's backing blocks (the GraphOps/Curation
-    * discipline for iterative per-round state).
-    */
-  private def freeCk(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-
   /** Dominant principal component of the embedding corpus by
     * DETERMINISTIC power iteration — the whitening/decorrelation
     * primitive a SemDeDup-style pipeline runs before cosine
@@ -1776,73 +1766,109 @@ object Similarity {
     * both engines via min_by). lambda = Rayleigh quotient v'Cv / v'v;
     * var_explained_permille = 1000*lambda/trace(C), exact integer DIV.
     *
-    * Scale: the corpus pass explodes each row into 64^2 = 4096
-    * (i,j,x*y) terms MAP-SIDE and partial-aggregates them to <= 4096
-    * keys per partition before the shuffle (the CMS-cell discipline:
-    * shuffle bounded by the sketch size, not the corpus) — the
-    * classic X'X outer-product accumulation. Every later step joins
-    * 4096-row / 64-row / 1-row frames; the only broadcasts are
-    * model-sized. 8 rounds, checkpointed and freed per round, the
-    * pageRankScaled lifecycle.
+    * Scale: ONE corpus pass accumulates the X'X outer products in a
+    * typed [[ScatterAgg]] (4161 longs of per-partition state, fused
+    * multiply-adds, no explode) — the only shuffle is one buffer per
+    * partition meeting at the final merge, the CMS-cell discipline.
+    * The 4096-integer scatter matrix then collects to the driver and
+    * the eigensolve runs locally — Spark MLlib's own RowMatrix PCA
+    * shape (distribute the Gramian pass, never the 64x64 matvecs;
+    * scheduling 16 tiny shuffles for microsecond arithmetic is pure
+    * overhead). The collect is the audited bounded class (k-row
+    * Lloyd's-seed size), and the BigInt loop is bit-identical to the
+    * oracle's HUGEINT recurrence.
     */
+  /** One-pass scatter accumulator: buffer = [ Σx_i x_j (4096) |
+    * Σx_i (64) | n (1) ] as longs. Genuine per-partition imperative
+    * state (the Misra-Gries exception): the explode-free alternative
+    * to a 4096-term outer-product flatMap, so the corpus pass does
+    * 64x64 fused multiply-adds per vector in place of building and
+    * shuffling structs. Long cells bound 16129*n — exact to ~5.7e14
+    * vectors, far past any corpus here (documented like the other
+    * int64 bounds; the DECIMAL escape hatch is mechanical if ever
+    * needed).
+    */
+  private class ScatterAgg
+      extends org.apache.spark.sql.expressions
+        .Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val D = 64
+    def zero: Array[Long] = new Array[Long](D * D + D + 1)
+    def reduce(b: Array[Long], x: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < D) {
+        val xi = x(i)
+        val row = i * D
+        var j = 0
+        while (j < D) { b(row + j) += xi * x(j); j += 1 }
+        b(D * D + i) += xi
+        i += 1
+      }
+      b(D * D + D) += 1L
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   def pcaPower(e: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = e.sparkSession
+    import spark.implicits._
     val q = withUnitQuantized(e)
-    val prods = q.select(explode(expr(
-        "flatten(transform(qn, (x, i) -> transform(qn, (y, j) -> " +
-          "named_struct('i', i, 'j', j, 'xy', x * y))))")).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(expr("sum(CAST(p.xy AS DECIMAL(38,0)))").as("p"))
-    val sums = q.select(posexplode(col("qn")).as(Seq("i", "x")))
-      .groupBy("i").agg(expr("sum(CAST(x AS DECIMAL(38,0)))").as("s"))
-    val nn = q.agg(count(lit(1)).as("n"))
-    val cov = prods
-      .join(sums.select(col("i"), col("s").as("si")), "i")
-      .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
-      .crossJoin(broadcast(nn)) // 1-row corpus count — audited idiom
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        expr("CAST(n AS DECIMAL(38,0)) * p - si * sj").as("c"))
-      .localCheckpoint() // 4096 rows; feeds every round + the trace
-    def matvec(v: DataFrame): DataFrame =
-      cov.join(v, "j").groupBy("i")
-        .agg(expr("sum(c * CAST(v AS DECIMAL(38,0)))").as("u"))
+    // ONE corpus pass: the typed scatter aggregator partial-aggregates
+    // map-side, so the only shuffle is the 4161-long buffers (one per
+    // partition) meeting at the final merge — sketch-sized, the CMS
+    // discipline
+    val flat = q.select(col("qn")).as[Array[Long]]
+      .select(new ScatterAgg().toColumn)
+      .head()
+    // The scatter matrix is MODEL-sized (4096 integers) — eigensolve
+    // on the driver, exactly what Spark MLlib's RowMatrix PCA does
+    // with its Gramian (the distributed work is the corpus pass;
+    // iterating 64x64 matvecs through the scheduler would pay ~16
+    // tiny shuffles for arithmetic a core does in microseconds).
+    // Driver loop runs in BigInt — bit-identical to the oracle's
+    // HUGEINT recurrence (BigInteger division truncates toward zero
+    // like DuckDB //). Bounded-collect class: same as the k-row
+    // Lloyd's codebook seeds, audited.
+    val n = BigInt(flat(64 * 64 + 64))
+    val cm = Array.tabulate(64, 64)((i, j) =>
+      n * BigInt(flat(i * 64 + j)) -
+        BigInt(flat(64 * 64 + i)) * BigInt(flat(64 * 64 + j)))
     // deterministic Knuth-hash init, NOT all-ones: a constant vector
     // is exactly orthogonal to any zero-sum direction (alternating
     // signs, contrasts), and power iteration never escapes the
     // orthogonal complement of its start — the hash start is generic
-    var v = spark.range(0, 64)
-      .select(col("id").as("j"),
-        expr("pmod(id * 2654435761, 2000001) - 1000000").as("v"))
-      .localCheckpoint()
+    var v: Array[BigInt] = Array.tabulate(64)(j =>
+      BigInt((j.toLong * 2654435761L) % 2000001L - 1000000L))
+    def matvec(x: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(64)(i =>
+        (0 until 64).foldLeft(BigInt(0))((a, j) => a + cm(i)(j) * x(j)))
     var r = 0
     while (r < rounds) {
       val u = matvec(v)
-      val md = u.agg(expr(
-        "greatest(CAST(1 AS DECIMAL(38,0)), max(abs(u)) DIV 1000000)")
-        .as("md"))
-      val vNext = u.crossJoin(broadcast(md)) // 1-row max — audited idiom
-        .select(col("i").as("j"), expr("CAST(u DIV md AS BIGINT)").as("v"))
-        .localCheckpoint()
-      freeCk(v)
-      v = vNext
+      val md = u.map(_.abs).max / 1000000 max BigInt(1)
+      v = u.map(_ / md) // BigInt / truncates toward zero == HUGEINT //
       r += 1
     }
-    val u9 = matvec(v)
-    val st = u9.join(v.select(col("j").as("i"), col("v")), "i")
-      .agg(expr("sum(u * CAST(v AS DECIMAL(38,0)))").as("num"),
-        expr("sum(CAST(v AS DECIMAL(38,0)) * v)").as("den"))
-    val tr = cov.filter(col("i") === col("j")).agg(sum("c").as("tr"))
-    val ve = st.crossJoin(broadcast(tr)) // 1-row trace — audited idiom
-      .select(expr("CAST((1000 * num) DIV (den * tr) AS BIGINT)")
-        .as("var_explained_permille"))
-    val sg = v.filter(col("v") =!= 0)
-      .agg(coalesce(
-        expr("min_by(CASE WHEN v < 0 THEN -1 ELSE 1 END, j)"), lit(1))
-        .as("s"))
-    v.crossJoin(broadcast(sg)) // 1-row sign — audited idiom
-      .crossJoin(broadcast(ve)) // 1-row panel stat — audited idiom
-      .select(col("j").as("dim"), (col("v") * col("s")).as("eig_micro"),
-        col("var_explained_permille"))
+    val uFin = matvec(v)
+    val num = (0 until 64).foldLeft(BigInt(0))((a, i) => a + uFin(i) * v(i))
+    val den = (0 until 64).foldLeft(BigInt(0))((a, i) => a + v(i) * v(i))
+    val tr = (0 until 64).foldLeft(BigInt(0))((a, i) => a + cm(i)(i))
+    val ve =
+      if (den * tr == 0) 0L else ((BigInt(1000) * num) / (den * tr)).toLong
+    val s = v.find(_ != 0).map(x => if (x < 0) -1L else 1L).getOrElse(1L)
+    import spark.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (x, j) => (j.toLong, x.toLong * s, ve) }
+      .toDF("dim", "eig_micro", "var_explained_permille")
   }
 
   def pcaPowerSql(rounds: Int = 8): String = {
