@@ -138,6 +138,49 @@ class RobustnessSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1))).toSet === Set((1L, 3L), (2L, 3L)))
   }
 
+  test("kll sketch handles degenerate corpora (empty, single doc)") {
+    import graft.llm.CorpusOps
+    val empty = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "source", "n_chars")
+    assert(CorpusOps.kllSketch(empty).count() === 0)
+    val one = Seq((1L, "s0", 42L)).toDF("doc_id", "source", "n_chars")
+    val rows = CorpusOps.kllSketch(one).collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    // level 0, sample = the doc itself: estimate IS the exact median
+    assert(rows.keySet === Set("s0", "__all__"))
+    rows.values.foreach { case (est, exact, err) =>
+      assert(est === 42L && exact === 42L && err === 0L)
+    }
+  }
+
+  test("classifier training stays well-formed on a tiny corpus") {
+    import graft.llm.Curation
+    val tiny = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha delta"), (4L, "beta epsilon"))
+      .toDF("doc_id", "text")
+    val curve = Curation.classifierTrain(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.length === 9)
+    // loss never increases (strict decrease needs a corpus where the
+    // visible permille loss can move every round; 4 docs can plateau)
+    curve.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"loss rose: $a -> $b")
+    }
+    assert(curve.forall(t => t._3 >= 0 && t._3 <= 4))
+  }
+
+  test("pca returns the zero panel on an empty corpus") {
+    import graft.llm.Similarity
+    val empty = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.pcaPower(empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 64)
+    assert(got.forall(t => t._2 === 0L && t._3 === 0L))
+  }
+
   test("session cache: racing first accesses compute the value exactly once") {
     val c = new graft.core.SessionCache[String, Int]
     val computes = new java.util.concurrent.atomic.AtomicInteger(0)
