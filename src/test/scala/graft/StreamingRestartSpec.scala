@@ -90,4 +90,53 @@ class StreamingRestartSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() === keepSet,
       "restarted state leaked second-wave duplicates")
   }
+
+  test("kll feed state survives a restart: post-restart sketch == batch over both waves") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val work = Files.createTempDirectory("graft-kll-restart")
+    val inDir = work.resolve("in"); Files.createDirectory(inDir)
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(s"$inDir/*")
+      val q = graft.streaming.DocStreams.kllBySource(stream)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("bid", lit(id))
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b1").toString)
+    runOnce()
+    // RESTARTED query, second wave (re-keyed ids, fresh hashes): the
+    // recovered sample state must still hold wave-1's survivors, so
+    // the final emission equals a batch sketch over BOTH waves
+    val wave2 = docs.withColumn("doc_id", col("doc_id") + 2000000L)
+    wave2.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b2").toString)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    val lastBid = out.agg(org.apache.spark.sql.functions.max("bid"))
+      .head().getLong(0)
+    val got = out.filter(col("bid") === lastBid).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val want = graft.llm.CorpusOps.kllSketch(docs.unionByName(wave2))
+      .collect()
+      .filter(_.getString(0) != "__all__")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got === want,
+      "post-restart sketch diverges from batch over both waves")
+  }
 }
