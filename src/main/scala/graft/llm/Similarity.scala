@@ -1818,115 +1818,255 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
-  def pcaPower(e: DataFrame, rounds: Int = 8): DataFrame = {
+  /** ONE corpus pass: the typed scatter aggregator partial-aggregates
+    * map-side, so the only shuffle is the 4161-long buffers (one per
+    * partition) meeting at the final merge — sketch-sized, the CMS
+    * discipline. Returns the MODEL-sized 64x64 BigInt scatter matrix
+    * n*Sum(x_i x_j) - S_i S_j; the eigensolve then runs on the driver,
+    * exactly what Spark MLlib's RowMatrix PCA does with its Gramian
+    * (the distributed work is the corpus pass; iterating 64x64
+    * matvecs through the scheduler would pay ~16 tiny shuffles for
+    * arithmetic a core does in microseconds). Bounded-collect class:
+    * same as the k-row Lloyd's codebook seeds, audited.
+    */
+  private def scatterBig(e: DataFrame): Array[Array[BigInt]] = {
     val spark = e.sparkSession
     import spark.implicits._
-    val q = withUnitQuantized(e)
-    // ONE corpus pass: the typed scatter aggregator partial-aggregates
-    // map-side, so the only shuffle is the 4161-long buffers (one per
-    // partition) meeting at the final merge — sketch-sized, the CMS
-    // discipline
-    val flat = q.select(col("qn")).as[Array[Long]]
+    val flat = withUnitQuantized(e).select(col("qn")).as[Array[Long]]
       .select(new ScatterAgg().toColumn)
       .head()
-    // The scatter matrix is MODEL-sized (4096 integers) — eigensolve
-    // on the driver, exactly what Spark MLlib's RowMatrix PCA does
-    // with its Gramian (the distributed work is the corpus pass;
-    // iterating 64x64 matvecs through the scheduler would pay ~16
-    // tiny shuffles for arithmetic a core does in microseconds).
-    // Driver loop runs in BigInt — bit-identical to the oracle's
-    // HUGEINT recurrence (BigInteger division truncates toward zero
-    // like DuckDB //). Bounded-collect class: same as the k-row
-    // Lloyd's codebook seeds, audited.
     val n = BigInt(flat(64 * 64 + 64))
-    val cm = Array.tabulate(64, 64)((i, j) =>
+    Array.tabulate(64, 64)((i, j) =>
       n * BigInt(flat(i * 64 + j)) -
         BigInt(flat(64 * 64 + i)) * BigInt(flat(64 * 64 + j)))
-    // deterministic Knuth-hash init, NOT all-ones: a constant vector
-    // is exactly orthogonal to any zero-sum direction (alternating
-    // signs, contrasts), and power iteration never escapes the
-    // orthogonal complement of its start — the hash start is generic
-    var v: Array[BigInt] = Array.tabulate(64)(j =>
-      BigInt((j.toLong * 2654435761L) % 2000001L - 1000000L))
-    def matvec(x: Array[BigInt]): Array[BigInt] =
-      Array.tabulate(64)(i =>
-        (0 until 64).foldLeft(BigInt(0))((a, j) => a + cm(i)(j) * x(j)))
+  }
+
+  private def bigMatvec(
+      cm: Array[Array[BigInt]], x: Array[BigInt]): Array[BigInt] =
+    Array.tabulate(64)(i =>
+      (0 until 64).foldLeft(BigInt(0))((a, j) => a + cm(i)(j) * x(j)))
+
+  /** Deterministic Knuth-hash start vector (offset picks independent
+    * starts per component), NOT all-ones: a constant vector is exactly
+    * orthogonal to any zero-sum direction (alternating signs,
+    * contrasts), and power iteration never escapes the orthogonal
+    * complement of its start — the hash start is generic.
+    */
+  private def bigSeed(off: Long): Array[BigInt] =
+    Array.tabulate(64)(j =>
+      BigInt((j.toLong * 2654435761L + off) % 2000001L - 1000000L))
+
+  /** Fixed-round power loop in BigInt — bit-identical to the oracle's
+    * HUGEINT recurrence (BigInteger division truncates toward zero
+    * like DuckDB //). With `proj = Some(v1)` each matvec result is
+    * deflated DIVISION-FREE by u' = u*(v1'v1) - v1*(v1'u) — exact
+    * orthogonal projection scaled by v1'v1, which the normalization
+    * absorbs — so the iterate converges to the SECOND component while
+    * every step stays integer-replayable.
+    */
+  private def bigPower(
+      cm: Array[Array[BigInt]], seedOff: Long, rounds: Int,
+      proj: Option[Array[BigInt]]): Array[BigInt] = {
+    val q1 = proj.map(p =>
+      (0 until 64).foldLeft(BigInt(0))((a, i) => a + p(i) * p(i)))
+    var v = bigSeed(seedOff)
     var r = 0
     while (r < rounds) {
-      val u = matvec(v)
+      val u0 = bigMatvec(cm, v)
+      val u = proj match {
+        case Some(p) =>
+          val dot = (0 until 64).foldLeft(BigInt(0))((a, i) => a + p(i) * u0(i))
+          Array.tabulate(64)(i => u0(i) * q1.get - p(i) * dot)
+        case None => u0
+      }
       val md = u.map(_.abs).max / 1000000 max BigInt(1)
       v = u.map(_ / md) // BigInt / truncates toward zero == HUGEINT //
       r += 1
     }
-    val uFin = matvec(v)
-    val num = (0 until 64).foldLeft(BigInt(0))((a, i) => a + uFin(i) * v(i))
-    val den = (0 until 64).foldLeft(BigInt(0))((a, i) => a + v(i) * v(i))
+    v
+  }
+
+  private def bigDot(a: Array[BigInt], b: Array[BigInt]): BigInt =
+    (0 until 64).foldLeft(BigInt(0))((x, i) => x + a(i) * b(i))
+
+  /** Sign convention: first nonzero component positive. */
+  private def bigSign(v: Array[BigInt]): Long =
+    v.find(_ != 0).map(x => if (x < 0) -1L else 1L).getOrElse(1L)
+
+  def pcaPower(e: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = e.sparkSession
+    val cm = scatterBig(e)
+    val v = bigPower(cm, 0L, rounds, None)
+    val num = bigDot(bigMatvec(cm, v), v)
+    val den = bigDot(v, v)
     val tr = (0 until 64).foldLeft(BigInt(0))((a, i) => a + cm(i)(i))
     val ve =
       if (den * tr == 0) 0L else ((BigInt(1000) * num) / (den * tr)).toLong
-    val s = v.find(_ != 0).map(x => if (x < 0) -1L else 1L).getOrElse(1L)
+    val s = bigSign(v)
     import spark.implicits._
     v.toSeq.zipWithIndex
       .map { case (x, j) => (j.toLong, x.toLong * s, ve) }
       .toDF("dim", "eig_micro", "var_explained_permille")
   }
 
-  def pcaPowerSql(rounds: Int = 8): String = {
-    val head =
-      s"""WITH $unitQuantizedSql,
-         |prods AS MATERIALIZED (
-         |  SELECT r1.range AS i, r2.range AS j,
-         |    CAST(sum(CAST(qn[r1.range + 1] AS HUGEINT)
-         |      * qn[r2.range + 1]) AS HUGEINT) AS p
-         |  FROM base CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
-         |  GROUP BY 1, 2),
-         |sums AS MATERIALIZED (
-         |  SELECT r.range AS i,
-         |    CAST(sum(CAST(qn[r.range + 1] AS HUGEINT)) AS HUGEINT) AS s
-         |  FROM base CROSS JOIN range(64) r GROUP BY 1),
-         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM base),
-         |cov AS MATERIALIZED (
-         |  SELECT p.i, p.j, nn.n * p.p - s1.s * s2.s AS c
-         |  FROM prods p
-         |  JOIN sums s1 ON s1.i = p.i
-         |  JOIN sums s2 ON s2.i = p.j
-         |  CROSS JOIN nn),
-         |tr AS (SELECT CAST(sum(c) AS HUGEINT) AS tr FROM cov
-         |       WHERE i = j),
-         |v0 AS (SELECT CAST(range AS BIGINT) AS j,
-         |         CAST((range * 2654435761) % 2000001 - 1000000 AS BIGINT)
-         |           AS v FROM range(64))"""
-        .stripMargin
-    val body = (1 to rounds).map { r =>
-      s""",
-         |u$r AS (SELECT c.i AS j, CAST(sum(c.c * v.v) AS HUGEINT) AS u
-         |  FROM cov c JOIN v${r - 1} v ON c.j = v.j GROUP BY 1),
-         |m$r AS (SELECT greatest(CAST(1 AS HUGEINT),
-         |    CAST(max(abs(u)) AS HUGEINT) // 1000000) AS md FROM u$r),
-         |v$r AS MATERIALIZED (
-         |  SELECT j, CAST(u // md AS BIGINT) AS v FROM u$r, m$r)"""
-        .stripMargin
-    }.mkString
-    val tail =
-      s""",
-         |u_fin AS (SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS u
-         |  FROM cov c JOIN v$rounds v ON c.j = v.j GROUP BY 1),
-         |st AS (SELECT CAST(sum(u_fin.u * v.v) AS HUGEINT) AS num,
-         |    CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS HUGEINT) AS den
-         |  FROM u_fin JOIN v$rounds v ON u_fin.i = v.j),
-         |ve AS (SELECT CAST((1000 * st.num) // (st.den * tr.tr) AS BIGINT)
-         |    AS var_explained_permille FROM st, tr),
-         |sg AS (SELECT CAST(coalesce(
-         |    min_by(CASE WHEN v < 0 THEN -1 ELSE 1 END, j), 1) AS BIGINT)
-         |  AS s FROM v$rounds WHERE v <> 0)
-         |SELECT v.j AS dim, CAST(v.v * sg.s AS BIGINT) AS eig_micro,
-         |  ve.var_explained_permille
-         |FROM v$rounds v, sg, ve""".stripMargin
-    head + body + tail
+  /** Top-2 PCA panel: the dominant component plus the SECOND one via
+    * division-free integer deflation (see [[bigPower]] — each deflated
+    * matvec is u*(v1'v1) - v1*(v1'u), exact projection up to the
+    * normalization's truncating division, which re-admits at most one
+    * scaled unit of v1 per round and is projected back out on the
+    * next). Emits both eigvectors, both Rayleigh variance shares, and
+    * the measured cross-component cos^2 in ppm (`ortho_ppm` — the
+    * deflation-quality number, asserted tiny in the spec). Oracle
+    * replays both loops in HUGEINT CTEs; products stay under the
+    * 128-bit bound to ~1.6e6 vectors at this scale (Spark-side BigInt
+    * is unbounded).
+    */
+  def pcaTop2(e: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = e.sparkSession
+    val cm = scatterBig(e)
+    val tr = (0 until 64).foldLeft(BigInt(0))((a, i) => a + cm(i)(i))
+    val v1 = bigPower(cm, 0L, rounds, None)
+    val v2 = bigPower(cm, 999983L, rounds, Some(v1))
+    def share(v: Array[BigInt]): Long = {
+      val num = bigDot(bigMatvec(cm, v), v)
+      val den = bigDot(v, v)
+      if (den * tr == 0) 0L else ((BigInt(1000) * num) / (den * tr)).toLong
+    }
+    val (ve1, ve2) = (share(v1), share(v2))
+    val d12 = bigDot(v1, v2)
+    val (q1, q2) = (bigDot(v1, v1), bigDot(v2, v2))
+    val ortho =
+      if (q1 * q2 == 0) 0L
+      else ((BigInt(1000000) * d12 * d12) / (q1 * q2)).toLong
+    val (s1, s2) = (bigSign(v1), bigSign(v2))
+    import spark.implicits._
+    (0 until 64).map(j =>
+        (j.toLong, v1(j).toLong * s1, v2(j).toLong * s2, ve1, ve2, ortho))
+      .toDF("dim", "eig1_micro", "eig2_micro",
+        "var1_permille", "var2_permille", "ortho_ppm")
   }
+
+  /** Shared CTE prefix: unit quantization, scatter matrix `cov`, trace. */
+  private val pcaHeadSql: String =
+    s"""WITH $unitQuantizedSql,
+       |prods AS MATERIALIZED (
+       |  SELECT r1.range AS i, r2.range AS j,
+       |    CAST(sum(CAST(qn[r1.range + 1] AS HUGEINT)
+       |      * qn[r2.range + 1]) AS HUGEINT) AS p
+       |  FROM base CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
+       |  GROUP BY 1, 2),
+       |sums AS MATERIALIZED (
+       |  SELECT r.range AS i,
+       |    CAST(sum(CAST(qn[r.range + 1] AS HUGEINT)) AS HUGEINT) AS s
+       |  FROM base CROSS JOIN range(64) r GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM base),
+       |cov AS MATERIALIZED (
+       |  SELECT p.i, p.j, nn.n * p.p - s1.s * s2.s AS c
+       |  FROM prods p
+       |  JOIN sums s1 ON s1.i = p.i
+       |  JOIN sums s2 ON s2.i = p.j
+       |  CROSS JOIN nn),
+       |tr AS (SELECT CAST(sum(c) AS HUGEINT) AS tr FROM cov
+       |       WHERE i = j)""".stripMargin
+
+  /** Seed CTE for a power chain named `p0`. */
+  private def pcaSeedSql(p: String, off: Long): String =
+    s""",
+       |${p}0 AS (SELECT CAST(range AS BIGINT) AS j,
+       |    CAST((range * 2654435761 + $off) % 2000001 - 1000000 AS BIGINT)
+       |      AS v FROM range(64))""".stripMargin
+
+  /** One power round for chain `p`; with `proj = Some((chain, qCte))`
+    * the matvec is deflated division-free: u*(v1'v1) - v1*(v1'u).
+    */
+  private def pcaRoundSql(
+      p: String, r: Int, proj: Option[(String, String)]): String = {
+    val raw =
+      s""",
+         |u$p$r AS (SELECT c.i AS j, CAST(sum(c.c * v.v) AS HUGEINT) AS u
+         |  FROM cov c JOIN $p${r - 1} v ON c.j = v.j GROUP BY 1)"""
+        .stripMargin
+    val deflate = proj match {
+      case Some((v1, q1)) =>
+        s""",
+           |d$p$r AS (SELECT CAST(sum(CAST(p.v AS HUGEINT) * u.u)
+           |    AS HUGEINT) AS d
+           |  FROM u$p$r u JOIN $v1 p ON u.j = p.j),
+           |e$p$r AS (SELECT u.j,
+           |    u.u * $q1.q - CAST(p.v AS HUGEINT) * d$p$r.d AS u
+           |  FROM u$p$r u JOIN $v1 p ON u.j = p.j, d$p$r, $q1)"""
+          .stripMargin
+      case None => ""
+    }
+    val src = if (proj.isDefined) s"e$p$r" else s"u$p$r"
+    raw + deflate +
+      s""",
+         |m$p$r AS (SELECT greatest(CAST(1 AS HUGEINT),
+         |    CAST(max(abs(u)) AS HUGEINT) // 1000000) AS md FROM $src),
+         |$p$r AS MATERIALIZED (
+         |  SELECT j, CAST(u // md AS BIGINT) AS v FROM $src, m$p$r)"""
+        .stripMargin
+  }
+
+  /** Rayleigh share CTE `ve<tag>` for the final chain table `vt`. */
+  private def pcaShareSql(tag: String, vt: String): String =
+    s""",
+       |f$tag AS (SELECT c.i, CAST(sum(c.c * v.v) AS HUGEINT) AS u
+       |  FROM cov c JOIN $vt v ON c.j = v.j GROUP BY 1),
+       |st$tag AS (SELECT CAST(sum(f$tag.u * v.v) AS HUGEINT) AS num,
+       |    CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS HUGEINT) AS den
+       |  FROM f$tag JOIN $vt v ON f$tag.i = v.j),
+       |ve$tag AS (SELECT CASE WHEN st$tag.den * tr.tr = 0 THEN 0
+       |    ELSE CAST((1000 * st$tag.num) // (st$tag.den * tr.tr) AS BIGINT)
+       |    END AS ve FROM st$tag, tr)""".stripMargin
+
+  /** Sign CTE `sg<tag>` (first nonzero component positive). */
+  private def pcaSignSql(tag: String, vt: String): String =
+    s""",
+       |sg$tag AS (SELECT CAST(coalesce(
+       |    min_by(CASE WHEN v < 0 THEN -1 ELSE 1 END, j), 1) AS BIGINT)
+       |  AS s FROM $vt WHERE v <> 0)""".stripMargin
+
+  def pcaPowerSql(rounds: Int = 8): String =
+    pcaHeadSql + pcaSeedSql("v", 0L) +
+      (1 to rounds).map(pcaRoundSql("v", _, None)).mkString +
+      pcaShareSql("1", s"v$rounds") + pcaSignSql("1", s"v$rounds") +
+      s"""
+         |SELECT v.j AS dim, CAST(v.v * sg1.s AS BIGINT) AS eig_micro,
+         |  ve1.ve AS var_explained_permille
+         |FROM v$rounds v, sg1, ve1""".stripMargin
+
+  def pcaTop2Sql(rounds: Int = 8): String =
+    pcaHeadSql + pcaSeedSql("v", 0L) +
+      (1 to rounds).map(pcaRoundSql("v", _, None)).mkString +
+      s""",
+         |q1 AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+         |  FROM v$rounds)""".stripMargin +
+      pcaSeedSql("w", 999983L) +
+      (1 to rounds)
+        .map(pcaRoundSql("w", _, Some((s"v$rounds", "q1")))).mkString +
+      pcaShareSql("1", s"v$rounds") + pcaShareSql("2", s"w$rounds") +
+      pcaSignSql("1", s"v$rounds") + pcaSignSql("2", s"w$rounds") +
+      s""",
+         |q2 AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+         |  FROM w$rounds),
+         |d12 AS (SELECT CAST(sum(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT)
+         |    AS d
+         |  FROM v$rounds a JOIN w$rounds b ON a.j = b.j),
+         |orth AS (SELECT CASE WHEN q1.q * q2.q = 0 THEN 0
+         |    ELSE CAST((1000000 * d12.d * d12.d) // (q1.q * q2.q)
+         |      AS BIGINT) END AS o
+         |  FROM d12, q1, q2)
+         |SELECT a.j AS dim, CAST(a.v * sg1.s AS BIGINT) AS eig1_micro,
+         |  CAST(b.v * sg2.s AS BIGINT) AS eig2_micro,
+         |  ve1.ve AS var1_permille, ve2.ve AS var2_permille,
+         |  orth.o AS ortho_ppm
+         |FROM v$rounds a JOIN w$rounds b ON a.j = b.j,
+         |  sg1, sg2, ve1, ve2, orth""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_pca" -> ((s, d) => pcaPower(emb(s, d))),
+    "q_embed_pca2" -> ((s, d) => pcaTop2(emb(s, d))),
     "q_knn_classify" -> ((s, d) =>
       knnClassify(emb(s, d), codebook = Some(cachedCentroidsInt8(s, d)))),
     "q_embed_label_sim" -> ((s, d) => labelCentroidSim(emb(s, d))),
@@ -1964,6 +2104,7 @@ object Similarity {
     */
   val oracleSql: Map[String, String] = Map(
     "q_embed_pca" -> pcaPowerSql(),
+    "q_embed_pca2" -> pcaTop2Sql(),
     "q_knn_classify" -> knnClassifySql,
     "q_embed_label_sim" -> labelCentroidSimSql,
     "q_knn_quality" -> annQualitySql(),

@@ -1290,6 +1290,42 @@ class LlmSpec extends SparkSpec {
     assert(v.find(_ != 0.0).get > 0)
   }
 
+  test("pca top-2: recovers two planted orthogonal directions in order") {
+    // period-2 and period-4 sign patterns are exactly orthogonal;
+    // plant 40 vectors on d1 and 12 on d2 (both signs each, so
+    // neither direction shows up in the mean)
+    val d1 = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val d2 = Array.tabulate(64)(i => if (i % 4 < 2) 1.0 else -1.0)
+    val rows =
+      (1 to 40).map { k =>
+        val s = (if (k % 2 == 0) 1 else -1) * (1.0f + k / 10.0f)
+        (k.toLong, d1.map(x => (x * s).toFloat).toSeq, 0)
+      } ++ (41 to 52).map { k =>
+        val s = (if (k % 2 == 0) 1 else -1) * 0.7f
+        (k.toLong, d2.map(x => (x * s).toFloat).toSeq, 1)
+      }
+    val got = Similarity.pcaTop2(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(got.length === 64)
+    def cos(v: Array[Double], d: Array[Double]): Double = {
+      val num = v.zip(d).map { case (a, b) => a * b }.sum
+      math.abs(num) /
+        (math.sqrt(v.map(x => x * x).sum) * math.sqrt(d.map(x => x * x).sum))
+    }
+    val v1 = got.map(_._2.toDouble)
+    val v2 = got.map(_._3.toDouble)
+    assert(cos(v1, d1) > 0.99, s"first component off-plant: ${cos(v1, d1)}")
+    assert(cos(v2, d2) > 0.99, s"second component off-plant: ${cos(v2, d2)}")
+    // ordered by energy, deflation numerically clean, shares bounded
+    val (ve1, ve2, ortho) = (got.head._4, got.head._5, got.head._6)
+    assert(ve1 > ve2 && ve2 > 0, s"shares $ve1, $ve2")
+    assert(ve1 + ve2 <= 1000)
+    assert(ortho < 100, s"components not orthogonal: $ortho ppm")
+  }
+
   test("pca: corpus panel is well-formed and deterministic") {
     val a = Similarity.pcaPower(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
