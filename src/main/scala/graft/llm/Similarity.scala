@@ -2064,8 +2064,55 @@ object Similarity {
          |FROM v$rounds a JOIN w$rounds b ON a.j = b.j,
          |  sg1, sg2, ve1, ve2, orth""".stripMargin
 
+  /** APPLY form of the PCA pair: every vector scored on the top-2
+    * components — (vec_id, pc1_score, pc2_score), the dimensionality-
+    * reduced view a downstream near-dup / visualization / stratified-
+    * sampling step consumes. Re-pays component training (the
+    * survivors/venn trio convention), then scoring is one MAP-ONLY
+    * pass: each int8 vector dotted with two 64-literal sign-fixed
+    * eigvectors inside codegen'd zip_with/aggregate HOFs — no
+    * shuffle, no join, scores bound 64*127*1e6 < int64.
+    */
+  def pcaProject(e: DataFrame, rounds: Int = 8): DataFrame = {
+    val cm = scatterBig(e)
+    val v1 = bigPower(cm, 0L, rounds, None)
+    val v2 = bigPower(cm, 999983L, rounds, Some(v1))
+    val (s1, s2) = (bigSign(v1), bigSign(v2))
+    def litVec(v: Array[BigInt], s: Long): Column =
+      array(v.map(x => lit(x.toLong * s)): _*)
+    def score(vec: Column): Column =
+      aggregate(zip_with(col("qn"), vec, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    withUnitQuantized(e).select(col("vec_id"),
+      score(litVec(v1, s1)).as("pc1_score"),
+      score(litVec(v2, s2)).as("pc2_score"))
+  }
+
+  def pcaProjectSql(rounds: Int = 8): String =
+    pcaHeadSql + pcaSeedSql("v", 0L) +
+      (1 to rounds).map(pcaRoundSql("v", _, None)).mkString +
+      s""",
+         |q1 AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+         |  FROM v$rounds)""".stripMargin +
+      pcaSeedSql("w", 999983L) +
+      (1 to rounds)
+        .map(pcaRoundSql("w", _, Some((s"v$rounds", "q1")))).mkString +
+      pcaSignSql("1", s"v$rounds") + pcaSignSql("2", s"w$rounds") +
+      s"""
+         |SELECT b.vec_id,
+         |  CAST(sum(b.qn[r.range + 1] * a.v * sg1.s) AS BIGINT)
+         |    AS pc1_score,
+         |  CAST(sum(b.qn[r.range + 1] * w.v * sg2.s) AS BIGINT)
+         |    AS pc2_score
+         |FROM base b CROSS JOIN range(64) r
+         |JOIN v$rounds a ON a.j = r.range
+         |JOIN w$rounds w ON w.j = r.range
+         |CROSS JOIN sg1 CROSS JOIN sg2
+         |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_pca" -> ((s, d) => pcaPower(emb(s, d))),
+    "q_embed_pca_project" -> ((s, d) => pcaProject(emb(s, d))),
     "q_embed_pca2" -> ((s, d) => pcaTop2(emb(s, d))),
     "q_knn_classify" -> ((s, d) =>
       knnClassify(emb(s, d), codebook = Some(cachedCentroidsInt8(s, d)))),
@@ -2105,6 +2152,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "q_embed_pca" -> pcaPowerSql(),
     "q_embed_pca2" -> pcaTop2Sql(),
+    "q_embed_pca_project" -> pcaProjectSql(),
     "q_knn_classify" -> knnClassifySql,
     "q_embed_label_sim" -> labelCentroidSimSql,
     "q_knn_quality" -> annQualitySql(),

@@ -1326,6 +1326,35 @@ class LlmSpec extends SparkSpec {
     assert(ortho < 100, s"components not orthogonal: $ortho ppm")
   }
 
+  test("pca projection separates the two planted populations") {
+    val d1 = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val d2 = Array.tabulate(64)(i => if (i % 4 < 2) 1.0 else -1.0)
+    val rows =
+      (1 to 40).map { k =>
+        val s = (if (k % 2 == 0) 1 else -1) * (1.0f + k / 10.0f)
+        (k.toLong, d1.map(x => (x * s).toFloat).toSeq, 0)
+      } ++ (41 to 52).map { k =>
+        val s = (if (k % 2 == 0) 1 else -1) * 0.7f
+        (k.toLong, d2.map(x => (x * s).toFloat).toSeq, 1)
+      }
+    val got = Similarity.pcaProject(
+        rows.toDF("vec_id", "embedding", "label")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === 52)
+    // each population scores dominantly on ITS component: d1 vectors
+    // land on pc1 with ~zero pc2, d2 vectors the other way round
+    (1 to 40).foreach { k =>
+      val (p1, p2) = got(k.toLong)
+      assert(math.abs(p1) > 10 * math.abs(p2),
+        s"d1 vec $k not pc1-dominant: $p1 vs $p2")
+    }
+    (41 to 52).foreach { k =>
+      val (p1, p2) = got(k.toLong)
+      assert(math.abs(p2) > 10 * math.abs(p1),
+        s"d2 vec $k not pc2-dominant: $p1 vs $p2")
+    }
+  }
+
   test("pca: corpus panel is well-formed and deterministic") {
     val a = Similarity.pcaPower(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
