@@ -164,6 +164,12 @@ class PartitionInvarianceSpec extends SparkSpec {
         Tables.load(spark, sfDir, "documents"))),
     ("pca_power (scatter partial-aggs + matvec rounds)",
       () => graft.llm.Similarity.pcaPower(
+        Tables.load(spark, sfDir, "embeddings"))),
+    ("pca_top2 (deflated second-component rounds)",
+      () => graft.llm.Similarity.pcaTop2(
+        Tables.load(spark, sfDir, "embeddings"))),
+    ("pca_project (map-only component scores)",
+      () => graft.llm.Similarity.pcaProject(
         Tables.load(spark, sfDir, "embeddings"))))
 
   cases.foreach { case (name, mk) =>
