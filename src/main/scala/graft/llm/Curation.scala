@@ -1261,6 +1261,48 @@ object Curation {
         expr("CAST((p_permille > 500) = (y = 1) AS BIGINT)").as("agree"))
   }
 
+  /** Reliability panel for the TRAINED classifier — the calibration
+    * check that closes the train -> score -> evaluate loop: scored
+    * docs bucketed by predicted permille decile, each bucket carrying
+    * its size, mean predicted keep probability, the teacher's
+    * EMPIRICAL keep rate, and |gap| between them. A well-calibrated
+    * scorer has small gaps; a confidently-wrong one shows up as a
+    * high-p bucket with a low empirical rate — the number a curation
+    * pipeline needs before using scores as sampling weights
+    * (temperature sampling, DSIR) rather than as a hard gate.
+    * Integer-exact end to end (permille sums, truncating DIV);
+    * re-pays training per the trio convention. One decile-keyed
+    * aggregation over the scored panel — answer-sized output.
+    */
+  def classifierCalibration(
+      d: DataFrame, rounds: Int = 8, lr: Long = 50L,
+      scale: Long = 1000000L): DataFrame =
+    classifierTrained(d, rounds, lr, scale)
+      .select(
+        expr("least(CAST(9 AS BIGINT), p_permille DIV 100)").as("bucket"),
+        col("p_permille"),
+        when(col("label_teacher") === "keep", 1L).otherwise(0L).as("tk"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(p_permille) DIV count(1)").as("mean_pred_permille"),
+        expr("(1000 * sum(tk)) DIV count(1)").as("teacher_keep_permille"))
+      .withColumn("calib_gap",
+        abs(col("mean_pred_permille") - col("teacher_keep_permille")))
+
+  def classifierCalibrationSql(
+      rounds: Int = 8, lr: Long = 50L, scale: Long = 1000000L): String =
+    classifierCtes(rounds, lr, scale) +
+      s"""
+         |SELECT least(9, p // 100) AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(p) // count(*) AS BIGINT) AS mean_pred_permille,
+         |  CAST((1000 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS teacher_keep_permille,
+         |  abs(CAST(sum(p) // count(*) AS BIGINT)
+         |    - CAST((1000 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END))
+         |      // count(*) AS BIGINT)) AS calib_gap
+         |FROM e${rounds + 1} GROUP BY 1""".stripMargin
+
   /** Shared CTE chain for the training replays: features, teacher
     * labels, doc count, w0, then per round (z, err[, grad, w]) — every
     * CTE MATERIALIZED (DuckDB inlines multiply-referenced CTEs by
@@ -1349,6 +1391,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_classifier_train" -> ((s, d) => classifierTrain(docs(s, d))),
     "q_text_classifier_trained" -> ((s, d) => classifierTrained(docs(s, d))),
+    "q_text_classifier_calib" -> ((s, d) => classifierCalibration(docs(s, d))),
     "q_privacy_ldiv" -> ((s, d) => lDiversity(docs(s, d))),
     "q_privacy_tclose" -> ((s, d) => tCloseness(docs(s, d))),
     "q_text_blocklist" -> ((s, d) => blocklistAudit(docs(s, d))),
@@ -1371,6 +1414,7 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "q_text_classifier_train" -> classifierTrainSql(),
     "q_text_classifier_trained" -> classifierTrainedSql(),
+    "q_text_classifier_calib" -> classifierCalibrationSql(),
     "q_privacy_kanon" -> kAnonymitySql,
     "q_privacy_ldiv" -> lDiversitySql,
     "q_privacy_tclose" -> tClosenessSql,

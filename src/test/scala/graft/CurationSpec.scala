@@ -303,6 +303,24 @@ class CurationSpec extends SparkSpec {
     assert(correct.last > correct.head)
   }
 
+  test("classifier calibration: buckets close over the corpus, ordered rates") {
+    val rows = Curation.classifierCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(t => t._1 >= 0 && t._1 <= 9))
+    // every scored doc lands in exactly one bucket
+    assert(rows.map(_._2).sum === docs.count())
+    rows.foreach { case (_, _, mp, tk, gap) =>
+      assert(mp >= 0 && mp <= 1000 && tk >= 0 && tk <= 1000)
+      assert(gap === math.abs(mp - tk))
+    }
+    // discrimination: the teacher keep rate in the top-scoring bucket
+    // exceeds the bottom-scoring bucket's
+    assert(rows.last._4 > rows.head._4,
+      s"no discrimination: ${rows.head} vs ${rows.last}")
+  }
+
   test("classifier trained scores agree with the teacher on most docs") {
     val n = docs.count()
     val scored = Curation.classifierTrained(docs)
