@@ -1788,7 +1788,7 @@ object Similarity {
     * int64 bounds; the DECIMAL escape hatch is mechanical if ever
     * needed).
     */
-  private class ScatterAgg
+  private[graft] class ScatterAgg
       extends org.apache.spark.sql.expressions
         .Aggregator[Array[Long], Array[Long], Array[Long]] {
     private val D = 64
@@ -1892,6 +1892,150 @@ object Similarity {
   /** Sign convention: first nonzero component positive. */
   private def bigSign(v: Array[BigInt]): Long =
     v.find(_ != 0).map(x => if (x < 0) -1L else 1L).getOrElse(1L)
+
+  /** [[ScatterAgg]] keyed by label (input carries the group). */
+  private class LabelScatterAgg
+      extends org.apache.spark.sql.expressions
+        .Aggregator[(Int, Array[Long]), Array[Long], Array[Long]] {
+    private val inner = new ScatterAgg
+    def zero: Array[Long] = inner.zero
+    def reduce(b: Array[Long], x: (Int, Array[Long])): Array[Long] =
+      inner.reduce(b, x._2)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Panel row from a flat scatter buffer: the pure function shared
+    * by the batch panel below and the streaming per-label state in
+    * [[graft.streaming.DocStreams.scatterByLabelFeed]] — batch ==
+    * stream is then equality of inputs, not a re-derivation.
+    * (n_vecs, trace, dominant_dim, offdiag_permille): trace = total
+    * scaled variance, dominant_dim = the diagonal argmax (lowest dim
+    * on ties), offdiag_permille = 1000*Sum|c_ij, i!=j| / (that + trace)
+    * — a class whose mass sits off-diagonal is correlated/rotated,
+    * one that is near-diagonal is axis-aligned.
+    */
+  private[graft] def scatterPanelRow(
+      flat: Array[Long]): (Long, Long, Long, Long) = {
+    val n = BigInt(flat(64 * 64 + 64))
+    def c(i: Int, j: Int): BigInt =
+      n * BigInt(flat(i * 64 + j)) -
+        BigInt(flat(64 * 64 + i)) * BigInt(flat(64 * 64 + j))
+    var tr = BigInt(0)
+    var off = BigInt(0)
+    var domDim = 0
+    var domVal: BigInt = null
+    var i = 0
+    while (i < 64) {
+      val d = c(i, i)
+      tr += d
+      if (domVal == null || d > domVal) { domVal = d; domDim = i }
+      var j = 0
+      while (j < 64) {
+        if (j != i) off += c(i, j).abs
+        j += 1
+      }
+      i += 1
+    }
+    val ratio =
+      if (off + tr == 0) 0L else ((BigInt(1000) * off) / (off + tr)).toLong
+    (n.toLong, tr.toLong, domDim.toLong, ratio)
+  }
+
+  /** Per-label scatter-matrix summary — the class-spread diagnostic a
+    * labeled embedding corpus wants (is a class tight or diffuse?
+    * axis-aligned or rotated? which dimension carries it?) computed
+    * from the SAME additive 4161-long scatter buffers as
+    * [[pcaPower]]: one typed aggregation keyed by label, partial-
+    * aggregated map-side, so the shuffle is one buffer per
+    * (label x partition) — the scatter buffer IS a mergeable sketch,
+    * and [[graft.streaming.DocStreams.scatterByLabelFeed]] holds
+    * exactly it as per-label streaming state (batch == stream
+    * bit-for-bit, the HLL-register closure for second moments).
+    * trace.toLong is exact while n*16129*n^2 < 2^63 (~5e4 vectors per
+    * label at int8 scale) — the test tiers sit far under; the DECIMAL
+    * escape is mechanical if a corpus ever crosses it.
+    */
+  /** (label, qn) — the labeled unit-int8 corpus, shared with the
+    * streaming scatter feed so batch and stream quantize identically.
+    * Same per-element math as [[withUnitQuantized]], but MAP-ONLY
+    * (label carried through the projection, no join back) so it is
+    * legal on a stream.
+    */
+  private[graft] def unitQuantizedLabeled(e: DataFrame): DataFrame =
+    e.select(col("label").cast("int").as("label"),
+      transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .withColumn("nrm", nullif(
+        sqrt(aggregate(transform(col("emb"), v => v * v),
+          lit(0.0), (acc, x) => acc + x)), lit(0.0)))
+      .filter(col("nrm").isNotNull)
+      .select(col("label"), transform(col("emb"), v =>
+        round(v / col("nrm") * lit(127.0), 0).cast("bigint")).as("qn"))
+
+  def scatterByLabel(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val perLabel = unitQuantizedLabeled(e)
+      .as[(Int, Array[Long])]
+      .groupByKey(_._1)
+      .agg(new LabelScatterAgg().toColumn)
+      .collect() // one 4161-long buffer per label — answer-sized
+    perLabel.toSeq
+      .map { case (lbl, flat) =>
+        val (n, tr, dd, ratio) = scatterPanelRow(flat)
+        (lbl.toLong, n, tr, dd, ratio)
+      }
+      .toDF("label", "n_vecs", "trace", "dominant_dim", "offdiag_permille")
+  }
+
+  val scatterByLabelSql: String =
+    s"""WITH $unitQuantizedSql,
+       |lab AS (SELECT e.vec_id, CAST(e.label AS INTEGER) AS label, b.qn
+       |  FROM embeddings e JOIN base b ON e.vec_id = b.vec_id),
+       |prods AS MATERIALIZED (
+       |  SELECT label, r1.range AS i, r2.range AS j,
+       |    CAST(sum(CAST(qn[r1.range + 1] AS HUGEINT)
+       |      * qn[r2.range + 1]) AS HUGEINT) AS p
+       |  FROM lab CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
+       |  GROUP BY 1, 2, 3),
+       |sums AS MATERIALIZED (
+       |  SELECT label, r.range AS i,
+       |    CAST(sum(CAST(qn[r.range + 1] AS HUGEINT)) AS HUGEINT) AS s
+       |  FROM lab CROSS JOIN range(64) r GROUP BY 1, 2),
+       |nn AS (SELECT label, CAST(count(*) AS HUGEINT) AS n FROM lab
+       |       GROUP BY 1),
+       |cov AS MATERIALIZED (
+       |  SELECT p.label, p.i, p.j, nn.n * p.p - s1.s * s2.s AS c
+       |  FROM prods p
+       |  JOIN sums s1 ON s1.label = p.label AND s1.i = p.i
+       |  JOIN sums s2 ON s2.label = p.label AND s2.i = p.j
+       |  JOIN nn ON nn.label = p.label),
+       |stats AS (
+       |  SELECT label,
+       |    CAST(sum(CASE WHEN i = j THEN c ELSE 0 END) AS HUGEINT) AS tr,
+       |    CAST(sum(CASE WHEN i <> j THEN abs(c) ELSE 0 END) AS HUGEINT)
+       |      AS off
+       |  FROM cov GROUP BY 1),
+       |dom AS (
+       |  SELECT label, CAST(i AS BIGINT) AS dd FROM (
+       |    SELECT label, i, row_number() OVER (PARTITION BY label
+       |      ORDER BY c DESC, i) AS rn
+       |    FROM cov WHERE i = j)
+       |  WHERE rn = 1)
+       |SELECT CAST(n.label AS BIGINT) AS label,
+       |  CAST(n.n AS BIGINT) AS n_vecs, CAST(s.tr AS BIGINT) AS trace,
+       |  d.dd AS dominant_dim,
+       |  CASE WHEN s.off + s.tr = 0 THEN 0
+       |    ELSE CAST((1000 * s.off) // (s.off + s.tr) AS BIGINT)
+       |  END AS offdiag_permille
+       |FROM nn n
+       |JOIN stats s ON s.label = n.label
+       |JOIN dom d ON d.label = n.label""".stripMargin
 
   def pcaPower(e: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = e.sparkSession
@@ -2113,6 +2257,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_pca" -> ((s, d) => pcaPower(emb(s, d))),
     "q_embed_pca_project" -> ((s, d) => pcaProject(emb(s, d))),
+    "q_embed_scatter" -> ((s, d) => scatterByLabel(emb(s, d))),
     "q_embed_pca2" -> ((s, d) => pcaTop2(emb(s, d))),
     "q_knn_classify" -> ((s, d) =>
       knnClassify(emb(s, d), codebook = Some(cachedCentroidsInt8(s, d)))),
@@ -2153,6 +2298,7 @@ object Similarity {
     "q_embed_pca" -> pcaPowerSql(),
     "q_embed_pca2" -> pcaTop2Sql(),
     "q_embed_pca_project" -> pcaProjectSql(),
+    "q_embed_scatter" -> scatterByLabelSql,
     "q_knn_classify" -> knnClassifySql,
     "q_embed_label_sim" -> labelCentroidSimSql,
     "q_knn_quality" -> annQualitySql(),

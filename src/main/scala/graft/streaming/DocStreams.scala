@@ -356,6 +356,43 @@ object DocStreams {
       .toDF("source", "n_docs", "p50_bucket", "bucket_lo", "bucket_hi")
   }
 
+  /** Streaming per-label scatter-matrix FEED over an EMBEDDINGS
+    * stream: the continuous-ingestion mirror of
+    * [[graft.llm.Similarity.scatterByLabel]]. The per-label state is
+    * the 4161-long scatter buffer itself — X'X outer products +
+    * per-dim sums + count, folded by ADDITION per micro-batch (the
+    * buffer is a linear sketch like CMS cells, so arrival order and
+    * batching cannot change it) — and every refresh re-emits the
+    * label's class-spread panel row computed by the SAME pure
+    * function the batch panel uses. Batch == stream bit-for-bit
+    * after a full replay (StatefulStreamingSpec): the second-moment
+    * closure next to the HLL-register and CMS-cell feeds.
+    *
+    * Scale: 33 KB of state per label, constant in stream length; the
+    * only shuffle is the state-store exchange on label; quantization
+    * runs map-side in the codegen'd projection.
+    */
+  def scatterByLabelFeed(embStream: DataFrame): DataFrame = {
+    val spark = embStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.llm.Similarity.unitQuantizedLabeled(embStream)
+      .as[(Int, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long],
+        (Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (label, rows, state) =>
+          val agg = new graft.llm.Similarity.ScatterAgg
+          var b = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, qn) => b = agg.reduce(b, qn) }
+          state.update(b)
+          val (n, tr, dd, ratio) = graft.llm.Similarity.scatterPanelRow(b)
+          Iterator.single((label.toLong, n, tr, dd, ratio))
+      }
+      .toDF("label", "n_vecs", "trace", "dominant_dim", "offdiag_permille")
+  }
+
   /** Streaming deterministic-reservoir FEED: the continuous-ingestion
     * mirror of [[graft.llm.Sampling.samplePerGroup]]. Per-group state
     * is the current sample itself — the k (md5(text), doc_id) pairs

@@ -759,6 +759,29 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming scatter feed: final per-label row == batch scatterByLabel") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-emb-scatterfeed")
+    Files.copy(Paths.get(s"$sfDir/embeddings.parquet"),
+      d.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchEmb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val stream = spark.readStream.schema(batchEmb.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.scatterByLabelFeed(stream)
+      .writeStream.format("memory").queryName("scatterfeed_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest refresh wins per label
+    val got = spark.table("scatterfeed_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val want = graft.llm.Similarity.scatterByLabel(batchEmb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got === want, "streamed scatter panel diverges from batch")
+    q.stop()
+  }
+
   test("streaming reservoir feed: final per-group sample == batch samplePerGroup") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val d = Files.createTempDirectory("graft-docs-resfeed")
