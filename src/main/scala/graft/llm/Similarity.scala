@@ -2254,7 +2254,93 @@ object Similarity {
          |CROSS JOIN sg1 CROSS JOIN sg2
          |GROUP BY 1""".stripMargin
 
+  /** Embedding-population DRIFT panel: PSI (population stability
+    * index) between two corpus cohorts over signed log2 buckets of
+    * the dominant-component score — the vector-side counterpart of
+    * the events drift monitor (has the embedding distribution MOVED
+    * since the baseline snapshot?). Cohorts here are the
+    * deterministic even/odd vec_id halves standing in for
+    * baseline/current (the q_dedup_diff derivation convention); a
+    * production caller passes two real snapshots through the same
+    * shape. Add-one smoothing over the observed buckets keeps ln
+    * finite; counts and buckets are exact integers, the ONE float
+    * expression (p - q) * ln(p / q) is identically parenthesized in
+    * both engines and rounded at the end — the klBySource float
+    * discipline. PSI > 0.2 is the conventional "investigate" line;
+    * it is a COLUMN here, not a claim.
+    *
+    * Scale: re-pays component training (trio convention), then one
+    * map-only bucket projection and a ~26-key aggregation —
+    * answer-sized everything after the corpus pass.
+    */
+  def embeddingDrift(e: DataFrame, rounds: Int = 8): DataFrame = {
+    val b = pcaProject(e, rounds).select(
+      expr("CASE WHEN pc1_score = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(sign(pc1_score) AS BIGINT) " +
+        "* length(bin(abs(pc1_score) DIV 1000000 + 1)) END").as("bucket"),
+      (col("vec_id") % 2 === 0).as("is_base"))
+    val counts = b.groupBy("bucket").agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(sum("n_base").as("nb"), sum("n_cur").as("nc"),
+      count(lit(1)).as("nbuckets"))
+    val wc = counts
+      .crossJoin(broadcast(tot)) // 1-row totals — audited idiom
+      .withColumn("p",
+        (col("n_base") + 1).cast("double") / (col("nb") + col("nbuckets")))
+      .withColumn("q",
+        (col("n_cur") + 1).cast("double") / (col("nc") + col("nbuckets")))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+    val ts = wc.agg(round(sum("contrib"), 6).as("psi_total"))
+    wc.crossJoin(broadcast(ts)) // 1-row panel stat — audited idiom
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        round(col("contrib"), 6).as("psi_contrib"), col("psi_total"))
+  }
+
+  def embeddingDriftSql(rounds: Int = 8): String =
+    pcaHeadSql + pcaSeedSql("v", 0L) +
+      (1 to rounds).map(pcaRoundSql("v", _, None)).mkString +
+      pcaSignSql("1", s"v$rounds") +
+      s""",
+         |proj AS (
+         |  SELECT b.vec_id,
+         |    CAST(sum(b.qn[r.range + 1] * a.v * sg1.s) AS BIGINT)
+         |      AS pc1_score
+         |  FROM base b CROSS JOIN range(64) r
+         |  JOIN v$rounds a ON a.j = r.range
+         |  CROSS JOIN sg1
+         |  GROUP BY 1),
+         |bk AS (
+         |  SELECT vec_id,
+         |    CASE WHEN pc1_score = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(sign(pc1_score) AS BIGINT)
+         |        * length(bin(abs(pc1_score) // 1000000 + 1)) END AS bucket,
+         |    vec_id % 2 = 0 AS is_base
+         |  FROM proj),
+         |cnts AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_base,
+         |    CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_cur
+         |  FROM bk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS nb,
+         |    CAST(sum(n_cur) AS BIGINT) AS nc, count(*) AS nbuckets
+         |  FROM cnts),
+         |wc AS (
+         |  SELECT bucket, n_base, n_cur,
+         |    (CAST(n_base + 1 AS DOUBLE) / (tot.nb + tot.nbuckets)) AS p,
+         |    (CAST(n_cur + 1 AS DOUBLE) / (tot.nc + tot.nbuckets)) AS q
+         |  FROM cnts, tot),
+         |wc2 AS (SELECT bucket, n_base, n_cur,
+         |    (p - q) * ln(p / q) AS contrib FROM wc),
+         |ts AS (SELECT round(sum(contrib), 6) AS psi_total FROM wc2)
+         |SELECT bucket, n_base, n_cur, round(contrib, 6) AS psi_contrib,
+         |  ts.psi_total
+         |FROM wc2, ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> ((s, d) => embeddingDrift(emb(s, d))),
     "q_embed_pca" -> ((s, d) => pcaPower(emb(s, d))),
     "q_embed_pca_project" -> ((s, d) => pcaProject(emb(s, d))),
     "q_embed_scatter" -> ((s, d) => scatterByLabel(emb(s, d))),
@@ -2299,6 +2385,7 @@ object Similarity {
     "q_embed_pca2" -> pcaTop2Sql(),
     "q_embed_pca_project" -> pcaProjectSql(),
     "q_embed_scatter" -> scatterByLabelSql,
+    "q_embed_drift" -> embeddingDriftSql(),
     "q_knn_classify" -> knnClassifySql,
     "q_embed_label_sim" -> labelCentroidSimSql,
     "q_knn_quality" -> annQualitySql(),

@@ -1355,6 +1355,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("embedding drift: zero on identical cohorts, alarms on a planted shift") {
+    val d1 = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val d2 = Array.tabulate(64)(i => if (i % 4 < 2) 1.0 else -1.0)
+    def vec(d: Array[Double], s: Float) = d.map(x => (x * s).toFloat).toSeq
+    // identical cohorts: every vector present at an even AND an odd id
+    // -> p == q per bucket -> PSI exactly 0.0
+    val same = (0 until 30).flatMap { k =>
+      val v = vec(d1, (if (k % 2 == 0) 1 else -1) * (1.0f + k / 10.0f))
+      Seq((2L * k, v, 0), (2L * k + 1, v, 0))
+    }
+    val zero = Similarity.embeddingDrift(
+        same.toDF("vec_id", "embedding", "label")).collect()
+    assert(zero.nonEmpty)
+    zero.foreach { r =>
+      assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0,
+        s"identical cohorts must give PSI 0: $r")
+    }
+    // planted shift: even ids live on the dominant direction, odd ids
+    // on an orthogonal one (pc1 scores collapse toward 0) -> the
+    // bucket distributions separate and PSI crosses the 0.2 line
+    val shifted = (0 until 30).map { k =>
+      val s = (if (k % 4 < 2) 1 else -1) * (1.0f + k / 10.0f)
+      (k.toLong, vec(if (k % 2 == 0) d1 else d2, s), 0)
+    }
+    val psi = Similarity.embeddingDrift(
+        shifted.toDF("vec_id", "embedding", "label"))
+      .collect().head.getDouble(4)
+    assert(psi > 0.2, s"planted drift not detected: PSI $psi")
+  }
+
   test("pca: corpus panel is well-formed and deterministic") {
     val a = Similarity.pcaPower(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
