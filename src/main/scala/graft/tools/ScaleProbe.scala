@@ -806,6 +806,38 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("kll")) {
+      // KLL-lite probe (round-13 addition): the sketch half is one
+      // map-side level filter producing ~2k rows/group; the exact-
+      // median and true-rank ground-truth halves pay per-group sorts.
+      // Claim: wall ~linear in the corpus (the truth half's sort
+      // dominates), shuffle bounded by corpus row count (the sort
+      // exchange), sample aggregates answer-sized. Result rows stay
+      // PANEL-sized (one per source + __all__) at every scale.
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = rep(base, Seq("doc_id"), n).localCheckpoint()
+        val l = new ShuffleSum
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val res = graft.llm.CorpusOps.kllSketch(d)
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(source, n_docs, level_h, sketch_size," +
+              " est_p50, exact_p50, rank_err))").as("chk"))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[kll-probe] $label%-4s docs ${n * 60000}%8d  " +
+          f"kll $dt%6.2f s  (${res.getLong(0)}%3d panel rows, " +
+          f"chk ${res.getLong(1)}%d)  " +
+          f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("classifier")) {
       // Classifier-training probe (round-13 addition): 8 GD rounds on
       // the 64-bucket hashed logistic model. Claim: one corpus-sized
