@@ -170,6 +170,12 @@ class PartitionInvarianceSpec extends SparkSpec {
         Tables.load(spark, sfDir, "embeddings"))),
     ("pca_project (map-only component scores)",
       () => graft.llm.Similarity.pcaProject(
+        Tables.load(spark, sfDir, "embeddings"))),
+    ("embed_scatter (label-keyed additive scatter buffers)",
+      () => graft.llm.Similarity.scatterByLabel(
+        Tables.load(spark, sfDir, "embeddings"))),
+    ("embed_drift (bucketed PSI over component scores)",
+      () => graft.llm.Similarity.embeddingDrift(
         Tables.load(spark, sfDir, "embeddings"))))
 
   cases.foreach { case (name, mk) =>
