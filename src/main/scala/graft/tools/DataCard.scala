@@ -84,6 +84,46 @@ object DataCard {
             s"| [${r.getLong(3)}, ${r.getLong(4)}] | ${r.getLong(5)} |\n"
         }
 
+      out ++= "\n## Median length by source (KLL level sample, " +
+        "rank-error bound)\n\n"
+      out ++= "| source | docs | kll est p50 | exact p50 | rank err " +
+        "| 3-sigma bound |\n"
+      out ++= "| --- | --- | --- | --- | --- | --- |\n"
+      CorpusOps.kllSketch(docs).collect()
+        .sortBy(_.getString(0)).take(8).foreach { r =>
+          out ++= s"| ${r.getString(0)} | ${r.getLong(1)} " +
+            s"| ${r.getLong(5)} | ${r.getLong(6)} | ${r.getLong(7)} " +
+            s"| ${r.getLong(8)} |\n"
+        }
+
+      val embT = Tables.load(spark, sfDir, "embeddings")
+      val pca2 = graft.llm.Similarity.pcaTop2(embT).collect()
+      out ++= "\n## Embedding geometry (64-dim, unit-int8)\n\n"
+      out ++= s"- top-2 principal variance shares: " +
+        s"${pca2.head.getLong(3)} / ${pca2.head.getLong(4)} permille; " +
+        s"cross-component cos^2 ${pca2.head.getLong(5)} ppm\n"
+      val drift = graft.llm.Similarity.embeddingDrift(embT)
+        .collect().head.getDouble(4)
+      out ++= f"- even/odd cohort PSI over pc1 buckets: $drift%.6f " +
+        "(>0.2 = investigate)\n\n"
+      out ++= "| label | vecs | dominant dim | offdiag permille |\n"
+      out ++= "| --- | --- | --- | --- |\n"
+      graft.llm.Similarity.scatterByLabel(embT).collect()
+        .sortBy(_.getLong(0)).foreach { r =>
+          out ++= s"| ${r.getLong(0)} | ${r.getLong(1)} | ${r.getLong(3)} " +
+            s"| ${r.getLong(4)} |\n"
+        }
+
+      out ++= "\n## Quality classifier calibration (teacher-distilled " +
+        "GD model)\n\n"
+      out ++= "| p decile | docs | mean predicted | empirical keep | gap |\n"
+      out ++= "| --- | --- | --- | --- | --- |\n"
+      Curation.classifierCalibration(docs).collect()
+        .sortBy(_.getLong(0)).foreach { r =>
+          out ++= s"| ${r.getLong(0)} | ${r.getLong(1)} | ${r.getLong(2)} " +
+            s"| ${r.getLong(3)} | ${r.getLong(4)} |\n"
+        }
+
       val leak = graft.llm.Sampling.splitLeakage(docs).collect()
         .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
       out ++= "\n## Split hygiene\n\n"
