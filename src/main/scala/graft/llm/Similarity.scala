@@ -211,7 +211,7 @@ object Similarity {
     * list_reduce replay); every later step is exact long arithmetic.
     * Zero vectors (null scale) are dropped — they have no direction.
     */
-  private[llm] def withUnitQuantized(e: DataFrame): DataFrame =
+  private[graft] def withUnitQuantized(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("emb"))
       .withColumn("nrm", nullif(
@@ -2273,6 +2273,32 @@ object Similarity {
     * map-only bucket projection and a ~26-key aggregation —
     * answer-sized everything after the corpus pass.
     */
+  /** Sign-fixed dominant-component axis in micro units — the frozen
+    * "model" a drift monitor scores against ([[graft.streaming
+    * .DocStreams.driftFeed]] trains it once on the baseline snapshot
+    * and ships it into the stream as literals).
+    */
+  private[graft] def pc1SignedMicro(
+      e: DataFrame, rounds: Int = 8): Array[Long] = {
+    val cm = scatterBig(e)
+    val v1 = bigPower(cm, 0L, rounds, None)
+    val s = bigSign(v1)
+    v1.map(_.toLong * s)
+  }
+
+  /** Scala twin of the drift bucket expression in [[embeddingDrift]]:
+    * signed log2 octave of the micro-scaled component score —
+    * length(bin(m)) == 64 - numberOfLeadingZeros(m) for m >= 1, so the
+    * two spellings agree exactly.
+    */
+  private[graft] def driftBucket(score: Long): Long =
+    if (score == 0L) 0L
+    else {
+      val m = math.abs(score) / 1000000L + 1L
+      java.lang.Long.signum(score) *
+        (64L - java.lang.Long.numberOfLeadingZeros(m))
+    }
+
   def embeddingDrift(e: DataFrame, rounds: Int = 8): DataFrame = {
     val b = pcaProject(e, rounds).select(
       expr("CASE WHEN pc1_score = 0 THEN CAST(0 AS BIGINT) " +

@@ -356,6 +356,82 @@ object DocStreams {
       .toDF("source", "n_docs", "p50_bucket", "bucket_lo", "bucket_hi")
   }
 
+  /** Streaming embedding-drift MONITOR: PSI of the ARRIVING embedding
+    * population against a STATIC baseline snapshot — the alert wire
+    * for "the data feeding this model no longer looks like what it
+    * was trained on". The dominant-component axis and the baseline's
+    * bucket histogram are computed ONCE from the baseline (driver-
+    * side, both model-sized) and shipped into the stream as literals/
+    * closure state; each arriving vector then costs one map-side
+    * int8 dot + octave bucket. Global state is the current cohort's
+    * bucket histogram (~26 counters — the statistic is inherently
+    * corpus-global, so the stateful operator is single-keyed; all the
+    * per-vector work stays parallel in the codegen'd projection).
+    * Every refresh re-emits (n_seen, psi) with the batch panel's
+    * exact formula (add-one smoothing over the union of observed
+    * buckets). The one honest difference from the batch panel,
+    * documented: the monitor trains the axis on the BASELINE ONLY
+    * (a live monitor cannot train on data it has not seen — training
+    * on the union would leak the future), while q_embed_drift's
+    * within-corpus cohort split trains on the union; the spec
+    * therefore asserts replay == an independent in-memory PSI over
+    * the baseline-trained axis, the holtFeed convention.
+    */
+  def driftFeed(
+      embBaseline: DataFrame, embStream: DataFrame): DataFrame = {
+    val spark = embStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val v1s = graft.llm.Similarity.pc1SignedMicro(embBaseline)
+    val baseHist: Map[Long, Long] =
+      graft.llm.Similarity.withUnitQuantized(embBaseline)
+        .select(aggregate(
+          zip_with(col("qn"), array(v1s.map(lit): _*), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("score"))
+        .collect()
+        .map(r => graft.llm.Similarity.driftBucket(r.getLong(0)))
+        .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val nBase = baseHist.values.sum
+    graft.llm.Similarity.withUnitQuantized(embStream)
+      .select(aggregate(
+        zip_with(col("qn"), array(v1s.map(lit): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("score"))
+      .as[Long]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Array[Long], (Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          // state: flat [bucket, count, ...] pairs of the current
+          // cohort's histogram
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          val hist = scala.collection.mutable.Map.empty[Long, Long]
+          var i = 0
+          while (i < prev.length) {
+            hist(prev(i)) = prev(i + 1); i += 2
+          }
+          rows.foreach { s =>
+            val b = graft.llm.Similarity.driftBucket(s)
+            hist(b) = hist.getOrElse(b, 0L) + 1L
+          }
+          state.update(hist.iterator
+            .flatMap { case (b, c) => Iterator(b, c) }.toArray)
+          val nCur = hist.valuesIterator.sum
+          // the batch panel's exact formula, summed in bucket order
+          val buckets = (baseHist.keySet ++ hist.keySet).toSeq.sorted
+          val bCount = buckets.length
+          val psi = buckets.iterator.map { b =>
+            val p = (baseHist.getOrElse(b, 0L) + 1).toDouble /
+              (nBase + bCount)
+            val q = (hist.getOrElse(b, 0L) + 1).toDouble / (nCur + bCount)
+            (p - q) * math.log(p / q)
+          }.sum
+          Iterator.single((nCur,
+            java.math.BigDecimal.valueOf(psi)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+      }
+      .toDF("n_seen", "psi")
+  }
+
   /** Streaming per-label scatter-matrix FEED over an EMBEDDINGS
     * stream: the continuous-ingestion mirror of
     * [[graft.llm.Similarity.scatterByLabel]]. The per-label state is

@@ -759,6 +759,57 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming drift monitor: replay == independent in-memory PSI") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-emb-driftfeed")
+    Files.copy(Paths.get(s"$sfDir/embeddings.parquet"),
+      d.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchEmb = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val baseline = batchEmb.filter(col("vec_id") % 2 === 0)
+    val current = batchEmb.filter(col("vec_id") % 2 === 1)
+    val stream = spark.readStream.schema(batchEmb.schema)
+      .parquet(d.toString)
+      .filter(col("vec_id") % 2 === 1)
+    val q = graft.streaming.DocStreams.driftFeed(baseline, stream)
+      .writeStream.format("memory").queryName("driftfeed_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("driftfeed_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    val (nSeen, psi) = rows.maxBy(_._1)
+    assert(nSeen === current.count())
+    // independent replay: axis trained on the BASELINE only (the
+    // monitor's honest production shape — the batch panel trains on
+    // the union, documented difference), same buckets, same formula
+    val v1s = graft.llm.Similarity.pc1SignedMicro(baseline)
+    def hist(e: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.llm.Similarity.withUnitQuantized(e)
+        .collect()
+        .map { r =>
+          val qn = r.getSeq[Long](1)
+          val s = (0 until 64).foldLeft(0L)((a, i) => a + qn(i) * v1s(i))
+          graft.llm.Similarity.driftBucket(s)
+        }
+        .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val bh = hist(baseline)
+    val ch = hist(current)
+    val buckets = (bh.keySet ++ ch.keySet).toSeq.sorted
+    val (nb, nc, nB) = (bh.values.sum, ch.values.sum, buckets.length)
+    val want = buckets.iterator.map { b =>
+      val p = (bh.getOrElse(b, 0L) + 1).toDouble / (nb + nB)
+      val qd = (ch.getOrElse(b, 0L) + 1).toDouble / (nc + nB)
+      (p - qd) * math.log(p / qd)
+    }.sum
+    assert(math.abs(psi - want) < 2e-6,
+      s"streamed PSI $psi diverges from replay $want")
+    // PSI is a Gibbs-style sum of same-sign terms: never negative
+    assert(psi >= 0.0)
+    q.stop()
+  }
+
   test("streaming scatter feed: final per-label row == batch scatterByLabel") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val d = Files.createTempDirectory("graft-emb-scatterfeed")
