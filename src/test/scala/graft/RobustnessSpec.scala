@@ -181,6 +181,24 @@ class RobustnessSpec extends SparkSpec {
     assert(got.forall(t => t._2 === 0L && t._3 === 0L))
   }
 
+  test("scatter/drift handle degenerate corpora (empty, single vector)") {
+    import graft.llm.Similarity
+    val empty = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.scatterByLabel(empty).count() === 0)
+    assert(Similarity.embeddingDrift(empty).count() === 0)
+    // a single vector: zero scatter (n*x_i*x_j == S_i*S_j), panel sane
+    val one = Seq((1L, Seq.fill(64)(1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val row = Similarity.scatterByLabel(one).collect()
+    assert(row.length === 1)
+    assert(row.head.getLong(0) === 3L && row.head.getLong(1) === 1L)
+    assert(row.head.getLong(2) === 0L, "single-vector scatter is zero")
+    // one odd-id vector: no baseline cohort, PSI finite via smoothing
+    val drift = Similarity.embeddingDrift(one).collect()
+    assert(drift.length === 1 && !drift.head.getDouble(4).isNaN)
+  }
+
   test("session cache: racing first accesses compute the value exactly once") {
     val c = new graft.core.SessionCache[String, Int]
     val computes = new java.util.concurrent.atomic.AtomicInteger(0)
