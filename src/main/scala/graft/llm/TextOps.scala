@@ -392,6 +392,102 @@ object TextOps {
        |    AS BIGINT) AS row_permille
        |FROM li GROUP BY lang, pred_lang""".stripMargin
 
+  /** Cohen's kappa between the heuristic language-ID labeler and the
+    * gold `lang` column — chance-corrected inter-labeler AGREEMENT,
+    * the label-QC number raw accuracy overstates (a labeler that
+    * always answers the majority class gets high accuracy and kappa
+    * EXACTLY 0; the spec pins both that and the perfect-agreement
+    * kappa = 1000 as closed forms). Exact integers end to end via the
+    * permille identity kappa = 1000*(N*D - S) DIV (N^2 - S) with
+    * D = sum of the confusion diagonal and S = sum over labels of
+    * rowTotal*colTotal; N^2 and S run in DECIMAL(38,0) (HUGEINT
+    * oracle-side) — int64 wraps at N ~ 3e9 docs, the documented
+    * class. Per-gold-label rows carry class recall/precision permille
+    * beside the corpus-level kappa/agreement columns (the panel-stat
+    * convention).
+    *
+    * Scale: one labels^2-sized confusion aggregation over the map-only
+    * language scorer; everything after is label-count-sized; the only
+    * broadcast is the 1-row kappa stats.
+    */
+  def labelKappa(d: DataFrame): DataFrame = {
+    val conf = langId(d).groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // labels^2 rows; feeds margins + diag + stats
+    val gold = conf.groupBy("lang").agg(sum("c").as("n_gold"))
+    val pred = conf.groupBy("pred_lang").agg(sum("c").as("n_pred"))
+    val margins = gold
+      .join(pred, gold("lang") === pred("pred_lang"), "full_outer")
+      .select(coalesce(col("lang"), col("pred_lang")).as("label"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+    val diag = conf.filter(col("lang") === col("pred_lang"))
+      .select(col("lang").as("label"), col("c").as("n_correct"))
+    val stats = margins
+      .agg(sum("n_gold").as("n"),
+        expr("sum(CAST(n_gold AS DECIMAL(38,0)) * n_pred)").as("s"))
+      .crossJoin(broadcast(
+        diag.agg(coalesce(sum("n_correct"), lit(0L)).as("d"))))
+      .select(col("n"),
+        expr("1000 * d DIV n").as("agree_permille"),
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - s = 0 THEN " +
+          "CAST(0 AS BIGINT) ELSE CAST((1000 * " +
+          "(CAST(n AS DECIMAL(38,0)) * d - s)) DIV " +
+          "(CAST(n AS DECIMAL(38,0)) * n - s) AS BIGINT) END")
+          .as("kappa_permille"))
+    margins.join(diag, Seq("label"), "left")
+      .withColumn("n_correct", coalesce(col("n_correct"), lit(0L)))
+      .crossJoin(broadcast(stats)) // 1-row panel stats — audited idiom
+      .select(col("label"), col("n_gold"), col("n_pred"), col("n_correct"),
+        expr("CASE WHEN n_gold = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000 * n_correct DIV n_gold END").as("recall_permille"),
+        expr("CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000 * n_correct DIV n_pred END").as("precision_permille"),
+        col("agree_permille"), col("kappa_permille"))
+  }
+
+  val labelKappaSql: String =
+    s"""WITH li AS ($langIdSql),
+       |conf AS MATERIALIZED (
+       |  SELECT lang, pred_lang, count(*) AS c FROM li GROUP BY 1, 2),
+       |gold AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_gold FROM conf
+       |  GROUP BY 1),
+       |pred AS (SELECT pred_lang, CAST(sum(c) AS BIGINT) AS n_pred
+       |  FROM conf GROUP BY 1),
+       |margins AS MATERIALIZED (
+       |  SELECT coalesce(g.lang, p.pred_lang) AS label,
+       |    coalesce(g.n_gold, 0) AS n_gold, coalesce(p.n_pred, 0) AS n_pred
+       |  FROM gold g FULL OUTER JOIN pred p ON g.lang = p.pred_lang),
+       |diag AS (
+       |  SELECT lang AS label, CAST(c AS BIGINT) AS n_correct FROM conf
+       |  WHERE lang = pred_lang),
+       |stats AS (
+       |  SELECT m.n, m.s, dd.d,
+       |    CAST(1000 * dd.d // m.n AS BIGINT) AS agree_permille,
+       |    CASE WHEN CAST(m.n AS HUGEINT) * m.n - m.s = 0
+       |      THEN CAST(0 AS BIGINT)
+       |      ELSE CAST((1000 * (CAST(m.n AS HUGEINT) * dd.d - m.s))
+       |        // (CAST(m.n AS HUGEINT) * m.n - m.s) AS BIGINT)
+       |    END AS kappa_permille
+       |  FROM (SELECT CAST(sum(n_gold) AS BIGINT) AS n,
+       |          CAST(sum(CAST(n_gold AS HUGEINT) * n_pred) AS HUGEINT)
+       |            AS s
+       |        FROM margins) m,
+       |       (SELECT CAST(coalesce(sum(n_correct), 0) AS BIGINT) AS d
+       |        FROM diag) dd)
+       |SELECT m.label, m.n_gold, m.n_pred,
+       |  coalesce(d.n_correct, 0) AS n_correct,
+       |  CASE WHEN m.n_gold = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(1000 * coalesce(d.n_correct, 0) // m.n_gold AS BIGINT)
+       |  END AS recall_permille,
+       |  CASE WHEN m.n_pred = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(1000 * coalesce(d.n_correct, 0) // m.n_pred AS BIGINT)
+       |  END AS precision_permille,
+       |  s.agree_permille, s.kappa_permille
+       |FROM margins m
+       |LEFT JOIN diag d ON d.label = m.label
+       |CROSS JOIN stats s""".stripMargin
+
   /** Rolling polynomial hash fingerprint over the token stream
     * (order-sensitive, Rabin–Karp style):
     * h = fold(tokens, 0, (h, t) -> (h*31 + v(t)) mod 1e9+7) with
@@ -1021,6 +1117,7 @@ object TextOps {
     "q_text_token_count" -> ((s, d) => tokenCount(docs(s, d))),
     "q_text_lang_id" -> ((s, d) => langId(docs(s, d))),
     "q_text_lang_confusion" -> ((s, d) => langConfusion(docs(s, d))),
+    "q_label_kappa" -> ((s, d) => labelKappa(docs(s, d))),
     "q_text_rake" -> ((s, d) => rakeKeyphrases(docs(s, d))),
     "q_text_phrase_search" -> ((s, d) => phraseSearch(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(docs(s, d))))
@@ -1042,6 +1139,7 @@ object TextOps {
     "q_text_token_count" -> tokenCountSql,
     "q_text_lang_id" -> langIdSql,
     "q_text_lang_confusion" -> langConfusionSql,
+    "q_label_kappa" -> labelKappaSql,
     "q_text_rake" -> rakeKeyphrasesSql,
     "q_text_phrase_search" -> phraseSearchSql,
     "q_text_fingerprint" -> fingerprintSql)

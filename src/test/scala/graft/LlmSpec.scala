@@ -1254,6 +1254,38 @@ class LlmSpec extends SparkSpec {
       s"residual PQ should reconstruct tighter: $residErr vs $plainErr")
   }
 
+  // -------------------------------------------------------- kappa
+
+  test("label kappa: 1000 on perfect agreement, exactly 0 on a constant labeler") {
+    import graft.llm.TextOps
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.map { case (i, t, l) => (i, t, l, "s0") }
+        .toDF("doc_id", "text", "lang", "source")
+    // marker words force pred_lang == lang for every doc
+    val perfect = mk(Seq(
+      (1L, "der und nicht", "de"), (2L, "die das ist der", "de"),
+      (3L, "the and of", "en"), (4L, "to is it the", "en"),
+      (5L, "el la los", "es")))
+    val p = TextOps.labelKappa(perfect).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getLong(7) === 1000L, s"perfect agreement must be 1000: $r")
+      assert(r.getLong(6) === 1000L)
+    }
+    // a constant labeler (every text is English markers) earns the
+    // majority-class accuracy but kappa EXACTLY 0 — the chance
+    // correction working as designed
+    val constant = mk(Seq(
+      (1L, "the and of", "de"), (2L, "the to is", "en"),
+      (3L, "the of it", "en"), (4L, "the is and", "fr")))
+    val c = TextOps.labelKappa(constant).collect()
+    c.foreach { r =>
+      assert(r.getLong(7) === 0L, s"constant labeler must score 0: $r")
+    }
+    // agreement is the majority share: 2 of 4 docs gold-en
+    assert(c.head.getLong(6) === 500L)
+  }
+
   // ---------------------------------------------------------- PCA
 
   test("pca: recovers a planted dominant direction") {
