@@ -124,6 +124,12 @@ object DataCard {
             s"| ${r.getLong(3)} | ${r.getLong(4)} |\n"
         }
 
+      val kap = graft.llm.TextOps.labelKappa(docs).collect()
+      out ++= "\n## Label quality (language-ID vs gold lang)\n\n"
+      out ++= s"- raw agreement ${kap.head.getLong(6)} permille, " +
+        s"Cohen's kappa ${kap.head.getLong(7)} permille " +
+        "(chance-corrected)\n"
+
       val leak = graft.llm.Sampling.splitLeakage(docs).collect()
         .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
       out ++= "\n## Split hygiene\n\n"
