@@ -212,19 +212,36 @@ object Bench {
       "src/main/scala/graft/Bench.scala",
       "src/main/scala/graft/Verify.scala",
       "src/main/scala/graft/SparkEntry.scala")
+    // Dev convenience, never driver-set — so it must be robust, not
+    // fatal: git runs with -C <repo root> (the `-- src/main` pathspec
+    // is cwd-relative, so a bench launched from elsewhere would
+    // silently select nothing), and any git failure (invalid rev, not
+    // a repo) falls back to the FULL suite with a warning instead of
+    // aborting the run.
     val changedSel: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_CHANGED_SINCE").map { rev =>
-        val out = scala.sys.process.Process(
-          Seq("git", "diff", "--name-only", rev, "--", "src/main")).!!
-        val files = out.split('\n').map(_.trim).filter(_.nonEmpty).toSet
-        val shared = (files -- moduleQueryFiles.keySet -- harnessOnly)
-          .filterNot(_.startsWith("src/main/scala/graft/tools/"))
-        if (shared.nonEmpty) {
-          System.err.println(
-            s"changed-since: shared kernel files changed (${shared.toSeq.sorted.mkString(", ")}) — selecting the FULL suite")
-          SparkEntry.queries.keySet
-        } else
-          files.flatMap(f => moduleQueryFiles.getOrElse(f, Set.empty[String]))
+      sys.env.get("SPARK_GRAFT_BENCH_CHANGED_SINCE").flatMap { rev =>
+        try {
+          val root = scala.sys.process.Process(
+            Seq("git", "rev-parse", "--show-toplevel")).!!.trim
+          val out = scala.sys.process.Process(
+            Seq("git", "-C", root, "diff", "--name-only", rev,
+              "--", "src/main")).!!
+          val files = out.split('\n').map(_.trim).filter(_.nonEmpty).toSet
+          val shared = (files -- moduleQueryFiles.keySet -- harnessOnly)
+            .filterNot(_.startsWith("src/main/scala/graft/tools/"))
+          if (shared.nonEmpty) {
+            System.err.println(
+              s"changed-since: shared kernel files changed (${shared.toSeq.sorted.mkString(", ")}) — selecting the FULL suite")
+            Some(SparkEntry.queries.keySet)
+          } else
+            Some(files.flatMap(f =>
+              moduleQueryFiles.getOrElse(f, Set.empty[String])))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"changed-since: git failed (${e.getMessage}) — running the FULL suite")
+            None
+        }
       }
     val selected = only.orElse(changedSel) match {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }

@@ -1182,9 +1182,15 @@ object Curation {
             .groupBy("doc_id").agg(sum("cw").as("zraw")),
           Seq("doc_id"), "left")
         .select(col("doc_id"), col("y"),
+          // coalesce BEFORE the cast: only a doc with no features
+          // (null zraw) is legitimately 0; a DECIMAL z past int64
+          // must not silently read as 0 while the oracle raises.
+          // int64 bound: |z| = |Σ c·w| ≤ maxTokPerDoc · max|w|, and
+          // |w| ≤ rounds·lr·1000·avgTokPerDoc/1 ≈ 4e7 at the swept
+          // settings, so |z| ≤ ~4e11 ≪ 2^63 by 7 orders.
           least(lit(1000L), greatest(lit(0L),
             lit(500L) +
-              expr(s"(250 * coalesce(CAST(zraw AS BIGINT), 0)) DIV $scale")))
+              expr(s"(250 * CAST(coalesce(zraw, 0) AS BIGINT)) DIV $scale")))
             .as("p"))
         .withColumn("err", col("p") - lit(1000L) * col("y"))
         .localCheckpoint()
@@ -1250,9 +1256,10 @@ object Curation {
           .groupBy("doc_id").agg(sum("cw").as("zraw")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("y"),
+        // coalesce-before-cast: see classifierTrainCore's bound note
         least(lit(1000L), greatest(lit(0L),
           lit(500L) +
-            expr(s"(250 * coalesce(CAST(zraw AS BIGINT), 0)) DIV $scale")))
+            expr(s"(250 * CAST(coalesce(zraw, 0) AS BIGINT)) DIV $scale")))
           .as("p_permille"))
       .select(col("doc_id"), col("p_permille"),
         when(col("p_permille") > 500, "keep").otherwise("drop")

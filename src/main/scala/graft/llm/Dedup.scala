@@ -2005,31 +2005,48 @@ object Dedup {
     val spark = d.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft-timetravel")
       .toString
-    val audit = (s: DataFrame) =>
-      if (s.filter(col("doc_id").isNotNull).limit(1).count() == 0)
-        Seq("empty_snapshot") else Nil
-    val v1 = d.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), col("text"), col("source"))
-    val v2 = d.filter(col("doc_id") % 7 =!= 0)
-      .withColumn("text",
-        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")))
-      .select(col("doc_id"), col("text"), col("source"))
-    require(Layout.writeAuditPublish(v1, root, "1", audit).isRight)
-    require(Layout.writeAuditPublish(v2, root, "2", audit).isRight)
-    val seqs = Layout.snapshots(spark, root).map(_._1)
-    val out = snapshotDiff(
-      Layout.readAt(spark, root, seqs.head),
-      Layout.readAt(spark, root, seqs.last))
-      .select(lit(seqs.head).as("old_seq"), lit(seqs.last).as("new_seq"),
-        col("status"), col("n_docs"))
-    // materialize before the temp root is reclaimed by the OS; the
-    // result is answer-sized (<= 4 rows)
-    val rows = out.localCheckpoint(eager = true)
-    org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(root), true)
-    rows
+    // try/finally: any failure past this point (a publish, a read, the
+    // diff itself) must not leak a corpus-sized temp directory.
+    try {
+      val audit = (s: DataFrame) =>
+        if (s.filter(col("doc_id").isNotNull).limit(1).count() == 0)
+          Seq("empty_snapshot") else Nil
+      val v1 = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"), col("source"))
+      val v2 = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text"), col("source"))
+      val p1 = Layout.writeAuditPublish(v1, root, "1", audit)
+      val p2 = Layout.writeAuditPublish(v2, root, "2", audit)
+      if (p1.isLeft || p2.isLeft) {
+        // Degenerate-panel convention (kllSketch/pcaPower/scatter):
+        // an EMPTY corpus fails the WAP audit — which is the audit
+        // doing its job — so the panel is empty rather than a thrown
+        // require; a real diff always has >= 1 status row.
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("old_seq", LongType), StructField("new_seq", LongType),
+            StructField("status", StringType), StructField("n_docs", LongType))))
+      } else {
+        val seqs = Layout.snapshots(spark, root).map(_._1)
+        val out = snapshotDiff(
+          Layout.readAt(spark, root, seqs.head),
+          Layout.readAt(spark, root, seqs.last))
+          .select(lit(seqs.head).as("old_seq"), lit(seqs.last).as("new_seq"),
+            col("status"), col("n_docs"))
+        // materialize before the temp root is deleted below; the
+        // result is answer-sized (<= 4 rows)
+        out.localCheckpoint(eager = true)
+      }
+    } finally {
+      org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+    }
   }
 
   val timeTravelDiffSql: String =

@@ -383,14 +383,23 @@ object DocStreams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val v1s = graft.llm.Similarity.pc1SignedMicro(embBaseline)
+    // Baseline histogram computed CLUSTER-SIDE: per-vector scores are
+    // bucketed with the same SQL octave spelling as the batch panel
+    // (documented bit-equal to Similarity.driftBucket) and aggregated
+    // before collect — only the ~26-row histogram reaches the driver,
+    // never a corpus of scores, so the "model-sized driver work" claim
+    // holds at any baseline size.
     val baseHist: Map[Long, Long] =
       graft.llm.Similarity.withUnitQuantized(embBaseline)
         .select(aggregate(
           zip_with(col("qn"), array(v1s.map(lit): _*), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("score"))
+        .select(expr("CASE WHEN score = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(sign(score) AS BIGINT) " +
+          "* length(bin(abs(score) DIV 1000000 + 1)) END").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
         .collect()
-        .map(r => graft.llm.Similarity.driftBucket(r.getLong(0)))
-        .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val nBase = baseHist.values.sum
     graft.llm.Similarity.withUnitQuantized(embStream)
       .select(aggregate(

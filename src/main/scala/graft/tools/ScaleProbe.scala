@@ -872,12 +872,16 @@ object ScaleProbe {
     }
 
     if (args.contains("pca")) {
-      // PCA probe (round-13 addition): the scatter-matrix pass
-      // explodes 4096 (i,j) terms per vector MAP-SIDE and partial-
-      // aggregates to <= 4096 keys per partition before the shuffle.
-      // Claim: shuffle is sketch-sized (constant in the corpus), wall
-      // ~linear in vectors; the 8 power rounds are model-sized and
-      // should not move between scales. Synthetic replication of the
+      // PCA probe (round-13 addition): the scatter matrix is built by
+      // ONE typed ScatterAgg pass — each partition accumulates a flat
+      // 4161-long buffer (64x64 upper-triangle sums + 64 dim sums +
+      // count) with fused multiply-adds, no explode — so the shuffle
+      // is exactly one buffer per partition (sketch-sized, constant in
+      // the corpus). The 8 power rounds then run DRIVER-SIDE on BigInt
+      // (the RowMatrix-PCA shape: distribute the Gramian pass, never
+      // the 64x64 matvecs), bit-identical to the oracle's HUGEINT
+      // recurrence. Claim: wall ~linear in vectors, shuffle ~0, power
+      // rounds invariant between scales. Synthetic replication of the
       // embeddings table (ids shifted per replica).
       val base = Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding", "label")
