@@ -53,4 +53,50 @@ class BenchLogicSpec extends AnyFunSuite {
     val ss = Seq((0, 6.9), (1, 5.0))
     assert(Bench.headlineMin(ss, flagged = Set(0, 1)) === 5.0)
   }
+
+  test("a disk-stressed pass is flagged by the IO kernel even when CPU reads clean") {
+    // r13's exact hole: CPU calibration clean in every pass, but the
+    // IO cycle in pass 0 ran 2.4x its idle baseline (storage
+    // contention). The union flag must mark pass 0 — and needRetry
+    // must then request a retry, exactly as for a CPU-flagged pass.
+    val cpu = Seq((0, -1, 0.25), (0, 40, 0.26), (1, -1, 0.25), (1, 40, 0.25))
+    val io = Seq((0, -1, 0.72), (0, 40, 0.65), (1, -1, 0.30), (1, 40, 0.31))
+    val flagged = Bench.loadedPassesAll(Seq(cpu, io))
+    assert(flagged === Set(0))
+    assert(Bench.needRetry(2, 2, flagged, retried = 0, maxRetries = 1))
+  }
+
+  test("each kernel is normalized against its own baseline, not the other's") {
+    // IO idle ~0.3 s vs CPU idle ~0.25 s: comparing IO samples to the
+    // CPU best would flag every pass of a quiet run
+    val cpu = Seq((0, -1, 0.25), (1, -1, 0.26))
+    val io = Seq((0, -1, 0.30), (1, -1, 0.33))
+    assert(Bench.loadedPassesAll(Seq(cpu, io)) === Set.empty)
+    // and a missing kernel (read-only tmp fallback) degrades to CPU-only
+    assert(Bench.loadedPassesAll(Seq(cpu, Nil)) === Set.empty)
+  }
+
+  test("remeasureSet adds high-spread queries beyond the top-N slowest") {
+    // r13 shape: contrastive's samples spread [21.3, 14.9, 17.5]
+    // (1.43x — below 3x here so NOT spread-flagged on its own merits;
+    // plant a genuine >3x spread on a mid-cost query instead)
+    val samples = Seq(
+      "q_slow_a" -> Seq(10.0, 11.0),
+      "q_slow_b" -> Seq(8.0, 9.0),
+      "q_spready" -> Seq(1.0, 4.5), // 4.5x spread, cheap
+      "q_quiet" -> Seq(0.5, 0.6))
+    val (slowest, spread) = Bench.remeasureSet(samples, topN = 2, spreadFactor = 3.0)
+    assert(slowest === Seq("q_slow_a", "q_slow_b"))
+    assert(spread === Seq("q_spready"))
+  }
+
+  test("remeasureSet never double-selects and tolerates degenerate samples") {
+    val samples = Seq(
+      "q_big_spready" -> Seq(2.0, 20.0), // both slowest AND spready
+      "q_one_sample" -> Seq(5.0), // spread undefined -> slowest-only path
+      "q_zero" -> Seq(0.0, 1.0)) // min==0 -> no ratio, never spread-flagged
+    val (slowest, spread) = Bench.remeasureSet(samples, topN = 2, spreadFactor = 3.0)
+    assert(slowest === Seq("q_one_sample", "q_big_spready"))
+    assert(spread === Seq.empty)
+  }
 }
