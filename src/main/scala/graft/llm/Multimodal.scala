@@ -980,25 +980,75 @@ object Multimodal {
       maxHamming: Int = 3, nBands: Int = 4): DataFrame =
     bandedHammingPairs(videoHashes(spark, media), maxHamming, nBands)
 
+  /** Absolute root the trio's PARTIAL ORACLE reads from. Computed from
+    * the runtime cwd (the driver launches sbt from the repo root), so
+    * the parquet Spark writes and the path embedded in the generated
+    * oracle SQL agree by construction — the oracle's DuckDB process
+    * does not share this JVM's cwd, hence absolute.
+    */
+  private val mmOracleRoot =
+    new java.io.File("target/mm_oracle").getAbsolutePath
+
+  /** Partial-oracle device for the binary-codec trio (the suite's only
+    * rows-only rows through r13): DuckDB cannot decode BMP/WAV/Y4M,
+    * but it CAN replay the banded-hamming pairing — so each trio query
+    * materializes its decoded (doc_id, phash) table to a deterministic
+    * repo-local path and reads it BACK as the pairing input. The
+    * driver's oracle then read_parquet()s the same table and replays
+    * the pairing in SQL: everything past the codec step is hash-
+    * checked; the codec step itself stays ScalaTest-checked (byte-
+    * exact decode specs + brute-force/planted-copy near-dup specs).
+    * The path is keyed by the sf dir's basename so the correctness run
+    * (sf0.01) and bench runs (sf0.1) never clobber each other; the
+    * oracle SQL pins sf0.01, the driver's correctness scale.
+    */
+  private def oracleHashes(
+      hashes: DataFrame, sfDir: String, name: String): DataFrame = {
+    val path = s"$mmOracleRoot/${new java.io.File(sfDir).getName}/$name"
+    hashes.write.mode("overwrite").parquet(path)
+    hashes.sparkSession.read.parquet(path)
+  }
+
+  /** DuckDB replay of [[bandedHammingPairs]] (unsalted semantics —
+    * salting only re-buckets, never changes the distinct pair set)
+    * over a materialized hash table: any pair with hamming <= 3 agrees
+    * on >= 1 of the 4 16-bit bands (pigeonhole), DISTINCT collapses
+    * multi-band meetings. The band key masks to the low 16 bits of the
+    * shifted hash, so arithmetic-vs-logical shift fill differences
+    * between engines cannot leak in.
+    */
+  private def bandedHammingSql(name: String): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, phash
+       |  FROM read_parquet('$mmOracleRoot/sf0.01/$name/*.parquet')),
+       |b AS (
+       |  SELECT doc_id, phash, r.range AS band,
+       |    (phash >> (CAST(r.range AS INTEGER) * 16)) & 65535 AS key
+       |  FROM h CROSS JOIN range(4) r)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.phash, y.phash)) AS hamming
+       |FROM b x JOIN b y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin
+
+  private def withPlantedCopies(media: DataFrame): DataFrame =
+    media.unionByName(
+      media.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("media")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_phash" -> ((s, d) => {
-      val media = bmpFixtures(docs(s, d))
-      imageNearDups(s, media.unionByName(
-        media.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
-    }),
-    "q_multimodal_audio_dup" -> ((s, d) => {
-      val media = wavFixtures(docs(s, d))
-      audioNearDups(s, media.unionByName(
-        media.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
-    }),
-    "q_multimodal_video_dup" -> ((s, d) => {
-      val media = y4mFixtures(docs(s, d))
-      videoNearDups(s, media.unionByName(
-        media.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("media"))))
-    }),
+    "q_multimodal_phash" -> ((s, d) =>
+      bandedHammingPairs(
+        oracleHashes(imageHashes(s, withPlantedCopies(bmpFixtures(docs(s, d)))),
+          d, "image_hashes"), maxHamming = 3, nBands = 4)),
+    "q_multimodal_audio_dup" -> ((s, d) =>
+      bandedHammingPairs(
+        oracleHashes(audioHashes(s, withPlantedCopies(wavFixtures(docs(s, d)))),
+          d, "audio_hashes"), maxHamming = 3, nBands = 4)),
+    "q_multimodal_video_dup" -> ((s, d) =>
+      bandedHammingPairs(
+        oracleHashes(videoHashes(s, withPlantedCopies(y4mFixtures(docs(s, d)))),
+          d, "video_hashes"), maxHamming = 3, nBands = 4)),
     "q_multimodal_luma" -> ((s, d) => lumaStats(s, docs(s, d))),
     "q_multimodal_downsample" -> ((s, d) => audioDownsample(s, docs(s, d))),
     "q_multimodal_quarantine" -> ((s, d) => quarantineStats(s, docs(s, d))),
@@ -1013,6 +1063,9 @@ object Multimodal {
     "q_multimodal_resize" -> ((s, d) => resizedStats(s, docs(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_phash" -> bandedHammingSql("image_hashes"),
+    "q_multimodal_audio_dup" -> bandedHammingSql("audio_hashes"),
+    "q_multimodal_video_dup" -> bandedHammingSql("video_hashes"),
     "q_multimodal_luma" -> lumaStatsSql,
     "q_multimodal_downsample" -> audioDownsampleSql,
     "q_multimodal_quarantine" -> quarantineStatsSql,
