@@ -1578,14 +1578,15 @@ object Dedup {
     * hash-ring neighbors per anchor (linear by construction — the
     * whole-cell spelling was quadratic per length octave).
     */
-  def contrastivePairs(d: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def contrastivePairs(d: DataFrame, threshold: Double = 0.5,
+      saltTarget: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // checkpoint the DIRECTED pair list once (its four consumers —
     // both argmax halves and both faces of the membership anti-join —
     // would otherwise re-run the prefix-rank join each); the SYMMETRIC
     // form stays LAZY over those blocks (materializing 18M sym rows
     // doubled storage pressure for nothing)
-    val pairs = jaccardPairs(d, threshold).localCheckpoint()
+    val pairs = jaccardPairs(d, threshold, saltTarget).localCheckpoint()
     val sym = pairs
       .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
         col("jaccard"))

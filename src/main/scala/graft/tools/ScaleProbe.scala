@@ -908,6 +908,66 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("contrastive")) {
+      // Contrastive-mining probe (round-14 verdict #6): the suite's
+      // most expensive query. Claim: cost is PAIR-LIST-BOUNDED — the
+      // positive argmax halves are map-side-combinable aggs over the
+      // pair list, and negative candidates are <= NegProbe(8)
+      // hash-ring rows per anchor, LINEAR by construction (never
+      // cell x cell). Plain replication would lie here: identical
+      // clone texts pair at jaccard 1.0 ACROSS replicas and square
+      // the pair list. So each replica's tokens get a replica-unique
+      // letter prefix — a per-replica token bijection that leaves
+      // every within-replica jaccard identical and makes
+      // cross-replica overlap exactly 0. 4x docs => exactly 4x pairs
+      // and 4x anchors by construction, so wall and shuffle should
+      // read ~linear; and at 1x the checksum must be invariant across
+      // salt settings (salting only re-buckets, never changes pairs).
+      // OUTPUT rows are anchors-that-found-a-valid-negative, which
+      // RISES super-linearly under replication: the (lang, octave)
+      // cells mix replicas, so an anchor's 8 hash-ring candidates are
+      // mostly other-replica docs that can never be secret partners
+      // and survive the anti-join (at 1x a giant-cluster anchor's
+      // whole ring is partners and it emits nothing). That is
+      // negative-mining RICHNESS, not cost — the cost claims read on
+      // the pair count (exactly linear), wall, and shuffle.
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "lang", "text")
+      def corpus(n: Int) = (0 until n).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"z$i$$1"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = corpus(n)
+        val nPairs = graft.llm.Dedup.jaccardPairs(d, 0.5).count()
+        var seen = Set.empty[(Long, Long)]
+        val salts = if (n == 1) Seq("salt512" -> 512,
+          "unsalted" -> Int.MaxValue) else Seq("salt512" -> 512)
+        salts.foreach { case (sl, st) =>
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val res = graft.llm.Dedup.contrastivePairs(d, saltTarget = st)
+            .agg(count(lit(1)).as("n"),
+              expr("bit_xor(xxhash64(anchor_id, pos_id, pos_jaccard," +
+                " neg_id, neg_len_diff))").as("chk"))
+            .collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          seen += ((res.getLong(0), res.getLong(1)))
+          println(f"[contrastive-probe] $label%-4s docs ${n * 60000}%8d  " +
+            f"pairs $nPairs%9d  $sl%-9s $dt%7.2f s  " +
+            f"(${res.getLong(0)}%7d rows, chk ${res.getLong(1)}%d)  " +
+            f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+        }
+        require(seen.size == 1, s"salting changed the result: $seen")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("retrieval")) {
       // Retrieval probe (round-11 additions): BM25 top-k join and MMR
       // diversification over the real documents table replicated 1x/4x
