@@ -1109,7 +1109,7 @@ object Curation {
     * space of [[TextOps.classifierScore]] (two md5 hex chars, Knuth
     * mix), so the trained model below scores through the same plan.
     */
-  private def classifierBucket(t: Column): Column = {
+  private[graft] def classifierBucket(t: Column): Column = {
     val h = md5(t.cast("binary"))
     pmod(ascii(substring(h, 1, 1)) * 131 + ascii(substring(h, 2, 1)),
       lit(64)).cast("bigint")
@@ -1266,6 +1266,23 @@ object Curation {
           .as("label_pred"),
         when(col("y") === 1, "keep").otherwise("drop").as("label_teacher"),
         expr("CAST((p_permille > 500) = (y = 1) AS BIGINT)").as("agree"))
+  }
+
+  /** Final trained weights as a 64-slot array (index = bucket): the
+    * frozen model artifact a serving or monitoring path ships as a
+    * literal — [[graft.streaming.DocStreams.classifierScoreFeed]]'s
+    * axis, the driftFeed convention (a live scorer serves the model it
+    * was given; it cannot train on data it has not seen). Driver work
+    * is model-sized: the collect is exactly 64 rows; training itself
+    * is re-paid, the trio convention.
+    */
+  def trainedWeights(d: DataFrame, rounds: Int = 8, lr: Long = 50L,
+      scale: Long = 1000000L): Array[Long] = {
+    val (losses, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
+    val arr = new Array[Long](64)
+    w.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    (losses ++ Seq(w, labels, feat)).foreach(freeCheckpoint)
+    arr
   }
 
   /** Reliability panel for the TRAINED classifier — the calibration

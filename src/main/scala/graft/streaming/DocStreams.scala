@@ -644,6 +644,77 @@ object DocStreams {
       .toDF("source", "n_docs", "n_flagged", "n_slow", "n_crash", "n_skew")
   }
 
+  /** Streaming CLASSIFIER-SCORE monitor — closes the round-13 training
+    * loop the way the sketches closed theirs: every arriving doc is
+    * scored map-side with the FROZEN trained 64-bucket weights
+    * (shipped as an array literal from
+    * [[graft.llm.Curation.trainedWeights]] — the driftFeed convention:
+    * a live scorer serves the model it was given, it cannot train on
+    * data it has not seen), and the calibration panel (per
+    * predicted-permille decile: n_docs, mean predicted permille,
+    * teacher empirical keep rate, |gap|) is re-emitted on every
+    * refresh — the wire that says "the scorer is drifting off its
+    * teacher on arriving data" before anyone re-trains.
+    *
+    * Per-doc work is one codegen'd map-side pass: z = Σ_tokens
+    * w[bucket(tok)] — identically Σ_b c_b·w_b, the batch spelling —
+    * and the teacher's raw score via the same token walk; the hard
+    * sigmoid/clamp is the batch expression verbatim. The stateful
+    * operator is keyed by DECILE: <= 10 groups, each holding three
+    * counters (n, Σp, Σy) — constant in stream length; all per-doc
+    * work stays parallel upstream of the 10-key shuffle. int64
+    * bounds: |z| <= maxTokPerDoc·max|w| (~4e11, the
+    * classifierTrainCore note); Σp <= 1000·n. Final emission after a
+    * full replay == batch [[graft.llm.Curation.classifierCalibration]]
+    * bit-for-bit when `weights` was trained on the same corpus
+    * (StatefulStreamingSpec asserts it).
+    */
+  def classifierScoreFeed(
+      docsStream: DataFrame, weights: Array[Long],
+      scale: Long = 1000000L): DataFrame = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(weights.length == 64, "64-bucket hashed model")
+    val wLit = array(weights.map(lit): _*)
+    val toks = graft.llm.TextOps.letterTokens(lower(col("text")))
+    val bucket = (t: org.apache.spark.sql.Column) =>
+      graft.llm.Curation.classifierBucket(t)
+    val z = aggregate(
+      transform(toks, t => element_at(wLit, bucket(t).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val teacherRaw = aggregate(
+      transform(toks, t => pmod(bucket(t) * 2654435761L, lit(1001L)) - 500L),
+      lit(0L), (acc, x) => acc + x)
+    docsStream
+      .select(z.as("z"), teacherRaw.as("raw"))
+      .select(
+        expr(s"least(CAST(1000 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+          s"500 + (250 * z) DIV $scale))").as("p"),
+        when(col("raw") > 0, 1L).otherwise(0L).as("y"))
+      .select(expr("least(CAST(9 AS BIGINT), p DIV 100)").as("decile"),
+        col("p"), col("y"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (decile, rows, state) =>
+          // state: (n_docs, Σ p_permille, Σ teacher_keep)
+          val c = state.getOption.getOrElse(new Array[Long](3))
+          rows.foreach { case (_, p, y) =>
+            c(0) += 1L; c(1) += p; c(2) += y
+          }
+          state.update(c)
+          // the batch panel's exact integer formulas (all non-negative,
+          // so Scala / == Spark DIV here)
+          val mean = c(1) / c(0)
+          val keep = (1000L * c(2)) / c(0)
+          Iterator.single((decile, c(0), mean, keep, math.abs(mean - keep)))
+      }
+      .toDF("bucket", "n_docs", "mean_pred_permille",
+        "teacher_keep_permille", "calib_gap")
+  }
+
   /** Streaming exact dedup-on-arrival: the continuous-ingestion mirror
     * of [[graft.llm.Dedup.exact]]'s keep-one-survivor rule. Keyed by
     * the 16-byte content hash; per-key state is one boolean, so a

@@ -904,6 +904,34 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming classifier-score feed: final calibration panel == batch") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("graft-docs-clsfeed")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sfDir, "documents")
+    // freeze the model trained on this exact corpus (deterministic
+    // full-batch GD, so it matches classifierCalibration's internal
+    // re-train bit-for-bit), then replay the corpus through the scorer
+    val w = graft.llm.Curation.trainedWeights(batchDocs)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    val q = graft.streaming.DocStreams.classifierScoreFeed(stream, w)
+      .writeStream.format("memory").queryName("clsfeed_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // latest refresh wins per decile
+    val got = spark.table("clsfeed_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val want = graft.llm.Curation.classifierCalibration(batchDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got === want, "streamed calibration panel diverges from batch")
+    assert(got.values.map(_._1).sum === batchDocs.count())
+    q.stop()
+  }
+
   test("streaming dedup-on-arrival: replay == batch; later dups suppressed") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
