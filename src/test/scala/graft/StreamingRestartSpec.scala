@@ -139,4 +139,55 @@ class StreamingRestartSpec extends SparkSpec {
     assert(got === want,
       "post-restart sketch diverges from batch over both waves")
   }
+
+  test("classifier feed state survives a restart: post-restart panel == batch over both waves") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val work = Files.createTempDirectory("graft-cls-restart")
+    val inDir = work.resolve("in"); Files.createDirectory(inDir)
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    // the frozen model rides across the restart unchanged — only the
+    // decile counters live in checkpointed state
+    val w = graft.llm.Curation.trainedWeights(docs)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(s"$inDir/*")
+      val q = graft.streaming.DocStreams.classifierScoreFeed(stream, w)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("bid", lit(id))
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b1").toString)
+    runOnce()
+    // RESTARTED query, second wave: the SAME texts under fresh ids —
+    // scoring is text-only, so the recovered decile counters must land
+    // on the wave-1 batch panel with every n_docs doubled and the
+    // ratio columns unchanged ((2Σ)/(2n) truncates identically to Σ/n)
+    docs.withColumn("doc_id", col("doc_id") + 2000000L)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b2").toString)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    val lastBid = out.agg(org.apache.spark.sql.functions.max("bid"))
+      .head().getLong(0)
+    val got = out.filter(col("bid") === lastBid).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val want = graft.llm.Curation.classifierCalibration(docs).collect()
+      .map(r => r.getLong(0) -> (2 * r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got === want,
+      "post-restart calibration panel diverges from batch over both waves")
+  }
 }
