@@ -2465,7 +2465,211 @@ object EventOps {
        |ORDER BY a.variant""".stripMargin
   }
 
+  /** 32-bit Morton (Z-ORDER) key over two min-max-normalized 16-bit
+    * dimensions — returns (un, hn, z) per event. Shared by the panel
+    * query and the layout spec so both speak about the same key.
+    * Normalization is integer min-max to the full 16-bit domain (the
+    * production shape bins by range quantiles; min-max keeps the
+    * oracle exact) off a 1-row broadcast stats row; the interleave is
+    * one codegen'd HOF per row — no join, no shuffle to compute it.
+    */
+  private[graft] def zorderKeyed(e: DataFrame): DataFrame = {
+    val dims = e.select(
+      col("user_id").as("u"),
+      expr("unix_micros(ts) DIV 3600000000").as("h"))
+    val stats = dims.agg(
+      min("u").as("umin"), max("u").as("umax"),
+      min("h").as("hmin"), max("h").as("hmax"))
+    dims.crossJoin(broadcast(stats)) // 1-row stats — audited idiom
+      .select(
+        expr("((u - umin) * 65535) DIV greatest(1, umax - umin)").as("un"),
+        expr("((h - hmin) * 65535) DIV greatest(1, hmax - hmin)").as("hn"))
+      .withColumn("z", expr(
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> " +
+          "acc + shiftleft(shiftright(un, i) & 1, 2*i) + " +
+          "shiftleft(shiftright(hn, i) & 1, 2*i + 1))"))
+  }
+
+  /** Z-ORDER locality panel — the layout primitive behind
+    * Delta/Iceberg `OPTIMIZE ZORDER BY`: interleave the bits of two
+    * query dimensions (user_id, hour-of-epoch; each min-max-normalized
+    * to 16 bits) into one 32-bit Morton key, so ONE range-partitioned
+    * sort leaves files tight in BOTH dimensions at once — min/max file
+    * skipping then serves range predicates on either dimension, where
+    * a single-column sort serves only its own. The panel reports, per
+    * top-6-bit z octant (64 buckets = the top 3 bits of EACH dim), the
+    * bucket's event count and its span in each normalized dimension —
+    * exactly the numbers file skipping reads from footer stats.
+    * Locality is exact by construction: a 6-bit z prefix pins 3 high
+    * bits of each dim, so every bucket's u_span and h_span are
+    * < 2^13 = 8192 (1/8 of the domain) — StorageSpec asserts it, and
+    * demonstrates the layout effect (repartitionByRange(z): BOTH
+    * per-partition spans bounded; a time-only sort leaves the user
+    * span at full domain).
+    *
+    * Scale: the key is map-side codegen; the panel is one 64-key
+    * partial aggregation. At 100 TB the sort this key feeds is the
+    * standard write-amplification trade every OPTIMIZE job makes —
+    * the panel itself never moves more than 64 rows past the scan.
+    */
+  def zorderPanel(e: DataFrame): DataFrame =
+    zorderKeyed(e)
+      .select(expr("shiftright(z, 26)").as("octant"), col("un"), col("hn"))
+      .groupBy("octant")
+      .agg(count(lit(1)).as("n_events"),
+        min("un").as("u_min"), max("un").as("u_max"),
+        (max("un") - min("un")).as("u_span"),
+        min("hn").as("h_min"), max("hn").as("h_max"),
+        (max("hn") - min("hn")).as("h_span"))
+
+  val zorderPanelSql: String =
+    """WITH d AS (
+      |  SELECT event_id, user_id AS u,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+      |  FROM events),
+      |st AS (
+      |  SELECT min(u) AS umin, max(u) AS umax,
+      |    min(h) AS hmin, max(h) AS hmax FROM d),
+      |norm AS (
+      |  SELECT event_id,
+      |    ((u - umin) * 65535) // greatest(1, umax - umin) AS un,
+      |    ((h - hmin) * 65535) // greatest(1, hmax - hmin) AS hn
+      |  FROM d CROSS JOIN st),
+      |zt AS (
+      |  SELECT event_id, un, hn,
+      |    CAST(sum((((un >> r.i) & 1) << (2 * r.i))
+      |      + (((hn >> r.i) & 1) << (2 * r.i + 1))) AS BIGINT) AS z
+      |  FROM norm CROSS JOIN
+      |    (SELECT CAST(range AS INTEGER) AS i FROM range(16)) r
+      |  GROUP BY 1, 2, 3)
+      |SELECT z >> 26 AS octant, count(*) AS n_events,
+      |  min(un) AS u_min, max(un) AS u_max, max(un) - min(un) AS u_span,
+      |  min(hn) AS h_min, max(hn) AS h_max, max(hn) - min(hn) AS h_span
+      |FROM zt GROUP BY 1""".stripMargin
+
+  /** Poisson-bootstrap CI for revenue-per-user — the hash-resample
+    * bootstrap production experiment platforms run at scale (Chamandy
+    * et al. 2012, "Estimating uncertainty for massive data streams"):
+    * resample weights come from a hash of (resample index, user), so
+    * there is NO resample table to join and no RNG state to
+    * coordinate — every engine recomputes the same weights from the
+    * row itself. Weights are Binomial(4, 1/4) (mean 1, the bounded
+    * integer stand-in for Poisson(1): four 2-bit hash chunks tested
+    * against zero — exactly replicable in any engine with shifts).
+    * Per variant AND per the B-A difference (resamples coupled by
+    * index r — common random numbers, variance-reduced), the panel
+    * carries the point estimate and a rank-based percentile CI (order
+    * statistics 2 and B-1 of the B=32 resample means, ~94% nominal).
+    *
+    * All integer (cents, truncating DIV), so the oracle is bit-exact.
+    * Scale: the per-user rollup is the ONE user-keyed shuffle
+    * (identical to [[abExperiment]]); the x32 explode happens AFTER
+    * it, on users not events; per-(variant, r) means are 96 rows and
+    * the CI window orders 32 rows per variant — answer-sized.
+    */
+  def abBootstrap(e: DataFrame, b: Int = 32): DataFrame = {
+    require(b >= 4, "need enough resamples for order-stat CI")
+    val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val perUser = e
+      .withColumn("variant",
+        when(pmod(graft.ops.Hll.h60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2)) === 0,
+          lit("A")).otherwise(lit("B")))
+      .groupBy("variant", "user_id")
+      .agg(sum(when(col("event_type") === "purchase", cents)
+        .otherwise(lit(0L))).as("cents"))
+    val rs = perUser
+      .select(col("variant"), col("user_id"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .withColumn("hh", graft.ops.Hll.h60(concat_ws(":",
+        lit("bs"), col("r").cast("string"), col("user_id").cast("string"))))
+      .withColumn("w", expr(
+        "CAST(hh & 3 = 0 AS BIGINT) + CAST(shiftright(hh, 2) & 3 = 0 AS BIGINT)" +
+          " + CAST(shiftright(hh, 4) & 3 = 0 AS BIGINT)" +
+          " + CAST(shiftright(hh, 6) & 3 = 0 AS BIGINT)"))
+    // nullif guards the (vanishing, but possible on a tiny cohort)
+    // all-weights-zero resample; a null mean drops out of the order
+    // statistics rather than fabricating a 0
+    val means = rs.groupBy("variant", "r")
+      .agg(expr("sum(w * cents) DIV nullif(sum(w), 0)").as("rpu"))
+    val dmeans = means.groupBy("r")
+      .agg(sum(when(col("variant") === "B", col("rpu"))
+        .otherwise(-col("rpu"))).as("rpu"))
+      .select(lit("B-A").as("variant"), col("r"), col("rpu"))
+    val wv = Window.partitionBy("variant").orderBy(col("rpu"), col("r"))
+    val ci = means.unionByName(dmeans)
+      .withColumn("rn", row_number().over(wv))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_resamples"),
+        max(when(col("rn") === 2, col("rpu"))).as("ci_lo_cents"),
+        max(when(col("rn") === lit(b - 1), col("rpu"))).as("ci_hi_cents"))
+    val point = perUser.groupBy("variant")
+      .agg(expr("sum(cents) DIV count(1)").as("rpu_cents"))
+    val pointD = point
+      .agg(sum(when(col("variant") === "B", col("rpu_cents"))
+        .otherwise(-col("rpu_cents"))).as("rpu_cents"))
+      .select(lit("B-A").as("variant"), col("rpu_cents"))
+    point.unionByName(pointD).join(ci, "variant")
+      .select(col("variant"), col("rpu_cents"), col("ci_lo_cents"),
+        col("ci_hi_cents"), col("n_resamples"))
+  }
+
+  val abBootstrapSql: String = {
+    val hAb = graft.ops.Hll.h60Sql("'ab:' || CAST(user_id AS VARCHAR)")
+    val hBs = graft.ops.Hll.h60Sql(
+      "'bs:' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN ($hAb) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+       |    user_id,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |rs AS (
+       |  SELECT variant, user_id, cents, CAST(rr.range AS BIGINT) AS r
+       |  FROM pu CROSS JOIN range(32) rr),
+       |wt AS (
+       |  SELECT variant, r, cents,
+       |    CAST(hh & 3 = 0 AS BIGINT) + CAST((hh >> 2) & 3 = 0 AS BIGINT)
+       |      + CAST((hh >> 4) & 3 = 0 AS BIGINT)
+       |      + CAST((hh >> 6) & 3 = 0 AS BIGINT) AS w
+       |  FROM (SELECT variant, user_id, cents, r, ($hBs) AS hh FROM rs)),
+       |means AS (
+       |  SELECT variant, r,
+       |    CAST(sum(w * cents) // nullif(sum(w), 0) AS BIGINT) AS rpu
+       |  FROM wt GROUP BY 1, 2),
+       |dmeans AS (
+       |  SELECT 'B-A' AS variant, r,
+       |    sum(CASE WHEN variant = 'B' THEN rpu ELSE -rpu END) AS rpu
+       |  FROM means GROUP BY 2),
+       |allm AS (
+       |  SELECT * FROM means UNION ALL SELECT * FROM dmeans),
+       |ranked AS (
+       |  SELECT variant, rpu,
+       |    row_number() OVER (PARTITION BY variant ORDER BY rpu, r) AS rn
+       |  FROM allm),
+       |ci AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n_resamples,
+       |    CAST(max(CASE WHEN rn = 2 THEN rpu END) AS BIGINT) AS ci_lo_cents,
+       |    CAST(max(CASE WHEN rn = 31 THEN rpu END) AS BIGINT) AS ci_hi_cents
+       |  FROM ranked GROUP BY 1),
+       |point AS (
+       |  SELECT variant, CAST(sum(cents) // count(*) AS BIGINT) AS rpu_cents
+       |  FROM pu GROUP BY 1),
+       |pall AS (
+       |  SELECT * FROM point
+       |  UNION ALL
+       |  SELECT 'B-A',
+       |    CAST(sum(CASE WHEN variant = 'B' THEN rpu_cents
+       |      ELSE -rpu_cents END) AS BIGINT)
+       |  FROM point)
+       |SELECT p.variant, p.rpu_cents, c.ci_lo_cents, c.ci_hi_cents,
+       |  c.n_resamples
+       |FROM pall p JOIN ci c USING (variant)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_storage_zorder" -> ((s, d) => zorderPanel(events(s, d))),
+    "q_events_ab_bootstrap" -> ((s, d) => abBootstrap(events(s, d))),
     "q_events_acf" -> ((s, d) => acfDaily(events(s, d))),
     "q_events_jackknife" -> ((s, d) => jackknifeSe(events(s, d))),
     "q_events_holt" -> ((s, d) => holtForecast(events(s, d))),
@@ -2510,6 +2714,8 @@ object EventOps {
     "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_storage_zorder" -> zorderPanelSql,
+    "q_events_ab_bootstrap" -> abBootstrapSql,
     "q_events_acf" -> acfDailySql,
     "q_events_jackknife" -> jackknifeSeSql,
     "q_events_ab_srm" -> abSrmCheckSql,

@@ -557,6 +557,37 @@ class RobustnessSpec extends SparkSpec {
       "B-A row must be the per-metric difference of the derived panels")
   }
 
+  test("abBootstrap: constant metric collapses the CI to the point estimate") {
+    import java.time.LocalDateTime
+    // 200 users, every one with exactly one 5.00 purchase: any
+    // reweighting of a constant is the constant, so all 32 resample
+    // means equal 500 cents in both variants and the rank-based CI is
+    // degenerate [point, point] — a sharp check of the weight/rank
+    // plumbing with no distributional slack
+    val rows = (1L to 200L).map(u =>
+      (u, LocalDateTime.of(2026, 2, 1, (u % 24).toInt, 0), u,
+        "purchase", 5.0))
+    val ev = rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.abBootstrap(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("A") === ((500L, 500L, 500L, 32L)))
+    assert(got("B") === ((500L, 500L, 500L, 32L)))
+    assert(got("B-A") === ((0L, 0L, 0L, 32L)))
+    // and on the real table: the CI must bracket its point estimate
+    val real = graft.ops.EventOps.abBootstrap(
+      graft.core.Tables.load(spark, sfDir, "events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.length === 3)
+    real.foreach { case (v, p, lo, hi) =>
+      assert(lo <= p && p <= hi, s"$v: CI [$lo, $hi] misses point $p")
+      assert(lo < hi, s"$v: CI degenerate on real (non-constant) data")
+    }
+  }
+
   test("pq survives duplicate and degenerate vectors") {
     // 20 identical vectors + 20 distinct: seeds collapse to few
     // distinct centroids, most cells go empty and must keep their

@@ -374,4 +374,40 @@ class StorageSpec extends SparkSpec {
       assert(keys.sameElements(keys.sorted), s"${dir.getName} unsorted")
     }
   }
+
+  test("z-order octants pin both dimensions (span < 2^13 each, by construction)") {
+    val panel = graft.ops.EventOps.zorderPanel(
+      Tables.load(spark, sfDir, "events")).collect()
+    assert(panel.nonEmpty)
+    panel.foreach { r =>
+      val (oct, uSpan, hSpan) = (r.getLong(0), r.getLong(4), r.getLong(7))
+      assert(uSpan < 8192, s"octant $oct u_span $uSpan escapes its 13-bit cell")
+      assert(hSpan < 8192, s"octant $oct h_span $hSpan escapes its 13-bit cell")
+    }
+  }
+
+  test("z-order layout bounds per-partition spans in BOTH dims; a time sort does not") {
+    // The claim OPTIMIZE ZORDER sells: range-partition the write by the
+    // Morton key and every file is tight in BOTH dimensions, so footer
+    // min/max skipping serves range predicates on either. A time-only
+    // sort gives perfect h spans but leaves u at (almost) full domain.
+    val keyed = graft.ops.EventOps.zorderKeyed(
+      Tables.load(spark, sfDir, "events")).localCheckpoint()
+    def spans(df: DataFrame, k: String): (Double, Double) = {
+      val per = df.repartitionByRange(16, col(k))
+        .select(spark_partition_id().as("p"), col("un"), col("hn"))
+        .groupBy("p")
+        .agg((max("un") - min("un")).as("us"), (max("hn") - min("hn")).as("hs"))
+        .collect()
+      (per.map(_.getLong(1)).sum.toDouble / per.length,
+        per.map(_.getLong(2)).sum.toDouble / per.length)
+    }
+    val (zu, zh) = spans(keyed, "z")
+    val (tu, _) = spans(keyed, "hn")
+    // 16 z-range partitions ≈ 4 z bits ≈ 2 bits per dim: ideal span
+    // ~2^14; allow slack for uneven event density
+    assert(zu <= 28000, s"z layout: avg u span $zu not bounded")
+    assert(zh <= 28000, s"z layout: avg h span $zh not bounded")
+    assert(tu >= 45000, s"time-sorted layout unexpectedly bounded u span ($tu)")
+  }
 }
