@@ -245,6 +245,7 @@ object Bench {
       "src/main/scala/graft/ops/Relational.scala" -> graft.ops.Relational.queries.keySet,
       "src/main/scala/graft/ops/EventOps.scala" -> graft.ops.EventOps.queries.keySet,
       "src/main/scala/graft/ops/GraphOps.scala" -> graft.ops.GraphOps.queries.keySet,
+      "src/main/scala/graft/ops/EntityOps.scala" -> graft.ops.EntityOps.queries.keySet,
       "src/main/scala/graft/llm/TextOps.scala" -> graft.llm.TextOps.queries.keySet,
       "src/main/scala/graft/llm/Dedup.scala" -> graft.llm.Dedup.queries.keySet,
       "src/main/scala/graft/llm/Similarity.scala" -> graft.llm.Similarity.queries.keySet,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.llm.{CorpusOps, Curation, Dedup, Multimodal, Pipeline, Sampling, Similarity, TextOps}
-import graft.ops.{EventOps, GraphOps, Relational}
+import graft.ops.{EntityOps, EventOps, GraphOps, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +28,7 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Pipeline.queries ++ Sampling.queries ++ Curation.queries ++
-      CorpusOps.queries ++ GraphOps.queries
+      CorpusOps.queries ++ GraphOps.queries ++ EntityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -37,5 +37,5 @@ object SparkEntry {
     Relational.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
       Pipeline.oracleSql ++ Sampling.oracleSql ++ Curation.oracleSql ++
-      CorpusOps.oracleSql ++ GraphOps.oracleSql
+      CorpusOps.oracleSql ++ GraphOps.oracleSql ++ EntityOps.oracleSql
 }

@@ -557,6 +557,33 @@ class RobustnessSpec extends SparkSpec {
       "B-A row must be the per-metric difference of the derived panels")
   }
 
+  test("entity resolution: blocking gates, fuzzy verify, TRANSITIVE golden fusion") {
+    // chain fixture: 1-2 and 2-3 are each one edit apart but 1-3 is
+    // TWO (past maxEdit), so a single entity for {1,2,3} proves real
+    // connected components, not pair-grouping; 4 shares the block with
+    // a distant name (verifier must reject); 5 shares the NAME but not
+    // the block (blocking is a hard gate, the scale contract)
+    val p = Seq(
+      (1L, "red widget", "Brand#1", "ECONOMY", 10, 9.00),
+      (2L, "red widgetx", "Brand#1", "ECONOMY", 10, 9.50),
+      (3L, "red widgetxx", "Brand#1", "ECONOMY", 10, 8.00),
+      (4L, "blue bolt", "Brand#1", "ECONOMY", 10, 7.00),
+      (5L, "red widget", "Brand#2", "ECONOMY", 10, 9.00))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val pairs = graft.ops.EntityOps.entityPairs(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 1L), (2L, 3L, 1L)))
+    val golden = graft.ops.EntityOps.goldenRecords(p).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    assert(golden(1L) === ((3L, 3L, "red widget", 800L, 950L)),
+      "chain {1,2,3} must fuse into one entity with survivor=min key")
+    assert(golden(4L) === ((1L, 1L, "blue bolt", 700L, 700L)))
+    assert(golden(5L) === ((1L, 1L, "red widget", 900L, 900L)))
+    assert(golden.size === 3)
+  }
+
   test("abBootstrap: constant metric collapses the CI to the point estimate") {
     import java.time.LocalDateTime
     // 200 users, every one with exactly one 5.00 purchase: any
