@@ -15,15 +15,15 @@ class SmokeSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
-  test("rows-only queries are exactly the documented non-ANSI ops") {
-    // binary-codec perceptual ops — ground truth requires BMP/WAV/Y4M
-    // decode, which DuckDB cannot do; each is asserted against
-    // brute-force ScalaTest oracles instead (LlmSpec)
+  test("EVERY query carries a DuckDB oracle (no rows-only rows left)") {
+    // Through r13 the binary-codec trio was rows-only (DuckDB cannot
+    // decode BMP/WAV/Y4M); r14's materialized partial oracle closed
+    // that: the pairing stage is hash-checked from the decoded-hash
+    // table, so the full-oracle invariant now holds suite-wide and
+    // must never regress.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set(
-      "q_multimodal_phash",
-      "q_multimodal_audio_dup", "q_multimodal_video_dup"),
-      s"every other query must carry a DuckDB oracle, got: $rowsOnly")
+    assert(rowsOnly.isEmpty,
+      s"queries without a DuckDB oracle: $rowsOnly")
   }
 
   test("every query runs and returns a non-empty, non-degenerate result") {
