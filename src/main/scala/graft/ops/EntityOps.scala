@@ -39,7 +39,7 @@ object EntityOps {
     * price drift. Deterministic, so the DuckDB oracle derives the
     * same corpus from the table.
     */
-  private def withVariants(p: DataFrame): DataFrame =
+  private[graft] def withVariants(p: DataFrame): DataFrame =
     p.select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
       "p_retailprice")
       .unionByName(p.filter(col("p_partkey") % 25 === 0).select(

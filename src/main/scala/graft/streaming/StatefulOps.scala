@@ -609,4 +609,76 @@ object StatefulOps {
           out.result().iterator
       }
   }
+
+  /** Exact Levenshtein (unit-cost insert/delete/substitute) — the same
+    * metric Spark's `levenshtein` expression and DuckDB's
+    * `levenshtein` compute; the in-state verifier for
+    * [[linkageOnArrival]], so stream and batch agree bit-for-bit.
+    */
+  private[graft] def editDistance(a: String, b: String): Int = {
+    val (n, m) = (a.length, b.length)
+    val prev = Array.tabulate(m + 1)(identity)
+    val cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Streaming ENTITY LINKAGE-ON-ARRIVAL — the continuous-MDM mirror
+    * of [[graft.ops.EntityOps.entityPairs]], the dedupOnArrival shape
+    * for structured records: each arriving catalog row is matched
+    * against every already-seen member of its (brand, type, size)
+    * BLOCK — the blocking discipline carried into state, so per-block
+    * state is the member list (key, name), bounded by BLOCK size,
+    * never catalog size (the decontaminate state contract: production
+    * adds a ProcessingTimeTimeout TTL at the linkage horizon). Each
+    * unordered match pair is emitted EXACTLY ONCE — when its second
+    * member arrives (members process in key order within a
+    * micro-batch) — oriented (min key, max key), so a full replay
+    * emits exactly the batch entityPairs set regardless of how the
+    * stream was chopped into micro-batches
+    * (StatefulStreamingSpec asserts set equality).
+    */
+  def linkageOnArrival(
+      partsStream: org.apache.spark.sql.DataFrame,
+      maxEdit: Int = 1): org.apache.spark.sql.DataFrame = {
+    val spark = partsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    partsStream
+      .select(concat_ws("|", col("p_brand"), col("p_type"), col("p_size"))
+        .as("block"), col("p_partkey"), col("p_name"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, String)], (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          val members = scala.collection.mutable.ArrayBuffer(
+            state.getOption.getOrElse(Seq.empty): _*)
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          rows.toVector.sortBy(_._2).foreach { case (_, key, name) =>
+            members.foreach { case (k2, n2) =>
+              if (k2 != key) {
+                val d = editDistance(name, n2)
+                if (d <= maxEdit)
+                  out += ((math.min(key, k2), math.max(key, k2), d.toLong))
+              }
+            }
+            members += ((key, name))
+          }
+          state.update(members.toSeq)
+          out.result().iterator
+      }
+      .toDF("part_a", "part_b", "name_edit")
+  }
 }

@@ -932,6 +932,31 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming linkage-on-arrival: replay emits exactly the batch pair set") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-parts-link")
+    val batchParts = graft.core.Tables.load(spark, sfDir, "part")
+    val corpus = graft.ops.EntityOps.withVariants(batchParts)
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(d.resolve("b1").toString)
+    val stream = spark.readStream.schema(corpus.schema).parquet(s"$d/*")
+    val q = graft.streaming.StatefulOps.linkageOnArrival(stream)
+      .writeStream.format("memory").queryName("link_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("link_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // same corpus derivation as the registered query — exact pair-set
+    // equality, each pair exactly once (no duplicates: count == size)
+    val want = graft.ops.EntityOps.entityPairs(batchParts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "streamed linkage diverges from batch pairs")
+    assert(spark.table("link_out").count() === got.size,
+      "a pair was emitted more than once")
+    q.stop()
+  }
+
   test("streaming dedup-on-arrival: replay == batch; later dups suppressed") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}
