@@ -968,6 +968,47 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("entity")) {
+      // Entity-resolution probe (round-14 addition): the blocked
+      // fuzzy self-join's cost is Σ(block size²) — linear in the
+      // catalog ONLY while block structure is preserved. Replicas get
+      // a per-replica brand suffix so blocks stay disjoint across
+      // replicas (plain replication would co-block identical rows and
+      // square the in-block candidates): 4x rows => exactly 4x blocks
+      // of the SAME sizes => exactly 4x pairs, ~linear wall/shuffle.
+      // Checksum identical across re-runs (deterministic join).
+      val base = Tables.load(spark, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice")
+      def corpus(n: Int) = (0 until n).map { i =>
+        base.select(
+          (col("p_partkey") + lit(i * 100000000L)).as("p_partkey"),
+          col("p_name"),
+          concat(col("p_brand"), lit(s"_r$i")).as("p_brand"),
+          col("p_type"), col("p_size"), col("p_retailprice"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = corpus(n)
+        val rows = d.count()
+        val l = new ShuffleSum
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val res = graft.ops.EntityOps.entityPairs(d)
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(part_a, part_b, name_edit))").as("chk"))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[entity-probe] $label%-4s rows $rows%8d  " +
+          f"pairs ${res.getLong(0)}%8d  $dt%6.2f s  " +
+          f"(chk ${res.getLong(1)}%d)  " +
+          f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("retrieval")) {
       // Retrieval probe (round-11 additions): BM25 top-k join and MMR
       // diversification over the real documents table replicated 1x/4x
