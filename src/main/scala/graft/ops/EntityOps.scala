@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * fuzzy comparator.
   *
   * Scale: the standard ER shape — a BLOCKED self-join (candidates
-  * bounded by block sizes, never catalog x catalog; a hot block is
-  * the skew unit and would take the bandedHammingPairs salting
-  * treatment at production cardinalities) with the Levenshtein
-  * verifier evaluated INSIDE the join stage, so only (key, name,
-  * block) columns move. Components live inside a block by
+  * bounded by block sizes, never catalog x catalog) with the
+  * Levenshtein verifier evaluated INSIDE the join stage, so only
+  * (key, name, block) columns move; hot blocks are adaptively SALTED
+  * (see [[pairsFrom]] — the bandedHammingPairs discipline, proven on
+  * a planted 5k-listing block by `ScaleProbe entity`). Components
+  * live inside a block by
   * construction, so the min-label propagation that turns pairs into
   * entities converges in a handful of rounds (diameter = name-variant
   * chain length, not corpus size).
@@ -48,13 +49,55 @@ object EntityOps {
         col("p_brand"), col("p_type"), col("p_size"),
         (col("p_retailprice") + 0.5).as("p_retailprice")))
 
-  private def pairsFrom(c: DataFrame, maxEdit: Int): DataFrame = {
+  /** Blocked candidate join with adaptive HOT-BLOCK salting — the
+    * [[graft.llm.Multimodal.bandedHammingPairs]] discipline applied to
+    * ER blocking: a hot block (a commodity brand/type/size carrying n
+    * listings) makes ONE task grind n²/2 candidates, and AQE cannot
+    * split it (input bytes are tiny, the OUTPUT explodes). Blocks past
+    * `saltTarget` members split deterministically: the probe side
+    * picks pmod(xxhash64(key), nsalt), the build side replicates
+    * across all nsalt sub-buckets, so every a<b pair still meets
+    * exactly once and per-task candidates drop to ~n·saltTarget.
+    * Cold blocks pay nothing (nsalt=1); saltTarget < 0 disables the
+    * window entirely.
+    */
+  private def pairsFrom(c: DataFrame, maxEdit: Int,
+      saltTarget: Int = 1024): DataFrame = {
+    require(saltTarget != 0, "saltTarget must be nonzero (negative disables)")
     val keyed = c.select(col("p_partkey"), col("p_name"), col("p_brand"),
       col("p_type"), col("p_size"))
-    keyed.as("a").join(keyed.as("b"),
+    val (probe, build) =
+      if (saltTarget < 0) {
+        val p = keyed.withColumn("salt", lit(0))
+        (p, p)
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("p_brand", "p_type", "p_size")
+        val withN = keyed.withColumn("nsalt",
+          when(count(lit(1)).over(w) > saltTarget,
+            least(ceil(count(lit(1)).over(w).cast("double") / saltTarget),
+              lit(65536)))
+            .otherwise(lit(1)).cast("int"))
+        // The count window leaves the probe side partitioned by BLOCK
+        // alone — which under a broadcast join would put the whole hot
+        // block in ONE task (measured 81 s vs 5.8 s unsalted on the
+        // planted 5k block: the salt must also reach the DATA
+        // DISTRIBUTION, not just the join key). Re-spread by
+        // (block, salt); in the shuffle-join regime (big catalogs, the
+        // regime salting exists for) the join would shuffle on exactly
+        // these keys anyway.
+        (withN.withColumn("salt",
+          pmod(xxhash64(col("p_partkey")), col("nsalt")).cast("int"))
+          .repartition(col("p_brand"), col("p_type"), col("p_size"),
+            col("salt")),
+          withN.withColumn("salt",
+            explode(sequence(lit(0), col("nsalt") - 1))))
+      }
+    probe.as("a").join(build.as("b"),
       col("a.p_brand") === col("b.p_brand") &&
         col("a.p_type") === col("b.p_type") &&
         col("a.p_size") === col("b.p_size") &&
+        col("a.salt") === col("b.salt") &&
         col("a.p_partkey") < col("b.p_partkey"))
       .select(col("a.p_partkey").as("part_a"),
         col("b.p_partkey").as("part_b"),
@@ -66,8 +109,9 @@ object EntityOps {
   /** Match pairs: same (brand, type, size) block AND name edit
     * distance <= maxEdit — exact re-listings score 0, planted typos 1.
     */
-  def entityPairs(p: DataFrame, maxEdit: Int = 1): DataFrame =
-    pairsFrom(withVariants(p), maxEdit)
+  def entityPairs(p: DataFrame, maxEdit: Int = 1,
+      saltTarget: Int = 1024): DataFrame =
+    pairsFrom(withVariants(p), maxEdit, saltTarget)
 
   val entityPairsSql: String =
     """WITH c AS (

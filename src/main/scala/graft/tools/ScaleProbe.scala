@@ -1005,6 +1005,69 @@ object ScaleProbe {
           f"(chk ${res.getLong(1)}%d)  " +
           f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
       }
+      // HOT-BLOCK leg: a commodity block with 5,000 identical-name
+      // listings — the honest output is all n²/2 ≈ 12.5M true pairs
+      // from ONE block. Run under the SHUFFLE-join regime
+      // (autoBroadcastJoinThreshold=-1): that is the regime salting
+      // exists for — a shuffle join partitions BY the block key, so
+      // unsalted the whole block is ONE task (output explosion AQE
+      // cannot split: its inputs are tiny), while salting splits it
+      // across nsalt sub-buckets. (Under a broadcast join the probe
+      // side's natural partitioning already spreads output skew —
+      // measured while landing this probe, see pairsFrom.) Count and
+      // checksum must be identical across settings.
+      final class TaskPeak extends org.apache.spark.scheduler.SparkListener {
+        val maxRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            maxRunMs.getAndAccumulate(t.taskMetrics.executorRunTime, math.max)
+      }
+      val hot = base.unionAll(
+        spark.range(5000L).select(
+          (col("id") + 900000000L).as("p_partkey"),
+          lit("hot commodity sku").as("p_name"),
+          lit("Brand#HOT").as("p_brand"), lit("ECONOMY").as("p_type"),
+          lit(1).cast("int").as("p_size"),
+          lit(1.0).as("p_retailprice"))).localCheckpoint()
+      var seen = Set.empty[(Long, Long)]
+      val prevBroadcast =
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevCoalesce =
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE partition coalescing re-merges the salt sub-buckets: their
+      // INPUT bytes are tiny (a few MB of keys) while their OUTPUT
+      // explodes, and coalescing only reads input sizes — measured
+      // salt1024 peak == unsalted peak (105 s) with coalescing on.
+      // An ER job at hot-block scale runs with coalescing off (or a
+      // small advisory size); the probe demonstrates that regime.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
+        Seq("unsalted" -> -1, "salt1024" -> 1024).foreach { case (sl, st) =>
+          graft.ops.EntityOps.entityPairs(hot, saltTarget = st).count() // warm
+          val l = new TaskPeak
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val res = graft.ops.EntityOps.entityPairs(hot, saltTarget = st)
+            .agg(count(lit(1)).as("n"),
+              expr("bit_xor(xxhash64(part_a, part_b, name_edit))").as("chk"))
+            .collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          seen += ((res.getLong(0), res.getLong(1)))
+          println(f"[entity-probe] hot-block(shuffle-join) $sl%-9s " +
+            f"pairs ${res.getLong(0)}%9d  $dt%6.2f s  " +
+            f"peak task ${l.maxRunMs.get / 1e3}%6.2f s  " +
+            f"(chk ${res.getLong(1)}%d)")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      }
+      require(seen.size == 1, s"salting changed the result: $seen")
       spark.stop()
       return
     }
