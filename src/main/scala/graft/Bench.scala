@@ -329,22 +329,50 @@ object Bench {
       scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val ioCalibRows = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_IOCAL_ROWS", "1000000").toLong
-    val ioCalibDir: Option[String] = try {
+    // root kept separately from the live fixture pointer so the
+    // end-of-run cleanup still fires if a mid-run cycle failure clears
+    // ioCalibDir
+    var ioCalibRoot: Option[String] = None
+    var ioCalibDir: Option[String] = try {
       val d = java.nio.file.Files.createTempDirectory("graft-bench-iocal")
+      ioCalibRoot = Some(d.toString)
       val p = d.resolve("fixture").toString
-      spark.range(0L, ioCalibRows, 1L, cpus.toInt)
-        .selectExpr("id", "xxhash64(id) AS h1", "xxhash64(id, 1) AS h2",
-          "xxhash64(id, 2) AS h3", "xxhash64(id, 3) AS h4",
-          "xxhash64(id, 4) AS h5", "xxhash64(id, 5) AS h6",
-          "xxhash64(id, 6) AS h7")
-        .write.mode("overwrite").parquet(p)
-      Some(p)
+      try {
+        spark.range(0L, ioCalibRows, 1L, cpus.toInt)
+          .selectExpr("id", "xxhash64(id) AS h1", "xxhash64(id, 1) AS h2",
+            "xxhash64(id, 2) AS h3", "xxhash64(id, 3) AS h4",
+            "xxhash64(id, 4) AS h5", "xxhash64(id, 5) AS h6",
+            "xxhash64(id, 6) AS h7")
+          .write.mode("overwrite").parquet(p)
+        Some(p)
+      } catch {
+        case _: Throwable => // disk-full / permission flake mid-write:
+          // don't leak the dir (possibly holding a partial fixture)
+          try {
+            org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(d.toString),
+              spark.sparkContext.hadoopConfiguration)
+              .delete(new org.apache.hadoop.fs.Path(d.toString), true)
+          } catch { case _: Throwable => () }
+          None
+      }
     } catch { case _: Throwable => None } // read-only tmp: CPU-only calib
     def ioCycle(): Unit = ioCalibDir.foreach { p =>
-      val cp = spark.read.parquet(p).localCheckpoint(eager = true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      cp.count()
-      cp.unpersist(blocking = true)
+      // Never fatal: the fixture is read at every calibration point of
+      // a multi-minute run — a tmp-cleaner race or transient FS error
+      // must degrade to CPU-only calibration (loadedPasses tolerates a
+      // short/empty IO series), not abort the whole bench.
+      try {
+        val cp = spark.read.parquet(p).localCheckpoint(eager = true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        cp.count()
+        cp.unpersist(blocking = true)
+      } catch {
+        case _: Throwable =>
+          System.err.println(
+            "io-calibration: fixture cycle failed — continuing CPU-only")
+          ioCalibDir = None
+      }
     }
     def calibrate(pass: Int, at: Int): Unit = {
       val t0 = System.nanoTime()
@@ -356,7 +384,9 @@ object Bench {
       if (ioCalibDir.nonEmpty) {
         val t1 = System.nanoTime()
         ioCycle()
-        ioCalibSamples += ((pass, at, (System.nanoTime() - t1) / 1e9))
+        // a failed cycle records no sample (ioCalibDir cleared inside)
+        if (ioCalibDir.nonEmpty)
+          ioCalibSamples += ((pass, at, (System.nanoTime() - t1) / 1e9))
       }
     }
     def timeOne(name: String, pass: Int): Unit = {
@@ -508,11 +538,11 @@ object Bench {
       val w = new java.io.PrintWriter("BASELINE-snippet.md", "UTF-8")
       try w.println(snippet) finally w.close()
     } catch { case _: Throwable => () }
-    ioCalibDir.foreach { p =>
+    ioCalibRoot.foreach { d =>
       try {
         org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(p).getParent, true)
+          new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(d), true)
       } catch { case _: Throwable => () }
     }
 

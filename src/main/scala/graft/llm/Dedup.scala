@@ -722,10 +722,6 @@ object Dedup {
     // (answer-sized), so checkpointing it costs nothing.
     val pairs = jaccardPairs(d, threshold).select("doc_a", "doc_b")
       .localCheckpoint()
-    // size-side hint: identity when broadcasting is on; otherwise leave
-    // the plan alone so Spark picks a co-partitioned shuffle join
-    def side(df: DataFrame): DataFrame =
-      if (broadcastLabels) broadcast(df) else df
     // localCheckpoint (eager) rather than cache: each round's plan must
     // START from materialized data, or lineage compounds and round N
     // re-derives rounds 1..N-1 (measured: per-round wall time DOUBLES
@@ -742,52 +738,11 @@ object Dedup {
     // already satisfied and the |E|-row exchange per round disappears.
     val edges = (if (broadcastLabels) edgesRaw.repartition(col("src"))
       else edgesRaw.repartition(col("dst"))).localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      // `next` carries the previous label so the convergence count
-      // reads the checkpointed result directly. The label table's side
-      // is explicit (`side`) — checkpointed RDDs report no stats, so
-      // AQE can't make the broadcast call itself.
-      // Materialized (localCheckpoint) BEFORE the pointer-jump self-join:
-      // nm feeds that join twice (probe + broadcast build), and an
-      // unmaterialized plan would re-run the edge join + aggregate once
-      // per consumer — measured ~40% of round time for a plan that's
-      // only |V| rows once evaluated.
-      val nm = edges
-        .join(side(labels.select(col("id").as("dst"), col("label").as("nl"))),
-          "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("nl").as("nmin"))
-        .join(side(labels), "id")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), col("nmin")).as("label"))
-        .localCheckpoint()
-      // pointer jump: follow label -> label(label) once per round, which
-      // roughly halves the rounds a long chain needs (min labels are
-      // monotone non-increasing ids within the component, so the
-      // fixpoint — every label = component min — is unchanged)
-      val next = nm.as("x")
-        .join(side(nm.select(col("id").as("pid"), col("label").as("pl"))),
-          col("x.label") === col("pid"), "left")
-        .select(col("x.id").as("id"), col("x.old").as("old"),
-          coalesce(col("pl"), col("x.label")).as("label"))
-        .localCheckpoint()
-      val changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select("id", "label")
-      converged = changed == 0
-      i += 1
-    }
-    // Exiting via the iteration cap means the labels are NOT component
-    // minima and would silently diverge from the recursive-CTE oracle —
-    // fail loudly instead. With per-round pointer jumping the effective
-    // reach is ~2^maxIters, so hitting this requires a pathological
-    // graph, not a big one.
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters: label propagation did not converge within $maxIters " +
-        "rounds; raise maxIters (reach doubles per round)")
+    // shared min-label loop (round 14: extracted to GraphOps so the
+    // convergence/checkpointing subtleties live once, serving this and
+    // EntityOps.goldenRecords identically)
+    val labels =
+      graft.ops.GraphOps.minLabelPropagation(edges, maxIters, broadcastLabels)
     d.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

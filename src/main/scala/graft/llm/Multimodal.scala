@@ -879,25 +879,13 @@ object Multimodal {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("phash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val (probe, build) =
-      if (saltTarget < 0) {
-        val p = banded.withColumn("salt", lit(0))
-        (p, p)
-      } else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "key")
-        val withN = banded.withColumn("nsalt",
-          when(count(lit(1)).over(w) > saltTarget,
-            // cap: the build side materializes a sequence per row
-            // before exploding; the cap only coarsens the split
-            least(ceil(count(lit(1)).over(w).cast("double") / saltTarget),
-              lit(65536)))
-            .otherwise(lit(1)).cast("int"))
-        (withN.withColumn("salt",
-          pmod(xxhash64(col("doc_id")), col("nsalt")).cast("int")),
-          withN.withColumn("salt",
-            explode(sequence(lit(0), col("nsalt") - 1))))
-      }
+    // shared salting carrier (round 14): same machinery this operator
+    // pioneered, now in one place — and it additionally re-spreads the
+    // salted probe side by (band, key, salt), closing the
+    // broadcast-join hole the entity probe exposed (the count window
+    // alone leaves a hot bucket concentrated in one probe partition)
+    val (probe, build) = graft.ops.Salting.saltedSides(
+      banded, Seq("band", "key"), col("doc_id"), saltTarget)
     probe.as("a")
       .join(build.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

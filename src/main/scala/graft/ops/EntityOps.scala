@@ -49,50 +49,19 @@ object EntityOps {
         col("p_brand"), col("p_type"), col("p_size"),
         (col("p_retailprice") + 0.5).as("p_retailprice")))
 
-  /** Blocked candidate join with adaptive HOT-BLOCK salting — the
-    * [[graft.llm.Multimodal.bandedHammingPairs]] discipline applied to
-    * ER blocking: a hot block (a commodity brand/type/size carrying n
-    * listings) makes ONE task grind n²/2 candidates, and AQE cannot
-    * split it (input bytes are tiny, the OUTPUT explodes). Blocks past
-    * `saltTarget` members split deterministically: the probe side
-    * picks pmod(xxhash64(key), nsalt), the build side replicates
-    * across all nsalt sub-buckets, so every a<b pair still meets
-    * exactly once and per-task candidates drop to ~n·saltTarget.
-    * Cold blocks pay nothing (nsalt=1); saltTarget < 0 disables the
-    * window entirely.
+  /** Blocked candidate join with adaptive HOT-BLOCK salting via the
+    * shared [[Salting.saltedSides]] (which carries the exactly-once
+    * pairing invariant, the probe re-spread, and the AQE-coalescing
+    * caveat — all proven on this operator's planted 5k-listing block
+    * by `ScaleProbe entity`: unsalted 101 s one-task vs 18 s salted in
+    * the shuffle-join regime).
     */
   private def pairsFrom(c: DataFrame, maxEdit: Int,
       saltTarget: Int = 1024): DataFrame = {
-    require(saltTarget != 0, "saltTarget must be nonzero (negative disables)")
     val keyed = c.select(col("p_partkey"), col("p_name"), col("p_brand"),
       col("p_type"), col("p_size"))
-    val (probe, build) =
-      if (saltTarget < 0) {
-        val p = keyed.withColumn("salt", lit(0))
-        (p, p)
-      } else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("p_brand", "p_type", "p_size")
-        val withN = keyed.withColumn("nsalt",
-          when(count(lit(1)).over(w) > saltTarget,
-            least(ceil(count(lit(1)).over(w).cast("double") / saltTarget),
-              lit(65536)))
-            .otherwise(lit(1)).cast("int"))
-        // The count window leaves the probe side partitioned by BLOCK
-        // alone — which under a broadcast join would put the whole hot
-        // block in ONE task (measured 81 s vs 5.8 s unsalted on the
-        // planted 5k block: the salt must also reach the DATA
-        // DISTRIBUTION, not just the join key). Re-spread by
-        // (block, salt); in the shuffle-join regime (big catalogs, the
-        // regime salting exists for) the join would shuffle on exactly
-        // these keys anyway.
-        (withN.withColumn("salt",
-          pmod(xxhash64(col("p_partkey")), col("nsalt")).cast("int"))
-          .repartition(col("p_brand"), col("p_type"), col("p_size"),
-            col("salt")),
-          withN.withColumn("salt",
-            explode(sequence(lit(0), col("nsalt") - 1))))
-      }
+    val (probe, build) = Salting.saltedSides(keyed,
+      Seq("p_brand", "p_type", "p_size"), col("p_partkey"), saltTarget)
     probe.as("a").join(build.as("b"),
       col("a.p_brand") === col("b.p_brand") &&
         col("a.p_type") === col("b.p_type") &&
@@ -145,35 +114,11 @@ object EntityOps {
       .unionAll(pairs.select(col("part_b").as("src"),
         col("part_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nm = edges
-        .join(broadcast(labels.select(col("id").as("dst"),
-          col("label").as("nl"))), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("nl").as("nmin"))
-        .join(broadcast(labels), "id")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), col("nmin")).as("label"))
-        .localCheckpoint()
-      val next = nm.as("x")
-        .join(broadcast(nm.select(col("id").as("pid"),
-          col("label").as("pl"))),
-          col("x.label") === col("pid"), "left")
-        .select(col("x.id").as("id"), col("x.old").as("old"),
-          coalesce(col("pl"), col("x.label")).as("label"))
-        .localCheckpoint()
-      val changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select("id", "label")
-      converged = changed == 0
-      i += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"goldenRecords: label propagation did not converge in $maxIters " +
-        "rounds; raise maxIters (reach doubles per round)")
+    // shared min-label loop — see GraphOps.minLabelPropagation (one
+    // copy of the convergence/checkpointing subtleties, serving this
+    // and Dedup.dupClusters identically)
+    val labels = graft.ops.GraphOps.minLabelPropagation(
+      edges, maxIters, broadcastLabels = true)
     c.join(labels.withColumnRenamed("id", "p_partkey"),
       Seq("p_partkey"), "left")
       .select(coalesce(col("label"), col("p_partkey")).as("entity_id"),

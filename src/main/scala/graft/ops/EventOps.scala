@@ -2597,7 +2597,12 @@ object EventOps {
         .otherwise(-col("rpu"))).as("rpu"))
       .select(lit("B-A").as("variant"), col("r"), col("rpu"))
     val wv = Window.partitionBy("variant").orderBy(col("rpu"), col("r"))
+    // nulls are FILTERED before ranking, not left to the engine's
+    // default placement — Spark ranks NULLS FIRST, DuckDB NULLS LAST,
+    // so an unfiltered null would shift the order statistics
+    // differently in each engine
     val ci = means.unionByName(dmeans)
+      .filter(col("rpu").isNotNull)
       .withColumn("rn", row_number().over(wv))
       .groupBy("variant")
       .agg(count(lit(1)).as("n_resamples"),
@@ -2614,7 +2619,7 @@ object EventOps {
         col("ci_hi_cents"), col("n_resamples"))
   }
 
-  val abBootstrapSql: String = {
+  def abBootstrapSql(b: Int = 32): String = {
     val hAb = graft.ops.Hll.h60Sql("'ab:' || CAST(user_id AS VARCHAR)")
     val hBs = graft.ops.Hll.h60Sql(
       "'bs:' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
@@ -2626,7 +2631,7 @@ object EventOps {
        |  FROM events GROUP BY 1, 2),
        |rs AS (
        |  SELECT variant, user_id, cents, CAST(rr.range AS BIGINT) AS r
-       |  FROM pu CROSS JOIN range(32) rr),
+       |  FROM pu CROSS JOIN range($b) rr),
        |wt AS (
        |  SELECT variant, r, cents,
        |    CAST(hh & 3 = 0 AS BIGINT) + CAST((hh >> 2) & 3 = 0 AS BIGINT)
@@ -2646,11 +2651,12 @@ object EventOps {
        |ranked AS (
        |  SELECT variant, rpu,
        |    row_number() OVER (PARTITION BY variant ORDER BY rpu, r) AS rn
-       |  FROM allm),
+       |  FROM allm WHERE rpu IS NOT NULL),
        |ci AS (
        |  SELECT variant, CAST(count(*) AS BIGINT) AS n_resamples,
        |    CAST(max(CASE WHEN rn = 2 THEN rpu END) AS BIGINT) AS ci_lo_cents,
-       |    CAST(max(CASE WHEN rn = 31 THEN rpu END) AS BIGINT) AS ci_hi_cents
+       |    CAST(max(CASE WHEN rn = ${b - 1} THEN rpu END) AS BIGINT)
+       |      AS ci_hi_cents
        |  FROM ranked GROUP BY 1),
        |point AS (
        |  SELECT variant, CAST(sum(cents) // count(*) AS BIGINT) AS rpu_cents
@@ -2715,7 +2721,7 @@ object EventOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_storage_zorder" -> zorderPanelSql,
-    "q_events_ab_bootstrap" -> abBootstrapSql,
+    "q_events_ab_bootstrap" -> abBootstrapSql(),
     "q_events_acf" -> acfDailySql,
     "q_events_jackknife" -> jackknifeSeSql,
     "q_events_ab_srm" -> abSrmCheckSql,

@@ -64,6 +64,65 @@ object GraphOps {
       case _ => ()
     }
 
+  /** Connected components by MIN-LABEL PROPAGATION with per-round
+    * pointer jumping — the shared loop behind
+    * [[graft.llm.Dedup.dupClusters]] (document dup clusters) and
+    * [[EntityOps.goldenRecords]] (entity fusion), extracted so the
+    * convergence/checkpointing subtleties live once.
+    *
+    * `edges` must be SYMMETRIC (both directions present); the caller
+    * chooses its partitioning (dupClusters pre-partitions by the
+    * per-round hot key so localCheckpoint preserves it). Returns
+    * (id, label) where label = the component's minimum id.
+    *
+    * Per round: each node takes min(own, neighbors' labels)
+    * (localCheckpointed BEFORE the pointer-jump self-join — nm feeds
+    * it twice, and an unmaterialized plan re-runs the edge join per
+    * consumer), then follows label -> label(label) once, roughly
+    * halving the rounds a long chain needs (min labels are monotone
+    * non-increasing within a component, so the fixpoint is unchanged).
+    * `broadcastLabels` pins the |V|-sized label table's join side —
+    * checkpointed RDDs report no stats, so AQE can't make the call.
+    * Exiting via the cap would silently diverge from the recursive-CTE
+    * oracles, so it fails loudly; with pointer jumping the reach is
+    * ~2^maxIters.
+    */
+  private[graft] def minLabelPropagation(
+      edges: DataFrame, maxIters: Int,
+      broadcastLabels: Boolean): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nm = edges
+        .join(side(labels.select(col("id").as("dst"), col("label").as("nl"))),
+          "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nl").as("nmin"))
+        .join(side(labels), "id")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), col("nmin")).as("label"))
+        .localCheckpoint()
+      val next = nm.as("x")
+        .join(side(nm.select(col("id").as("pid"), col("label").as("pl"))),
+          col("x.label") === col("pid"), "left")
+        .select(col("x.id").as("id"), col("x.old").as("old"),
+          coalesce(col("pl"), col("x.label")).as("label"))
+        .localCheckpoint()
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"minLabelPropagation: did not converge within $maxIters " +
+        "rounds; raise maxIters (reach doubles per round)")
+    labels
+  }
+
   def pageRank(
       edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
       tol: Double = 1e-7): DataFrame = {

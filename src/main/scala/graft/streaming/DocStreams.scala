@@ -677,7 +677,11 @@ object DocStreams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(weights.length == 64, "64-bucket hashed model")
     val wLit = array(weights.map(lit): _*)
-    val toks = graft.llm.TextOps.letterTokens(lower(col("text")))
+    // null-safe: the batch panel's left-join scores a featureless doc
+    // as z=0 -> p=500, y=0; a null text must land on the same row, not
+    // null-poison the typed pipeline (encoder NPE on the decile key)
+    val toks = graft.llm.TextOps.letterTokens(
+      lower(coalesce(col("text"), lit(""))))
     val bucket = (t: org.apache.spark.sql.Column) =>
       graft.llm.Curation.classifierBucket(t)
     val z = aggregate(

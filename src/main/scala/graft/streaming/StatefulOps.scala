@@ -656,17 +656,26 @@ object StatefulOps {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws}
     partsStream
-      .select(concat_ws("|", col("p_brand"), col("p_type"), col("p_size"))
-        .as("block"), col("p_partkey"), col("p_name"))
-      .as[(String, Long, String)]
-      .groupByKey(_._1)
+      // batch blocks on three EQUALITY join keys, so a row with any
+      // null block column never matches there — drop such rows rather
+      // than letting a composite key invent a shared block for them;
+      // the key is a TUPLE, not a string concat, so values containing
+      // a separator can't alias two different blocks either
+      .filter(col("p_brand").isNotNull && col("p_type").isNotNull &&
+        col("p_size").isNotNull)
+      .select(col("p_brand"), col("p_type"),
+        col("p_size").cast("int").as("p_size"),
+        col("p_partkey"), col("p_name"))
+      .as[(String, String, Int, Long, String)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapValues(r => (r._4, r._5))
       .flatMapGroupsWithState[Seq[(Long, String)], (Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, rows, state) =>
           val members = scala.collection.mutable.ArrayBuffer(
             state.getOption.getOrElse(Seq.empty): _*)
           val out = Seq.newBuilder[(Long, Long, Long)]
-          rows.toVector.sortBy(_._2).foreach { case (_, key, name) =>
+          rows.toVector.sortBy(_._1).foreach { case (key, name) =>
             members.foreach { case (k2, n2) =>
               if (k2 != key) {
                 val d = editDistance(name, n2)
