@@ -105,8 +105,17 @@ object EntityOps {
     * master-data steward reviews before merging.
     */
   def goldenRecords(
-      p: DataFrame, maxEdit: Int = 1, maxIters: Int = 8): DataFrame = {
-    val c = withVariants(p).localCheckpoint() // pairs + fusion share it
+      p: DataFrame, maxEdit: Int = 1, maxIters: Int = 8): DataFrame =
+    goldenFrom(withVariants(p), maxEdit, maxIters)
+
+  /** Fusion over an ALREADY-EXPANDED catalog (no variant planting) —
+    * the core [[goldenRecords]] wraps, and the batch reference the
+    * streaming [[graft.streaming.StatefulOps.goldenOnArrival]] spec
+    * compares against on its own fixtures.
+    */
+  private[graft] def goldenFrom(
+      cIn: DataFrame, maxEdit: Int = 1, maxIters: Int = 8): DataFrame = {
+    val c = cIn.localCheckpoint() // pairs + fusion share it
     val pairs = pairsFrom(c, maxEdit).select("part_a", "part_b")
       .localCheckpoint() // referenced twice below (answer-sized)
     val edges = pairs

@@ -634,6 +634,95 @@ object StatefulOps {
     prev(m)
   }
 
+  /** Streaming GOLDEN-RECORD MAINTENANCE — the fusion stage of
+    * continuous MDM, downstream of [[linkageOnArrival]]: per-block
+    * state holds the member list plus a UNION-FIND parent map, so an
+    * arriving listing is matched against its block, unioned into its
+    * component (min key wins the root, the batch survivorship rule),
+    * and the AFFECTED entities' golden rows are re-emitted — plus a
+    * TOMBSTONE (n_listings = 0) for any pre-existing entity id that a
+    * merge absorbed, so a consumer compacting by (entity_id, latest)
+    * and dropping tombstones holds exactly the batch
+    * [[graft.ops.EntityOps.goldenRecords]] panel at every point.
+    *
+    * State is block-bounded (members + parents of ONE block — the
+    * decontaminate contract; production adds a TTL at the linkage
+    * horizon); per arrival the work is block-sized comparisons plus
+    * near-O(1) amortized union-find. cents is computed by the same
+    * Spark SQL round() expression the batch uses, upstream of the
+    * typed pipeline, so fusion arithmetic is bit-identical.
+    */
+  def goldenOnArrival(
+      partsStream: org.apache.spark.sql.DataFrame,
+      maxEdit: Int = 1): org.apache.spark.sql.DataFrame = {
+    val spark = partsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    partsStream
+      .filter(col("p_brand").isNotNull && col("p_type").isNotNull &&
+        col("p_size").isNotNull)
+      .select(col("p_brand"), col("p_type"),
+        col("p_size").cast("int").as("p_size"),
+        col("p_partkey"), col("p_name"),
+        expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").as("cents"))
+      .as[(String, String, Int, Long, String, Long)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapValues(r => (r._4, r._5, r._6))
+      .flatMapGroupsWithState[
+        (Seq[(Long, String, Long)], Seq[(Long, Long)]),
+        (Long, Long, Long, String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          val (members0, parents0) =
+            state.getOption.getOrElse((Seq.empty, Seq.empty))
+          val members =
+            scala.collection.mutable.ArrayBuffer(members0: _*)
+          val parent = scala.collection.mutable.Map(parents0: _*)
+          def find(k: Long): Long = {
+            var r = k
+            while (parent(r) != r) r = parent(r)
+            var c = k // path compression
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          // pre-existing roots: candidates for merge tombstones
+          val preRoots = parents0.collect { case (k, p) if k == p => k }.toSet
+          val lost = scala.collection.mutable.Set.empty[Long]
+          val touched = scala.collection.mutable.Set.empty[Long]
+          rows.toVector.sortBy(_._1).foreach { case (key, name, cents) =>
+            parent.getOrElseUpdate(key, key)
+            members.foreach { case (k2, n2, _) =>
+              if (k2 != key && editDistance(name, n2) <= maxEdit) {
+                val (ra, rb) = (find(key), find(k2))
+                if (ra != rb) {
+                  val (keep, drop) = if (ra < rb) (ra, rb) else (rb, ra)
+                  parent(drop) = keep
+                  if (preRoots(drop)) lost += drop
+                }
+              }
+            }
+            members += ((key, name, cents))
+            touched += find(key)
+          }
+          state.update((members.toSeq,
+            parent.keysIterator.map(k => k -> find(k)).toSeq))
+          // re-emit every entity whose component changed this batch
+          val finalRoots = touched.map(find)
+          val golden = finalRoots.toSeq.sorted.map { r =>
+            val ms = members.filter(m => find(m._1) == r)
+            (r, ms.size.toLong, ms.map(_._2).distinct.size.toLong,
+              ms.minBy(_._1)._2, ms.map(_._3).min, ms.map(_._3).max)
+          }
+          // a pre-existing root absorbed by a merge is DEAD as an
+          // entity id: tombstone it so compaction converges on batch
+          val tombs = lost.toSeq.sorted.filter(r => find(r) != r)
+            .map(r => (r, 0L, 0L, "", 0L, 0L))
+          (golden ++ tombs).iterator
+      }
+      .toDF("entity_id", "n_listings", "n_names", "survivor_name",
+        "price_cents_lo", "price_cents_hi")
+  }
+
   /** Streaming ENTITY LINKAGE-ON-ARRIVAL — the continuous-MDM mirror
     * of [[graft.ops.EntityOps.entityPairs]], the dedupOnArrival shape
     * for structured records: each arriving catalog row is matched

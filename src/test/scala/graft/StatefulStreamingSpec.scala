@@ -957,6 +957,32 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming golden-record feed: full-corpus replay compacts to batch fusion") {
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-parts-golden")
+    val batchParts = graft.core.Tables.load(spark, sfDir, "part")
+    val corpus = graft.ops.EntityOps.withVariants(batchParts)
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(d.resolve("b1").toString)
+    val stream = spark.readStream.schema(corpus.schema).parquet(s"$d/*")
+    val q = graft.streaming.StatefulOps.goldenOnArrival(stream)
+      .writeStream.format("memory").queryName("golden_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // single replay: every entity's latest (only) live row must equal
+    // the batch fusion panel exactly
+    val got = spark.table("golden_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+      .filter(_._2 > 0L).toSet
+    val want = graft.ops.EntityOps.goldenRecords(batchParts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === want, "streamed golden records diverge from batch fusion")
+    q.stop()
+  }
+
   test("streaming dedup-on-arrival: replay == batch; later dups suppressed") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.{Files, Paths, StandardCopyOption}

@@ -190,4 +190,67 @@ class StreamingRestartSpec extends SparkSpec {
     assert(got === want,
       "post-restart calibration panel diverges from batch over both waves")
   }
+
+  test("golden-record feed: merge across a restart emits a tombstone; compaction == batch") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val work = Files.createTempDirectory("graft-golden-restart")
+    val inDir = work.resolve("in"); Files.createDirectory(inDir)
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    import spark.implicits._
+    def frame(rows: Seq[(Long, String, String, String, Int, Double)]) =
+      rows.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    // wave 1: entities {1}, {3}, {4} — 1 and 3 are TWO edits apart
+    val w1 = frame(Seq(
+      (1L, "red widget", "Brand#1", "ECONOMY", 10, 9.00),
+      (3L, "red widgetxx", "Brand#1", "ECONOMY", 10, 8.00),
+      (4L, "blue bolt", "Brand#1", "ECONOMY", 10, 7.00)))
+    // wave 2 (after restart): 2 BRIDGES 1 and 3 (one edit to each) —
+    // the recovered union-find must merge two pre-existing entities
+    // and tombstone the absorbed root 3; 5 joins entity 4
+    val w2 = frame(Seq(
+      (2L, "red widgetx", "Brand#1", "ECONOMY", 10, 9.50),
+      (5L, "blue bolt", "Brand#1", "ECONOMY", 10, 6.00)))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(w1.schema).parquet(s"$inDir/*")
+      val q = graft.streaming.StatefulOps.goldenOnArrival(stream)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("bid", lit(id))
+              .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    w1.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b1").toString)
+    runOnce()
+    w2.coalesce(1).write.mode("overwrite")
+      .parquet(inDir.resolve("b2").toString)
+    runOnce()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // absorbed root 3 must be tombstoned in a later batch than its row
+    val tomb3 = out.filter(r => r._1 == 3L && r._2 == 0L)
+    val live3 = out.filter(r => r._1 == 3L && r._2 > 0L)
+    assert(tomb3.nonEmpty, "merge must tombstone the absorbed entity id")
+    assert(live3.nonEmpty && tomb3.map(_._7).max > live3.map(_._7).max)
+    // compaction: latest bid per entity, tombstones dropped
+    val compacted = out.groupBy(_._1).map { case (_, rs) =>
+      val last = rs.maxBy(_._7)
+      (last._1, last._2, last._3, last._4, last._5, last._6)
+    }.filter(_._2 > 0L).toSet
+    val want = graft.ops.EntityOps.goldenFrom(w1.unionByName(w2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(compacted === want,
+      "compacted golden feed diverges from batch fusion over both waves")
+  }
 }
