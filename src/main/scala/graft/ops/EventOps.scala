@@ -131,6 +131,47 @@ object EventOps {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
       |FROM events""".stripMargin
 
+  /** Semi-structured props through Spark 4's VARIANT type — the
+    * modern path for schema-on-read at scale: parse_json encodes the
+    * document ONCE into Variant's binary form (typed access without
+    * per-query string re-parsing; the representation columnar engines
+    * shred), variant_get extracts a typed field, schema_of_variant
+    * observes the per-row inferred schema. The panel aggregates per
+    * event_type so the round-trip (parse -> typed get -> aggregate)
+    * is value-checked, and n_schemas pins schema uniformity as a
+    * COLUMN (a drifting producer shows up here before a consumer
+    * breaks). Map-only + one small aggregation; at 100 TB the win is
+    * exactly that the parse is in the scan stage and only typed
+    * BIGINTs move.
+    */
+  def variantExtract(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+      expr("schema_of_variant(parse_json(props))").as("sch"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        countDistinct("k").as("n_distinct_k"),
+        min("k").as("k_min"), max("k").as("k_max"),
+        countDistinct("sch").as("n_schemas"))
+
+  /** DuckDB mirror: json_extract + json_structure. The structure
+    * STRINGS differ between engines (OBJECT<k: BIGINT> vs
+    * {"k":"UBIGINT"}) but both are deterministic per-row functions of
+    * the JSON shape, so their DISTINCT COUNTS agree — the only way
+    * n_schemas is consumed.
+    */
+  val variantExtractSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+      |    AS n_distinct_k,
+      |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+      |  count(DISTINCT json_structure(props)) AS n_schemas
+      |FROM events GROUP BY 1""".stripMargin
+
   /** As-of join over the event stream: each purchase matched to the
     * user's latest click at-or-before it ([[AsOfJoin]]; oracle uses
     * DuckDB's native ASOF LEFT JOIN).
@@ -2717,7 +2758,8 @@ object EventOps {
     "q_events_sliding" -> ((s, d) => sliding(events(s, d))),
     "q_events_session" -> ((s, d) => sessions(events(s, d))),
     "q_events_pivot" -> ((s, d) => pivotDaily(events(s, d))),
-    "q_events_json" -> ((s, d) => jsonExtract(events(s, d))))
+    "q_events_json" -> ((s, d) => jsonExtract(events(s, d))),
+    "q_events_variant" -> ((s, d) => variantExtract(events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_storage_zorder" -> zorderPanelSql,
@@ -2760,5 +2802,6 @@ object EventOps {
     "q_events_sliding" -> slidingSql,
     "q_events_session" -> sessionsSql,
     "q_events_pivot" -> pivotDailySql,
-    "q_events_json" -> jsonExtractSql)
+    "q_events_json" -> jsonExtractSql,
+    "q_events_variant" -> variantExtractSql)
 }
