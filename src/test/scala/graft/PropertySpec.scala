@@ -548,4 +548,33 @@ class PropertySpec extends SparkSpec {
         "every purchasing user lands in exactly one (r, f, m) cell")
     }
   }
+
+  test("saltedSides: every unordered in-block pair meets exactly once, any saltTarget") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // one hot block (600 co-keyed rows), one cold block, one singleton
+    val keyed = ((1L to 600L).map(k => (k, "B1", "T", 1)) ++
+      (1001L to 1010L).map(k => (k, "B2", "T", 1)) ++
+      Seq((2001L, "B3", "T", 1)))
+      .toDF("id", "blk", "typ", "sz")
+    def pairs(st: Int) = {
+      val (p, b) = graft.ops.Salting.saltedSides(
+        keyed, Seq("blk", "typ", "sz"), col("id"), st)
+      p.as("x").join(b.as("y"),
+        col("x.blk") === col("y.blk") && col("x.typ") === col("y.typ") &&
+          col("x.sz") === col("y.sz") && col("x.salt") === col("y.salt") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id"), col("y.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val expect = 600 * 599 / 2 + 10 * 9 / 2
+    // disabled, even splits, an UNEVEN split (600/7), and a split
+    // larger than any block — the pair set must be invariant
+    Seq(-1, 1024, 64, 7).foreach { st =>
+      val ps = pairs(st)
+      assert(ps.distinct.size === ps.size,
+        s"saltTarget=$st emitted a pair more than once")
+      assert(ps.size === expect, s"saltTarget=$st pair count off")
+    }
+  }
 }
