@@ -634,6 +634,47 @@ object StatefulOps {
     prev(m)
   }
 
+  /** Streaming SCHEMA-DRIFT monitor over semi-structured props — the
+    * producer-drift alarm beside [[graft.ops.EventOps.variantExtract]]:
+    * per event_type, state is the set of DISTINCT observed variant
+    * schemas (schema strings — bounded by real producer variation,
+    * not stream length) plus an event counter; every refresh re-emits
+    * (n_events, n_schemas, first_schema, drifted) where drifted =
+    * n_schemas > 1, the wire a consumer watches before a shredded
+    * reader breaks on a shape it never saw. The schema comes from the
+    * SAME schema_of_variant(parse_json(props)) expression the batch
+    * panel uses (nulls excluded exactly as countDistinct excludes
+    * them), so a full replay's (n_events, n_schemas) equals batch
+    * variantExtract bit-for-bit (StatefulStreamingSpec).
+    */
+  def schemaDriftFeed(
+      eventsStream: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = eventsStream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    eventsStream
+      .select(col("event_type"),
+        expr("schema_of_variant(parse_json(props))").as("sch"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[String]),
+        (String, Long, Long, String, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (typ, rows, state) =>
+          var (n, schemas) = state.getOption.getOrElse((0L, Seq.empty[String]))
+          val set = scala.collection.mutable.LinkedHashSet(schemas: _*)
+          rows.foreach { case (_, sch) =>
+            n += 1
+            if (sch != null) set += sch // countDistinct excludes nulls
+          }
+          state.update((n, set.toSeq))
+          Iterator.single((typ, n, set.size.toLong,
+            set.headOption.getOrElse(""), set.size > 1))
+      }
+      .toDF("event_type", "n_events", "n_schemas", "first_schema", "drifted")
+  }
+
   /** Streaming GOLDEN-RECORD MAINTENANCE — the fusion stage of
     * continuous MDM, downstream of [[linkageOnArrival]]: per-block
     * state holds the member list plus a UNION-FIND parent map, so an

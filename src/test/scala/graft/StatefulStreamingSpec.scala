@@ -957,6 +957,46 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming schema-drift feed: replay == batch variant panel; planted drift alarms") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.lit
+    val d = Files.createTempDirectory("graft-events-schdrift")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchEvents = graft.core.Tables.load(spark, sfDir, "events")
+    // plant one drifted producer row: a second props shape for a new
+    // event_type so the alarm has something to fire on
+    import spark.implicits._
+    batchEvents.limit(1)
+      .withColumn("event_type", lit("drifty"))
+      .withColumn("props", lit("""{"k": 1}"""))
+      .unionByName(batchEvents.limit(1)
+        .withColumn("event_type", lit("drifty"))
+        .withColumn("props", lit("""{"k": 1, "x": "s"}""")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(d.resolve("extra.parquet").toString)
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$d/*")
+    val q = graft.streaming.StatefulOps.schemaDriftFeed(stream)
+      .writeStream.format("memory").queryName("schdrift_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("schdrift_out").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // planted type: two shapes -> drifted
+    assert(got("drifty") === ((2L, 2L, true)))
+    // real types: uniform shape -> never drifted; counts == batch panel
+    val want = graft.ops.EventOps.variantExtract(batchEvents).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(6))).toMap
+    want.foreach { case (typ, (n, nSchemas)) =>
+      assert(got(typ) === ((n, nSchemas, false)),
+        s"$typ diverges from batch variant panel")
+    }
+    q.stop()
+  }
+
   test("streaming golden-record feed: full-corpus replay compacts to batch fusion") {
     import java.nio.file.Files
     val d = Files.createTempDirectory("graft-parts-golden")
