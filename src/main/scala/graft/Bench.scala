@@ -528,6 +528,21 @@ object Bench {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () } // read-only cwd: stdout line still stands
+    // Cross-run history: a calibration-clean run can still sit 20-25%
+    // above another calibration-clean run (r14: 167.2 vs 207.3 s, all
+    // per-query deltas uniform) because a within-run kernel
+    // self-normalizes to the run's own best — uniform ambient load is
+    // invisible to it. The honest cross-run statistic is min over
+    // runs, so every run APPENDS its headline map to
+    // bench_history.jsonl (full suite only — partial selections would
+    // poison per-query minima) and `BenchVariance <full> history`
+    // reads the accumulated file back.
+    if (only.isEmpty && changedSel.isEmpty) try {
+      val histLine =
+        s"""{"total":${ms3(total)},"nq":${results.size},"passes":$pass,"retried":$retried,"loaded_passes":$loadedJson,"calib_base":${ms3(calibBase)},"io_base":${ms3(ioBase)},"sf":"${jsonEscape(sfDir)}","queries":$fullQs}"""
+      val w = new java.io.FileWriter("bench_history.jsonl", true)
+      try w.write(histLine + "\n") finally w.close()
+    } catch { case _: Throwable => () }
     // BASELINE-snippet.md: the exact row BASELINE.md's round header
     // should quote, generated from the SAME numbers as the artifact —
     // the builder pastes it verbatim instead of narrating a different

@@ -19,7 +19,58 @@ package graft.tools
   * artifact is machine-written with a fixed shape, see Bench.scala).
   */
 object BenchVariance {
+
+  /** Cross-run mode: `runMain graft.tools.BenchVariance
+    * bench_history.jsonl history` — a calibration-CLEAN run can still
+    * sit 20-25% above another clean run under uniform ambient load
+    * (invisible to a within-run kernel, which self-normalizes to the
+    * run's own best; r14 measured 167.2 vs 207.3 s same-code). The
+    * honest cross-run statistic is per-query MIN over runs; this mode
+    * prints it plus the latest run's regressions against it (queries
+    * whose latest min-of-clean exceeds the cross-run min by the
+    * threshold — real-regression candidates once ambient load is
+    * ruled out).
+    */
+  private def historyReport(path: String, threshold: Double): Unit = {
+    val lines = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try src.getLines().toVector finally src.close()
+    }.filter(_.nonEmpty)
+    require(lines.nonEmpty, s"no runs in $path")
+    val entry = """"([^"]+)":(-?[0-9.]+)""".r
+    def qmap(line: String): Map[String, Double] = {
+      val key = "\"queries\":{"
+      val i = line.indexOf(key)
+      require(i >= 0, "line without queries map")
+      val body = line.substring(i + key.length, line.indexOf("}", i))
+      entry.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val runs = lines.map(qmap)
+    val latest = runs.last
+    val minOver = runs.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).min }
+    println(f"bench history: ${runs.size} runs in $path")
+    println(f"  latest total ${latest.values.sum}%.1f s   " +
+      f"cross-run min-total ${latest.keys.map(minOver).sum}%.1f s " +
+      "(over the latest run's query set)")
+    val regs = latest.toSeq
+      .filter { case (k, v) => minOver(k) > 0 && v / minOver(k) > threshold }
+      .sortBy { case (k, v) => -(v - minOver(k)) }
+    if (regs.isEmpty)
+      println(f"  no query exceeds ${threshold}%.2fx its cross-run min")
+    else regs.take(20).foreach { case (k, v) =>
+      println(f"  $k%-28s latest $v%7.2f s  vs cross-run min " +
+        f"${minOver(k)}%7.2f s  (${v / minOver(k)}%.2fx)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("history")) {
+      historyReport(args.headOption.getOrElse("bench_history.jsonl"),
+        args.lift(2).map(_.toDouble).getOrElse(1.5))
+      return
+    }
     val path = args.headOption.getOrElse("bench_full.json")
     val threshold = args.lift(1).map(_.toDouble).getOrElse(3.0)
     val text = {
