@@ -157,9 +157,11 @@ object EventOps {
 
   /** DuckDB mirror: json_extract + json_structure. The structure
     * STRINGS differ between engines (OBJECT<k: BIGINT> vs
-    * {"k":"UBIGINT"}) but both are deterministic per-row functions of
-    * the JSON shape, so their DISTINCT COUNTS agree — the only way
-    * n_schemas is consumed.
+    * {"k":"UBIGINT"}) but only their DISTINCT COUNTS are consumed —
+    * with one caveat handled below: DuckDB types JSON integers BY SIGN
+    * (UBIGINT for non-negative, BIGINT for negative) while Spark's
+    * schema_of_variant does not, so a mixed-sign field would count 2
+    * structures against Spark's 1. The replace() collapses that class.
     */
   val variantExtractSql: String =
     """SELECT event_type, count(*) AS n_events,
@@ -169,7 +171,8 @@ object EventOps {
       |    AS n_distinct_k,
       |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
-      |  count(DISTINCT json_structure(props)) AS n_schemas
+      |  count(DISTINCT replace(json_structure(props), 'UBIGINT', 'BIGINT'))
+      |    AS n_schemas
       |FROM events GROUP BY 1""".stripMargin
 
   /** As-of join over the event stream: each purchase matched to the

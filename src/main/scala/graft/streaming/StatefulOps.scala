@@ -698,14 +698,31 @@ object StatefulOps {
       maxEdit: Int = 1): org.apache.spark.sql.DataFrame = {
     val spark = partsStream.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, expr}
-    partsStream
-      .filter(col("p_brand").isNotNull && col("p_type").isNotNull &&
-        col("p_size").isNotNull)
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    // key and price are catalog invariants (non-null primary key /
+    // priced listing) — out of contract if violated, as in batch. A
+    // row with a NULL block column or a NULL name, though, is valid
+    // input that can never PAIR (batch's equality join / levenshtein
+    // both yield no match) yet still fuses as a SINGLETON entity in
+    // batch goldenFrom's left join — so it bypasses the stateful path
+    // entirely and emits its golden row stateless, keeping the
+    // compaction == batch invariant for such rows instead of dropping
+    // them (and keeping nulls away from the typed key encoder).
+    val base = partsStream
       .select(col("p_brand"), col("p_type"),
         col("p_size").cast("int").as("p_size"),
         col("p_partkey"), col("p_name"),
         expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").as("cents"))
+    val blockable = col("p_brand").isNotNull && col("p_type").isNotNull &&
+      col("p_size").isNotNull && col("p_name").isNotNull
+    val singles = base.filter(!blockable)
+      .select(col("p_partkey").as("entity_id"),
+        lit(1L).as("n_listings"),
+        when(col("p_name").isNull, 0L).otherwise(1L).as("n_names"),
+        col("p_name").as("survivor_name"),
+        col("cents").as("price_cents_lo"),
+        col("cents").as("price_cents_hi"))
+    val fused = base.filter(blockable)
       .as[(String, String, Int, Long, String, Long)]
       .groupByKey(r => (r._1, r._2, r._3))
       .mapValues(r => (r._4, r._5, r._6))
@@ -762,6 +779,7 @@ object StatefulOps {
       }
       .toDF("entity_id", "n_listings", "n_names", "survivor_name",
         "price_cents_lo", "price_cents_hi")
+    fused.unionByName(singles)
   }
 
   /** Streaming ENTITY LINKAGE-ON-ARRIVAL — the continuous-MDM mirror
@@ -786,13 +804,15 @@ object StatefulOps {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws}
     partsStream
-      // batch blocks on three EQUALITY join keys, so a row with any
-      // null block column never matches there — drop such rows rather
-      // than letting a composite key invent a shared block for them;
-      // the key is a TUPLE, not a string concat, so values containing
-      // a separator can't alias two different blocks either
+      // batch blocks on three EQUALITY join keys and verifies with
+      // levenshtein, so a row with any null block column OR a null
+      // name never appears in any batch pair — drop such rows rather
+      // than letting a composite key invent a shared block for them
+      // (or a null name NPE the in-state verifier); the key is a
+      // TUPLE, not a string concat, so values containing a separator
+      // can't alias two different blocks either
       .filter(col("p_brand").isNotNull && col("p_type").isNotNull &&
-        col("p_size").isNotNull)
+        col("p_size").isNotNull && col("p_name").isNotNull)
       .select(col("p_brand"), col("p_type"),
         col("p_size").cast("int").as("p_size"),
         col("p_partkey"), col("p_name"))

@@ -38,19 +38,32 @@ object BenchVariance {
     }.filter(_.nonEmpty)
     require(lines.nonEmpty, s"no runs in $path")
     val entry = """"([^"]+)":(-?[0-9.]+)""".r
+    val sfRe = """"sf":"([^"]*)"""".r
     def qmap(line: String): Map[String, Double] = {
       val key = "\"queries\":{"
       val i = line.indexOf(key)
       require(i >= 0, "line without queries map")
       val body = line.substring(i + key.length, line.indexOf("}", i))
       entry.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        // failed queries are appended NEGATED (Bench's sentinel) —
+        // they are not timings and must not become cross-run minima
+        .filter(_._2 > 0)
+        .toMap
     }
-    val runs = lines.map(qmap)
+    def sfOf(line: String): String =
+      sfRe.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+    // minima are only comparable at one scale factor: restrict the
+    // report to runs matching the LATEST line's sf (a dev sf0.01 run
+    // in the file must not become every sf0.1 query's "min")
+    val latestSf = sfOf(lines.last)
+    val runs = lines.filter(sfOf(_) == latestSf).map(qmap)
     val latest = runs.last
     val minOver = runs.flatMap(_.toSeq).groupBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2).min }
-    println(f"bench history: ${runs.size} runs in $path")
+    println(f"bench history: ${runs.size} runs at sf '$latestSf' in $path" +
+      (if (runs.size != lines.size)
+        f" (${lines.size - runs.size} other-sf runs excluded)" else ""))
     println(f"  latest total ${latest.values.sum}%.1f s   " +
       f"cross-run min-total ${latest.keys.map(minOver).sum}%.1f s " +
       "(over the latest run's query set)")
@@ -67,8 +80,18 @@ object BenchVariance {
 
   def main(args: Array[String]): Unit = {
     if (args.contains("history")) {
-      historyReport(args.headOption.getOrElse("bench_history.jsonl"),
-        args.lift(2).map(_.toDouble).getOrElse(1.5))
+      // all spellings work: `history`, `history 2.0`,
+      // `<file> history [threshold]`
+      val rest = args.filterNot(_ == "history").toList
+      val (file, thr) = rest match {
+        case Nil => ("bench_history.jsonl", 1.5)
+        case h :: _ if scala.util.Try(h.toDouble).isSuccess =>
+          ("bench_history.jsonl", h.toDouble)
+        case h :: t =>
+          (h, t.headOption.flatMap(x =>
+            scala.util.Try(x.toDouble).toOption).getOrElse(1.5))
+      }
+      historyReport(file, thr)
       return
     }
     val path = args.headOption.getOrElse("bench_full.json")

@@ -151,11 +151,10 @@ object DataCard {
       val parts = graft.core.Tables.load(spark, sfDir, "part")
       val golden = graft.ops.EntityOps.goldenRecords(parts)
       val ent = golden.agg(
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n_entities"),
+        count(lit(1)).as("n_entities"),
         sum("n_listings").as("n_listings"),
-        sum(org.apache.spark.sql.functions.expr(
-          "CAST(n_listings > 1 AS BIGINT)")).as("n_multi")).collect()(0)
+        sum(expr("CAST(n_listings > 1 AS BIGINT)")).as("n_multi"))
+        .collect()(0)
       out ++= "\n## Catalog entity resolution (part listings)\n\n"
       out ++= s"- ${ent.getLong(1)} listings resolve to " +
         s"${ent.getLong(0)} entities; ${ent.getLong(2)} entities carry " +

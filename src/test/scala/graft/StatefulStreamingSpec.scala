@@ -997,6 +997,35 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("golden feed: null-block/null-name rows fuse as singletons, matching batch") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-golden-nulls")
+    // 2 has a null NAME (same block as 1 — must NOT pair: batch
+    // levenshtein is null), 3 a null BRAND (cannot block) — batch
+    // fuses both as singletons via its left join, so the feed must too
+    val p = Seq(
+      (1L, "red widget", "Brand#1", "ECONOMY", 10, 9.0),
+      (2L, null.asInstanceOf[String], "Brand#1", "ECONOMY", 10, 8.0),
+      (3L, "red widget", null.asInstanceOf[String], "ECONOMY", 10, 7.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    p.coalesce(1).write.mode("overwrite").parquet(d.resolve("b1").toString)
+    val stream = spark.readStream.schema(p.schema).parquet(s"$d/*")
+    val q = graft.streaming.StatefulOps.goldenOnArrival(stream)
+      .writeStream.format("memory").queryName("golden_nulls_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString), r.getLong(4), r.getLong(5))
+    val got = spark.table("golden_nulls_out").collect().map(key).toSet
+    val want = graft.ops.EntityOps.goldenFrom(p).collect().map(key).toSet
+    assert(got === want, "null-keyed singletons diverge from batch fusion")
+    q.stop()
+  }
+
   test("streaming golden-record feed: full-corpus replay compacts to batch fusion") {
     import java.nio.file.Files
     val d = Files.createTempDirectory("graft-parts-golden")
