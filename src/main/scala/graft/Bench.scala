@@ -131,6 +131,20 @@ object Bench {
     retried < maxRetries &&
       (0 until passesRun).count(p => !flagged(p)) < runs
 
+  /** Headline-confidence self-declaration: a multi-pass run whose
+    * retries still left FEWER than two calibration-clean passes has a
+    * headline that is a point estimate, not a min — r14's official
+    * artifact rested on 1 clean pass of 3 and needed a judge
+    * re-measure to adjudicate. Stamped as `single_clean_pass` in the
+    * artifact and the stdout line whenever the run was CONFIGURED
+    * multi-pass (runs >= 2) yet fewer than 2 passes came out clean.
+    * A deliberate single-pass dev run (runs = 1) is not flagged — its
+    * weaker statistic is declared by `passes` itself. Pure — unit
+    * tested in BenchLogicSpec.
+    */
+  def singleCleanPass(passesRun: Int, runs: Int, flagged: Set[Int]): Boolean =
+    runs >= 2 && (0 until passesRun).count(p => !flagged(p)) < 2
+
   /** Union of per-kernel flag sets, each kernel normalized against its
     * OWN run-best (the CPU and IO kernels have different idle
     * baselines — comparing an IO sample to the CPU best would flag
@@ -441,8 +455,12 @@ object Bench {
     // official artifact self-declared pass 0 loaded at 7.7x baseline
     // and still needed a judge re-measure to adjudicate; with retries
     // the artifact's headline comes from clean windows by construction.
+    // Budget default 3 (was 1): r14's budget-1 run exhausted its one
+    // retry with passes 0+1 loaded and shipped a single-clean-pass
+    // headline; three extras make >=2 clean passes achievable through
+    // a loaded stretch while still bounding a hopelessly noisy box.
     val maxRetries =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "1").toInt.max(0)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt.max(0)
     var retried = 0
     while (needRetry(pass, runs, flaggedSet(), retried, maxRetries)) {
       runPass(pass); pass += 1; retried += 1
@@ -520,10 +538,11 @@ object Bench {
       .map { case (p, at, s) => s"""[$p,$at,${ms3(s)}]""" }
       .mkString("[", ",", "]")
     val loadedJson = loadedSorted.mkString("[", ",", "]")
+    val singleClean = singleCleanPass(pass, runs, flagged)
     val remeasureJson =
       s"""{"slowest":${slowestSel.map("\"" + _ + "\"").mkString("[", ",", "]")},"spread_triggered":${spreadSel.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_clean_passes","passes":$pass,"retried_passes":$retried,"cold_total":${ms3(coldTotal)},"queries":$fullQs,"samples":$fullSamples,"sample_passes":$fullSamplePasses,"failed":$failedFull,"remeasured":$remeasureJson,"calibration":{"unit":"sec","baseline":${ms3(calibBase)},"max":${ms3(calibMax)},"io_baseline":${ms3(ioBase)},"io_max":${ms3(ioMax)},"loaded_passes":$loadedJson,"samples_pass_at_sec":$calibJson,"io_samples_pass_at_sec":$ioCalibJson},"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","stat":"min_of_clean_passes","passes":$pass,"retried_passes":$retried,"single_clean_pass":$singleClean,"cold_total":${ms3(coldTotal)},"queries":$fullQs,"samples":$fullSamples,"sample_passes":$fullSamplePasses,"failed":$failedFull,"remeasured":$remeasureJson,"calibration":{"unit":"sec","baseline":${ms3(calibBase)},"max":${ms3(calibMax)},"io_baseline":${ms3(ioBase)},"io_max":${ms3(ioMax)},"loaded_passes":$loadedJson,"samples_pass_at_sec":$calibJson,"io_samples_pass_at_sec":$ioCalibJson},"sf":"${jsonEscape(sfDir)}","cpus":$cpus}"""
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -539,17 +558,20 @@ object Bench {
     // reads the accumulated file back.
     if (only.isEmpty && changedSel.isEmpty) try {
       val histLine =
-        s"""{"total":${ms3(total)},"nq":${results.size},"passes":$pass,"retried":$retried,"loaded_passes":$loadedJson,"calib_base":${ms3(calibBase)},"io_base":${ms3(ioBase)},"sf":"${jsonEscape(sfDir)}","queries":$fullQs}"""
+        s"""{"total":${ms3(total)},"nq":${results.size},"passes":$pass,"retried":$retried,"single_clean_pass":$singleClean,"loaded_passes":$loadedJson,"calib_base":${ms3(calibBase)},"io_base":${ms3(ioBase)},"sf":"${jsonEscape(sfDir)}","queries":$fullQs}"""
       val w = new java.io.FileWriter("bench_history.jsonl", true)
       try w.write(histLine + "\n") finally w.close()
     } catch { case _: Throwable => () }
     // BASELINE-snippet.md: the exact row BASELINE.md's round header
     // should quote, generated from the SAME numbers as the artifact —
     // the builder pastes it verbatim instead of narrating a different
-    // (dev-run) number, the r11/r12/r13 drift class.
-    try {
+    // (dev-run) number, the r11/r12/r13 drift class. FULL-SUITE runs
+    // only, same gate as the history append: a --only / changed-since
+    // selection would otherwise overwrite the quoted row with a
+    // partial total (r14 advice).
+    if (only.isEmpty && changedSel.isEmpty) try {
       val snippet =
-        s"""| Round bench (paste into BASELINE.md) | **${ms3(total)} s warm / ${ms3(coldTotal)} s cold over ${results.count(_._3)} queries, min over clean passes** (passes $pass, retried $retried, failed ${failedNames.size}; CPU calib ${ms3(calibBase)}-${ms3(calibMax)} s, IO calib ${ms3(ioBase)}-${ms3(ioMax)} s, loaded passes ${if (loadedSorted.isEmpty) "none" else loadedSorted.mkString("/")}; re-measured top ${slowestSel.size} + ${spreadSel.size} spread-triggered; sf `${sfDir}`) |"""
+        s"""| Round bench (paste into BASELINE.md) | **${ms3(total)} s warm / ${ms3(coldTotal)} s cold over ${results.count(_._3)} queries, min over clean passes** (passes $pass, retried $retried, failed ${failedNames.size}${if (singleClean) ", SINGLE CLEAN PASS" else ""}; CPU calib ${ms3(calibBase)}-${ms3(calibMax)} s, IO calib ${ms3(ioBase)}-${ms3(ioMax)} s, loaded passes ${if (loadedSorted.isEmpty) "none" else loadedSorted.mkString("/")}; re-measured top ${slowestSel.size} + ${spreadSel.size} spread-triggered; sf `${sfDir}`) |"""
       val w = new java.io.PrintWriter("BASELINE-snippet.md", "UTF-8")
       try w.println(snippet) finally w.close()
     } catch { case _: Throwable => () }
@@ -573,7 +595,8 @@ object Bench {
       ",\"io_calib_base\":" + ms3(ioBase) +
       ",\"io_calib_max\":" + ms3(ioMax) +
       ",\"loaded_passes\":" + loadedJson +
-      ",\"passes\":" + pass + ",\"retried_passes\":" + retried
+      ",\"passes\":" + pass + ",\"retried_passes\":" + retried +
+      ",\"single_clean_pass\":" + singleClean
     val tailFixed = "},\"failed\":" + failedCapped +
       ",\"failed_n\":" + failedNames.size + calibTail +
       ",\"sf\":\"" + jsonEscape(sfDir) + "\"" +

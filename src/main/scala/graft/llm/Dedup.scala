@@ -796,6 +796,36 @@ object Dedup {
           .as(s"edit_$prefix"))
   }
 
+  /** A/B alternative to [[editVerifiedPairs]] (r14 verdict asked for
+    * the two spellings to be MEASURED, not asserted): candidates from
+    * the plain prefixRankJoin (no payload riding the exploded prefix
+    * rows through the shuffle), then the bounded heads RE-FETCHED by
+    * two pair-list-probed joins against the corpus. Same result set
+    * bit-for-bit (PropertySpec asserts equality). Trade: payload
+    * spelling ships `prefix` chars on every exploded prefix row
+    * (multiplied by build-side salting replication); this spelling
+    * ships none but pays two extra joins whose build side is the
+    * whole corpus' heads — answer-bounded probe, corpus-bounded
+    * build. Measurement at sf0.1 and the 1x/4x `ScaleProbe edit` leg
+    * decide which is the shipped default; see BASELINE.md.
+    */
+  private[graft] def editVerifiedPairsRefetch(
+      d: DataFrame, threshold: Double = 0.5, prefix: Int = 60): DataFrame = {
+    import graft.functions.text.hashed_sorted_tokens
+    val pairs =
+      prefixRankJoin(d, hashed_sorted_tokens(col("text")), threshold, "jaccard")
+    val heads =
+      d.select(col("doc_id"), substring(col("text"), 1, prefix).as("head"))
+    pairs
+      .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")),
+        "doc_a")
+      .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("head_a"), col("head_b")).cast("bigint")
+          .as(s"edit_$prefix"))
+  }
+
   val editVerifiedPairsSql: String =
     """WITH t AS (
       |  SELECT doc_id, substring(text, 1, 60) AS head,

@@ -987,12 +987,22 @@ object Multimodal {
     * checked; the codec step itself stays ScalaTest-checked (byte-
     * exact decode specs + brute-force/planted-copy near-dup specs).
     * The path is keyed by the sf dir's basename so the correctness run
-    * (sf0.01) and bench runs (sf0.1) never clobber each other; the
-    * oracle SQL pins sf0.01, the driver's correctness scale.
+    * (sf0.01) and bench runs (sf0.1) never clobber each other. The
+    * generated oracle SQL reads the SAME basename: the trio queries
+    * record it here when they materialize (both Verify and VerifyOne
+    * run every query BEFORE dumping oracle_sql.json, so the manifest
+    * always points at the table this run just wrote — a hardcoded
+    * sf0.01 would read a stale previous run's table whenever the
+    * driver verified a differently-named dir, r14 advice). Falls back
+    * to sf0.01, the driver's correctness scale, for tooling that dumps
+    * SQL without executing.
     */
+  @volatile private var oracleSfTag: String = "sf0.01"
+
   private def oracleHashes(
       hashes: DataFrame, sfDir: String, name: String): DataFrame = {
-    val path = s"$mmOracleRoot/${new java.io.File(sfDir).getName}/$name"
+    oracleSfTag = new java.io.File(sfDir).getName
+    val path = s"$mmOracleRoot/$oracleSfTag/$name"
     hashes.write.mode("overwrite").parquet(path)
     hashes.sparkSession.read.parquet(path)
   }
@@ -1008,7 +1018,7 @@ object Multimodal {
   private def bandedHammingSql(name: String): String =
     s"""WITH h AS (
        |  SELECT doc_id, phash
-       |  FROM read_parquet('$mmOracleRoot/sf0.01/$name/*.parquet')),
+       |  FROM read_parquet('$mmOracleRoot/$oracleSfTag/$name/*.parquet')),
        |b AS (
        |  SELECT doc_id, phash, r.range AS band,
        |    (phash >> (CAST(r.range AS INTEGER) * 16)) & 65535 AS key
@@ -1050,7 +1060,11 @@ object Multimodal {
     "q_multimodal_decode" -> ((s, d) => decodedStats(s, docs(s, d))),
     "q_multimodal_resize" -> ((s, d) => resizedStats(s, docs(s, d))))
 
-  val oracleSql: Map[String, String] = Map(
+  // `def`, not `val`: the three bandedHammingSql entries embed
+  // oracleSfTag, which the trio queries set at materialization time —
+  // a val would freeze the fallback tag at object init, before any
+  // query ran.
+  def oracleSql: Map[String, String] = Map(
     "q_multimodal_phash" -> bandedHammingSql("image_hashes"),
     "q_multimodal_audio_dup" -> bandedHammingSql("audio_hashes"),
     "q_multimodal_video_dup" -> bandedHammingSql("video_hashes"),

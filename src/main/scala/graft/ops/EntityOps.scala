@@ -51,10 +51,11 @@ object EntityOps {
 
   /** Blocked candidate join with adaptive HOT-BLOCK salting via the
     * shared [[Salting.saltedSides]] (which carries the exactly-once
-    * pairing invariant, the probe re-spread, and the AQE-coalescing
-    * caveat — all proven on this operator's planted 5k-listing block
-    * by `ScaleProbe entity`: unsalted 101 s one-task vs 18 s salted in
-    * the shuffle-join regime).
+    * pairing invariant, the probe re-spread, and — since round 15 —
+    * the in-operator anti-coalescing pin, so the salt survives AQE
+    * under a default session config; all proven on this operator's
+    * planted 5k-listing block by `ScaleProbe entity`: unsalted 101 s
+    * one-task vs 18 s salted in the shuffle-join regime).
     */
   private def pairsFrom(c: DataFrame, maxEdit: Int,
       saltTarget: Int = 1024): DataFrame = {

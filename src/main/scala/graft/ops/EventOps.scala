@@ -147,7 +147,22 @@ object EventOps {
   def variantExtract(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
       expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
-      expr("schema_of_variant(parse_json(props))").as("sch"))
+      // n_schemas counts NUMERIC-CLASS-NORMALIZED schemas: every
+      // numeric leaf type collapses to NUM before the distinct, on
+      // BOTH engines, because the two inference engines carve numbers
+      // differently — DuckDB types integers BY SIGN (UBIGINT vs
+      // BIGINT), Spark's schema_of_variant types decimals BY PRECISION
+      // (DECIMAL(3,1) vs DECIMAL(4,2)) where DuckDB says DOUBLE for
+      // both — so an un-normalized count drifts for ENGINE reasons,
+      // not data reasons (r14 advice). What the column then detects is
+      // STRUCTURAL producer drift: a field appearing/vanishing, or a
+      // type-CLASS change (number -> string), which is the alarm a
+      // consumer actually pages on; numeric widening within the class
+      // is deliberately not counted.
+      regexp_replace(
+        expr("schema_of_variant(parse_json(props))"),
+        lit("DECIMAL\\(\\d+,\\d+\\)|BIGINT|SMALLINT|TINYINT|INT|DOUBLE|FLOAT"),
+        lit("NUM")).as("sch"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum("k").as("sum_k"),
@@ -156,12 +171,10 @@ object EventOps {
         countDistinct("sch").as("n_schemas"))
 
   /** DuckDB mirror: json_extract + json_structure. The structure
-    * STRINGS differ between engines (OBJECT<k: BIGINT> vs
-    * {"k":"UBIGINT"}) but only their DISTINCT COUNTS are consumed —
-    * with one caveat handled below: DuckDB types JSON integers BY SIGN
-    * (UBIGINT for non-negative, BIGINT for negative) while Spark's
-    * schema_of_variant does not, so a mixed-sign field would count 2
-    * structures against Spark's 1. The replace() collapses that class.
+    * STRINGS differ between engines (OBJECT<k: NUM> vs {"k":"NUM"})
+    * but only their DISTINCT COUNTS are consumed; the numeric-class
+    * normalization above is mirrored here over DuckDB's own type
+    * vocabulary (sign-typed integers, DOUBLE for any decimal).
     */
   val variantExtractSql: String =
     """SELECT event_type, count(*) AS n_events,
@@ -171,8 +184,9 @@ object EventOps {
       |    AS n_distinct_k,
       |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
       |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
-      |  count(DISTINCT replace(json_structure(props), 'UBIGINT', 'BIGINT'))
-      |    AS n_schemas
+      |  count(DISTINCT regexp_replace(json_structure(props),
+      |    '"(UBIGINT|BIGINT|UHUGEINT|HUGEINT|UINTEGER|INTEGER|DOUBLE|FLOAT)"',
+      |    '"NUM"', 'g')) AS n_schemas
       |FROM events GROUP BY 1""".stripMargin
 
   /** As-of join over the event stream: each purchase matched to the

@@ -30,8 +30,16 @@ import org.apache.spark.sql.functions._
   *  - AQE partition COALESCING re-merges salt sub-buckets in the
   *    shuffle-join regime (it reads input bytes; the output explodes):
   *    measured salted peak == unsalted peak with coalescing on, and
-  *    101 s -> 18 s with it off. A job expecting hot blocks runs with
-  *    coalescing off or a small advisory partition size.
+  *    101 s -> 18 s with it off. Round 15 moved this from a caveat to
+  *    CODE: the probe re-spread pins an EXPLICIT partition count
+  *    (`repartition(n, cols)` -> shuffle origin REPARTITION_BY_NUM),
+  *    which AQE's CoalesceShufflePartitions treats as
+  *    user-specified — it skips the entire coalesce group containing
+  *    that shuffle, so the join's salt sub-buckets survive under a
+  *    DEFAULT session config (`ScaleProbe entity` proves the
+  *    peak-task ratio with coalescing left on). Cost: salted joins
+  *    always run at shuffle-partition parallelism even when tiny —
+  *    exactly the trade a hot-block operator wants.
   *
   * Cold blocks pay nothing (nsalt = 1, probe salt 0, build explodes a
   * 1-element range). `saltTarget < 0` disables the window entirely and
@@ -64,9 +72,13 @@ object Salting {
           least(ceil(count(lit(1)).over(w).cast("double") / saltTarget),
             lit(65536)))
           .otherwise(lit(1)).cast("int"))
+      // Explicit partition count = the session's shuffle parallelism:
+      // REPARTITION_BY_NUM is the anti-coalescing pin (see scaladoc).
+      val nPart = scala.util.Try(keyed.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
       (withN.withColumn("salt",
         pmod(xxhash64(probeKey), col("nsalt")).cast("int"))
-        .repartition((blockCols.map(col) :+ col("salt")): _*),
+        .repartition(nPart, (blockCols.map(col) :+ col("salt")): _*),
         withN.withColumn("salt",
           explode(sequence(lit(0), col("nsalt") - 1))))
     }

@@ -17,6 +17,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulOps {
 
+  /** TTL plumbing shared by [[linkageOnArrival]] / [[goldenOnArrival]]:
+    * a linkage horizon (e.g. "10 minutes") turns on
+    * ProcessingTimeTimeout so idle blocks are evicted and state stays
+    * bounded on an infinite stream; None keeps NoTimeout and the exact
+    * full-replay == batch contract.
+    */
+  private def timeoutConf(ttl: Option[String]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
   case class Seen(firstTs: Long)
   case class KeyedEvent(key: String, ts: Long, payload: String)
 
@@ -614,9 +624,16 @@ object StatefulOps {
     * metric Spark's `levenshtein` expression and DuckDB's
     * `levenshtein` compute; the in-state verifier for
     * [[linkageOnArrival]], so stream and batch agree bit-for-bit.
+    * Iterates CODE POINTS, not UTF-16 chars, because that is what both
+    * engines count: a supplementary-plane character (emoji in a
+    * product name) is ONE edit to them, and a char-indexed loop would
+    * charge 2 — breaking the documented stream/batch parity exactly
+    * where it's hardest to notice (r14 advice).
     */
   private[graft] def editDistance(a: String, b: String): Int = {
-    val (n, m) = (a.length, b.length)
+    val ac = a.codePoints().toArray
+    val bc = b.codePoints().toArray
+    val (n, m) = (ac.length, bc.length)
     val prev = Array.tabulate(m + 1)(identity)
     val cur = new Array[Int](m + 1)
     var i = 1
@@ -624,7 +641,7 @@ object StatefulOps {
       cur(0) = i
       var j = 1
       while (j <= m) {
-        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        val sub = prev(j - 1) + (if (ac(i - 1) == bc(j - 1)) 0 else 1)
         cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
         j += 1
       }
@@ -687,15 +704,23 @@ object StatefulOps {
     * [[graft.ops.EntityOps.goldenRecords]] panel at every point.
     *
     * State is block-bounded (members + parents of ONE block — the
-    * decontaminate contract; production adds a TTL at the linkage
-    * horizon); per arrival the work is block-sized comparisons plus
-    * near-O(1) amortized union-find. cents is computed by the same
-    * Spark SQL round() expression the batch uses, upstream of the
-    * typed pipeline, so fusion arithmetic is bit-identical.
+    * decontaminate contract) and, with `stateTtl` set, TIME-bounded
+    * too: a block idle past the linkage horizon is evicted via
+    * ProcessingTimeTimeout, so an infinite stream's state stops
+    * growing — listings arriving after their block was evicted link
+    * only within the fresh window (the standard linkage-horizon
+    * semantics; batch parity then holds per window, asserted in
+    * StatefulStreamingSpec). Default None preserves the full-replay
+    * == batch contract exactly. Per arrival the work is block-sized
+    * comparisons plus near-O(1) amortized union-find. cents is
+    * computed by the same Spark SQL round() expression the batch
+    * uses, upstream of the typed pipeline, so fusion arithmetic is
+    * bit-identical.
     */
   def goldenOnArrival(
       partsStream: org.apache.spark.sql.DataFrame,
-      maxEdit: Int = 1): org.apache.spark.sql.DataFrame = {
+      maxEdit: Int = 1,
+      stateTtl: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val spark = partsStream.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr, lit, when}
@@ -722,15 +747,29 @@ object StatefulOps {
         col("p_name").as("survivor_name"),
         col("cents").as("price_cents_lo"),
         col("cents").as("price_cents_hi"))
+    // cents rides the typed pipeline as Option[Long]: an UNPRICED
+    // listing is valid input that batch goldenFrom fuses normally
+    // (min/max skip nulls), so the stream must fuse it too — a bare
+    // Long encoder would abort the query on the first null price
+    // (r14 advice). Entity price range = min/max over PRICED members,
+    // null when none are.
     val fused = base.filter(blockable)
-      .as[(String, String, Int, Long, String, Long)]
+      .as[(String, String, Int, Long, String, Option[Long])]
       .groupByKey(r => (r._1, r._2, r._3))
       .mapValues(r => (r._4, r._5, r._6))
       .flatMapGroupsWithState[
-        (Seq[(Long, String, Long)], Seq[(Long, Long)]),
-        (Long, Long, Long, String, Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (Seq[(Long, String, Option[Long])], Seq[(Long, Long)]),
+        (Long, Long, Long, String, Option[Long], Option[Long])](
+        OutputMode.Update(), timeoutConf(stateTtl)) {
         (_, rows, state) =>
+          if (state.hasTimedOut) {
+            // linkage horizon passed with no arrivals: evict the block
+            // (state stops growing); subsequent arrivals start a fresh
+            // window. Golden rows already emitted stay valid — the
+            // consumer's compaction holds the per-window batch panel.
+            state.remove()
+            Iterator.empty
+          } else {
           val (members0, parents0) =
             state.getOption.getOrElse((Seq.empty, Seq.empty))
           val members =
@@ -764,18 +803,23 @@ object StatefulOps {
           }
           state.update((members.toSeq,
             parent.keysIterator.map(k => k -> find(k)).toSeq))
+          stateTtl.foreach(state.setTimeoutDuration)
           // re-emit every entity whose component changed this batch
           val finalRoots = touched.map(find)
           val golden = finalRoots.toSeq.sorted.map { r =>
             val ms = members.filter(m => find(m._1) == r)
+            val priced = ms.flatMap(_._3)
             (r, ms.size.toLong, ms.map(_._2).distinct.size.toLong,
-              ms.minBy(_._1)._2, ms.map(_._3).min, ms.map(_._3).max)
+              ms.minBy(_._1)._2,
+              if (priced.isEmpty) None else Some(priced.min),
+              if (priced.isEmpty) None else Some(priced.max))
           }
           // a pre-existing root absorbed by a merge is DEAD as an
           // entity id: tombstone it so compaction converges on batch
           val tombs = lost.toSeq.sorted.filter(r => find(r) != r)
-            .map(r => (r, 0L, 0L, "", 0L, 0L))
+            .map(r => (r, 0L, 0L, "", Option(0L), Option(0L)))
           (golden ++ tombs).iterator
+          }
       }
       .toDF("entity_id", "n_listings", "n_names", "survivor_name",
         "price_cents_lo", "price_cents_hi")
@@ -788,18 +832,24 @@ object StatefulOps {
     * against every already-seen member of its (brand, type, size)
     * BLOCK — the blocking discipline carried into state, so per-block
     * state is the member list (key, name), bounded by BLOCK size,
-    * never catalog size (the decontaminate state contract: production
-    * adds a ProcessingTimeTimeout TTL at the linkage horizon). Each
-    * unordered match pair is emitted EXACTLY ONCE — when its second
-    * member arrives (members process in key order within a
-    * micro-batch) — oriented (min key, max key), so a full replay
-    * emits exactly the batch entityPairs set regardless of how the
-    * stream was chopped into micro-batches
-    * (StatefulStreamingSpec asserts set equality).
+    * never catalog size — and, with `stateTtl` set, TIME-bounded too:
+    * a block idle past the linkage horizon is evicted via
+    * ProcessingTimeTimeout, so arrivals after eviction pair only
+    * within the fresh window (the linkage-horizon semantics every
+    * production MDM stream runs with; StatefulStreamingSpec asserts
+    * both the eviction — state row count drops — and batch parity on
+    * the fresh window). Each unordered match pair is emitted EXACTLY
+    * ONCE — when its second member arrives (members process in key
+    * order within a micro-batch) — oriented (min key, max key), so
+    * with the default `stateTtl = None` a full replay emits exactly
+    * the batch entityPairs set regardless of how the stream was
+    * chopped into micro-batches (StatefulStreamingSpec asserts set
+    * equality).
     */
   def linkageOnArrival(
       partsStream: org.apache.spark.sql.DataFrame,
-      maxEdit: Int = 1): org.apache.spark.sql.DataFrame = {
+      maxEdit: Int = 1,
+      stateTtl: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val spark = partsStream.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat_ws}
@@ -820,8 +870,12 @@ object StatefulOps {
       .groupByKey(r => (r._1, r._2, r._3))
       .mapValues(r => (r._4, r._5))
       .flatMapGroupsWithState[Seq[(Long, String)], (Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf(stateTtl)) {
         (_, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed idle: drop the block
+            Iterator.empty
+          } else {
           val members = scala.collection.mutable.ArrayBuffer(
             state.getOption.getOrElse(Seq.empty): _*)
           val out = Seq.newBuilder[(Long, Long, Long)]
@@ -836,7 +890,9 @@ object StatefulOps {
             members += ((key, name))
           }
           state.update(members.toSeq)
+          stateTtl.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
       }
       .toDF("part_a", "part_b", "name_edit")
   }

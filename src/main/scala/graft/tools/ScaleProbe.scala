@@ -968,6 +968,135 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("venn")) {
+      // Detector-Venn probe (round-15 verdict #6): three detectors
+      // (jaccard, shingle, winnow) each emit a pair list; the Venn is
+      // per-pair flag union + a 7-cell histogram. Claim: cost is the
+      // SUM of the three detectors' pair-list-bounded costs — the
+      // union/groupBy rides answer-sized data, so wall and shuffle
+      // read ~linear under the per-replica token bijection (each
+      // replica's detectors see an isomorphic corpus; cross-replica
+      // overlap of any detector is exactly 0). Per-replica pair SETS
+      // are not bit-identical across replicas (hashes differ under the
+      // bijection) so the histogram grows ~4x, not exactly — the probe
+      // reports total flagged pairs alongside wall/shuffle.
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      def corpus(n: Int) = (0 until n).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"z$i$$1"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = corpus(n)
+        graft.llm.Dedup.detectorVenn(d).count() // warm
+        val l = new ShuffleSum
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val res = graft.llm.Dedup.detectorVenn(d)
+          .agg(sum(col("n_pairs")).as("pairs"), count(lit(1)).as("cells"))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[venn-probe] $label%-4s docs ${n * 60000}%8d  " +
+          f"$dt%7.2f s  (${res.getLong(0)}%8d pairs in " +
+          f"${res.getLong(1)}%d cells)  " +
+          f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("minhashcalib")) {
+      // MinHash-calibration probe (round-15 verdict #6): LSH candidate
+      // pairs scored against exact shingle jaccard via FOUR doc_id
+      // joins (sigs x2, shingle sets x2). Claim: candidate-bounded —
+      // the joins' probe side is the pair list, so 4x docs (per-replica
+      // token bijection, cross-replica collisions impossible at the
+      // exact-jaccard stage and vanishingly rare at the banding stage)
+      // costs ~4x wall/shuffle, never pairs^2. Signature/set builds are
+      // corpus-linear by construction.
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      def corpus(n: Int) = (0 until n).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"z$i$$1"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = corpus(n)
+        graft.llm.Dedup.minhashCalibration(d).count() // warm
+        val l = new ShuffleSum
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val res = graft.llm.Dedup.minhashCalibration(d)
+          .agg(sum(col("n_pairs")).as("pairs"), count(lit(1)).as("bands"))
+          .collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"[minhashcalib-probe] $label%-4s docs ${n * 60000}%8d  " +
+          f"$dt%7.2f s  (${res.getLong(0)}%8d scored pairs in " +
+          f"${res.getLong(1)}%d err bands)  " +
+          f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.contains("edit")) {
+      // Edit-verified-pairs A/B probe (round-15 verdict #2): two
+      // spellings of the SAME operator — heads riding the candidate
+      // join as exploded-prefix-row payload vs heads RE-FETCHED by two
+      // pair-probed joins after a payload-free candidate join. Both
+      // must emit the identical pair set (checksummed); the replication
+      // scheme is the contrastive probe's per-replica token bijection
+      // (cross-replica jaccard exactly 0, so 4x docs => exactly 4x
+      // pairs) with heads ALSO prefixed per replica so edit distances
+      // stay within-replica-identical. The winner ships as
+      // editVerifiedPairs; BASELINE.md records both columns.
+      val base = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")
+      def corpus(n: Int) = (0 until n).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"z$i$$1"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
+        val d = corpus(n)
+        var seen = Set.empty[(Long, Long)]
+        Seq(
+          "payload" ->
+            (() => graft.llm.Dedup.editVerifiedPairs(d)),
+          "refetch" ->
+            (() => graft.llm.Dedup.editVerifiedPairsRefetch(d))
+        ).foreach { case (sl, mk) =>
+          mk().count() // warm: codegen + page cache out of the sample
+          val l = new ShuffleSum
+          spark.sparkContext.addSparkListener(l)
+          val t0 = System.nanoTime()
+          val res = mk()
+            .agg(count(lit(1)).as("n"),
+              expr("bit_xor(xxhash64(doc_a, doc_b, jaccard, edit_60))")
+                .as("chk"))
+            .collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          spark.sparkContext.removeSparkListener(l)
+          seen += ((res.getLong(0), res.getLong(1)))
+          println(f"[edit-probe] $label%-4s docs ${n * 60000}%8d  " +
+            f"$sl%-8s $dt%7.2f s  " +
+            f"(${res.getLong(0)}%7d pairs, chk ${res.getLong(1)}%d)  " +
+            f"shuffle write ${l.bytes.get / 1e6}%9.1f MB")
+        }
+        require(seen.size == 1,
+          s"payload and refetch spellings disagree: $seen")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("entity")) {
       // Entity-resolution probe (round-14 addition): the blocked
       // fuzzy self-join's cost is Σ(block size²) — linear in the
@@ -1033,16 +1162,15 @@ object ScaleProbe {
       var seen = Set.empty[(Long, Long)]
       val prevBroadcast =
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevCoalesce =
-        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // AQE partition coalescing re-merges the salt sub-buckets: their
-      // INPUT bytes are tiny (a few MB of keys) while their OUTPUT
-      // explodes, and coalescing only reads input sizes — measured
-      // salt1024 peak == unsalted peak (105 s) with coalescing on.
-      // An ER job at hot-block scale runs with coalescing off (or a
-      // small advisory size); the probe demonstrates that regime.
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // AQE partition coalescing is left at its DEFAULT (on): round 15
+      // moved the defense into Salting.saltedSides itself — the probe
+      // re-spread pins an explicit partition count (REPARTITION_BY_NUM),
+      // which excludes the join's coalesce group from AQE coalescing.
+      // r14 measured the unprotected regime: salt1024 peak == unsalted
+      // peak (105 s) with coalescing re-merging the sub-buckets, 18 s
+      // with them preserved. This leg now proves the in-operator pin
+      // holds under an untouched session config.
       try {
         Seq("unsalted" -> -1, "salt1024" -> 1024).foreach { case (sl, st) =>
           graft.ops.EntityOps.entityPairs(hot, saltTarget = st).count() // warm
@@ -1064,8 +1192,6 @@ object ScaleProbe {
         }
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-        spark.conf.set(
-          "spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
       }
       require(seen.size == 1, s"salting changed the result: $seen")
       spark.stop()

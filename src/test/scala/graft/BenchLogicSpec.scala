@@ -40,6 +40,20 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!Bench.needRetry(2, 2, Set.empty, retried = 0, maxRetries = 1))
   }
 
+  test("singleCleanPass self-declares a headline resting on <2 clean passes") {
+    // r14 shape: 3 passes, 0+1 loaded -> one clean pass -> declare
+    assert(Bench.singleCleanPass(3, 2, Set(0, 1)))
+    // every pass loaded -> the min-of-all fallback is declared too
+    assert(Bench.singleCleanPass(3, 2, Set(0, 1, 2)))
+    // two clean passes -> a real min -> no declaration
+    assert(!Bench.singleCleanPass(3, 2, Set(0)))
+    assert(!Bench.singleCleanPass(2, 2, Set.empty))
+    // a deliberate single-pass dev run is not flagged (runs declares it)
+    assert(!Bench.singleCleanPass(1, 1, Set.empty))
+    // retries that succeed clear the flag: 5 passes, first 3 loaded
+    assert(!Bench.singleCleanPass(5, 2, Set(0, 1, 2)))
+  }
+
   test("headlineMin takes the min over clean-pass samples only") {
     // the loaded pass 0 sample is the smallest-looking... not here:
     // loaded samples are SLOW; min-of-all would keep 2.1, clean min is 2.3

@@ -110,6 +110,19 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("editVerifiedPairs: payload and refetch spellings agree bit-for-bit") {
+    // the two A/B spellings (heads riding the candidate join vs heads
+    // re-fetched by pair-probed joins) must be the SAME operator —
+    // ScaleProbe `edit` decides which ships on measured cost only
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val a = rows(Dedup.editVerifiedPairs(docs))
+    val b = rows(Dedup.editVerifiedPairsRefetch(docs))
+    assert(a === b, "A/B spellings diverge")
+    assert(a.nonEmpty, "corpus should produce candidate pairs")
+  }
+
   test("prefix-rank join is sub-quadratic on a realistic vocabulary (planted dups)") {
     // The bench corpus has a ~31-token vocabulary, which makes ANY
     // threshold join's OUTPUT quadratic (71% of pairs clear 0.5) and

@@ -957,6 +957,143 @@ class StatefulStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("editDistance counts code points: supplementary-plane char is one edit") {
+    // "a😀b" vs "ab": one insert to both Spark's levenshtein and
+    // DuckDB's (they count code points); a UTF-16 char loop says 2
+    assert(StatefulOps.editDistance("a😀b", "ab") === 1)
+    assert(StatefulOps.editDistance("😀", "😁") === 1)
+    assert(StatefulOps.editDistance("", "😀") === 1)
+    // and it still matches Spark's expression on BMP text
+    assert(StatefulOps.editDistance("red widget", "red widgex") === 1)
+    val sparkSays = spark.sql(
+      "SELECT levenshtein('a😀b', 'ab')").collect()(0).getInt(0)
+    assert(sparkSays === 1, "Spark levenshtein contract changed")
+  }
+
+  // NOTE on TTL tests: processAllAvailable() NEVER RETURNS on a
+  // ProcessingTimeTimeout query — the operator's shouldRunAnotherBatch
+  // is permanently true (a timeout may fire any moment), so the engine
+  // keeps constructing batches and the no-new-data latch never sets.
+  // These tests therefore poll the sink/state metrics under a deadline
+  // (the engine self-triggers; a throttled trigger bounds the spin) and
+  // stop the query in a finally.
+  private def awaitTtl(deadlineSec: Int)(done: () => Boolean): Boolean = {
+    val deadline = System.nanoTime() + deadlineSec * 1000L * 1000 * 1000
+    while (!done() && System.nanoTime() < deadline) Thread.sleep(200)
+    done()
+  }
+
+  test("linkage TTL: idle block evicted at the horizon; fresh window == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Int, Double)]
+    val stream = input.toDF().toDF("p_partkey", "p_name", "p_brand",
+      "p_type", "p_size", "p_retailprice")
+    val q = StatefulOps.linkageOnArrival(stream, stateTtl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("link_ttl_out")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      def pairs() = spark.table("link_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def stateRows() = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
+      // window 1: block A pairs internally
+      input.addData((1L, "red widget", "Brand#1", "ECONOMY", 10, 9.0),
+        (2L, "red widgex", "Brand#1", "ECONOMY", 10, 8.0))
+      assert(awaitTtl(30)(() => pairs() == Set((1L, 2L, 1L))),
+        s"window-1 pair not emitted: ${pairs()}")
+      assert(awaitTtl(30)(() => stateRows() == 1L),
+        "block A should hold one state row")
+      // horizon passes idle; an engine-scheduled timeout batch (or the
+      // block-B batch) evicts A — observable as the state count
+      // holding at 1 AFTER B's state lands (A out, B in)
+      Thread.sleep(2500)
+      input.addData((10L, "blue gadget", "Brand#2", "STANDARD", 5, 3.0))
+      assert(awaitTtl(30)(() => stateRows() == 1L),
+        s"block A state not evicted at the linkage horizon: ${stateRows()}")
+      // fresh window: 3 matches evicted 1/2's names but must pair only
+      // with 4 — the fresh window behaves like a fresh batch run
+      input.addData((3L, "red widget", "Brand#1", "ECONOMY", 10, 7.0),
+        (4L, "red widgex", "Brand#1", "ECONOMY", 10, 6.0))
+      assert(awaitTtl(30)(() => pairs() == Set((1L, 2L, 1L), (3L, 4L, 1L))),
+        s"pairs crossed the horizon or fresh window lost a pair: ${pairs()}")
+    } finally q.stop()
+  }
+
+  test("golden TTL: evicted block restarts fusion; fresh window == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Int, Double)]
+    val stream = input.toDF().toDF("p_partkey", "p_name", "p_brand",
+      "p_type", "p_size", "p_retailprice")
+    val q = StatefulOps.goldenOnArrival(stream, stateTtl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("golden_ttl_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      def rows() = spark.table("golden_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4)))
+        .toSet
+      def stateRows() = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
+      input.addData((1L, "red widget", "Brand#1", "ECONOMY", 10, 9.0),
+        (2L, "red widgex", "Brand#1", "ECONOMY", 10, 8.0))
+      assert(awaitTtl(30)(() => rows().contains((1L, 2L, "red widget", 800L))),
+        s"window-1 fusion missing: ${rows()}")
+      Thread.sleep(2500)
+      input.addData((10L, "blue gadget", "Brand#2", "STANDARD", 5, 3.0))
+      assert(awaitTtl(30)(() => stateRows() == 1L),
+        s"block A golden state not evicted: ${stateRows()}")
+      // fresh window: 3 fuses alone (1/2 evicted), a NEW entity 3 —
+      // exactly what a batch run over the fresh window computes
+      input.addData((3L, "red widget", "Brand#1", "ECONOMY", 10, 7.0))
+      assert(awaitTtl(30)(() => rows().contains((3L, 1L, "red widget", 700L))),
+        s"fresh-window singleton missing or fused across horizon: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("golden feed: null-price listings fuse like batch (range skips them)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-golden-nullprice")
+    // 4 pairs with 1 (identical name, same block) but is unpriced —
+    // batch fuses them with the price range from 1 alone; 5 is a lone
+    // unpriced blockable singleton -> null lo/hi in batch, so the
+    // stream must emit null too (r14 advice: this row used to abort
+    // the query on the non-nullable cents encoder)
+    val p = Seq(
+      (1L, "red widget", "Brand#1", "ECONOMY", 10,
+        java.lang.Double.valueOf(9.0)),
+      (4L, "red widget", "Brand#1", "ECONOMY", 10,
+        null.asInstanceOf[java.lang.Double]),
+      (5L, "green thing", "Brand#9", "STANDARD", 3,
+        null.asInstanceOf[java.lang.Double]))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    p.coalesce(1).write.mode("overwrite").parquet(d.resolve("b1").toString)
+    val stream = spark.readStream.schema(p.schema).parquet(s"$d/*")
+    val q = graft.streaming.StatefulOps.goldenOnArrival(stream)
+      .writeStream.format("memory").queryName("golden_nullprice_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))
+    val got = spark.table("golden_nullprice_out").collect().map(key).toSet
+    val want = graft.ops.EntityOps.goldenFrom(p).collect().map(key).toSet
+    assert(got === want, "null-price fusion diverges from batch")
+    assert(want.exists(w => w._1 === 5L && w._5.isEmpty),
+      "fixture lost its all-null-price entity")
+    q.stop()
+  }
+
   test("streaming schema-drift feed: replay == batch variant panel; planted drift alarms") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions.lit
