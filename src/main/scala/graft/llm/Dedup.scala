@@ -782,34 +782,22 @@ object Dedup {
     * when the precise metric is quadratic in document length: at corpus
     * scale you can afford edit distance on thousands of candidate
     * pairs, never on all pairs. Prefix-bounding keeps the verifier
-    * O(prefix^2). The bounded heads ride through the candidate join as
-    * [[prefixRankJoin]] payload, so the verifier runs inside the join
-    * stage — no re-fetch join at all.
+    * O(prefix^2).
+    *
+    * SHIPPED SPELLING (r15 A/B, measured): candidates from the plain
+    * payload-free [[prefixRankJoin]], then the bounded heads
+    * RE-FETCHED by two pair-list-probed joins against the corpus. The
+    * alternative — heads riding the candidate join as prefix-row
+    * payload ([[editVerifiedPairsPayload]]) — ties on wall (real
+    * corpus isolated warm 3.2 vs 3.1 s; `ScaleProbe edit` 1x 51.5 vs
+    * 50.2 s, 4x 83.1 vs 83.2 s on the bijected corpus) but ships
+    * ~25% MORE shuffle (121.3 vs 92.9 MB at 4x) because every
+    * exploded prefix row carries the 60-char head, multiplied by
+    * build-side salt replication — at cluster scale shuffle bytes are
+    * the network, so the refetch spelling wins. Identical results
+    * proven by checksum in the probe and bit-for-bit in LlmSpec.
     */
   def editVerifiedPairs(
-      d: DataFrame, threshold: Double = 0.5, prefix: Int = 60): DataFrame = {
-    import graft.functions.text.hashed_sorted_tokens
-    prefixRankJoin(d, hashed_sorted_tokens(col("text")), threshold, "jaccard",
-      payload = Some("head" -> substring(col("text"), 1, prefix)))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"),
-        levenshtein(col("head_a"), col("head_b")).cast("bigint")
-          .as(s"edit_$prefix"))
-  }
-
-  /** A/B alternative to [[editVerifiedPairs]] (r14 verdict asked for
-    * the two spellings to be MEASURED, not asserted): candidates from
-    * the plain prefixRankJoin (no payload riding the exploded prefix
-    * rows through the shuffle), then the bounded heads RE-FETCHED by
-    * two pair-list-probed joins against the corpus. Same result set
-    * bit-for-bit (PropertySpec asserts equality). Trade: payload
-    * spelling ships `prefix` chars on every exploded prefix row
-    * (multiplied by build-side salting replication); this spelling
-    * ships none but pays two extra joins whose build side is the
-    * whole corpus' heads — answer-bounded probe, corpus-bounded
-    * build. Measurement at sf0.1 and the 1x/4x `ScaleProbe edit` leg
-    * decide which is the shipped default; see BASELINE.md.
-    */
-  private[graft] def editVerifiedPairsRefetch(
       d: DataFrame, threshold: Double = 0.5, prefix: Int = 60): DataFrame = {
     import graft.functions.text.hashed_sorted_tokens
     val pairs =
@@ -821,6 +809,26 @@ object Dedup {
         "doc_a")
       .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")),
         "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("head_a"), col("head_b")).cast("bigint")
+          .as(s"edit_$prefix"))
+  }
+
+  /** A/B alternative to [[editVerifiedPairs]] (the r14 shipped
+    * spelling, kept measurable): the bounded heads ride through the
+    * candidate join as [[prefixRankJoin]] payload, so the verifier
+    * runs inside the join stage with no re-fetch joins — but every
+    * exploded prefix row (the ~10x pair multiset, times salt
+    * replication) carries the head through the shuffle. Measured r15:
+    * wall tie, ~25% more shuffle than the re-fetch spelling — see
+    * [[editVerifiedPairs]] scaladoc and BASELINE.md for the numbers.
+    * Same result set bit-for-bit (LlmSpec + probe checksums).
+    */
+  private[graft] def editVerifiedPairsPayload(
+      d: DataFrame, threshold: Double = 0.5, prefix: Int = 60): DataFrame = {
+    import graft.functions.text.hashed_sorted_tokens
+    prefixRankJoin(d, hashed_sorted_tokens(col("text")), threshold, "jaccard",
+      payload = Some("head" -> substring(col("text"), 1, prefix)))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         levenshtein(col("head_a"), col("head_b")).cast("bigint")
           .as(s"edit_$prefix"))

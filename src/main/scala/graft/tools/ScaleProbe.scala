@@ -1068,9 +1068,9 @@ object ScaleProbe {
         var seen = Set.empty[(Long, Long)]
         Seq(
           "payload" ->
-            (() => graft.llm.Dedup.editVerifiedPairs(d)),
+            (() => graft.llm.Dedup.editVerifiedPairsPayload(d)),
           "refetch" ->
-            (() => graft.llm.Dedup.editVerifiedPairsRefetch(d))
+            (() => graft.llm.Dedup.editVerifiedPairs(d))
         ).foreach { case (sl, mk) =>
           mk().count() // warm: codegen + page cache out of the sample
           val l = new ShuffleSum

@@ -118,7 +118,7 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getLong(3))).toSet
     val a = rows(Dedup.editVerifiedPairs(docs))
-    val b = rows(Dedup.editVerifiedPairsRefetch(docs))
+    val b = rows(Dedup.editVerifiedPairsPayload(docs))
     assert(a === b, "A/B spellings diverge")
     assert(a.nonEmpty, "corpus should produce candidate pairs")
   }
