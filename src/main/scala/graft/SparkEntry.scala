@@ -2,6 +2,7 @@ package graft
 
 import graft.llm.{CorpusOps, Curation, Dedup, Multimodal, Pipeline, Sampling, Similarity, TextOps}
 import graft.ops.{EntityOps, EventOps, GraphOps, Relational}
+import graft.sql.GraftSql
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +29,8 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Pipeline.queries ++ Sampling.queries ++ Curation.queries ++
-      CorpusOps.queries ++ GraphOps.queries ++ EntityOps.queries
+      CorpusOps.queries ++ GraphOps.queries ++ EntityOps.queries ++
+      GraftSql.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -37,5 +39,6 @@ object SparkEntry {
     Relational.oracleSql ++ EventOps.oracleSql ++ TextOps.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
       Pipeline.oracleSql ++ Sampling.oracleSql ++ Curation.oracleSql ++
-      CorpusOps.oracleSql ++ GraphOps.oracleSql ++ EntityOps.oracleSql
+      CorpusOps.oracleSql ++ GraphOps.oracleSql ++ EntityOps.oracleSql ++
+      GraftSql.oracleSql
 }
