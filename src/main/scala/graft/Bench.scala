@@ -267,7 +267,8 @@ object Bench {
       "src/main/scala/graft/llm/Pipeline.scala" -> graft.llm.Pipeline.queries.keySet,
       "src/main/scala/graft/llm/Sampling.scala" -> graft.llm.Sampling.queries.keySet,
       "src/main/scala/graft/llm/Curation.scala" -> graft.llm.Curation.queries.keySet,
-      "src/main/scala/graft/llm/CorpusOps.scala" -> graft.llm.CorpusOps.queries.keySet)
+      "src/main/scala/graft/llm/CorpusOps.scala" -> graft.llm.CorpusOps.queries.keySet,
+      "src/main/scala/graft/sql/GraftSql.scala" -> graft.sql.GraftSql.queries.keySet)
     val harnessOnly = Set(
       "src/main/scala/graft/Bench.scala",
       "src/main/scala/graft/Verify.scala",

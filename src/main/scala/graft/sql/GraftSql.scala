@@ -17,10 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * function half for free; [[init]] is idempotent either way.
   *
   * Scale: the facade adds nothing to the plan — a statement run here
-  * compiles to exactly the Catalyst plan the equivalent DataFrame
-  * builder produces (SqlEntrySpec asserts bit-for-bit equality against
-  * [[graft.ops.Relational.q1Pricing]]), so pushdown/pruning/AQE behave
-  * identically. Views are plain parquet scans, never cached.
+  * goes through the same Catalyst analysis/optimization as the
+  * equivalent DataFrame builder (SqlEntrySpec pins result equality
+  * bit-for-bit against [[graft.ops.Relational.q1Pricing]] and the
+  * semi/anti-join physical shape of the EXISTS statement), so
+  * pushdown/pruning/AQE behave identically. Views are plain parquet
+  * scans, never cached.
   *
   * [[statements]] is a small named-statement catalog demonstrating the
   * surface (analytic windows, EXISTS/NOT EXISTS decorrelation, custom
@@ -47,6 +49,38 @@ object GraftSql {
   /** Run a named statement from [[statements]]. */
   def named(spark: SparkSession, sfDir: String, name: String): DataFrame =
     sql(spark, sfDir, statements(name))
+
+  /** The streaming face of [[sql]]: bind `stream` (a `readStream`
+    * DataFrame) as a watermarked temp view and compile `statement`
+    * against it. The result is an unstarted streaming DataFrame — the
+    * caller owns the `writeStream` (sink, output mode, trigger), same
+    * as every [[graft.streaming.EventStreams]] mirror. The watermark
+    * must be attached to the VIEW (Spark SQL has no watermark clause),
+    * which is why this entry point exists instead of documenting a
+    * recipe: windowed aggregates in the statement get bounded state for
+    * free. Custom graft expressions resolve in the statement text.
+    */
+  def sqlStream(
+      spark: SparkSession, stream: DataFrame, statement: String,
+      viewName: String = "events_stream", watermarkCol: String = "ts",
+      delay: String = "30 minutes"): DataFrame = {
+    GraftFunctions.register(spark)
+    stream.withWatermark(watermarkCol, delay)
+      .createOrReplaceTempView(viewName)
+    spark.sql(statement)
+  }
+
+  /** Hourly per-type pulse over the events stream — the statement the
+    * streaming-SQL spec pins batch==stream with (cents kept exact, the
+    * engine-wide integer-money discipline).
+    */
+  val streamPulse: String =
+    """SELECT window(ts, '1 hour').start AS ws, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events_stream
+      |GROUP BY window(ts, '1 hour'), event_type""".stripMargin
 
   // ------------------------------------------------- statement catalog
 
