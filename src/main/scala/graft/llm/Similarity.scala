@@ -374,17 +374,22 @@ object Similarity {
     * doubles, legitimately driver-sized (the *codebook*, not the data;
     * at 100 TB the codebook is still k x dim).
     *
-    * Training runs on a deterministic 1-in-`sampleMod` slice — the
-    * standard IVF practice (the codebook needs the distribution, not
-    * the corpus; at 100 TB training on everything is neither feasible
-    * nor useful) and it cuts the per-iteration jobs proportionally.
+    * Training runs on a deterministic 1-in-mod slice with a BOUNDED
+    * expected size ([[boundedTrainMod]]) — the standard IVF practice
+    * (the codebook needs the distribution, not the corpus; at 100 TB
+    * training on everything is neither feasible nor useful), and with
+    * the bound the training stage stops being the one corpus-linear
+    * cost in the ANN family (the sf1 rehearsal's ivf 5.96x at 10x was
+    * exactly this stage). `sampleMod > 0` forces a fixed modulus
+    * (tests/probes); 0 = auto.
     */
   private[llm] def ivfCentroids(
       e: DataFrame, k: Int = 16, iters: Int = 2,
-      sampleMod: Int = 4): Array[Array[Double]] = {
+      sampleMod: Long = 0): Array[Array[Double]] = {
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
-    val sample = e.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(e.count(), k)
+    val sample = e.filter(pmod(col("vec_id"), lit(mod)) === 0)
     var cents: Array[Array[Double]] =
       sample.orderBy("vec_id").limit(k).collect().map(vecOf)
     for (_ <- 0 until iters) {
@@ -455,6 +460,31 @@ object Similarity {
         col("rank"))
   }
 
+  /** Training-sample budget for a k-cell codebook: >= 64 points per
+    * centroid with an 8192 floor — the FAISS-style constant-size
+    * training set.
+    */
+  private def trainTarget(k: Int): Long = math.max(8192L, 64L * k)
+
+  /** Bounded 1-in-mod training slice: mod = 4 * ceil(n / (4 * target))
+    * keeps the expected sample at ~[[trainTarget]] vectors no matter
+    * the corpus size. mod = 4 whenever n <= 4 * target — every tested
+    * sf, so results there are bit-identical to the old fixed-mod-4
+    * spelling — and the SAME formula replays as a scalar subquery in
+    * the DuckDB CTEs ([[trainModSql]]), so codebook training stays
+    * oracle-exact at ANY scale: both engines derive the modulus from
+    * the same count with the same double-precision ceil.
+    */
+  private[graft] def boundedTrainMod(n: Long, k: Int): Long =
+    4L * math.max(1L, math.ceil(n / (4.0 * trainTarget(k))).toLong)
+
+  /** [[boundedTrainMod]] over a named relation, as a DuckDB scalar
+    * subquery (the denominator is inlined so both engines divide by
+    * the identical double literal).
+    */
+  private def trainModSql(rel: String, k: Int): String =
+    s"(SELECT 4 * greatest(1, CAST(ceil(count(*) / ${4L * trainTarget(k)}.0) AS BIGINT)) FROM $rel)"
+
   // ------------------------------------------ int8 IVF (oracle-exact)
 
   /** EXACT integer Lloyd over the unit-quantized vectors — the
@@ -465,16 +495,20 @@ object Similarity {
     * |m|² − 2·x·m (the row-constant |x|² dropped): every distance is
     * order-independent integer math, every comparison exact, and the
     * whole training loop nests as fixed-iteration CTEs in the DuckDB
-    * oracle. Same scale shape as the float path: train on a 1-in-
-    * `sampleMod` slice, distributed assign + per-cell sums, collect
-    * only the k x dim codebook; magnitudes stay ≤ 64 * 127² ≈ 1e6, so
-    * nothing can overflow at any corpus size.
+    * oracle. Same scale shape as the float path: train on a bounded
+    * 1-in-mod slice ([[boundedTrainMod]] — the modulus derives from
+    * the RAW row count of `e`, matching the oracle's count over the
+    * raw source relation; `sampleMod > 0` forces a fixed modulus),
+    * distributed assign + per-cell sums, collect only the k x dim
+    * codebook; magnitudes stay ≤ 64 * 127² ≈ 1e6, so nothing can
+    * overflow at any corpus size.
     */
   private[graft] def ivfCentroidsInt8(
       e: DataFrame, k: Int = 16, iters: Int = 2,
-      sampleMod: Int = 4): Array[Array[Long]] = {
+      sampleMod: Long = 0): Array[Array[Long]] = {
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(e.count(), k)
     val sample = withUnitQuantized(e)
-      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .filter(pmod(col("vec_id"), lit(mod)) === 0)
     def longs(r: org.apache.spark.sql.Row): Array[Long] =
       r.getAs[scala.collection.Seq[Long]]("qn").toArray
     var cents: Array[Array[Long]] =
@@ -558,8 +592,9 @@ object Similarity {
 
   /** CTE chain replaying [[ivfCentroidsInt8]] + the final corpus
     * assignment in DuckDB: `qsrc` (unit-quantized assignment corpus,
-    * from `srcSql`), `qtrain` (the 1-in-`sampleMod` training slice of
-    * the ORIGINAL embeddings), `seed` (k lowest-vec_id training
+    * from `srcSql`), `qtrain` (the bounded 1-in-mod training slice of
+    * the ORIGINAL embeddings — modulus via [[trainModSql]], the scalar
+    * subquery twin of [[boundedTrainMod]]), `seed` (k lowest-vec_id training
     * vectors), then `iters` rounds of assign → rounded-mean (empty
     * cells keep their previous centroid via the LEFT JOIN COALESCE),
     * ending in `cells` = (vec_id, qn, cell) over `qsrc`. Every
@@ -576,7 +611,8 @@ object Similarity {
 
   private def int8IvfCtes(
       srcSql: String, k: Int = 16, iters: Int = Int8IvfIters,
-      sampleMod: Int = 4): String = {
+      sampleModSql: String = null): String = {
+    val modSql = Option(sampleModSql).getOrElse(trainModSql("embeddings", k))
     def assign(from: String, cents: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, qn, cell FROM (
@@ -607,7 +643,7 @@ object Similarity {
        |  ${unitQuantSelect(srcSql)}),
        |qtrain AS (
        |  ${unitQuantSelect(
-             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % $sampleMod = 0")}),
+             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % $modSql = 0")}),
        |seed AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qn AS m
        |  FROM (SELECT vec_id, qn FROM qtrain ORDER BY vec_id LIMIT $k)),
@@ -919,7 +955,6 @@ object Similarity {
   private val PqSubDim = 8   // dims per subspace (8 x 8 = 64)
   private val PqK = 16       // centroids per subspace -> 4-bit codes
   private val PqIters = 2    // Lloyd rounds, same budget as the IVF book
-  private val PqSampleMod = 4
 
   /** Per-subspace codebooks via the SAME exact integer Lloyd as
     * [[ivfCentroidsInt8]], trained on the unit-int8 slices: seeds are
@@ -933,18 +968,25 @@ object Similarity {
     */
   private[graft] def pqCodebooks(
       e: DataFrame, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
-      iters: Int = PqIters, sampleMod: Int = PqSampleMod)
-      : Array[Array[Array[Long]]] =
-    pqCodebooksQ(withUnitQuantized(e), m, subDim, k, iters, sampleMod)
+      iters: Int = PqIters, sampleMod: Long = 0)
+      : Array[Array[Array[Long]]] = {
+    // modulus from the RAW count — the oracle's qtrain counts the raw
+    // embeddings relation, before the zero-vector quantization filter
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(e.count(), k)
+    pqCodebooksQ(withUnitQuantized(e), m, subDim, k, iters, mod)
+  }
 
   /** [[pqCodebooks]] over a pre-quantized `(vec_id, qn)` frame — the
     * entry point the IVF-PQ residual path trains through.
     */
   private[graft] def pqCodebooksQ(
       q: DataFrame, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
-      iters: Int = PqIters, sampleMod: Int = PqSampleMod)
+      iters: Int = PqIters, sampleMod: Long = 0)
       : Array[Array[Array[Long]]] = {
-    val sample = q.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    // auto-modulus counts `q` itself — the residual path's oracle
+    // counts the resid CTE, the same (post-quantization) relation
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(q.count(), k)
+    val sample = q.filter(pmod(col("vec_id"), lit(mod)) === 0)
     def longs(r: org.apache.spark.sql.Row): Array[Long] =
       r.getAs[scala.collection.Seq[Long]]("qn").toArray
     val seedRows = sample.orderBy("vec_id").limit(k).collect().map(longs)
@@ -1113,12 +1155,13 @@ object Similarity {
     */
   private def pqCtes(
       srcSql: String, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
-      iters: Int = PqIters, sampleMod: Int = PqSampleMod): String =
+      iters: Int = PqIters, sampleModSql: String = null): String =
     s"""WITH qsrc AS (
        |  ${unitQuantSelect(srcSql)}),
        |qtrain AS (
        |  ${unitQuantSelect(
-             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % $sampleMod = 0")}),
+             s"SELECT vec_id, embedding FROM embeddings WHERE vec_id % ${
+               Option(sampleModSql).getOrElse(trainModSql("embeddings", k))} = 0")}),
        |${pqCoreCtes("qsrc", "qtrain", m, subDim, k, iters)}""".stripMargin
 
   /** The training + assignment CTE chain over NAMED `(vec_id, qn)`
@@ -1271,14 +1314,15 @@ object Similarity {
   def ivfPqTopKSql(
       nQueries: Int = 5, k: Int = 10, nCells: Int = 16, nProbe: Int = 2,
       m: Int = PqM, subDim: Int = PqSubDim, pk: Int = PqK,
-      iters: Int = PqIters, sampleMod: Int = PqSampleMod): String =
+      iters: Int = PqIters, sampleModSql: String = null): String =
     s"""${int8IvfCtes("SELECT vec_id, embedding FROM embeddings", nCells)},
        |resid AS (
        |  SELECT c.vec_id, c.cell,
        |    [c.qn[i] - b.m[i] FOR i IN range(1, len(c.qn) + 1)] AS qn
        |  FROM cells c JOIN $int8IvfFinalCte b ON c.cell = b.cell),
        |residtrain AS (
-       |  SELECT vec_id, qn FROM resid WHERE vec_id % $sampleMod = 0),
+       |  SELECT vec_id, qn FROM resid WHERE vec_id % ${
+             Option(sampleModSql).getOrElse(trainModSql("resid", pk))} = 0),
        |${pqCoreCtes("resid", "residtrain", m, subDim, pk, iters)},
        |full_recon AS (
        |  SELECT r.vec_id, c.cell,

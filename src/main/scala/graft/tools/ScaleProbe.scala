@@ -386,6 +386,46 @@ object ScaleProbe {
       return
     }
 
+    if (args.contains("trainbound")) {
+      // Bounded-training-sample probe: codebook training was the one
+      // corpus-linear stage left in the ANN family (sf1 rehearsal: ivf
+      // 5.96x at 10x data). boundedTrainMod caps the expected training
+      // slice at ~trainTarget(k) vectors; this leg measures IVF +
+      // residual-PQ training at 250k/1M synthetic vectors, fixed mod 4
+      // (the old spelling) vs auto (bounded), and asserts the books
+      // are sane (k centroids, int8-range) — NOT identical: a smaller
+      // sample legitimately trains different centroids; the driver
+      // queries' oracles replay whatever modulus the formula picks, so
+      // correctness is engine-vs-oracle, not sample-vs-population.
+      def corpus(n: Long) = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(hash(col("id"), i), lit(2001)) - lit(1000)) / lit(1000.0))
+            .cast("float")).as("embedding"))
+        .localCheckpoint()
+      Seq(("250k", corpus(250000L)), ("1M", corpus(1000000L)))
+        .foreach { case (label, c) =>
+          Seq(("fixed mod 4", 4L), ("bounded", 0L)).foreach {
+            case (mode, mod) =>
+              val t0 = System.nanoTime()
+              val book = graft.llm.Similarity
+                .ivfCentroidsInt8(c, 256, sampleMod = mod)
+              val ivfT = (System.nanoTime() - t0) / 1e9
+              val t1 = System.nanoTime()
+              val pq = graft.llm.Similarity
+                .pqCodebooks(c, sampleMod = mod)
+              val pqT = (System.nanoTime() - t1) / 1e9
+              assert(book.length == 256 &&
+                book.forall(_.forall(v => v >= -127 && v <= 127)))
+              assert(pq.length == 8)
+              println(f"[trainbound] $label%-5s $mode%-12s" +
+                f" ivf-256 train $ivfT%6.2f s | pq books $pqT%6.2f s")
+          }
+        }
+      spark.stop()
+      return
+    }
+
     if (args.contains("budget")) {
       // Token-budget probe: the naive form of per-domain budget
       // selection is ONE cumulative-sum window PARTITIONED BY lang —

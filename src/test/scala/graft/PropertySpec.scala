@@ -577,4 +577,26 @@ class PropertySpec extends SparkSpec {
       assert(ps.size === expect, s"saltTarget=$st pair count off")
     }
   }
+
+  test("boundedTrainMod: fixed 4 at every tested sf, bounded sample beyond") {
+    import graft.llm.Similarity.boundedTrainMod
+    // every tested corpus size (sf0.001/0.01: 500, sf0.1: 2000, derived
+    // sf1: 20000) stays at the historical modulus 4 — oracle results
+    // there are bit-identical to the fixed-mod-4 spelling
+    Seq(0L, 1L, 500L, 2000L, 20000L, 32768L).foreach { n =>
+      assert(boundedTrainMod(n, 16) === 4L, s"n=$n")
+    }
+    // beyond the knee the expected sample stays ~trainTarget: n/mod in
+    // [target/2, target] for any n (mod quantized to multiples of 4)
+    Seq(32769L, 100000L, 250000L, 1000000L, 100000000L).foreach { n =>
+      val mod = boundedTrainMod(n, 16)
+      assert(mod % 4 === 0)
+      val sample = n / mod
+      assert(sample <= 8192L, s"n=$n sample=$sample above budget")
+      assert(sample >= 4096L, s"n=$n sample=$sample below half budget")
+    }
+    // the budget scales with k (>= 64 points per centroid)
+    assert(boundedTrainMod(1000000L, 1024) === 16L) // target 65536
+    assert(boundedTrainMod(1000000L, 16) === 124L)  // target 8192
+  }
 }
