@@ -1358,8 +1358,11 @@ object Similarity {
       s: SparkSession, dir: String): Array[Array[Array[Long]]] =
     ivfPqBookCache.getOrElseUpdate(s, dir)(
       pqCodebooksQ(
+        // checkpoint: the residual frame re-derives quantize + cell
+        // assignment per consumer (auto-mod count, seed collect, each
+        // Lloyd round) — materialize it once instead of ~4 times
         ivfResiduals(emb(s, dir), cachedCentroidsInt8(s, dir))
-          .select("vec_id", "qn")))
+          .select("vec_id", "qn").localCheckpoint()))
 
   private val pqBookCache =
     new graft.core.SessionCache[String, Array[Array[Array[Long]]]]

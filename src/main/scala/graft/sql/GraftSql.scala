@@ -157,8 +157,11 @@ object GraftSql {
       name -> ((s: SparkSession, dir: String) => named(s, dir, name))
     }.toMap
 
-  val oracleSql: Map[String, String] = Map(
-    "q_sql_region_pulse" -> regionPulse,
-    "q_sql_doc_profile" -> docProfileOracle,
-    "q_sql_settled_customers" -> settledCustomers)
+  /** Statements are written in the Spark/DuckDB dialect intersection,
+    * so the oracle IS the statement — except where a graft custom
+    * function appears in the SQL text and the oracle substitutes the
+    * documented DuckDB spelling.
+    */
+  val oracleSql: Map[String, String] =
+    statements + ("q_sql_doc_profile" -> docProfileOracle)
 }
