@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Barrier.BarrierOps
 import graft.core.{Layout, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -719,7 +720,7 @@ object CorpusOps {
       // two consumers (per-source panel + merged rollup) over a
       // register-sized table whose PLAN is a corpus scan — materialize
       // so the corpus is read once
-      .localCheckpoint()
+      .barrier()
     def summarize(
         g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
       .agg(Hll.sUsed, count(lit(1)).as("n_used"))
@@ -1615,7 +1616,7 @@ object CorpusOps {
     val csets = d.select(col("doc_id").as("c_id"),
       array_distinct(TextOps.letterTokens(col("text"))).as("tk"))
     val cd = cands.join(csets, "c_id")
-      .select("q_id", "c_id", "rel_x1e4", "tk").localCheckpoint()
+      .select("q_id", "c_id", "rel_x1e4", "tk").barrier()
     val inter = size(array_intersect(col("t1"), col("t2")))
     val psim = cd.select(col("q_id"), col("c_id").as("c1"), col("tk").as("t1"))
       .join(cd.select(col("q_id"), col("c_id").as("c2"), col("tk").as("t2")),
@@ -1625,7 +1626,7 @@ object CorpusOps {
         (size(col("t1")) + size(col("t2"))).as("su"))
       .select(col("q_id"), col("c1"), col("c2"),
         expr("CAST(i * 10000 DIV greatest(su - i, 1) AS BIGINT)").as("sim"))
-      .localCheckpoint()
+      .barrier()
     def pick(scored: DataFrame, r: Int): DataFrame = {
       val w = Window.partitionBy("q_id")
         .orderBy(col("mmr_score").desc, col("c_id"))
@@ -1648,7 +1649,7 @@ object CorpusOps {
         .withColumn("maxsim_x1e4", coalesce(col("ms"), lit(0L)))
         .withColumn("mmr_score",
           col("rel_x1e4") * 7 - col("maxsim_x1e4") * 3)
-      result = result.unionByName(pick(scored, r)).localCheckpoint()
+      result = result.unionByName(pick(scored, r)).barrier()
     }
     result
   }
@@ -1912,7 +1913,7 @@ object CorpusOps {
         .otherwise(length(bin(col("n_chars"))).cast("bigint")).as("b"),
       col("n_chars"))
     val hist = bucketed.groupBy("source", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds the per-source panel AND the merge
+      .barrier() // feeds the per-source panel AND the merge
     val all = hist.groupBy("b").agg(sum("c").as("c"))
       .select(lit("__all__").as("source"), col("b"), col("c"))
     val wc = Window.partitionBy("source").orderBy("b")
@@ -2134,7 +2135,7 @@ object CorpusOps {
     // kernel fix documented (measured here: 31.5 s at sf0.1 collapsed
     // vs ~3 s materialized)
     val tk = d.select(col("doc_id"), TextOps.wsTokens(col("text")).as("toks"))
-      .localCheckpoint()
+      .barrier()
     val toks = col("toks")
     val sset = when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(1), size(toks) - 2),
@@ -2143,16 +2144,16 @@ object CorpusOps {
       .otherwise(array(coalesce(array_join(toks, " "), lit(""))))
     val sh = tk.select(col("doc_id"), sset.as("sset"))
     val train = sh.filter(col("doc_id") % 2 === 0)
-      .select(explode(col("sset")).as("g")).distinct().localCheckpoint()
+      .select(explode(col("sset")).as("g")).distinct().barrier()
     val probeNeg = sh.filter(col("doc_id") % 2 =!= 0)
       .select(explode(col("sset")).as("g")).distinct()
-      .join(train, Seq("g"), "left_anti").localCheckpoint()
+      .join(train, Seq("g"), "left_anti").barrier()
     def posArr = array((0 until k).map(j =>
       struct(lit(j).as("j"),
         pmod(Hll.h60(concat(lit(s"bf$j:"), col("g"))), lit(mBits.toLong))
           .as("pos"))): _*)
     val bits = train.select(explode(posArr).as("x"))
-      .select(col("x.pos").as("pos")).distinct().localCheckpoint()
+      .select(col("x.pos").as("pos")).distinct().barrier()
     val fp = probeNeg.select(col("g"), explode(posArr).as("x"))
       .select(col("g"), col("x.j").as("j"), col("x.pos").as("pos"))
       .join(bits, "pos")
@@ -2235,10 +2236,10 @@ object CorpusOps {
           .as("h60"))
       .select(col("source"), shiftright(col("h60"), 20).as("h"))
       .distinct()
-      .localCheckpoint() // feeds sketches, exact counts, and exact inter
+      .barrier() // feeds sketches, exact counts, and exact inter
     val w = Window.partitionBy("source").orderBy("h")
     val sk = grams.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).drop("rn").localCheckpoint()
+      .filter(col("rn") <= k).drop("rn").barrier()
     val stats = sk.groupBy("source")
       .agg(count(lit(1)).as("n_sk"), max("h").as("mx"))
       .join(grams.groupBy("source").agg(count(lit(1)).as("n_exact")),
@@ -2464,7 +2465,7 @@ object CorpusOps {
   def topicClusters(d: DataFrame): DataFrame = {
     // two consumers (training + final assign) over a plan that scans
     // the corpus — materialize the doc-sized feature table once
-    val feats = topicFeatures(d).localCheckpoint()
+    val feats = topicFeatures(d).barrier()
     val cents = topicCentroids(feats)
     val centLit = array(cents.map(c =>
       array(c.map(x => lit(x)): _*)): _*)
@@ -2573,7 +2574,7 @@ object CorpusOps {
     */
   def kCenterSample(d: DataFrame, k: Int = 5): DataFrame = {
     val spark = d.sparkSession
-    val feats = topicFeatures(d).localCheckpoint()
+    val feats = topicFeatures(d).barrier()
     def distTo(c: Array[Long]): Column = {
       val cl = array(c.map(x => lit(x)): _*)
       aggregate(zip_with(col("v"), cl, (a, b) => (a - b) * (a - b)),
@@ -2773,14 +2774,14 @@ object CorpusOps {
     val base = kllBase(d)
     val cnt = base.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("lvl", expr(kllLevelSql("n", k, "DIV")))
-      .localCheckpoint() // group-keyed stats; feeds samples AND __all__
+      .barrier() // group-keyed stats; feeds samples AND __all__
     val allCnt = cnt.agg(sum("n").as("n"))
       .select(col("n"), expr(kllLevelSql("n", k, "DIV")).as("lvl"))
     val sampSrc = base.join(cnt, "source")
       .filter(col("tz") >= col("lvl"))
       .select(col("source"), col("doc_id"), col("v"), col("tz"),
         col("n"), col("lvl"))
-      .localCheckpoint() // ~2k rows per source; feeds panel AND merge
+      .barrier() // ~2k rows per source; feeds panel AND merge
     val sampAll = sampSrc
       .crossJoin(broadcast(allCnt // 1-row global stat — audited idiom
         .select(col("n").as("n_all"), col("lvl").as("lvl_all"))))

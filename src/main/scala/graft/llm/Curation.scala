@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Barrier.BarrierOps
 import graft.core.{Layout, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -457,7 +458,7 @@ object Curation {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .as[(String, Long)]
       .map { case (w, f) => (BpeMerge.seedSymbols(w): Seq[String], f) }
-      .localCheckpoint()
+      .barrier()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -481,7 +482,7 @@ object Curation {
           .map { case (syms, f) =>
             (BpeMerge.applyMerge(syms.toIndexedSeq, l, rt): Seq[String], f)
           }
-          .localCheckpoint() // eager: materialized before prev drops
+          .barrier() // eager: materialized before prev drops
         prev.unpersist()
         r += 1
       }
@@ -1094,16 +1095,11 @@ object Curation {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skew
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Drop a localCheckpoint's backing blocks (same rationale as
-    * GraphOps.freeCheckpoint: unpersist must reach the internal RDD
-    * through the plan's LogicalRDD leaf).
+  /** Drop a barrier's backing blocks (see [[graft.core.Barrier.free]]
+    * for why plain `unpersist` can't reach them).
     */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.core.Barrier.free(df)
 
   /** Token -> one of 64 hash buckets — the exact hashing-trick feature
     * space of [[TextOps.classifierScore]] (two md5 hex chars, Knuth
@@ -1158,7 +1154,7 @@ object Curation {
       .select(col("doc_id"), explode(toks).as("tok"))
       .select(col("doc_id"), classifierBucket(col("tok")).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .barrier()
     val teacherW = pmod(col("b") * 2654435761L, lit(1001L)) - 500L
     val labels = d.select(col("doc_id"))
       .join(
@@ -1167,10 +1163,10 @@ object Curation {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(coalesce(col("raw"), lit(0L)) > 0, 1L).otherwise(0L).as("y"))
-      .localCheckpoint()
+      .barrier()
     val nn = broadcast(labels.agg(count(lit(1)).as("n_docs")))
     var w = d.sparkSession.range(0, 64)
-      .select(col("id").as("b"), lit(0L).as("w")).localCheckpoint()
+      .select(col("id").as("b"), lit(0L).as("w")).barrier()
     val losses = Seq.newBuilder[DataFrame]
     var r = 1
     while (r <= rounds + 1) {
@@ -1193,7 +1189,7 @@ object Curation {
               expr(s"(250 * CAST(coalesce(zraw, 0) AS BIGINT)) DIV $scale")))
             .as("p"))
         .withColumn("err", col("p") - lit(1000L) * col("y"))
-        .localCheckpoint()
+        .barrier()
       losses += err
         .agg(
           expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS BIGINT)")
@@ -1201,7 +1197,7 @@ object Curation {
           sum(expr("CAST((p > 500) = (y = 1) AS BIGINT)")).as("n_correct"))
         .select(lit(r.toLong).as("round"), col("sq_loss"),
           col("n_correct").cast("long").as("n_correct"))
-        .localCheckpoint()
+        .barrier()
       if (r <= rounds) {
         val grad = w.join(
           err.join(feat, "doc_id")
@@ -1213,7 +1209,7 @@ object Curation {
           .select(col("b"),
             expr(s"w - (coalesce(g, CAST(0 AS BIGINT)) * $lr) DIV n_docs")
               .as("w"))
-          .localCheckpoint()
+          .barrier()
         freeCheckpoint(w)
         w = wNext
       }

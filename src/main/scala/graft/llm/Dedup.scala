@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Barrier.BarrierOps
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -583,7 +584,7 @@ object Dedup {
       .as[String]
       // materialized once: the boundary pass and the stack pass below
       // must see the SAME partitioning and order
-      .localCheckpoint()
+      .barrier()
     val firsts: Array[String] = sorted.mapPartitions(_.take(1)).collect()
     // Stack scan: pop while the top is not a prefix of the current
     // text (a popped string can never be a prefix of anything later —
@@ -617,7 +618,7 @@ object Dedup {
     // ancestors of x = parent chain of x, reach doubles per round.
     var anc = scanned.filter(col("parent").isNotNull)
       .unionAll(repaired)
-      .localCheckpoint()
+      .barrier()
     var n = anc.count()
     var grown = true
     var rounds = 0
@@ -627,7 +628,7 @@ object Dedup {
         .select(col("x.text").as("text"), col("y.parent").as("parent"))
         .unionAll(anc)
         .distinct()
-        .localCheckpoint()
+        .barrier()
       val m = next.count()
       grown = m > n
       anc = next
@@ -721,7 +722,7 @@ object Dedup {
     // 4.7 s vs 2.3 s warm at sf0.1). The pair list itself is tiny
     // (answer-sized), so checkpointing it costs nothing.
     val pairs = jaccardPairs(d, threshold).select("doc_a", "doc_b")
-      .localCheckpoint()
+      .barrier()
     // localCheckpoint (eager) rather than cache: each round's plan must
     // START from materialized data, or lineage compounds and round N
     // re-derives rounds 1..N-1 (measured: per-round wall time DOUBLES
@@ -737,7 +738,7 @@ object Dedup {
     // the per-round groupBy(src) aggregate finds its distribution
     // already satisfied and the |E|-row exchange per round disappears.
     val edges = (if (broadcastLabels) edgesRaw.repartition(col("src"))
-      else edgesRaw.repartition(col("dst"))).localCheckpoint()
+      else edgesRaw.repartition(col("dst"))).barrier()
     // shared min-label loop (round 14: extracted to GraphOps so the
     // convergence/checkpointing subtleties live once, serving this and
     // EntityOps.goldenRecords identically)
@@ -1579,7 +1580,7 @@ object Dedup {
     // would otherwise re-run the prefix-rank join each); the SYMMETRIC
     // form stays LAZY over those blocks (materializing 18M sym rows
     // doubled storage pressure for nothing)
-    val pairs = jaccardPairs(d, threshold, saltTarget).localCheckpoint()
+    val pairs = jaccardPairs(d, threshold, saltTarget).barrier()
     val sym = pairs
       .select(col("doc_a").as("anchor"), col("doc_b").as("partner"),
         col("jaccard"))
@@ -1618,7 +1619,7 @@ object Dedup {
     val ranked = meta
       .withColumn("r", row_number().over(wCell) - 1)
       .withColumn("m", count(lit(1)).over(wCellAll))
-      .localCheckpoint()
+      .barrier()
     val anchors = pos.join(
       ranked.select(col("doc_id").as("anchor"), col("lang"), col("bucket"),
         col("len").as("a_len"), col("r"), col("m")), "anchor")
@@ -1880,7 +1881,7 @@ object Dedup {
     // reference scan + shingle explode + shuffle-distinct
     val refSh = reference
       .select(explode(hashed_sorted_shingles(col("text"), n)).as("g"))
-      .distinct().localCheckpoint()
+      .distinct().barrier()
     // expectedNumItems needs a count — one reference-sized pass; the
     // reference is the small side by the operator's contract.
     val expected = math.max(refSh.count(), 1000L)
@@ -2034,7 +2035,7 @@ object Dedup {
             col("status"), col("n_docs"))
         // materialize before the temp root is deleted below; the
         // result is answer-sized (<= 4 rows)
-        out.localCheckpoint(eager = true)
+        out.barrier()
       }
     } finally {
       org.apache.hadoop.fs.FileSystem.get(

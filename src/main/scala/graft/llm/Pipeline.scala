@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Barrier.BarrierOps
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -105,7 +106,7 @@ object Pipeline {
     // consume sd, and each would otherwise re-run the scan + survivor
     // aggregation + semi join — the intermediate write every real
     // multi-stage pipeline does between dedup and scoring
-    val sd = d.join(survivors, Seq("doc_id"), "left_semi").localCheckpoint()
+    val sd = d.join(survivors, Seq("doc_id"), "left_semi").barrier()
     // the report form suffices: the pipeline only needs the kept-token
     // COUNT, which is n_tokens - dup_tokens (LlmSpec proves the apply
     // form agrees) — skipping the O(tokens x spans) reconstruction

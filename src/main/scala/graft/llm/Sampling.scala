@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Barrier.BarrierOps
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -178,7 +179,7 @@ object Sampling {
     // narrow columns per doc (the curateFull pattern, Pipeline.scala)
     val base = d.select(col("lang"), col("doc_id"), q.as("q_x10000"),
       size(TextOps.wsTokens(col("text"))).cast("bigint").as("n_tokens"))
-      .localCheckpoint()
+      .barrier()
     val classes = base.groupBy("lang", "q_x10000")
       .agg(sum("n_tokens").as("class_tokens"))
     // tokens in all strictly-better quality classes of the same lang
@@ -601,7 +602,7 @@ object Sampling {
       .withColumn("hsel", graft.ops.Hll.h60(
         concat(lit("ts:"), col("doc_id").cast("string"))))
       .withColumn("bkt", shiftright(col("hsel"), 52))
-      .localCheckpoint()
+      .barrier()
     val perLang = base.groupBy("lang").agg(sum("n_toks").as("lang_tokens"))
       .withColumn("w",
         floor(sqrt(col("lang_tokens").cast("double"))).cast("bigint"))
@@ -610,7 +611,7 @@ object Sampling {
     val tgt = perLang.crossJoin(broadcast(tot))
       .select(col("lang"),
         expr("(total_tokens DIV 2) * w DIV sum_w").as("target_tokens"))
-      .localCheckpoint()
+      .barrier()
     val bclass = base.groupBy("lang", "bkt").agg(sum("n_toks").as("b_tokens"))
     val wPrev = Window.partitionBy("lang").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)

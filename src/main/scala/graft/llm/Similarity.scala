@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Barrier.BarrierOps
 import graft.core.Tables
 import graft.functions.vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1362,7 +1363,7 @@ object Similarity {
         // assignment per consumer (auto-mod count, seed collect, each
         // Lloyd round) — materialize it once instead of ~4 times
         ivfResiduals(emb(s, dir), cachedCentroidsInt8(s, dir))
-          .select("vec_id", "qn").localCheckpoint()))
+          .select("vec_id", "qn").barrier()))
 
   private val pqBookCache =
     new graft.core.SessionCache[String, Array[Array[Array[Long]]]]
@@ -1675,7 +1676,7 @@ object Similarity {
       .agg(sum("v").as("s"), count(lit(1)).as("n"))
       .select(col("label"), col("pos"), col("n"),
         expr("CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT)").as("m"))
-      .localCheckpoint()
+      .barrier()
     val norms = sums.groupBy("label")
       .agg(sum(col("m") * col("m")).as("m2"), max("n").as("n_vecs"))
     val dots = sums.as("a").join(sums.as("b"),

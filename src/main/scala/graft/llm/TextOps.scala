@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.core.Barrier.BarrierOps
 import graft.core.Tables
 import graft.mr.GoTokens
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -413,7 +414,7 @@ object TextOps {
   def labelKappa(d: DataFrame): DataFrame = {
     val conf = langId(d).groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // labels^2 rows; feeds margins + diag + stats
+      .barrier() // labels^2 rows; feeds margins + diag + stats
     val gold = conf.groupBy("lang").agg(sum("c").as("n_gold"))
     val pred = conf.groupBy("pred_lang").agg(sum("c").as("n_pred"))
     val margins = gold
@@ -1006,7 +1007,7 @@ object TextOps {
     // longs per doc.
     winnowPairsFromSets(
       winnowSets(d, k, w).select(col("doc_id"), col("selected"))
-        .localCheckpoint(),
+        .barrier(),
       threshold, saltTarget)
 
   /** The join half of [[winnowPairs]] over PRECOMPUTED (doc_id,

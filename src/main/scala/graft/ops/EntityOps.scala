@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Barrier.BarrierOps
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -116,14 +117,14 @@ object EntityOps {
     */
   private[graft] def goldenFrom(
       cIn: DataFrame, maxEdit: Int = 1, maxIters: Int = 8): DataFrame = {
-    val c = cIn.localCheckpoint() // pairs + fusion share it
+    val c = cIn.barrier() // pairs + fusion share it
     val pairs = pairsFrom(c, maxEdit).select("part_a", "part_b")
-      .localCheckpoint() // referenced twice below (answer-sized)
+      .barrier() // referenced twice below (answer-sized)
     val edges = pairs
       .select(col("part_a").as("src"), col("part_b").as("dst"))
       .unionAll(pairs.select(col("part_b").as("src"),
         col("part_a").as("dst")))
-      .localCheckpoint()
+      .barrier()
     // shared min-label loop — see GraphOps.minLabelPropagation (one
     // copy of the convergence/checkpointing subtleties, serving this
     // and Dedup.dupClusters identically)

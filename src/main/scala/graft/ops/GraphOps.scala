@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Barrier.BarrierOps
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -50,19 +51,11 @@ object GraphOps {
     * a supernode (hot dst) is an AQE skew case, and the aggregation
     * is algebraic so map-side combine absorbs most of it.
     */
-  /** Eagerly drop a localCheckpoint's storage blocks. NOTE
-    * `Dataset.unpersist` is a NO-OP for a checkpointed dataset: it only
-    * consults the CacheManager, which never sees a checkpoint's backing
-    * RDD (verified against Spark 4.1.2 — `localCheckpoint` persists the
-    * internal RDD directly and wraps it in a `LogicalRDD`). The blocks
-    * must be dropped on that RDD itself, reached via the plan's leaf.
+  /** Eagerly drop a barrier's storage blocks (see
+    * [[graft.core.Barrier.free]] for why plain `unpersist` can't).
     */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.core.Barrier.free(df)
 
   /** Connected components by MIN-LABEL PROPAGATION with per-round
     * pointer jumping — the shared loop behind
@@ -93,7 +86,7 @@ object GraphOps {
     def side(df: DataFrame): DataFrame =
       if (broadcastLabels) broadcast(df) else df
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).barrier()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -105,13 +98,13 @@ object GraphOps {
         .join(side(labels), "id")
         .select(col("id"), col("label").as("old"),
           least(col("label"), col("nmin")).as("label"))
-        .localCheckpoint()
+        .barrier()
       val next = nm.as("x")
         .join(side(nm.select(col("id").as("pid"), col("label").as("pl"))),
           col("x.label") === col("pid"), "left")
         .select(col("x.id").as("id"), col("x.old").as("old"),
           coalesce(col("pl"), col("x.label")).as("label"))
-        .localCheckpoint()
+        .barrier()
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("id", "label")
       converged = changed == 0
@@ -130,11 +123,11 @@ object GraphOps {
     // unmaterialized lineage (e.g. the eventTransitions scan + window
     // + aggregation) would re-execute per round. outW is node-sized
     // and joined per round — same treatment.
-    val e = edges.localCheckpoint()
+    val e = edges.barrier()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+      .union(e.select(col("dst"))).distinct().barrier()
     val outW = e.groupBy(col("src")).agg(sum("w").as("out_w"))
-      .localCheckpoint()
+      .barrier()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge table")
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -156,7 +149,7 @@ object GraphOps {
           col("prev"))
         // every round materializes anyway for the convergence check,
         // which also bounds lineage (the old interval-3 trade is moot)
-        .localCheckpoint()
+        .barrier()
       // driver-sized convergence probe: one max-delta scalar per round
       // (the standard power-iteration stop; saves the tail rounds on
       // small-diameter graphs where min-label-style fixpoints arrive
@@ -203,11 +196,11 @@ object GraphOps {
   def pageRankScaled(
       edges: DataFrame, iters: Int = 10, dampingPermille: Int = 850,
       scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.barrier()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+      .union(e.select(col("dst"))).distinct().barrier()
     val outW = e.groupBy(col("src")).agg(sum("w").as("out_w"))
-      .localCheckpoint()
+      .barrier()
     val n = nodes.count()
     require(n > 0, "pageRankScaled needs a non-empty edge table")
     val init = scale / n
@@ -227,7 +220,7 @@ object GraphOps {
           (lit(base) +
             expr(s"($dampingPermille * coalesce(in_rank, CAST(0 AS BIGINT)))" +
               " DIV 1000")).as("rank_scaled"))
-        .localCheckpoint()
+        .barrier()
       if (i > 0) freeCheckpoint(ranks)
       ranks = next
       i += 1
@@ -312,17 +305,17 @@ object GraphOps {
       edges: DataFrame, iters: Int = 6,
       scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, "hitsScaled needs at least one iteration")
-    val e = edges.localCheckpoint()
+    val e = edges.barrier()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().localCheckpoint()
+      .union(e.select(col("dst"))).distinct().barrier()
     def normalized(raw: DataFrame, out: String): DataFrame = nodes
       .join(raw, Seq("node"), "left")
       .crossJoin(broadcast(raw.agg(max("raw").as("m"))))
       .select(col("node"),
         coalesce(expr(s"CAST(raw * $scale DIV m AS BIGINT)"), lit(0L))
           .as(out))
-      .localCheckpoint()
-    var hubs = nodes.withColumn("h", lit(scale)).localCheckpoint()
+      .barrier()
+    var hubs = nodes.withColumn("h", lit(scale)).barrier()
     var auths: DataFrame = null
     var i = 0
     while (i < iters) {
@@ -420,7 +413,7 @@ object GraphOps {
     val li = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val train = li.filter(pmod(col("ok"), lit(7)) =!= 0)
     val test = li.filter(pmod(col("ok"), lit(7)) === 0)
     val pairs = train.as("a").join(train.as("b"),
@@ -505,13 +498,13 @@ object GraphOps {
   def personalizedPageRankScaled(
       edges: DataFrame, iters: Int = 8, dampingPermille: Int = 850,
       scale: Long = 1000000000000L): DataFrame = {
-    val e0 = edges.localCheckpoint()
+    val e0 = edges.barrier()
     val sym = e0.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(e0.select(col("v").as("src"), col("u").as("dst"), col("w")))
-      .localCheckpoint()
-    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+      .barrier()
+    val nodes = sym.select(col("src").as("node")).distinct().barrier()
     val outW = sym.groupBy(col("src")).agg(sum("w").as("out_w"))
-      .localCheckpoint()
+      .barrier()
     val seed = nodes.agg(min("node").as("seed"))
     val base = ((1000L - dampingPermille) * scale) / 1000L
     var ranks = nodes.crossJoin(broadcast(seed))
@@ -533,7 +526,7 @@ object GraphOps {
           (when(col("node") === col("seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($dampingPermille * coalesce(in_rank, CAST(0 AS BIGINT)))" +
               " DIV 1000")).as("rank_scaled"))
-        .localCheckpoint()
+        .barrier()
       if (i > 0) freeCheckpoint(ranks)
       ranks = next
       i += 1
@@ -611,26 +604,26 @@ object GraphOps {
     * lifecycle). Cost stays in int64: ≤ rounds · 10⁶.
     */
   def ssspScaled(edges: DataFrame, rounds: Int = 6): DataFrame = {
-    val e0 = edges.localCheckpoint()
+    val e0 = edges.barrier()
     val sym = e0
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(e0.select(col("v").as("src"), col("u").as("dst"),
         col("w")))
       .select(col("src"), col("dst"), expr("1000000 DIV w").as("cost"))
-      .localCheckpoint()
+      .barrier()
     val seed = sym.agg(min("src").as("seed"))
     var dist = sym.crossJoin(broadcast(seed))
       .filter(col("src") === col("seed"))
       .select(col("src").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .barrier()
     var i = 0
     while (i < rounds) {
       val relaxed = dist.join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
       val next = dist.unionByName(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .barrier()
       freeCheckpoint(dist)
       dist = next
       i += 1
@@ -863,10 +856,10 @@ object GraphOps {
     * discipline). Nothing global, nothing collected.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.barrier()
     val sym = e.select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst"), col("w")))
-      .localCheckpoint()
+      .barrier()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     // only label tables the loop itself checkpointed may be freed —
@@ -882,7 +875,7 @@ object GraphOps {
         .orderBy(col("wv").desc, col("label").asc)
       labels = votes.withColumn("rn", row_number().over(win))
         .filter(col("rn") === 1).select("node", "label")
-        .localCheckpoint() // eager — safe to drop the previous round
+        .barrier() // eager — safe to drop the previous round
       freeable.foreach(freeCheckpoint)
       freeable = Some(labels)
     }
@@ -948,7 +941,7 @@ object GraphOps {
     // the full upstream edge derivation (the co-occurrence self-join),
     // a 69-exchange plan at any scale (same lineage discipline as
     // pageRank / dupClusters; both lists are |E|-sized)
-    val e = edges.localCheckpoint()
+    val e = edges.barrier()
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -960,7 +953,7 @@ object GraphOps {
       .select(
         when(fwd, col("u")).otherwise(col("v")).as("s"),
         when(fwd, col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint()
+      .barrier()
     val tri = orient.as("e1")
       .join(orient.as("e2"), col("e1.t") === col("e2.s"))
       .join(orient.as("e3"),
@@ -1031,10 +1024,10 @@ object GraphOps {
     */
   def linkPrediction(
       edges: DataFrame, minCn: Int = 2, maxDeg: Long = 64): DataFrame = {
-    val e = edges.select("u", "v").localCheckpoint()
+    val e = edges.select("u", "v").barrier()
     val adj = e.select(col("u").as("z"), col("v").as("nb"))
       .unionByName(e.select(col("v").as("z"), col("u").as("nb")))
-    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg")).barrier()
     val small = adj.join(deg.filter(col("deg") <= maxDeg), "z")
     val wedges = small.as("a")
       .join(small.as("b"),
@@ -1166,10 +1159,10 @@ object GraphOps {
     * blocks freed only after the next is materialized).
     */
   def kCore(edges: DataFrame, k: Int = 3, iters: Int = 4): DataFrame = {
-    val e = edges.select("u", "v").localCheckpoint()
+    val e = edges.select("u", "v").barrier()
     var cur = e.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+      .barrier()
     var freeable: Option[DataFrame] = Some(cur)
     for (_ <- 0 until iters) {
       val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -1177,7 +1170,7 @@ object GraphOps {
       val next = cur.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
-        .localCheckpoint() // eager — safe to drop the previous round
+        .barrier() // eager — safe to drop the previous round
       freeable.foreach(freeCheckpoint)
       freeable = Some(next)
       cur = next
@@ -1247,7 +1240,7 @@ object GraphOps {
     val e = coOccurrenceEdges(Tables.load(s, dir, "lineitem"))
     e.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+      .barrier()
       .createOrReplaceTempView(view)
     s.sql(
       s"""WITH RECURSIVE sym AS (

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.Barrier.BarrierOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,7 +43,7 @@ object DocStreams {
     import graft.functions.text.hashed_sorted_shingles
     val refSh = reference
       .select(explode(hashed_sorted_shingles(col("text"), n)).as("g"))
-      .distinct().localCheckpoint()
+      .distinct().barrier()
     docsStream
       .select(col("doc_id"),
         explode(hashed_sorted_shingles(col("text"), n)).as("g"))

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.core.Barrier.BarrierOps
 import graft.core.{Graft, Tables}
 import graft.llm.Dedup
 import org.apache.spark.sql.functions._
@@ -31,7 +32,7 @@ object ClusterProf {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     time("edges union+repart+ckpt")(
-      edgesRaw.repartition(col("src")).localCheckpoint().count())
+      edgesRaw.repartition(col("src")).barrier().count())
     time("dupClusters full")(Dedup.dupClusters(d).count())
     time("dupClusters full again")(Dedup.dupClusters(d).count())
     spark.stop()

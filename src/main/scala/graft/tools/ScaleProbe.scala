@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.core.Barrier.BarrierOps
 import graft.core.{Layout, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,7 +58,7 @@ object ScaleProbe {
 
     if (args.contains("salt")) {
       val docs10 = rep(Tables.load(spark, dir, "documents"), Seq("doc_id"), 10)
-        .localCheckpoint() // probe the JOIN, not the union re-scan
+        .barrier() // probe the JOIN, not the union re-scan
       // peak single-task runtime across the query — output skew shows
       // up as one task grinding through a hot rank's n^2 pairs
       final class TaskPeak extends org.apache.spark.scheduler.SparkListener {
@@ -108,7 +109,7 @@ object ScaleProbe {
             when(col("id") < c, lit(0x1234567890abcdefL))
               .when(col("id") < 2 * c, lit(0x0fedcba987654321L))
               .otherwise(xxhash64(col("id"))).as("phash"))
-            .localCheckpoint() // probe the join, not the generation
+            .barrier() // probe the join, not the generation
           // identity across salt settings is asserted on (count, an
           // order-independent pair checksum) — a count alone would
           // pass a salting bug that swaps WHICH pairs are emitted
@@ -172,7 +173,7 @@ object ScaleProbe {
           when(pmod(col("id"), lit(50)) === 0,
             concat_ws(" ", filler(1, 30), lit(shared), filler(31, 60)))
             .otherwise(concat_ws(" ", filler(1, 60))).as("text"))
-          .localCheckpoint() // probe the join, not the generation
+          .barrier() // probe the join, not the generation
       }
       // 16x included because winnow's hot work spreads over the
       // section's ~15 shared hashes (unlike hamming's 4 band buckets),
@@ -249,7 +250,7 @@ object ScaleProbe {
             concat_ws(" ", filler(1, 14), lit(section), filler(15, 28)))
             .otherwise(concat_ws(" ", filler(1, 40))).as("text"))
           .unionByName(quotes)
-          .localCheckpoint() // probe the join, not the generation
+          .barrier() // probe the join, not the generation
       }
       Seq("1x (30k docs, 600 carriers)" -> 30000L,
         "4x (120k docs, 2400 carriers)" -> 120000L).foreach {
@@ -303,7 +304,7 @@ object ScaleProbe {
             transform(sequence(lit(0), lit(63)), i =>
               ((pmod(hash(col("id"), i), lit(2001)) - lit(1000)) / lit(1000.0))
                 .cast("float")).as("embedding"))
-            .localCheckpoint() // probe the join, not the generation
+            .barrier() // probe the join, not the generation
           Seq(
             "float32" -> (() => graft.llm.Dedup.embeddingPairs(
               vecs, threshold = 0.9, nPlanes = 14, nTables = 2)),
@@ -346,13 +347,13 @@ object ScaleProbe {
         transform(sequence(lit(0), lit(63)), i =>
           ((pmod(hash(col("id") * 7919L, i), lit(2001)) - lit(1000))
             / lit(1000.0)).cast("float")).as("embedding"))
-        .localCheckpoint()
+        .barrier()
       def corpus(n: Long) = spark.range(n).select(
         col("id").as("vec_id"),
         transform(sequence(lit(0), lit(63)), i =>
           ((pmod(hash(col("id"), i), lit(2001)) - lit(1000)) / lit(1000.0))
             .cast("float")).as("embedding"))
-        .localCheckpoint()
+        .barrier()
       val c1 = corpus(250000L)
       val c4 = corpus(1000000L)
       // the deployment response to a bigger corpus is MORE cells (keep
@@ -366,7 +367,7 @@ object ScaleProbe {
         .foreach { case (label, c, book) =>
           val t0 = System.nanoTime()
           val index = graft.llm.Similarity.ivfIndexInt8(c, book)
-            .localCheckpoint() // the build-once artifact
+            .barrier() // the build-once artifact
           val build = (System.nanoTime() - t0) / 1e9
           val mk = () => graft.llm.Similarity.ivfSearchInt8Indexed(
             index, queries, book, k = 10, nProbe = 4)
@@ -402,7 +403,7 @@ object ScaleProbe {
         transform(sequence(lit(0), lit(63)), i =>
           ((pmod(hash(col("id"), i), lit(2001)) - lit(1000)) / lit(1000.0))
             .cast("float")).as("embedding"))
-        .localCheckpoint()
+        .barrier()
       Seq(("250k", corpus(250000L)), ("1M", corpus(1000000L)))
         .foreach { case (label, c) =>
           Seq(("fixed mod 4", 4L), ("bounded", 0L)).foreach {
@@ -456,7 +457,7 @@ object ScaleProbe {
             array_join(concat(
               array_repeat(lit("aa"), letters),
               array_repeat(lit("11"), digits)), " ").as("text"))
-            .localCheckpoint() // probe the operator, not the generation
+            .barrier() // probe the operator, not the generation
           // budget scales with the corpus so the selection cuts at the
           // same relative depth (~1/3 of the dominant domain's tokens)
           val budget = nDocs * 5L
@@ -515,7 +516,7 @@ object ScaleProbe {
             concat(lit("p"), uniq), concat(lit("q"), uniq),
             concat(lit("r"), uniq), concat(lit("s"), uniq),
             concat(lit("t"), uniq), concat(lit("u"), uniq))).as("text"))
-        .localCheckpoint()
+        .barrier()
       val ref = spark.range(1).select(
         col("id").as("doc_id"), lit(evalText).as("text"))
       Seq(
@@ -565,7 +566,7 @@ object ScaleProbe {
                 concat(lit("zd"), uniq), concat(lit("ze"), uniq),
                 concat(lit("zf"), uniq), concat(lit("zg"), uniq),
                 concat(lit("zh"), uniq), concat(lit("zi"), uniq)))
-          ).as("text")).localCheckpoint()
+          ).as("text")).barrier()
       }
       Seq("1x (500k docs)" -> 500000L, "4x (2M docs)" -> 2000000L)
         .foreach { case (label, n) =>
@@ -597,7 +598,7 @@ object ScaleProbe {
         (col("id") % nNodes).as("src"),
         (pmod(col("id") * 2654435761L, lit(nNodes)) %
           (pmod(col("id") * 31, lit(997L)) + 1)).as("dst"),
-        lit(1L).as("w")).localCheckpoint()
+        lit(1L).as("w")).barrier()
       Seq("1x (5M edges, 1M nodes)" -> ((5000000L, 1000000L)),
         "4x (20M edges, 4M nodes)" -> ((20000000L, 4000000L)))
         .foreach { case (label, (e, nn)) =>
@@ -638,7 +639,7 @@ object ScaleProbe {
             expr(s"(id DIV $core) * 2 + 1"), lit(core)).as("v"))
         periphery.unionByName(corePart)
           .filter(col("u") =!= col("v"))
-          .localCheckpoint()
+          .barrier()
       }
       Seq("1x (1M edges, 1M nodes)" -> ((1000000L, 1000000L)),
         "4x (4M edges, 4M nodes)" -> ((4000000L, 4000000L)))
@@ -672,7 +673,7 @@ object ScaleProbe {
           (pmod(col("id") * 31, lit(997L)) + 1)).as("v"),
         lit(1L).as("w"))
         .filter(col("u") =!= col("v"))
-        .localCheckpoint()
+        .barrier()
       Seq("1x (1M edges, 200k nodes)" -> ((1000000L, 200000L)),
         "4x (4M edges, 800k nodes)" -> ((4000000L, 800000L)))
         .foreach { case (label, (e, nn)) =>
@@ -706,7 +707,7 @@ object ScaleProbe {
           (pmod(col("id") * 31, lit(997L)) + 1)).as("v"),
         (pmod(col("id"), lit(9L)) + 1L).as("w"))
         .filter(col("u") =!= col("v"))
-        .localCheckpoint()
+        .barrier()
       Seq("1x (1M edges, 200k nodes)" -> ((1000000L, 200000L)),
         "4x (4M edges, 800k nodes)" -> ((4000000L, 800000L)))
         .foreach { case (label, (e, nn)) =>
@@ -750,7 +751,7 @@ object ScaleProbe {
           pmod(col("id") * 2654435761L, lit(nNodes)).as("v"),
           lit(1L).as("w"))
         intra.unionByName(inter)
-          .filter(col("u") =!= col("v")).localCheckpoint()
+          .filter(col("u") =!= col("v")).barrier()
       }
       Seq("1x (2M edges, 500k nodes)" -> ((2000000L, 500000L)),
         "4x (8M edges, 2M nodes)" -> ((8000000L, 2000000L)))
@@ -789,7 +790,7 @@ object ScaleProbe {
           (pmod(col("id") * 31, lit(997L)) + 1)).as("dst"),
         (pmod(col("id"), lit(5L)) + 1L).as("w"))
         .filter(col("src") =!= col("dst"))
-        .localCheckpoint()
+        .barrier()
       Seq("1x (1M edges, 200k nodes)" -> ((1000000L, 200000L)),
         "4x (4M edges, 800k nodes)" -> ((4000000L, 800000L)))
         .foreach { case (label, (e, nn)) =>
@@ -826,7 +827,7 @@ object ScaleProbe {
       val base = Tables.load(spark, dir, "documents")
         .select("doc_id", "text")
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
-        val d = rep(base, Seq("doc_id"), n).localCheckpoint()
+        val d = rep(base, Seq("doc_id"), n).barrier()
         val l = new ShuffleSum
         spark.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime()
@@ -857,7 +858,7 @@ object ScaleProbe {
       val base = Tables.load(spark, dir, "documents")
         .select("doc_id", "source", "n_chars")
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
-        val d = rep(base, Seq("doc_id"), n).localCheckpoint()
+        val d = rep(base, Seq("doc_id"), n).barrier()
         val l = new ShuffleSum
         spark.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime()
@@ -891,7 +892,7 @@ object ScaleProbe {
       val base = Tables.load(spark, dir, "documents")
         .select("doc_id", "text")
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
-        val d = rep(base, Seq("doc_id"), n).localCheckpoint()
+        val d = rep(base, Seq("doc_id"), n).barrier()
         val l = new ShuffleSum
         spark.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime()
@@ -926,7 +927,7 @@ object ScaleProbe {
       val base = Tables.load(spark, dir, "embeddings")
         .select("vec_id", "embedding", "label")
       Seq("1x" -> 1, "16x" -> 16).foreach { case (label, n) =>
-        val d = rep(base, Seq("vec_id"), n).localCheckpoint()
+        val d = rep(base, Seq("vec_id"), n).barrier()
         val cnt = d.count()
         val l = new ShuffleSum
         spark.sparkContext.addSparkListener(l)
@@ -977,7 +978,7 @@ object ScaleProbe {
         base.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
           .withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"z$i$$1"))
-      }.reduce(_ unionAll _).localCheckpoint()
+      }.reduce(_ unionAll _).barrier()
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
         val d = corpus(n)
         val nPairs = graft.llm.Dedup.jaccardPairs(d, 0.5).count()
@@ -1026,7 +1027,7 @@ object ScaleProbe {
         base.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
           .withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"z$i$$1"))
-      }.reduce(_ unionAll _).localCheckpoint()
+      }.reduce(_ unionAll _).barrier()
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
         val d = corpus(n)
         graft.llm.Dedup.detectorVenn(d).count() // warm
@@ -1063,7 +1064,7 @@ object ScaleProbe {
         base.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
           .withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"z$i$$1"))
-      }.reduce(_ unionAll _).localCheckpoint()
+      }.reduce(_ unionAll _).barrier()
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
         val d = corpus(n)
         graft.llm.Dedup.minhashCalibration(d).count() // warm
@@ -1102,7 +1103,7 @@ object ScaleProbe {
         base.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
           .withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"z$i$$1"))
-      }.reduce(_ unionAll _).localCheckpoint()
+      }.reduce(_ unionAll _).barrier()
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
         val d = corpus(n)
         var seen = Set.empty[(Long, Long)]
@@ -1155,7 +1156,7 @@ object ScaleProbe {
           col("p_name"),
           concat(col("p_brand"), lit(s"_r$i")).as("p_brand"),
           col("p_type"), col("p_size"), col("p_retailprice"))
-      }.reduce(_ unionAll _).localCheckpoint()
+      }.reduce(_ unionAll _).barrier()
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
         val d = corpus(n)
         val rows = d.count()
@@ -1198,7 +1199,7 @@ object ScaleProbe {
           lit("hot commodity sku").as("p_name"),
           lit("Brand#HOT").as("p_brand"), lit("ECONOMY").as("p_type"),
           lit(1).cast("int").as("p_size"),
-          lit(1.0).as("p_retailprice"))).localCheckpoint()
+          lit(1.0).as("p_retailprice"))).barrier()
       var seen = Set.empty[(Long, Long)]
       val prevBroadcast =
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1253,7 +1254,7 @@ object ScaleProbe {
       val base = Tables.load(spark, dir, "documents")
         .select("doc_id", "text")
       Seq("1x" -> 1, "4x" -> 4).foreach { case (label, n) =>
-        val d = rep(base, Seq("doc_id"), n).localCheckpoint()
+        val d = rep(base, Seq("doc_id"), n).barrier()
         val l = new ShuffleSum
         spark.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime()
@@ -1303,7 +1304,7 @@ object ScaleProbe {
             .otherwise(concat(lit("x"), uniq)),
           concat(lit("p"), uniq), concat(lit("q"), uniq),
           concat(lit("r"), uniq), concat(lit("s"), uniq)).as("text"))
-        .localCheckpoint() // probe the aggregation, not range+concat
+        .barrier() // probe the aggregation, not range+concat
       val phi = 0.02
       def direct(): DataFrame = {
         val toks = synth.select(
@@ -1346,7 +1347,7 @@ object ScaleProbe {
         transform(sequence(lit(0), lit(63)), i =>
           ((pmod(hash(col("id"), i), lit(2001)) - lit(1000)) / lit(1000.0))
             .cast("float")).as("embedding"))
-        .localCheckpoint()
+        .barrier()
       val c = corpus(1000000L)
       val books = Similarity.pqCodebooks(c)
       val tmp = java.nio.file.Files.createTempDirectory("graft-pq-probe")
@@ -1377,7 +1378,7 @@ object ScaleProbe {
       // the deployment shape: the code table is the STORED index
       // (built once), queries arrive as fresh batches
       val index4 = Similarity.pqEncode(c4, books4)
-        .select("vec_id", "codeword").localCheckpoint()
+        .select("vec_id", "codeword").barrier()
       def timed(label: String)(mk: => DataFrame): Unit = {
         mk.count() // warm
         val t0 = System.nanoTime()

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.core.Barrier.BarrierOps
 import graft.core.{Graft, Tables}
 
 /** Dev profiler for the winnow family. */
@@ -18,7 +19,7 @@ object WinnowProf {
       import org.apache.spark.sql.functions._
       import graft.functions.vector.{sorted_first_common, sorted_jaccard}
       val sets = graft.llm.TextOps.winnowSets(d, 4, 5)
-        .select(col("doc_id"), col("selected")).localCheckpoint()
+        .select(col("doc_id"), col("selected")).barrier()
       val ex = sets.select(col("doc_id"), col("selected"),
         explode(col("selected")).as("h"))
       time("ex.count")(ex.count())
