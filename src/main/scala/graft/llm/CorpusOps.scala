@@ -43,6 +43,39 @@ object CorpusOps {
     }
   }
 
+  /** Merge MG sketch `b` into `a` in place (Agarwal et al.,
+    * "Mergeability of Summaries"): sum counters keywise; if the union
+    * exceeds `capacity` slots, subtract the (capacity+1)-th largest
+    * counter value from every entry and drop the non-positive ones.
+    * Undercount after merging sketches covering n1 and n2 items is
+    * < (n1+n2)/(capacity+1), the same bound as one sketch over the
+    * concatenation — so a tree of merges preserves [[freqTerms]]'s
+    * superset guarantee while keeping every intermediate at
+    * `capacity` entries.
+    */
+  private[graft] def mgMerge(
+      a: java.util.HashMap[String, Long], b: java.util.HashMap[String, Long],
+      capacity: Int): Unit = {
+    val itB = b.entrySet().iterator()
+    while (itB.hasNext) {
+      val en = itB.next()
+      a.put(en.getKey, a.getOrDefault(en.getKey, 0L) + en.getValue)
+    }
+    if (a.size > capacity) {
+      val vals = new Array[Long](a.size)
+      var i = 0
+      a.values().forEach { v => vals(i) = v; i += 1 }
+      java.util.Arrays.sort(vals)
+      val dec = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+      val itA = a.entrySet().iterator()
+      while (itA.hasNext) {
+        val en = itA.next()
+        val nv = en.getValue - dec
+        if (nv <= 0L) itA.remove() else en.setValue(nv)
+      }
+    }
+  }
+
   // --------------------------------------------------------------------
   // Frequent terms: per-partition Misra-Gries sketch + exact recount.
   // --------------------------------------------------------------------
@@ -53,26 +86,29 @@ object CorpusOps {
     *
     * Pass 1 runs a Misra-Gries summary of `capacity` slots inside each
     * partition (genuine per-partition imperative state — the documented
-    * `mapPartitions` exception). MG guarantees any item with partition
-    * count >= n_p/(capacity+1) survives that partition's sketch; an
-    * item with global count >= N/(capacity+1) therefore survives in at
-    * least one partition (if it survived nowhere, summing the per-
-    * partition bounds gives global < N/(capacity+1)). With
-    * (capacity+1)*phi STRICTLY > 1 the union of sketches is a superset
-    * of the answer (at exact equality a boundary term can be evicted
-    * everywhere). The same pass emits one sentinel row per partition
-    * carrying the partition's token count, so N needs no extra scan.
+    * `mapPartitions` exception), then TREE-MERGES the per-partition
+    * sketches ([[mgMerge]]: sum counters, subtract the (capacity+1)-th
+    * largest, drop non-positive — the Agarwal et al. mergeable-summary
+    * rule) via `treeAggregate`, so what reaches the driver is ONE
+    * `capacity`-slot sketch regardless of partition count, not
+    * capacity x numPartitions candidates. Merged-MG undercount over N
+    * items is < N/(capacity+1); with (capacity+1)*phi STRICTLY > 1 any
+    * term with true count >= ceil(phi*N) keeps a positive residual in
+    * the merged sketch, so the candidate set is a superset of the
+    * answer (at exact equality a boundary term could cancel). The same
+    * aggregate carries the global token count, so N needs no extra
+    * scan.
     *
     * Pass 2 broadcast-semi-joins the corpus tokens against the
     * candidate set and recounts exactly — shuffle volume is
-    * O(candidates x partitions), not O(vocabulary). The driver-side
-    * collect is bounded by (capacity+1) x numPartitions short strings,
-    * same class as the partition-firsts collect in [[Dedup]].
+    * O(candidates x partitions), not O(vocabulary).
     *
     * At 100 TB: 2 corpus scans, both map-only until a candidate-sized
     * aggregation. A direct groupBy would shuffle every distinct token
     * (URLs, typos, hashes — easily billions of keys); this shuffles at
-    * most `capacity x partitions` keys.
+    * most `capacity x partitions` keys, and the sketch merge moves
+    * capacity-sized maps up a 2-level tree instead of fanning them all
+    * into the driver.
     */
   def freqTerms(
       d: DataFrame, phi: Double = 0.02, capacity: Int = 128): DataFrame = {
@@ -92,21 +128,18 @@ object CorpusOps {
     val toks = d
       .select(explode(TextOps.letterTokens(col("text"))).as("tok"))
 
-    // Sentinel key carries the per-partition token count; a NUL (\u0000) can
-    // never appear in a letter-run token.
-    val Sentinel = "\u0000n"
-    val sketch: Array[(String, Long)] = toks.as[String].mapPartitions { it =>
-      val acc = new java.util.HashMap[String, Long](capacity * 2)
-      var n = 0L
-      it.foreach { t => n += 1; mgAdd(acc, t, capacity) }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      out += ((Sentinel, n))
-      acc.keySet().forEach(k => out += ((k, 0L)))
-      out.iterator
-    }.collect()
-
-    val nTotal = sketch.collect { case (Sentinel, n) => n }.sum
-    val cands = sketch.collect { case (t, _) if t != Sentinel => t }.distinct
+    // Tree-merged MG: the accumulator is (sketch, tokens-seen); combOp
+    // folds partition sketches pairwise up a depth-2 tree, so the
+    // driver receives one capacity-slot map, not one per partition.
+    val (mgSketch, nTotal) = toks.as[String].rdd.treeAggregate(
+      (new java.util.HashMap[String, Long](capacity * 2), 0L))(
+      seqOp = { case ((acc, n), t) => mgAdd(acc, t, capacity); (acc, n + 1) },
+      combOp = { case ((a, na), (b, nb)) =>
+        mgMerge(a, b, capacity); (a, na + nb)
+      },
+      depth = 2)
+    val cands = scala.collection.mutable.ArrayBuffer.empty[String]
+    mgSketch.keySet().forEach(k => cands += k)
     val thresh = math.ceil(phi * nTotal).toLong
     val candDf = cands.toSeq.toDF("tok")
     toks.join(broadcast(candDf), "tok")

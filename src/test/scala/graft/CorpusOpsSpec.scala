@@ -67,6 +67,47 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("freqTerms is invariant to INPUT partition count (tree merge)") {
+    // The sketch runs over scan partitions (not shuffle partitions),
+    // and pass 1 tree-merges them — the exact recount must erase any
+    // partitioning dependence of the candidate set.
+    val baseline = CorpusOps.freqTerms(docs, phi = 0.02, capacity = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(baseline.nonEmpty)
+    Seq(1, 3, 8).foreach { n =>
+      val got = CorpusOps.freqTerms(
+        docs.repartition(n), phi = 0.02, capacity = 128)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === baseline, s"differs at $n input partitions")
+    }
+  }
+
+  test("mgMerge keeps capacity and the merged undercount bound") {
+    def sketch(items: Seq[String], cap: Int) = {
+      val m = new java.util.HashMap[String, Long]()
+      items.foreach(CorpusOps.mgAdd(m, _, cap))
+      m
+    }
+    // Two streams whose union makes 'hot' frequent; merge at cap=4.
+    val s1 = Seq.fill(10)("hot") ++ (0 until 12).map(i => s"a$i")
+    val s2 = Seq.fill(8)("hot") ++ (0 until 12).map(i => s"b$i")
+    val a = sketch(s1, 4)
+    val b = sketch(s2, 4)
+    CorpusOps.mgMerge(a, b, 4)
+    assert(a.size <= 4, s"merged sketch exceeded capacity: ${a.size}")
+    val n = (s1.size + s2.size).toLong
+    // merged-MG undercount < N/(cap+1): any residual is a lower bound
+    // within that slack of the true count, and 'hot' (true 18 > N/5)
+    // must survive with a positive counter
+    assert(a.containsKey("hot"), s"frequent item evicted by merge: $a")
+    val trueCounts = (s1 ++ s2).groupBy(identity).view.mapValues(_.size.toLong)
+    a.forEach { (k, v) =>
+      val t = trueCounts(k)
+      assert(v <= t && t - v < n.toDouble / 5,
+        s"$k residual $v outside MG bound of true $t")
+    }
+  }
+
   // -------------------------------------------------------------- BM25
 
   test("bm25 matches a hand-computed score on a tiny corpus") {
