@@ -389,7 +389,7 @@ object Similarity {
       sampleMod: Long = 0): Array[Array[Double]] = {
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
-    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(e.count(), k)
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(memoCount(e), k)
     val sample = e.filter(pmod(col("vec_id"), lit(mod)) === 0)
     var cents: Array[Array[Double]] =
       sample.orderBy("vec_id").limit(k).collect().map(vecOf)
@@ -479,6 +479,20 @@ object Similarity {
   private[graft] def boundedTrainMod(n: Long, k: Int): Long =
     4L * math.max(1L, math.ceil(n / (4.0 * trainTarget(k))).toLong)
 
+  /** Memoized row count for the auto-modulus: every untrained codebook
+    * call ([[ivfCentroids]]/[[ivfCentroidsInt8]]/[[pqCodebooks]]) needs
+    * the corpus count before training, and a cold run trains several
+    * codebooks over the SAME relation — keyed on the canonicalized
+    * logical plan, they now share one count job per session instead of
+    * paying a scan each ([[graft.core.SessionCache]] evicts with the
+    * session, the same freshness assumption as the codebook caches).
+    */
+  private val trainCountCache = new graft.core.SessionCache[String, Long]
+  private def memoCount(e: DataFrame): Long =
+    trainCountCache.getOrElseUpdate(
+      e.sparkSession, e.queryExecution.analyzed.canonicalized.toString)(
+      e.count())
+
   /** [[boundedTrainMod]] over a named relation, as a DuckDB scalar
     * subquery (the denominator is inlined so both engines divide by
     * the identical double literal).
@@ -507,7 +521,7 @@ object Similarity {
   private[graft] def ivfCentroidsInt8(
       e: DataFrame, k: Int = 16, iters: Int = 2,
       sampleMod: Long = 0): Array[Array[Long]] = {
-    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(e.count(), k)
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(memoCount(e), k)
     val sample = withUnitQuantized(e)
       .filter(pmod(col("vec_id"), lit(mod)) === 0)
     def longs(r: org.apache.spark.sql.Row): Array[Long] =
@@ -973,7 +987,7 @@ object Similarity {
       : Array[Array[Array[Long]]] = {
     // modulus from the RAW count — the oracle's qtrain counts the raw
     // embeddings relation, before the zero-vector quantization filter
-    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(e.count(), k)
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(memoCount(e), k)
     pqCodebooksQ(withUnitQuantized(e), m, subDim, k, iters, mod)
   }
 
@@ -986,7 +1000,7 @@ object Similarity {
       : Array[Array[Array[Long]]] = {
     // auto-modulus counts `q` itself — the residual path's oracle
     // counts the resid CTE, the same (post-quantization) relation
-    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(q.count(), k)
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(memoCount(q), k)
     val sample = q.filter(pmod(col("vec_id"), lit(mod)) === 0)
     def longs(r: org.apache.spark.sql.Row): Array[Long] =
       r.getAs[scala.collection.Seq[Long]]("qn").toArray
