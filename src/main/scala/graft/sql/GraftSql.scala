@@ -34,10 +34,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSql {
 
-  /** Bind table views + custom functions on `spark`. Idempotent. */
+  // The dir this facade last bound on each session. Weak keys are
+  // sound here (unlike the DataFrame caches): the String value holds
+  // no reference back to its session.
+  private val bound = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String])
+
+  /** Bind table views + custom functions on `spark`. Idempotent, and
+    * repeat calls with the SAME dir leave the catalog alone — so a
+    * same-named temp view the user bound after the first init survives
+    * subsequent [[sql]]/[[named]] calls (user override wins). Changing
+    * `sfDir` rebinds all ten views, clobbering any same-named user
+    * view — users with their own views over other data should run
+    * plain `spark.sql` after [[GraftFunctions.register]] instead of
+    * this facade. A view the user DROPPED is re-bound on the next
+    * call (the catalog is re-checked, not just the memo).
+    */
   def init(spark: SparkSession, sfDir: String): Unit = {
-    Tables.registerAll(spark, sfDir)
     GraftFunctions.register(spark)
+    if (bound.get(spark) != sfDir ||
+        !Tables.names.forall(spark.catalog.tableExists)) {
+      Tables.registerAll(spark, sfDir)
+      bound.put(spark, sfDir)
+    }
   }
 
   /** Run one SQL statement against the `sfDir` tables. */
@@ -59,12 +78,19 @@ object GraftSql {
     * which is why this entry point exists instead of documenting a
     * recipe: windowed aggregates in the statement get bounded state for
     * free. Custom graft expressions resolve in the statement text.
+    *
+    * Pass `sfDir` when the statement joins the stream against the
+    * star-schema dimensions (customer, region, ...) — it binds the
+    * batch views via [[init]] before compiling. Without it only the
+    * stream view and the functions are registered, so a dimension join
+    * needs a prior `init(spark, sfDir)` by the caller.
     */
   def sqlStream(
       spark: SparkSession, stream: DataFrame, statement: String,
       viewName: String = "events_stream", watermarkCol: String = "ts",
-      delay: String = "30 minutes"): DataFrame = {
+      delay: String = "30 minutes", sfDir: Option[String] = None): DataFrame = {
     GraftFunctions.register(spark)
+    sfDir.foreach(init(spark, _))
     stream.withWatermark(watermarkCol, delay)
       .createOrReplaceTempView(viewName)
     spark.sql(statement)
@@ -81,6 +107,26 @@ object GraftSql {
       |    AS value_cents
       |FROM events_stream
       |GROUP BY window(ts, '1 hour'), event_type""".stripMargin
+
+  /** SLIDING per-type pulse (1 h window every 30 min) — each event
+    * lands in two windows; the second statement of the streaming-SQL
+    * catalog, batch==stream-pinned like [[streamPulse]].
+    */
+  val streamSlidingPulse: String =
+    """SELECT window(ts, '1 hour', '30 minutes').start AS ws, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events_stream
+      |GROUP BY window(ts, '1 hour', '30 minutes'), event_type""".stripMargin
+
+  /** The streaming-statement catalog: every entry compiles via
+    * [[sqlStream]] and is spec-pinned bit-for-bit against the same
+    * statement over the batch view.
+    */
+  val streamStatements: Map[String, String] = Map(
+    "stream_pulse" -> streamPulse,
+    "stream_sliding_pulse" -> streamSlidingPulse)
 
   // ------------------------------------------------- statement catalog
 
@@ -144,11 +190,106 @@ object GraftSql {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderstatus = 'O')""".stripMargin
 
+  /** Top-k without a global sort: Catalyst plans the ORDER BY + LIMIT
+    * as TakeOrderedAndProject. Statement == oracle (dialect
+    * intersection) == the [[graft.ops.Relational.qTopK]] builder.
+    */
+  private val topOrders: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Exact dedup in SQL text — one hash-partitioned groupBy on the
+    * 16-byte digest, the [[graft.llm.Dedup.exact]] twin. Spark's md5
+    * wants binary (explicit cast); DuckDB's takes the string directly.
+    */
+  private val dedupExact: String =
+    """SELECT md5(CAST(text AS BINARY)) AS text_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Click→purchase funnel, the [[graft.ops.EventOps.funnel]] twin:
+    * two user-keyed aggregates + one co-partitioned self-join, no
+    * per-row subqueries. Spark spells epoch micros `unix_micros(ts)`;
+    * the oracle's `epoch_us(CAST(ts AS TIMESTAMP))` is the only
+    * dialect split.
+    */
+  private val eventsFunnel: String =
+    """WITH base AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS n_clicks,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS n_purchases,
+      |    min(CASE WHEN event_type = 'click'
+      |      THEN unix_micros(ts) END) AS first_click_us
+      |  FROM events GROUP BY user_id),
+      |pa AS (
+      |  SELECT e.user_id,
+      |    min(CASE WHEN e.event_type = 'purchase'
+      |      AND unix_micros(e.ts) >= b.first_click_us
+      |      THEN unix_micros(e.ts) END) AS first_purchase_after_us
+      |  FROM events e JOIN base b ON e.user_id = b.user_id
+      |  GROUP BY e.user_id)
+      |SELECT b.user_id, b.n_clicks, b.n_purchases, b.first_click_us,
+      |  pa.first_purchase_after_us,
+      |  CAST(CASE WHEN pa.first_purchase_after_us IS NOT NULL
+      |    THEN 1 ELSE 0 END AS BIGINT) AS converted
+      |FROM base b LEFT JOIN pa ON b.user_id = pa.user_id""".stripMargin
+
+  /** Integer-scored TF-IDF top-3 via the [[graft.functions.TokenCounts]]
+    * kernel in SQL text (map-side per-doc term counts — the explode
+    * emits (word, tf) directly, no (doc, token) shuffle), the
+    * [[graft.llm.TextOps.tfidf]] twin. The oracle re-tokenizes with
+    * regexp_split_to_array; scores are exact integers so the split
+    * can't drift.
+    */
+  private val textTfidf: String =
+    """WITH tf AS (
+      |  SELECT doc_id, word, tf
+      |  FROM documents
+      |  LATERAL VIEW explode(token_counts(text)) AS word, tf),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    tf.tf * CAST(1000000 * n.n DIV df.df AS BIGINT) AS score
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+      |SELECT doc_id, word, score, rank FROM (
+      |  SELECT doc_id, word, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, word) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
+  /** Brute-force cosine top-10 with the codegen'd
+    * [[graft.functions.CosineSimilarity]] kernel in SQL text, the
+    * [[graft.llm.Similarity.bruteForceTopK]] twin. The query side
+    * carries ORDER BY + LIMIT 5 so the broadcast build side has the
+    * same structural row bound the builder proves to the plan audit.
+    * Oracle spells the kernel `list_cosine_similarity` over
+    * DOUBLE-cast lists.
+    */
+  private val knnBrute: String =
+    """SELECT query_id, vec_id, rank FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY cosine_similarity(q.embedding, e.embedding)
+      |        DESC, e.vec_id) AS BIGINT) AS rank
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+      |              WHERE vec_id < 5 ORDER BY vec_id LIMIT 5) q)
+      |WHERE rank <= 10""".stripMargin
+
   /** Named statements, Spark-SQL dialect. */
   val statements: Map[String, String] = Map(
     "q_sql_region_pulse" -> regionPulse,
     "q_sql_doc_profile" -> docProfile,
-    "q_sql_settled_customers" -> settledCustomers)
+    "q_sql_settled_customers" -> settledCustomers,
+    "q_sql_topk" -> topOrders,
+    "q_sql_dedup_exact" -> dedupExact,
+    "q_sql_events_funnel" -> eventsFunnel,
+    "q_sql_text_tfidf" -> textTfidf,
+    "q_sql_knn_brute" -> knnBrute)
 
   // ------------------------------------------------- driver contract
 
@@ -159,9 +300,17 @@ object GraftSql {
 
   /** Statements are written in the Spark/DuckDB dialect intersection,
     * so the oracle IS the statement — except where a graft custom
-    * function appears in the SQL text and the oracle substitutes the
-    * documented DuckDB spelling.
+    * function or a Spark-only spelling appears in the SQL text, where
+    * the oracle substitutes the documented DuckDB twin (for the
+    * statements mirroring a programmatic builder, the builder's own
+    * oracle — the SQL face and the DataFrame face share one oracle
+    * text, so they can never drift apart silently).
     */
   val oracleSql: Map[String, String] =
-    statements + ("q_sql_doc_profile" -> docProfileOracle)
+    statements ++ Map(
+      "q_sql_doc_profile" -> docProfileOracle,
+      "q_sql_dedup_exact" -> graft.llm.Dedup.exactSql,
+      "q_sql_events_funnel" -> graft.ops.EventOps.funnelSql,
+      "q_sql_text_tfidf" -> graft.llm.TextOps.tfidfSql,
+      "q_sql_knn_brute" -> graft.llm.Similarity.bruteForceTopKSql)
 }
