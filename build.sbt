@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// LocalClusterSpec owns the JVM's one SparkContext (local-cluster
+// master with real executor processes) — its tests self-cancel unless
+// GRAFT_LOCAL_CLUSTER=1 (forked test JVMs inherit the environment);
+// exercise it dedicated:
+//   GRAFT_LOCAL_CLUSTER=1 sbt 'testOnly graft.LocalClusterSpec'
+// The in-JVM standalone Worker launches executor processes through
+// SPARK_HOME's command builder, which needs the Scala version that
+// spark's shell scripts would normally export.
+Test / envVars += ("SPARK_SCALA_VERSION" -> "2.13")
 // Forked run output defaults to LoggedOutput, which re-emits every
 // child stdout line prefixed with "[info] " — breaking any consumer
 // that JSON-parses the tool's output lines (the bench driver does
