@@ -58,30 +58,58 @@ object Barrier {
     if (!useReliable(spark)) ds.localCheckpoint(eager)
     else {
       ensureCheckpointDir(spark)
-      val persisted = ds.persist(StorageLevel.MEMORY_AND_DISK)
-      val out = persisted.checkpoint(eager)
-      if (eager) persisted.unpersist(blocking = false)
-      out
+      if (eager) {
+        // persist so the eager materialization and the checkpoint file
+        // write share one computation, then drop the persisted copy —
+        // the files back the data from here on
+        val persisted = ds.persist(StorageLevel.MEMORY_AND_DISK)
+        val out = persisted.checkpoint(eager = true)
+        persisted.unpersist(blocking = false)
+        out
+      } else {
+        // lazy: no persist — there is no safe point to drop it (the
+        // checkpoint materializes at some future action); the first
+        // action computes the plan twice (once for the job, once for
+        // the checkpoint write), the standard RDD.checkpoint caveat
+        ds.checkpoint(eager = false)
+      }
     }
   }
 
-  /** Eagerly drop a barrier's storage blocks. NOTE `Dataset.unpersist`
-    * is a NO-OP for a checkpointed dataset: it only consults the
-    * CacheManager, which never sees a checkpoint's backing RDD
-    * (verified against Spark 4.1.2 — both checkpoint flavors persist /
-    * materialize the internal RDD directly and wrap it in a
-    * `LogicalRDD`). The blocks must be dropped on that RDD itself,
-    * reached via the plan's leaf. For a reliable checkpoint the
-    * unpersist is a harmless no-op (the data lives in checkpoint files,
-    * cleaned by `spark.cleaner.referenceTracking.cleanCheckpoints` or
-    * at application exit).
+  /** Eagerly reclaim a SUPERSEDED barrier's storage — the caller is
+    * declaring the snapshot dead (iterative operators call this on
+    * round N-1 once round N is materialized; the frame must not be
+    * read again).
+    *
+    * Local path: NOTE `Dataset.unpersist` is a NO-OP for a
+    * checkpointed dataset — it only consults the CacheManager, which
+    * never sees a checkpoint's backing RDD (verified against Spark
+    * 4.1.2 — both checkpoint flavors persist / materialize the
+    * internal RDD directly and wrap it in a `LogicalRDD`). The blocks
+    * must be dropped on that RDD itself, reached via the plan's leaf;
+    * with the lineage truncated, the frame becomes unreadable.
+    *
+    * Reliable path: DELETES the checkpoint files — without this, a
+    * long session's iterative operators would leave rounds-many full
+    * dataset copies under the checkpoint dir (Spark only cleans them
+    * via `spark.cleaner.referenceTracking.cleanCheckpoints`, off by
+    * default and GC-timed); same snapshot-is-dead contract as the
+    * local block drop.
     */
-  def free(ds: Dataset[_]): Unit =
+  def free(ds: Dataset[_]): Unit = {
+    val hconf = ds.sparkSession.sparkContext.hadoopConfiguration
     ds.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(hconf).delete(path, true)
+          } catch { case _: java.io.IOException => () } // best-effort
+        }
       case _ => ()
     }
+  }
 
   private def ensureCheckpointDir(spark: SparkSession): Unit =
     synchronized {

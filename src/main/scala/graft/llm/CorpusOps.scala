@@ -128,16 +128,24 @@ object CorpusOps {
     val toks = d
       .select(explode(TextOps.letterTokens(col("text"))).as("tok"))
 
-    // Tree-merged MG: the accumulator is (sketch, tokens-seen); combOp
-    // folds partition sketches pairwise up a depth-2 tree, so the
-    // driver receives one capacity-slot map, not one per partition.
-    val (mgSketch, nTotal) = toks.as[String].rdd.treeAggregate(
+    // Tree-merged MG: one imperative sketch pass per partition (an
+    // allocation-free loop over the hot path — a per-token fold would
+    // box a tuple per element), then the (sketch, tokens-seen)
+    // partials fold pairwise up a depth-2 tree, so the driver receives
+    // one capacity-slot map, not one per partition.
+    val partials = toks.as[String].rdd.mapPartitions { it =>
+      val acc = new java.util.HashMap[String, Long](capacity * 2)
+      var n = 0L
+      it.foreach { t => n += 1; mgAdd(acc, t, capacity) }
+      Iterator.single((acc, n))
+    }
+    val merge = (a: (java.util.HashMap[String, Long], Long),
+        b: (java.util.HashMap[String, Long], Long)) => {
+      mgMerge(a._1, b._1, capacity); (a._1, a._2 + b._2)
+    }
+    val (mgSketch, nTotal) = partials.treeAggregate(
       (new java.util.HashMap[String, Long](capacity * 2), 0L))(
-      seqOp = { case ((acc, n), t) => mgAdd(acc, t, capacity); (acc, n + 1) },
-      combOp = { case ((a, na), (b, nb)) =>
-        mgMerge(a, b, capacity); (a, na + nb)
-      },
-      depth = 2)
+      merge, merge, depth = 2)
     val cands = scala.collection.mutable.ArrayBuffer.empty[String]
     mgSketch.keySet().forEach(k => cands += k)
     val thresh = math.ceil(phi * nTotal).toLong

@@ -483,14 +483,14 @@ object Curation {
             (BpeMerge.applyMerge(syms.toIndexedSeq, l, rt): Seq[String], f)
           }
           .barrier() // eager: materialized before prev drops
-        prev.unpersist()
+        freeCheckpoint(prev.toDF()) // plain unpersist is a no-op on barriers
         r += 1
       }
     }
     // drop the final checkpoint too: only the driver-side merge table
     // escapes this method, and superseded vocabulary copies would
     // otherwise pin executor storage for the session's lifetime
-    words.unpersist()
+    freeCheckpoint(words.toDF())
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 

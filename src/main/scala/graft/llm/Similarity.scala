@@ -386,10 +386,11 @@ object Similarity {
     */
   private[llm] def ivfCentroids(
       e: DataFrame, k: Int = 16, iters: Int = 2,
-      sampleMod: Long = 0): Array[Array[Double]] = {
+      sampleMod: Long = 0, knownCount: Long = -1L): Array[Array[Double]] = {
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
-    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(memoCount(e), k)
+    val mod = if (sampleMod > 0) sampleMod
+      else boundedTrainMod(if (knownCount >= 0) knownCount else e.count(), k)
     val sample = e.filter(pmod(col("vec_id"), lit(mod)) === 0)
     var cents: Array[Array[Double]] =
       sample.orderBy("vec_id").limit(k).collect().map(vecOf)
@@ -479,19 +480,20 @@ object Similarity {
   private[graft] def boundedTrainMod(n: Long, k: Int): Long =
     4L * math.max(1L, math.ceil(n / (4.0 * trainTarget(k))).toLong)
 
-  /** Memoized row count for the auto-modulus: every untrained codebook
-    * call ([[ivfCentroids]]/[[ivfCentroidsInt8]]/[[pqCodebooks]]) needs
-    * the corpus count before training, and a cold run trains several
-    * codebooks over the SAME relation — keyed on the canonicalized
-    * logical plan, they now share one count job per session instead of
-    * paying a scan each ([[graft.core.SessionCache]] evicts with the
-    * session, the same freshness assumption as the codebook caches).
+  /** Memoized embeddings-table row count for the auto-modulus: every
+    * untrained codebook call needs the corpus count before training,
+    * and a cold run trains several codebooks over the SAME table — the
+    * cached driver paths thread this one shared count (keyed by DIR —
+    * a plan-derived key cannot work: canonicalized parquet relations
+    * print no path, so two same-schema tables would collide) through
+    * `knownCount`, so they pay one count job per (session, dir)
+    * instead of a scan each. Library callers training directly get a
+    * per-call count over their actual relation — always correct, never
+    * cross-table.
     */
   private val trainCountCache = new graft.core.SessionCache[String, Long]
-  private def memoCount(e: DataFrame): Long =
-    trainCountCache.getOrElseUpdate(
-      e.sparkSession, e.queryExecution.analyzed.canonicalized.toString)(
-      e.count())
+  private def cachedEmbCount(s: SparkSession, dir: String): Long =
+    trainCountCache.getOrElseUpdate(s, dir)(emb(s, dir).count())
 
   /** [[boundedTrainMod]] over a named relation, as a DuckDB scalar
     * subquery (the denominator is inlined so both engines divide by
@@ -520,8 +522,9 @@ object Similarity {
     */
   private[graft] def ivfCentroidsInt8(
       e: DataFrame, k: Int = 16, iters: Int = 2,
-      sampleMod: Long = 0): Array[Array[Long]] = {
-    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(memoCount(e), k)
+      sampleMod: Long = 0, knownCount: Long = -1L): Array[Array[Long]] = {
+    val mod = if (sampleMod > 0) sampleMod
+      else boundedTrainMod(if (knownCount >= 0) knownCount else e.count(), k)
     val sample = withUnitQuantized(e)
       .filter(pmod(col("vec_id"), lit(mod)) === 0)
     def longs(r: org.apache.spark.sql.Row): Array[Long] =
@@ -983,11 +986,12 @@ object Similarity {
     */
   private[graft] def pqCodebooks(
       e: DataFrame, m: Int = PqM, subDim: Int = PqSubDim, k: Int = PqK,
-      iters: Int = PqIters, sampleMod: Long = 0)
+      iters: Int = PqIters, sampleMod: Long = 0, knownCount: Long = -1L)
       : Array[Array[Array[Long]]] = {
     // modulus from the RAW count — the oracle's qtrain counts the raw
     // embeddings relation, before the zero-vector quantization filter
-    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(memoCount(e), k)
+    val mod = if (sampleMod > 0) sampleMod
+      else boundedTrainMod(if (knownCount >= 0) knownCount else e.count(), k)
     pqCodebooksQ(withUnitQuantized(e), m, subDim, k, iters, mod)
   }
 
@@ -999,8 +1003,10 @@ object Similarity {
       iters: Int = PqIters, sampleMod: Long = 0)
       : Array[Array[Array[Long]]] = {
     // auto-modulus counts `q` itself — the residual path's oracle
-    // counts the resid CTE, the same (post-quantization) relation
-    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(memoCount(q), k)
+    // counts the resid CTE, the same (post-quantization) relation;
+    // the frame is barriered by its one caller, so the count is a
+    // materialized-block scan, and the codebook is session-cached
+    val mod = if (sampleMod > 0) sampleMod else boundedTrainMod(q.count(), k)
     val sample = q.filter(pmod(col("vec_id"), lit(mod)) === 0)
     def longs(r: org.apache.spark.sql.Row): Array[Long] =
       r.getAs[scala.collection.Seq[Long]]("qn").toArray
@@ -1384,7 +1390,8 @@ object Similarity {
 
   private[llm] def cachedPqBooks(
       s: SparkSession, dir: String): Array[Array[Array[Long]]] =
-    pqBookCache.getOrElseUpdate(s, dir)(pqCodebooks(emb(s, dir)))
+    pqBookCache.getOrElseUpdate(s, dir)(
+      pqCodebooks(emb(s, dir), knownCount = cachedEmbCount(s, dir)))
 
   /** Base offset for the JL sign stream — disjoint from [[PlaneBase]]'s
     * LSH range so the two [[mix64]] streams never alias.
@@ -1517,14 +1524,16 @@ object Similarity {
     new graft.core.SessionCache[String, Array[Array[Double]]]
 
   private def cachedCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    codebookCache.getOrElseUpdate(s, dir)(ivfCentroids(emb(s, dir)))
+    codebookCache.getOrElseUpdate(s, dir)(
+      ivfCentroids(emb(s, dir), knownCount = cachedEmbCount(s, dir)))
 
   private val int8CodebookCache =
     new graft.core.SessionCache[String, Array[Array[Long]]]
 
   private def cachedCentroidsInt8(
       s: SparkSession, dir: String): Array[Array[Long]] =
-    int8CodebookCache.getOrElseUpdate(s, dir)(ivfCentroidsInt8(emb(s, dir)))
+    int8CodebookCache.getOrElseUpdate(s, dir)(
+      ivfCentroidsInt8(emb(s, dir), knownCount = cachedEmbCount(s, dir)))
 
   /** The planted-duplicate source for q_dedup_semantic, once for both
     * engines (Spark plant below; DuckDB plant inlined in the oracle):

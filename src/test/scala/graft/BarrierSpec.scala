@@ -21,7 +21,7 @@ class BarrierSpec extends SparkSpec {
     withBarrier("local")(assert(!Barrier.useReliable(spark)))
   }
 
-  test("reliable barrier materializes checkpoint files and survives free()") {
+  test("reliable barrier materializes files; free() reclaims them") {
     val df = withBarrier("reliable") {
       Barrier.checkpoint(spark.range(1000).toDF("id"))
     }
@@ -29,9 +29,19 @@ class BarrierSpec extends SparkSpec {
     assert(dir.nonEmpty, "checkpoint dir should have been auto-set")
     val files = new java.io.File(new java.net.URI(dir.get)).listFiles()
     assert(files != null && files.nonEmpty, s"no checkpoint data in $dir")
-    // free() must not invalidate a reliable checkpoint (files back it)
-    Barrier.free(df)
+    // the files back the data (readable after the persist was dropped)
     assert(df.agg(sum("id")).head.getLong(0) === 499500L)
+    // free() = snapshot superseded: the files must be reclaimed, not
+    // left to accumulate one copy per iterative round for the session
+    val ckptFile = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+    }.flatten
+    assert(ckptFile.nonEmpty, "reliable barrier should report its file")
+    Barrier.free(df)
+    ckptFile.foreach { p =>
+      assert(!new java.io.File(new java.net.URI(p)).exists(),
+        s"checkpoint files not reclaimed: $p")
+    }
   }
 
   test("iterative op over the reliable path: identical checksums") {
