@@ -76,8 +76,13 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (ident, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      // skip-if-present: the builders are stable objects, and an
+      // unconditional replace makes Spark WARN-spam every repeat init
+      // (GraftSql binds on each facade call)
+      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      }
     }
     // the already-built-session path for the optimizer rule and planner
     // strategy the extensions inject at session build time

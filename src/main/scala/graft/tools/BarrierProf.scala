@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev A/B: the same iterative queries under the LOCAL vs RELIABLE
+  * barrier in one local session — quantifies what a cluster deployment
+  * pays for executor-loss-safe lineage truncation (checkpoint files on
+  * the local fs here; a shared store on a real cluster adds its own
+  * I/O). Usage: runMain graft.tools.BarrierProf [sfDir] [q ...]
+  */
+object BarrierProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_dedup_clusters", "q_graph_pagerank",
+        "q_text_classifier_train", "q_graph_communities")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.conf.set("spark.graft.memoize", "false") // measure the op, not a cache hit
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count() // absorb startup
+    println(f"${"query"}%-26s local    reliable  ratio")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      def run(mode: String): Double = {
+        spark.conf.set("spark.graft.barrier", mode)
+        try {
+          val t0 = System.nanoTime(); fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.conf.set("spark.graft.barrier", "auto")
+      }
+      run("local") // warm codegen/scan cache so the A/B is barrier-only
+      val l = math.min(run("local"), run("local"))
+      val r = math.min(run("reliable"), run("reliable"))
+      println(f"$n%-26s $l%6.2f   $r%6.2f   ${r / l}%5.2fx")
+    }
+    spark.stop()
+  }
+}
