@@ -207,11 +207,14 @@ object GraftSql {
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Click→purchase funnel, the [[graft.ops.EventOps.funnel]] twin:
-    * two user-keyed aggregates + one co-partitioned self-join, no
-    * per-row subqueries. Spark spells epoch micros `unix_micros(ts)`;
-    * the oracle's `epoch_us(CAST(ts AS TIMESTAMP))` is the only
-    * dialect split.
+  /** Click→purchase funnel, the [[graft.ops.EventOps.funnel]] twin —
+    * spelled in the twin's exact shape (one user-keyed aggregate, one
+    * left join of the purchase times, one regroup) so the statement
+    * PLANS like the builder too, not just matches its values: a naive
+    * two-CTE spelling re-aggregates the events table a second time
+    * and pays an extra events-sized exchange. Spark spells epoch
+    * micros `unix_micros(ts)`; the oracle's
+    * `epoch_us(CAST(ts AS TIMESTAMP))` is the only dialect split.
     */
   private val eventsFunnel: String =
     """WITH base AS (
@@ -222,19 +225,22 @@ object GraftSql {
       |      AS n_purchases,
       |    min(CASE WHEN event_type = 'click'
       |      THEN unix_micros(ts) END) AS first_click_us
-      |  FROM events GROUP BY user_id),
-      |pa AS (
-      |  SELECT e.user_id,
-      |    min(CASE WHEN e.event_type = 'purchase'
-      |      AND unix_micros(e.ts) >= b.first_click_us
-      |      THEN unix_micros(e.ts) END) AS first_purchase_after_us
-      |  FROM events e JOIN base b ON e.user_id = b.user_id
-      |  GROUP BY e.user_id)
-      |SELECT b.user_id, b.n_clicks, b.n_purchases, b.first_click_us,
-      |  pa.first_purchase_after_us,
-      |  CAST(CASE WHEN pa.first_purchase_after_us IS NOT NULL
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_clicks, n_purchases, first_click_us,
+      |  first_purchase_after_us,
+      |  CAST(CASE WHEN first_purchase_after_us IS NOT NULL
       |    THEN 1 ELSE 0 END AS BIGINT) AS converted
-      |FROM base b LEFT JOIN pa ON b.user_id = pa.user_id""".stripMargin
+      |FROM (
+      |  SELECT b.user_id, b.n_clicks, b.n_purchases, b.first_click_us,
+      |    min(CASE WHEN e.pt >= b.first_click_us THEN e.pt END)
+      |      AS first_purchase_after_us
+      |  FROM base b LEFT JOIN (
+      |    SELECT user_id,
+      |      CASE WHEN event_type = 'purchase'
+      |        THEN unix_micros(ts) END AS pt
+      |    FROM events) e ON b.user_id = e.user_id
+      |  GROUP BY b.user_id, b.n_clicks, b.n_purchases, b.first_click_us)
+      |""".stripMargin
 
   /** Integer-scored TF-IDF top-3 via the [[graft.functions.TokenCounts]]
     * kernel in SQL text (map-side per-doc term counts — the explode
