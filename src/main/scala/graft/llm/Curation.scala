@@ -483,14 +483,16 @@ object Curation {
             (BpeMerge.applyMerge(syms.toIndexedSeq, l, rt): Seq[String], f)
           }
           .barrier() // eager: materialized before prev drops
-        freeCheckpoint(prev.toDF()) // plain unpersist is a no-op on barriers
+        graft.core.Barrier.free(prev) // free takes the typed Dataset: plain
+        // unpersist is a no-op on barriers, and a .toDF() wrapper here
+        // measurably doubled the loop (re-analysis per round)
         r += 1
       }
     }
     // drop the final checkpoint too: only the driver-side merge table
     // escapes this method, and superseded vocabulary copies would
     // otherwise pin executor storage for the session's lifetime
-    freeCheckpoint(words.toDF())
+    graft.core.Barrier.free(words)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
