@@ -46,6 +46,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MG tree merge: mergeability theorem on random splits (40 cases)") {
+    // The freqTerms superset guarantee rests on: merging per-stream
+    // Misra-Gries sketches (sum counters, subtract the (cap+1)-th
+    // largest, drop non-positive) keeps every item with true count
+    // > N/(cap+1) at a positive counter, with residuals never above
+    // the true counts — for ANY split of the stream and ANY merge
+    // tree. Random multisets over a small vocab force heavy collisions
+    // and eviction churn.
+    val cap = 8
+    val stream = Gen.chooseNum(20, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 30).map(i => s"t$i")))
+    val withSplits = for {
+      s <- stream
+      k <- Gen.chooseNum(1, 7)
+      cuts <- Gen.listOfN(k - 1, Gen.chooseNum(0, s.length))
+    } yield (s, (Seq(0) ++ cuts.sorted ++ Seq(s.length)))
+    samples(withSplits, 40).foreach { case (s, bounds) =>
+      val parts = bounds.sliding(2).map { case Seq(a, b) => s.slice(a, b) }.toSeq
+      val sketches = parts.map { p =>
+        val m = new java.util.HashMap[String, Long]()
+        p.foreach(graft.llm.CorpusOps.mgAdd(m, _, cap))
+        m
+      }
+      // fold left-to-right (one shape of the merge tree; the bound is
+      // per-merge so any tree satisfies it if this does + capacity holds)
+      val merged = sketches.reduceLeft { (a, b) =>
+        graft.llm.CorpusOps.mgMerge(a, b, cap); a
+      }
+      assert(merged.size <= cap)
+      val truth = s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = s.size.toLong
+      truth.foreach { case (t, c) =>
+        if (c > n.toDouble / (cap + 1))
+          assert(merged.containsKey(t),
+            s"item $t (count $c of $n, cap $cap) evicted; split $bounds")
+      }
+      merged.forEach { (k, v) =>
+        assert(v <= truth(k), s"residual $v exceeds true ${truth(k)} for $k")
+      }
+    }
+  }
+
   test("crash-payload reduce is order-insensitive (sorts values)") {
     val rnd = new scala.util.Random(7)
     samples(Gen.nonEmptyListOf(word), 30).foreach { values =>
