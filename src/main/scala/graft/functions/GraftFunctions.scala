@@ -74,15 +74,24 @@ object GraftFunctions {
           WinnowGramHashes(exprs(0), k)
         }))
 
+  // Sessions this object has registered on. The guard must be OUR
+  // record, not `functionRegistry.functionExists`: that predicate also
+  // matches Spark built-ins and user temp functions, so a name
+  // collision (e.g. a future Spark adding a builtin cosine_similarity)
+  // would silently keep the OTHER function and change SQL semantics.
+  // First registration per session is an unconditional replace; repeat
+  // calls skip (no WARN-spam from GraftSql's per-facade-call binds).
+  // Weak keys: the Boolean holds no reference back to its session.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
   def register(spark: SparkSession): Unit = {
-    all.foreach { case (ident, _, builder) =>
-      // skip-if-present: the builders are stable objects, and an
-      // unconditional replace makes Spark WARN-spam every repeat init
-      // (GraftSql binds on each facade call)
-      if (!spark.sessionState.functionRegistry.functionExists(ident)) {
+    if (!registered.containsKey(spark)) {
+      all.foreach { case (ident, _, builder) =>
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
       }
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
     // the already-built-session path for the optimizer rule and planner
     // strategy the extensions inject at session build time

@@ -1167,8 +1167,17 @@ object Curation {
         when(coalesce(col("raw"), lit(0L)) > 0, 1L).otherwise(0L).as("y"))
       .barrier()
     val nn = broadcast(labels.agg(count(lit(1)).as("n_docs")))
-    var w = d.sparkSession.range(0, 64)
-      .select(col("id").as("b"), lit(0L).as("w")).barrier()
+    // weight chain: checkpoint-every-k (RoundBarrier) — on local[*]
+    // exactly the old per-round localCheckpoint + free, in reliable
+    // mode a checkpoint write every k-th round with persisted (lineage
+    // kept) rounds in between. The per-doc err table is the round's
+    // SCRATCH frame: Barrier.scratch skips the checkpoint-file write
+    // entirely in reliable mode (it was the dominant term of the
+    // measured 2.01x — a corpus-sized write per round for a frame that
+    // dies within the round).
+    val rb = new graft.core.RoundBarrier(d.sparkSession)
+    var w = rb.next(d.sparkSession.range(0, 64)
+      .select(col("id").as("b"), lit(0L).as("w")))
     val losses = Seq.newBuilder[DataFrame]
     var r = 1
     while (r <= rounds + 1) {
@@ -1191,8 +1200,8 @@ object Curation {
               expr(s"(250 * CAST(coalesce(zraw, 0) AS BIGINT)) DIV $scale")))
             .as("p"))
         .withColumn("err", col("p") - lit(1000L) * col("y"))
-        .barrier()
-      losses += err
+      val errB = graft.core.Barrier.scratch(err)
+      losses += errB
         .agg(
           expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS BIGINT)")
             .as("sq_loss"),
@@ -1202,23 +1211,22 @@ object Curation {
         .barrier()
       if (r <= rounds) {
         val grad = w.join(
-          err.join(feat, "doc_id")
+          errB.join(feat, "doc_id")
             .groupBy("b")
             .agg(expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * c) AS BIGINT)")
               .as("g")),
           Seq("b"), "left")
-        val wNext = grad.crossJoin(nn)
+        w = rb.next(grad.crossJoin(nn)
           .select(col("b"),
             expr(s"w - (coalesce(g, CAST(0 AS BIGINT)) * $lr) DIV n_docs")
-              .as("w"))
-          .barrier()
-        freeCheckpoint(w)
-        w = wNext
+              .as("w")))
       }
-      freeCheckpoint(err)
+      graft.core.Barrier.freeScratch(errB)
       r += 1
     }
-    (losses.result(), w, labels, feat)
+    // seal: callers free the returned weights when done, so the
+    // escaping frame must be a barrier root in every mode
+    (losses.result(), rb.seal(w), labels, feat)
   }
 
   /** Training-curve panel: one row per evaluation (round r evaluates

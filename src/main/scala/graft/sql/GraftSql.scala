@@ -52,8 +52,14 @@ object GraftSql {
     */
   def init(spark: SparkSession, sfDir: String): Unit = {
     GraftFunctions.register(spark)
-    if (bound.get(spark) != sfDir ||
-        !Tables.names.forall(spark.catalog.tableExists)) {
+    // the re-bind probe must ask for TEMP VIEWS specifically —
+    // `catalog.tableExists` also matches a permanent table of the same
+    // name, so a user who dropped a facade view while such a table
+    // exists would silently keep querying the wrong relation
+    def tempViewBound(name: String): Boolean =
+      spark.sessionState.catalog
+        .getTempView(name).isDefined
+    if (bound.get(spark) != sfDir || !Tables.names.forall(tempViewBound)) {
       Tables.registerAll(spark, sfDir)
       bound.put(spark, sfDir)
     }
