@@ -767,10 +767,14 @@ object TextOps {
       raw.as("raw"))
       .select(
         col("doc_id"), col("n_tokens"), col("raw"),
-        round(
-          when(col("n_tokens") === 0, lit(0.0))
-            .otherwise(col("raw").cast("double") / (col("n_tokens") * 500)),
-          4).as("score"),
+        // UNROUNDED quotient on purpose: both engines compute the same
+        // IEEE division of the same integers, so the doubles are
+        // bit-identical — a round(, 4) here hit a .xxxx5 boundary at
+        // sf0.1 (5690/40000) where Spark and DuckDB round opposite
+        // ways. No rounding = nothing to disagree about.
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("raw").cast("double") / (col("n_tokens") * 500))
+          .as("score"),
         when(col("raw") > 0, "keep").otherwise("drop").as("label"))
   }
 
@@ -789,8 +793,8 @@ object TextOps {
       |  FROM base)
       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
       |  CAST(raw AS BIGINT) AS raw,
-      |  round(CASE WHEN n_tokens = 0 THEN 0
-      |    ELSE raw::DOUBLE / (n_tokens * 500) END, 4) AS score,
+      |  CASE WHEN n_tokens = 0 THEN 0
+      |    ELSE raw::DOUBLE / (n_tokens * 500) END AS score,
       |  CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS label
       |FROM scored""".stripMargin
 

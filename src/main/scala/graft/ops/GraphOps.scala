@@ -249,7 +249,7 @@ object GraphOps {
     */
   def pageRankScaledSql(
       iters: Int = 10, dampingPermille: Int = 850,
-      scale: Long = 1000000000000L): String = {
+      scale: Long = 1000000000000L, div: String = "//"): String = {
     val head =
       s"""WITH edges AS (
          |  SELECT src, dst, count(*) AS w FROM (
@@ -265,8 +265,8 @@ object GraphOps {
          |    UNION ALL SELECT dst FROM edges)),
          |nn AS (SELECT count(*) AS n FROM nodes),
          |consts AS (
-         |  SELECT $scale // n AS init,
-         |    ((1000 - $dampingPermille) * ($scale // n)) // 1000 AS base
+         |  SELECT $scale $div n AS init,
+         |    ((1000 - $dampingPermille) * ($scale $div n)) $div 1000 AS base
          |  FROM nn),
          |r0 AS (
          |  SELECT node, (SELECT init FROM consts) AS rank_scaled
@@ -276,18 +276,21 @@ object GraphOps {
          |r$i AS (
          |  SELECT nodes.node,
          |    (SELECT base FROM consts)
-         |      + ($dampingPermille * coalesce(c.in_rank, 0)) // 1000
+         |      + ($dampingPermille * coalesce(c.in_rank, 0)) $div 1000
          |      AS rank_scaled
          |  FROM nodes LEFT JOIN (
          |    SELECT e.dst AS node,
-         |      sum((p.rank_scaled * e.w) // o.out_w) AS in_rank
+         |      sum((p.rank_scaled * e.w) $div o.out_w) AS in_rank
          |    FROM r${i - 1} p
          |    JOIN edges e ON p.node = e.src
          |    JOIN outw o ON e.src = o.src
          |    GROUP BY e.dst) c ON nodes.node = c.node)""".stripMargin
     }.mkString
     // DuckDB's sum() widens to HUGEINT — cast back so the driver
-    // canonicalizes both sides as int64
+    // canonicalizes both sides as int64. (`div` parameterizes the
+    // integer-division spelling: DuckDB `//` for the oracle, Spark
+    // `DIV` for the SQL-catalog face — the rest of the text is the
+    // dialect intersection.)
     s"$head$rounds\nSELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r$iters"
   }
 

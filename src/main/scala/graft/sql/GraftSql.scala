@@ -292,6 +292,123 @@ object GraftSql {
       |              WHERE vec_id < 5 ORDER BY vec_id LIMIT 5) q)
       |WHERE rank <= 10""".stripMargin
 
+  /** Deterministic train/val/test assignment in SQL text, the
+    * [[graft.llm.Sampling.trainTestSplit]] twin (ascii-sum of the
+    * first two md5 hex chars mod 10 — the exact documented rule).
+    * Map-only kernel; Spark's md5 wants binary, the only dialect
+    * split from the oracle.
+    */
+  private val trainTestSplit: String =
+    """SELECT doc_id,
+      |  CASE
+      |    WHEN (ascii(substring(md5(CAST(text AS BINARY)), 1, 1))
+      |        + ascii(substring(md5(CAST(text AS BINARY)), 2, 1)))
+      |      % 10 <= 7 THEN 'train'
+      |    WHEN (ascii(substring(md5(CAST(text AS BINARY)), 1, 1))
+      |        + ascii(substring(md5(CAST(text AS BINARY)), 2, 1)))
+      |      % 10 = 8 THEN 'val'
+      |    ELSE 'test'
+      |  END AS split
+      |FROM documents""".stripMargin
+
+  /** Log2-bucket quantile sketch vs exact median in SQL text, the
+    * [[graft.llm.CorpusOps.quantileSketch]] twin: per-source (plus
+    * merged __all__) histogram, sketched p50 bucket with its value
+    * range, and the exact p50 alongside. Spark spells integer
+    * division DIV and bit shifts shiftleft; otherwise the oracle's
+    * shape verbatim — histogram first, so the heavy pass is one
+    * hash-partitioned aggregate, never a global sort of the corpus.
+    */
+  private val sketchQuantile: String =
+    """WITH bucketed AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN n_chars = 0 THEN 0
+      |         ELSE length(bin(n_chars)) END AS BIGINT) AS b,
+      |    n_chars
+      |  FROM documents),
+      |hist AS (
+      |  SELECT source, b, count(*) AS c FROM bucketed GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT '__all__' AS source, b, count(*) AS c FROM bucketed
+      |  GROUP BY 2),
+      |cum AS (
+      |  SELECT source, b, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n_docs
+      |  FROM hist),
+      |picked AS (
+      |  SELECT source, n_docs, min(b) AS p50_bucket
+      |  FROM cum WHERE cum >= (n_docs + 1) DIV 2 GROUP BY 1, 2),
+      |vals AS (
+      |  SELECT source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT '__all__' AS source, n_chars FROM documents),
+      |ex AS (
+      |  SELECT source, n_chars AS exact_p50 FROM (
+      |    SELECT source, n_chars,
+      |      row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |      count(*) OVER (PARTITION BY source) AS n
+      |    FROM vals)
+      |  WHERE rn = (n + 1) DIV 2)
+      |SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs, p.p50_bucket,
+      |  CAST(CASE WHEN p.p50_bucket = 0 THEN 0
+      |       ELSE shiftleft(CAST(1 AS BIGINT),
+      |         CAST(p.p50_bucket - 1 AS INT)) END AS BIGINT) AS bucket_lo,
+      |  CAST(CASE WHEN p.p50_bucket = 0 THEN 0
+      |       ELSE shiftleft(CAST(1 AS BIGINT),
+      |         CAST(p.p50_bucket AS INT)) - 1 END AS BIGINT) AS bucket_hi,
+      |  ex.exact_p50
+      |FROM picked p JOIN ex ON p.source = ex.source""".stripMargin
+
+  /** k-anonymity audit in SQL text, the
+    * [[graft.llm.Curation.kAnonymity]] twin. Written in the dialect
+    * intersection — statement == oracle: two stacked hash aggregates,
+    * the second over class-sized rows.
+    */
+  private val privacyKanon: String = graft.llm.Curation.kAnonymitySql
+
+  /** Gap-based sessionization (10-minute idle timeout) in SQL text.
+    * The DataFrame twin [[graft.ops.EventOps.sessions]] uses Spark's
+    * native `session_window`; SQL has no session-window clause, so the
+    * statement is the gaps-and-islands form — new-session marks via
+    * lag(), session ids via a running sum — which the spec pins
+    * bit-equal to the native operator. Two user-partitioned window
+    * passes over one events shuffle; the oracle is the same text with
+    * DuckDB's strftime/CAST spellings.
+    */
+  private val eventsSession: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTES
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  date_format(min(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** Scaled-integer PageRank in SQL text: the power iteration UNROLLED
+    * as one CTE per round — the same generator as the DuckDB oracle
+    * with Spark's DIV spelling, so the statement and the oracle can
+    * never drift. Catalyst plans each round as the two co-partitioned
+    * joins + algebraic aggregation of the programmatic twin; what the
+    * SQL face loses vs [[graft.ops.GraphOps.pageRankScaled]] is the
+    * checkpoint-bounded lineage (an unrolled statement re-analyzes the
+    * whole chain — fine at fixed 10 rounds, the builder is the scale
+    * path for long iterations).
+    */
+  private val graphPagerank: String =
+    graft.ops.GraphOps.pageRankScaledSql(div = "DIV")
+
   /** Named statements, Spark-SQL dialect. */
   val statements: Map[String, String] = Map(
     "q_sql_region_pulse" -> regionPulse,
@@ -301,7 +418,12 @@ object GraftSql {
     "q_sql_dedup_exact" -> dedupExact,
     "q_sql_events_funnel" -> eventsFunnel,
     "q_sql_text_tfidf" -> textTfidf,
-    "q_sql_knn_brute" -> knnBrute)
+    "q_sql_knn_brute" -> knnBrute,
+    "q_sql_train_test_split" -> trainTestSplit,
+    "q_sql_sketch_quantile" -> sketchQuantile,
+    "q_sql_privacy_kanon" -> privacyKanon,
+    "q_sql_events_session" -> eventsSession,
+    "q_sql_graph_pagerank" -> graphPagerank)
 
   // ------------------------------------------------- driver contract
 
@@ -324,5 +446,10 @@ object GraftSql {
       "q_sql_dedup_exact" -> graft.llm.Dedup.exactSql,
       "q_sql_events_funnel" -> graft.ops.EventOps.funnelSql,
       "q_sql_text_tfidf" -> graft.llm.TextOps.tfidfSql,
-      "q_sql_knn_brute" -> graft.llm.Similarity.bruteForceTopKSql)
+      "q_sql_knn_brute" -> graft.llm.Similarity.bruteForceTopKSql,
+      "q_sql_train_test_split" -> graft.llm.Sampling.trainTestSplitSql,
+      "q_sql_sketch_quantile" -> graft.llm.CorpusOps.quantileSketchSql,
+      // q_sql_privacy_kanon: statement == oracle (dialect intersection)
+      "q_sql_events_session" -> graft.ops.EventOps.sessionsSql,
+      "q_sql_graph_pagerank" -> graft.ops.GraphOps.pageRankScaledSql())
 }

@@ -3,11 +3,14 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
-/** Dev A/B: the same iterative queries under the LOCAL vs RELIABLE
-  * barrier in one local session — quantifies what a cluster deployment
-  * pays for executor-loss-safe lineage truncation (checkpoint files on
-  * the local fs here; a shared store on a real cluster adds its own
-  * I/O). Usage: runMain graft.tools.BarrierProf [sfDir] [q ...]
+/** Dev A/B/C: the same iterative queries under the LOCAL barrier, the
+  * FLAT reliable barrier (checkpoint files every round — everyK=1),
+  * and the EVERY-K reliable barrier (RoundBarrier default k=4) in one
+  * local session — quantifies what a cluster deployment pays for
+  * executor-loss-safe lineage truncation, and what the Pregel-style
+  * every-k discipline buys back (checkpoint files on the local fs
+  * here; a shared store on a real cluster adds its own I/O).
+  * Usage: runMain graft.tools.BarrierProf [sfDir] [q ...]
   */
 object BarrierProf {
   def main(args: Array[String]): Unit = {
@@ -27,20 +30,26 @@ object BarrierProf {
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count() // absorb startup
-    println(f"${"query"}%-26s local    reliable  ratio")
+    println(f"${"query"}%-26s local    rel-flat  flat-x   rel-k4   k4-x")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      def run(mode: String): Double = {
+      def run(mode: String, everyK: Int): Double = {
         spark.conf.set("spark.graft.barrier", mode)
+        spark.conf.set("spark.graft.barrier.everyK", everyK.toString)
         try {
           val t0 = System.nanoTime(); fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        } finally spark.conf.set("spark.graft.barrier", "auto")
+        } finally {
+          spark.conf.set("spark.graft.barrier", "auto")
+          spark.conf.unset("spark.graft.barrier.everyK")
+        }
       }
-      run("local") // warm codegen/scan cache so the A/B is barrier-only
-      val l = math.min(run("local"), run("local"))
-      val r = math.min(run("reliable"), run("reliable"))
-      println(f"$n%-26s $l%6.2f   $r%6.2f   ${r / l}%5.2fx")
+      run("local", 1) // warm codegen/scan cache so the A/B is barrier-only
+      val l = math.min(run("local", 1), run("local", 1))
+      val rFlat = math.min(run("reliable", 1), run("reliable", 1))
+      val rK = math.min(run("reliable", 4), run("reliable", 4))
+      println(f"$n%-26s $l%6.2f   $rFlat%6.2f  ${rFlat / l}%5.2fx   " +
+        f"$rK%6.2f  ${rK / l}%5.2fx")
     }
     spark.stop()
   }

@@ -21,6 +21,9 @@ object QueryProf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // measure the operator, not a memo hit — the Bench convention, so
+    // isolated readings here adjudicate bench numbers apples-to-apples
+    spark.conf.set("spark.graft.memoize", "false")
     spark.sparkContext.setLogLevel("ERROR")
     // absorb session startup
     spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -58,6 +58,11 @@ class BarrierSpec extends SparkSpec {
     withBarrier("reliable") {
       spark.conf.set("spark.graft.barrier.everyK", "3")
       try {
+        // scope the simulated loss to THIS chain's blocks: the session
+        // is shared across suites, and unpersisting an unrelated LOCAL
+        // checkpoint would destroy it (truncated lineage cannot
+        // recompute)
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val rb = new graft.core.RoundBarrier(spark)
         var df = rb.next(spark.range(100).toDF("v")) // n=1: persisted
         for (_ <- 1 to 4) // n=2..5: checkpoint at n=3, 4-5 persisted
@@ -77,7 +82,8 @@ class BarrierSpec extends SparkSpec {
         // session. The tail rounds (n=4,5) must RECOMPUTE through their
         // kept lineage from the k-th checkpoint's files
         // (0..99 plus four +1 rounds = 4..103, sum 5350).
-        spark.sparkContext.getPersistentRDDs.values
+        spark.sparkContext.getPersistentRDDs
+          .collect { case (id, rdd) if !preexisting(id) => rdd }
           .foreach(_.unpersist(blocking = true))
         assert(df.agg(sum("v")).head.getLong(0) === 5350L)
         // seal the persisted tail: the escaping frame becomes a

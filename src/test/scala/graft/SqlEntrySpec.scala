@@ -83,7 +83,14 @@ class SqlEntrySpec extends SparkSpec {
       "q_sql_dedup_exact" -> "q_dedup_exact",
       "q_sql_events_funnel" -> "q_events_funnel",
       "q_sql_text_tfidf" -> "q_text_tfidf",
-      "q_sql_knn_brute" -> "q_knn_brute")
+      "q_sql_knn_brute" -> "q_knn_brute",
+      "q_sql_train_test_split" -> "q_train_test_split",
+      "q_sql_sketch_quantile" -> "q_sketch_quantile",
+      "q_sql_privacy_kanon" -> "q_privacy_kanon",
+      // gaps-and-islands SQL vs the native session_window operator —
+      // two different plans that must agree row-for-row
+      "q_sql_events_session" -> "q_events_session",
+      "q_sql_graph_pagerank" -> "q_graph_pagerank")
     twins.foreach { case (sqlName, apiName) =>
       val viaSql = SparkEntry.queries(sqlName)(spark, sfDir)
       val viaApi = SparkEntry.queries(apiName)(spark, sfDir)
