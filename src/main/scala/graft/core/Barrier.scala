@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Pluggable lineage barrier — the single indirection every iterative
@@ -55,6 +55,30 @@ object Barrier {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Cumulative bytes of reliable-checkpoint files written by this
+    * JVM — the load-insensitive cost metric the every-k discipline
+    * moves (wall-clock A/Bs on local[*] mostly measure job-scheduling
+    * overhead; at cluster scale the shared-store WRITE VOLUME is the
+    * bill). Dev/profiling only (BarrierProf reports it); incremented
+    * after each reliable checkpoint materializes.
+    */
+  private[graft] val reliableBytesWritten =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def recordCheckpointBytes(ds: Dataset[_]): Unit =
+    try {
+      val hconf = ds.sparkSession.sparkContext.hadoopConfiguration
+      ds.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile.foreach { p =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            reliableBytesWritten.addAndGet(
+              path.getFileSystem(hconf).getContentSummary(path).getLength)
+          }
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+
   /** True when this session's barrier is the reliable checkpoint. */
   def useReliable(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.barrier", "auto") match {
@@ -82,6 +106,7 @@ object Barrier {
           if (alreadyPersisted) ds else ds.persist(StorageLevel.MEMORY_AND_DISK)
         val out = persisted.checkpoint(eager = true)
         if (!alreadyPersisted) persisted.unpersist(blocking = false)
+        recordCheckpointBytes(out)
         out
       } else {
         // lazy: no persist — there is no safe point to drop it (the
@@ -258,13 +283,24 @@ final class RoundBarrier(spark: SparkSession) {
   private val persisted =
     scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
-  /** Barrier round `n`'s state frame. Eagerly materialized in every
-    * mode (loop bodies feed a round into several consumers — an
-    * unmaterialized plan would recompute per consumer). Frees /
-    * unpersists superseded rounds per the mode's discipline; never
-    * touches frames it did not itself return.
+  /** Barrier round `n`'s state frame. Frees / unpersists superseded
+    * rounds per the mode's discipline; never touches frames it did
+    * not itself return.
+    *
+    * `eager` (default true) materializes each non-checkpoint round
+    * with its own job — required when the loop body feeds a round
+    * into SEVERAL consumers (an unmaterialized plan could recompute
+    * per consumer; racing stages can even compute a lazily-persisted
+    * frame twice). A loop whose round feeds exactly ONE downstream
+    * plan (pageRankScaled's linear chain) passes eager=false: the
+    * in-between rounds are persisted lazily and the k-th round's
+    * checkpoint job computes the whole k-segment in ONE pass —
+    * between checkpoints there is no job at all, which is the real
+    * saving when frames are small and job overhead dominates. Local
+    * mode is always eager (the free-previous discipline needs the
+    * new round materialized first).
     */
-  def next[T](ds: Dataset[T]): Dataset[T] = {
+  def next(ds: DataFrame, eager: Boolean = true): DataFrame = {
     n += 1
     if (!reliable) {
       val out = ds.localCheckpoint(eager = true)
@@ -281,11 +317,19 @@ final class RoundBarrier(spark: SparkSession) {
       lastCkpt = Some(out); lastWasCkpt = true
       out
     } else {
-      val out = ds.persist(StorageLevel.MEMORY_AND_DISK)
-      out.count() // materialize: same eager contract as the barriers
-      persisted += out
+      val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
+      if (eager) p.count()
+      persisted += p
       lastWasCkpt = false
-      out
+      // TRUNCATE the logical plan (LogicalRDD over the cached physical
+      // RDD): a loop whose round references itself twice (pointer-jump
+      // self-joins, model-in-two-places GD) would otherwise DOUBLE its
+      // analyzed-plan subtree every round — persist caches data but
+      // does not stop Catalyst from re-analyzing the whole history
+      // (measured: every-k WORSE than flat until this wrap). Recovery
+      // still walks the intact RDD lineage through the cache back to
+      // the last checkpoint.
+      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(p)
     }
   }
 
@@ -295,7 +339,7 @@ final class RoundBarrier(spark: SparkSession) {
     * reliably and reclaims the now-superseded tail. The result is
     * always a single-barrier frame.
     */
-  def seal[T](ds: Dataset[T]): Dataset[T] =
+  def seal(ds: DataFrame): DataFrame =
     if (!reliable || lastWasCkpt) ds
     else {
       val out = Barrier.checkpoint(ds, eager = true)

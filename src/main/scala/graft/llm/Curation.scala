@@ -1150,22 +1150,27 @@ object Curation {
     */
   private def classifierTrainCore(
       d: DataFrame, rounds: Int, lr: Long, scale: Long)
-      : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = TextOps.letterTokens(lower(col("text")))
-    val feat = Layout.spread(d, "doc_id")
+    // feat/labels are ONE-SHOT frames recomputable from the source
+    // corpus: Barrier.scratch materializes them once in every mode but
+    // skips the corpus-sized checkpoint-file writes in reliable mode
+    // (they were the largest remaining term of the flat 2.01x profile)
+    // — an executor loss recomputes lost blocks from the parquet scan,
+    // which is durable by definition. Only the ROUND CHAIN (w) needs
+    // durable snapshots: its recompute depth would otherwise grow.
+    val feat = graft.core.Barrier.scratch(Layout.spread(d, "doc_id")
       .select(col("doc_id"), explode(toks).as("tok"))
       .select(col("doc_id"), classifierBucket(col("tok")).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .barrier()
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c")))
     val teacherW = pmod(col("b") * 2654435761L, lit(1001L)) - 500L
-    val labels = d.select(col("doc_id"))
+    val labels = graft.core.Barrier.scratch(d.select(col("doc_id"))
       .join(
         feat.select(col("doc_id"), (col("c") * teacherW).as("cw"))
           .groupBy("doc_id").agg(sum("cw").as("raw")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(coalesce(col("raw"), lit(0L)) > 0, 1L).otherwise(0L).as("y"))
-      .barrier()
+        when(coalesce(col("raw"), lit(0L)) > 0, 1L).otherwise(0L).as("y")))
     val nn = broadcast(labels.agg(count(lit(1)).as("n_docs")))
     // weight chain: checkpoint-every-k (RoundBarrier) — on local[*]
     // exactly the old per-round localCheckpoint + free, in reliable
@@ -1178,7 +1183,7 @@ object Curation {
     val rb = new graft.core.RoundBarrier(d.sparkSession)
     var w = rb.next(d.sparkSession.range(0, 64)
       .select(col("id").as("b"), lit(0L).as("w")))
-    val losses = Seq.newBuilder[DataFrame]
+    val losses = Seq.newBuilder[org.apache.spark.sql.Row]
     var r = 1
     while (r <= rounds + 1) {
       val err = labels
@@ -1201,6 +1206,12 @@ object Curation {
             .as("p"))
         .withColumn("err", col("p") - lit(1000L) * col("y"))
       val errB = graft.core.Barrier.scratch(err)
+      // the eval row is DRIVER-SIZED by construction (3 integers per
+      // round — the training curve, same class as BPE's merge table):
+      // collect it instead of checkpointing a 1-row frame per round.
+      // One job either way, but no per-round checkpoint write in
+      // reliable mode and no long-lived frame referencing superseded
+      // model snapshots.
       losses += errB
         .agg(
           expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS BIGINT)")
@@ -1208,7 +1219,7 @@ object Curation {
           sum(expr("CAST((p > 500) = (y = 1) AS BIGINT)")).as("n_correct"))
         .select(lit(r.toLong).as("round"), col("sq_loss"),
           col("n_correct").cast("long").as("n_correct"))
-        .barrier()
+        .head()
       if (r <= rounds) {
         val grad = w.join(
           errB.join(feat, "doc_id")
@@ -1216,6 +1227,11 @@ object Curation {
             .agg(expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * c) AS BIGINT)")
               .as("g")),
           Seq("b"), "left")
+        // eager=true ON PURPOSE: w must materialize NOW, while this
+        // round's errB is still cached — deferred to the next round's
+        // broadcast(w), it would compute through an already-unpersisted
+        // errB and re-pay the corpus-sized error pass every round
+        // (measured: every-k WORSE than flat until this was eager)
         w = rb.next(grad.crossJoin(nn)
           .select(col("b"),
             expr(s"w - (coalesce(g, CAST(0 AS BIGINT)) * $lr) DIV n_docs")
@@ -1226,7 +1242,16 @@ object Curation {
     }
     // seal: callers free the returned weights when done, so the
     // escaping frame must be a barrier root in every mode
-    (losses.result(), rb.seal(w), labels, feat)
+    val lossSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sq_loss",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_correct",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val lossPanel = d.sparkSession.createDataFrame(
+      java.util.Arrays.asList(losses.result(): _*), lossSchema)
+    (lossPanel, rb.seal(w), labels, feat)
   }
 
   /** Training-curve panel: one row per evaluation (round r evaluates
@@ -1239,10 +1264,12 @@ object Curation {
       d: DataFrame, rounds: Int = 8, lr: Long = 50L,
       scale: Long = 1000000L): DataFrame = {
     val (losses, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
-    val out = losses.reduce(_ unionByName _)
-    // eval rows are checkpointed 1-row tables; parents can go
-    freeCheckpoint(w); freeCheckpoint(labels); freeCheckpoint(feat)
-    out
+    // the curve is already a driver-local relation; parents can go
+    // (w is a sealed barrier root; feat/labels are scratch frames)
+    freeCheckpoint(w)
+    graft.core.Barrier.freeScratch(labels)
+    graft.core.Barrier.freeScratch(feat)
+    losses
   }
 
   /** Scored panel composing the TRAINED model: every document scored
@@ -1284,10 +1311,12 @@ object Curation {
     */
   def trainedWeights(d: DataFrame, rounds: Int = 8, lr: Long = 50L,
       scale: Long = 1000000L): Array[Long] = {
-    val (losses, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
+    val (_, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
     val arr = new Array[Long](64)
     w.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-    (losses ++ Seq(w, labels, feat)).foreach(freeCheckpoint)
+    freeCheckpoint(w)
+    graft.core.Barrier.freeScratch(labels)
+    graft.core.Barrier.freeScratch(feat)
     arr
   }
 

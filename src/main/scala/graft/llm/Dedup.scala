@@ -721,8 +721,12 @@ object Dedup {
     // (measured: the edges checkpoint cost 2x a single pairs pass —
     // 4.7 s vs 2.3 s warm at sf0.1). The pair list itself is tiny
     // (answer-sized), so checkpointing it costs nothing.
-    val pairs = jaccardPairs(d, threshold).select("doc_a", "doc_b")
-      .barrier()
+    // scratch, not a durable barrier: the pair list is read exactly
+    // once (both branches of the union below) while cached; in
+    // reliable mode a checkpoint-file write for it would be pure
+    // volume (the durable anchor of the loop is `edges` below)
+    val pairs = graft.core.Barrier.scratch(
+      jaccardPairs(d, threshold).select("doc_a", "doc_b"))
     // localCheckpoint (eager) rather than cache: each round's plan must
     // START from materialized data, or lineage compounds and round N
     // re-derives rounds 1..N-1 (measured: per-round wall time DOUBLES
@@ -739,11 +743,17 @@ object Dedup {
     // already satisfied and the |E|-row exchange per round disappears.
     val edges = (if (broadcastLabels) edgesRaw.repartition(col("src"))
       else edgesRaw.repartition(col("dst"))).barrier()
+    // edges is materialized (eager barrier): the pair list is dead
+    graft.core.Barrier.freeScratch(pairs)
     // shared min-label loop (round 14: extracted to GraphOps so the
     // convergence/checkpointing subtleties live once, serving this and
     // EntityOps.goldenRecords identically)
     val labels =
       graft.ops.GraphOps.minLabelPropagation(edges, maxIters, broadcastLabels)
+    // the label table returned by the loop is a sealed barrier of its
+    // own: the edge snapshot's blocks/files can be reclaimed instead
+    // of pinning an |E|-sized copy for the app's lifetime
+    graft.core.Barrier.free(edges)
     d.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -85,43 +85,42 @@ object GraphOps {
       broadcastLabels: Boolean): DataFrame = {
     def side(df: DataFrame): DataFrame =
       if (broadcastLabels) broadcast(df) else df
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).barrier()
-    // the loop's own superseded snapshots are freed per round (the
-    // label-propagation/kCore discipline): without this, every round
-    // leaves two |V|-sized barrier copies pinned for the app's
-    // lifetime — blocks locally, checkpoint FILES in reliable mode.
-    // `prevOwned` is always a frame THIS loop created (round-0 init
-    // or the previous round's `next`), never the caller's edges.
-    var prevOwned = labels
+    // label chain rides the checkpoint-every-k RoundBarrier: on
+    // local[*] this is exactly the old per-round localCheckpoint +
+    // free-previous; in reliable mode only every k-th round writes
+    // checkpoint files. nm is the round's SCRATCH frame (feeds the
+    // pointer jump twice, dead within the round): Barrier.scratch
+    // keeps it off the checkpoint-file path entirely in reliable mode
+    // — together they cut the loop's reliable write volume from two
+    // |V|-sized files per round to one every k rounds.
+    val rb = new graft.core.RoundBarrier(edges.sparkSession)
+    var labels = rb.next(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nm = edges
+      val nm = graft.core.Barrier.scratch(edges
         .join(side(labels.select(col("id").as("dst"), col("label").as("nl"))),
           "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nl").as("nmin"))
         .join(side(labels), "id")
         .select(col("id"), col("label").as("old"),
-          least(col("label"), col("nmin")).as("label"))
-        .barrier()
-      val next = nm.as("x")
+          least(col("label"), col("nmin")).as("label")))
+      val next = rb.next(nm.as("x")
         .join(side(nm.select(col("id").as("pid"), col("label").as("pl"))),
           col("x.label") === col("pid"), "left")
         .select(col("x.id").as("id"), col("x.old").as("old"),
-          coalesce(col("pl"), col("x.label")).as("label"))
-        .barrier()
+          coalesce(col("pl"), col("x.label")).as("label")))
       val changed = next.filter(col("label") =!= col("old")).count()
-      // next is materialized: nm and the previous round's labels are
-      // dead (only `next` feeds the following round and the result)
-      freeCheckpoint(nm)
-      freeCheckpoint(prevOwned)
-      prevOwned = next
+      // next is materialized (rb.next is eager): nm is dead; the
+      // previous round's labels were reclaimed by rb.next itself
+      graft.core.Barrier.freeScratch(nm)
       labels = next.select("id", "label")
       converged = changed == 0
       i += 1
     }
+    labels = rb.seal(labels)
     if (!converged) throw new IllegalStateException(
       s"minLabelPropagation: did not converge within $maxIters " +
         "rounds; raise maxIters (reach doubles per round)")
@@ -134,12 +133,17 @@ object GraphOps {
     // edges materialize ONCE: every iteration joins them, and an
     // unmaterialized lineage (e.g. the eventTransitions scan + window
     // + aggregation) would re-execute per round. outW is node-sized
-    // and joined per round — same treatment.
-    val e = edges.barrier()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().barrier()
-    val outW = e.groupBy(col("src")).agg(sum("w").as("out_w"))
-      .barrier()
+    // and joined per round — same treatment. All three are ONE-SHOT
+    // frames recomputable from the caller's edge plan, so they ride
+    // Barrier.scratch: materialized once in every mode, but no
+    // checkpoint-file write in reliable mode (only the rank CHAIN
+    // needs durable snapshots — its recompute depth grows with the
+    // round count; these stay depth-1 over a durable source).
+    val e = graft.core.Barrier.scratch(edges)
+    val nodes = graft.core.Barrier.scratch(e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct())
+    val outW = graft.core.Barrier.scratch(
+      e.groupBy(col("src")).agg(sum("w").as("out_w")))
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge table")
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -180,8 +184,8 @@ object GraphOps {
     // loop-only intermediates; after >= 1 iteration the result plan
     // reads only the final barrier (with iters = 0 the init plan
     // still derives from nodes, which must then stay alive)
-    freeCheckpoint(e); freeCheckpoint(outW)
-    if (i > 0) freeCheckpoint(nodes)
+    graft.core.Barrier.freeScratch(e); graft.core.Barrier.freeScratch(outW)
+    if (i > 0) graft.core.Barrier.freeScratch(nodes)
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
@@ -206,11 +210,12 @@ object GraphOps {
   def pageRankScaled(
       edges: DataFrame, iters: Int = 10, dampingPermille: Int = 850,
       scale: Long = 1000000000000L): DataFrame = {
-    val e = edges.barrier()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct().barrier()
-    val outW = e.groupBy(col("src")).agg(sum("w").as("out_w"))
-      .barrier()
+    // one-shot frames ride Barrier.scratch (see [[pageRank]])
+    val e = graft.core.Barrier.scratch(edges)
+    val nodes = graft.core.Barrier.scratch(e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct())
+    val outW = graft.core.Barrier.scratch(
+      e.groupBy(col("src")).agg(sum("w").as("out_w")))
     val n = nodes.count()
     require(n > 0, "pageRankScaled needs a non-empty edge table")
     val init = scale / n
@@ -227,17 +232,20 @@ object GraphOps {
         .select(col("dst").as("node"),
           expr("rank_scaled * w DIV out_w").as("c"))
         .groupBy("node").agg(sum("c").as("in_rank"))
+      // eager=false: each round feeds exactly ONE downstream plan, so
+      // reliable mode runs NO job between checkpoints — the k-th
+      // round's checkpoint computes the whole segment in one pass
       ranks = rb.next(nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"($dampingPermille * coalesce(in_rank, CAST(0 AS BIGINT)))" +
-              " DIV 1000")).as("rank_scaled")))
+              " DIV 1000")).as("rank_scaled")), eager = false)
       i += 1
     }
     ranks = rb.seal(ranks)
-    freeCheckpoint(e); freeCheckpoint(outW)
-    if (iters > 0) freeCheckpoint(nodes)
+    graft.core.Barrier.freeScratch(e); graft.core.Barrier.freeScratch(outW)
+    if (iters > 0) graft.core.Barrier.freeScratch(nodes)
     ranks
   }
 

@@ -36,4 +36,22 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Truncate a frame's LOGICAL plan to a `LogicalRDD` over its
+    * physical RDD — `Dataset.checkpoint`'s own internal move
+    * (`LogicalRDD.fromDataset`, `private[sql]`) minus any RDD-lineage
+    * truncation. For a PERSISTED frame this stops the Catalyst plan
+    * from growing across iterative rounds (a self-joined round
+    * otherwise DOUBLES its analyzed-plan subtree every iteration)
+    * while failure recovery still walks the intact RDD lineage —
+    * through the cache — back to the last real checkpoint
+    * (graft.core.RoundBarrier's between-checkpoint discipline).
+    */
+  def truncatePlan(ds: org.apache.spark.sql.Dataset[_])
+      : org.apache.spark.sql.DataFrame = {
+    val classic = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    dataset(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        classic.queryExecution.toRdd, classic, isStreaming = false))
+  }
 }
