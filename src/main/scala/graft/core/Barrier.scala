@@ -48,8 +48,15 @@ import org.apache.spark.storage.StorageLevel
   * reliably checkpoint every k-th, bounding both the per-round write
   * cost and the worst-case recompute depth at k — implemented as
   * [[RoundBarrier]] below and used by the loops the profile flagged
-  * (classifier GD 2.01x, PageRank 1.61x). Loops with few rounds or
-  * interleaved multi-frame chains keep the flat per-round barrier.
+  * (classifier GD 2.01x, PageRank 1.61x) plus the shared min-label
+  * loop behind dup clusters / entity fusion. Loops with few rounds or
+  * interleaved multi-frame chains (HITS' alternating hub/authority
+  * pair, SSSP, k-core) keep the flat per-round barrier. One-shot
+  * derived frames that every round READS but that recompute cheaply
+  * from a durable source (feature tables, edge snapshots of a scan)
+  * belong on [[scratch]], not on a durable checkpoint — only the
+  * round-carrying CHAIN needs files, because only its recompute depth
+  * grows with the round count.
   */
 object Barrier {
 
