@@ -84,7 +84,12 @@ object Barrier {
           }
         case _ => ()
       }
-    } catch { case _: java.io.IOException => () }
+      // NonFatal, not just IOException: this runs inline on the
+      // production checkpoint path, and object-store FileSystem shims
+      // may throw RuntimeExceptions (e.g. UnsupportedOperationException
+      // from getContentSummary) — a dev-only byte counter must never
+      // fail a real checkpoint
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** True when this session's barrier is the reliable checkpoint. */
   def useReliable(spark: SparkSession): Boolean =
@@ -158,6 +163,22 @@ object Barrier {
       "Barrier.free: expected a frame backed by exactly one barrier " +
         s"(LogicalRDD leaf); got leaves ${leaves.map(_.nodeName)} — " +
         "free each barriered input individually, when IT is superseded")
+    // CONTRACT GUARD 2: a frame backed by a RoundBarrier's UNSEALED
+    // in-between round looks like a clean single-barrier root (the
+    // plan truncation hides the loop), but freeing it would drop one
+    // round's blocks while the loop's other persisted rounds stay
+    // pinned and the recovery chain back to the last checkpoint is
+    // severed. The loop must seal() its escaping frame first.
+    leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        RoundBarrier.ownerOfRound(l.rdd.id).foreach { owner =>
+          throw new IllegalArgumentException(
+            s"Barrier.free: this frame is an UNSEALED in-between round " +
+              s"of $owner — call RoundBarrier.seal(frame) on the frame " +
+              "escaping the loop; seal makes it a single-barrier root " +
+              "and reclaims the loop's persisted rounds.")
+        }
+    }
     leaves.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
@@ -289,6 +310,42 @@ final class RoundBarrier(spark: SparkSession) {
   private var lastWasCkpt = false
   private val persisted =
     scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  // where this loop was constructed — names the culprit in a leak report
+  private val site: String =
+    Thread.currentThread.getStackTrace
+      .find(e => e.getClassName.startsWith("graft.") &&
+        !e.getClassName.startsWith("graft.core."))
+      .map(e => s"${e.getClassName}.${e.getMethodName}(${e.getFileName}:${e.getLineNumber})")
+      .getOrElse("<unknown call site>")
+  RoundBarrier.track(this, spark)
+
+  /** True iff this loop still holds live persisted in-between rounds —
+    * i.e. it produced at least one non-checkpoint round and neither a
+    * k-th-round checkpoint nor [[seal]] has reclaimed them. A completed
+    * loop in this state leaked: its escaping frame is a multi-input
+    * plan `Barrier.free` will reject, and the persisted rounds pin
+    * executor storage for the app's lifetime.
+    */
+  private[graft] def holdsUnsealedRounds: Boolean =
+    synchronized(persisted.nonEmpty)
+  private[graft] def describe: String =
+    s"RoundBarrier from $site (rounds=$n, live persisted=${persisted.size})"
+
+  // RDD ids of the truncated in-between rounds this loop has handed
+  // out and not yet superseded — the key Barrier.free's misuse guard
+  // looks up (see registerRoundId/ownerOfRound)
+  private val roundIds = scala.collection.mutable.Set.empty[Int]
+  private def registerRoundId(out: DataFrame): Unit =
+    out.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        roundIds += l.rdd.id
+        RoundBarrier.claimRound(l.rdd.id, this)
+      case _ => ()
+    }
+  private def releaseRoundIds(): Unit = {
+    roundIds.foreach(RoundBarrier.releaseRound)
+    roundIds.clear()
+  }
 
   /** Barrier round `n`'s state frame. Frees / unpersists superseded
     * rounds per the mode's discipline; never touches frames it did
@@ -320,6 +377,7 @@ final class RoundBarrier(spark: SparkSession) {
       // in-between persisted rounds and the previous checkpoint are
       // no longer part of any future plan or recovery chain
       persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
+      releaseRoundIds()
       lastCkpt.foreach(Barrier.free)
       lastCkpt = Some(out); lastWasCkpt = true
       out
@@ -336,7 +394,14 @@ final class RoundBarrier(spark: SparkSession) {
       // (measured: every-k WORSE than flat until this wrap). Recovery
       // still walks the intact RDD lineage through the cache back to
       // the last checkpoint.
-      org.apache.spark.sql.graftbridge.Bridge.truncatePlan(p)
+      val out = org.apache.spark.sql.graftbridge.Bridge.truncatePlan(p)
+      // register the truncated round's backing RDD so a misuse —
+      // Barrier.free on an UNSEALED escaping frame — is rejected with
+      // a message naming seal() instead of silently severing the
+      // loop's recovery chain (the truncation makes such a frame look
+      // like a clean single-barrier root)
+      registerRoundId(out)
+      out
     }
   }
 
@@ -351,8 +416,69 @@ final class RoundBarrier(spark: SparkSession) {
     else {
       val out = Barrier.checkpoint(ds, eager = true)
       persisted.foreach(_.unpersist(blocking = false)); persisted.clear()
+      releaseRoundIds()
       lastCkpt.foreach(Barrier.free)
       lastCkpt = Some(out); lastWasCkpt = true
       out
     }
+}
+
+/** Leak visibility for [[RoundBarrier]]'s caller contract (`seal()` the
+  * escaping frame): every instance self-registers here (weak refs — a
+  * collected loop holds nothing), and [[leaked]] reports the live ones
+  * still holding persisted in-between rounds. Wired two ways:
+  *
+  *   - at application end, a once-per-context listener WARN-logs each
+  *     leaked loop with its construction site — so a forgotten seal()
+  *     is named in the driver log BEFORE anyone debugs the downstream
+  *     `Barrier.free` rejection on a cluster;
+  *   - specs/debug code call [[leaked]] directly and assert empty.
+  *
+  * Never throws: misuse detection must not fail a job that would
+  * otherwise finish.
+  */
+object RoundBarrier {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val live = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[RoundBarrier, java.lang.Boolean]())
+  private val listenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def track(rb: RoundBarrier, spark: SparkSession): Unit = {
+    live.put(rb, java.lang.Boolean.TRUE)
+    val sc = spark.sparkContext
+    if (listenerInstalled.add(sc.applicationId)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          leaked.foreach(d => log.warn(
+            s"RoundBarrier leak at application end: $d — the loop never " +
+              "called seal() on its escaping frame; downstream " +
+              "Barrier.free will reject it and the persisted rounds " +
+              "pinned storage for the app's lifetime."))
+      })
+    }
+  }
+
+  /** Descriptions of live loops still holding unsealed persisted
+    * rounds (empty when every loop sealed or checkpoint-aligned).
+    */
+  def leaked: Seq[String] = {
+    val snapshot = live.synchronized {
+      import scala.jdk.CollectionConverters._
+      live.keySet.asScala.toList
+    }
+    snapshot.filter(_.holdsUnsealedRounds).map(_.describe)
+  }
+
+  // in-between-round RDD id -> owning loop, for Barrier.free's misuse
+  // guard; entries live only between a round's persist and its
+  // supersession (k-th checkpoint or seal), so the map stays tiny
+  private val roundOwners =
+    new java.util.concurrent.ConcurrentHashMap[Int, RoundBarrier]()
+  private def claimRound(id: Int, rb: RoundBarrier): Unit =
+    roundOwners.put(id, rb)
+  private def releaseRound(id: Int): Unit = roundOwners.remove(id)
+  private[core] def ownerOfRound(id: Int): Option[String] =
+    Option(roundOwners.get(id)).map(_.describe)
 }

@@ -80,18 +80,31 @@ object GraftFunctions {
   // collision (e.g. a future Spark adding a builtin cosine_similarity)
   // would silently keep the OTHER function and change SQL semantics.
   // First registration per session is an unconditional replace; repeat
-  // calls skip (no WARN-spam from GraftSql's per-facade-call binds).
+  // calls skip (no WARN-spam from GraftSql's per-facade-call binds) —
+  // but a memo hit still probes ONE sentinel function: if a user
+  // dropped graft's temp functions mid-session (DROP TEMPORARY
+  // FUNCTION, registry reset), the memo alone would make that
+  // unrecoverable and facade SQL would fail or silently bind a
+  // colliding builtin. The probe is a registry lookup (cheap) and
+  // re-runs the registration loop when the sentinel is gone.
   // Weak keys: the Boolean holds no reference back to its session.
+  // check+register+put are synchronized on the map so two threads
+  // can't interleave (registration itself is idempotent — this just
+  // keeps the record coherent).
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
+  private val sentinel = FunctionIdentifier(all.head._1.funcName)
+
   def register(spark: SparkSession): Unit = {
-    if (!registered.containsKey(spark)) {
-      all.foreach { case (ident, _, builder) =>
-        spark.sessionState.functionRegistry
-          .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    registered.synchronized {
+      val reg = spark.sessionState.functionRegistry
+      if (!registered.containsKey(spark) || !reg.functionExists(sentinel)) {
+        all.foreach { case (ident, _, builder) =>
+          reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+        }
+        registered.put(spark, java.lang.Boolean.TRUE)
       }
-      registered.put(spark, java.lang.Boolean.TRUE)
     }
     // the already-built-session path for the optimizer rule and planner
     // strategy the extensions inject at session build time

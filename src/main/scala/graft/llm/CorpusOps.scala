@@ -217,36 +217,44 @@ object CorpusOps {
       .limit(topK)
   }
 
-  val bm25Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id,
-      |    unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
-      |      t -> t <> '')) AS word
-      |  FROM documents),
-      |dl AS (SELECT doc_id,
-      |    len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
-      |      t -> t <> ''))::DOUBLE AS dl
-      |  FROM documents),
-      |st AS (SELECT count(*)::DOUBLE AS n_docs,
-      |    avg(len(list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
-      |      t -> t <> ''))) AS avgdl
-      |  FROM documents),
-      |tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf
-      |  FROM toks WHERE word IN ('spark', 'join', 'vector')
-      |  GROUP BY doc_id, word),
-      |dfq AS (SELECT word, count(*)::DOUBLE AS dfreq FROM tf GROUP BY word)
-      |SELECT tf.doc_id,
-      |  round(sum(ln(1 + (st.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
-      |    * tf.tf * (1.2 + 1)
-      |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4) AS score,
-      |  CAST(count(*) AS BIGINT) AS n_terms
-      |FROM tf
-      |JOIN dfq ON tf.word = dfq.word
-      |JOIN dl ON tf.doc_id = dl.doc_id
-      |CROSS JOIN st
-      |GROUP BY tf.doc_id
-      |ORDER BY score DESC, tf.doc_id
-      |LIMIT 20""".stripMargin
+  /** SHARED TEXT BUILDER for [[bm25]]'s SQL: the Spark-SQL facade
+    * statement (q_sql_retrieval_bm25) and the DuckDB oracle are both
+    * generated from this one template — constants, fold shape, and the
+    * ONE float expression (identically parenthesized, rounded once at
+    * the end) cannot drift between them. Dialect splits: tokenizer
+    * HOF spellings and the regex literal escaping, nothing else.
+    */
+  def bm25SqlText(d: graft.sql.Dialect): String = {
+    val tok = d.tokens("text", "[^\\p{L}]+")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    ${d.explode(tok, "word")}
+       |  FROM documents),
+       |dl AS (SELECT doc_id,
+       |    CAST(${d.len(tok)} AS DOUBLE) AS dl
+       |  FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    avg(${d.len(tok)}) AS avgdl
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM toks WHERE word IN ('spark', 'join', 'vector')
+       |  GROUP BY doc_id, word),
+       |dfq AS (SELECT word, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY word)
+       |SELECT tf.doc_id,
+       |  round(sum(ln(1 + (st.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+       |    * tf.tf * (1.2 + 1)
+       |    / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4) AS score,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM tf
+       |JOIN dfq ON tf.word = dfq.word
+       |JOIN dl ON tf.doc_id = dl.doc_id
+       |CROSS JOIN st
+       |GROUP BY tf.doc_id
+       |ORDER BY score DESC, tf.doc_id
+       |LIMIT 20""".stripMargin
+  }
+
+  val bm25Sql: String = bm25SqlText(graft.sql.Dialect.duck)
 
   // --------------------------------------------------------------------
   // Boilerplate detection: shared n-gram windows within a source.

@@ -1071,35 +1071,46 @@ object Dedup {
     minhashBandJoin(minhashSignaturesExact(d), minAgree,
       band => concat_ws(",", band.cast("array<string>")))
 
-  /** Exact DuckDB replay of [[minhashPairsExact]]. The permutation
-    * coefficients and the component list are generated from the same
-    * `perms` the Spark side uses — one source, no hand-copied
-    * constants.
+  /** SHARED TEXT BUILDER for [[minhashPairsExact]]'s SQL: the DuckDB
+    * oracle AND the Spark facade statement (q_sql_dedup_minhash) are
+    * both generated here — the permutation coefficients, band layout,
+    * Mersenne prime, and agreement threshold come from the SAME
+    * `perms`/`BandSize`/`MinhashK` the DataFrame twin uses, so none of
+    * the three spellings can drift. Dialect splits: tokenizer/HOF
+    * names, 1-based slicing, array literals, and the md5-hex-to-long
+    * parse (Spark has conv(); DuckDB folds the digits).
+    *
+    * The facade statement recomputes the md5 signature per shingle
+    * with composed expressions (the [[minhashSignaturesExactExpr]]
+    * spelling, ~4x the fused kernel at sf0.1) — the catalog face for a
+    * SQL-string user; [[minhashPairsExact]] is the scale path.
     */
-  val minhashPairsExactSql: String = {
-    val sigEntries = perms.map { case (a, b) =>
-      s"list_min(list_transform(hh, h -> (h * $a + $b) % $Prime))"
-    }.mkString("[\n      ", ",\n      ", "]")
+  def minhashPairsSqlText(d: graft.sql.Dialect): String = {
+    val sigEntries = d.arrayOf(
+      perms.map { case (a, b) =>
+        d.arrayMin(d.transform("hh", s"h -> (h * $a + $b) % $Prime"))
+      }, "      ")
     val nBands = MinhashK / BandSize
+    val lenTk = d.len("tk")
+    val hashLambda = s"s -> ${d.md5Head8("s")} % $Prime"
+    val agree = s"""CAST(${d.len(d.filter(d.range0List(MinhashK),
+      s"i -> ${d.elemAt("a.sig", "i + 1")} = ${d.elemAt("b.sig", "i + 1")}"))}
+       |    AS DOUBLE) / $MinhashK""".stripMargin
     s"""WITH toks AS (
        |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(text, '[ \\t-\\r]+'), t -> t <> '')
+       |    ${d.tokens("text", "[ \\t-\\r]+")}
        |      AS tk
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(tk) >= 3
-       |      THEN list_transform(range(len(tk) - 2),
-       |             i -> array_to_string(tk[i + 1:i + 3], ' '))
-       |      ELSE [array_to_string(tk, ' ')] END AS shingles
+       |    CASE WHEN $lenTk >= 3
+       |      THEN ${d.transform(d.seq1(s"$lenTk - 2"),
+                      s"i -> ${d.arrayJoin(d.slice1("tk", "i", 3), " ")}")}
+       |      ELSE ${d.array1(d.arrayJoin("tk", " "))} END AS shingles
        |  FROM toks),
        |hs AS (
        |  SELECT doc_id,
-       |    list_transform(shingles, s ->
-       |      list_reduce(list_transform(range(8), i ->
-       |        CAST(strpos('0123456789abcdef', substr(md5(s), i + 1, 1)) - 1
-       |          AS BIGINT)),
-       |        (a, b) -> a * 16 + b) % $Prime) AS hh
+       |    ${d.transform("shingles", hashLambda)} AS hh
        |  FROM sh),
        |sig AS (
        |  SELECT doc_id,
@@ -1107,19 +1118,24 @@ object Dedup {
        |  FROM hs),
        |banded AS (
        |  SELECT doc_id, sig, b.band AS band,
-       |    array_to_string(sig[b.band * $BandSize + 1:b.band * $BandSize + $BandSize], ',')
+       |    ${d.arrayJoin(
+                d.slice1("sig", s"b.band * $BandSize + 1", BandSize), ",")}
        |      AS bucket
-       |  FROM sig, (SELECT unnest(range($nBands)) AS band) b)
+       |  FROM sig CROSS JOIN ${d.range0(nBands, "band")} b)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_filter(range($MinhashK),
-       |    i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE) / $MinhashK
+       |  $agree
        |    AS est_jaccard
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bucket = b.bucket
        |    AND a.doc_id < b.doc_id
-       |WHERE CAST(len(list_filter(range($MinhashK),
-       |    i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE) / $MinhashK >= 0.5""".stripMargin
+       |WHERE $agree >= 0.5""".stripMargin
   }
+
+  /** Exact DuckDB replay of [[minhashPairsExact]] — the duck rendering
+    * of [[minhashPairsSqlText]].
+    */
+  val minhashPairsExactSql: String =
+    minhashPairsSqlText(graft.sql.Dialect.duck)
 
   // ---------------------------------------------------------- simhash
 

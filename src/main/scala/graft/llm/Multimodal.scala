@@ -999,11 +999,21 @@ object Multimodal {
     */
   @volatile private var oracleSfTag: String = "sf0.01"
 
+  // (tag, name) pairs this JVM has already materialized: the decode +
+  // hash is DETERMINISTIC in (sf dir, name), so a repeat call (the SQL
+  // face and its DataFrame twin share image_hashes) re-reads instead
+  // of overwriting — an overwrite would delete the files a previously
+  // returned lazy frame still references mid-comparison. First call in
+  // each JVM still overwrites, so cross-run staleness can't survive.
+  private val materialized =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   private def oracleHashes(
       hashes: DataFrame, sfDir: String, name: String): DataFrame = {
     oracleSfTag = new java.io.File(sfDir).getName
     val path = s"$mmOracleRoot/$oracleSfTag/$name"
-    hashes.write.mode("overwrite").parquet(path)
+    if (materialized.add((oracleSfTag, name)))
+      hashes.write.mode("overwrite").parquet(path)
     hashes.sparkSession.read.parquet(path)
   }
 
@@ -1016,18 +1026,46 @@ object Multimodal {
     * between engines cannot leak in.
     */
   private def bandedHammingSql(name: String): String =
+    bandedHammingSqlText(graft.sql.Dialect.duck, name)
+
+  /** SHARED TEXT BUILDER for the banded-hamming near-dup SQL over a
+    * materialized (doc_id, phash) table: the DuckDB oracle and the
+    * Spark facade statement (q_sql_multimodal_phash) are generated
+    * from this one template — band count/width, the low-16-bit mask
+    * (which neutralizes arithmetic-vs-logical shift fill), and the
+    * hamming cutoff are spelled once. The codec step (decode + aHash)
+    * is a Scala kernel SQL cannot express; the hash TABLE is the
+    * user-shaped boundary, exactly as for the oracle.
+    */
+  private[graft] def bandedHammingSqlText(
+      d: graft.sql.Dialect, name: String): String =
     s"""WITH h AS (
        |  SELECT doc_id, phash
-       |  FROM read_parquet('$mmOracleRoot/$oracleSfTag/$name/*.parquet')),
+       |  FROM ${d.parquet(s"$mmOracleRoot/$oracleSfTag/$name")}),
        |b AS (
-       |  SELECT doc_id, phash, r.range AS band,
-       |    (phash >> (CAST(r.range AS INTEGER) * 16)) & 65535 AS key
-       |  FROM h CROSS JOIN range(4) r)
+       |  SELECT doc_id, phash, r.band AS band,
+       |    ${d.shiftRight("phash", "CAST(r.band AS INTEGER) * 16")} & 65535
+       |      AS key
+       |  FROM h CROSS JOIN ${d.range0(4, "band")} r)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |  bit_count(xor(x.phash, y.phash)) AS hamming
+       |  bit_count(${d.xor("x.phash", "y.phash")}) AS hamming
        |FROM b x JOIN b y
        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin
+       |WHERE bit_count(${d.xor("x.phash", "y.phash")}) <= 3""".stripMargin
+
+  /** The SQL facade's phash statement for `sfDir`: materialize the
+    * image-hash table (planted copies included — the SAME input the
+    * programmatic q_multimodal_phash pairs over), then render the
+    * banded-hamming statement against it in the Spark dialect. Called
+    * by [[graft.sql.GraftSql]] at statement-resolution time, so the
+    * text always points at the table just written for THIS sf dir.
+    */
+  def phashSqlFace(spark: SparkSession, sfDir: String): String = {
+    oracleHashes(
+      imageHashes(spark, withPlantedCopies(bmpFixtures(docs(spark, sfDir)))),
+      sfDir, "image_hashes")
+    bandedHammingSqlText(graft.sql.Dialect.spark, "image_hashes")
+  }
 
   private def withPlantedCopies(media: DataFrame): DataFrame =
     media.unionByName(

@@ -935,27 +935,36 @@ object Similarity {
         round(sqrt(col("err2")), 9).as("l2_err_r"))
   }
 
-  val quantizeInt8Sql: String =
-    """SELECT vec_id,
-      |  CAST(list_min(q) AS BIGINT) AS q_min,
-      |  CAST(list_max(q) AS BIGINT) AS q_max,
-      |  round(scale, 9) AS scale_r,
-      |  round(sqrt(list_reduce(
-      |    list_prepend(CAST(0 AS DOUBLE),
-      |      list_transform(emb, v ->
-      |        (v - round(v / scale, 0) * scale) *
-      |        (v - round(v / scale, 0) * scale))),
-      |    (a, b) -> a + b)), 9) AS l2_err_r
-      |FROM (
-      |  SELECT vec_id, emb, scale,
-      |    list_transform(emb, v -> CAST(round(v / scale, 0) AS BIGINT)) AS q
-      |  FROM (
-      |    SELECT vec_id, emb,
-      |      nullif(list_max(list_transform(emb, v -> abs(v))) / 127.0, 0)
-      |        AS scale
-      |    FROM (SELECT vec_id,
-      |            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
-      |          FROM embeddings)))""".stripMargin
+  /** SHARED TEXT BUILDER for [[quantizeInt8]]'s SQL: the Spark facade
+    * statement (q_sql_embed_quantize) and the DuckDB oracle come from
+    * this one template — the residual expression and its left-to-right
+    * fold order (the float discipline) are spelled once. Dialect
+    * splits are array-HOF names only. (The embed family's PCA faces
+    * stay oracle-only: their power iteration needs 128-bit integers —
+    * DuckDB HUGEINT — which Spark SQL has no counterpart for.)
+    */
+  def quantizeInt8SqlText(d: graft.sql.Dialect): String = {
+    val resid = "(v - round(v / scale, 0) * scale)"
+    s"""SELECT vec_id,
+       |  CAST(${d.arrayMin("q")} AS BIGINT) AS q_min,
+       |  CAST(${d.arrayMax("q")} AS BIGINT) AS q_max,
+       |  round(scale, 9) AS scale_r,
+       |  round(sqrt(${d.sumFoldDouble(
+                       d.transform("emb", s"v -> $resid * $resid"))}), 9)
+       |    AS l2_err_r
+       |FROM (
+       |  SELECT vec_id, emb, scale,
+       |    ${d.transform("emb", "v -> CAST(round(v / scale, 0) AS BIGINT)")} AS q
+       |  FROM (
+       |    SELECT vec_id, emb,
+       |      nullif(${d.arrayMax(d.transform("emb", "v -> abs(v)"))} / 127.0, 0)
+       |        AS scale
+       |    FROM (SELECT vec_id,
+       |            ${d.transform("embedding", "v -> CAST(v AS DOUBLE)")} AS emb
+       |          FROM embeddings)))""".stripMargin
+  }
+
+  val quantizeInt8Sql: String = quantizeInt8SqlText(graft.sql.Dialect.duck)
 
   // --------------------------------------------------------------------
   // Product quantization (PQ — Jégou et al. 2011, "Product Quantization

@@ -73,7 +73,21 @@ object GraftSql {
 
   /** Run a named statement from [[statements]]. */
   def named(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    sql(spark, sfDir, statements(name))
+    sql(spark, sfDir, statementFor(spark, sfDir, name))
+
+  /** Statement text for `name` bound to `sfDir`. Identical to
+    * `statements(name)` except the phash face: its statement reads the
+    * materialized image-hash table (the codec step is a Scala kernel —
+    * SQL starts at the hash table), so resolution materializes the
+    * table for THIS sf dir and renders the text against it. The static
+    * [[statements]] entry shows the same statement at the fallback tag.
+    */
+  def statementFor(spark: SparkSession, sfDir: String, name: String): String =
+    name match {
+      case "q_sql_multimodal_phash" =>
+        graft.llm.Multimodal.phashSqlFace(spark, sfDir)
+      case _ => statements(name)
+    }
 
   /** The streaming face of [[sql]]: bind `stream` (a `readStream`
     * DataFrame) as a watermarked temp view and compile `statement`
@@ -409,8 +423,46 @@ object GraftSql {
   private val graphPagerank: String =
     graft.ops.GraphOps.pageRankScaledSql(div = "DIV")
 
+  // -------- round-18 faces: every statement below renders the SAME
+  // shared text builder as its DuckDB oracle ([[Dialect]]), the
+  // pattern q_sql_graph_pagerank proved — statement/oracle drift is
+  // structurally impossible, and the constants (BM25 k1/b, minhash
+  // permutations, band widths) come from the DataFrame twin's own
+  // fields.
+
+  /** BM25 top-20 in SQL text, the [[graft.llm.CorpusOps.bm25]] twin. */
+  private val retrievalBm25: String =
+    graft.llm.CorpusOps.bm25SqlText(Dialect.spark)
+
+  /** MinHash LSH near-dup candidates in SQL text, the
+    * [[graft.llm.Dedup.minhashPairsExact]] twin (composed-expression
+    * signature — the fused kernel is the scale path).
+    */
+  private val dedupMinhash: String =
+    graft.llm.Dedup.minhashPairsSqlText(Dialect.spark)
+
+  /** 3-round synchronous label propagation (communities) in SQL text —
+    * written in the dialect intersection, so statement == oracle ==
+    * [[graft.ops.GraphOps.labelPropagationSql]], one shared text.
+    */
+  private val graphCommunities: String =
+    graft.ops.GraphOps.labelPropagationSql
+
+  /** Int8 quantization error panel in SQL text, the
+    * [[graft.llm.Similarity.quantizeInt8]] twin.
+    */
+  private val embedQuantize: String =
+    graft.llm.Similarity.quantizeInt8SqlText(Dialect.spark)
+
+  /** Banded-hamming image near-dup in SQL text over the materialized
+    * hash table — static rendering at the fallback tag; [[named]]
+    * resolves the live path via [[statementFor]].
+    */
+  private def multimodalPhash: String =
+    graft.llm.Multimodal.bandedHammingSqlText(Dialect.spark, "image_hashes")
+
   /** Named statements, Spark-SQL dialect. */
-  val statements: Map[String, String] = Map(
+  def statements: Map[String, String] = Map(
     "q_sql_region_pulse" -> regionPulse,
     "q_sql_doc_profile" -> docProfile,
     "q_sql_settled_customers" -> settledCustomers,
@@ -423,7 +475,12 @@ object GraftSql {
     "q_sql_sketch_quantile" -> sketchQuantile,
     "q_sql_privacy_kanon" -> privacyKanon,
     "q_sql_events_session" -> eventsSession,
-    "q_sql_graph_pagerank" -> graphPagerank)
+    "q_sql_graph_pagerank" -> graphPagerank,
+    "q_sql_retrieval_bm25" -> retrievalBm25,
+    "q_sql_dedup_minhash" -> dedupMinhash,
+    "q_sql_graph_communities" -> graphCommunities,
+    "q_sql_embed_quantize" -> embedQuantize,
+    "q_sql_multimodal_phash" -> multimodalPhash)
 
   // ------------------------------------------------- driver contract
 
@@ -440,7 +497,10 @@ object GraftSql {
     * oracle — the SQL face and the DataFrame face share one oracle
     * text, so they can never drift apart silently).
     */
-  val oracleSql: Map[String, String] =
+  // `def`, not `val`: the phash oracle embeds the materialization tag
+  // the trio queries set at run time (the Multimodal.oracleSql
+  // convention)
+  def oracleSql: Map[String, String] =
     statements ++ Map(
       "q_sql_doc_profile" -> docProfileOracle,
       "q_sql_dedup_exact" -> graft.llm.Dedup.exactSql,
@@ -451,5 +511,12 @@ object GraftSql {
       "q_sql_sketch_quantile" -> graft.llm.CorpusOps.quantileSketchSql,
       // q_sql_privacy_kanon: statement == oracle (dialect intersection)
       "q_sql_events_session" -> graft.ops.EventOps.sessionsSql,
-      "q_sql_graph_pagerank" -> graft.ops.GraphOps.pageRankScaledSql())
+      "q_sql_graph_pagerank" -> graft.ops.GraphOps.pageRankScaledSql(),
+      "q_sql_retrieval_bm25" -> graft.llm.CorpusOps.bm25Sql,
+      "q_sql_dedup_minhash" -> graft.llm.Dedup.minhashPairsExactSql,
+      // q_sql_graph_communities: statement == oracle (one shared text)
+      "q_sql_embed_quantize" -> graft.llm.Similarity.quantizeInt8Sql,
+      "q_sql_multimodal_phash" ->
+        graft.llm.Multimodal.bandedHammingSqlText(
+          Dialect.duck, "image_hashes"))
 }

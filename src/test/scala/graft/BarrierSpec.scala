@@ -117,6 +117,35 @@ class BarrierSpec extends SparkSpec {
     }
   }
 
+  test("RoundBarrier: a loop that skips seal() is visibly leaked; " +
+    "seal() clears it; library loops report clean") {
+    withBarrier("reliable") {
+      spark.conf.set("spark.graft.barrier.everyK", "4")
+      try {
+        // forgetful loop: 2 rounds (< k), no seal — in-between rounds
+        // stay persisted and the registry must name this loop
+        val bad = new graft.core.RoundBarrier(spark)
+        var df = spark.range(20).toDF("v")
+        for (_ <- 1 to 2) df = bad.next(df.withColumn("v", col("v") + 1))
+        val leakedNow = graft.core.RoundBarrier.leaked
+        assert(leakedNow.exists(_.contains("BarrierSpec")),
+          s"unsealed loop not reported; got: $leakedNow")
+        // and the escaping frame fails free() with a message naming seal()
+        val e = intercept[IllegalArgumentException](Barrier.free(df))
+        assert(e.getMessage.contains("seal"))
+        // sealing retroactively clears the leak and yields a freeable root
+        val rooted = bad.seal(df)
+        assert(!graft.core.RoundBarrier.leaked.exists(_.contains("BarrierSpec")))
+        Barrier.free(rooted)
+        // a REAL library loop (min-label via q_dedup_clusters) leaves
+        // nothing leaked — the loops the library ships all seal
+        SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count()
+        assert(!graft.core.RoundBarrier.leaked.exists(_.contains("ops.GraphOps")),
+          s"library loop leaked: ${graft.core.RoundBarrier.leaked}")
+      } finally spark.conf.unset("spark.graft.barrier.everyK")
+    }
+  }
+
   test("reliable mode leaves no checkpoint files once results are freed") {
     // an end-to-end iterative op: pageRankScaled frees every internal
     // snapshot itself; after freeing the RETURNED frame the session's

@@ -95,31 +95,43 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stamps CLUSTERGATE.json (and appends to PROGRESS.jsonl) itself,
     // with the git rev it executed against. A round that never ran the
     // suite has no stamp for its final commit — the gap is visible.
+    // Stamping must never mask a test result (we are in afterAll) and
+    // must never write to a stray directory: resolve the repo root via
+    // git itself (already shelling out for the rev) and SKIP the stamp
+    // when that fails — an IDE run from elsewhere then simply leaves no
+    // stamp, which the per-round gap check surfaces, instead of
+    // stamping the wrong repo.
     if (enabled && (nPassed.get + nFailed.get) > 0) {
-      val repo = new java.io.File(sys.props("user.dir"))
-      val rev =
-        try scala.sys.process.Process(
+      try {
+        val cwd = new java.io.File(sys.props("user.dir"))
+        val repo = new java.io.File(scala.sys.process.Process(
+          Seq("git", "rev-parse", "--show-toplevel"), cwd).!!.trim)
+        val rev = scala.sys.process.Process(
           Seq("git", "rev-parse", "HEAD"), repo).!!.trim
-        catch { case _: Exception => "unknown" }
-      val dirty =
-        try scala.sys.process.Process(
-          Seq("git", "status", "--porcelain"), repo).!!.linesIterator
-          .exists(l => l.contains("src/main") || l.contains("src/test"))
-        catch { case _: Exception => true }
-      val stamp =
-        s"""{"gate": "local-cluster-smoke", "suite": "graft.LocalClusterSpec",
-           | "master": "local-cluster[2,2,1024]",
-           | "passed": ${nPassed.get}, "failed": ${nFailed.get},
-           | "green": ${nFailed.get == 0 && nPassed.get > 0},
-           | "git_rev": "$rev", "src_dirty": $dirty,
-           | "date": "${java.time.Instant.now()}"}""".stripMargin
-        .replace("\n", "")
-      val f = new java.io.File(repo, "CLUSTERGATE.json")
-      val w = new java.io.FileWriter(f)
-      try w.write(stamp + "\n") finally w.close()
-      val p = new java.io.FileWriter(
-        new java.io.File(repo, "PROGRESS.jsonl"), true)
-      try p.write(stamp + "\n") finally p.close()
+        val dirty =
+          try scala.sys.process.Process(
+            Seq("git", "status", "--porcelain"), repo).!!.linesIterator
+            .exists(l => l.contains("src/main") || l.contains("src/test"))
+          catch { case _: Exception => true }
+        val stamp =
+          s"""{"gate": "local-cluster-smoke", "suite": "graft.LocalClusterSpec",
+             | "master": "local-cluster[2,2,1024]",
+             | "passed": ${nPassed.get}, "failed": ${nFailed.get},
+             | "green": ${nFailed.get == 0 && nPassed.get > 0},
+             | "git_rev": "$rev", "src_dirty": $dirty,
+             | "date": "${java.time.Instant.now()}"}""".stripMargin
+          .replace("\n", "")
+        val f = new java.io.File(repo, "CLUSTERGATE.json")
+        val w = new java.io.FileWriter(f)
+        try w.write(stamp + "\n") finally w.close()
+        val p = new java.io.FileWriter(
+          new java.io.File(repo, "PROGRESS.jsonl"), true)
+        try p.write(stamp + "\n") finally p.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"LocalClusterSpec: gate stamp skipped (${e.getMessage})")
+      }
     }
   }
 

@@ -90,7 +90,13 @@ class SqlEntrySpec extends SparkSpec {
       // gaps-and-islands SQL vs the native session_window operator —
       // two different plans that must agree row-for-row
       "q_sql_events_session" -> "q_events_session",
-      "q_sql_graph_pagerank" -> "q_graph_pagerank")
+      "q_sql_graph_pagerank" -> "q_graph_pagerank",
+      // round-18 faces (statement and oracle from one shared builder)
+      "q_sql_retrieval_bm25" -> "q_text_bm25",
+      "q_sql_dedup_minhash" -> "q_dedup_minhash",
+      "q_sql_graph_communities" -> "q_graph_communities",
+      "q_sql_embed_quantize" -> "q_embed_quantize",
+      "q_sql_multimodal_phash" -> "q_multimodal_phash")
     twins.foreach { case (sqlName, apiName) =>
       val viaSql = SparkEntry.queries(sqlName)(spark, sfDir)
       val viaApi = SparkEntry.queries(apiName)(spark, sfDir)
