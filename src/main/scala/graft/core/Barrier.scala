@@ -365,6 +365,14 @@ final class RoundBarrier(spark: SparkSession) {
     * new round materialized first).
     */
   def next(ds: DataFrame, eager: Boolean = true): DataFrame = {
+    // `spark.graft.barrier.eagerRounds=true` overrides a call site's
+    // eager=false: materialize every in-between round with its own job
+    // even on a linear chain. The k-sweep showed the one-pass k-segment
+    // job super-linear in k on shuffle-heavy rounds (deep AQE plans);
+    // this knob lets a deployment (and BarrierProf) choose per-job
+    // depth 1 without touching call sites.
+    val eag = eager ||
+      spark.conf.get("spark.graft.barrier.eagerRounds", "false").toBoolean
     n += 1
     if (!reliable) {
       val out = ds.localCheckpoint(eager = true)
@@ -383,7 +391,7 @@ final class RoundBarrier(spark: SparkSession) {
       out
     } else {
       val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
-      if (eager) p.count()
+      if (eag) p.count()
       persisted += p
       lastWasCkpt = false
       // TRUNCATE the logical plan (LogicalRDD over the cached physical

@@ -52,8 +52,14 @@ object PlanAudit {
         Some(s"top-${t.limit}")
       case l: LocalTableScanExec if l.rows.lengthCompare(TinyRows) <= 0 =>
         Some(s"local ${l.rows.length} rows")
+      case r: RangeExec if r.numElements <= BigInt(TinyRows) =>
+        // range(N) states its cardinality in the plan node itself —
+        // the SQL faces' band-expansion `CROSS JOIN range(4)` is a
+        // statically-bounded flat-map, not a corpus-sized cross
+        Some(s"range ${r.numElements}")
       case r: RDDScanExec if r.name == "ParallelCollectionRDD" =>
         None // row count unknowable statically — refuse to bless
+      case _: OneRowRelationExec => Some("1-row relation")
       case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
         // a cross of two tiny sides (e.g. two 1-row stat aggregates)
         // is itself tiny: |product| ≤ TinyRows·TinyRows is too loose,
@@ -74,10 +80,27 @@ object PlanAudit {
       case s: SortExec => tinyBuildReason(s.child)
       case c: CoalesceExec => tinyBuildReason(c.child)
       case g: GenerateExec =>
-        // explode of a tiny relation: bounded by child rows × array
-        // size; only bless when the child is a 1-row aggregate
-        tinyBuildReason(g.child).filter(_ == "1-row global agg")
-          .map(r => s"explode of $r")
+        // explode of a tiny relation is bounded by child rows × per-row
+        // output. Bless (a) explode of a COMPILE-TIME-LITERAL array
+        // over a 1-row child (the SQL faces' folded band expansion,
+        // `CROSS JOIN range(4)` → Generate explode([0,1,2,3]) over
+        // OneRowRelation — cardinality is the literal's length) and
+        // (b) any explode of a 1-row aggregate
+        val litLen = g.generator match {
+          case e: org.apache.spark.sql.catalyst.expressions.ExplodeBase
+              if e.child.foldable =>
+            Option(e.child.eval(null)).map(
+              _.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                .numElements())
+          case _ => None
+        }
+        tinyBuildReason(g.child) match {
+          case Some(r) if r.startsWith("1-row") &&
+              litLen.exists(_ <= TinyRows) =>
+            Some(s"explode of ${litLen.get}-elem literal")
+          case Some(r) if r == "1-row global agg" => Some(s"explode of $r")
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -105,6 +128,9 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // optional extra args: restrict to named queries (debug iteration —
+    // PLANS.md is only written on a full, unfiltered run)
+    val only = args.drop(1).toSet
     val spark = Graft.session("plan-audit", "local[4]")
     val out = new StringBuilder
     val bnlViolations = scala.collection.mutable.ArrayBuffer[String]()
@@ -119,7 +145,8 @@ object PlanAudit {
       "be proven tiny.\n\n"
     out ++= "| query | exchanges | joins | pushdown | codegen | bnl |\n"
     out ++= "| --- | --- | --- | --- | --- | --- |\n"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       try {
         val qe = fn(spark, sfDir).queryExecution
         val p = qe.explainString(ExplainMode.fromString("formatted"))
@@ -149,7 +176,9 @@ object PlanAudit {
               case Some(r) => r
               case None =>
                 bnlViolations += s"$name: BNL build side not provably " +
-                  s"tiny: ${b.nodeName}"
+                  s"tiny:\n${b.treeString.linesIterator.take(8)
+                    .mkString("\n")}\nclasses: ${b.collect {
+                      case n => n.getClass.getSimpleName }.mkString(" / ")}"
                 s"**UNBOUNDED ${b.nodeName}**"
             }
           }.mkString("; ")
@@ -161,8 +190,11 @@ object PlanAudit {
           out ++= s"| $name | ERROR: ${e.getMessage.take(60)} | | | | |\n"
       }
     }
-    Files.writeString(Paths.get("PLANS.md"), out.toString)
-    println(s"[planaudit] wrote PLANS.md (${SparkEntry.queries.size} queries)")
+    if (only.isEmpty) {
+      Files.writeString(Paths.get("PLANS.md"), out.toString)
+      println(
+        s"[planaudit] wrote PLANS.md (${SparkEntry.queries.size} queries)")
+    } else print(out.toString)
     spark.stop()
     if (bnlViolations.nonEmpty) {
       bnlViolations.foreach(v => System.err.println(s"[planaudit] FAIL $v"))
