@@ -300,6 +300,18 @@ object Barrier {
   *
   * `k` resolves from `spark.graft.barrier.everyK` (default 4). k=1
   * degenerates to the flat reliable barrier.
+  *
+  * THE k TRADE IS CALL-SITE-SHAPED (BarrierProf `sweep` at 50-round GD
+  * / 20-iter PageRank, BASELINE.md round-18 row): an EAGER loop over a
+  * tiny chain frame improves monotonically with k (classifier GD r50:
+  * 47.9 s at k=1 → 30.3 s at k=16 — per-checkpoint fixed cost is the
+  * whole trade), while a LAZY (eager=false) shuffle-heavy chain
+  * degrades monotonically (pagerank i20: 6.9 s at k=1 → 32.6 s at
+  * k=16 — the k-segment computes as ONE job whose plan carries 2k
+  * shuffles, and AQE replanning over that chain is super-linear in k).
+  * k=4 is the compromise default for unknown loops;
+  * `spark.graft.barrier.eagerRounds=true` converts lazy call sites to
+  * per-round jobs when a deployment raises k.
   */
 final class RoundBarrier(spark: SparkSession) {
   private val reliable = Barrier.useReliable(spark)
