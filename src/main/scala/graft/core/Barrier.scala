@@ -368,13 +368,16 @@ final class RoundBarrier(spark: SparkSession) {
     * into SEVERAL consumers (an unmaterialized plan could recompute
     * per consumer; racing stages can even compute a lazily-persisted
     * frame twice). A loop whose round feeds exactly ONE downstream
-    * plan (pageRankScaled's linear chain) passes eager=false: the
-    * in-between rounds are persisted lazily and the k-th round's
-    * checkpoint job computes the whole k-segment in ONE pass —
-    * between checkpoints there is no job at all, which is the real
-    * saving when frames are small and job overhead dominates. Local
-    * mode is always eager (the free-previous discipline needs the
-    * new round materialized first).
+    * plan MAY pass eager=false: the in-between rounds persist lazily
+    * and the k-th round's checkpoint job computes the whole k-segment
+    * in ONE pass. MEASURED CAUTION (BarrierProf sweep, 20-iter
+    * pagerank): that one-pass job's plan carries every shuffle of the
+    * segment, and its cost grows SUPER-linearly in k (6.9 s at k=1 →
+    * 32.6 s at k=16 vs a flat 6.6-9.0 s eager) — AQE replans the
+    * whole 2k-shuffle chain stage by stage. Lazy only breaks even at
+    * k <= 2; prefer eager for shuffle-bearing rounds. Local mode is
+    * always eager (the free-previous discipline needs the new round
+    * materialized first).
     */
   def next(ds: DataFrame, eager: Boolean = true): DataFrame = {
     // `spark.graft.barrier.eagerRounds=true` overrides a call site's

@@ -232,15 +232,19 @@ object GraphOps {
         .select(col("dst").as("node"),
           expr("rank_scaled * w DIV out_w").as("c"))
         .groupBy("node").agg(sum("c").as("in_rank"))
-      // eager=false: each round feeds exactly ONE downstream plan, so
-      // reliable mode runs NO job between checkpoints — the k-th
-      // round's checkpoint computes the whole segment in one pass
+      // EAGER rounds (one job per round, plan depth 1): the lazy
+      // alternative — no job between checkpoints, the k-th round
+      // computing the whole segment in one pass — measured SUPER-LINEAR
+      // in k at production round counts (BarrierProf sweep, 20 iters:
+      // lazy 14.8 s at the default k=4 and 32.6 s at k=16 vs eager
+      // 8.7 / 9.0 s — a 2k-shuffle single-job plan pays AQE replanning
+      // across the whole chain). Eager is flat in k.
       ranks = rb.next(nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"($dampingPermille * coalesce(in_rank, CAST(0 AS BIGINT)))" +
-              " DIV 1000")).as("rank_scaled")), eager = false)
+              " DIV 1000")).as("rank_scaled")))
       i += 1
     }
     ranks = rb.seal(ranks)
