@@ -298,8 +298,9 @@ object Barrier {
   * that never grow past one round — holds exactly as under the flat
   * discipline.
   *
-  * `k` resolves from `spark.graft.barrier.everyK` (default 4). k=1
-  * degenerates to the flat reliable barrier.
+  * `k` resolves from `spark.graft.barrier.everyK` when set, else the
+  * constructor's family-tuned `defaultK` (4). k=1 degenerates to the
+  * flat reliable barrier.
   *
   * THE k TRADE IS CALL-SITE-SHAPED (BarrierProf `sweep` at 50-round GD
   * / 20-iter PageRank, BASELINE.md round-18 row): an EAGER loop over a
@@ -313,10 +314,17 @@ object Barrier {
   * `spark.graft.barrier.eagerRounds=true` converts lazy call sites to
   * per-round jobs when a deployment raises k.
   */
-final class RoundBarrier(spark: SparkSession) {
+final class RoundBarrier(spark: SparkSession, defaultK: Int = 4) {
   private val reliable = Barrier.useReliable(spark)
+  // `defaultK` is the call site's family-tuned k (the BarrierProf sweep
+  // is per-family: a tiny eager chain frame wants large k — classifier
+  // GD measured 41.3 s at k=4 vs 30.3 s at k=16 over 50 rounds, the
+  // per-checkpoint fixed cost being the whole trade — while shuffle-
+  // heavy rounds are flat-in-k once eager). The conf, when SET,
+  // overrides every call site: one deployment-wide recovery-depth cap.
   private val k: Int =
-    spark.conf.get("spark.graft.barrier.everyK", "4").toInt max 1
+    spark.conf.getOption("spark.graft.barrier.everyK")
+      .map(_.toInt).getOrElse(defaultK) max 1
   private var n = 0
   private var lastCkpt: Option[Dataset[_]] = None
   private var lastWasCkpt = false

@@ -1180,7 +1180,12 @@ object Curation {
     // entirely in reliable mode (it was the dominant term of the
     // measured 2.01x — a corpus-sized write per round for a frame that
     // dies within the round).
-    val rb = new graft.core.RoundBarrier(d.sparkSession)
+    // defaultK=16: the chain frame is 64 rows, so checkpoint WRITES are
+    // free and the per-checkpoint fixed cost (job + write + read +
+    // plan rebase) is the whole reliable-mode overhead — the k-sweep
+    // measured 50-round GD at 47.9/41.3/30.3 s for k=1/4/16. Recovery
+    // depth ≤15 rounds of 64-row recompute is cheap by construction.
+    val rb = new graft.core.RoundBarrier(d.sparkSession, defaultK = 16)
     var w = rb.next(d.sparkSession.range(0, 64)
       .select(col("id").as("b"), lit(0L).as("w")))
     val losses = Seq.newBuilder[org.apache.spark.sql.Row]
