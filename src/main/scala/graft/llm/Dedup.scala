@@ -196,15 +196,39 @@ object Dedup {
     val base = graft.core.Layout.spread(d, "doc_id").select(
       Seq(col("doc_id"), tokens.as("toks")) ++
         payload.map { case (n, c) => c.as(n) }: _*)
-    val ex = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // explode_outer, NOT explode: explode makes Catalyst infer
+    // `size(toks) > 0 AND isnotnull(toks)` and push it below the spread
+    // exchange, where `toks` substitutes back to the tokenizer kernel —
+    // the kernel then runs an extra time per row INSIDE the single
+    // scan task (measured in the r18 plan audit: Filter(2) carried
+    // hashed_sorted_tokens below the Exchange). With the outer variant
+    // nothing is inferred; empty docs emit one null `tok` row that the
+    // cheap isnotnull filter (on the generated column, after the
+    // exchange) drops — the same row set, one kernel evaluation.
+    val ex = base
+      .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .filter(col("tok").isNotNull)
     val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Global token rank = any INJECTIVE long encoding consistent with
+    // the (df, tok) total order — candidate completeness needs only a
+    // shared order (rare-first minimizes candidates), and rank VALUES
+    // never reach the output. monotonically_increasing_id over a
+    // range-partitioned, partition-sorted frame is exactly that
+    // (partition id rides the high bits, so ids are monotone across
+    // the range boundaries; AQE coalescing merges ADJACENT ranges and
+    // preserves the order). Replaces the r1-r17 RDD zipWithIndex
+    // bridge, which cost an extra full count pass, broke codegen
+    // (SerializeFromObject), and — worse — gave the rank table
+    // LogicalRDD's unknown stats, making the planner broadcast the
+    // FAT EXPLODED CORPUS side of the rank join instead of the rank
+    // table (r18 plan audit, BroadcastExchange(6) over the exploded
+    // tokens). As a plain derived frame its stats are estimable: the
+    // planner broadcasts it while the vocabulary is small and falls
+    // back to a shuffle join when it is not — the per-scale choice.
     val ranked = dfreq
       .repartitionByRange(col("df"), col("tok"))
       .sortWithinPartitions("df", "tok")
-      .select("tok").rdd
-      .zipWithIndex()
-      .map { case (r, i) => (r.getLong(0), i) }
-      .toDF("tok", "rank")
+      .select(col("tok"), monotonically_increasing_id().as("rank"))
     val ranksPerDoc = ex.join(ranked, "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("rank"))).as("ranks"))
@@ -271,8 +295,21 @@ object Dedup {
     // on hot keys (probe rows walk long hash chains), so pin the
     // sort-merge strategy — on big corpora the inputs exceed the
     // broadcast threshold and SMJ is what AQE would pick anyway.
-    probeSide.as("a")
-      .join(buildSide.as("b").hint("merge"),
+    //
+    // Explicit repartition-by-NUM on the join keys: AQE coalesces
+    // shuffle partitions by INPUT bytes, but this join's cost is its
+    // key-equal OUTPUT multiset — the same blindness that motivates
+    // the salting above. At sf0.1 the coalesce collapsed the scoring
+    // merge to 4 tasks of ~600 ms on a 32-core box (r18 JobProf);
+    // a REPARTITION_BY_NUM exchange is exempt from coalescing and the
+    // join reuses it directly (same keys, same count, both sides), so
+    // the merge runs at the session's configured shuffle parallelism —
+    // the deployment-scaled knob, not a local constant. The salt
+    // bounds per-task pair counts; this spreads the bounded tasks.
+    val joinPar = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    probeSide.repartition(joinPar, col("prank"), col("salt")).as("a")
+      .join(buildSide.repartition(joinPar, col("prank"), col("salt"))
+          .as("b").hint("merge"),
         col("a.prank") === col("b.prank") &&
           col("a.salt") === col("b.salt") &&
           col("a.doc_id") < col("b.doc_id") &&
