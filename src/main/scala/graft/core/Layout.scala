@@ -20,12 +20,27 @@ object Layout {
     * same ratio: it costs one pass over the rows it feeds, while the
     * downstream work it spreads is quadratic (pairs) or fan-out
     * (explode) in those rows.
+    *
+    * EXPLICIT partition count (r18): `repartition(col)` alone emits a
+    * REPARTITION_BY_COL exchange, which AQE's byte-based coalescing is
+    * allowed to collapse — and at bench scale it did, folding every
+    * sub-1 MB corpus back to 1-2 partitions and running the kernels it
+    * exists to parallelize on ONE task (r18 JobProf: the minhash-calib
+    * scoring chain as a single 5 s task on a 32-core box). Passing the
+    * session's shuffle-partition count pins a REPARTITION_BY_NUM
+    * exchange, which coalescing must respect. The count is the same
+    * one the plain form would start from — the deployment-scaled conf,
+    * not a local constant; AQE keeps every other right to re-plan
+    * (joins, skew) downstream. Bytes are a bad proxy for the kernel /
+    * pair work above this exchange — that is the one fact AQE cannot
+    * see and this helper encodes.
     */
   def spread(df: DataFrame, key: String): DataFrame =
-    df.repartition(col(key))
+    spread(df, col(key))
 
   def spread(df: DataFrame, key: Column): DataFrame =
-    df.repartition(key)
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
 
   /** Default shard count shared by `Sampling.shardShuffle`,
     * [[writeShards]], `Pipeline.curateFull` and their oracles.

@@ -1148,21 +1148,51 @@ object Curation {
     * count; per-round state is checkpointed and superseded snapshots
     * freed, the pageRankScaled discipline.
     */
+  /** The per-doc hard-sigmoid score plan under literal weights: p =
+    * clamp(500 + 250·z/S, 0, 1000), z = Σ c·w_b in DECIMAL(38,0) —
+    * the exact arithmetic of the pre-r18 broadcast-join spelling,
+    * with the 64-slot model injected as an ARRAY LITERAL instead of a
+    * 64-row joined frame (same values, no join, no broadcast job).
+    */
+  private def scoredPlan(
+      labels: DataFrame, feat: DataFrame, w: Array[Long],
+      scale: Long): DataFrame =
+    labels
+      .join(
+        feat.select(col("doc_id"),
+          (col("c").cast("decimal(38,0)") *
+            element_at(lit(w), (col("b") + 1).cast("int"))).as("cw"))
+          .groupBy("doc_id").agg(sum("cw").as("zraw")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        // coalesce BEFORE the cast: only a doc with no features
+        // (null zraw) is legitimately 0; a DECIMAL z past int64
+        // must not silently read as 0 while the oracle raises.
+        // int64 bound: |z| = |Σ c·w| ≤ maxTokPerDoc · max|w|, and
+        // |w| ≤ rounds·lr·1000·avgTokPerDoc/1 ≈ 4e7 at the swept
+        // settings, so |z| ≤ ~4e11 ≪ 2^63 by 7 orders.
+        least(lit(1000L), greatest(lit(0L),
+          lit(500L) +
+            expr(s"(250 * CAST(coalesce(zraw, 0) AS BIGINT)) DIV $scale")))
+          .as("p"))
+
   private def classifierTrainCore(
       d: DataFrame, rounds: Int, lr: Long, scale: Long)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, Array[Long], DataFrame, DataFrame) = {
     val toks = TextOps.letterTokens(lower(col("text")))
     // feat/labels are ONE-SHOT frames recomputable from the source
     // corpus: Barrier.scratch materializes them once in every mode but
-    // skips the corpus-sized checkpoint-file writes in reliable mode
-    // (they were the largest remaining term of the flat 2.01x profile)
-    // — an executor loss recomputes lost blocks from the parquet scan,
-    // which is durable by definition. Only the ROUND CHAIN (w) needs
-    // durable snapshots: its recompute depth would otherwise grow.
+    // skips the corpus-sized checkpoint-file writes in reliable mode —
+    // an executor loss recomputes lost blocks from the parquet scan,
+    // which is durable by definition. feat is pre-partitioned by
+    // doc_id (the per-round join/aggregate key) so every round's
+    // z-aggregation and gradient join find their distribution already
+    // satisfied — no corpus-sized exchange per round at any scale.
     val feat = graft.core.Barrier.scratch(Layout.spread(d, "doc_id")
       .select(col("doc_id"), explode(toks).as("tok"))
       .select(col("doc_id"), classifierBucket(col("tok")).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c")))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .repartition(col("doc_id")))
     val teacherW = pmod(col("b") * 2654435761L, lit(1001L)) - 500L
     val labels = graft.core.Barrier.scratch(d.select(col("doc_id"))
       .join(
@@ -1171,82 +1201,74 @@ object Curation {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(coalesce(col("raw"), lit(0L)) > 0, 1L).otherwise(0L).as("y")))
-    val nn = broadcast(labels.agg(count(lit(1)).as("n_docs")))
-    // weight chain: checkpoint-every-k (RoundBarrier) — on local[*]
-    // exactly the old per-round localCheckpoint + free, in reliable
-    // mode a checkpoint write every k-th round with persisted (lineage
-    // kept) rounds in between. The per-doc err table is the round's
-    // SCRATCH frame: Barrier.scratch skips the checkpoint-file write
-    // entirely in reliable mode (it was the dominant term of the
-    // measured 2.01x — a corpus-sized write per round for a frame that
-    // dies within the round).
-    // defaultK=16: the chain frame is 64 rows, so checkpoint WRITES are
-    // free and the per-checkpoint fixed cost (job + write + read +
-    // plan rebase) is the whole reliable-mode overhead — the k-sweep
-    // measured 50-round GD at 47.9/41.3/30.3 s for k=1/4/16. Recovery
-    // depth ≤15 rounds of 64-row recompute is cheap by construction.
-    val rb = new graft.core.RoundBarrier(d.sparkSession, defaultK = 16)
-    var w = rb.next(d.sparkSession.range(0, 64)
-      .select(col("id").as("b"), lit(0L).as("w")))
+    // MODEL STATE LIVES ON THE DRIVER (r18 optimization): the model is
+    // 64 longs — driver-sized by construction, the same class as the
+    // BPE merge table and the trainedWeights artifact. The pre-r18
+    // spelling kept it as a 64-row DataFrame on a checkpoint-every-k
+    // RoundBarrier, which cost ~14 jobs per round at bench scale
+    // (broadcast of w, scratch materialization of the per-doc error
+    // table, a separate loss collect, the chain checkpoint, plus AQE
+    // stage jobs — JobProf measured 127 jobs / 6.1 s for 9 rounds).
+    // Holding the weights in an Array[Long] and re-injecting them as a
+    // literal makes each round ONE job: a 65-row aggregate that
+    // computes the 64 gradient sums AND the loss row in a single pass
+    // (sentinel group b = -1 carries per-doc err²/correct; feature
+    // groups carry err·c). The weight chain leaves the DAG entirely,
+    // so there is nothing to checkpoint and recovery depth is moot —
+    // an executor loss recomputes the round's blocks from the
+    // persisted feat/labels, and a driver loss restarts training, the
+    // standard driver-held-model GD contract (the weights ARE the
+    // model artifact; every distributed-ML driver holds them).
+    // Arithmetic is bit-identical: same DECIMAL(38,0) sums, same
+    // BIGINT casts, same truncating division (Spark DIV and Java /
+    // both truncate toward zero — verified on negatives).
+    val nDocs = labels.count()
+    val w = new Array[Long](64)
     val losses = Seq.newBuilder[org.apache.spark.sql.Row]
     var r = 1
     while (r <= rounds + 1) {
-      val err = labels
-        .join(
-          feat.join(broadcast(w), "b")
-            .select(col("doc_id"),
-              expr("CAST(c AS DECIMAL(38,0)) * w").as("cw"))
-            .groupBy("doc_id").agg(sum("cw").as("zraw")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("y"),
-          // coalesce BEFORE the cast: only a doc with no features
-          // (null zraw) is legitimately 0; a DECIMAL z past int64
-          // must not silently read as 0 while the oracle raises.
-          // int64 bound: |z| = |Σ c·w| ≤ maxTokPerDoc · max|w|, and
-          // |w| ≤ rounds·lr·1000·avgTokPerDoc/1 ≈ 4e7 at the swept
-          // settings, so |z| ≤ ~4e11 ≪ 2^63 by 7 orders.
-          least(lit(1000L), greatest(lit(0L),
-            lit(500L) +
-              expr(s"(250 * CAST(coalesce(zraw, 0) AS BIGINT)) DIV $scale")))
-            .as("p"))
+      val err = scoredPlan(labels, feat, w, scale)
         .withColumn("err", col("p") - lit(1000L) * col("y"))
-      val errB = graft.core.Barrier.scratch(err)
-      // the eval row is DRIVER-SIZED by construction (3 integers per
-      // round — the training curve, same class as BPE's merge table):
-      // collect it instead of checkpointing a 1-row frame per round.
-      // One job either way, but no per-round checkpoint write in
-      // reliable mode and no long-lived frame referencing superseded
-      // model snapshots.
-      losses += errB
+      // ONE aggregation for gradient + loss: feature rows keyed by
+      // their bucket with c = the count; one sentinel row per doc
+      // keyed b = -1 with c = the correctness flag. Group -1 then
+      // yields (sq_loss, n_correct) and groups 0..63 the gradient —
+      // `g` of the sentinel group and `sq` of the feature groups are
+      // never read. The err subtree appears in both union branches;
+      // its doc-keyed aggregation is one exchange that AQE stage
+      // reuse dedups.
+      val featRows = err.join(feat, "doc_id")
+        .select(col("b"), col("err"), col("c"))
+      val docRows = err.select(lit(-1L).as("b"), col("err"),
+        expr("CAST((p > 500) = (y = 1) AS BIGINT)").as("c"))
+      val agg = featRows.unionByName(docRows)
+        .groupBy("b")
         .agg(
+          expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * c) AS BIGINT)")
+            .as("g"),
           expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS BIGINT)")
-            .as("sq_loss"),
-          sum(expr("CAST((p > 500) = (y = 1) AS BIGINT)")).as("n_correct"))
-        .select(lit(r.toLong).as("round"), col("sq_loss"),
-          col("n_correct").cast("long").as("n_correct"))
-        .head()
-      if (r <= rounds) {
-        val grad = w.join(
-          errB.join(feat, "doc_id")
-            .groupBy("b")
-            .agg(expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * c) AS BIGINT)")
-              .as("g")),
-          Seq("b"), "left")
-        // eager=true ON PURPOSE: w must materialize NOW, while this
-        // round's errB is still cached — deferred to the next round's
-        // broadcast(w), it would compute through an already-unpersisted
-        // errB and re-pay the corpus-sized error pass every round
-        // (measured: every-k WORSE than flat until this was eager)
-        w = rb.next(grad.crossJoin(nn)
-          .select(col("b"),
-            expr(s"w - (coalesce(g, CAST(0 AS BIGINT)) * $lr) DIV n_docs")
-              .as("w")))
+            .as("sq"),
+          sum("c").as("nc"))
+        .collect()
+      val byB = agg.map(row => row.getLong(0) -> row).toMap
+      // a degenerate EMPTY corpus has no sentinel group: the loss row
+      // keeps its pre-r18 null shape and the weights stay untouched
+      val lossRow = byB.get(-1L)
+      losses += org.apache.spark.sql.Row(r.toLong,
+        lossRow.map(x => java.lang.Long.valueOf(x.getLong(2))).orNull,
+        lossRow.map(x => java.lang.Long.valueOf(x.getLong(3))).orNull)
+      if (r <= rounds && nDocs > 0) {
+        var b = 0
+        while (b < 64) {
+          // absent bucket (no feature rows) contributes zero gradient,
+          // exactly the pre-r18 left-join coalesce(g, 0)
+          val g = byB.get(b.toLong).map(_.getLong(1)).getOrElse(0L)
+          w(b) = w(b) - (g * lr) / nDocs
+          b += 1
+        }
       }
-      graft.core.Barrier.freeScratch(errB)
       r += 1
     }
-    // seal: callers free the returned weights when done, so the
-    // escaping frame must be a barrier root in every mode
     val lossSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("round",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -1256,7 +1278,7 @@ object Curation {
         org.apache.spark.sql.types.LongType, nullable = true)))
     val lossPanel = d.sparkSession.createDataFrame(
       java.util.Arrays.asList(losses.result(): _*), lossSchema)
-    (lossPanel, rb.seal(w), labels, feat)
+    (lossPanel, w, labels, feat)
   }
 
   /** Training-curve panel: one row per evaluation (round r evaluates
@@ -1268,10 +1290,9 @@ object Curation {
   def classifierTrain(
       d: DataFrame, rounds: Int = 8, lr: Long = 50L,
       scale: Long = 1000000L): DataFrame = {
-    val (losses, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
+    val (losses, _, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
     // the curve is already a driver-local relation; parents can go
-    // (w is a sealed barrier root; feat/labels are scratch frames)
-    freeCheckpoint(w)
+    // (the weights are a driver array; feat/labels are scratch frames)
     graft.core.Barrier.freeScratch(labels)
     graft.core.Barrier.freeScratch(feat)
     losses
@@ -1286,19 +1307,8 @@ object Curation {
       d: DataFrame, rounds: Int = 8, lr: Long = 50L,
       scale: Long = 1000000L): DataFrame = {
     val (_, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
-    labels
-      .join(
-        feat.join(broadcast(w), "b")
-          .select(col("doc_id"),
-            expr("CAST(c AS DECIMAL(38,0)) * w").as("cw"))
-          .groupBy("doc_id").agg(sum("cw").as("zraw")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("y"),
-        // coalesce-before-cast: see classifierTrainCore's bound note
-        least(lit(1000L), greatest(lit(0L),
-          lit(500L) +
-            expr(s"(250 * CAST(coalesce(zraw, 0) AS BIGINT)) DIV $scale")))
-          .as("p_permille"))
+    scoredPlan(labels, feat, w, scale)
+      .select(col("doc_id"), col("y"), col("p").as("p_permille"))
       .select(col("doc_id"), col("p_permille"),
         when(col("p_permille") > 500, "keep").otherwise("drop")
           .as("label_pred"),
@@ -1317,12 +1327,9 @@ object Curation {
   def trainedWeights(d: DataFrame, rounds: Int = 8, lr: Long = 50L,
       scale: Long = 1000000L): Array[Long] = {
     val (_, w, labels, feat) = classifierTrainCore(d, rounds, lr, scale)
-    val arr = new Array[Long](64)
-    w.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-    freeCheckpoint(w)
     graft.core.Barrier.freeScratch(labels)
     graft.core.Barrier.freeScratch(feat)
-    arr
+    w
   }
 
   /** Reliability panel for the TRAINED classifier — the calibration
