@@ -139,7 +139,16 @@ object GraphOps {
     // checkpoint-file write in reliable mode (only the rank CHAIN
     // needs durable snapshots — its recompute depth grows with the
     // round count; these stay depth-1 over a durable source).
-    val e = graft.core.Barrier.scratch(edges)
+    // pre-partition the loop-invariant edge snapshot by src ONCE (the
+    // per-round join key; spread's explicit width survives AQE): each
+    // round then joins rank (hash(node)) against edges (hash(src))
+    // co-partitioned, and the only per-round exchange left is the
+    // contribution shuffle on dst — without this, the |E|-sized edge
+    // table re-shuffled EVERY round (r18 JobProf: one ~3.3 s-task-time
+    // 20-task stage per iteration). outW inherits the layout for free
+    // (groupBy(src) over a src-partitioned frame needs no exchange).
+    val e = graft.core.Barrier.scratch(
+      graft.core.Layout.spread(edges, "src"))
     val nodes = graft.core.Barrier.scratch(e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct())
     val outW = graft.core.Barrier.scratch(
@@ -210,8 +219,10 @@ object GraphOps {
   def pageRankScaled(
       edges: DataFrame, iters: Int = 10, dampingPermille: Int = 850,
       scale: Long = 1000000000000L): DataFrame = {
-    // one-shot frames ride Barrier.scratch (see [[pageRank]])
-    val e = graft.core.Barrier.scratch(edges)
+    // one-shot frames ride Barrier.scratch; the edge snapshot is
+    // pre-partitioned by the per-round join key (see [[pageRank]])
+    val e = graft.core.Barrier.scratch(
+      graft.core.Layout.spread(edges, "src"))
     val nodes = graft.core.Barrier.scratch(e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct())
     val outW = graft.core.Barrier.scratch(
@@ -331,7 +342,15 @@ object GraphOps {
       edges: DataFrame, iters: Int = 6,
       scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, "hitsScaled needs at least one iteration")
+    // HITS alternates join keys (hub pass joins on src, authority pass
+    // on dst), so ONE edge layout cannot serve both. A dual
+    // src-/dst-partitioned snapshot pair (the GraphX edge-replication
+    // trade) was MEASURED OUT in r18: the two extra shuffle+checkpoint
+    // materializations cost more than the per-round dst shuffles they
+    // save at 6 iterations (3-pass A/B 2.37 -> 2.58 s); it re-enters
+    // at round counts long enough to amortize two |E| materializations.
     val e = edges.barrier()
+    val eDst = e
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().barrier()
     def normalized(raw: DataFrame, out: String): DataFrame = nodes
@@ -350,7 +369,7 @@ object GraphOps {
           expr("CAST(h AS DECIMAL(38,0)) * w").as("c"))
         .groupBy(col("n2").as("node")).agg(sum("c").as("raw"))
       val a = normalized(aRaw, "a")
-      val hRaw = a.join(e, col("node") === col("dst"))
+      val hRaw = a.join(eDst, col("node") === col("dst"))
         .select(col("src").as("n2"),
           expr("CAST(a AS DECIMAL(38,0)) * w").as("c"))
         .groupBy(col("n2").as("node")).agg(sum("c").as("raw"))
@@ -525,17 +544,31 @@ object GraphOps {
       edges: DataFrame, iters: Int = 8, dampingPermille: Int = 850,
       scale: Long = 1000000000000L): DataFrame = {
     val e0 = edges.barrier()
-    val sym = e0.select(col("u").as("src"), col("v").as("dst"), col("w"))
-      .unionByName(e0.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    // symmetric edges pre-partitioned by src, the per-round join key
+    // (see [[pageRank]]): outW and the rank join then find their
+    // distribution satisfied and only the contribution shuffle remains
+    val sym = graft.core.Layout.spread(
+      e0.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst"),
+          col("w"))), "src")
       .barrier()
     val nodes = sym.select(col("src").as("node")).distinct().barrier()
     val outW = sym.groupBy(col("src")).agg(sum("w").as("out_w"))
       .barrier()
-    val seed = nodes.agg(min("node").as("seed"))
+    // the seed is ONE data-derived scalar (min node id): collect it
+    // once instead of re-broadcasting a 1-row aggregate subplan in
+    // every round's plan — same value, deterministic, and the teleport
+    // term becomes a literal comparison (one fewer broadcast job per
+    // round). An empty graph keeps the empty-result contract via the
+    // always-false null comparison, exactly as the old
+    // `node === seed(null)` join produced no teleport rows.
+    val seedRow = nodes.agg(min("node")).head()
+    val seedLit = if (seedRow.isNullAt(0)) lit(null).cast("bigint")
+      else lit(seedRow.getLong(0))
     val base = ((1000L - dampingPermille) * scale) / 1000L
-    var ranks = nodes.crossJoin(broadcast(seed))
-      .select(col("node"), col("seed"),
-        when(col("node") === col("seed"), lit(scale)).otherwise(lit(0L))
+    var ranks = nodes
+      .select(col("node"),
+        when(col("node") === seedLit, lit(scale)).otherwise(lit(0L))
           .as("rank_scaled"))
     var i = 0
     while (i < iters) {
@@ -547,9 +580,8 @@ object GraphOps {
         .groupBy("node").agg(sum("c").as("in_rank"))
       val next = nodes
         .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(seed))
-        .select(col("node"), col("seed"),
-          (when(col("node") === col("seed"), lit(base)).otherwise(lit(0L)) +
+        .select(col("node"),
+          (when(col("node") === seedLit, lit(base)).otherwise(lit(0L)) +
             expr(s"($dampingPermille * coalesce(in_rank, CAST(0 AS BIGINT)))" +
               " DIV 1000")).as("rank_scaled"))
         .barrier()
@@ -631,15 +663,21 @@ object GraphOps {
     */
   def ssspScaled(edges: DataFrame, rounds: Int = 6): DataFrame = {
     val e0 = edges.barrier()
-    val sym = e0
+    // pre-partitioned by src, the per-round relaxation join key (see
+    // [[pageRank]]); seed collected once as a scalar (see
+    // [[personalizedPageRankScaled]] — null on an empty graph keeps
+    // the empty-result contract through the always-false comparison)
+    val sym = graft.core.Layout.spread(e0
       .select(col("u").as("src"), col("v").as("dst"), col("w"))
       .unionByName(e0.select(col("v").as("src"), col("u").as("dst"),
         col("w")))
-      .select(col("src"), col("dst"), expr("1000000 DIV w").as("cost"))
+      .select(col("src"), col("dst"), expr("1000000 DIV w").as("cost")),
+      "src")
       .barrier()
-    val seed = sym.agg(min("src").as("seed"))
-    var dist = sym.crossJoin(broadcast(seed))
-      .filter(col("src") === col("seed"))
+    val seedRow = sym.agg(min("src")).head()
+    val seedLit = if (seedRow.isNullAt(0)) lit(null).cast("bigint")
+      else lit(seedRow.getLong(0))
+    var dist = sym.filter(col("src") === seedLit)
       .select(col("src").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .barrier()
@@ -883,8 +921,12 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.barrier()
-    val sym = e.select(col("u").as("src"), col("v").as("dst"), col("w"))
-      .unionByName(e.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    // pre-partitioned by src, the per-round vote-join key (see
+    // [[pageRank]])
+    val sym = graft.core.Layout.spread(
+      e.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst"),
+          col("w"))), "src")
       .barrier()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
