@@ -99,23 +99,40 @@ object GraphOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nm = graft.core.Barrier.scratch(edges
+      // nm is NOT materialized (r18): its two consumers (the pointer
+      // jump's probe and build sides) share one plan, and the only
+      // expensive part — the neighbor-min aggregation's exchange — is
+      // one shuffle that AQE stage reuse computes once; only the cheap
+      // post-shuffle joins replay per consumer. The former per-round
+      // scratch localCheckpoint bought that dedup by WRITING |V| rows
+      // to the block store each round — a whole extra job at bench
+      // scale, a block-store write at cluster scale. Lineage stays
+      // bounded: rb.next checkpoints the round's OUTPUT either way.
+      val nm = edges
         .join(side(labels.select(col("id").as("dst"), col("label").as("nl"))),
           "dst")
         .groupBy(col("src").as("id"))
         .agg(min("nl").as("nmin"))
         .join(side(labels), "id")
         .select(col("id"), col("label").as("old"),
-          least(col("label"), col("nmin")).as("label")))
-      val next = rb.next(nm.as("x")
+          least(col("label"), col("nmin")).as("label"))
+      // convergence count rides the round's own materialization as an
+      // observed metric (CollectMetrics accumulator, read off the
+      // executed plan synchronously) — no separate count job. If the
+      // barrier's action path ever stops populating the metric, fall
+      // back to a count over the just-persisted frame.
+      val nextPre = nm.as("x")
         .join(side(nm.select(col("id").as("pid"), col("label").as("pl"))),
           col("x.label") === col("pid"), "left")
         .select(col("x.id").as("id"), col("x.old").as("old"),
-          coalesce(col("pl"), col("x.label")).as("label")))
-      val changed = next.filter(col("label") =!= col("old")).count()
-      // next is materialized (rb.next is eager): nm is dead; the
-      // previous round's labels were reclaimed by rb.next itself
-      graft.core.Barrier.freeScratch(nm)
+          coalesce(col("pl"), col("x.label")).as("label"))
+        .observe("mlp_changed", coalesce(sum(
+          when(col("label") =!= col("old"), 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
+      val next = rb.next(nextPre)
+      val changed = nextPre.queryExecution.observedMetrics
+        .get("mlp_changed").map(_.getLong(0)).getOrElse(
+          next.filter(col("label") =!= col("old")).count())
       labels = next.select("id", "label")
       converged = changed == 0
       i += 1
