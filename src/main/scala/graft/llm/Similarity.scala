@@ -213,7 +213,13 @@ object Similarity {
     * Zero vectors (null scale) are dropped — they have no direction.
     */
   private[graft] def withUnitQuantized(e: DataFrame): DataFrame =
-    e.select(col("vec_id"),
+    // spread first: a single-row-group embeddings file scans as ONE
+    // task, and the normalize/quantize HOF chain (plus everything up
+    // to the consumer's first exchange) inherits that width — r18
+    // JobProf caught q_embed_label_sim's whole quantize+posexplode
+    // chain as one 2 s task on a 32-core box
+    graft.core.Layout.spread(e, "vec_id")
+      .select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("emb"))
       .withColumn("nrm", nullif(
         sqrt(aggregate(transform(col("emb"), v => v * v),
@@ -2048,7 +2054,10 @@ object Similarity {
     * legal on a stream.
     */
   private[graft] def unitQuantizedLabeled(e: DataFrame): DataFrame =
-    e.select(col("label").cast("int").as("label"),
+    // spread by the unique key for the same single-scan-task reason as
+    // [[withUnitQuantized]] (label is too coarse to spread by)
+    graft.core.Layout.spread(e, "vec_id")
+      .select(col("label").cast("int").as("label"),
       transform(col("embedding"), v => v.cast("double")).as("emb"))
       .withColumn("nrm", nullif(
         sqrt(aggregate(transform(col("emb"), v => v * v),
