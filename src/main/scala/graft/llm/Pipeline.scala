@@ -105,8 +105,14 @@ object Pipeline {
     // materialize the deduped corpus ONCE: four metric branches
     // consume sd, and each would otherwise re-run the scan + survivor
     // aggregation + semi join — the intermediate write every real
-    // multi-stage pipeline does between dedup and scoring
-    val sd = d.join(survivors, Seq("doc_id"), "left_semi").barrier()
+    // multi-stage pipeline does between dedup and scoring.
+    // spread by doc_id first (r18): the semi join preserves the SCAN's
+    // width, so the barrier pinned every downstream kernel branch
+    // (span dedup, classifier, entropy) to the single scan task; the
+    // spread also pre-partitions sd on the key all three metric joins
+    // use, so they run exchange-free over the checkpointed layout
+    val sd = graft.core.Layout.spread(
+      d.join(survivors, Seq("doc_id"), "left_semi"), "doc_id").barrier()
     // the report form suffices: the pipeline only needs the kept-token
     // COUNT, which is n_tokens - dup_tokens (LlmSpec proves the apply
     // form agrees) — skipping the O(tokens x spans) reconstruction
