@@ -778,8 +778,12 @@ object Dedup {
     // broadcast join preserves the streamed side's partitioning, so
     // the per-round groupBy(src) aggregate finds its distribution
     // already satisfied and the |E|-row exchange per round disappears.
-    val edges = (if (broadcastLabels) edgesRaw.repartition(col("src"))
-      else edgesRaw.repartition(col("dst"))).barrier()
+    // Layout.spread (explicit width, r18): a bare repartition(col) is
+    // AQE-coalescible, so the per-round loop below inherited a 1-2
+    // partition edge snapshot at bench scale
+    val edges = (if (broadcastLabels)
+      graft.core.Layout.spread(edgesRaw, "src")
+      else graft.core.Layout.spread(edgesRaw, "dst")).barrier()
     // edges is materialized (eager barrier): the pair list is dead
     graft.core.Barrier.freeScratch(pairs)
     // shared min-label loop (round 14: extracted to GraphOps so the
