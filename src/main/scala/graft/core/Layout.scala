@@ -39,8 +39,17 @@ object Layout {
     spread(df, col(key))
 
   def spread(df: DataFrame, key: Column): DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, key)
+    df.repartition(shufflePartitions(df.sparkSession), key)
+
+  /** The session's shuffle-partition count: the string conf when it
+    * parses, else the typed SQLConf value — platforms that set the
+    * string conf non-numeric (e.g. "auto") would otherwise turn every
+    * call site into a NumberFormatException.
+    */
+  def shufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(
+        org.apache.spark.sql.graftbridge.Bridge.numShufflePartitions(spark))
 
   /** Default shard count shared by `Sampling.shardShuffle`,
     * [[writeShards]], `Pipeline.curateFull` and their oracles.

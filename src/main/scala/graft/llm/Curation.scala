@@ -1192,8 +1192,7 @@ object Curation {
       .select(col("doc_id"), explode(toks).as("tok"))
       .select(col("doc_id"), classifierBucket(col("tok")).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .repartition(d.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("doc_id")))
+      .repartition(Layout.shufflePartitions(d.sparkSession), col("doc_id")))
     val teacherW = pmod(col("b") * 2654435761L, lit(1001L)) - 500L
     val labels = graft.core.Barrier.scratch(d.select(col("doc_id"))
       .join(

@@ -193,6 +193,23 @@ object Dedup {
     import graft.functions.vector.{sorted_first_common, sorted_jaccard}
     val spark = d.sparkSession
     import spark.implicits._
+    // CORRECTNESS GUARD: `ranked` below assigns ranks with
+    // monotonically_increasing_id over a SAMPLED range exchange — the
+    // assignment is injective and order-consistent but NOT
+    // deterministic across re-computations (range boundaries sample
+    // with an RDD-id-derived seed, so a second instantiation draws
+    // different boundaries and different rank values). The rank
+    // subtree is instantiated under BOTH sides of the pair self-join
+    // (and under the hot-rank aggregate), so completeness relies on
+    // exchange/stage reuse executing it ONCE and sharing the result.
+    // Reuse is on by default and PlanSpec pins the single
+    // materialization on the executed plan; fail loudly if a
+    // deployment turns the conf off rather than silently missing
+    // duplicate pairs.
+    require(spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "prefixRankJoin requires spark.sql.exchange.reuse=true: rank " +
+        "assignment is nondeterministic and must compute once (reused) " +
+        "for the two sides of the pair join to agree")
     val base = graft.core.Layout.spread(d, "doc_id").select(
       Seq(col("doc_id"), tokens.as("toks")) ++
         payload.map { case (n, c) => c.as(n) }: _*)
@@ -306,7 +323,7 @@ object Dedup {
     // the merge runs at the session's configured shuffle parallelism —
     // the deployment-scaled knob, not a local constant. The salt
     // bounds per-task pair counts; this spreads the bounded tasks.
-    val joinPar = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val joinPar = graft.core.Layout.shufflePartitions(spark)
     probeSide.repartition(joinPar, col("prank"), col("salt")).as("a")
       .join(buildSide.repartition(joinPar, col("prank"), col("salt"))
           .as("b").hint("merge"),

@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   * discipline as [[graft.llm.Dedup.dupClusters]].
   */
 object GraphOps {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Weighted directed edge table: consecutive-event transitions per
     * user (ordered by ts with event_id tie-break), weighted by count.
@@ -131,8 +132,16 @@ object GraphOps {
           .as("changed"))
       val next = rb.next(nextPre)
       val changed = nextPre.queryExecution.observedMetrics
-        .get("mlp_changed").map(_.getLong(0)).getOrElse(
-          next.filter(col("label") =!= col("old")).count())
+        .get("mlp_changed").map(_.getLong(0)).getOrElse {
+          // The fallback is CORRECT but re-pays a full count pass per
+          // round — it only triggers if a barrier/config change stops
+          // rb.next materializing this exact QueryExecution eagerly.
+          // Log so that silent O(rounds) regression is visible.
+          log.warn("minLabelPropagation: observed metric 'mlp_changed' " +
+            "absent from the round's QueryExecution; paying a separate " +
+            "count pass (check RoundBarrier eagerness / observe support)")
+          next.filter(col("label") =!= col("old")).count()
+        }
       labels = next.select("id", "label")
       converged = changed == 0
       i += 1
@@ -367,7 +376,6 @@ object GraphOps {
     // save at 6 iterations (3-pass A/B 2.37 -> 2.58 s); it re-enters
     // at round counts long enough to amortize two |E| materializations.
     val e = edges.barrier()
-    val eDst = e
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().barrier()
     def normalized(raw: DataFrame, out: String): DataFrame = nodes
@@ -386,7 +394,7 @@ object GraphOps {
           expr("CAST(h AS DECIMAL(38,0)) * w").as("c"))
         .groupBy(col("n2").as("node")).agg(sum("c").as("raw"))
       val a = normalized(aRaw, "a")
-      val hRaw = a.join(eDst, col("node") === col("dst"))
+      val hRaw = a.join(e, col("node") === col("dst"))
         .select(col("src").as("n2"),
           expr("CAST(a AS DECIMAL(38,0)) * w").as("c"))
         .groupBy(col("n2").as("node")).agg(sum("c").as("raw"))

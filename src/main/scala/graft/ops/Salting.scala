@@ -74,8 +74,7 @@ object Salting {
           .otherwise(lit(1)).cast("int"))
       // Explicit partition count = the session's shuffle parallelism:
       // REPARTITION_BY_NUM is the anti-coalescing pin (see scaladoc).
-      val nPart = scala.util.Try(keyed.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+      val nPart = graft.core.Layout.shufflePartitions(keyed.sparkSession)
       (withN.withColumn("salt",
         pmod(xxhash64(probeKey), col("nsalt")).cast("int"))
         .repartition(nPart, (blockCols.map(col) :+ col("salt")): _*),

@@ -26,6 +26,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The session's shuffle-partition count off the TYPED SQLConf
+    * (`sessionState` is `private[sql]`) — the fallback for platforms
+    * where the string conf is non-numeric (e.g. "auto"), which would
+    * NumberFormatException a raw `conf.get(...).toInt` parse.
+    */
+  def numShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.numShufflePartitions
+
   /** Wrap a (resolved) logical plan as a DataFrame —
     * `classic.Dataset.ofRows` is `private[sql]`; needed to hand custom
     * LogicalPlan nodes (e.g. graft's native as-of join) to the session.

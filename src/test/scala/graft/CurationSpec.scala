@@ -303,6 +303,23 @@ class CurationSpec extends SparkSpec {
     assert(correct.last > correct.head)
   }
 
+  test("classifier on an EMPTY corpus: zero weights, null losses, no NPE") {
+    // Pins the degenerate-input contract of the r18 driver-held-weights
+    // rewrite: nDocs == 0 skips every update, so the weights stay at
+    // their zero initialization (the pre-r18 DataFrame chain produced
+    // NULL weights via DIV-by-zero and an NPE in trainedWeights); the
+    // loss panel keeps its null shape, and the trained scorer is empty.
+    val empty = docs.limit(0)
+    val w = Curation.trainedWeights(empty, rounds = 2)
+    assert(w.length === 64 && w.forall(_ == 0L),
+      s"empty corpus must leave zero weights, got ${w.mkString(",")}")
+    val curve = Curation.classifierTrain(empty, rounds = 2).collect()
+    assert(curve.length === 3) // 2 update rounds + final eval, all null
+    curve.foreach(r => assert(r.isNullAt(1) && r.isNullAt(2),
+      s"empty-corpus loss rows must be null: $r"))
+    assert(Curation.classifierTrained(empty, rounds = 2).count() === 0L)
+  }
+
   test("classifier calibration: buckets close over the corpus, ordered rates") {
     val rows = Curation.classifierCalibration(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
