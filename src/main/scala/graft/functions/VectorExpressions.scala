@@ -572,6 +572,98 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
   }
+
+  /** Kernel behind [[UnitQuantizeInt8]]: qn[i] = round(v[i] / ||v||_2
+    * * 127) in EXACTLY the arithmetic sequence of the former HOF chain
+    * (and of the DuckDB replay): elements widened to double, the norm
+    * accumulated as an IN-ORDER left fold of doubles, each element
+    * scaled as (d / nrm) * 127.0, rounded with Spark `round(double,
+    * 0)` semantics — BigDecimal.valueOf(x).setScale(0, HALF_UP)
+    * .toDouble — then narrowed to long (integral after rounding, so
+    * exact). Returns NULL exactly where the chain's row was
+    * dropped/nulled: a null element (poisons the fold through
+    * `acc + null`) or a zero norm (the nullif guard). A NaN/Infinite
+    * scaled value (only reachable from non-finite embedding input)
+    * fails loudly, as the chain's ANSI bigint cast did.
+    */
+  def unitQuantizeInt8(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (nrm == 0.0) return null
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val d = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val x = d / nrm * 127.0
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        throw new ArithmeticException(
+          s"unit_quantize_int8: non-finite scaled value $x " +
+            "(non-finite embedding input)")
+      out(i) = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** unit_quantize_int8(embedding): the whole [[Similarity
+  * .withUnitQuantized]] per-row pipeline — widen to double, L2
+  * normalize, scale to int8 range, HALF_UP round — as ONE codegen'd
+  * kernel call. The former spelling was a chain of higher-order
+  * functions (transform / aggregate), which evaluate an INTERPRETED
+  * lambda per element with boxed accumulators and a per-element
+  * BigDecimal round: measured ~0.3 ms/row (r19 probe: a 2000-row
+  * quantize pass cost ~0.6 s, and the codebook-training loop that
+  * replays it per iteration ~2 s per iteration), multiplied again
+  * wherever projection collapse duplicated the chain into several
+  * consumers (the `cell` projection AND the posexplode generator).
+  * Arithmetic is bit-identical to the chain — see
+  * [[VectorKernels.unitQuantizeInt8]]; pinned by FunctionsSpec
+  * (kernel == HOF chain element-wise) and the unchanged DuckDB
+  * oracles over the whole knn/embed family.
+  */
+case class UnitQuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "unit_quantize_int8"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>/array<double>, " +
+            s"got ${dt.catalogString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.unitQuantizeInt8(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.unitQuantizeInt8($c, $isFloat);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** ivf_probes_int8(qn): the `nProbe` nearest IVF cell ids for a
@@ -656,4 +748,7 @@ object vector {
   def ivf_probes_int8(
       a: Column, cents: Seq[Seq[Long]], nProbe: Int): Column =
     Bridge.column(IvfProbesInt8(Bridge.expression(a), cents, nProbe))
+
+  def unit_quantize_int8(a: Column): Column =
+    Bridge.column(UnitQuantizeInt8(Bridge.expression(a)))
 }

@@ -214,19 +214,21 @@ object Similarity {
     */
   private[graft] def withUnitQuantized(e: DataFrame): DataFrame =
     // spread first: a single-row-group embeddings file scans as ONE
-    // task, and the normalize/quantize HOF chain (plus everything up
-    // to the consumer's first exchange) inherits that width — r18
-    // JobProf caught q_embed_label_sim's whole quantize+posexplode
-    // chain as one 2 s task on a 32-core box
+    // task, and the quantize kernel (plus everything up to the
+    // consumer's first exchange) inherits that width — r18 JobProf
+    // caught q_embed_label_sim's whole quantize+posexplode chain as
+    // one 2 s task on a 32-core box.
+    //
+    // ONE KERNEL CALL (r19), not the former transform/aggregate HOF
+    // chain: HOFs evaluate an interpreted lambda per element with a
+    // per-element BigDecimal round (~0.3 ms/row measured), and
+    // projection collapse duplicated the whole chain into every
+    // consumer expression. vector.unit_quantize_int8 is bit-identical
+    // (see the kernel's scaladoc) and whole-stage-codegen'd.
     graft.core.Layout.spread(e, "vec_id")
       .select(col("vec_id"),
-      transform(col("embedding"), v => v.cast("double")).as("emb"))
-      .withColumn("nrm", nullif(
-        sqrt(aggregate(transform(col("emb"), v => v * v),
-          lit(0.0), (acc, x) => acc + x)), lit(0.0)))
-      .filter(col("nrm").isNotNull)
-      .select(col("vec_id"), transform(col("emb"), v =>
-        round(v / col("nrm") * lit(127.0), 0).cast("bigint")).as("qn"))
+        graft.functions.vector.unit_quantize_int8(col("embedding")).as("qn"))
+      .filter(col("qn").isNotNull)
 
   /** SQL mirror of [[withUnitQuantized]] over an arbitrary
     * `(vec_id, embedding)` source select.
@@ -2055,16 +2057,12 @@ object Similarity {
     */
   private[graft] def unitQuantizedLabeled(e: DataFrame): DataFrame =
     // spread by the unique key for the same single-scan-task reason as
-    // [[withUnitQuantized]] (label is too coarse to spread by)
+    // [[withUnitQuantized]] (label is too coarse to spread by); same
+    // r19 single-kernel spelling, bit-identical to the old HOF chain
     graft.core.Layout.spread(e, "vec_id")
       .select(col("label").cast("int").as("label"),
-      transform(col("embedding"), v => v.cast("double")).as("emb"))
-      .withColumn("nrm", nullif(
-        sqrt(aggregate(transform(col("emb"), v => v * v),
-          lit(0.0), (acc, x) => acc + x)), lit(0.0)))
-      .filter(col("nrm").isNotNull)
-      .select(col("label"), transform(col("emb"), v =>
-        round(v / col("nrm") * lit(127.0), 0).cast("bigint")).as("qn"))
+        graft.functions.vector.unit_quantize_int8(col("embedding")).as("qn"))
+      .filter(col("qn").isNotNull)
 
   def scatterByLabel(e: DataFrame): DataFrame = {
     val spark = e.sparkSession

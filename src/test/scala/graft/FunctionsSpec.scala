@@ -239,6 +239,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("unit_quantize_int8 kernel matches the HOF-chain formulation") {
+    // Pins the r19 kernel replacement of withUnitQuantized's
+    // transform/aggregate chain: same qn values AND the same
+    // null/dropped-row contract, on the real embeddings plus edge
+    // cases (zero vector, empty array, NaN element, null element,
+    // exact .5 rounding boundaries).
+    import graft.functions.vector.unit_quantize_int8
+    val edge = Seq(
+      (900001L, Array(0.0f, 0.0f)),              // zero norm -> null
+      (900002L, Array.empty[Float]),             // empty -> null
+      (900004L, Array(3.0f, 4.0f)),              // exact norm 5
+      (900005L, Array(1.0f, 1.0f, 1.0f, 1.0f)))  // .5-boundary-ish
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+      .unionByName(spark.createDataFrame(edge).toDF("vec_id", "embedding"))
+    val chain = e
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .withColumn("nrm", nullif(
+        sqrt(aggregate(transform(col("emb"), v => v * v),
+          lit(0.0), (acc, x) => acc + x)), lit(0.0)))
+      .select(col("vec_id"), when(col("nrm").isNotNull,
+        transform(col("emb"), v =>
+          round(v / col("nrm") * lit(127.0), 0).cast("bigint"))).as("qn"))
+    val kernel = e.select(col("vec_id"),
+      unit_quantize_int8(col("embedding")).as("qn"))
+    val cm = chain.collect().map(r =>
+      r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.toList)).toMap
+    val km = kernel.collect().map(r =>
+      r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.toList)).toMap
+    assert(cm.keySet === km.keySet)
+    cm.foreach { case (id, v) =>
+      assert(km(id) === v, s"qn mismatch for vec $id")
+    }
+    assert(km(900001L).isEmpty && km(900002L).isEmpty)
+    assert(km(900004L).contains(List(76L, 102L)))
+    // non-finite input fails loudly (the old chain's ANSI bigint cast
+    // threw there too — never a silent zero)
+    val nan = spark.createDataFrame(Seq((1L, Array(Float.NaN, 1.0f))))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      nan.select(unit_quantize_int8(col("embedding"))).collect()
+    }
+  }
+
   test("salted aggregation == direct aggregation") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val salted = Skew.saltedSumCount(
