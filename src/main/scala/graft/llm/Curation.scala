@@ -1232,31 +1232,34 @@ object Curation {
       // ONE aggregation for gradient + loss: feature rows keyed by
       // their bucket with c = the count; one sentinel row per doc
       // keyed b = -1 with c = the correctness flag. Group -1 then
-      // yields (sq_loss, n_correct) and groups 0..63 the gradient —
-      // `g` of the sentinel group and `sq` of the feature groups are
-      // never read. The err subtree appears in both union branches;
-      // its doc-keyed aggregation is one exchange that AQE stage
-      // reuse dedups.
-      val featRows = err.join(feat, "doc_id")
-        .select(col("b"), col("err"), col("c"))
-      val docRows = err.select(lit(-1L).as("b"), col("err"),
-        expr("CAST((p > 500) = (y = 1) AS BIGINT)").as("c"))
-      val agg = featRows.unionByName(docRows)
+      // yields (sq_loss, n_correct) as OBSERVED METRICS riding the
+      // per-doc err frame (one CollectMetrics pass, the same device as
+      // minLabelPropagation's convergence count) and groups 0..63 the
+      // gradient. The former spelling unioned a per-doc sentinel
+      // branch (b = -1) into the gradient aggregate: AQE stage reuse
+      // dedup'd the shared z-aggregation exchange, but the
+      // post-shuffle err join still replayed per branch and the
+      // sentinel rows rode the gradient shuffle — the metrics are
+      // global sums, exactly what CollectMetrics computes for free on
+      // the rows already flowing into the feature join. Same
+      // DECIMAL(38,0)->BIGINT arithmetic; an EMPTY corpus yields null
+      // sums, keeping the pre-r18 null loss-row shape.
+      val errObs = err.observe(s"gd_loss_$r",
+        expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS BIGINT)")
+          .as("sq"),
+        sum(expr("CAST((p > 500) = (y = 1) AS BIGINT)")).as("nc"))
+      val gradDf = errObs.join(feat, "doc_id")
         .groupBy("b")
-        .agg(
-          expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * c) AS BIGINT)")
-            .as("g"),
-          expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * err) AS BIGINT)")
-            .as("sq"),
-          sum("c").as("nc"))
-        .collect()
+        .agg(expr("CAST(sum(CAST(err AS DECIMAL(38,0)) * c) AS BIGINT)")
+          .as("g"))
+      val agg = gradDf.collect()
       val byB = agg.map(row => row.getLong(0) -> row).toMap
-      // a degenerate EMPTY corpus has no sentinel group: the loss row
-      // keeps its pre-r18 null shape and the weights stay untouched
-      val lossRow = byB.get(-1L)
+      val lossRow = gradDf.queryExecution.observedMetrics.get(s"gd_loss_$r")
       losses += org.apache.spark.sql.Row(r.toLong,
-        lossRow.map(x => java.lang.Long.valueOf(x.getLong(2))).orNull,
-        lossRow.map(x => java.lang.Long.valueOf(x.getLong(3))).orNull)
+        lossRow.flatMap(x => if (x.isNullAt(0)) None
+          else Some(java.lang.Long.valueOf(x.getLong(0)))).orNull,
+        lossRow.flatMap(x => if (x.isNullAt(1)) None
+          else Some(java.lang.Long.valueOf(x.getLong(1)))).orNull)
       if (r <= rounds && nDocs > 0) {
         var b = 0
         while (b < 64) {

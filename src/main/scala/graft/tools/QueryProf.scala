@@ -18,7 +18,8 @@ object QueryProf {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_QP_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // measure the operator, not a memo hit — the Bench convention, so
