@@ -361,7 +361,7 @@ object Dedup {
     */
   def jaccardPairs(
       d: DataFrame, threshold: Double = 0.5,
-      saltTarget: Int = 512): DataFrame = {
+      saltTarget: Int = 128): DataFrame = {
     import graft.functions.text.hashed_sorted_tokens
     prefixRankJoin(d, hashed_sorted_tokens(col("text")), threshold, "jaccard",
       saltTarget = saltTarget)
