@@ -1443,9 +1443,21 @@ object CorpusOps {
       .filter(col("er") <= expTerms)
       .join(dfreq, "term")
       .select(col("q_id"), col("term"), col("dfreq"), lit(1L).as("is_exp"))
+    // Expansion terms are by construction HIGH-tf terms of the
+    // feedback docs — common terms with corpus-wide posting lists
+    // (unlike retrievalJoin's rarest-first query terms), so the final
+    // scoring join streams ~|corpus| posting rows per expansion term.
+    // AQE broadcasts cTerms and coalesces the tiny qAll side to ONE
+    // partition, putting that whole stream + BM25 scoring + aggregate
+    // on a single task (r19 JobProf: a 1.9 s one-task stage = 60% of
+    // the query). Spread the probe side by the join term instead:
+    // REPARTITION_BY_NUM is coalescing-exempt, each task streams a
+    // slice of the expansion postings.
     val qAll = qOrig
       .select(col("q_id"), col("term"), col("dfreq"), lit(0L).as("is_exp"))
       .unionByName(exp)
+      .repartition(graft.core.Layout.shufflePartitions(d.sparkSession),
+        col("q_id"), col("term"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("c_id"))
     qAll
@@ -1662,8 +1674,17 @@ object CorpusOps {
       .select(col("q_id"), col("c_id"),
         ((lit(poolK + 1L) - col("rank")) * 1000L).cast("bigint")
           .as("rel_x1e4"))
-    val csets = d.select(col("doc_id").as("c_id"),
-      array_distinct(TextOps.letterTokens(col("text"))).as("tk"))
+    // spread before the tokenize: the single-row-group documents file
+    // scans as ONE task, and the whole corpus tokenization otherwise
+    // runs inside it (r19 JobProf: a ~1 s one-task stage under the cd
+    // barrier)
+    val csets = graft.core.Layout.spread(d, "doc_id")
+      .select(col("doc_id").as("c_id"),
+        array_distinct(TextOps.letterTokens(col("text"))).as("tk"))
+    // (r19: flipping this join to broadcast the candidate side and
+    // stream the corpus was measured WORSE — 2.6 -> 3.8 s isolated;
+    // the one-task cd barrier probe is cheaper than re-paying the
+    // retrieval chain through a broadcast build)
     val cd = cands.join(csets, "c_id")
       .select("q_id", "c_id", "rel_x1e4", "tk").barrier()
     val inter = size(array_intersect(col("t1"), col("t2")))
