@@ -113,6 +113,12 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TokenHashKernelRule
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.MinhashSqlKernelRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.MinhashSqlKernelRule
+    }
     if (!spark.experimental.extraStrategies
         .contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -125,6 +131,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.TokenHashKernelRule)
+    e.injectOptimizerRule(_ => graft.plans.MinhashSqlKernelRule)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -484,6 +484,121 @@ object TextKernels {
           .toLowerCase(java.util.Locale.ROOT))
     }
   }
+
+  /** min over elements of (x*a + b) % prime, skipping null elements —
+    * bit-identical to `array_min(transform(hh, h -> (h * a + b) % p))`
+    * (null on an empty / all-null array, exactly ArrayMin's contract).
+    * Kernel behind [[AffineMinMod]], the
+    * [[graft.plans.MinhashSqlKernelRule]] rewrite target.
+    */
+  def affineMinMod(
+      arr: ArrayData, a: Long, b: Long, prime: Long): java.lang.Long = {
+    val n = arr.numElements()
+    var min = Long.MaxValue
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = (arr.getLong(i) * a + b) % prime
+        if (!seen || v < min) { min = v; seen = true }
+      }
+      i += 1
+    }
+    if (seen) java.lang.Long.valueOf(min) else null
+  }
+
+  /** Per element: first-4-md5-bytes-as-unsigned-32-bit of the UTF-8
+    * string, mod `prime`; null elements stay null — bit-identical to
+    * `transform(ss, s -> CAST(conv(substring(md5(CAST(s AS BINARY)),
+    * 1, 8), 16, 10) AS BIGINT) % p)` without the 32-char hex string or
+    * the interpreted per-element lambda. Kernel behind [[Md5Head8Mod]].
+    */
+  def md5Head8Mod(arr: ArrayData, prime: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    val md = md5Local.get()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        md.reset()
+        md.update(bytes, 0, bytes.length)
+        val d = md.digest()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        out(i) = java.lang.Long.valueOf(h % prime)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** affine_min_mod(hh, a, b, p): the fused form of
+  * `array_min(transform(hh, h -> (h * a + b) % p))` — one MinHash
+  * permutation's running min as a tight long loop instead of an
+  * interpreted per-element lambda plus a materialized intermediate
+  * array. Installed by [[graft.plans.MinhashSqlKernelRule]] so the
+  * spec-pinned SQL faces get the kernel without their text changing.
+  */
+case class AffineMinMod(child: Expression, a: Long, b: Long, prime: Long)
+    extends UnaryExpression {
+
+  override def prettyName: String = "affine_min_mod"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.affineMinMod(input.asInstanceOf[ArrayData], a, b, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("amm")
+      s"""
+         |java.lang.Long $r =
+         |  graft.functions.TextKernels.affineMinMod($c, ${a}L, ${b}L, ${prime}L);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** md5_head8_mod(ss, p): the fused form of
+  * `transform(ss, s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1,
+  * 8), 16, 10) AS BIGINT) % p)` — see [[TextKernels.md5Head8Mod]].
+  */
+case class Md5Head8Mod(child: Expression, prime: Long)
+    extends UnaryExpression {
+
+  override def prettyName: String = "md5_head8_mod"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5Head8Mod(input.asInstanceOf[ArrayData], prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.md5Head8Mod($c, ${prime}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Base for the string -> kernel expressions: null-safe, codegen emits

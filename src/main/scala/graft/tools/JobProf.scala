@@ -32,7 +32,10 @@ object JobProf {
                    var stages: Int = 0, var tasks: Int = 0,
                    var taskMs: Long = 0L)
     case class Stg(id: Int, name: String, var tasks: Int = 0,
-                   var taskMs: Long = 0L, var maxMs: Long = 0L)
+                   var taskMs: Long = 0L, var maxMs: Long = 0L,
+                   var srRec: Long = 0L, var swRec: Long = 0L,
+                   var outRows: Long = 0L, var inRec: Long = 0L,
+                   var site: String = "")
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, Job]
     val stages = new scala.collection.mutable.LinkedHashMap[Int, Stg]
     val stageToJob = new scala.collection.mutable.HashMap[Int, Int]
@@ -48,7 +51,10 @@ object JobProf {
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         synchronized {
           stages(e.stageInfo.stageId) =
-            Stg(e.stageInfo.stageId, e.stageInfo.name.take(60))
+            Stg(e.stageInfo.stageId, e.stageInfo.name.take(60),
+              site = e.stageInfo.details.linesIterator
+                .find(l => l.contains("graft.") && !l.contains("tools."))
+                .getOrElse("").trim.take(70))
         }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
         for (j <- stageToJob.get(e.stageId); job <- jobs.get(j)) {
@@ -59,6 +65,12 @@ object JobProf {
         for (s <- stages.get(e.stageId) if e.taskInfo != null) {
           s.tasks += 1; s.taskMs += e.taskInfo.duration
           s.maxMs = s.maxMs.max(e.taskInfo.duration)
+          if (e.taskMetrics != null) {
+            s.srRec += e.taskMetrics.shuffleReadMetrics.recordsRead
+            s.swRec += e.taskMetrics.shuffleWriteMetrics.recordsWritten
+            s.outRows += e.taskMetrics.outputMetrics.recordsWritten
+            s.inRec += e.taskMetrics.inputMetrics.recordsRead
+          }
         }
       }
     }
@@ -95,7 +107,8 @@ object JobProf {
       println("  -- stages by task time --")
       stages.values.toSeq.sortBy(-_.taskMs).take(12).foreach { s =>
         println(f"  stage ${s.id}%4d tasks ${s.tasks}%4d sum ${s.taskMs}%7d " +
-          f"max ${s.maxMs}%6d ms  ${s.name}")
+          f"max ${s.maxMs}%6d ms  in ${s.inRec}%9d  sr ${s.srRec}%9d  " +
+          f"sw ${s.swRec}%9d  ${s.site}")
       }
     }
     spark.stop()

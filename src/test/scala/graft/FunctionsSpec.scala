@@ -239,6 +239,55 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash SQL kernel rewrites: equivalence and rule firing") {
+    GraftFunctions.register(spark)
+    // 1) element-wise equivalence of both kernels vs the composed
+    // expressions they replace, on real docs + edge cases — with the
+    // rewrite rule SUSPENDED so the composed side stays composed
+    import spark.implicits._
+    val edge = Seq(
+      (900001L, Seq("a", "bb", "ccc")),
+      (900002L, Seq.empty[String]),
+      (900003L, Seq("", "x")))
+    val ss = edge.toDF("id", "ss")
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try {
+      val p = 2147483647L
+      val composed = ss.selectExpr("id",
+        s"transform(ss, s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $p) AS hh")
+        .selectExpr("id", "hh",
+          s"array_min(transform(hh, h -> (h * 1234567 + 42) % $p)) AS m")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.getSeq[Long](1)).map(_.toList),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val kernel = ss.select(col("id"),
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.Md5Head8Mod(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("ss")),
+            p)).as("hh"))
+        .select(col("id"), col("hh"),
+          org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.functions.AffineMinMod(
+              org.apache.spark.sql.graftbridge.Bridge.expression(col("hh")),
+              1234567L, 42L, p)).as("m"))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.getSeq[Long](1)).map(_.toList),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      assert(composed === kernel)
+      assert(kernel(900002L)._2.isEmpty) // empty array -> null min
+    } finally spark.experimental.extraOptimizations = saved
+    // 2) the rule actually FIRES on the spec-pinned SQL face (drift
+    // guard: a Spark parse-tree change that stops the match is a
+    // silent perf regression)
+    val plan = graft.sql.GraftSql
+      .named(spark, sfDir, "q_sql_dedup_minhash")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("affine_min_mod") && plan.contains("md5_head8_mod"),
+      s"MinhashSqlKernelRule did not fire on q_sql_dedup_minhash:\n" +
+        plan.take(2000))
+  }
+
   test("unit_quantize_int8 kernel matches the HOF-chain formulation") {
     // Pins the r19 kernel replacement of withUnitQuantized's
     // transform/aggregate chain: same qn values AND the same
